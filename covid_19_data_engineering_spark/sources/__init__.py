@@ -1,0 +1,3 @@
+from covid_19_data_engineering_spark.sources.tables import TABLES, load_table, load_tables
+
+__all__ = ["TABLES", "load_table", "load_tables"]

@@ -1,0 +1,80 @@
+"""Local replica of the driver's correctness gate.
+
+For every registered query with an oracle, run the Spark builder AND the
+DuckDB SQL at sf0.01 and compare row count, column names, and an
+order-insensitive value fingerprint (columns sorted by name, rows sorted,
+floats canonicalized). Catching a mismatch here is strictly cheaper than
+waiting for CORRECTNESS_r{N}.json.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import decimal
+import math
+
+import pytest
+
+from covid_19_data_engineering_spark.plans.registry import REGISTRY, _ensure_loaded
+from tests.conftest import SF_ORACLE
+
+_ensure_loaded()
+
+ORACLE_CASES = sorted(name for name, q in REGISTRY.items() if q.oracle is not None)
+ROWS_ONLY_CASES = sorted(name for name, q in REGISTRY.items() if q.oracle is None)
+
+
+def _canon_value(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, bool):
+        return "t" if v else "f"
+    if isinstance(v, (float, decimal.Decimal)):
+        f = float(v)
+        if math.isnan(f):
+            return "nan"
+        return f"{f:.6g}"
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon_value(x) for x in v) + "]"
+    return str(v)
+
+
+def _fingerprint(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    canon = sorted("|".join(_canon_value(r[i]) for i in order) for r in rows)
+    return canon
+
+
+@pytest.mark.parametrize("name", ORACLE_CASES)
+def test_oracle_match(name, spark, duck):
+    q = REGISTRY[name]
+    sdf = q.builder(spark, SF_ORACLE)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = sdf.columns
+
+    res = duck.execute(q.oracle)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch spark={spark_cols} duck={duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+    sfp = _fingerprint(spark_rows, spark_cols)
+    dfp = _fingerprint(duck_rows, duck_cols)
+    mismatches = [(a, b) for a, b in zip(sfp, dfp) if a != b]
+    assert not mismatches, f"{name}: {len(mismatches)} row mismatches, first 3: {mismatches[:3]}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_CASES)
+def test_rows_only_runs(name, spark):
+    q = REGISTRY[name]
+    sdf = q.builder(spark, SF_ORACLE)
+    assert sdf.count() >= 0
+    assert len(sdf.schema.fields) > 0
