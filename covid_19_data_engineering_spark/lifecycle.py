@@ -1,0 +1,110 @@
+"""Table lifecycle: staging -> promote -> history.
+
+Re-implements the reference's zero-downtime swap and history-snapshot
+machinery on the Spark catalog:
+
+- build tables ``<name>_build``      (reference load_tables_daily.py:231,268,346)
+- atomic-ish promote by rename       (reference load_tables_daily.py:227-244)
+- schema-only clone (empty CTAS)     (reference vertica_upload.py:190-206)
+- append-only history snapshots      (reference vertica_upload.py:209-230)
+- ``load_time`` audit column         (reference vertica_upload.py:114,132-136,280-281)
+- count validation report            (reference load_tables_daily.py:365-372)
+
+Scale notes: promote is a metastore rename — O(1), no data movement, exactly
+why the reference chose rename over copy. History tables are written
+partitioned by ``load_date`` so time-travel reads prune to one partition and
+daily appends never rewrite old data. Like the reference (same gap,
+load_tables_daily.py:232-244), DROP+RENAME is two catalog ops, not one
+transaction; the ``_build`` table survives a crash in between for recovery.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+BUILD_SUFFIX = "_build"
+HISTORY_SUFFIX = "_history"
+
+
+def qualified(schema: str, table: str) -> str:
+    return f"{schema}.{table}" if schema else table
+
+
+def ensure_schema(spark: SparkSession, schema: str) -> None:
+    if schema:
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {schema}")
+
+
+def table_exists(spark: SparkSession, schema: str, table: str) -> bool:
+    """Existence probe (reference B6: to_regclass / v_catalog lookups)."""
+    return spark.catalog.tableExists(qualified(schema, table))
+
+
+def drop_table(spark: SparkSession, schema: str, table: str) -> None:
+    spark.sql(f"DROP TABLE IF EXISTS {qualified(schema, table)}")
+
+
+def write_build_table(spark: SparkSession, df: DataFrame, schema: str, table: str) -> str:
+    """Land a DataFrame as the staging table ``<table>_build`` (overwrite:
+    a rerun of a failed day replaces the half-built table, never prod)."""
+    ensure_schema(spark, schema)
+    build = table + BUILD_SUFFIX
+    df.write.mode("overwrite").format("parquet").saveAsTable(qualified(schema, build))
+    return build
+
+
+def clone_structure(spark: SparkSession, schema: str, src: str, dst: str) -> None:
+    """Schema-only CTAS: copy structure, zero rows (reference B4,
+    ``SELECT * FROM old WHERE 1 = 2`` — Catalyst folds the false predicate
+    to an empty relation, so this reads no data)."""
+    ensure_schema(spark, schema)
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {qualified(schema, dst)} "
+        f"AS SELECT * FROM {qualified(schema, src)} WHERE 1 = 2"
+    )
+
+
+def promote(spark: SparkSession, schema: str, table: str) -> None:
+    """Staging -> production swap: drop prod if present, rename build
+    (reference C2/B9). Metastore-only; no data rewrite at any scale."""
+    build = table + BUILD_SUFFIX
+    if not table_exists(spark, schema, build):
+        raise ValueError(f"no build table {qualified(schema, build)} to promote")
+    drop_table(spark, schema, table)
+    spark.sql(
+        f"ALTER TABLE {qualified(schema, build)} RENAME TO {qualified(schema, table)}"
+    )
+
+
+def with_load_time(df: DataFrame) -> DataFrame:
+    """Audit column the quarterly path stamps on every row (reference B11)."""
+    return df.withColumn("load_time", F.current_timestamp())
+
+
+def snapshot_history(spark: SparkSession, schema: str, table: str) -> None:
+    """Append today's full table contents to ``<table>_history`` (reference
+    C4). Partitioned by ``load_date`` so each snapshot is its own partition:
+    appends touch only new files and readers prune by date."""
+    src = qualified(schema, table)
+    hist = qualified(schema, table + HISTORY_SUFFIX)
+    snap = spark.table(src).withColumn("load_date", F.current_date())
+    if not table_exists(spark, schema, table + HISTORY_SUFFIX):
+        snap.write.format("parquet").partitionBy("load_date").saveAsTable(hist)
+    else:
+        snap.write.mode("append").format("parquet").insertInto(hist)
+
+
+def count_report(spark: SparkSession, schema: str, tables: list[str]) -> DataFrame:
+    """Post-promotion validation: one row per table with its count(*)
+    (reference C3). Returned as a DataFrame so callers can assert/persist."""
+    parts = [
+        spark.table(qualified(schema, t))
+        .agg(F.count(F.lit(1)).alias("row_count"))
+        .select(F.lit(t).alias("table_name"), "row_count")
+        for t in tables
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("table_name")

@@ -1,0 +1,105 @@
+"""End-to-end pipeline tests (SURVEY.md §5.3): golden-run the daily and
+quarterly drivers on fixture CSVs in a temp warehouse and assert the full
+lifecycle — typed schema, swap semantics, history growth, quarantine, and the
+all-rows-land regression against the reference's quarterly last-row bug
+(vertica_upload.py:108-139)."""
+
+from __future__ import annotations
+
+import pytest
+
+from covid_19_data_engineering_spark import lifecycle
+from covid_19_data_engineering_spark.pipeline import run_daily, run_quarterly
+
+ENCOUNTERS = """encounter_id,empi_id,is_covid,admit_date,charge
+1001,0042,t,2021-03-15,12.50
+1002,0107,f,2021-04-01,3
+1003,0007,true,2021-05-20,0.25
+"""
+
+MAPPING = """claim_id,encounter_id
+900000000001,1001
+900000000002,1002
+"""
+
+BROKEN = 'name,qty\ngood,1\n"unclosed quote,oops\nalso_good,2\n'
+
+
+@pytest.fixture()
+def csv_dir(tmp_path):
+    (tmp_path / "PH_F_Encounter.csv").write_text(ENCOUNTERS)
+    (tmp_path / "Map_Claim_Encounter.csv").write_text(MAPPING)
+    return tmp_path
+
+
+def test_run_daily_end_to_end(spark, csv_dir):
+    paths = [str(csv_dir / "PH_F_Encounter.csv"), str(csv_dir / "Map_Claim_Encounter.csv")]
+    results = run_daily(spark, paths, schema="daily_t1")
+
+    by_table = {r.table: r for r in results}
+    assert by_table["ph_f_encounter"].rows_loaded == 3
+    assert by_table["map_claim_encounter"].rows_loaded == 2
+
+    # promoted: prod exists, build gone
+    assert lifecycle.table_exists(spark, "daily_t1", "ph_f_encounter")
+    assert not lifecycle.table_exists(spark, "daily_t1", "ph_f_encounter_build")
+
+    prod = spark.table("daily_t1.ph_f_encounter")
+    dtypes = dict(prod.dtypes)
+    assert dtypes == {
+        "encounter_id": "smallint",
+        "empi_id": "string",
+        "is_covid": "boolean",
+        "admit_date": "date",
+        "charge": "double",
+    }
+    mapping = dict(spark.table("daily_t1.map_claim_encounter").dtypes)
+    assert mapping["claim_id"] == "bigint"
+
+
+def test_run_daily_swap_replaces_old(spark, csv_dir):
+    path = str(csv_dir / "PH_F_Encounter.csv")
+    run_daily(spark, [path], schema="daily_t2")
+    first = spark.table("daily_t2.ph_f_encounter").count()
+    run_daily(spark, [path], schema="daily_t2")  # second day: swap, not append
+    second = spark.table("daily_t2.ph_f_encounter").count()
+    assert first == second == 3
+
+
+def test_run_daily_quarantine(spark, tmp_path):
+    p = tmp_path / "Broken_Extract.csv"
+    p.write_text(BROKEN)
+    results = run_daily(spark, [str(p)], schema="daily_t3")
+    assert results[0].rows_quarantined >= 1
+    assert results[0].rows_loaded >= 1  # good rows still land
+    q = spark.table("daily_t3.broken_extract_quarantine")
+    assert q.count() == results[0].rows_quarantined
+
+
+def test_run_quarterly_history_and_all_rows(spark, csv_dir):
+    path = str(csv_dir / "PH_F_Encounter.csv")
+    results = run_quarterly(spark, [path], schema="quart_t1")
+
+    # regression vs reference bug: ALL rows land, not just the last
+    assert results[0].rows_loaded == 3
+
+    prod = spark.table("quart_t1.ph_f_encounter")
+    assert "load_time" in prod.columns
+    assert prod.where("load_time IS NULL").count() == 0
+
+    hist = spark.table("quart_t1.ph_f_encounter_history")
+    assert hist.count() == 3
+    assert "load_date" in hist.columns
+
+    # second run doubles history, prod stays at 3
+    run_quarterly(spark, [path], schema="quart_t1")
+    assert spark.table("quart_t1.ph_f_encounter").count() == 3
+    assert spark.table("quart_t1.ph_f_encounter_history").count() == 6
+
+
+def test_clone_structure_empty(spark, csv_dir):
+    run_daily(spark, [str(csv_dir / "PH_F_Encounter.csv")], schema="daily_t4")
+    lifecycle.clone_structure(spark, "daily_t4", "ph_f_encounter", "ph_f_encounter_clone")
+    clone = spark.table("daily_t4.ph_f_encounter_clone")
+    assert clone.count() == 0
+    assert clone.schema == spark.table("daily_t4.ph_f_encounter").schema
