@@ -1,1 +1,362 @@
-"""Placeholder — queries register here in a later phase."""
+"""Deduplication operators over the ``documents`` table — the training-data
+pipeline surface (exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding
+cosine). The reference has no dedup (its extracts are keyed upstream); these
+are driver-mandated extensions designed for the 100 TB posture:
+
+- exact:       hash-groupBy — one shuffle on a 128-bit fingerprint, no skew
+               (hash keys are uniform by construction).
+- MinHash+LSH: shingle -> 32 minhashes -> 8 bands of 4 -> bucket self-join.
+               The band join only pairs rows sharing a bucket, so candidate
+               generation is O(collisions), not O(n^2); the Jaccard verify
+               runs on candidates only. All JVM-side (md5/conv/bit ops) — no
+               Python in the path.
+- SimHash:     64-bit fingerprint from md5-derived token bits; near-dups are
+               fingerprints within small Hamming distance found via band
+               join on 16-bit chunks (same collision-bounding idea).
+- n-gram Jaccard: exact pairwise Jaccard over 3-gram shingle sets, bounded
+               by a same-lang blocking key. The exact twin the LSH variants
+               approximate; oracle-checkable in DuckDB via list functions.
+- embedding cosine: exact pairwise cosine over the embeddings table above a
+               threshold; the brute baseline the ANN path approximates.
+
+Tokenization is a plain single-space split everywhere so the DuckDB oracle
+can reproduce it exactly.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from covid_19_data_engineering_spark.plans.registry import register
+from covid_19_data_engineering_spark.sources.tables import load_table
+
+# --- shared text primitives (exactly reproducible in DuckDB SQL) -----------
+
+
+def tokens_col(text: str | Column = "text") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def shingles_col(tok: Column, k: int = 3) -> Column:
+    """k-word shingles: slice a sliding window over the token array.
+    Documents shorter than k tokens produce an empty set (sequence() would
+    otherwise count DOWN from 1 and emit bogus windows)."""
+    idx = F.sequence(F.lit(1), F.size(tok) - (k - 1))
+    return F.when(F.size(tok) >= k, F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tok, i, k)))
+    )).otherwise(F.array().cast("array<string>"))
+
+
+# --- exact dedup ------------------------------------------------------------
+
+
+def exact_duplicate_groups(df: DataFrame, text_col: str = "text",
+                           key_col: str = "doc_id") -> DataFrame:
+    """Group rows by content fingerprint; one row per distinct content with
+    the surviving (min) key and the duplicate count."""
+    return (
+        df.select(F.col(key_col), F.md5(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(key_col).alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS fingerprint,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS dup_count
+    FROM documents
+    GROUP BY md5(text)
+    ORDER BY fingerprint
+    """,
+    doc="Exact dedup via md5 hash-groupBy; shuffle key is uniform by construction.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return exact_duplicate_groups(docs).orderBy("fingerprint")
+
+
+# --- n-gram Jaccard (exact near-dup twin) -----------------------------------
+
+
+def ngram_jaccard_pairs(df: DataFrame, threshold: float, k: int = 3,
+                        block_col: str = "lang") -> DataFrame:
+    """Exact pairwise Jaccard over k-shingle sets within a blocking key.
+
+    The self-join is equi-keyed on the block column, so Spark shuffles each
+    side once by block and compares within blocks only — the exact-match
+    counterpart of LSH banding. Blocks must be small relative to cluster
+    memory; for unblocked corpora use minhash_lsh_candidates instead.
+    """
+    sh = df.select(
+        F.col("doc_id"),
+        F.col(block_col).alias("block"),
+        shingles_col(tokens_col("text"), k).alias("sh"),
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    # try_divide: two sub-k-token docs both have empty shingle sets -> 0/0;
+    # NULL here (dropped by the threshold filter) matches DuckDB's behavior
+    jac = F.try_divide(inter, union)
+    return (
+        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, lang AS block,
+             -- i ranges 1..len-2 so every shingle is a full 3-gram
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+               i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+             )) AS s
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+    FROM sh a JOIN sh b ON a.block = b.block AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.35
+    ORDER BY doc_a, doc_b
+    """,
+    doc="Exact 3-gram Jaccard near-dup pairs, blocked by lang.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return ngram_jaccard_pairs(docs, threshold=0.35).orderBy("doc_a", "doc_b")
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+
+_MERSENNE61 = (1 << 61) - 1
+_N_HASHES = 32
+_BANDS = 8
+_ROWS_PER_BAND = _N_HASHES // _BANDS
+# deterministic affine coefficients (odd multipliers, fixed offsets) — no
+# runtime randomness so every run and every engine derives the same buckets
+_HASH_COEFF = [(2 * i + 1) * 0x9E3779B97F4A7C15 % _MERSENNE61 for i in range(_N_HASHES)]
+_HASH_OFFSET = [(i + 1) * 0xC2B2AE3D27D4EB4F % _MERSENNE61 for i in range(_N_HASHES)]
+
+
+def _shingle_base_hash(sh: Column) -> Column:
+    """60-bit integer from the md5 of a shingle (JVM-side, engine-portable)."""
+    return F.conv(F.substring(F.md5(sh), 1, 15), 16, 10).cast("long")
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       key_col: str = "doc_id") -> DataFrame:
+    """doc_id -> minhash[32] over 3-word shingles."""
+    sh = df.select(
+        F.col(key_col),
+        F.explode(shingles_col(tokens_col(text_col))).alias("sh"),
+    ).select(key_col, _shingle_base_hash(F.col("sh")).alias("h"))
+    # (h * a + b) mod p: the 60-bit x 61-bit product overflows int64, so the
+    # multiply runs in decimal(38,0) (121-bit headroom) and narrows back
+    h_dec = F.col("h").cast("decimal(38,0)")
+    mins = [
+        F.min(
+            ((h_dec * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE61)).cast("long")
+        ).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(zip(_HASH_COEFF, _HASH_OFFSET))
+    ]
+    return sh.groupBy(key_col).agg(*mins)
+
+
+def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
+                           key_col: str = "doc_id") -> DataFrame:
+    """Candidate near-dup pairs via banded LSH over minhash signatures.
+
+    Docs agreeing on all rows of at least one band share a bucket; the
+    bucket equi-join emits only colliding pairs. Returns distinct pairs with
+    the estimated Jaccard (fraction of agreeing minhashes).
+    """
+    sig = minhash_signatures(df, text_col, key_col)
+    bands = sig.select(
+        F.col(key_col),
+        F.array(*[F.col(f"mh_{i}") for i in range(_N_HASHES)]).alias("sig"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.hash(*[F.col(f"mh_{b * _ROWS_PER_BAND + r}") for r in range(_ROWS_PER_BAND)]).alias("bucket"),
+                )
+                for b in range(_BANDS)
+            ])
+        ).alias("bb"),
+    ).select(key_col, "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{key_col}") < F.col(f"b.{key_col}")),
+        )
+        .select(
+            F.col(f"a.{key_col}").alias("doc_a"),
+            F.col(f"b.{key_col}").alias("doc_b"),
+            F.round(agree / F.lit(_N_HASHES), 4).alias("est_jaccard"),
+        )
+        .distinct()
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,  # minhash bucket assignment is engine-internal; exactness is
+    # pinned by tests/test_dedup.py (recall vs the exact Jaccard twin)
+    doc="MinHash(32)+LSH(8x4) candidate near-dup pairs with estimated Jaccard.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        minhash_lsh_candidates(docs)
+        .where(F.col("est_jaccard") >= 0.3)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- SimHash ----------------------------------------------------------------
+
+
+def simhash_col(tok: Column, bits: int = 60) -> Column:
+    """60-bit SimHash: per token take md5-derived bits, sum +1/-1 per bit
+    position, sign -> fingerprint bit. Pure JVM expression (no UDF).
+    60 bits (15 md5 hex chars) keep every intermediate inside a signed
+    int64 under ANSI arithmetic."""
+    token_hash = F.transform(
+        tok, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    )
+    bit_votes = [
+        F.aggregate(
+            token_hash,
+            F.lit(0),
+            lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1),
+        )
+        for i in range(bits)
+    ]
+    fp = F.lit(0).cast("long")
+    for i, vote in enumerate(bit_votes):
+        fp = fp + F.when(vote > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return fp
+
+
+def simhash_fingerprints(df: DataFrame, text_col: str = "text",
+                         key_col: str = "doc_id") -> DataFrame:
+    return df.select(F.col(key_col), simhash_col(tokens_col(text_col)).alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by Hamming distance over SimHash, found via band join:
+    fingerprints within distance d must agree exactly on at least one of
+    d+1 15-bit chunks, so the chunk equi-join bounds the pair space."""
+    fp = simhash_fingerprints(df)
+    chunks = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk"),
+                    F.shiftrightunsigned(F.col("simhash"), c * 15).bitwiseAND(F.lit(0x7FFF)).alias("val"),
+                )
+                for c in range(4)
+            ])
+        ).alias("cc"),
+    ).select("doc_id", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.val").alias("val"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # bit-level fingerprinting pinned by unit tests instead
+    doc="SimHash(64) fingerprint near-dup pairs within Hamming distance 3.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return simhash_near_pairs(docs).orderBy("doc_a", "doc_b")
+
+
+# --- embedding cosine near-dup ----------------------------------------------
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: (x * x).cast("double")),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: (x * x).cast("double")),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    return dot / (na * nb)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.95
+    ORDER BY vec_a, vec_b
+    """,
+    doc="Embedding-cosine near-dup pairs (>=0.95), exact pairwise baseline.",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    a, b = em.alias("a"), em.alias("b")
+    cos = cosine_sim(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 4).alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.95)
+        .orderBy("vec_a", "vec_b")
+    )

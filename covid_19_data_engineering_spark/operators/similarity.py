@@ -1,1 +1,166 @@
-"""Placeholder — queries register here in a later phase."""
+"""Similarity search over the ``embeddings`` table (array<float>, 64-dim).
+
+Two paths, same contract (query vectors -> top-k neighbors by cosine):
+
+- brute-force: crossJoin(broadcast(queries)) + per-pair cosine + windowed
+  top-k. Exact. Scales linearly in corpus x queries: with queries broadcast,
+  the corpus is scanned once, never shuffled, and the only shuffle is the
+  final top-k (k rows per query). This is the correct baseline even at 100 TB
+  when the query set is small.
+- LSH-bucketed: random-hyperplane signatures (deterministic seed constants),
+  candidates restricted to matching buckets, exact cosine re-rank on the
+  candidate set. Sub-linear candidate generation; recall measured against the
+  brute path in tests/test_similarity.py.
+
+Cosine math is pure JVM (zip_with/aggregate) — no Python UDF in the hot path.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+
+from covid_19_data_engineering_spark.operators.dedup import cosine_sim
+from covid_19_data_engineering_spark.plans.registry import register
+from covid_19_data_engineering_spark.sources.tables import load_table
+
+N_QUERY_VECTORS = 5
+TOP_K = 10
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Exact cosine top-k. corpus: (vec_id, embedding); queries:
+    (query_id, q_embedding). Queries are broadcast; corpus scanned once."""
+    pairs = corpus.crossJoin(F.broadcast(queries)).where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_sim(F.col("q_embedding"), F.col("embedding")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
+def default_queries(corpus: DataFrame, n: int = N_QUERY_VECTORS) -> DataFrame:
+    """Deterministic query set: the n lowest vec_ids."""
+    return (
+        corpus.orderBy("vec_id")
+        .limit(n)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding"))
+    )
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH queries AS (
+      SELECT vec_id AS query_id, embedding AS q_embedding
+      FROM embeddings ORDER BY vec_id LIMIT {N_QUERY_VECTORS}
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             ROUND(list_cosine_similarity(CAST(q.q_embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])), 6) AS cosine
+      FROM embeddings e CROSS JOIN queries q
+      WHERE e.vec_id != q.query_id
+    )
+    SELECT query_id, rank, vec_id, cosine FROM (
+      SELECT query_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+    doc="Exact brute-force cosine top-10 for 5 query vectors (broadcast queries).",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    return brute_force_topk(corpus, default_queries(corpus)).orderBy("query_id", "rank")
+
+
+# --- LSH-bucketed variant ----------------------------------------------------
+
+# 16 tables x 4 bits: per-table collision prob for angle θ is
+# (1-θ/π)^4, and 16 independent tables give recall 1-(1-p)^16 —
+# ~0.9 for cosine≥0.3 neighbors. More bits/table (sharper buckets,
+# fewer candidates) is the knob to turn as the corpus grows.
+_N_PLANES = 64
+_SIGN_BITS_PER_TABLE = 4
+_N_TABLES = _N_PLANES // _SIGN_BITS_PER_TABLE
+_DIM = 64
+# deterministic pseudo-random hyperplanes: component (p, d) derives from a
+# fixed integer mix — stable across runs/engines, no runtime randomness
+_PLANES: list[list[float]] = [
+    [(((p * 1_000_003 + d) * 2654435761 % 2**32) / 2**31 - 1.0) for d in range(_DIM)]
+    for p in range(_N_PLANES)
+]
+
+
+def _signature_bits(vec: Column) -> list[Column]:
+    bits = []
+    for plane in _PLANES:
+        arr = F.array(*[F.lit(x) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(vec, arr, lambda x, y: (x * y).cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append((dot >= 0).cast("int"))
+    return bits
+
+
+def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Approximate top-k: candidates share at least one LSH table bucket,
+    re-ranked by exact cosine. Bucket join bounds the pair space; the
+    hyperplane signatures are computed JVM-side in one projection."""
+
+    def with_buckets(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+        bits = _signature_bits(F.col(vec_col))
+        buckets = []
+        for t in range(_N_TABLES):
+            chunk = bits[t * _SIGN_BITS_PER_TABLE:(t + 1) * _SIGN_BITS_PER_TABLE]
+            acc = F.lit(0)
+            for bit in chunk:
+                acc = acc * 2 + bit
+            buckets.append(F.struct(F.lit(t).alias("table"), acc.alias("bucket")))
+        return df.select(
+            id_col, vec_col, F.explode(F.array(*buckets)).alias("tb")
+        ).select(id_col, vec_col, F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+
+    c = with_buckets(corpus, "embedding", "vec_id")
+    q = with_buckets(queries, "q_embedding", "query_id")
+    cands = (
+        c.join(F.broadcast(q), ["table", "bucket"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "q_embedding", "vec_id", "embedding")
+        .distinct()
+    )
+    scored = cands.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_sim(F.col("q_embedding"), F.col("embedding")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=None,  # approximate by design; recall vs brute force pinned in
+    # tests/test_similarity.py
+    doc="LSH-bucketed approximate cosine top-10 (random-hyperplane, 2 tables x 8 bits).",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    return lsh_bucketed_topk(corpus, default_queries(corpus)).orderBy("query_id", "rank")

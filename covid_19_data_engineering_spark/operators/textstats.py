@@ -1,1 +1,206 @@
-"""Placeholder — queries register here in a later phase."""
+"""Text-analysis operators over ``documents``: language ID, quality scoring,
+token counting, fingerprinting. All pure JVM column expressions (split /
+regexp / aggregate) so they hold at 100 TB with zero Python in the path, and
+each is exactly reproducible in DuckDB SQL for the oracle.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from covid_19_data_engineering_spark.plans.registry import register
+from covid_19_data_engineering_spark.sources.tables import load_table
+
+# marker stopwords per language for the n-gram-free heuristic; deliberately
+# tiny so the SQL twin stays literal. Real corpora would load a lexicon table
+# and broadcast-join it — same plan shape.
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "die", "und"),
+    "fr": ("le", "la", "et"),
+    "es": ("el", "los", "que"),
+}
+
+
+def token_count_col(text: Column) -> Column:
+    return F.size(F.split(text, " "))
+
+
+def punct_ratio_col(text: Column) -> Column:
+    stripped = F.regexp_replace(text, r"[^.,;:!?]", "")
+    return F.length(stripped) / F.greatest(F.length(text), F.lit(1))
+
+
+def stopword_ratio_col(text: Column, stopwords: tuple[str, ...] = ("the", "a", "and", "of", "to")) -> Column:
+    toks = F.split(F.lower(text), " ")
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score_col(text: Column) -> Column:
+    """Composite [0,1] quality: long enough, not punctuation-soup, has
+    stopword mass (the C4-style heuristic family)."""
+    length_term = F.least(F.length(text) / F.lit(500.0), F.lit(1.0))
+    punct_term = 1 - F.least(punct_ratio_col(text) * 10, F.lit(1.0))
+    stop_term = F.least(stopword_ratio_col(text) * 5, F.lit(1.0))
+    return F.round((length_term + punct_term + stop_term) / 3, 4)
+
+
+def predict_lang_col(text: Column) -> Column:
+    """Marker-token language vote: most marker hits wins, ties broken by
+    fixed language order, no hits -> 'und' (undetermined)."""
+    toks = F.split(F.lower(text), " ")
+
+    # closure, not a default arg: pyspark derives the lambda's arity from its
+    # signature, so an extra `m=markers` parameter would receive a Column
+    def marker_hits(markers: tuple[str, ...]) -> Column:
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    scores = [(lang, marker_hits(markers)) for lang, markers in _LANG_MARKERS.items()]
+    best = F.greatest(*[s for _, s in scores])
+    expr = F.lit("und")
+    for lang, score in reversed(scores):
+        expr = F.when((score == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Document fingerprint: md5 over lowercased, whitespace-collapsed text
+    (rolling-hash-class normalization, stable across engines)."""
+    normalized = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    return F.md5(normalized)
+
+
+@register(
+    "text_quality_profile",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           ROUND(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                 / greatest(length(text), 1), 4) AS punct_ratio,
+           ROUND(CAST(len(list_filter(string_split(lower(text), ' '),
+                                      t -> t IN ('the','a','and','of','to'))) AS DOUBLE)
+                 / greatest(len(string_split(lower(text), ' ')), 1), 4) AS stopword_ratio,
+           ROUND((
+             least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+             + (1 - least(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                          / greatest(length(text), 1) * 10, 1.0))
+             + least(CAST(len(list_filter(string_split(lower(text), ' '),
+                                          t -> t IN ('the','a','and','of','to'))) AS DOUBLE)
+                     / greatest(len(string_split(lower(text), ' ')), 1) * 5, 1.0)
+           ) / 3, 4) AS quality_score
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Per-document quality profile: token count, punctuation/stopword ratios, composite score.",
+)
+def text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    text = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count_col(text).alias("n_tokens"),
+        F.round(punct_ratio_col(text), 4).alias("punct_ratio"),
+        F.round(stopword_ratio_col(text), 4).alias("stopword_ratio"),
+        quality_score_col(text).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "lang_id_confusion",
+    oracle="""
+    WITH scored AS (
+      SELECT lang AS labeled,
+             CASE
+               WHEN len(list_filter(string_split(lower(text),' '), t -> t IN ('the','and','of'))) >=
+                    greatest(len(list_filter(string_split(lower(text),' '), t -> t IN ('der','die','und'))),
+                             len(list_filter(string_split(lower(text),' '), t -> t IN ('le','la','et'))),
+                             len(list_filter(string_split(lower(text),' '), t -> t IN ('el','los','que'))))
+                AND len(list_filter(string_split(lower(text),' '), t -> t IN ('the','and','of'))) > 0
+               THEN 'en'
+               WHEN len(list_filter(string_split(lower(text),' '), t -> t IN ('der','die','und'))) >=
+                    greatest(len(list_filter(string_split(lower(text),' '), t -> t IN ('le','la','et'))),
+                             len(list_filter(string_split(lower(text),' '), t -> t IN ('el','los','que'))))
+                AND len(list_filter(string_split(lower(text),' '), t -> t IN ('der','die','und'))) > 0
+               THEN 'de'
+               WHEN len(list_filter(string_split(lower(text),' '), t -> t IN ('le','la','et'))) >=
+                    len(list_filter(string_split(lower(text),' '), t -> t IN ('el','los','que')))
+                AND len(list_filter(string_split(lower(text),' '), t -> t IN ('le','la','et'))) > 0
+               THEN 'fr'
+               WHEN len(list_filter(string_split(lower(text),' '), t -> t IN ('el','los','que'))) > 0
+               THEN 'es'
+               ELSE 'und'
+             END AS predicted
+      FROM documents
+    )
+    SELECT labeled, predicted, COUNT(*) AS n
+    FROM scored
+    GROUP BY labeled, predicted
+    ORDER BY labeled, predicted
+    """,
+    doc="Marker-token language-ID vs the labeled lang column (confusion counts).",
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select(
+            F.col("lang").alias("labeled"),
+            predict_lang_col(F.col("text")).alias("predicted"),
+        )
+        .groupBy("labeled", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("labeled", "predicted")
+    )
+
+
+@register(
+    "doc_fingerprints",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS first_doc
+    FROM documents
+    GROUP BY 1
+    HAVING COUNT(*) >= 1
+    ORDER BY fingerprint
+    """,
+    doc="Normalized-content fingerprints with per-fingerprint doc counts.",
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select(fingerprint_col(F.col("text")).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .orderBy("fingerprint")
+    )
+
+
+@register(
+    "token_stats_by_source",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(len(string_split(text, ' '))) AS total_tokens,
+           ROUND(AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)), 4) AS avg_tokens,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Corpus token accounting per source (the tokenizer-budget view).",
+)
+def token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = token_count_col(F.col("text"))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(toks).alias("total_tokens"),
+            F.round(F.avg(toks.cast("double")), 4).alias("avg_tokens"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("source")
+    )

@@ -110,6 +110,491 @@ def count_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # parquet scan.
 # --------------------------------------------------------------------------
 
+# --------------------------------------------------------------------------
+# Joins. Dim side (nation/region, and customer against the order fact) rides
+# broadcast-hash-join; the lineitem fact is never shuffled for a dim lookup.
+# At 100 TB the same plans hold: AQE demotes to sort-merge only if a "dim"
+# outgrows the broadcast threshold, and the equi-keys are the natural
+# bucketing/partition keys for co-located storage.
+# --------------------------------------------------------------------------
+
+@register(
+    "revenue_by_nation",
+    oracle="""
+    SELECT n.n_name AS nation,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN nation n    ON c.c_nationkey = n.n_nationkey
+    JOIN region r    ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, nation
+    """,
+    doc="5-way star join: fact -> orders -> customer -> nation -> region, dims broadcast.",
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("nation"))
+    )
+
+
+@register(
+    "customers_with_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    ORDER BY c_custkey
+    """,
+    doc="Left-semi join (EXISTS): customers holding at least one big order.",
+)
+def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey
+    """,
+    doc="Left-anti join (NOT EXISTS): customers with no orders at all.",
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "order_fill_outer",
+    oracle="""
+    SELECT c.c_custkey,
+           COALESCE(o.cnt, 0) AS order_count
+    FROM customer c
+    LEFT JOIN (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey) o
+      ON c.c_custkey = o.o_custkey
+    ORDER BY order_count DESC, c_custkey
+    LIMIT 200
+    """,
+    doc="Left outer join against a pre-aggregated fact (agg pushed below the join).",
+)
+def order_fill_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    per_cust = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
+        .select("c_custkey", F.coalesce("cnt", F.lit(0)).alias("order_count"))
+        .orderBy(F.col("order_count").desc(), "c_custkey")
+        .limit(200)
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions. partitionBy keys are the shuffle keys; a total ORDER
+# BY tiebreak keeps results deterministic for the oracle hash.
+# --------------------------------------------------------------------------
+
+@register(
+    "top_orders_per_customer",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    ORDER BY o_custkey, rn
+    """,
+    doc="Per-group top-k via row_number window.",
+)
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@register(
+    "customer_running_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+           LAG(o_orderkey) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_orderkey
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+    doc="Running sum + lag over per-customer order history.",
+)
+def customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(
+                F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2
+            ).alias("running_spend"),
+            F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "segment_price_rank",
+    oracle="""
+    SELECT c_mktsegment,
+           o_orderkey,
+           RANK() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC) AS price_rank,
+           ROUND(o_totalprice - AVG(o_totalprice) OVER (PARTITION BY c_mktsegment), 2) AS delta_vs_segment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    QUALIFY price_rank <= 5
+    ORDER BY c_mktsegment, price_rank, o_orderkey
+    """,
+    doc="Rank + windowed avg delta per market segment (join then window).",
+)
+def segment_price_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("o_totalprice").desc())
+    return (
+        joined.select(
+            "c_mktsegment",
+            "o_orderkey",
+            F.rank().over(w).alias("price_rank"),
+            F.round(
+                F.col("o_totalprice") - F.avg("o_totalprice").over(Window.partitionBy("c_mktsegment")), 2
+            ).alias("delta_vs_segment"),
+        )
+        .where(F.col("price_rank") <= 5)
+        .orderBy("c_mktsegment", "price_rank", "o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Grouping sets / rollup / cube; distinct aggregation; set operations.
+# --------------------------------------------------------------------------
+
+@register(
+    "rollup_returns",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           ROUND(SUM(l_quantity), 2) AS total_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    doc="ROLLUP over (returnflag, linestatus) incl. grand total row.",
+)
+def rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+        .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+@register(
+    "cube_order_status",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    doc="CUBE over (status, priority): all 4 grouping combinations.",
+)
+def cube_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("o_orderstatus").asc_nulls_first(), F.col("o_orderpriority").asc_nulls_first())
+    )
+
+
+@register(
+    "distinct_counts",
+    oracle="""
+    SELECT COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(DISTINCT o_orderpriority) AS n_priorities,
+           COUNT(*) AS n_orders
+    FROM orders
+    """,
+    doc="Exact distinct aggregation (expand-based multi-distinct).",
+)
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "segment_set_ops",
+    oracle="""
+    WITH building AS (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+         machinery AS (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+    SELECT 'intersect' AS op, c_nationkey FROM (SELECT * FROM building INTERSECT SELECT * FROM machinery)
+    UNION ALL
+    SELECT 'except' AS op, c_nationkey FROM (SELECT * FROM building EXCEPT SELECT * FROM machinery)
+    ORDER BY op, c_nationkey
+    """,
+    doc="INTERSECT / EXCEPT over nation keys of two market segments.",
+)
+def segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    building = c.where(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    machinery = c.where(F.col("c_mktsegment") == "MACHINERY").select("c_nationkey")
+    both = building.intersect(machinery).select(F.lit("intersect").alias("op"), "c_nationkey")
+    # subtract = EXCEPT DISTINCT; exceptAll would leak multiplicity (keys
+    # present in both sides survive when the left has more occurrences)
+    only = building.subtract(machinery).select(F.lit("except").alias("op"), "c_nationkey")
+    return both.unionAll(only).orderBy("op", "c_nationkey")
+
+
+# --------------------------------------------------------------------------
+# Scalar function surface: string / date / math / conditional.
+# --------------------------------------------------------------------------
+
+@register(
+    "part_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_brand) AS brand_upper,
+           SUBSTRING(p_name, 1, 8) AS name_prefix,
+           LENGTH(p_name) AS name_len,
+           CONCAT(p_brand, ':', p_type) AS brand_type,
+           REPLACE(p_type, ' ', '_') AS type_snake
+    FROM part
+    WHERE p_type LIKE '%STEEL%' OR REGEXP_MATCHES(p_name, 'red|blue')
+    ORDER BY p_partkey
+    """,
+    doc="String function battery with LIKE + regex predicates pushed to scan.",
+)
+def part_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.where(F.col("p_type").like("%STEEL%") | F.col("p_name").rlike("red|blue"))
+        .select(
+            "p_partkey",
+            F.upper("p_brand").alias("brand_upper"),
+            F.substring("p_name", 1, 8).alias("name_prefix"),
+            F.length("p_name").alias("name_len"),
+            F.concat_ws("", F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+            F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "monthly_order_stats",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS month_revenue,
+           ROUND(MIN(o_totalprice), 2) AS min_price,
+           ROUND(MAX(o_totalprice), 2) AS max_price
+    FROM orders
+    WHERE year(o_orderdate) BETWEEN 1996 AND 1998
+    GROUP BY 1
+    ORDER BY order_month
+    """,
+    doc="Calendar bucketing: date_trunc month + year filter + min/max/sum.",
+)
+def monthly_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.where(F.year("o_orderdate").between(1996, 1998))
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("month_revenue"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("order_month")
+    )
+
+
+@register(
+    "conditional_agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_discount > 0.05) AS high_discount,
+           COUNT(*) FILTER (WHERE l_discount <= 0.05) AS low_discount,
+           ROUND(SUM(CASE WHEN l_tax > 0.04 THEN l_extendedprice ELSE 0 END), 2) AS taxed_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Conditional aggregation (FILTER / CASE WHEN) — manual pivot shape.",
+)
+def conditional_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("high_discount"),
+            F.count(F.when(F.col("l_discount") <= 0.05, 1)).alias("low_discount"),
+            F.round(
+                F.sum(F.when(F.col("l_tax") > 0.04, F.col("l_extendedprice")).otherwise(0.0)), 2
+            ).alias("taxed_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(ABS(l_extendedprice - 50000.0), 2) AS abs_delta,
+           ROUND(SQRT(l_quantity), 4) AS qty_sqrt,
+           ROUND(LN(l_extendedprice), 4) AS price_ln,
+           ROUND(POWER(1 + l_discount, 2), 4) AS discount_sq,
+           FLOOR(l_quantity / 7) AS qty_bucket,
+           MOD(l_orderkey, 97) AS key_mod
+    FROM lineitem
+    WHERE l_linenumber = 1 AND l_orderkey <= 2000
+    ORDER BY l_orderkey
+    """,
+    doc="Math scalar battery: abs/sqrt/ln/power/floor/mod.",
+)
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where((F.col("l_linenumber") == 1) & (F.col("l_orderkey") <= 2000))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.abs(F.col("l_extendedprice") - 50000.0), 2).alias("abs_delta"),
+            F.round(F.sqrt("l_quantity"), 4).alias("qty_sqrt"),
+            F.round(F.log("l_extendedprice"), 4).alias("price_ln"),
+            F.round(F.pow(F.lit(1) + F.col("l_discount"), 2), 4).alias("discount_sq"),
+            F.floor(F.col("l_quantity") / 7).alias("qty_bucket"),
+            (F.col("l_orderkey") % 97).alias("key_mod"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Semi-structured: JSON props on the events stream table; arrays on
+# embeddings. from_json is JVM-side (Jackson) — no Python in the path.
+# --------------------------------------------------------------------------
+
+@register(
+    "events_json_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="from_json over events.props, aggregate the extracted field.",
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_type",
+        F.from_json(F.col("props"), "k INT").getField("k").alias("k"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("k"), 4).alias("avg_k"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "embedding_array_stats",
+    oracle="""
+    SELECT vec_id,
+           label,
+           len(embedding) AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_component,
+           ROUND(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum'), 4) AS component_sum
+    FROM embeddings
+    WHERE vec_id < 100
+    ORDER BY vec_id
+    """,
+    doc="Array functions over embedding vectors: size, index, aggregate-sum.",
+)
+def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = _t(spark, sf_dir, "embeddings")
+    return (
+        em.where(F.col("vec_id") < 100)
+        .select(
+            "vec_id",
+            "label",
+            F.size("embedding").alias("dim"),
+            F.round(F.col("embedding").getItem(0).cast("double"), 4).alias("first_component"),
+            F.round(
+                F.aggregate(
+                    F.col("embedding"), F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double"),
+                ),
+                4,
+            ).alias("component_sum"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 @register(
     "column_sample",
     oracle="""

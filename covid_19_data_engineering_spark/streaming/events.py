@@ -1,1 +1,237 @@
-"""Placeholder — queries register here in a later phase."""
+"""Structured Streaming view over the ``events`` table + batch twins.
+
+The reference has no streaming surface (its cadence is a daily batch); this
+is the driver-mandated extension. Design:
+
+- every streaming query has a BATCH TWIN registered with a DuckDB oracle —
+  identical window/group semantics over the same parquet — because the
+  correctness harness can't drive an unbounded query;
+- the streaming variants (``stream_*`` builders below) read the same parquet
+  through ``readStream`` with ``availableNow`` semantics in tests: watermarks,
+  tumbling/sliding/session windows, and watermark-scoped dedup run the real
+  streaming engine (tests/test_streaming.py);
+- at scale the source swaps for Kafka/files-on-arrival; the plans are
+  unchanged. Watermark bounds state: aggregation state for windows older
+  than (max event time - delay) is evicted, so state size is O(active
+  windows x keys), not O(stream history).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from covid_19_data_engineering_spark.plans.registry import register
+from covid_19_data_engineering_spark.sources.tables import load_table
+
+WATERMARK_DELAY = "10 minutes"
+SESSION_GAP = "5 minutes"
+
+
+# --- batch twins (oracle-checked) -------------------------------------------
+
+@register(
+    "events_tumbling_1h",
+    oracle="""
+    SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+    doc="Tumbling 1h window counts/sums per event type (batch twin of the streaming agg).",
+)
+def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "events_sliding_1h_30m",
+    oracle="""
+    WITH expanded AS (
+      SELECT e.*,
+             to_timestamp(floor(epoch(CAST(ts AS TIMESTAMP)) / 1800) * 1800 - k * 1800)
+               AS window_start
+      FROM events e CROSS JOIN (SELECT UNNEST([0, 1]) AS k)
+    )
+    SELECT CAST(window_start AS TIMESTAMP) AS window_start,
+           COUNT(*) AS n_events,
+           -- exact integer-micros sum, then identical IEEE double ops on both
+           -- engines: plain ROUND(AVG(value),4) mismatched on a true mean of
+           -- exactly x.xxxx5 (Spark rounds the shortest decimal repr, DuckDB
+           -- the binary value)
+           FLOOR(SUM(CAST(CAST(value AS DECIMAL(20,6)) * 1000000 AS BIGINT))
+                 / COUNT(*) / 100.0 + 0.5) / 10000.0 AS avg_value
+    FROM expanded
+    GROUP BY 1
+    ORDER BY window_start
+    """,
+    doc="Sliding window (1h length / 30m slide): each event lands in 2 windows.",
+)
+def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.floor(
+                F.sum((F.col("value").cast("decimal(20,6)") * 1000000).cast("long"))
+                / F.count(F.lit(1)) / F.lit(100.0) + F.lit(0.5)
+            ) / F.lit(10000.0)).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "avg_value")
+        .orderBy("window_start")
+    )
+
+
+@register(
+    "events_sessionization",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             CASE WHEN epoch(CAST(ts AS TIMESTAMP))
+                       - epoch(lag(CAST(ts AS TIMESTAMP)) OVER w) > 300
+                  OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    )
+    SELECT user_id, session_no,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS session_value
+    FROM sessions
+    GROUP BY user_id, session_no
+    HAVING COUNT(*) >= 3
+    ORDER BY user_id, session_no
+    """,
+    doc="Gap-based sessionization (5 min), batch twin of session_window via lag+cumsum.",
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.select(
+        "user_id", "ts", "value", "event_id",
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > 300, 1
+        ).when(F.lag("ts").over(w).isNull(), 1).otherwise(0).alias("new_session"),
+    )
+    sessions = marked.withColumn(
+        "session_no",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return (
+        sessions.groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .where(F.col("n_events") >= 3)
+        .orderBy("user_id", "session_no")
+    )
+
+
+@register(
+    "events_dedup_by_key",
+    oracle="""
+    SELECT event_type, user_id, COUNT(*) AS n_first_events
+    FROM (
+      SELECT event_type, user_id,
+             ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts) AS rn
+      FROM events
+    ) WHERE rn = 1
+    GROUP BY event_type, user_id
+    HAVING COUNT(*) > 1
+    ORDER BY event_type, user_id
+    """,
+    doc="Keyed dedup (first event per event_id) then regroup — batch twin of "
+    "dropDuplicatesWithinWatermark.",
+)
+def events_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("event_id").orderBy("ts")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n_first_events"))
+        .where(F.col("n_first_events") > 1)
+        .orderBy("event_type", "user_id")
+    )
+
+
+# --- streaming builders (driven by tests with availableNow) ------------------
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (stand-in for Kafka/file-arrival).
+    ts arrives as long nanos (nanosAsLong) and is re-typed exactly like the
+    batch loader so stream and batch plans share semantics."""
+    import os
+
+    schema = load_table(spark, "events", sf_dir).schema
+    raw_schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .load(os.path.join(sf_dir, "events.parquet"))
+    )
+    del schema
+    return stream.withColumn(
+        "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+    )
+
+
+def stream_tumbling_counts(events: DataFrame) -> DataFrame:
+    """Watermarked tumbling-window aggregation (state evicted past the
+    watermark)."""
+    return (
+        events.withWatermark("ts", WATERMARK_DELAY)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def stream_session_windows(events: DataFrame) -> DataFrame:
+    """Native session_window aggregation with watermark."""
+    return (
+        events.withWatermark("ts", WATERMARK_DELAY)
+        .groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame) -> DataFrame:
+    """Watermark-scoped exact-once dedup on event_id."""
+    return events.withWatermark("ts", WATERMARK_DELAY).dropDuplicatesWithinWatermark(["event_id"])

@@ -1,0 +1,117 @@
+"""Unit tests for the extension operators: dedup recall, ANN recall vs brute
+force, simhash/minhash behavior on planted near-duplicates, multimodal UDF
+plumbing. The oracle harness covers exact-value parity; these tests pin the
+approximate operators' quality guarantees."""
+
+from __future__ import annotations
+
+import pytest
+
+from covid_19_data_engineering_spark.operators.dedup import (
+    exact_duplicate_groups,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_near_pairs,
+)
+from covid_19_data_engineering_spark.operators.multimodal import (
+    attach_binary_payload,
+    extract_media_features,
+)
+from covid_19_data_engineering_spark.operators.similarity import (
+    brute_force_topk,
+    default_queries,
+    lsh_bucketed_topk,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "near the warm fire and dreams of chasing mice through green fields"
+)
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    """Corpus with exact dups, near dups (1-word edit), and unrelated docs."""
+    near = BASE.replace("green fields", "golden fields")
+    rows = [
+        (1, BASE, "en"),
+        (2, BASE, "en"),            # exact dup of 1
+        (3, near, "en"),            # near dup of 1
+        (4, "completely different content about spark query engines and "
+            "distributed columnar storage formats for analytics", "en"),
+        (5, "short text", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_dedup_groups(planted_docs):
+    groups = {r["keep_doc_id"]: r["dup_count"] for r in exact_duplicate_groups(planted_docs).collect()}
+    assert groups[1] == 2          # docs 1+2 collapse
+    assert groups[3] == 1
+    assert len(groups) == 4
+
+
+def test_ngram_jaccard_finds_near_dup(planted_docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(planted_docs, threshold=0.3).collect()}
+    assert pairs[(1, 2)] == 1.0    # exact dup
+    assert (1, 3) in pairs and pairs[(1, 3)] >= 0.6
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_recall(planted_docs):
+    cands = {(r["doc_a"], r["doc_b"]): r["est_jaccard"]
+             for r in minhash_lsh_candidates(planted_docs).collect()}
+    assert (1, 2) in cands and cands[(1, 2)] == 1.0
+    assert (1, 3) in cands         # near dup must collide in >=1 band
+    assert cands[(1, 3)] >= 0.5
+    assert (1, 4) not in cands or cands[(1, 4)] < 0.3
+
+
+def test_simhash_exact_dup_same_fingerprint(planted_docs):
+    fps = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(planted_docs).collect()}
+    assert fps[1] == fps[2]
+    # near-dup fingerprints are close in Hamming distance
+    ham = bin(fps[1] ^ fps[3]).count("1")
+    assert ham <= 6
+    # unrelated docs are far
+    assert bin(fps[1] ^ fps[4]).count("1") > 10
+
+
+def test_simhash_near_pairs(planted_docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in simhash_near_pairs(planted_docs, max_hamming=6).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs
+
+
+@pytest.fixture(scope="module")
+def embeddings_001(spark):
+    from covid_19_data_engineering_spark.sources.tables import load_table
+
+    return load_table(spark, "embeddings", "/root/testdata/sf0.001").select("vec_id", "embedding")
+
+
+def test_ann_lsh_recall_vs_brute(embeddings_001):
+    queries = default_queries(embeddings_001)
+    brute = brute_force_topk(embeddings_001, queries, k=10).collect()
+    approx = lsh_bucketed_topk(embeddings_001, queries, k=10).collect()
+    truth = {(r["query_id"], r["vec_id"]) for r in brute}
+    got = {(r["query_id"], r["vec_id"]) for r in approx}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.5, f"LSH recall {recall} too low vs brute force"
+
+
+def test_multimodal_plumbing(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world", "s1"), (2, "spark", "s2")],
+        "doc_id long, text string, source string",
+    )
+    feats = extract_media_features(attach_binary_payload(docs)).collect()
+    by_id = {r["doc_id"]: r for r in feats}
+    assert by_id[1]["payload_bytes"] == len("hello world")
+    assert by_id[1]["media_type"] == "image/fake"
+    assert by_id[1]["width"] == len("hello world") % 640 + 1
+    assert by_id[2]["payload_bytes"] == 5
+    assert 0 < by_id[2]["channel_mean"] < 256
