@@ -1,0 +1,142 @@
+"""Temporal join operators over ``events``: as-of join and bounded range join.
+
+The reference has neither (SURVEY.md §2, negative inventory) — these are the
+time-series operators a warehouse user layers on an event stream, implemented
+Spark-first:
+
+- as-of join: NOT a per-row subquery (O(n^2)) and NOT a range-exploded join.
+  Both sides union into one stream, shuffle ONCE on the entity key, and a
+  last(ignorenulls) running window carries the most recent left-side match
+  forward. One shuffle, sorted within partitions — the merge-join shape
+  as-of joins want, and it scales to any event volume because state per row
+  is O(1).
+- range join: equi-key on the entity + bounded time predicate. Spark executes
+  the equi-part as a hash join and post-filters the band, so the pair space
+  is bounded by per-user event counts, not the cross product.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from covid_19_data_engineering_spark.plans.registry import register
+from covid_19_data_engineering_spark.sources.tables import load_table
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str, ts: str,
+              value_cols: list[str], strict: bool = True) -> DataFrame:
+    """For each row of ``left``, attach the most recent prior row of ``right``
+    with the same ``on`` key (strictly earlier ``ts`` when strict=True).
+
+    Plan shape: union both sides tagged, one shuffle on ``on``, running
+    last(ignorenulls) window, filter back to left rows. No range explosion.
+    """
+    lt = left.withColumn("_side", F.lit(0))
+    rt = right.withColumn("_side", F.lit(1))
+    cols = set(lt.columns) | set(rt.columns)
+    lt = lt.select(*[F.col(c) if c in lt.columns else F.lit(None).alias(c) for c in cols])
+    rt = rt.select(*[F.col(c) if c in rt.columns else F.lit(None).alias(c) for c in cols])
+    unioned = lt.unionByName(rt)
+    # at equal ts: left rows sort first (so a strictly-prior right row is
+    # required); among right rows, later rows win deterministically
+    order = [F.col(ts), F.col("_side"), F.col("event_id")] if strict else [F.col(ts), F.col("_side").desc()]
+    w = Window.partitionBy(on).orderBy(*order).rowsBetween(Window.unboundedPreceding, -1)
+    carried = unioned.select(
+        "*",
+        *[F.last(c, ignorenulls=True).over(w).alias(f"asof_{c}") for c in value_cols],
+    )
+    return carried.where(F.col("_side") == 0).drop("_side", *[c for c in value_cols])
+
+
+@register(
+    "events_asof_click_before_purchase",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+             CASE WHEN event_type = 'click' THEN event_id END AS click_id,
+             CASE WHEN event_type = 'click' THEN value END AS click_value
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    seq AS (
+      SELECT *,
+             LAST_VALUE(click_id IGNORE NULLS) OVER w AS asof_click_id,
+             LAST_VALUE(click_value IGNORE NULLS) OVER w AS asof_click_value
+      FROM tagged
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY ts, CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, ts,
+           asof_click_id,
+           ROUND(asof_click_value, 2) AS asof_click_value
+    FROM seq WHERE event_type = 'purchase'
+    ORDER BY event_id
+    """,
+    doc="As-of join: each purchase joined to the user's most recent strictly-"
+    "prior click (union + one shuffle + running last, no range explosion).",
+)
+def events_asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id",
+        F.col("event_id").alias("click_id"), F.col("value").alias("click_value"),
+    )
+    joined = asof_join(purchases, clicks, on="user_id", ts="ts",
+                       value_cols=["click_id", "click_value"])
+    return (
+        joined.select(
+            "event_id", "user_id", "ts",
+            F.col("asof_click_id").alias("asof_click_id"),
+            F.round("asof_click_value", 2).alias("asof_click_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "events_error_burst",
+    oracle="""
+    SELECT a.event_id AS error_id,
+           COUNT(b.event_id) AS n_following,
+           ROUND(SUM(b.value), 2) AS following_value
+    FROM events a
+    LEFT JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 5 MINUTE
+     AND b.event_type <> 'error'
+    WHERE a.event_type = 'error'
+    GROUP BY a.event_id
+    ORDER BY error_id
+    """,
+    doc="Bounded range join: per error event, activity by the same user in "
+    "the following 5 minutes (equi-key hash join + band filter).",
+)
+def events_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    errors = e.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.col("user_id").alias("u"), F.col("ts").alias("t0")
+    )
+    others = e.where(F.col("event_type") != "error").select(
+        F.col("user_id").alias("u2"), F.col("ts").alias("t1"),
+        F.col("event_id").alias("fid"), F.col("value").alias("fval"),
+    )
+    return (
+        errors.join(
+            others,
+            (F.col("u") == F.col("u2"))
+            & (F.col("t1") > F.col("t0"))
+            & (F.col("t1") <= F.col("t0") + F.expr("INTERVAL 5 MINUTES")),
+            "left",
+        )
+        .groupBy("error_id")
+        .agg(
+            F.count("fid").alias("n_following"),
+            F.round(F.sum("fval"), 2).alias("following_value"),
+        )
+        .orderBy("error_id")
+    )

@@ -177,6 +177,40 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE-ish sub-word segmentation: letter runs / digit runs / single
+# non-alphanumeric marks — the pre-tokenization split every BPE vocab
+# (GPT-2 style) applies before merges. Pure regex, identical RE2/Java
+# semantics in both engines.
+_BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@register(
+    "token_count_bpe",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS bpe_tokens,
+           ROUND(CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS DOUBLE)
+                 / greatest(len(string_split(text, ' ')), 1), 4) AS fertility
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Token counting: whitespace vs BPE-ish regex pre-tokenization, with "
+    "the tokens-per-word fertility ratio.",
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    text = F.col("text")
+    ws = F.size(F.split(text, " "))
+    bpe = F.size(F.regexp_extract_all(text, F.lit(_BPE_PATTERN), 0))
+    return docs.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        F.round(bpe.cast("double") / F.greatest(ws, F.lit(1)), 4).alias("fertility"),
+    ).orderBy("doc_id")
+
+
 @register(
     "token_stats_by_source",
     oracle="""

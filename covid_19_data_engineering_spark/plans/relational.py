@@ -381,6 +381,22 @@ def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "approx_distinct_customers",
+    oracle=None,  # HLL sketches differ across engines; accuracy vs the exact
+    # count is pinned in tests/test_plans.py (<2% at rsd=0.01)
+    doc="approx_count_distinct (HyperLogLog++): the sketch path for distinct "
+    "cardinality at 100 TB — mergeable, fixed memory, single shuffle of "
+    "sketch bytes instead of an expand/exchange of raw keys.",
+)
+def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    ).orderBy("o_orderpriority")
+
+
+@register(
     "segment_set_ops",
     oracle="""
     WITH building AS (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'),

@@ -31,7 +31,9 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         # nanos under spark.sql.legacy.parquet.nanosAsLong; convert to a real
         # TimestampType at microsecond precision (matches DuckDB's cast of
         # TIMESTAMP_NS to TIMESTAMP, which also truncates to micros).
-        df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+        # Integer `div`, NOT `/`: float division of 1.7e18-scale nanos loses
+        # the low bits (2^53 mantissa) and lands ±1µs off.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -189,17 +189,16 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch loader so stream and batch plans share semantics."""
     import os
 
-    schema = load_table(spark, "events", sf_dir).schema
     raw_schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    # FileStreamSource requires a directory; pathGlobFilter narrows the
+    # listing to the events file (at scale: the arrival directory itself)
     stream = (
         spark.readStream.schema(raw_schema)
         .format("parquet")
-        .load(os.path.join(sf_dir, "events.parquet"))
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
     )
-    del schema
-    return stream.withColumn(
-        "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
-    )
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def stream_tumbling_counts(events: DataFrame) -> DataFrame:

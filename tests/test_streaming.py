@@ -1,0 +1,76 @@
+"""Structured Streaming tests: run the real streaming engine (availableNow
+trigger -> memory sink) over the events parquet and check against the batch
+twins. This is the micro-batch path a Kafka/file-arrival source would drive;
+watermark semantics (state eviction) are exercised because the plans carry
+withWatermark even though a bounded availableNow run never drops data.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from covid_19_data_engineering_spark.sources.tables import load_table
+from covid_19_data_engineering_spark.streaming.events import (
+    events_stream,
+    stream_dedup,
+    stream_session_windows,
+    stream_tumbling_counts,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _run_to_memory(sdf, name: str, spark, complete: bool = False):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if complete else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_stream_tumbling_matches_batch_twin(spark):
+    stream = events_stream(spark, SF_SMOKE)
+    assert stream.isStreaming
+    out = _run_to_memory(stream_tumbling_counts(stream), "t_tumbling", spark, complete=True)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in out.collect()
+    }
+
+    e = load_table(spark, "events", SF_SMOKE)
+    want = {
+        (r["ws"], r["event_type"]): (r["n"], r["tv"])
+        for r in e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("tv"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "tv")
+        .collect()
+    }
+    assert got == want
+
+
+def test_stream_dedup_emits_distinct_event_ids(spark):
+    stream = events_stream(spark, SF_SMOKE)
+    out = _run_to_memory(stream_dedup(stream), "t_dedup", spark)
+    e = load_table(spark, "events", SF_SMOKE)
+    n_distinct = e.select("event_id").distinct().count()
+    assert out.count() == n_distinct
+    assert out.select("event_id").distinct().count() == n_distinct
+
+
+def test_stream_session_windows_run(spark):
+    stream = events_stream(spark, SF_SMOKE)
+    out = _run_to_memory(stream_session_windows(stream), "t_sessions", spark, complete=True)
+    rows = out.collect()
+    assert len(rows) > 0
+    # session windows are per user and non-overlapping in time
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append((r["session_start"], r["session_end"]))
+    for user, spans in by_user.items():
+        spans.sort()
+        for (s1, e1), (s2, _e2) in zip(spans, spans[1:]):
+            assert e1 <= s2, f"user {user}: overlapping sessions {e1} > {s2}"
