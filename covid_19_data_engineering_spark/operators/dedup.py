@@ -231,7 +231,7 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
 @register(
     "dedup_minhash_lsh",
     oracle=None,  # minhash bucket assignment is engine-internal; exactness is
-    # pinned by tests/test_dedup.py (recall vs the exact Jaccard twin)
+    # pinned by tests/test_extensions.py (recall vs the exact Jaccard twin)
     doc="MinHash(32)+LSH(8x4) candidate near-dup pairs with estimated Jaccard.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

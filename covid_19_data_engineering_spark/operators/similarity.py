@@ -10,7 +10,7 @@ Two paths, same contract (query vectors -> top-k neighbors by cosine):
 - LSH-bucketed: random-hyperplane signatures (deterministic seed constants),
   candidates restricted to matching buckets, exact cosine re-rank on the
   candidate set. Sub-linear candidate generation; recall measured against the
-  brute path in tests/test_similarity.py.
+  brute path in tests/test_extensions.py.
 
 Cosine math is pure JVM (zip_with/aggregate) — no Python UDF in the hot path.
 """
@@ -158,8 +158,8 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = TOP_K) -> 
 @register(
     "ann_lsh_topk",
     oracle=None,  # approximate by design; recall vs brute force pinned in
-    # tests/test_similarity.py
-    doc="LSH-bucketed approximate cosine top-10 (random-hyperplane, 2 tables x 8 bits).",
+    # tests/test_extensions.py
+    doc="LSH-bucketed approximate cosine top-10 (random-hyperplane, 16 tables x 4 bits).",
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
