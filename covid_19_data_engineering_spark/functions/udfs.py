@@ -1,0 +1,122 @@
+"""User-defined function surface: scalar Pandas UDF, grouped-agg Pandas UDF
+(UDAF), and a Spark-SQL-registered function.
+
+The engine's stance (README, SURVEY §2 negative inventory): built-in JVM
+expressions everywhere a built-in exists; the UDF surface exists for the
+cases that genuinely need Python — and when it's used, it's Arrow-batched
+(pandas_udf), never row-at-a-time.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import pandas_udf
+
+from covid_19_data_engineering_spark.plans.registry import register
+from covid_19_data_engineering_spark.sources.tables import load_table
+
+
+# pandas_udf decoration parses the DDL return type against the ACTIVE session,
+# so the udfs are built lazily — module import must not require Spark.
+
+
+def vector_l2_norm():
+    """Scalar Pandas UDF: L2 norm of an array<float> column. Arrow delivers
+    each batch as a Series of numpy arrays; one vectorized reduction per
+    batch, no per-row Python calls."""
+
+    @pandas_udf("double")
+    def _norm(emb: pd.Series) -> pd.Series:
+        return emb.map(lambda v: float(np.sqrt(np.dot(v, v))))
+
+    return _norm
+
+
+def geometric_mean():
+    """Grouped-agg Pandas UDF (UDAF): geometric mean of a positive measure.
+    Spark has no built-in; log-space mean is the numerically stable form."""
+
+    @pandas_udf("double")
+    def _geo(v: pd.Series) -> float:
+        return float(np.exp(np.log(v[v > 0]).mean()))
+
+    return _geo
+
+
+@register(
+    "udaf_geometric_mean_price",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(EXP(AVG(LN(o_totalprice))), 2) AS geo_mean_price,
+           COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_totalprice > 0
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="Grouped-agg Pandas UDAF: per-priority geometric mean of order price "
+    "(log-space, Arrow-batched).",
+)
+def udaf_geometric_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir).where(F.col("o_totalprice") > 0)
+    # a grouped-agg pandas UDF cannot share an agg() with JVM aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT) — the count comes from a second agg
+    # joined on the (5-row) group key
+    geo = o.groupBy("o_orderpriority").agg(
+        F.round(geometric_mean()("o_totalprice"), 2).alias("geo_mean_price")
+    )
+    counts = o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+    return geo.join(counts, "o_orderpriority").orderBy("o_orderpriority")
+
+
+@register(
+    "udf_embedding_norms",
+    oracle="""
+    SELECT vec_id,
+           ROUND(sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                                                    x -> x * x), 'sum')), 4) AS l2_norm
+    FROM embeddings
+    WHERE vec_id < 50
+    ORDER BY vec_id
+    """,
+    doc="Scalar Pandas UDF over array<float>: per-vector L2 norm "
+    "(Arrow-batched; the JVM zip_with twin lives in operators/similarity.py).",
+)
+def udf_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, "embeddings", sf_dir).where(F.col("vec_id") < 50)
+    return (
+        em.select("vec_id", F.round(vector_l2_norm()("embedding"), 4).alias("l2_norm"))
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "sql_entry_orders_by_year",
+    oracle="""
+    SELECT year(o_orderdate) AS order_year,
+           o_orderstatus,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY order_year, o_orderstatus
+    """,
+    doc="Spark SQL entry point: identical text runs via spark.sql over temp "
+    "views (the engine's SQL surface, same Catalyst plan as the DataFrame twin).",
+)
+def sql_entry_orders_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT year(o_orderdate) AS order_year,
+               o_orderstatus,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders
+        GROUP BY 1, 2
+        ORDER BY order_year, o_orderstatus
+        """
+    )

@@ -1,0 +1,88 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+The built-in windows cover time bucketing; this is the escape hatch for
+operator semantics Spark doesn't ship: here, a per-user running anomaly
+tracker that maintains (count, mean, M2) Welford state across micro-batches
+and emits one row per batch per user with the running z-score of the batch's
+max value.
+
+Scale posture: state is keyed by user_id (the shuffle key), O(3 floats) per
+key, evicted by the processing-time timeout — the same state-store mechanics
+``session_window`` uses, but with user-defined transition logic. Arrow moves
+each group's batch across the Python boundary once.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = (
+    "user_id bigint, n_events_total bigint, running_mean double, "
+    "running_std double, batch_max double, batch_max_zscore double"
+)
+STATE_SCHEMA = "count bigint, mean double, m2 double"
+
+
+def _update_anomaly_state(
+    key: tuple[Any, ...],
+    batches: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Welford-merge each arriving batch into (count, mean, M2) state, emit
+    the batch max's z-score against the PRIOR running distribution."""
+    (user_id,) = key
+    if state.exists:
+        count, mean, m2 = state.get
+    else:
+        count, mean, m2 = 0, 0.0, 0.0
+
+    prior_count, prior_mean, prior_m2 = count, mean, m2
+    batch_max = None
+    for pdf in batches:
+        for v in pdf["value"].astype(float):
+            count += 1
+            delta = v - mean
+            mean += delta / count
+            m2 += delta * (v - mean)
+            batch_max = v if batch_max is None else max(batch_max, v)
+
+    state.update((count, mean, m2))
+    state.setTimeoutDuration(60 * 60 * 1000)  # evict idle users after 1h
+
+    if batch_max is None:
+        return
+    if prior_count >= 2:
+        prior_std = (prior_m2 / (prior_count - 1)) ** 0.5
+        z = (batch_max - prior_mean) / prior_std if prior_std > 0 else 0.0
+    else:
+        z = 0.0
+    running_std = (m2 / (count - 1)) ** 0.5 if count >= 2 else 0.0
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events_total": [count],
+            "running_mean": [round(mean, 4)],
+            "running_std": [round(running_std, 4)],
+            "batch_max": [batch_max],
+            "batch_max_zscore": [round(z, 4)],
+        }
+    )
+
+
+def stream_user_anomaly(events: DataFrame) -> DataFrame:
+    """Per-user stateful anomaly scores over the value column."""
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_anomaly_state,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

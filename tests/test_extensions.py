@@ -115,3 +115,16 @@ def test_multimodal_plumbing(spark):
     assert by_id[1]["width"] == len("hello world") % 640 + 1
     assert by_id[2]["payload_bytes"] == 5
     assert 0 < by_id[2]["channel_mean"] < 256
+
+
+def test_salted_join_matches_plain_join(spark):
+    from covid_19_data_engineering_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(k, i) for i in range(2000) for k in ([1] * 3 + [i % 7])],  # key 1 is hot
+        "k int, payload int",
+    )
+    small = spark.createDataFrame([(i, f"dim_{i}") for i in range(7)], "k int, name string")
+    plain = {(r["k"], r["payload"], r["name"]) for r in big.join(small, "k").collect()}
+    salted = {(r["k"], r["payload"], r["name"]) for r in salted_join(big, small, "k").collect()}
+    assert salted == plain

@@ -74,3 +74,19 @@ def test_stream_session_windows_run(spark):
         spans.sort()
         for (s1, e1), (s2, _e2) in zip(spans, spans[1:]):
             assert e1 <= s2, f"user {user}: overlapping sessions {e1} > {s2}"
+
+
+def test_stream_stateful_anomaly(spark):
+    from covid_19_data_engineering_spark.streaming.stateful import stream_user_anomaly
+
+    stream = events_stream(spark, SF_SMOKE)
+    out = _run_to_memory(stream_user_anomaly(stream), "t_anomaly", spark)
+    rows = out.collect()
+    assert len(rows) > 0
+    e = load_table(spark, "events", SF_SMOKE)
+    per_user = {r["user_id"]: r["n"] for r in e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    got = {r["user_id"]: r["n_events_total"] for r in rows}
+    # availableNow over one file = one micro-batch: totals equal batch counts
+    assert got == per_user
+    for r in rows:
+        assert r["running_std"] >= 0.0
