@@ -1,0 +1,100 @@
+"""Corpus curation pipeline — the composite training-data query.
+
+One declarative plan that chains the extension operators the way a real
+pretraining-data pipeline does: quality-score -> language gate -> exact
+dedup (keep lowest doc_id per fingerprint) -> per-source yield accounting.
+Everything is a single Catalyst plan: the dedup window and the final agg
+share the one shuffle family, and no Python runs anywhere.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from covid_19_data_engineering_spark.operators.textstats import (
+    fingerprint_col,
+    quality_score_col,
+    token_count_col,
+)
+from covid_19_data_engineering_spark.plans.registry import register
+from covid_19_data_engineering_spark.sources.tables import load_table
+
+
+def curate(docs: DataFrame, min_quality: float = 0.5,
+           langs: tuple[str, ...] = ("en", "de", "fr", "es")) -> DataFrame:
+    """Filter + dedup a document corpus; returns surviving rows with their
+    quality score and token count."""
+    text = F.col("text")
+    scored = docs.select(
+        "doc_id", "lang", "source",
+        quality_score_col(text).alias("quality"),
+        token_count_col(text).alias("n_tokens"),
+        fingerprint_col(text).alias("fp"),
+    ).where((F.col("quality") >= min_quality) & F.col("lang").isin(*langs))
+    # keep the lowest doc_id per normalized-content fingerprint
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn", "fp")
+    )
+
+
+@register(
+    "corpus_curation_yield",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang, source,
+             ROUND((
+               least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+               + (1 - least(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                            / greatest(length(text), 1) * 10, 1.0))
+               + least(CAST(len(list_filter(string_split(lower(text), ' '),
+                                            t -> t IN ('the','a','and','of','to'))) AS DOUBLE)
+                       / greatest(len(string_split(lower(text), ' ')), 1) * 5, 1.0)
+             ) / 3, 4) AS quality,
+             len(string_split(text, ' ')) AS n_tokens,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    gated AS (
+      SELECT * FROM scored
+      WHERE quality >= 0.5 AND lang IN ('en','de','fr','es')
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM gated
+      ) WHERE rn = 1
+    )
+    SELECT source,
+           COUNT(*) AS docs_kept,
+           SUM(n_tokens) AS tokens_kept,
+           -- exact integer units of 1e-4, then identical IEEE double ops on
+           -- both engines (see streaming/events.py on why ROUND(AVG(..)) of
+           -- doubles diverges at half boundaries)
+           ROUND(SUM(CAST(round(quality * 10000) AS BIGINT)) * 1.0 / COUNT(*))
+             / 10000.0 AS avg_quality
+    FROM deduped
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="End-to-end corpus curation: quality gate -> lang gate -> exact "
+    "dedup -> per-source token yield. One Catalyst plan, no Python.",
+)
+def corpus_curation_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    kept = curate(docs)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs_kept"),
+            F.sum("n_tokens").alias("tokens_kept"),
+            (F.round(
+                F.sum(F.round(F.col("quality") * 10000).cast("long"))
+                / F.count(F.lit(1))
+            ) / F.lit(10000.0)).alias("avg_quality"),
+        )
+        .orderBy("source")
+    )

@@ -90,6 +90,79 @@ def extract_media_features(with_payload: DataFrame) -> DataFrame:
     return flat.mapInPandas(_extract_features_batch, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = "doc_id bigint, width int, height int, resized binary"
+FRAME_SCHEMA = "doc_id bigint, frame_no int, frame_offset int, frame binary"
+
+
+def _resize_batch(target_w: int, target_h: int):
+    """STUB RESIZE — a real kernel decodes, resamples (PIL.Image.resize),
+    re-encodes. The fake deterministically truncates/pads the payload to
+    target_w*target_h bytes so output sizes are schema-checkable."""
+
+    def fn(batches):
+        import pandas as pd
+
+        n = target_w * target_h
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": target_w,
+                    "height": target_h,
+                    "resized": pdf["payload"].map(lambda b: bytes(b[:n]).ljust(n, b"\0")),
+                }
+            )
+
+    return fn
+
+
+def resize_media(with_payload: DataFrame, width: int = 64, height: int = 48) -> DataFrame:
+    """Arrow-batched resize over binary payloads (decode kernel stubbed)."""
+    flat = with_payload.select("doc_id", "payload")
+    return flat.mapInPandas(_resize_batch(width, height), RESIZE_SCHEMA)
+
+
+def _frame_sample_batch(every_n_bytes: int, max_frames: int):
+    """STUB FRAME SAMPLER — a real kernel seeks keyframes (pyav). The fake
+    slices the payload at fixed strides; one input row fans out to
+    <=max_frames output rows, the exact batch shape a video sampler has."""
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_no": [], "frame_offset": [], "frame": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for i in range(min(max_frames, max(len(payload) // every_n_bytes, 1))):
+                    off = i * every_n_bytes
+                    out["doc_id"].append(doc_id)
+                    out["frame_no"].append(i)
+                    out["frame_offset"].append(off)
+                    out["frame"].append(bytes(payload[off:off + every_n_bytes]))
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def sample_frames(with_payload: DataFrame, every_n_bytes: int = 32,
+                  max_frames: int = 4) -> DataFrame:
+    """Arrow-batched frame sampling: 1 row -> up to max_frames rows."""
+    flat = with_payload.select("doc_id", "payload")
+    return flat.mapInPandas(_frame_sample_batch(every_n_bytes, max_frames), FRAME_SCHEMA)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=None,  # binary frame payloads aren't SQL-comparable; fan-out
+    # shape and offsets pinned in tests/test_extensions.py
+    doc="Frame sampling over binary payloads: mapInPandas fan-out (1 row -> "
+    "N frames), sampler kernel stubbed, batch plumbing real.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return sample_frames(attach_binary_payload(docs)).orderBy("doc_id", "frame_no")
+
+
 @register(
     "multimodal_features",
     oracle="""

@@ -128,3 +128,27 @@ def test_salted_join_matches_plain_join(spark):
     plain = {(r["k"], r["payload"], r["name"]) for r in big.join(small, "k").collect()}
     salted = {(r["k"], r["payload"], r["name"]) for r in salted_join(big, small, "k").collect()}
     assert salted == plain
+
+
+def test_multimodal_resize_and_frames(spark):
+    from covid_19_data_engineering_spark.operators.multimodal import (
+        resize_media,
+        sample_frames,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 100, "s1"), (2, "y" * 10, "s2")],
+        "doc_id long, text string, source string",
+    )
+    payload = attach_binary_payload(docs)
+    resized = {r["doc_id"]: r for r in resize_media(payload, width=8, height=4).collect()}
+    assert len(resized[1]["resized"]) == 32 and len(resized[2]["resized"]) == 32
+    assert resized[2]["resized"][:10] == b"y" * 10  # padded, content preserved
+
+    frames = sample_frames(payload, every_n_bytes=32, max_frames=4).collect()
+    by_doc: dict = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == 3  # 100 bytes // 32 = 3 frames
+    assert len(by_doc[2]) == 1  # short payload still yields one frame
+    assert [r["frame_offset"] for r in sorted(by_doc[1], key=lambda r: r["frame_no"])] == [0, 32, 64]
