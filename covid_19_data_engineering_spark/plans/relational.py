@@ -612,6 +612,107 @@ def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "status_priority_pivot",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
+           COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS high,
+           COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS medium,
+           COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS notspec,
+           COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="pivot(): priority columns per status. With explicit pivot values the "
+    "plan is a single two-phase agg — no extra pass to discover the domain.",
+)
+def status_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority",
+               ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"])
+        .count()
+        .select(
+            "o_orderstatus",
+            F.coalesce("1-URGENT", F.lit(0)).alias("urgent"),
+            F.coalesce("2-HIGH", F.lit(0)).alias("high"),
+            F.coalesce("3-MEDIUM", F.lit(0)).alias("medium"),
+            F.coalesce("4-NOT SPECIFIED", F.lit(0)).alias("notspec"),
+            F.coalesce("5-LOW", F.lit(0)).alias("low"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "price_quantiles_by_segment",
+    oracle="""
+    -- quantiles over integer cents: interpolation between 2-decimal money
+    -- values lands on half-cent boundaries where ROUND() diverges between
+    -- engines; identical double ops on exact cents are deterministic
+    SELECT c_mktsegment,
+           median(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS median_price,
+           quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.25) / 100.0 AS p25,
+           quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.75) / 100.0 AS p75
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    doc="Exact median / continuous quantiles per segment (percentile sort-based "
+    "agg; the approx path is approx_percentile at scale).",
+)
+def price_quantiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        j.select("c_mktsegment", cents.alias("cents"))
+        .groupBy("c_mktsegment")
+        .agg(
+            (F.median("cents") / 100.0).alias("median_price"),
+            (F.percentile("cents", F.lit(0.25)) / 100.0).alias("p25"),
+            (F.percentile("cents", F.lit(0.75)) / 100.0).alias("p75"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "embedding_component_profile",
+    oracle="""
+    SELECT pos,
+           CAST(ROUND(SUM(CAST(comp AS DECIMAL(20,6))), 4) AS DOUBLE) AS comp_sum,
+           ROUND(MIN(comp), 4) AS comp_min,
+           ROUND(MAX(comp), 4) AS comp_max
+    FROM (
+      SELECT i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS comp
+      FROM embeddings CROSS JOIN range(1, 65) t(i)
+    )
+    GROUP BY pos
+    ORDER BY pos
+    """,
+    doc="posexplode over array<float>: per-dimension distribution profile "
+    "(lateral view shape; decimal sums for order-independence).",
+)
+def embedding_component_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = _t(spark, sf_dir, "embeddings")
+    return (
+        em.select(F.posexplode("embedding").alias("pos", "comp"))
+        .select("pos", F.col("comp").cast("double").alias("comp"))
+        .groupBy("pos")
+        .agg(
+            F.round(F.sum(F.col("comp").cast("decimal(20,6)")), 4).cast("double").alias("comp_sum"),
+            F.round(F.min("comp"), 4).alias("comp_min"),
+            F.round(F.max("comp"), 4).alias("comp_max"),
+        )
+        .orderBy("pos")
+    )
+
+
+@register(
     "column_sample",
     oracle="""
     SELECT o_totalprice

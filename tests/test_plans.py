@@ -120,3 +120,31 @@ def test_approx_distinct_accuracy(spark):
     for k in exact:
         rel_err = abs(approx[k] - exact[k]) / max(exact[k], 1)
         assert rel_err < 0.02, f"{k}: approx {approx[k]} vs exact {exact[k]}"
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Bucketing pre-materializes the shuffle: two tables bucketed+sorted on
+    the join key co-locate, and the equi-join plan carries NO Exchange. At
+    100 TB this is the fact-fact join strategy (orders x lineitem)."""
+    from covid_19_data_engineering_spark.sources.tables import load_table
+
+    o = load_table(spark, "orders", SF_SMOKE).select("o_orderkey", "o_totalprice")
+    li = load_table(spark, "lineitem", SF_SMOKE).select("l_orderkey", "l_quantity")
+    (o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+       .mode("overwrite").saveAsTable("b_orders"))
+    (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+       .mode("overwrite").saveAsTable("b_lineitem"))
+    try:
+        # disable broadcast so the co-located sort-merge path is exercised
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = _executed_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, "bucketed join still shuffles"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
