@@ -152,3 +152,26 @@ def test_multimodal_resize_and_frames(spark):
     assert len(by_doc[1]) == 3  # 100 bytes // 32 = 3 frames
     assert len(by_doc[2]) == 1  # short payload still yields one frame
     assert [r["frame_offset"] for r in sorted(by_doc[1], key=lambda r: r["frame_no"])] == [0, 32, 64]
+
+
+def test_asof_join_edge_cases(spark):
+    from covid_19_data_engineering_spark.operators.temporal import asof_join
+
+    # left: lookups at t=10 (strictly-after right t=10 excluded), t=5 (no
+    # prior right), t=30 (two priors -> latest wins)
+    left = spark.createDataFrame(
+        [(100, 1, 10.0), (101, 1, 5.0), (102, 1, 30.0), (103, 2, 50.0)],
+        "event_id long, user_id long, ts double",
+    )
+    right = spark.createDataFrame(
+        [(200, 1, 10.0, "r10"), (201, 1, 20.0, "r20"), (202, 1, 25.0, "r25")],
+        "event_id long, user_id long, ts double, tag string",
+    )
+    out = {
+        r["event_id"]: r["asof_tag"]
+        for r in asof_join(left, right, on="user_id", ts="ts", value_cols=["tag"]).collect()
+    }
+    assert out[100] is None  # same-ts right row is NOT a strict prior
+    assert out[101] is None  # nothing earlier
+    assert out[102] == "r25"  # latest strict prior
+    assert out[103] is None  # other user: right side never seen
