@@ -1,0 +1,243 @@
+"""Analytics query surface, part 2: validation checks, list aggregation,
+calendar gap-filling, exact-moment statistics, multiplicity set ops, and
+correlated subqueries.
+
+Determinism notes (the driver hashes values):
+- statistical moments are computed from EXACT integer/decimal sums, with the
+  final arithmetic in identical IEEE double ops on both engines — never from
+  engine-native double accumulations (order-dependent last bits);
+- list aggregations are sort_array'ed (collect_list order is partition-
+  dependent by contract).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from covid_19_data_engineering_spark.plans.registry import register
+from covid_19_data_engineering_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+@register(
+    "referential_integrity_check",
+    oracle="""
+    SELECT 'lineitem->orders' AS check_name,
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+             AS orphan_rows
+    UNION ALL
+    SELECT 'orders->customer',
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'customer->nation',
+           (SELECT COUNT(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+    ORDER BY check_name
+    """,
+    doc="Referential-integrity validation via anti joins — the engine-native "
+    "form of the reference's post-load quality checks (README.md:21).",
+)
+def referential_integrity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    checks = [
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ]
+    parts = []
+    for name, child, fk, parent, pk in checks:
+        orphans = (
+            _t(spark, sf_dir, child)
+            .join(_t(spark, sf_dir, parent), F.col(fk) == F.col(pk), "left_anti")
+            .agg(F.count(F.lit(1)).alias("orphan_rows"))
+            .select(F.lit(name).alias("check_name"), "orphan_rows")
+        )
+        parts.append(orphans)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("check_name")
+
+
+@register(
+    "nation_top_customers",
+    oracle="""
+    SELECT c_nationkey,
+           COUNT(*) AS n_customers,
+           list_sort(list(c_name))[1:5] AS sample_names
+    FROM customer
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+    doc="collect_list aggregation, sort_array'ed for determinism (collect "
+    "order is partition-dependent by contract), sliced to a sample.",
+)
+def nation_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.slice(F.sort_array(F.collect_list("c_name")), 1, 5).alias("sample_names"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@register(
+    "monthly_order_gapfill",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('month', MIN(o_orderdate)) AS lo,
+             date_trunc('month', MAX(o_orderdate)) AS hi
+      FROM orders
+    ),
+    calendar AS (
+      -- list-returning generate_series + unnest (the table-function form
+      -- can't take lateral column args in DuckDB)
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS DATE) AS month
+      FROM bounds
+    ),
+    actual AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT c.month, COALESCE(a.n_orders, 0) AS n_orders,
+           CASE WHEN a.month IS NULL THEN 1 ELSE 0 END AS is_gap
+    FROM calendar c LEFT JOIN actual a ON c.month = a.month
+    ORDER BY c.month
+    """,
+    doc="Calendar gap-filling: sequence() month spine + left join, zero-filled "
+    "missing months flagged (time-series densification).",
+)
+def monthly_order_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.date_trunc("month", F.min("o_orderdate")).cast("date").alias("lo"),
+        F.date_trunc("month", F.max("o_orderdate")).cast("date").alias("hi"),
+    )
+    calendar = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 MONTH"))).alias("month")
+    )
+    actual = (
+        o.groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return (
+        calendar.join(actual, "month", "left")
+        .select(
+            "month",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.when(F.col("n_orders").isNull(), 1).otherwise(0).alias("is_gap"),
+        )
+        .orderBy("month")
+    )
+
+
+@register(
+    "lineitem_moment_stats",
+    oracle="""
+    -- moments from EXACT sums (quantity is integral-valued, price is cents),
+    -- final arithmetic in doubles — identical on both engines; native
+    -- STDDEV/CORR accumulate doubles in engine-specific orders
+    WITH s AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(l_quantity AS BIGINT)) AS sx,
+             SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy,
+             SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+             SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * CAST(round(l_extendedprice * 100) AS BIGINT)) AS syy,
+             SUM(CAST(l_quantity AS BIGINT)
+                 * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy
+      FROM lineitem
+    )
+    SELECT n,
+           ROUND((sx * 1.0) / n, 4) AS mean_qty,
+           ROUND(SQRT((sxx - (sx * 1.0) * sx / n) / (n - 1)), 4) AS stddev_qty,
+           ROUND((n * (sxy * 1.0) - (sx * 1.0) * sy)
+                 / SQRT((n * (sxx * 1.0) - (sx * 1.0) * sx)
+                        * (n * (syy * 1.0) - (sy * 1.0) * sy)), 6) AS corr_qty_price
+    FROM s
+    """,
+    doc="Mean / stddev / correlation from exact integer sums (deterministic "
+    "twin of stddev_samp + corr; SUMs shuffle one row of moments).",
+)
+def lineitem_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("long")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qty).alias("sx"),
+        F.sum(cents).alias("sy"),
+        F.sum(qty * qty).alias("sxx"),
+        F.sum((cents.cast("decimal(38,0)") * cents.cast("decimal(38,0)"))).alias("syy_d"),
+        F.sum(qty * cents).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy_d").cast("double"), F.col("sxy")
+    return s.select(
+        n,
+        F.round((sx * 1.0) / n, 4).alias("mean_qty"),
+        F.round(F.sqrt((sxx - (sx * 1.0) * sx / n) / (n - 1)), 4).alias("stddev_qty"),
+        F.round(
+            (n * (sxy * 1.0) - (sx * 1.0) * sy)
+            / F.sqrt(
+                (n * (sxx * 1.0) - (sx * 1.0) * sx) * (n * syy - (sy * 1.0) * sy)
+            ),
+            6,
+        ).alias("corr_qty_price"),
+    )
+
+
+@register(
+    "segment_except_all",
+    oracle="""
+    SELECT c_nationkey FROM (
+      SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      EXCEPT ALL
+      SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    )
+    ORDER BY c_nationkey
+    """,
+    doc="EXCEPT ALL (multiplicity-preserving difference): each BUILDING "
+    "occurrence of a nation key survives per unmatched MACHINERY occurrence.",
+)
+def segment_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    building = c.where(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    machinery = c.where(F.col("c_mktsegment") == "MACHINERY").select("c_nationkey")
+    return building.exceptAll(machinery).orderBy("c_nationkey")
+
+
+@register(
+    "orders_above_customer_avg",
+    oracle="""
+    SELECT o_orderkey, o_custkey
+    FROM orders o
+    WHERE o_totalprice > 2 * (SELECT AVG(o2.o_totalprice)
+                              FROM orders o2
+                              WHERE o2.o_custkey = o.o_custkey)
+    ORDER BY o_orderkey
+    """,
+    doc="Correlated scalar subquery (decorrelated by Catalyst into an "
+    "aggregate + join — run through spark.sql to exercise the SQL planner).",
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey
+        FROM orders o
+        WHERE o_totalprice > 2 * (SELECT AVG(o2.o_totalprice)
+                                  FROM orders o2
+                                  WHERE o2.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey
+        """
+    )
