@@ -108,3 +108,25 @@ def count_report(spark: SparkSession, schema: str, tables: list[str]) -> DataFra
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.orderBy("table_name")
+
+
+def merge_upsert(spark: SparkSession, schema: str, table: str,
+                 updates: DataFrame, key: str) -> None:
+    """Upsert ``updates`` into ``schema.table`` on ``key``: matched rows are
+    replaced, unmatched rows appended (MERGE semantics without a
+    transactional table format).
+
+    Plan: anti-join the target against the update keys (drops superseded
+    rows), union the updates, rewrite through a ``_build`` staging table,
+    promote by rename. The anti join broadcasts the update-key set when
+    small — the common CDC case — so the target scan never shuffles; the
+    rewrite is the price of parquet immutability (a Delta/Iceberg MERGE
+    rewrites only matched files; same logical contract).
+    """
+    target = qualified(schema, table)
+    survivors = spark.table(target).join(
+        F.broadcast(updates.select(key)), on=key, how="left_anti"
+    )
+    merged = survivors.unionByName(updates)
+    write_build_table(spark, merged, schema, table)
+    promote(spark, schema, table)

@@ -103,3 +103,26 @@ def test_clone_structure_empty(spark, csv_dir):
     clone = spark.table("daily_t4.ph_f_encounter_clone")
     assert clone.count() == 0
     assert clone.schema == spark.table("daily_t4.ph_f_encounter").schema
+
+
+def test_merge_upsert(spark):
+    from covid_19_data_engineering_spark import lifecycle as lc
+
+    schema = "merge_test"
+    lc.ensure_schema(spark, schema)
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id long, name string, v long"
+    )
+    lc.write_build_table(spark, base, schema, "items")
+    lc.promote(spark, schema, "items")
+
+    updates = spark.createDataFrame(
+        [(2, "b2", 99), (4, "d", 40)], "id long, name string, v long"
+    )
+    lc.merge_upsert(spark, schema, "items", updates, key="id")
+
+    rows = {r["id"]: (r["name"], r["v"]) for r in spark.table(f"{schema}.items").collect()}
+    assert rows == {1: ("a", 10), 2: ("b2", 99), 3: ("c", 30), 4: ("d", 40)}
+    # idempotent re-apply: same updates produce the same table
+    lc.merge_upsert(spark, schema, "items", updates, key="id")
+    assert spark.table(f"{schema}.items").count() == 4

@@ -148,3 +148,16 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_percentile_approx_accuracy(spark):
+    """approx_percentile (KLL-style sketch): the quantile path at 100 TB.
+    Rank error is bounded by 1/accuracy — pinned against the exact quantile."""
+    from covid_19_data_engineering_spark.sources.tables import load_table
+
+    o = load_table(spark, "orders", SF_SMOKE)
+    approx, exact = o.agg(
+        F.percentile_approx("o_totalprice", 0.5, 1000).alias("a"),
+        F.percentile("o_totalprice", F.lit(0.5)).alias("e"),
+    ).collect()[0]
+    assert abs(approx - exact) / exact < 0.01

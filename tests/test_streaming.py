@@ -90,3 +90,28 @@ def test_stream_stateful_anomaly(spark):
     assert got == per_user
     for r in rows:
         assert r["running_std"] >= 0.0
+
+
+def test_foreach_batch_sink(spark, tmp_path):
+    """foreachBatch: the custom-sink path — per-micro-batch (batch_id, df)
+    lands in an idempotent writer. availableNow drives the real engine."""
+    out_dir = str(tmp_path / "sink")
+    seen_batches = []
+
+    def write_batch(batch_df, batch_id):
+        seen_batches.append(batch_id)
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    stream = events_stream(spark, SF_SMOKE).select("event_id", "event_type", "value")
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(seen_batches) >= 1
+    written = spark.read.parquet(f"{out_dir}/batch={seen_batches[0]}")
+    n_events = load_table(spark, "events", SF_SMOKE).count()
+    assert sum(spark.read.parquet(f"{out_dir}/batch={b}").count() for b in seen_batches) == n_events
+    assert set(written.columns) == {"event_id", "event_type", "value"}
