@@ -314,6 +314,70 @@ def segment_price_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "trailing_30d_spend",
+    oracle="""
+    -- RANGE frame over epoch days: trailing-30-day window per customer.
+    -- 2-decimal money sums round exactly (true sums are representable
+    -- 2-decimal values, never on a .005 boundary)
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey
+             ORDER BY date_diff('day', DATE '1990-01-01', o_orderdate)
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS trailing_30d
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+    doc="RANGE-frame window: trailing 30-day spend per customer (value-based "
+    "frame over epoch days, not row counts).",
+)
+def trailing_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    days = F.datediff(F.col("o_orderdate"), F.lit("1990-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(days.cast("long"))
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_30d"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "order_price_distribution_ranks",
+    oracle="""
+    SELECT o_orderkey,
+           NTILE(4) OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderkey
+    """,
+    doc="Distribution window battery: ntile / percent_rank / cume_dist over a "
+    "global price ordering (single-partition window — the documented "
+    "anti-pattern at scale; partition by a bucketing key there).",
+)
+def order_price_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_orderkey",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
 # --------------------------------------------------------------------------
 # Grouping sets / rollup / cube; distinct aggregation; set operations.
 # --------------------------------------------------------------------------
