@@ -155,6 +155,95 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = TOP_K) -> 
     )
 
 
+# --- IVF (inverted-file) variant ---------------------------------------------
+
+_IVF_K = 16       # coarse centroids
+_IVF_NPROBE = 4   # centroid cells probed per query
+
+
+def ivf_centroids(corpus: DataFrame, k: int = _IVF_K) -> DataFrame:
+    """Deterministic coarse quantizer: seed centroids are the k lowest-id
+    vectors, refined by ONE Lloyd step (assign-all -> per-cell mean), all in
+    DataFrame ops. At 100 TB you'd run k-means|| on a sample; one step over
+    seeds already separates the space enough for cell pruning, and
+    determinism (no RNG) keeps runs reproducible."""
+    seeds = (
+        corpus.orderBy("vec_id").limit(k)
+        .select(F.monotonically_increasing_id().alias("cid"), F.col("embedding").alias("centroid"))
+        .withColumn("cid", F.row_number().over(Window.orderBy("centroid")) - 1)
+    )
+    # one assignment pass against broadcast seeds
+    assigned = _assign_cells(corpus, seeds, nprobe=1)
+    # per-cell mean over float components -> refined centroids
+    dim = 64
+    return (
+        assigned.groupBy("cid")
+        .agg(*[
+            F.avg(F.col("embedding").getItem(i).cast("double")).alias(f"c{i}")
+            for i in range(dim)
+        ])
+        .select("cid", F.array(*[F.col(f"c{i}") for i in range(dim)]).alias("centroid"))
+    )
+
+
+def _assign_cells(df: DataFrame, centroids: DataFrame, nprobe: int,
+                  vec_col: str = "embedding") -> DataFrame:
+    """Attach the nprobe nearest centroid ids (by cosine) to every row.
+    Centroids broadcast; ranking happens per-row with a window over the
+    small (rows x k) expansion."""
+    scored = df.crossJoin(F.broadcast(centroids)).withColumn(
+        "_sim", cosine_sim(F.col(vec_col), F.col("centroid"))
+    )
+    w = Window.partitionBy(*df.columns).orderBy(F.col("_sim").desc(), F.col("cid"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= nprobe)
+        .drop("centroid", "_sim", "_rk")
+    )
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = TOP_K,
+             nprobe: int = _IVF_NPROBE) -> DataFrame:
+    """IVF search: corpus rows live in their nearest cell (inverted file);
+    each query probes its nprobe nearest cells; exact cosine re-rank on the
+    cell contents. The cell equi-join prunes the pair space to
+    ~nprobe/k of the corpus per query."""
+    cents = ivf_centroids(corpus)
+    inv = _assign_cells(corpus, cents, nprobe=1)                 # inverted lists
+    probes = _assign_cells(
+        queries.select(F.col("query_id"), F.col("q_embedding")), cents,
+        nprobe=nprobe, vec_col="q_embedding",
+    )
+    cands = (
+        inv.join(probes, "cid")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "q_embedding", "vec_id", "embedding")
+        .distinct()
+    )
+    scored = cands.select(
+        "query_id", "vec_id",
+        F.round(cosine_sim(F.col("q_embedding"), F.col("embedding")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=None,  # approximate by design; recall vs brute pinned in
+    # tests/test_extensions.py
+    doc="IVF approximate cosine top-10: deterministic coarse quantizer "
+    "(16 cells, 4 probed), inverted-list cell join, exact re-rank.",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    return ivf_topk(corpus, default_queries(corpus)).orderBy("query_id", "rank")
+
+
 @register(
     "ann_lsh_topk",
     oracle=None,  # approximate by design; recall vs brute force pinned in

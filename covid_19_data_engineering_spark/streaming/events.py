@@ -234,3 +234,40 @@ def stream_session_windows(events: DataFrame) -> DataFrame:
 def stream_dedup(events: DataFrame) -> DataFrame:
     """Watermark-scoped exact-once dedup on event_id."""
     return events.withWatermark("ts", WATERMARK_DELAY).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def stream_click_purchase_join(events: DataFrame) -> DataFrame:
+    """Stream-stream inner join: purchases joined to clicks by the same user
+    within the preceding 30 minutes. Both sides carry watermarks and the
+    join condition bounds event-time distance, so each side's state buffer
+    is evicted once the other side's watermark passes the band — state is
+    O(30 min of traffic), not O(stream)."""
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", WATERMARK_DELAY)
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value"),
+        )
+        .withWatermark("purchase_ts", WATERMARK_DELAY)
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            """
+            p_user = c_user AND
+            click_ts < purchase_ts AND
+            click_ts >= purchase_ts - INTERVAL 30 MINUTES
+            """
+        ),
+    ).select("purchase_id", "purchase_ts", "p_user", "click_id", "click_ts", "value")

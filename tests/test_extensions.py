@@ -175,3 +175,15 @@ def test_asof_join_edge_cases(spark):
     assert out[101] is None  # nothing earlier
     assert out[102] == "r25"  # latest strict prior
     assert out[103] is None  # other user: right side never seen
+
+
+def test_ann_ivf_recall_vs_brute(embeddings_001):
+    from covid_19_data_engineering_spark.operators.similarity import ivf_topk
+
+    queries = default_queries(embeddings_001)
+    brute = brute_force_topk(embeddings_001, queries, k=10).collect()
+    approx = ivf_topk(embeddings_001, queries, k=10).collect()
+    truth = {(r["query_id"], r["vec_id"]) for r in brute}
+    got = {(r["query_id"], r["vec_id"]) for r in approx}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.5, f"IVF recall {recall} too low vs brute force"

@@ -115,3 +115,29 @@ def test_foreach_batch_sink(spark, tmp_path):
     n_events = load_table(spark, "events", SF_SMOKE).count()
     assert sum(spark.read.parquet(f"{out_dir}/batch={b}").count() for b in seen_batches) == n_events
     assert set(written.columns) == {"event_id", "event_type", "value"}
+
+
+def test_stream_stream_join_matches_batch(spark):
+    from covid_19_data_engineering_spark.streaming.events import stream_click_purchase_join
+
+    stream = events_stream(spark, SF_SMOKE)
+    out = _run_to_memory(stream_click_purchase_join(stream), "t_ssjoin", spark)
+    got = {(r["purchase_id"], r["click_id"]) for r in out.collect()}
+
+    e = load_table(spark, "events", SF_SMOKE)
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("cts"), F.col("event_id").alias("cid"))
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts"), F.col("event_id").alias("pid"))
+    want = {
+        (r["pid"], r["cid"])
+        for r in p.join(
+            c,
+            (F.col("pu") == F.col("u"))
+            & (F.col("cts") < F.col("pts"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 30 MINUTES")),
+        ).collect()
+    }
+    # availableNow processes everything in order, so the bounded-band inner
+    # join must equal its batch twin exactly
+    assert got == want and len(got) > 0
