@@ -120,3 +120,48 @@ def sql_entry_orders_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY order_year, o_orderstatus
         """
     )
+
+
+def sentence_split_udtf():
+    """Python UDTF (table function): one input row -> one row per sentence.
+    The lateral-join surface for generative row expansion; Arrow-batched by
+    the engine. Built lazily like the pandas UDFs above."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_no int, sentence string, sent_chars int")
+    class SentenceSplit:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, s in enumerate(text.split(". ")):
+                yield i, s, len(s)
+
+    return SentenceSplit
+
+
+@register(
+    "udtf_sentence_stats",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, '. ')) AS n_sentences,
+           list_max(list_transform(string_split(text, '. '), s -> length(s)))
+             AS max_sent_chars
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Python UDTF row expansion (sentence split) aggregated back to "
+    "per-document stats; registered + driven through a SQL LATERAL join.",
+)
+def udtf_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.udtf.register("split_sentences", sentence_split_udtf())
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents_v")
+    return spark.sql(
+        """
+        SELECT doc_id,
+               COUNT(*) AS n_sentences,
+               MAX(sent_chars) AS max_sent_chars
+        FROM documents_v, LATERAL split_sentences(text)
+        GROUP BY doc_id
+        ORDER BY doc_id
+        """
+    )

@@ -130,3 +130,22 @@ def merge_upsert(spark: SparkSession, schema: str, table: str,
     merged = survivors.unionByName(updates)
     write_build_table(spark, merged, schema, table)
     promote(spark, schema, table)
+
+
+def compact_table(spark: SparkSession, schema: str, table: str,
+                  target_files: int = 1) -> int:
+    """Small-files compaction: rewrite ``schema.table`` into ``target_files``
+    files via the staging+promote path (same crash-safety as a daily load).
+
+    The streaming/append paths accrete many small files; scans then pay
+    per-file open cost and lose row-group-level parallelism. At scale,
+    target_files ~= table_bytes / maxPartitionBytes, run periodically per
+    partition. Returns the row count preserved (validation the caller logs).
+    """
+    target = qualified(schema, table)
+    df = spark.table(target)
+    n = df.count()
+    compacted = df.coalesce(target_files)
+    write_build_table(spark, compacted, schema, table)
+    promote(spark, schema, table)
+    return n

@@ -177,6 +177,45 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bigram_top20",
+    oracle="""
+    WITH toks AS (
+      SELECT string_split(lower(text), ' ') AS t FROM documents
+    ),
+    bigrams AS (
+      SELECT t[i] || ' ' || t[i + 1] AS bigram
+      FROM toks CROSS JOIN range(1, 10000) r(i)
+      WHERE i < len(t)
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM bigrams
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+    doc="Corpus bigram frequency top-20: explode adjacent token pairs, "
+    "count, TakeOrdered top-k (the n-gram LM-statistics shape).",
+)
+def bigram_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.lower(F.col("text")), " ")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(20)
+    )
+
+
 # BPE-ish sub-word segmentation: letter runs / digit runs / single
 # non-alphanumeric marks — the pre-tokenization split every BPE vocab
 # (GPT-2 style) applies before merges. Pure regex, identical RE2/Java

@@ -126,3 +126,20 @@ def test_merge_upsert(spark):
     # idempotent re-apply: same updates produce the same table
     lc.merge_upsert(spark, schema, "items", updates, key="id")
     assert spark.table(f"{schema}.items").count() == 4
+
+
+def test_compact_table(spark):
+    from covid_19_data_engineering_spark import lifecycle as lc
+
+    schema = "compact_test"
+    lc.ensure_schema(spark, schema)
+    frag = spark.range(0, 1000).repartition(16).withColumnRenamed("id", "v")
+    lc.write_build_table(spark, frag, schema, "frag")
+    lc.promote(spark, schema, "frag")
+
+    n = lc.compact_table(spark, schema, "frag", target_files=2)
+    assert n == 1000
+    after = spark.table(f"{schema}.frag")
+    assert after.count() == 1000
+    assert after.rdd.getNumPartitions() <= 2
+    assert set(r["v"] for r in after.collect()) == set(range(1000))
