@@ -161,3 +161,27 @@ def test_percentile_approx_accuracy(spark):
         F.percentile("o_totalprice", F.lit(0.5)).alias("e"),
     ).collect()[0]
     assert abs(approx - exact) / exact < 0.01
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Date-partitioned layout: a day filter becomes a PartitionFilter —
+    non-matching directories are never listed into the scan. This is the
+    history-table layout (lifecycle.py load_date partitioning) at scale."""
+    from covid_19_data_engineering_spark.sources.tables import load_table
+
+    out = str(tmp_path / "events_by_day")
+    e = load_table(spark, "events", SF_SMOKE).withColumn(
+        "day", F.to_date("ts")
+    )
+    e.write.partitionBy("day").mode("overwrite").parquet(out)
+
+    one_day = spark.read.parquet(out).where(F.col("day") == "2024-01-03")
+    plan = _executed_plan(one_day)
+    assert "PartitionFilters: [isnotnull(day" in plan
+    # the data filter moved entirely into partition pruning — the parquet
+    # row filter list stays empty
+    assert "PushedFilters: []" in plan
+    n_days = e.select("day").distinct().count()
+    scanned = one_day.count()
+    full = e.where(F.col("day") == F.lit("2024-01-03").cast("date")).count()
+    assert scanned == full and n_days > 1
