@@ -63,10 +63,30 @@ def _land_one(spark: SparkSession, csv_path: str, schema: str,
     return table, LoadResult(table, n_good, n_bad, inferred), typed
 
 
+def backup_csv_files(csv_paths: list[str], backup_dir: str,
+                     today: "dt.date | None" = None) -> list[str]:
+    """Raw-landing copies into ``backup_dir/upload_YYYY_MM_DD/`` before any
+    load touches the warehouse (reference A8, load_tables_daily.py:329-338:
+    same dated-directory convention)."""
+    import datetime as dt
+    import os
+    import shutil
+
+    stamp = (today or dt.date.today()).strftime("upload_%Y_%m_%d")
+    dest = os.path.join(backup_dir, stamp)
+    os.makedirs(dest, exist_ok=True)
+    copies = []
+    for path in csv_paths:
+        copies.append(shutil.copy2(path, dest))
+    return copies
+
+
 def run_daily(spark: SparkSession, csv_paths: list[str], schema: str = "daily",
-              quarantine: bool = True) -> list[LoadResult]:
-    """Daily load: land -> infer/cast -> promote -> validate."""
+              quarantine: bool = True, backup_dir: str | None = None) -> list[LoadResult]:
+    """Daily load: backup -> land -> infer/cast -> promote -> validate."""
     lifecycle.ensure_schema(spark, schema)
+    if backup_dir is not None:
+        backup_csv_files(csv_paths, backup_dir)
     results: list[LoadResult] = []
     tables: list[str] = []
     for path in csv_paths:
@@ -107,3 +127,52 @@ def run_quarterly(spark: SparkSession, csv_paths: list[str],
         results.append(LoadResult(table, n, 0, inferred))
         log.info("quarterly: %s loaded %d rows + history snapshot", table, n)
     return results
+
+
+def main(argv: list[str] | None = None) -> int:
+    """CLI mirroring the reference's entry points
+    (``python load_tables_daily.py`` / ``python vertica_upload.py daily|quarterly``):
+
+        python -m covid_19_data_engineering_spark.pipeline daily \\
+            --input ./input --schema daily [--backup ./history]
+        python -m covid_19_data_engineering_spark.pipeline quarterly \\
+            --input /data/upload --schema quarterly [--manifest files.list]
+    """
+    import argparse
+    import glob
+    import os
+    import sys
+
+    from covid_19_data_engineering_spark.session import get_spark
+    from covid_19_data_engineering_spark.sources.csv import read_manifest
+
+    parser = argparse.ArgumentParser(prog="covid_19_data_engineering_spark.pipeline")
+    parser.add_argument("mode", choices=["daily", "quarterly"])
+    parser.add_argument("--input", required=True, help="directory of CSV extracts")
+    parser.add_argument("--schema", default=None, help="target schema (default: mode name)")
+    parser.add_argument("--manifest", default=None,
+                        help="optional file list (one CSV name per line); default: all *.csv")
+    parser.add_argument("--backup", default=None, help="raw-landing backup directory (daily)")
+    args = parser.parse_args(argv)
+
+    if args.manifest:
+        paths = [os.path.join(args.input, n) for n in read_manifest(args.manifest)]
+    else:
+        paths = sorted(glob.glob(os.path.join(args.input, "*.csv")))
+    if not paths:
+        print(f"no CSV inputs found under {args.input}", file=sys.stderr)
+        return 1
+
+    spark = get_spark(app_name=f"pipeline-{args.mode}")
+    schema = args.schema or args.mode
+    if args.mode == "daily":
+        results = run_daily(spark, paths, schema=schema, backup_dir=args.backup)
+    else:
+        results = run_quarterly(spark, paths, schema=schema)
+    for r in results:
+        print(f"{r.table}: {r.rows_loaded} rows ({r.rows_quarantined} quarantined)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -143,3 +143,22 @@ def test_compact_table(spark):
     assert after.count() == 1000
     assert after.rdd.getNumPartitions() <= 2
     assert set(r["v"] for r in after.collect()) == set(range(1000))
+
+
+def test_backup_csv_files(tmp_path):
+    import datetime as dt
+
+    from covid_19_data_engineering_spark.pipeline import backup_csv_files
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.csv").write_text("id\n1\n")
+    (src / "b.csv").write_text("id\n2\n")
+    copies = backup_csv_files(
+        [str(src / "a.csv"), str(src / "b.csv")],
+        str(tmp_path / "hist"),
+        today=dt.date(2026, 8, 13),
+    )
+    assert len(copies) == 2
+    assert all("upload_2026_08_13" in c for c in copies)
+    assert (tmp_path / "hist" / "upload_2026_08_13" / "a.csv").read_text() == "id\n1\n"
