@@ -197,6 +197,80 @@ def lineitem_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "null_semantics_battery",
+    oracle="""
+    -- NULLs are manufactured via NULLIF (the synthetic orders table has
+    -- none): COUNT skips them, COALESCE backfills, <=> compares through them
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           COUNT(NULLIF(o_orderpriority, '4-NOT SPECIFIED')) AS specified_priority,
+           COUNT(*) FILTER (WHERE o_orderstatus IS DISTINCT FROM 'O') AS not_open,
+           COALESCE(MIN(NULLIF(o_orderpriority, '1-URGENT')), '<none>') AS min_nonurgent,
+           COUNT(*) FILTER (WHERE NULLIF(o_orderpriority, '1-URGENT') IS NULL) AS urgent_as_null
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="Three-valued-logic battery: NULLIF / COALESCE / IS DISTINCT FROM / "
+    "COUNT-over-nullable — the null semantics a SQL engine must own.",
+)
+def null_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    nullif_pri = F.nullif(F.col("o_orderpriority"), F.lit("4-NOT SPECIFIED"))
+    nullif_urgent = F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT"))
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(nullif_pri).alias("specified_priority"),
+            F.count(
+                F.when(~F.col("o_orderstatus").eqNullSafe("O"), 1)
+            ).alias("not_open"),
+            F.coalesce(F.min(nullif_urgent), F.lit("<none>")).alias("min_nonurgent"),
+            F.count(F.when(nullif_urgent.isNull(), 1)).alias("urgent_as_null"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "part_name_fuzzy_pairs",
+    oracle="""
+    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+           levenshtein(a.p_name, b.p_name) AS edit_distance
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand
+     AND a.p_size = b.p_size
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 10
+    ORDER BY part_a, part_b
+    """,
+    doc="Edit-distance fuzzy matching (levenshtein) blocked on "
+    "(brand, size) — the typo-tolerant dedup modality; blocking bounds "
+    "the pair space exactly like LSH banding.",
+)
+def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size", "p_name")
+    a, b = p.alias("a"), p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_size") == F.col("b.p_size"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(
+            F.col("a.p_partkey").alias("part_a"),
+            F.col("b.p_partkey").alias("part_b"),
+            dist.alias("edit_distance"),
+        )
+        .where(F.col("edit_distance") <= 10)
+        .orderBy("part_a", "part_b")
+    )
+
+
+@register(
     "segment_except_all",
     oracle="""
     SELECT c_nationkey FROM (
