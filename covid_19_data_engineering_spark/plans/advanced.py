@@ -1,0 +1,452 @@
+"""Advanced relational surface: subquery shapes, ratio aggregates, top-k joins,
+explicit grouping sets, and scalar-function batteries.
+
+The reference delegates every relational operation to its warehouses as SQL
+text (SURVEY.md §2B; the only subquery-adjacent construct it ever emits is the
+constant-false ``WHERE 1 = 2`` clone at /root/reference/vertica_upload.py:191-197).
+This module owns the downstream-analyst query shapes natively: EXISTS /
+NOT EXISTS (semi/anti joins), conditional-ratio aggregates, join + top-k,
+window share-of-total, GROUPING SETS, INTERSECT ALL, and the scalar function
+families (arrays, dates, regexp, lag/lead) the warehouse side provided.
+
+Scale notes (100 TB posture):
+- EXISTS/NOT EXISTS compile to left-semi / left-anti hash joins — shuffle on
+  the join key only, no row multiplication, partial reduction map-side; with
+  orderkey-bucketed facts the shuffle disappears (tests/test_plans.py proves
+  the bucketed plan).
+- Ratio/share aggregates do exact DECIMAL partial sums map-side (the shuffle
+  carries O(groups) rows), then a final double division — no second pass over
+  the data for the denominator when a window over the tiny aggregate result
+  suffices.
+- The top-k join pre-filters both sides before the join and ends in
+  TakeOrderedAndProject: O(k) rows to the driver at any SF.
+- Scalar batteries are pure JVM column expressions inside whole-stage codegen
+  (no Python in the hot path); they scan-prune to the referenced columns.
+
+Float determinism vs the DuckDB oracle follows the repo's established
+patterns: exact DECIMAL(20,6) sums, then identical IEEE double ops on both
+engines (see streaming/events.py:66-79).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+
+from covid_19_data_engineering_spark.plans.registry import register
+from covid_19_data_engineering_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+def _dec(col: Column) -> Column:
+    """Exact partial-sum operand (repo float-determinism pattern A)."""
+    return col.cast("decimal(20,6)")
+
+
+def _unit4(col: Column) -> Column:
+    """Round-half-up into 1e-4 integer units via identical IEEE double ops on
+    both engines (repo float-determinism pattern B)."""
+    return F.floor(col.cast("double") * F.lit(10000.0) + F.lit(0.5)).cast("long")
+
+
+# --------------------------------------------------------------------------
+# EXISTS → left-semi join (TPC-H Q4 shape).
+# --------------------------------------------------------------------------
+
+@register(
+    "late_shipment_orders",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="EXISTS subquery as left-semi join with a non-equi residual: orders "
+    "having any lineitem shipped >90 days after order date, counted by "
+    "priority. Semi join never multiplies rows; shuffle keyed on orderkey.",
+)
+def late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# NOT EXISTS → left-anti join (TPC-H Q22 spirit).
+# --------------------------------------------------------------------------
+
+@register(
+    "inactive_f_customers",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_custs,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(20,6))), 2) AS DOUBLE) AS total_acctbal,
+           FLOOR(CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(20,6)) * 1000000 AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) / 100.0 + 0.5) / 10000.0 AS avg_acctbal
+    FROM customer c
+    WHERE c_acctbal > 0
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+      )
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    doc="NOT EXISTS as left-anti join: positive-balance customers with no "
+    "finalized ('F') order, per segment. The anti probe side is pre-filtered "
+    "to 'F' orders before the shuffle.",
+)
+def inactive_f_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").where(F.col("c_acctbal") > 0)
+    f_orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_custkey")
+    )
+    bal_units = F.sum((_dec(F.col("c_acctbal")) * 1000000).cast("long"))
+    return (
+        c.join(f_orders, c["c_custkey"] == f_orders["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.sum(_dec(F.col("c_acctbal"))), 2).cast("double").alias("total_acctbal"),
+            (F.floor(bal_units.cast("double") / F.count(F.lit(1)) / F.lit(100.0) + F.lit(0.5))
+             / F.lit(10000.0)).alias("avg_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
+# Conditional-ratio aggregate (TPC-H Q14 shape).
+# --------------------------------------------------------------------------
+
+@register(
+    "promo_revenue_share",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+             SUM(CASE WHEN p_type = 'PROMO'
+                      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))
+                      ELSE CAST(0 AS DECIMAL(20,6)) END) AS promo_dec,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS total_dec
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1
+    )
+    SELECT ship_month,
+           CAST(ROUND(total_dec, 2) AS DOUBLE) AS total_revenue,
+           FLOOR(100.0 * CAST(promo_dec AS DOUBLE) / CAST(total_dec AS DOUBLE)
+                 * 10000 + 0.5) / 10000.0 AS promo_share_pct
+    FROM monthly
+    ORDER BY ship_month
+    """,
+    doc="Promo revenue share per ship month: broadcast lineitem⋈part, one "
+    "pass computing both conditional and total exact-decimal sums (no second "
+    "scan for the denominator), final ratio in identical double ops.",
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = _dec(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+    zero = F.lit(0).cast("decimal(20,6)")
+    agg = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.date_trunc("month", "l_shipdate").cast("date").alias("ship_month"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).alias("promo_dec"),
+            F.sum(rev).alias("total_dec"),
+        )
+    )
+    return agg.select(
+        "ship_month",
+        F.round(F.col("total_dec"), 2).cast("double").alias("total_revenue"),
+        (F.floor(F.lit(100.0) * F.col("promo_dec").cast("double")
+                 / F.col("total_dec").cast("double") * F.lit(10000) + F.lit(0.5))
+         / F.lit(10000.0)).alias("promo_share_pct"),
+    ).orderBy("ship_month")
+
+
+# --------------------------------------------------------------------------
+# Join + aggregate + top-k (TPC-H Q3 shape).
+# --------------------------------------------------------------------------
+
+@register(
+    "shipping_priority_topk",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))), 2)
+                AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1997-07-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="Shipping-priority top-k: both fact sides filtered before the join, "
+    "aggregate by order, TakeOrderedAndProject returns O(k) to the driver. "
+    "Deterministic tie-break on l_orderkey; revenue is decimal-exact.",
+)
+def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cut = F.lit("1997-07-01 00:00:00").cast("timestamp")
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < cut)
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cut)
+    rev = _dec(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c.select("c_custkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Share-of-total via window over the aggregate (TPC-H Q8 spirit).
+# --------------------------------------------------------------------------
+
+@register(
+    "nation_market_share",
+    oracle="""
+    WITH nat_rev AS (
+      SELECT year(o_orderdate) AS order_year, n_name,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS rev_dec
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT order_year, n_name,
+           CAST(ROUND(rev_dec, 2) AS DOUBLE) AS revenue,
+           FLOOR(CAST(rev_dec AS DOUBLE)
+                 / CAST(SUM(rev_dec) OVER (PARTITION BY order_year) AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000.0 AS year_share
+    FROM nat_rev
+    ORDER BY order_year, n_name
+    """,
+    doc="Supplier-nation revenue share per order year: broadcast dims, exact "
+    "decimal sums, then the share denominator comes from a window over the "
+    "O(years×nations) aggregate — no second pass over the fact table.",
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = _dec(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+    nat_rev = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.year("o_orderdate").alias("order_year"), F.col("n_name"))
+        .agg(F.sum(rev).alias("rev_dec"))
+    )
+    w = Window.partitionBy("order_year")
+    return nat_rev.select(
+        "order_year", "n_name",
+        F.round(F.col("rev_dec"), 2).cast("double").alias("revenue"),
+        (F.floor(F.col("rev_dec").cast("double")
+                 / F.sum("rev_dec").over(w).cast("double")
+                 * F.lit(1000000) + F.lit(0.5)) / F.lit(1000000.0)).alias("year_share"),
+    ).orderBy("order_year", "n_name")
+
+
+# --------------------------------------------------------------------------
+# Explicit GROUPING SETS + GROUPING() — via the spark.sql entry point.
+# --------------------------------------------------------------------------
+
+_GROUPING_SETS_SQL = """
+SELECT COALESCE(o_orderstatus, 'ALL')   AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       CAST(GROUPING(o_orderstatus) AS BIGINT)   AS g_status,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(20,6))), 2) AS DOUBLE) AS revenue
+FROM {table}
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY g_status, g_priority, status, priority
+"""
+
+
+@register(
+    "grouping_sets_status_priority",
+    oracle=_GROUPING_SETS_SQL.format(table="orders"),
+    doc="Explicit GROUPING SETS with GROUPING() disambiguation, run through "
+    "spark.sql — identical text on both engines. Expand emits 3 grouping "
+    "streams map-side; partial agg collapses them before the shuffle.",
+)
+def grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gsets")
+    return spark.sql(_GROUPING_SETS_SQL.format(table="orders_gsets"))
+
+
+# --------------------------------------------------------------------------
+# INTERSECT ALL — multiplicity-preserving set op (completes the set-op
+# family next to segment_set_ops / segment_except_all in relational.py).
+# --------------------------------------------------------------------------
+
+@register(
+    "segment_intersect_all",
+    oracle="""
+    (SELECT c_mktsegment FROM customer WHERE c_nationkey < 12)
+    INTERSECT ALL
+    (SELECT c_mktsegment FROM customer WHERE c_nationkey >= 12)
+    """,
+    doc="INTERSECT ALL: keeps min(multiplicity) duplicates. Plans as one "
+    "count-compare aggregate + generator — a single shuffle on the value.",
+)
+def segment_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    low = c.where(F.col("c_nationkey") < 12).select("c_mktsegment")
+    high = c.where(F.col("c_nationkey") >= 12).select("c_mktsegment")
+    return low.intersectAll(high)
+
+
+# --------------------------------------------------------------------------
+# Scalar-function batteries (JVM column expressions, whole-stage codegen).
+# --------------------------------------------------------------------------
+
+@register(
+    "array_funcs_battery",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           CAST(FLOOR(CAST(embedding[1] AS DOUBLE)       * 10000.0 + 0.5) AS BIGINT) AS first_u,
+           CAST(FLOOR(CAST(list_max(embedding) AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS max_u,
+           CAST(FLOOR(CAST(list_min(embedding) AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS min_u
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+    doc="Array function battery over embeddings: size / element_at / "
+    "array_max / array_min as JVM expressions (float→double exact, values "
+    "emitted in 1e-4 integer units for cross-engine hashing).",
+)
+def array_funcs_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = _t(spark, sf_dir, "embeddings")
+    return em.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        _unit4(F.element_at("embedding", 1)).alias("first_u"),
+        _unit4(F.array_max("embedding")).alias("max_u"),
+        _unit4(F.array_min("embedding")).alias("min_u"),
+    ).orderBy("vec_id")
+
+
+@register(
+    "date_funcs_battery",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT)    AS yr,
+           CAST(month(o_orderdate) AS BIGINT)   AS mo,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           CAST(day(o_orderdate) AS BIGINT)     AS dom,
+           last_day(CAST(o_orderdate AS DATE))  AS month_end,
+           CAST(o_orderdate AS DATE) + 30       AS plus_30d,
+           CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+             AS days_since_base
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    doc="Date function battery: year/month/quarter/day extraction, last_day, "
+    "date arithmetic, datediff — all codegen'd JVM expressions; the scan "
+    "prunes to (o_orderkey, o_orderdate).",
+)
+def date_funcs_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dom"),
+        F.last_day(d).alias("month_end"),
+        F.date_add(d, 30).alias("plus_30d"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).cast("long").alias("days_since_base"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "regexp_battery",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
+           regexp_replace(p_name, '[0-9]', '#', 'g') AS digits_masked,
+           regexp_matches(p_name, '(aa|ee|ii|oo|uu)') AS has_double_vowel,
+           CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS BIGINT) AS brand_num
+    FROM part
+    ORDER BY p_partkey
+    """,
+    doc="Regexp battery over part: extract / replace-all / match / "
+    "extract-and-cast. Patterns stay in the RE2∩Java-regex common subset "
+    "(no backreferences) so both engines agree.",
+)
+def regexp_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", "[0-9]", "#").alias("digits_masked"),
+        F.col("p_name").rlike("(aa|ee|ii|oo|uu)").alias("has_double_vowel"),
+        F.regexp_extract("p_brand", "([0-9]+)", 1).cast("long").alias("brand_num"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "lag_lead_battery",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           lag(o_totalprice)  OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           first_value(o_totalprice) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price,
+           CAST(row_number() OVER w AS BIGINT) AS rn
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, rn
+    """,
+    doc="Navigation-window battery: lag / lead / first_value / row_number "
+    "per customer in one window family — a single shuffle on o_custkey "
+    "serves all four. Unique (o_orderdate, o_orderkey) ordering makes every "
+    "offset deterministic; prices pass through bit-exact (no arithmetic).",
+)
+def lag_lead_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey", "o_orderkey", "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_totalprice").over(wf).alias("first_price"),
+        F.row_number().over(w).cast("long").alias("rn"),
+    ).orderBy("o_custkey", "rn")

@@ -63,6 +63,7 @@ def _ensure_loaded() -> None:
     global _LOADED
     if _LOADED:
         return
+    import covid_19_data_engineering_spark.plans.advanced  # noqa: F401
     import covid_19_data_engineering_spark.plans.analytics  # noqa: F401
     import covid_19_data_engineering_spark.plans.relational  # noqa: F401
     import covid_19_data_engineering_spark.plans.ingestion_queries  # noqa: F401
