@@ -1,0 +1,122 @@
+"""Duplicate-cluster resolution: connected components over near-dup pairs.
+
+Pairwise dedup (MinHash LSH / SimHash / n-gram Jaccard in operators/dedup.py)
+emits edges; a training-data pipeline needs *clusters* — if A~B and B~C, all
+three are one duplicate group and one canonical survivor should be kept even
+though (A,C) was never emitted as a pair. That transitive closure is connected
+components, an inherently iterative algorithm (no single SQL/DataFrame plan
+expresses it — SURVEY.md §2's "non-SQL-expressible" tier, driver rows-only
+check).
+
+Algorithm: iterated min-label propagation. Each node starts labeled with its
+own id; each round every node takes the min label in its neighborhood
+(including itself); converged when no label changes. Rounds needed ≈ graph
+diameter; dedup-cluster diameters are tiny (chains of near-identical docs), so
+the loop exits in a handful of rounds. This is the simple variant of the
+alternating large-star/small-star algorithm (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SOCC'14), which bounds rounds at
+O(log n) for adversarial graphs — swap in if cluster diameters ever grow.
+
+100 TB posture:
+- each round is one shuffle keyed on node id (groupBy min) plus one broadcast-
+  or shuffle-join of the label table against edges; edge and label tables are
+  O(dup pairs) and O(docs) — tiny next to the corpus;
+- the label table is eagerly localCheckpoint()ed every round. This is load-
+  bearing, not a nicety: each round's plan references the previous labels
+  twice (the neighborhood join and the outer merge), so without truncation
+  the logical plan doubles per round — Catalyst analysis goes exponential
+  long before the data does. On a cluster with executor loss concerns, swap
+  for reliable checkpoint(): same truncation, HDFS-backed;
+- convergence is checked with a cheap count of changed labels (an agg, not a
+  collect of the table).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from covid_19_data_engineering_spark.operators.dedup import minhash_lsh_candidates
+from covid_19_data_engineering_spark.plans.registry import register
+from covid_19_data_engineering_spark.sources.tables import load_table
+
+
+def connected_components(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b",
+                         max_iter: int = 20) -> DataFrame:
+    """Resolve undirected edges into components.
+
+    Returns ``(node, component)`` where component is the min node id reachable
+    from ``node``. Isolated endpoints appear (every node in ``edges`` is
+    covered); nodes absent from ``edges`` are their own singleton components
+    and are left to the caller (a left join + coalesce against the corpus).
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("u").alias("node")).distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        # min label over the neighborhood: neighbors' labels ∪ own label
+        neighbor_min = (
+            sym.join(labels, sym["v"] == labels["node"])
+            .groupBy(sym["u"].alias("node"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("component"), F.col("nbr_component")).alias("component"),
+                (F.col("nbr_component") < F.col("component")).alias("changed"),
+            )
+            .localCheckpoint(eager=True)  # truncate lineage — see module doc
+        )
+        changed = new_labels.where(F.col("changed")).limit(1).count()
+        labels = new_labels.select("node", "component")
+        if changed == 0:
+            break
+    return labels
+
+
+def duplicate_clusters(docs: DataFrame, threshold: float = 0.3) -> DataFrame:
+    """Full dedup-cluster pass: LSH candidate pairs above ``threshold`` →
+    connected components → every document labeled with its cluster id (its
+    own id when it has no near-dup). Keep ``doc_id == cluster`` rows for the
+    canonical-survivor corpus."""
+    pairs = minhash_lsh_candidates(docs).where(F.col("est_jaccard") >= threshold)
+    comps = connected_components(pairs)
+    return (
+        docs.select("doc_id")
+        .join(comps, docs["doc_id"] == comps["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster"),
+        )
+    )
+
+
+@register(
+    "dedup_cluster_components",
+    oracle=None,  # iterative transitive closure — not single-statement SQL;
+    # cluster-merge semantics pinned by tests/test_extensions.py (planted
+    # A~B~C chain resolves to one component)
+    doc="Connected components over MinHash-LSH near-dup pairs: transitive "
+    "duplicate clusters with min-doc_id canonical labels (iterative "
+    "min-label propagation, persisted per round).",
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        duplicate_clusters(docs)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .where(F.col("cluster_size") > 1)
+        .orderBy("cluster")
+    )

@@ -98,3 +98,49 @@ def corpus_curation_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_BATCH_BUDGET_CHARS = 50_000
+
+
+@register(
+    "token_budget_batches",
+    oracle=f"""
+    WITH c AS (
+      SELECT source, doc_id, n_chars,
+             SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_chars
+      FROM documents
+    )
+    SELECT source,
+           CAST((cum_chars - 1) // {_BATCH_BUDGET_CHARS} AS BIGINT) AS batch_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS batch_chars
+    FROM c
+    GROUP BY 1, 2
+    ORDER BY source, batch_id
+    """,
+    doc="Training-batch packing manifest: documents packed into ~50k-char "
+    "batches per source via a prefix-sum window (the deterministic "
+    "streaming-bin-packing approximation). One shuffle on source serves both "
+    "the window and the batch aggregate; integer arithmetic end-to-end.",
+)
+def token_budget_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    w = (
+        Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_chars").over(w)
+    batch = F.expr(f"CAST((cum_chars - 1) DIV {_BATCH_BUDGET_CHARS} AS BIGINT)")
+    return (
+        docs.select("source", "doc_id", "n_chars", cum.alias("cum_chars"))
+        .withColumn("batch_id", batch)
+        .groupBy("source", "batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("batch_chars"),
+        )
+        .orderBy("source", "batch_id")
+    )

@@ -7,7 +7,7 @@ each is exactly reproducible in DuckDB SQL for the oracle.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from covid_19_data_engineering_spark.plans.registry import register
 from covid_19_data_engineering_spark.sources.tables import load_table
@@ -276,4 +276,53 @@ def token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").alias("max_chars"),
         )
         .orderBy("source")
+    )
+
+
+@register(
+    "top_terms_by_source",
+    oracle="""
+    WITH toks AS (
+      SELECT source, doc_id, u.tok
+      FROM documents, unnest(string_split_regex(lower(text), '[^a-z]+')) AS u(tok)
+      WHERE len(u.tok) >= 3
+    ),
+    tf AS (
+      SELECT source, tok AS term,
+             CAST(COUNT(*) AS BIGINT) AS tf,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM toks GROUP BY 1, 2
+    )
+    SELECT source, term, tf, df, rk FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY source
+                                        ORDER BY tf DESC, term) AS BIGINT) AS rk
+      FROM tf
+    ) WHERE rk <= 10
+    ORDER BY source, rk
+    """,
+    doc="Per-source top-10 terms with term & document frequency (the TF-DF "
+    "view a tokenizer/vocab builder reads). Explode -> two-level agg -> "
+    "windowed top-k: partial aggregation collapses the token stream map-side "
+    "before the (source, term) shuffle; the top-k window runs over the "
+    "already-aggregated O(terms) rows, never the token stream.",
+)
+def top_terms_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = (
+        docs.select(
+            "source", "doc_id",
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term"),
+        )
+        .where(F.length("term") >= 3)
+    )
+    tf = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("tf").desc(), F.col("term"))
+    return (
+        tf.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 10)
+        .select("source", "term", "tf", "df", "rk")
+        .orderBy("source", "rk")
     )

@@ -187,3 +187,35 @@ def test_ann_ivf_recall_vs_brute(embeddings_001):
     got = {(r["query_id"], r["vec_id"]) for r in approx}
     recall = len(truth & got) / len(truth)
     assert recall >= 0.5, f"IVF recall {recall} too low vs brute force"
+
+
+def test_connected_components_transitive_merge(spark):
+    """A~B and B~C (no A~C edge) must land in ONE component; disjoint edge
+    D~E stays separate; labels are the min node id of each component."""
+    from covid_19_data_engineering_spark.operators.clustering import (
+        connected_components,
+        duplicate_clusters,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    # long chain needs multiple propagation rounds (diameter > 2)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(20, 27)], "doc_a long, doc_b long"
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(chain).collect()}
+    assert set(comp.values()) == {20}
+
+
+def test_duplicate_clusters_on_planted_docs(spark, planted_docs):
+    """Full pass over the planted corpus: exact dup (1,2) and near dup 3 form
+    one cluster labeled 1; unrelated docs stay singletons (own id)."""
+    from covid_19_data_engineering_spark.operators.clustering import duplicate_clusters
+
+    clusters = {r["doc_id"]: r["cluster"] for r in duplicate_clusters(planted_docs).collect()}
+    assert clusters[1] == 1 and clusters[2] == 1 and clusters[3] == 1
+    assert clusters[4] == 4 and clusters[5] == 5
