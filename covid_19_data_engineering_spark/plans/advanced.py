@@ -450,3 +450,87 @@ def lag_lead_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_totalprice").over(wf).alias("first_price"),
         F.row_number().over(w).cast("long").alias("rn"),
     ).orderBy("o_custkey", "rn")
+
+
+# --------------------------------------------------------------------------
+# Fixed-width histogram — the profiling primitive for numeric columns.
+# --------------------------------------------------------------------------
+
+@register(
+    "events_value_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(value / 50.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n_events,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+    doc="Fixed-width value histogram (width 50): bucket id via identical "
+    "IEEE floor-division on both engines; min/max pass through bit-exact. "
+    "One partial-agg shuffle of O(buckets) rows at any volume.",
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.floor(F.col("value") / F.lit(50.0)).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# Ordered funnel — sequential conversion over the event stream.
+# --------------------------------------------------------------------------
+
+@register(
+    "user_funnel_view_click_purchase",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
+           (SELECT COUNT(*) FROM c) AS n_clicked_after_view,
+           (SELECT COUNT(*) FROM p) AS n_purchased_after_click
+    """,
+    doc="Ordered funnel: users who viewed, then clicked after their first "
+    "view, then purchased after that first qualifying click. Each stage is "
+    "a groupBy-min plus a join on user_id — the same shuffle key end-to-end, "
+    "so Catalyst reuses one exchange family; stage tables shrink "
+    "monotonically (funnel property), keeping every join's build side small.",
+)
+def user_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (e.where(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("t_view")))
+    c = (e.where(F.col("event_type") == "click")
+         .join(v, "user_id")
+         .where(F.col("ts") > F.col("t_view"))
+         .groupBy("user_id").agg(F.min("ts").alias("t_click")))
+    p = (e.where(F.col("event_type") == "purchase")
+         .join(c, "user_id")
+         .where(F.col("ts") > F.col("t_click"))
+         .select("user_id").distinct())
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_after_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_after_click")))
+    )
