@@ -144,3 +144,44 @@ def token_budget_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "batch_id")
     )
+
+
+@register(
+    "stratified_hash_sample",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_sampled,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM (
+      SELECT source, doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 AS bucket
+      FROM documents
+    )
+    WHERE bucket = 0
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Reproducible ~10% corpus sample: md5-derived bucket per doc_id, keep "
+    "bucket 0, account per source. Hash-based (not row-position) sampling is "
+    "stable across repartitions, re-runs, and engine versions — the property "
+    "a training-data holdout needs; rand()/sample() give none of that. "
+    "Embarrassingly parallel: no shuffle before the per-source rollup.",
+)
+def stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 10
+    )
+    return (
+        docs.select("source", "doc_id")
+        .where(bucket == 0)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("source")
+    )
