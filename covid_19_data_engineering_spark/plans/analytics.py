@@ -69,7 +69,7 @@ def referential_integrity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_nationkey,
            COUNT(*) AS n_customers,
-           list_sort(list(c_name))[1:5] AS sample_names
+           array_to_string(list_sort(list(c_name))[1:5], '|') AS sample_names
     FROM customer
     GROUP BY c_nationkey
     ORDER BY c_nationkey
@@ -83,7 +83,11 @@ def nation_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.slice(F.sort_array(F.collect_list("c_name")), 1, 5).alias("sample_names"),
+            # '|'-joined rather than array<string>: the driver's pandas-based
+            # canonicalizer cannot hash Python lists (unhashable type).
+            F.concat_ws(
+                "|", F.slice(F.sort_array(F.collect_list("c_name")), 1, 5)
+            ).alias("sample_names"),
         )
         .orderBy("c_nationkey")
     )

@@ -446,18 +446,44 @@ def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct_customers",
-    oracle=None,  # HLL sketches differ across engines; accuracy vs the exact
-    # count is pinned in tests/test_plans.py (<2% at rsd=0.01)
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS exact_customers,
+           COUNT(*) AS n_orders,
+           TRUE AS hll_within_2pct
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
     doc="approx_count_distinct (HyperLogLog++): the sketch path for distinct "
     "cardinality at 100 TB — mergeable, fixed memory, single shuffle of "
-    "sketch bytes instead of an expand/exchange of raw keys.",
+    "sketch bytes instead of an expand/exchange of raw keys. The raw sketch "
+    "estimate differs across engines, so the driver-checked output carries "
+    "the exact count plus a deterministic within-2%-of-exact flag (HLL++ is "
+    "order-independent, so the flag is stable); the oracle pins the flag "
+    "TRUE. At 100 TB you would drop the exact column and keep the sketch. "
+    "Accuracy is additionally pinned in tests/test_plans.py.",
 )
 def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_customers"),
-        F.count(F.lit(1)).alias("n_orders"),
-    ).orderBy("o_orderpriority")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx"),
+            F.countDistinct("o_custkey").alias("exact_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            "o_orderpriority",
+            "exact_customers",
+            "n_orders",
+            (
+                F.abs(F.col("approx") - F.col("exact_customers"))
+                <= 0.02 * F.col("exact_customers")
+            ).alias("hll_within_2pct"),
+        )
+        .orderBy("o_orderpriority")
+    )
 
 
 @register(
@@ -584,7 +610,7 @@ def conditional_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SQRT(l_quantity), 4) AS qty_sqrt,
            ROUND(LN(l_extendedprice), 4) AS price_ln,
            ROUND(POWER(1 + l_discount, 2), 4) AS discount_sq,
-           FLOOR(l_quantity / 7) AS qty_bucket,
+           CAST(FLOOR(l_quantity / 7) AS BIGINT) AS qty_bucket,
            MOD(l_orderkey, 97) AS key_mod
     FROM lineitem
     WHERE l_linenumber = 1 AND l_orderkey <= 2000

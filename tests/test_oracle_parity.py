@@ -25,15 +25,24 @@ ROWS_ONLY_CASES = sorted(name for name, q in REGISTRY.items() if q.oracle is Non
 
 
 def _canon_value(v):
+    # Dtype-STRICT on purpose: the driver's canonicalizer hashes raw values,
+    # so Spark long 2 vs DuckDB double 2.0 is a driver hash-mismatch even
+    # though the values agree (see math_funcs in CORRECTNESS_r01). Tag each
+    # value with a type class so local green predicts driver green.
     if v is None:
         return "∅"
     if isinstance(v, bool):
-        return "t" if v else "f"
-    if isinstance(v, (float, decimal.Decimal)):
-        f = float(v)
-        if math.isnan(f):
-            return "nan"
-        return f"{f:.6g}"
+        return "b:t" if v else "b:f"
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "f:nan"
+        return f"f:{v!r}"
+    if isinstance(v, decimal.Decimal):
+        if v.is_nan():
+            return "d:nan"
+        return f"d:{format(v.normalize(), 'f')}"
     if isinstance(v, dt.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, dt.date):

@@ -103,23 +103,26 @@ def test_dedup_exact_single_shuffle(spark):
 
 
 def test_approx_distinct_accuracy(spark):
-    approx = {
-        r["o_orderpriority"]: r["approx_customers"]
-        for r in REGISTRY["approx_distinct_customers"].builder(spark, SF_SMOKE).collect()
-    }
+    # The registered query folds the sketch-vs-exact comparison into a
+    # deterministic flag (driver-hashable); pin it here AND pin the raw HLL
+    # library path's accuracy directly.
+    rows = REGISTRY["approx_distinct_customers"].builder(spark, SF_SMOKE).collect()
+    assert rows and all(r["hll_within_2pct"] for r in rows)
+
     from covid_19_data_engineering_spark.sources.tables import load_table
 
-    exact = {
-        r["o_orderpriority"]: r["n"]
-        for r in load_table(spark, "orders", SF_SMOKE)
+    both = (
+        load_table(spark, "orders", SF_SMOKE)
         .groupBy("o_orderpriority")
-        .agg(F.countDistinct("o_custkey").alias("n"))
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx"),
+            F.countDistinct("o_custkey").alias("exact"),
+        )
         .collect()
-    }
-    assert set(approx) == set(exact)
-    for k in exact:
-        rel_err = abs(approx[k] - exact[k]) / max(exact[k], 1)
-        assert rel_err < 0.02, f"{k}: approx {approx[k]} vs exact {exact[k]}"
+    )
+    for r in both:
+        rel_err = abs(r["approx"] - r["exact"]) / max(r["exact"], 1)
+        assert rel_err < 0.02, f"{r['o_orderpriority']}: {r['approx']} vs {r['exact']}"
 
 
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
