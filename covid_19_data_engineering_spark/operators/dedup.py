@@ -10,14 +10,20 @@ are driver-mandated extensions designed for the 100 TB posture:
                generation is O(collisions), not O(n^2); the Jaccard verify
                runs on candidates only. All JVM-side (md5/conv/bit ops) — no
                Python in the path.
-- SimHash:     64-bit fingerprint from md5-derived token bits; near-dups are
+- SimHash:     60-bit fingerprint from md5-derived token bits; near-dups are
                fingerprints within small Hamming distance found via band
-               join on 16-bit chunks (same collision-bounding idea).
-- n-gram Jaccard: exact pairwise Jaccard over 3-gram shingle sets, bounded
-               by a same-lang blocking key. The exact twin the LSH variants
-               approximate; oracle-checkable in DuckDB via list functions.
-- embedding cosine: exact pairwise cosine over the embeddings table above a
-               threshold; the brute baseline the ANN path approximates.
+               join on 15-bit chunks (same collision-bounding idea).
+- n-gram Jaccard: exact pairwise Jaccard over 3-gram shingle sets, blocked
+               on (lang, shingle-count log-bucket). The length bucket is
+               LOSSLESS: J(A,B) >= t implies min|set|/max|set| >= t, so
+               matching pairs sit within one log_{1/t} bucket of each other
+               — the join visits neighbor buckets and drops nothing.
+- embedding cosine: near-dup pairs above a cosine threshold. The REGISTERED
+               operator generates candidates with the shared hyperplane-LSH
+               buckets (operators/vectors.py) and re-ranks candidates with
+               exact cosine — O(collisions), not O(n^2). The all-pairs brute
+               twin stays as a library function (recall baseline in tests;
+               it is the scale anti-pattern, never the registered path).
 
 Tokenization is a plain single-space split everywhere so the DuckDB oracle
 can reproduce it exactly.
@@ -25,9 +31,15 @@ can reproduce it exactly.
 
 from __future__ import annotations
 
+import math
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
+from covid_19_data_engineering_spark.operators.vectors import (
+    cosine_sim,
+    with_lsh_buckets,
+)
 from covid_19_data_engineering_spark.plans.registry import register
 from covid_19_data_engineering_spark.sources.tables import load_table
 
@@ -86,34 +98,74 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- n-gram Jaccard (exact near-dup twin) -----------------------------------
 
 
-def ngram_jaccard_pairs(df: DataFrame, threshold: float, k: int = 3,
-                        block_col: str = "lang") -> DataFrame:
-    """Exact pairwise Jaccard over k-shingle sets within a blocking key.
+def ngram_blocked_candidates(df: DataFrame, threshold: float, k: int = 3,
+                             block_col: str = "lang",
+                             length_blocking: bool = True) -> DataFrame:
+    """Candidate pairs for exact Jaccard: (doc_a, doc_b, sh_a, sh_b).
 
-    The self-join is equi-keyed on the block column, so Spark shuffles each
-    side once by block and compares within blocks only — the exact-match
-    counterpart of LSH banding. Blocks must be small relative to cluster
-    memory; for unblocked corpora use minhash_lsh_candidates instead.
+    Block key is (block_col, shingle-count log-bucket). J(A,B) >= t forces
+    |A∩B| >= t*max(|A|,|B|) and |A∩B| <= min(|A|,|B|), so min/max >= t and
+    the two log_{1/t} bucket indices differ by at most 1 — side b emits its
+    bucket and both neighbors, side a joins on its own bucket, and every
+    qualifying pair collides EXACTLY once (no post-join dedup needed). Docs
+    with empty shingle sets can never reach the threshold (0/x or NULL
+    0/0 Jaccard) and are dropped up front, which also keeps log() defined.
+
+    ``length_blocking=False`` falls back to the block_col-only join (the
+    near-all-pairs shape) — kept for the equivalence/pruning test.
     """
     sh = df.select(
         F.col("doc_id"),
         F.col(block_col).alias("block"),
         shingles_col(tokens_col("text"), k).alias("sh"),
     )
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    if not length_blocking:
+        a, b = sh.alias("a"), sh.alias("b")
+        cond = (F.col("a.block") == F.col("b.block")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    else:
+        # widen by half the output rounding step: the filter runs on
+        # round(J, 4), so a pair at J = t - 5e-5 can still pass — size the
+        # buckets for that slightly-lower effective threshold
+        log_r = math.log(1.0 / max(threshold - 5e-5, 1e-9))
+        sh = sh.where(F.size("sh") > 0).withColumn(
+            "lb", F.floor(F.log(F.size("sh").cast("double")) / F.lit(log_r)).cast("int")
+        )
+        a = sh.alias("a")
+        b = sh.select(
+            "doc_id", "block", "sh",
+            F.explode(F.array(F.col("lb") - 1, F.col("lb"), F.col("lb") + 1)).alias("nb"),
+        ).alias("b")
+        cond = (
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.lb") == F.col("b.nb"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+        )
+    return a.join(b, cond).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.sh").alias("sh_a"),
+        F.col("b.sh").alias("sh_b"),
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, threshold: float, k: int = 3,
+                        block_col: str = "lang",
+                        length_blocking: bool = True) -> DataFrame:
+    """Exact pairwise Jaccard over k-shingle sets within a blocking key.
+
+    The self-join is equi-keyed on (block, length bucket), so Spark shuffles
+    each side once by block and compares within blocks only — the exact-match
+    counterpart of LSH banding, with the length bucket bounding block size.
+    For unblocked corpora use minhash_lsh_candidates instead.
+    """
+    cands = ngram_blocked_candidates(df, threshold, k, block_col, length_blocking)
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
     # try_divide: two sub-k-token docs both have empty shingle sets -> 0/0;
     # NULL here (dropped by the threshold filter) matches DuckDB's behavior
     jac = F.try_divide(inter, union)
     return (
-        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round(jac, 4).alias("jaccard"),
-        )
+        cands.select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
 
@@ -313,7 +365,8 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3) -> DataFrame:
 @register(
     "dedup_simhash",
     oracle=None,  # bit-level fingerprinting pinned by unit tests instead
-    doc="SimHash(64) fingerprint near-dup pairs within Hamming distance 3.",
+    doc="SimHash(60) fingerprint near-dup pairs within Hamming distance 3 "
+    "(4x15-bit chunk band join).",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
@@ -321,33 +374,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- embedding cosine near-dup ----------------------------------------------
+# cosine_sim is re-exported from operators.vectors (shared with similarity).
 
 
-def cosine_sim(a: Column, b: Column) -> Column:
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
-                      F.lit(0.0), lambda acc, v: acc + v)
-    na = F.sqrt(F.aggregate(F.transform(a, lambda x: (x * x).cast("double")),
-                            F.lit(0.0), lambda acc, v: acc + v))
-    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: (x * x).cast("double")),
-                            F.lit(0.0), lambda acc, v: acc + v))
-    return dot / (na * nb)
-
-
-@register(
-    "dedup_embedding_cosine",
-    oracle="""
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                        CAST(b.embedding AS DOUBLE[])), 4) AS cosine
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                 CAST(b.embedding AS DOUBLE[])) >= 0.95
-    ORDER BY vec_a, vec_b
-    """,
-    doc="Embedding-cosine near-dup pairs (>=0.95), exact pairwise baseline.",
-)
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    em = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+def embedding_cosine_pairs_brute(em: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """All-pairs cosine — the O(n^2) recall baseline. NEVER the registered
+    path: the full-table broadcast + cross product dies far below 100 TB.
+    Kept so tests can pin the LSH path's recall against exact truth."""
     a, b = em.alias("a"), em.alias("b")
     cos = cosine_sim(F.col("a.embedding"), F.col("b.embedding"))
     return (
@@ -357,6 +390,54 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("vec_b"),
             F.round(cos, 4).alias("cosine"),
         )
-        .where(F.col("cosine") >= 0.95)
-        .orderBy("vec_a", "vec_b")
+        .where(F.col("cosine") >= threshold)
     )
+
+
+def embedding_lsh_near_pairs(em: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """Near-dup pairs via hyperplane-LSH candidate generation + exact cosine
+    re-rank. Candidates must share at least one of 16 (table, bucket) cells;
+    at cosine >= 0.95 the per-table collision prob is ~0.65, so the chance a
+    true near-dup pair misses ALL 16 tables is (1-0.65)^16 ≈ 5e-8 — the
+    output matches the brute twin, but the join is O(collisions) and nothing
+    is broadcast. The exact-cosine filter runs BEFORE the pair distinct so
+    the dedup shuffle carries only (id, id, cosine) survivors, never the
+    embedding arrays."""
+    bk = with_lsh_buckets(em, "embedding", "vec_id")
+    a, b = bk.alias("a"), bk.alias("b")
+    cos = cosine_sim(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 4).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .distinct()
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 4) >= 0.95
+    ORDER BY vec_a, vec_b
+    """,
+    doc="Embedding-cosine near-dup pairs (>=0.95) via LSH-bucketed candidate "
+    "generation + exact re-rank; the all-pairs oracle is equivalent because "
+    "16-table recall at this threshold is 1-5e-8.",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    return embedding_lsh_near_pairs(em).orderBy("vec_a", "vec_b")

@@ -20,7 +20,10 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 
-from covid_19_data_engineering_spark.operators.dedup import cosine_sim
+from covid_19_data_engineering_spark.operators.vectors import (
+    cosine_sim,
+    with_lsh_buckets,
+)
 from covid_19_data_engineering_spark.plans.registry import register
 from covid_19_data_engineering_spark.sources.tables import load_table
 
@@ -86,56 +89,16 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- LSH-bucketed variant ----------------------------------------------------
-
-# 16 tables x 4 bits: per-table collision prob for angle θ is
-# (1-θ/π)^4, and 16 independent tables give recall 1-(1-p)^16 —
-# ~0.9 for cosine≥0.3 neighbors. More bits/table (sharper buckets,
-# fewer candidates) is the knob to turn as the corpus grows.
-_N_PLANES = 64
-_SIGN_BITS_PER_TABLE = 4
-_N_TABLES = _N_PLANES // _SIGN_BITS_PER_TABLE
-_DIM = 64
-# deterministic pseudo-random hyperplanes: component (p, d) derives from a
-# fixed integer mix — stable across runs/engines, no runtime randomness
-_PLANES: list[list[float]] = [
-    [(((p * 1_000_003 + d) * 2654435761 % 2**32) / 2**31 - 1.0) for d in range(_DIM)]
-    for p in range(_N_PLANES)
-]
-
-
-def _signature_bits(vec: Column) -> list[Column]:
-    bits = []
-    for plane in _PLANES:
-        arr = F.array(*[F.lit(x) for x in plane])
-        dot = F.aggregate(
-            F.zip_with(vec, arr, lambda x, y: (x * y).cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bits.append((dot >= 0).cast("int"))
-    return bits
+# (hyperplane constants + bucket assignment live in operators/vectors.py,
+# shared with the embedding near-dup operator)
 
 
 def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = TOP_K) -> DataFrame:
     """Approximate top-k: candidates share at least one LSH table bucket,
     re-ranked by exact cosine. Bucket join bounds the pair space; the
     hyperplane signatures are computed JVM-side in one projection."""
-
-    def with_buckets(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
-        bits = _signature_bits(F.col(vec_col))
-        buckets = []
-        for t in range(_N_TABLES):
-            chunk = bits[t * _SIGN_BITS_PER_TABLE:(t + 1) * _SIGN_BITS_PER_TABLE]
-            acc = F.lit(0)
-            for bit in chunk:
-                acc = acc * 2 + bit
-            buckets.append(F.struct(F.lit(t).alias("table"), acc.alias("bucket")))
-        return df.select(
-            id_col, vec_col, F.explode(F.array(*buckets)).alias("tb")
-        ).select(id_col, vec_col, F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
-
-    c = with_buckets(corpus, "embedding", "vec_id")
-    q = with_buckets(queries, "q_embedding", "query_id")
+    c = with_lsh_buckets(corpus, "embedding", "vec_id")
+    q = with_lsh_buckets(queries, "q_embedding", "query_id")
     cands = (
         c.join(F.broadcast(q), ["table", "bucket"])
         .where(F.col("vec_id") != F.col("query_id"))
@@ -173,7 +136,7 @@ def ivf_centroids(corpus: DataFrame, k: int = _IVF_K) -> DataFrame:
         .withColumn("cid", F.row_number().over(Window.orderBy("centroid")) - 1)
     )
     # one assignment pass against broadcast seeds
-    assigned = _assign_cells(corpus, seeds, nprobe=1)
+    assigned = _assign_cells(corpus, seeds, nprobe=1, id_col="vec_id")
     # per-cell mean over float components -> refined centroids
     dim = 64
     return (
@@ -187,14 +150,16 @@ def ivf_centroids(corpus: DataFrame, k: int = _IVF_K) -> DataFrame:
 
 
 def _assign_cells(df: DataFrame, centroids: DataFrame, nprobe: int,
-                  vec_col: str = "embedding") -> DataFrame:
+                  vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """Attach the nprobe nearest centroid ids (by cosine) to every row.
     Centroids broadcast; ranking happens per-row with a window over the
-    small (rows x k) expansion."""
+    small (rows x k) expansion. The window partitions on the row id only —
+    keying on every column would drag the 64-float embedding through the
+    shuffle as part of the key."""
     scored = df.crossJoin(F.broadcast(centroids)).withColumn(
         "_sim", cosine_sim(F.col(vec_col), F.col("centroid"))
     )
-    w = Window.partitionBy(*df.columns).orderBy(F.col("_sim").desc(), F.col("cid"))
+    w = Window.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col("cid"))
     return (
         scored.withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= nprobe)
@@ -209,10 +174,10 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = TOP_K,
     cell contents. The cell equi-join prunes the pair space to
     ~nprobe/k of the corpus per query."""
     cents = ivf_centroids(corpus)
-    inv = _assign_cells(corpus, cents, nprobe=1)                 # inverted lists
+    inv = _assign_cells(corpus, cents, nprobe=1, id_col="vec_id")  # inverted lists
     probes = _assign_cells(
         queries.select(F.col("query_id"), F.col("q_embedding")), cents,
-        nprobe=nprobe, vec_col="q_embedding",
+        nprobe=nprobe, vec_col="q_embedding", id_col="query_id",
     )
     cands = (
         inv.join(probes, "cid")

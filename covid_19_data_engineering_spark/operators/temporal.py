@@ -25,9 +25,15 @@ from covid_19_data_engineering_spark.sources.tables import load_table
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: str, ts: str,
-              value_cols: list[str], strict: bool = True) -> DataFrame:
+              value_cols: list[str], strict: bool = True,
+              tiebreak_col: str | None = None) -> DataFrame:
     """For each row of ``left``, attach the most recent prior row of ``right``
     with the same ``on`` key (strictly earlier ``ts`` when strict=True).
+
+    ``tiebreak_col`` orders right rows that share a timestamp; pass a column
+    unique per right row (an event id) for a deterministic winner. Without
+    it, equal-ts right rows tie and the carried value is partition-order
+    dependent — fine for semantics, not for hash-stable output.
 
     Plan shape: union both sides tagged, one shuffle on ``on``, running
     last(ignorenulls) window, filter back to left rows. No range explosion.
@@ -40,7 +46,12 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, ts: str,
     unioned = lt.unionByName(rt)
     # at equal ts: left rows sort first (so a strictly-prior right row is
     # required); among right rows, later rows win deterministically
-    order = [F.col(ts), F.col("_side"), F.col("event_id")] if strict else [F.col(ts), F.col("_side").desc()]
+    if strict:
+        order = [F.col(ts), F.col("_side")]
+        if tiebreak_col is not None:
+            order.append(F.col(tiebreak_col))
+    else:
+        order = [F.col(ts), F.col("_side").desc()]
     w = Window.partitionBy(on).orderBy(*order).rowsBetween(Window.unboundedPreceding, -1)
     carried = unioned.select(
         "*",
@@ -86,7 +97,8 @@ def events_asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataF
         F.col("event_id").alias("click_id"), F.col("value").alias("click_value"),
     )
     joined = asof_join(purchases, clicks, on="user_id", ts="ts",
-                       value_cols=["click_id", "click_value"])
+                       value_cols=["click_id", "click_value"],
+                       tiebreak_col="event_id")
     return (
         joined.select(
             "event_id", "user_id", "ts",

@@ -103,6 +103,53 @@ def test_ann_lsh_recall_vs_brute(embeddings_001):
     assert recall >= 0.5, f"LSH recall {recall} too low vs brute force"
 
 
+def test_ngram_length_blocking_lossless_and_pruning(spark):
+    """The (lang, shingle-count log-bucket) block key must (a) change NOTHING
+    about the output vs lang-only blocking and (b) materially shrink the
+    candidate pair space."""
+    from covid_19_data_engineering_spark.operators.dedup import (
+        ngram_blocked_candidates,
+    )
+    from covid_19_data_engineering_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    blocked = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.35).collect()
+    }
+    full = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.35, length_blocking=False).collect()
+    }
+    assert blocked == full
+
+    n_blocked = ngram_blocked_candidates(docs, 0.35).count()
+    n_full = ngram_blocked_candidates(docs, 0.35, length_blocking=False).count()
+    assert n_blocked < n_full, f"length blocking pruned nothing ({n_blocked} vs {n_full})"
+
+
+def test_embedding_lsh_pairs_recall_vs_brute(embeddings_001):
+    """The registered embedding dedup is LSH-bucketed; pin its recall against
+    the all-pairs brute twin. At the registered 0.95 threshold 16-table
+    recall is ~1-5e-8, so also check exact-equality there; at a looser 0.8
+    the pinned floor is 0.9."""
+    from covid_19_data_engineering_spark.operators.dedup import (
+        embedding_cosine_pairs_brute,
+        embedding_lsh_near_pairs,
+    )
+
+    brute95 = {(r["vec_a"], r["vec_b"]) for r in embedding_cosine_pairs_brute(embeddings_001).collect()}
+    lsh95 = {(r["vec_a"], r["vec_b"]) for r in embedding_lsh_near_pairs(embeddings_001).collect()}
+    assert lsh95 == brute95
+
+    brute80 = {(r["vec_a"], r["vec_b"]) for r in embedding_cosine_pairs_brute(embeddings_001, 0.8).collect()}
+    lsh80 = {(r["vec_a"], r["vec_b"]) for r in embedding_lsh_near_pairs(embeddings_001, 0.8).collect()}
+    assert lsh80 <= brute80  # LSH candidates re-ranked exactly: no false positives
+    if brute80:
+        recall = len(brute80 & lsh80) / len(brute80)
+        assert recall >= 0.9, f"LSH pair recall {recall} too low"
+
+
 def test_multimodal_plumbing(spark):
     docs = spark.createDataFrame(
         [(1, "hello world", "s1"), (2, "spark", "s2")],

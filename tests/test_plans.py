@@ -102,6 +102,26 @@ def test_dedup_exact_single_shuffle(spark):
     assert len(hash_exchanges) == 1
 
 
+def test_embedding_dedup_plan_is_bucketed(spark):
+    """The registered embedding dedup must be the LSH-bucketed equi-join —
+    no cross product, no nested-loop join, no full-table broadcast of the
+    embeddings side (the r1 all-pairs anti-pattern)."""
+    df = REGISTRY["dedup_embedding_cosine"].builder(spark, SF_SMOKE)
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_assign_cells_shuffles_on_id_only(spark):
+    """_assign_cells ranks centroids per row; its window key must be the id
+    column, not every column (which dragged the 64-float embedding through
+    the shuffle as part of the key)."""
+    df = REGISTRY["ann_ivf_topk"].builder(spark, SF_SMOKE)
+    plan = _executed_plan(df)
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "embedding" not in m.group(1), f"vector in shuffle key: {m.group(0)}"
+
+
 def test_approx_distinct_accuracy(spark):
     # The registered query folds the sketch-vs-exact comparison into a
     # deterministic flag (driver-hashable); pin it here AND pin the raw HLL
