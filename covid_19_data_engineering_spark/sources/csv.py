@@ -77,12 +77,40 @@ def read_csv_landing(spark: SparkSession, path: str) -> tuple[DataFrame, DataFra
         "escape": '"',
     }
     parsed = F.from_csv(F.col("value"), schema.simpleString(), parse_options)
+    # Quarantine rows carry triage context, mirroring the reference's per-row
+    # error log (row content + error, load_tables_daily.py:201-203): the raw
+    # text, a best-effort parse-failure reason, and the source file. Line
+    # numbers are deliberately absent — a distributed text scan has no stable
+    # row position without a full zipWithIndex pass, a non-starter at scale.
+    expected_fields = len(schema.fields) - 1  # minus the corrupt column
+    quote_count = F.length(F.col("value")) - F.length(
+        F.regexp_replace(F.col("value"), '"', "")
+    )
+    # the comma split over-counts commas inside quoted fields, but rows land
+    # here only after from_csv already failed, and unbalanced quoting is
+    # reported first — so the naive count is a usable arity diagnostic
+    naive_fields = F.size(F.split(F.col("value"), ",", -1))
+    reason = (
+        F.when(quote_count % 2 != 0, F.lit("unbalanced_quote"))
+        .when(
+            naive_fields != expected_fields,
+            F.concat(
+                F.lit(f"arity_mismatch: expected {expected_fields} fields, found "),
+                naive_fields.cast("string"),
+            ),
+        )
+        .otherwise(F.lit("malformed_row"))
+    )
     # header lines parse cleanly into all-string fields, so they never land
     # in the quarantine; data rows with bad quoting/arity do.
     bad = (
         spark.read.text(path)
         .where(parsed.getField(CORRUPT_COL).isNotNull())
-        .select(F.col("value").alias("raw_record"))
+        .select(
+            F.col("value").alias("raw_record"),
+            reason.alias("error_reason"),
+            F.input_file_name().alias("source_file"),
+        )
     )
     return good, bad
 

@@ -99,3 +99,19 @@ def test_quarantine_good_rows_land(spark, tmp_path):
     # embedded quote and quoted comma both parse; all rows land
     assert "O'Brien" in names and "quoted,comma" in names and "plain" in names
     assert bad.count() == 0
+
+
+def test_quarantine_explains_failures(spark, tmp_path):
+    """Quarantined rows must say WHY they failed (reference logs row content
+    + error per bad row, load_tables_daily.py:201-203) and where they came
+    from, so a data engineer can triage the quarantine table."""
+    p = tmp_path / "broken.csv"
+    p.write_text('name,qty\ngood,1\n"unclosed quote,oops\nalso_good,2\n')
+    _, bad = read_csv_landing(spark, str(p))
+    rows = bad.collect()
+    assert rows, "unclosed-quote row must be quarantined"
+    assert set(bad.columns) == {"raw_record", "error_reason", "source_file"}
+    by_record = {r["raw_record"]: r for r in rows}
+    quoted = by_record['"unclosed quote,oops']
+    assert quoted["error_reason"] == "unbalanced_quote"
+    assert quoted["source_file"].endswith("broken.csv")
