@@ -70,7 +70,9 @@ def curate(docs: DataFrame, min_quality: float = 0.5,
     )
     SELECT source,
            COUNT(*) AS docs_kept,
-           SUM(n_tokens) AS tokens_kept,
+           -- CAST: DuckDB SUM(BIGINT) yields HUGEINT, which pandas renders
+           -- as float — the driver would hash 674.0 vs Spark's long 674
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept,
            -- exact integer units of 1e-4, then identical IEEE double ops on
            -- both engines (see streaming/events.py on why ROUND(AVG(..)) of
            -- doubles diverges at half boundaries)

@@ -249,7 +249,12 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band"),
-                    F.hash(*[F.col(f"mh_{b * _ROWS_PER_BAND + r}") for r in range(_ROWS_PER_BAND)]).alias("bucket"),
+                    # bucket key = the band's minhash values joined as text —
+                    # engine-portable (a DuckDB oracle derives the identical
+                    # key), unlike F.hash's Spark-internal murmur
+                    F.concat_ws(
+                        ",", *[F.col(f"mh_{b * _ROWS_PER_BAND + r}") for r in range(_ROWS_PER_BAND)]
+                    ).alias("bucket"),
                 )
                 for b in range(_BANDS)
             ])
@@ -280,11 +285,67 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     )
 
 
+# DuckDB twin of the full minhash pipeline. Every stage is engine-portable
+# by construction: shingle hash = fold of the first 15 md5 hex chars (same
+# as Spark's conv(substring(md5,1,15),16,10)), affine transforms in HUGEINT
+# (Spark uses decimal(38,0) — both exceed the 121-bit product), band bucket
+# = the band's minhash values joined as text.
+_HEX_FOLD = (
+    "list_reduce(list_transform(range(1, 16), "
+    "i -> CAST(strpos('0123456789abcdef', substr(md5({v}), i, 1)) AS BIGINT) - 1), "
+    "(a, b) -> a * 16 + b)"
+)
+
+
+def _minhash_oracle_sql() -> str:
+    mins = ",\n             ".join(
+        f"CAST(MIN((CAST(h AS HUGEINT) * {a} + {b}) % {_MERSENNE61}) AS BIGINT) AS mh_{i}"
+        for i, (a, b) in enumerate(zip(_HASH_COEFF, _HASH_OFFSET))
+    )
+    band_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT *, {band} AS band, concat_ws(','"
+        + "".join(f", mh_{band * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND))
+        + ") AS bucket FROM sig"
+        for band in range(_BANDS)
+    )
+    agree = " + ".join(
+        f"CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END" for i in range(_N_HASHES)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+               i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+             )) AS s
+      FROM documents
+    ),
+    sh AS (SELECT doc_id, unnest(s) AS shingle FROM toks),
+    h AS (SELECT doc_id, {_HEX_FOLD.format(v='shingle')} AS h FROM sh),
+    sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM h GROUP BY doc_id
+    ),
+    bands AS (
+      {band_selects}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST({agree} AS DOUBLE) / {_N_HASHES}, 4) AS est_jaccard
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE ROUND(CAST({agree} AS DOUBLE) / {_N_HASHES}, 4) >= 0.3
+    ORDER BY doc_a, doc_b
+    """
+
+
 @register(
     "dedup_minhash_lsh",
-    oracle=None,  # minhash bucket assignment is engine-internal; exactness is
-    # pinned by tests/test_extensions.py (recall vs the exact Jaccard twin)
-    doc="MinHash(32)+LSH(8x4) candidate near-dup pairs with estimated Jaccard.",
+    oracle=_minhash_oracle_sql(),
+    doc="MinHash(32)+LSH(8x4) candidate near-dup pairs with estimated "
+    "Jaccard. Fully deterministic and engine-portable (md5-derived shingle "
+    "hashes, fixed affine coefficients, concat band buckets), so the DuckDB "
+    "oracle replicates the entire pipeline stage by stage.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
@@ -362,11 +423,47 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
+def _simhash_oracle_sql(bits: int = 60, max_hamming: int = 3) -> str:
+    votes = ",\n             ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(bits)
+    )
+    fp = " + ".join(
+        f"CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
+        for i in range(bits)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    th AS (SELECT doc_id, {_HEX_FOLD.format(v='t')} AS h FROM tok),
+    votes AS (
+      SELECT doc_id,
+             {votes}
+      FROM th GROUP BY doc_id
+    ),
+    fp AS (SELECT doc_id, {fp} AS simhash FROM votes),
+    chunked AS (SELECT doc_id, simhash, unnest([0, 1, 2, 3]) AS chunk FROM fp),
+    chunks AS (
+      SELECT doc_id, simhash, chunk,
+             (simhash >> (chunk * 15)) & 32767 AS val
+      FROM chunked
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM chunks a JOIN chunks b
+      ON a.chunk = b.chunk AND a.val = b.val AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    ORDER BY doc_a, doc_b
+    """
+
+
 @register(
     "dedup_simhash",
-    oracle=None,  # bit-level fingerprinting pinned by unit tests instead
+    oracle=_simhash_oracle_sql(),
     doc="SimHash(60) fingerprint near-dup pairs within Hamming distance 3 "
-    "(4x15-bit chunk band join).",
+    "(4x15-bit chunk band join). md5-derived token bits are engine-portable, "
+    "so the DuckDB oracle rebuilds the fingerprints bit by bit.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)

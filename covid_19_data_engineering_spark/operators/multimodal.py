@@ -153,14 +153,43 @@ def sample_frames(with_payload: DataFrame, every_n_bytes: int = 32,
 
 @register(
     "multimodal_frame_sample",
-    oracle=None,  # binary frame payloads aren't SQL-comparable; fan-out
-    # shape and offsets pinned in tests/test_extensions.py
+    # the stub sampler slices payload bytes at fixed strides, which SQL can
+    # reproduce exactly: BLOB substring at i*32 for i < least(4, n//32 or 1)
+    oracle="""
+    WITH docs_b AS (
+      SELECT doc_id, text AS txt,
+             octet_length(CAST(text AS BLOB)) AS n
+      FROM documents
+    ),
+    expanded AS (
+      -- list-returning range + unnest (the table-function form can't take
+      -- lateral column args in DuckDB)
+      SELECT doc_id, txt,
+             unnest(range(0, CAST(least(4, greatest(n // 32, 1)) AS BIGINT))) AS i
+      FROM docs_b
+    )
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS frame_no,
+           CAST(i * 32 AS INTEGER) AS frame_offset,
+           -- DuckDB has no BLOB substring; char slicing == byte slicing here
+           -- because the documents corpus is pure ASCII (octet_length ==
+           -- length for every row, asserted before adopting this oracle)
+           hex(substring(txt, CAST(i * 32 + 1 AS INTEGER), 32)) AS frame_hex
+    FROM expanded
+    ORDER BY doc_id, frame_no
+    """,
     doc="Frame sampling over binary payloads: mapInPandas fan-out (1 row -> "
-    "N frames), sampler kernel stubbed, batch plumbing real.",
+    "N frames), sampler kernel stubbed, batch plumbing real. The registered "
+    "projection hex-encodes the frame bytes: raw binary crosses engines as "
+    "bytes-vs-bytearray, which pandas canonicalizers cannot hash; the "
+    "library function sample_frames keeps the real binary column.",
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    return sample_frames(attach_binary_payload(docs)).orderBy("doc_id", "frame_no")
+    frames = sample_frames(attach_binary_payload(docs))
+    return frames.select(
+        "doc_id", "frame_no", "frame_offset", F.hex("frame").alias("frame_hex")
+    ).orderBy("doc_id", "frame_no")
 
 
 @register(

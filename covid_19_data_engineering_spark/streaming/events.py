@@ -109,8 +109,10 @@ def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessions AS (
       SELECT user_id, ts, value,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                    ROWS UNBOUNDED PRECEDING) AS session_no
+             -- CAST: windowed SUM(INT) is HUGEINT in DuckDB -> pandas float
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_no
       FROM marked
     )
     SELECT user_id, session_no,

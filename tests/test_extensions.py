@@ -150,6 +150,27 @@ def test_embedding_lsh_pairs_recall_vs_brute(embeddings_001):
         assert recall >= 0.9, f"LSH pair recall {recall} too low"
 
 
+def test_embedding_lsh_finds_planted_near_dups(spark):
+    """The synthetic embeddings table has no cosine>=0.95 pairs (max is
+    ~0.51), so the registered query's non-empty behavior is proven here on
+    planted vectors: a base vector, a tiny perturbation of it (cosine ~1),
+    and deterministic unrelated vectors."""
+    from covid_19_data_engineering_spark.operators.dedup import embedding_lsh_near_pairs
+
+    base = [float((i * 37 % 29) - 14) for i in range(64)]
+    near = list(base)
+    near[0] += 0.5  # tiny nudge: cosine stays > 0.999
+    others = [
+        [float(((i * 61 + seed * 101) % 23) - 11) for i in range(64)]
+        for seed in range(6)
+    ]
+    rows = [(0, base), (1, near)] + [(i + 2, v) for i, v in enumerate(others)]
+    em = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r["vec_a"], r["vec_b"]): r["cosine"]
+             for r in embedding_lsh_near_pairs(em, 0.95).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 0.999
+
+
 def test_multimodal_plumbing(spark):
     docs = spark.createDataFrame(
         [(1, "hello world", "s1"), (2, "spark", "s2")],
