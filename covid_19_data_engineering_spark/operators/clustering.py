@@ -36,7 +36,11 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from covid_19_data_engineering_spark.operators.dedup import minhash_lsh_candidates
+from covid_19_data_engineering_spark.operators.dedup import (
+    minhash_agree_sql,
+    minhash_lsh_candidates,
+    minhash_pipeline_ctes,
+)
 from covid_19_data_engineering_spark.plans.registry import register
 from covid_19_data_engineering_spark.sources.tables import load_table
 
@@ -102,14 +106,43 @@ def duplicate_clusters(docs: DataFrame, threshold: float = 0.3) -> DataFrame:
     )
 
 
+def _components_oracle_sql() -> str:
+    """Transitive closure as a recursive CTE over the minhash-candidate
+    edges (whose SQL twin lives in operators/dedup.py): reach(node, comp)
+    saturates, component = MIN(reachable id). The Spark side stays iterative
+    (a recursive CTE over 100 TB of edges is not a plan; label propagation
+    with bounded rounds is) — the oracle only needs to agree on the answer."""
+    return f"""
+    WITH RECURSIVE {minhash_pipeline_ctes()},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      WHERE ROUND(CAST({minhash_agree_sql()} AS DOUBLE) / 32, 4) >= 0.3
+    ),
+    sym AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, comp) AS (
+      SELECT u, u FROM sym
+      UNION
+      SELECT s.u, r.comp FROM sym s JOIN reach r ON s.v = r.node
+    ),
+    comp AS (SELECT node, MIN(comp) AS component FROM reach GROUP BY node)
+    SELECT component AS cluster, COUNT(*) AS cluster_size
+    FROM comp GROUP BY component HAVING COUNT(*) > 1
+    ORDER BY cluster
+    """
+
+
 @register(
     "dedup_cluster_components",
-    oracle=None,  # iterative transitive closure — not single-statement SQL;
-    # cluster-merge semantics pinned by tests/test_extensions.py (planted
-    # A~B~C chain resolves to one component)
+    oracle=_components_oracle_sql(),
     doc="Connected components over MinHash-LSH near-dup pairs: transitive "
     "duplicate clusters with min-doc_id canonical labels (iterative "
-    "min-label propagation, persisted per round).",
+    "min-label propagation, persisted per round). Oracle: the same edges "
+    "via the minhash SQL twin + a recursive-CTE transitive closure.",
 )
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)

@@ -297,7 +297,16 @@ _HEX_FOLD = (
 )
 
 
-def _minhash_oracle_sql() -> str:
+def minhash_agree_sql() -> str:
+    """Signature-agreement count between band-join sides a and b."""
+    return " + ".join(
+        f"CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END" for i in range(_N_HASHES)
+    )
+
+
+def minhash_pipeline_ctes() -> str:
+    """The shared CTE chain (shingles -> hashes -> signatures -> bands);
+    composable into WITH clauses by this oracle and the cluster oracle."""
     mins = ",\n             ".join(
         f"CAST(MIN((CAST(h AS HUGEINT) * {a} + {b}) % {_MERSENNE61}) AS BIGINT) AS mh_{i}"
         for i, (a, b) in enumerate(zip(_HASH_COEFF, _HASH_OFFSET))
@@ -308,11 +317,7 @@ def _minhash_oracle_sql() -> str:
         + ") AS bucket FROM sig"
         for band in range(_BANDS)
     )
-    agree = " + ".join(
-        f"CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END" for i in range(_N_HASHES)
-    )
-    return f"""
-    WITH toks AS (
+    return f"""toks AS (
       SELECT doc_id,
              list_distinct(list_transform(
                range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
@@ -329,7 +334,13 @@ def _minhash_oracle_sql() -> str:
     ),
     bands AS (
       {band_selects}
-    )
+    )"""
+
+
+def _minhash_oracle_sql() -> str:
+    agree = minhash_agree_sql()
+    return f"""
+    WITH {minhash_pipeline_ctes()}
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            ROUND(CAST({agree} AS DOUBLE) / {_N_HASHES}, 4) AS est_jaccard
     FROM bands a JOIN bands b

@@ -21,6 +21,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from covid_19_data_engineering_spark.operators.vectors import (
+    DIM as _DIM_SQL,
+    N_PLANES as _N_PLANES_SQL,
     cosine_sim,
     with_lsh_buckets,
 )
@@ -209,11 +211,74 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(corpus, default_queries(corpus)).orderBy("query_id", "rank")
 
 
+def _lsh_topk_oracle_sql() -> str:
+    """DuckDB twin of the full LSH top-k path. The hyperplanes come from a
+    fixed integer mix (operators/vectors.py PLANES), so SQL re-derives them
+    exactly: ((p*1000003 + d) * 2654435761 % 2^32) / 2^31 - 1 is pure
+    BIGINT arithmetic and the division by a power of two is exact in
+    DOUBLE. The per-plane dot product folds left-to-right like Spark's
+    F.aggregate, so signs (and therefore buckets) are bit-identical."""
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    planes AS (
+      SELECT p, list_transform(
+               range(0, {_DIM_SQL}),
+               d -> CAST((p * 1000003 + d) * 2654435761 % 4294967296 AS DOUBLE)
+                    / 2147483648.0 - 1.0
+             ) AS pl
+      FROM (SELECT unnest(range(0, {_N_PLANES_SQL})) AS p)
+    ),
+    bits AS (
+      SELECT v.vec_id, pr.p,
+             CASE WHEN list_reduce(
+               list_transform(range(1, {_DIM_SQL} + 1), i -> v.e[i] * pr.pl[i]),
+               (a, b) -> a + b) >= 0 THEN 1 ELSE 0 END AS bit
+      FROM emb v CROSS JOIN planes pr
+    ),
+    bkt AS (
+      SELECT vec_id, CAST(p // 4 AS INTEGER) AS tbl,
+             SUM(bit * CASE p % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+                                  WHEN 2 THEN 2 ELSE 1 END) AS bucket
+      FROM bits GROUP BY vec_id, p // 4
+    ),
+    queries AS (
+      SELECT vec_id AS query_id FROM emb ORDER BY vec_id LIMIT {N_QUERY_VECTORS}
+    ),
+    cands AS (
+      SELECT DISTINCT qb.query_id, c.vec_id
+      FROM bkt c
+      JOIN (
+        SELECT b.vec_id AS query_id, b.tbl, b.bucket
+        FROM bkt b JOIN queries q ON b.vec_id = q.query_id
+      ) qb
+        ON c.tbl = qb.tbl AND c.bucket = qb.bucket
+      WHERE c.vec_id != qb.query_id
+    ),
+    scored AS (
+      SELECT cd.query_id, cd.vec_id,
+             ROUND(list_cosine_similarity(qe.e, ce.e), 6) AS cosine
+      FROM cands cd
+      JOIN emb qe ON qe.vec_id = cd.query_id
+      JOIN emb ce ON ce.vec_id = cd.vec_id
+    )
+    SELECT query_id, rank, vec_id, cosine FROM (
+      SELECT query_id, vec_id, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+      FROM scored
+    ) WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """
+
+
 @register(
     "ann_lsh_topk",
-    oracle=None,  # approximate by design; recall vs brute force pinned in
-    # tests/test_extensions.py
-    doc="LSH-bucketed approximate cosine top-10 (random-hyperplane, 16 tables x 4 bits).",
+    oracle=_lsh_topk_oracle_sql(),
+    doc="LSH-bucketed approximate cosine top-10 (random-hyperplane, 16 "
+    "tables x 4 bits). Deterministic planes + exact re-rank make the full "
+    "path SQL-replicable, so the oracle rebuilds buckets and candidates.",
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
