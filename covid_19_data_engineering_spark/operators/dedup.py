@@ -531,21 +531,48 @@ def embedding_lsh_near_pairs(em: DataFrame, threshold: float = 0.95) -> DataFram
     )
 
 
+_EMB_COSINE_THRESHOLD = 0.4  # the synthetic embeddings are near-orthogonal
+# random vectors (max pair cosine ~0.51 at 500 rows), so 0.95 would make the
+# registered query vacuously empty; 0.4 keeps real survivors flowing through
+# the candidate join + re-rank at every SF.
+
+
+def _embedding_cosine_oracle_sql() -> str:
+    """DuckDB twin of the LSH-candidate path. At threshold 0.4 the 16-table
+    recall is ~0.94 (not ~1.0 as at 0.95), so an all-pairs oracle would
+    legitimately disagree; instead the oracle rebuilds the bucket
+    assignments (shared CTEs, bit-identical planes) and re-ranks exactly the
+    same candidate set."""
+    from covid_19_data_engineering_spark.operators.vectors import lsh_bucket_ctes
+
+    return f"""
+    WITH {lsh_bucket_ctes()},
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bkt a JOIN bkt b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, cosine FROM (
+      SELECT c.vec_a, c.vec_b,
+             ROUND(list_cosine_similarity(ea.e, eb.e), 4) AS cosine
+      FROM cand c
+      JOIN emb ea ON ea.vec_id = c.vec_a
+      JOIN emb eb ON eb.vec_id = c.vec_b
+    ) WHERE cosine >= {_EMB_COSINE_THRESHOLD}
+    ORDER BY vec_a, vec_b
+    """
+
+
 @register(
     "dedup_embedding_cosine",
-    oracle="""
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                        CAST(b.embedding AS DOUBLE[])), 4) AS cosine
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                       CAST(b.embedding AS DOUBLE[])), 4) >= 0.95
-    ORDER BY vec_a, vec_b
-    """,
-    doc="Embedding-cosine near-dup pairs (>=0.95) via LSH-bucketed candidate "
-    "generation + exact re-rank; the all-pairs oracle is equivalent because "
-    "16-table recall at this threshold is 1-5e-8.",
+    oracle=_embedding_cosine_oracle_sql(),
+    doc=f"Embedding-cosine near-dup pairs (>={_EMB_COSINE_THRESHOLD}) via "
+    "LSH-bucketed candidate generation + exact re-rank; the oracle rebuilds "
+    "the deterministic hyperplane buckets so both engines score the same "
+    "candidate set.",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
-    return embedding_lsh_near_pairs(em).orderBy("vec_a", "vec_b")
+    return embedding_lsh_near_pairs(em, threshold=_EMB_COSINE_THRESHOLD).orderBy(
+        "vec_a", "vec_b"
+    )

@@ -21,9 +21,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from covid_19_data_engineering_spark.operators.vectors import (
-    DIM as _DIM_SQL,
-    N_PLANES as _N_PLANES_SQL,
     cosine_sim,
+    lsh_bucket_ctes,
     with_lsh_buckets,
 )
 from covid_19_data_engineering_spark.plans.registry import register
@@ -124,6 +123,7 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = TOP_K) -> 
 
 _IVF_K = 16       # coarse centroids
 _IVF_NPROBE = 4   # centroid cells probed per query
+_IVF_DIM = 64
 
 
 def ivf_centroids(corpus: DataFrame, k: int = _IVF_K) -> DataFrame:
@@ -199,12 +199,88 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = TOP_K,
     )
 
 
+def _ivf_oracle_sql() -> str:
+    """DuckDB twin of the full IVF path. Everything is deterministic — seeds
+    are the k lowest-id vectors, cid order is the lexicographic array order,
+    one Lloyd step is plain AVG per component, and every argmax tie-breaks
+    on cid — so SQL replays it stage by stage. Engine float low-bit
+    differences only matter at argmax ties between two centroids, which the
+    near-orthogonal data keeps far apart."""
+    def cos(a: str, b: str) -> str:
+        dot = (f"list_reduce(list_transform(range(1, {_IVF_DIM} + 1), "
+               f"i -> {a}[i] * {b}[i]), (x, y) -> x + y)")
+        na = (f"sqrt(list_reduce(list_transform(range(1, {_IVF_DIM} + 1), "
+              f"i -> {a}[i] * {a}[i]), (x, y) -> x + y))")
+        nb = (f"sqrt(list_reduce(list_transform(range(1, {_IVF_DIM} + 1), "
+              f"i -> {b}[i] * {b}[i]), (x, y) -> x + y))")
+        return f"({dot} / ({na} * {nb}))"
+
+    avgs = ", ".join(f"AVG(e[{i + 1}])" for i in range(_IVF_DIM))
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    seeds AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY e) - 1 AS cid, e AS c
+      FROM (SELECT e FROM emb ORDER BY vec_id LIMIT {_IVF_K})
+    ),
+    a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, s.cid,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {cos('v.e', 's.c')} DESC, s.cid) AS rk
+        FROM emb v CROSS JOIN seeds s
+      ) WHERE rk = 1
+    ),
+    cents AS (
+      SELECT a1.cid, list_value({avgs}) AS c
+      FROM a1 JOIN emb USING (vec_id) GROUP BY a1.cid
+    ),
+    inv AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {cos('v.e', 'c.c')} DESC, c.cid) AS rk
+        FROM emb v CROSS JOIN cents c
+      ) WHERE rk = 1
+    ),
+    qs AS (SELECT vec_id AS query_id, e AS qe FROM emb ORDER BY vec_id LIMIT {N_QUERY_VECTORS}),
+    probes AS (
+      SELECT query_id, cid FROM (
+        SELECT q.query_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {cos('q.qe', 'c.c')} DESC, c.cid) AS rk
+        FROM qs q CROSS JOIN cents c
+      ) WHERE rk <= {_IVF_NPROBE}
+    ),
+    cands AS (
+      SELECT DISTINCT p.query_id, i.vec_id
+      FROM inv i JOIN probes p ON i.cid = p.cid
+      WHERE i.vec_id != p.query_id
+    ),
+    scored AS (
+      SELECT cd.query_id, cd.vec_id,
+             ROUND(list_cosine_similarity(qe.e, ce.e), 6) AS cosine
+      FROM cands cd
+      JOIN emb qe ON qe.vec_id = cd.query_id
+      JOIN emb ce ON ce.vec_id = cd.vec_id
+    )
+    SELECT query_id, rank, vec_id, cosine FROM (
+      SELECT query_id, vec_id, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+      FROM scored
+    ) WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """
+
+
 @register(
     "ann_ivf_topk",
-    oracle=None,  # approximate by design; recall vs brute pinned in
-    # tests/test_extensions.py
+    oracle=_ivf_oracle_sql(),
     doc="IVF approximate cosine top-10: deterministic coarse quantizer "
-    "(16 cells, 4 probed), inverted-list cell join, exact re-rank.",
+    "(16 cells, 4 probed), inverted-list cell join, exact re-rank. The "
+    "oracle replays the deterministic quantizer stage by stage in SQL.",
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
@@ -212,37 +288,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_topk_oracle_sql() -> str:
-    """DuckDB twin of the full LSH top-k path. The hyperplanes come from a
-    fixed integer mix (operators/vectors.py PLANES), so SQL re-derives them
-    exactly: ((p*1000003 + d) * 2654435761 % 2^32) / 2^31 - 1 is pure
-    BIGINT arithmetic and the division by a power of two is exact in
-    DOUBLE. The per-plane dot product folds left-to-right like Spark's
-    F.aggregate, so signs (and therefore buckets) are bit-identical."""
+    """DuckDB twin of the full LSH top-k path: the shared bucket CTEs
+    (operators/vectors.py lsh_bucket_ctes) rebuild Spark's bucket
+    assignments bit-identically, then candidates + exact re-rank follow."""
     return f"""
-    WITH emb AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-    ),
-    planes AS (
-      SELECT p, list_transform(
-               range(0, {_DIM_SQL}),
-               d -> CAST((p * 1000003 + d) * 2654435761 % 4294967296 AS DOUBLE)
-                    / 2147483648.0 - 1.0
-             ) AS pl
-      FROM (SELECT unnest(range(0, {_N_PLANES_SQL})) AS p)
-    ),
-    bits AS (
-      SELECT v.vec_id, pr.p,
-             CASE WHEN list_reduce(
-               list_transform(range(1, {_DIM_SQL} + 1), i -> v.e[i] * pr.pl[i]),
-               (a, b) -> a + b) >= 0 THEN 1 ELSE 0 END AS bit
-      FROM emb v CROSS JOIN planes pr
-    ),
-    bkt AS (
-      SELECT vec_id, CAST(p // 4 AS INTEGER) AS tbl,
-             SUM(bit * CASE p % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
-                                  WHEN 2 THEN 2 ELSE 1 END) AS bucket
-      FROM bits GROUP BY vec_id, p // 4
-    ),
+    WITH {lsh_bucket_ctes()},
     queries AS (
       SELECT vec_id AS query_id FROM emb ORDER BY vec_id LIMIT {N_QUERY_VECTORS}
     ),

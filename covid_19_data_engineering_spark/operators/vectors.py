@@ -42,6 +42,40 @@ PLANES: list[list[float]] = [
 ]
 
 
+def lsh_bucket_ctes() -> str:
+    """DuckDB twin of ``with_lsh_buckets`` as a composable CTE chain
+    (emb -> planes -> bits -> bkt). The hyperplanes come from the same fixed
+    integer mix as ``PLANES``: ((p*1000003 + d) * 2654435761 % 2^32) / 2^31
+    - 1 is pure BIGINT arithmetic and the division by a power of two is
+    exact in DOUBLE, so bucket assignment is bit-identical across engines.
+    The per-plane dot product folds left-to-right like Spark's F.aggregate.
+    Shared by the ann_lsh_topk and dedup_embedding_cosine oracles."""
+    return f"""emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    planes AS (
+      SELECT p, list_transform(
+               range(0, {DIM}),
+               d -> CAST((p * 1000003 + d) * 2654435761 % 4294967296 AS DOUBLE)
+                    / 2147483648.0 - 1.0
+             ) AS pl
+      FROM (SELECT unnest(range(0, {N_PLANES})) AS p)
+    ),
+    bits AS (
+      SELECT v.vec_id, pr.p,
+             CASE WHEN list_reduce(
+               list_transform(range(1, {DIM} + 1), i -> v.e[i] * pr.pl[i]),
+               (a, b) -> a + b) >= 0 THEN 1 ELSE 0 END AS bit
+      FROM emb v CROSS JOIN planes pr
+    ),
+    bkt AS (
+      SELECT vec_id, CAST(p // {SIGN_BITS_PER_TABLE} AS INTEGER) AS tbl,
+             SUM(bit * CASE p % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+                                  WHEN 2 THEN 2 ELSE 1 END) AS bucket
+      FROM bits GROUP BY vec_id, p // {SIGN_BITS_PER_TABLE}
+    )"""
+
+
 def signature_bits(vec: Column) -> list[Column]:
     bits = []
     for plane in PLANES:
