@@ -233,16 +233,14 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     return sh.groupBy(key_col).agg(*mins)
 
 
-def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
-                           key_col: str = "doc_id") -> DataFrame:
-    """Candidate near-dup pairs via banded LSH over minhash signatures.
-
-    Docs agreeing on all rows of at least one band share a bucket; the
-    bucket equi-join emits only colliding pairs. Returns distinct pairs with
-    the estimated Jaccard (fraction of agreeing minhashes).
-    """
+def minhash_bands(df: DataFrame, text_col: str = "text",
+                  key_col: str = "doc_id") -> DataFrame:
+    """(key, sig, band, bucket) rows: each doc exploded into its _BANDS
+    bucket assignments, signature carried along for the agreement count.
+    Shared by the self-join candidates below and the two-sided
+    cross-snapshot dedup (operators/llmprep.py)."""
     sig = minhash_signatures(df, text_col, key_col)
-    bands = sig.select(
+    return sig.select(
         F.col(key_col),
         F.array(*[F.col(f"mh_{i}") for i in range(_N_HASHES)]).alias("sig"),
         F.explode(
@@ -261,14 +259,30 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
         ).alias("bb"),
     ).select(key_col, "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    a = bands.alias("a")
-    b = bands.alias("b")
+
+def minhash_agreement(a_sig: Column, b_sig: Column) -> Column:
+    """Fraction of agreeing minhash rows between two signatures (the
+    Jaccard estimator), rounded like the SQL twin."""
     agree = F.size(
         F.filter(
-            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: (x == y).cast("int")),
+            F.zip_with(a_sig, b_sig, lambda x, y: (x == y).cast("int")),
             lambda v: v == 1,
         )
     )
+    return F.round(agree / F.lit(_N_HASHES), 4)
+
+
+def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
+                           key_col: str = "doc_id") -> DataFrame:
+    """Candidate near-dup pairs via banded LSH over minhash signatures.
+
+    Docs agreeing on all rows of at least one band share a bucket; the
+    bucket equi-join emits only colliding pairs. Returns distinct pairs with
+    the estimated Jaccard (fraction of agreeing minhashes).
+    """
+    bands = minhash_bands(df, text_col, key_col)
+    a = bands.alias("a")
+    b = bands.alias("b")
     return (
         a.join(
             b,
@@ -279,7 +293,7 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
         .select(
             F.col(f"a.{key_col}").alias("doc_a"),
             F.col(f"b.{key_col}").alias("doc_b"),
-            F.round(agree / F.lit(_N_HASHES), 4).alias("est_jaccard"),
+            minhash_agreement(F.col("a.sig"), F.col("b.sig")).alias("est_jaccard"),
         )
         .distinct()
     )

@@ -47,6 +47,20 @@ def quality_score_col(text: Column) -> Column:
     return F.round((length_term + punct_term + stop_term) / 3, 4)
 
 
+def quality_score_sql() -> str:
+    """DuckDB twin of ``quality_score_col`` (same composite, same ROUND);
+    shared by the profile oracle below and the quantile filter in
+    operators/llmprep.py."""
+    punct = ("CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)"
+             " / greatest(length(text), 1)")
+    stop = ("CAST(len(list_filter(string_split(lower(text), ' '), "
+            "t -> t IN ('the','a','and','of','to'))) AS DOUBLE)"
+            " / greatest(len(string_split(lower(text), ' ')), 1)")
+    return (f"ROUND((least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)"
+            f" + (1 - least({punct} * 10, 1.0))"
+            f" + least({stop} * 5, 1.0)) / 3, 4)")
+
+
 def predict_lang_col(text: Column) -> Column:
     """Marker-token language vote: most marker hits wins, ties broken by
     fixed language order, no hits -> 'und' (undetermined)."""
