@@ -48,7 +48,7 @@ import math
 import re
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 try:
@@ -259,3 +259,29 @@ def apply_inferred_schema(df: DataFrame, schema_map: dict[str, str]) -> DataFram
                 F.trim(F.col(column)).try_cast(_SPARK_TYPES[target]).alias(column)
             )
     return df.select(*projections)
+
+
+def profile_csv_files(spark: SparkSession, paths: list[str],
+                      mode: str = "sample") -> DataFrame:
+    """Profile CSV files directly — the reference's offline profiler walks
+    CSV files, not warehouse tables (data-type-pandas.py:10-31: pandas
+    read_csv per file, emit TABLE,COLUMN,TYPE rows). Spark analog: per file,
+    a header scan names the columns, ``read_csv_landing``'s good side reads
+    them as strings, and the inference kernel classifies a bounded sample
+    (or the full file with mode='full'). Each file's scan runs distributed;
+    only the tiny (columns x files) profile lands on the driver, mirroring
+    the reference's stdout report."""
+    from covid_19_data_engineering_spark.sources.csv import (
+        read_csv_landing,
+        table_name_for,
+    )
+
+    rows: list[tuple[str, str, str]] = []
+    for path in paths:
+        good, _ = read_csv_landing(spark, path)
+        inferred = infer_table_schema(good, mode=mode)
+        table = table_name_for(path)
+        rows.extend((table, column, tname) for column, tname in sorted(inferred.items()))
+    return spark.createDataFrame(
+        rows, "table_name string, column_name string, inferred_type string"
+    )

@@ -179,3 +179,25 @@ def test_rendered_datetime_reinfers_temporal(ts):
         assert got == DATE
     else:
         assert got == TIMESTAMP
+
+
+def test_profile_csv_files_walks_files(spark, tmp_path):
+    """A10 parity: the profiler walks CSV files directly (reference
+    data-type-pandas.py:10-31), one (table, column, type) row per column."""
+    from covid_19_data_engineering_spark.inference import profile_csv_files
+
+    a = tmp_path / "Sales.csv"
+    a.write_text("id,amount,when\n1,9.50,2021-03-04\n2,12.25,2021-03-05\n")
+    b = tmp_path / "labels.csv"
+    b.write_text("code,label\n007,agent\n42,answer\n")
+
+    rows = {
+        (r["table_name"], r["column_name"]): r["inferred_type"]
+        for r in profile_csv_files(spark, [str(a), str(b)]).collect()
+    }
+    assert rows[("sales", "id")] == "smallint"
+    assert rows[("sales", "amount")] == "numeric"
+    assert rows[("sales", "when")] == "date"
+    assert rows[("labels", "code")] == "text"     # zero-padded stays text
+    assert rows[("labels", "label")] == "text"
+    assert len(rows) == 5
