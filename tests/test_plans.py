@@ -208,3 +208,29 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     scanned = one_day.count()
     full = e.where(F.col("day") == F.lit("2024-01-03").cast("date")).count()
     assert scanned == full and n_days > 1
+
+
+def test_distributed_rank_never_sorts_the_fact_in_one_task(spark):
+    """order_price_ranks_scalable: the row_number window runs per bucket
+    (hashpartitioning(_bkt)), so no fact-size data crosses a SinglePartition
+    exchange — the remaining SinglePartition nodes cover only the 1-row
+    min/max aggregate and the O(n_buckets) offsets window. Contrast: the
+    battery twin's global window is exactly the SinglePartition sort."""
+    from covid_19_data_engineering_spark.operators.distrank import (
+        order_price_ranks_scalable,
+    )
+    from covid_19_data_engineering_spark.plans.relational import (
+        order_price_distribution_ranks,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    scalable = _executed_plan(order_price_ranks_scalable(spark, sf))
+    assert "hashpartitioning(_bkt" in scalable
+    # the fact-side ranking window is partitioned (its spec names _bkt)
+    rn_windows = [l for l in scalable.splitlines() if "row_number()" in l]
+    assert rn_windows and all("_bkt" in l for l in rn_windows)
+
+    battery = _executed_plan(order_price_distribution_ranks(spark, sf))
+    ntile_windows = [l for l in battery.splitlines() if "ntile(4)" in l]
+    assert ntile_windows and all("_bkt" not in l for l in ntile_windows)
+    assert "Exchange SinglePartition" in battery
