@@ -216,21 +216,31 @@ def _shingle_base_hash(sh: Column) -> Column:
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        key_col: str = "doc_id") -> DataFrame:
-    """doc_id -> minhash[32] over 3-word shingles."""
-    sh = df.select(
-        F.col(key_col),
-        F.explode(shingles_col(tokens_col(text_col))).alias("sh"),
-    ).select(key_col, _shingle_base_hash(F.col("sh")).alias("h"))
-    # (h * a + b) mod p: the 60-bit x 61-bit product overflows int64, so the
-    # multiply runs in decimal(38,0) (121-bit headroom) and narrows back
-    h_dec = F.col("h").cast("decimal(38,0)")
+    """doc_id -> minhash[32] over 3-word shingles, computed ROW-LOCALLY:
+    each signature slot is an array_min over the per-shingle affine hashes,
+    so the whole stage is a pure map — no explode, no groupBy, no shuffle.
+    (An explode + per-doc min aggregation computes the same values but
+    shuffles O(docs) signature rows; row-local also makes the operator
+    legal inside Structured Streaming, where a pre-join aggregation on an
+    unwatermarked stream is not.) Docs with fewer than k tokens have no
+    shingles and drop out, matching the aggregate formulation's semantics.
+
+    (h * a + b) mod p: the 60-bit x 61-bit product overflows int64, so the
+    multiply runs in decimal(38,0) (121-bit headroom) and narrows back."""
+    sh = shingles_col(tokens_col(text_col))
+    hashes = F.transform(
+        sh, lambda s: _shingle_base_hash(s).cast("decimal(38,0)")
+    )
     mins = [
-        F.min(
-            ((h_dec * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE61)).cast("long")
+        F.array_min(
+            F.transform(
+                hashes,
+                lambda h: ((h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE61)).cast("long"),
+            )
         ).alias(f"mh_{i}")
         for i, (a, b) in enumerate(zip(_HASH_COEFF, _HASH_OFFSET))
     ]
-    return sh.groupBy(key_col).agg(*mins)
+    return df.where(F.size(sh) > 0).select(F.col(key_col), *mins)
 
 
 def minhash_bands(df: DataFrame, text_col: str = "text",

@@ -273,3 +273,48 @@ def stream_click_purchase_join(events: DataFrame) -> DataFrame:
             """
         ),
     ).select("purchase_id", "purchase_ts", "p_user", "click_id", "click_ts", "value")
+
+
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the documents parquet: stand-in for the arrival
+    directory a crawler/exporter drops new document batches into."""
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    return (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+
+
+def stream_snapshot_dedup(new_docs: DataFrame, snapshot: DataFrame,
+                          threshold: float = 0.3) -> DataFrame:
+    """Stream-static near-dup join: arriving documents are checked against
+    the already-ingested corpus snapshot without stopping the stream.
+
+    minhash signatures/bands are row-local (operators/dedup.py), so the
+    stream side needs NO pre-join aggregation — legal in append mode with
+    no watermark. The static band side is a bounded table Spark re-plans
+    per micro-batch (broadcast when small, shuffled hash join when not);
+    the only streaming state is the emitted-pair dedup, which grows with
+    matches, not with the stream."""
+    from covid_19_data_engineering_spark.operators.dedup import (
+        minhash_agreement,
+        minhash_bands,
+    )
+
+    nb = minhash_bands(new_docs).alias("n")
+    sb = minhash_bands(snapshot).alias("s")
+    return (
+        nb.join(
+            sb,
+            (F.col("n.band") == F.col("s.band")) & (F.col("n.bucket") == F.col("s.bucket")),
+        )
+        .select(
+            F.col("s.doc_id").alias("snapshot_doc_id"),
+            F.col("n.doc_id").alias("new_doc_id"),
+            minhash_agreement(F.col("n.sig"), F.col("s.sig")).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+        .dropDuplicates(["snapshot_doc_id", "new_doc_id"])
+    )

@@ -141,3 +141,31 @@ def test_stream_stream_join_matches_batch(spark):
     # availableNow processes everything in order, so the bounded-band inner
     # join must equal its batch twin exactly
     assert got == want and len(got) > 0
+
+
+def test_stream_static_snapshot_dedup_matches_batch(spark):
+    """Stream-static join: streamed new docs deduped against the static
+    snapshot emit exactly the batch twin's (cross_snapshot_dedup) pairs."""
+    from covid_19_data_engineering_spark.operators.llmprep import (
+        _SNAPSHOT_SPLIT,
+        cross_snapshot_near_dups,
+    )
+    from covid_19_data_engineering_spark.streaming.events import (
+        documents_stream,
+        stream_snapshot_dedup,
+    )
+
+    docs = load_table(spark, "documents", SF_SMOKE)
+    snapshot = docs.where(F.col("doc_id") < _SNAPSHOT_SPLIT)
+    stream = documents_stream(spark, SF_SMOKE).where(F.col("doc_id") >= _SNAPSHOT_SPLIT)
+    assert stream.isStreaming
+
+    out = _run_to_memory(stream_snapshot_dedup(stream, snapshot), "t_xsnap", spark)
+    got = {(r["snapshot_doc_id"], r["new_doc_id"], r["est_jaccard"]) for r in out.collect()}
+
+    new_batch = docs.where(F.col("doc_id") >= _SNAPSHOT_SPLIT)
+    want = {
+        (r["snapshot_doc_id"], r["new_doc_id"], r["est_jaccard"])
+        for r in cross_snapshot_near_dups(new_batch, snapshot).collect()
+    }
+    assert got == want and len(want) > 0
