@@ -34,6 +34,16 @@ HEADLINE = [
     "events_asof_click_before_purchase",
 ]
 
+# round-2 additions, timed and reported under "queries_extra" so the
+# headline total stays comparable round-over-round (PERF.md tracks both)
+EXTRA = [
+    "order_price_ranks_scalable",
+    "dedup_minhash_lsh",
+    "cross_snapshot_dedup",
+    "doc_chunking",
+    "benchmark_contamination",
+]
+
 
 def main() -> None:
     from covid_19_data_engineering_spark.plans.registry import all_queries
@@ -43,22 +53,28 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
     names = [n for n in HEADLINE if n in queries]
-    extra = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
-    if extra:
-        names = [n for n in extra.split(",") if n in queries]
+    extra_names = [n for n in EXTRA if n in queries]
+    override = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if override:
+        names = [n for n in override.split(",") if n in queries]
+        extra_names = []
 
-    # warmup pass: run every headline query once so whole-stage-codegen
+    # warmup pass: run every benched query once so whole-stage-codegen
     # compilation and JVM JIT are absorbed; the timed pass below measures
     # steady-state throughput (what a long-running cluster actually sees)
-    for name in names:
+    for name in names + extra_names:
         queries[name](spark, SF_DIR).collect()
 
-    timings: dict[str, float] = {}
-    for name in names:
-        start = time.perf_counter()
-        df = queries[name](spark, SF_DIR)
-        df.collect()
-        timings[name] = round(time.perf_counter() - start, 3)
+    def timed(batch: list[str]) -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name in batch:
+            start = time.perf_counter()
+            queries[name](spark, SF_DIR).collect()
+            timings[name] = round(time.perf_counter() - start, 3)
+        return timings
+
+    timings = timed(names)
+    extra_timings = timed(extra_names)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -66,6 +82,7 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_extra": extra_timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

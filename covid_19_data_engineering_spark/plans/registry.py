@@ -74,6 +74,7 @@ def _ensure_loaded() -> None:
     import covid_19_data_engineering_spark.operators.curation  # noqa: F401
     import covid_19_data_engineering_spark.operators.llmprep  # noqa: F401
     import covid_19_data_engineering_spark.operators.distrank  # noqa: F401
+    import covid_19_data_engineering_spark.operators.merge  # noqa: F401
     import covid_19_data_engineering_spark.operators.clustering  # noqa: F401
     import covid_19_data_engineering_spark.operators.skew  # noqa: F401
     import covid_19_data_engineering_spark.operators.temporal  # noqa: F401
