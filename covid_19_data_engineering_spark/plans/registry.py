@@ -67,6 +67,7 @@ def _ensure_loaded() -> None:
     import covid_19_data_engineering_spark.plans.analytics  # noqa: F401
     import covid_19_data_engineering_spark.plans.relational  # noqa: F401
     import covid_19_data_engineering_spark.plans.ingestion_queries  # noqa: F401
+    import covid_19_data_engineering_spark.plans.tpch  # noqa: F401
     import covid_19_data_engineering_spark.operators.dedup  # noqa: F401
     import covid_19_data_engineering_spark.operators.similarity  # noqa: F401
     import covid_19_data_engineering_spark.operators.textstats  # noqa: F401
