@@ -42,6 +42,10 @@ EXTRA = [
     "cross_snapshot_dedup",
     "doc_chunking",
     "benchmark_contamination",
+    "tpch_q7_volume_shipping",
+    "tpch_q18_large_volume_customers",
+    "boilerplate_ngram_profile",
+    "pii_scrub_events",
 ]
 
 

@@ -279,6 +279,256 @@ def cross_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- boilerplate n-gram profiling --------------------------------------------
+
+_BOILER_K = 4        # n-gram width for boilerplate detection
+_BOILER_MIN_DOCS = 3  # gram present in >= this many docs counts as boilerplate
+_BOILER_FLAG = 0.5    # doc flagged when >= 50% of its grams are boilerplate
+
+
+def boilerplate_profile(docs: DataFrame, k: int = _BOILER_K,
+                        min_docs: int = _BOILER_MIN_DOCS) -> DataFrame:
+    """Corpus-common n-gram (boilerplate) exposure per document — the
+    RefinedWeb/CCNet-style signal for nav bars, license headers, and template
+    text that repeat across many pages. Document frequency per distinct
+    k-gram is ONE groupBy on the gram text (a uniform key — no skew), the
+    join back is the same equi-key, and the final per-doc rollup shuffles on
+    doc_id. Never a doc-doc self-join: cost is O(total distinct grams), not
+    O(docs^2)."""
+    grams = docs.select(
+        "doc_id", F.explode(_ngrams_distinct(F.col("text"), k)).alias("gram")
+    )
+    gram_df = grams.groupBy("gram").agg(F.count("*").alias("df"))
+    per_doc = (
+        grams.join(gram_df, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("total_grams"),
+            F.sum(F.when(F.col("df") >= min_docs, 1).otherwise(0)).alias("boiler_grams"),
+        )
+    )
+    frac = F.round(F.col("boiler_grams") / F.col("total_grams"), 4)
+    return per_doc.select(
+        "doc_id",
+        "total_grams",
+        "boiler_grams",
+        frac.alias("boiler_frac"),
+        (frac >= _BOILER_FLAG).alias("is_boilerplate_heavy"),
+    )
+
+
+@register(
+    "boilerplate_ngram_profile",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - {_BOILER_K - 2}, 2)),
+               i -> array_to_string(list_slice(toks, i, i + {_BOILER_K - 1}), ' ')
+             )) AS grams
+      FROM t
+    ),
+    e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+    df AS (SELECT gram, count(*) AS df FROM e GROUP BY gram)
+    SELECT e.doc_id,
+           count(*) AS total_grams,
+           CAST(sum(CASE WHEN df.df >= {_BOILER_MIN_DOCS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS boiler_grams,
+           ROUND(CAST(sum(CASE WHEN df.df >= {_BOILER_MIN_DOCS} THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 4) AS boiler_frac,
+           ROUND(CAST(sum(CASE WHEN df.df >= {_BOILER_MIN_DOCS} THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 4) >= {_BOILER_FLAG}
+             AS is_boilerplate_heavy
+    FROM e JOIN df USING (gram)
+    GROUP BY e.doc_id
+    ORDER BY e.doc_id
+    """,
+    doc=f"Boilerplate exposure per doc: fraction of its distinct {_BOILER_K}-"
+    f"grams that appear in >= {_BOILER_MIN_DOCS} documents (document "
+    "frequency via one gram-keyed groupBy; no doc-doc self-join).",
+)
+def boilerplate_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return boilerplate_profile(docs).orderBy("doc_id")
+
+
+# --- data-mixture planning (temperature sampling) -----------------------------
+
+_MIX_BUDGET_FRAC = 0.5  # overall token budget = 50% of the corpus
+
+
+def mixture_plan(docs: DataFrame, budget_frac: float = _MIX_BUDGET_FRAC) -> DataFrame:
+    """Per-source sampling plan for a target token budget with temperature
+    tau=0.5 (multilingual-style sqrt re-weighting: small sources are
+    up-weighted relative to their raw share, large sources down-weighted).
+    The corpus collapses to O(sources) rows in one aggregation; totals come
+    from a single-row aggregate broadcast back — the plan never reshuffles
+    the corpus. Determinism: sqrt weights are quantized to exact integer
+    micro-units BEFORE the cross-source sum, so every later double op
+    divides identical integers on both engines."""
+    per_src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
+    )
+    sq = F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1000000).cast("long")
+    weighted = per_src.withColumn("sq_units", sq)
+    totals = weighted.agg(
+        F.sum("n_tokens").alias("tot_tokens"), F.sum("sq_units").alias("tot_sq")
+    )
+    j = weighted.crossJoin(F.broadcast(totals))
+    raw_share = F.floor(
+        F.col("n_tokens") / F.col("tot_tokens") * 1000000 + F.lit(0.5)
+    ) / 1000000.0
+    temp_share = F.floor(
+        F.col("sq_units") / F.col("tot_sq") * 1000000 + F.lit(0.5)
+    ) / 1000000.0
+    budget = F.floor(F.col("tot_tokens") * F.lit(budget_frac)).cast("long")
+    rate = F.least(
+        F.lit(1.0),
+        F.floor(temp_share * budget / F.col("n_tokens") * 1000000 + F.lit(0.5))
+        / 1000000.0,
+    )
+    return j.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        raw_share.alias("raw_share"),
+        temp_share.alias("temp_share"),
+        rate.alias("sampling_rate"),
+        F.floor(rate * F.col("n_tokens")).cast("long").alias("target_tokens"),
+    )
+
+
+@register(
+    "data_mixture_plan",
+    oracle=f"""
+    WITH per_src AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+                  AS sq_units
+      FROM per_src
+    ),
+    t AS (SELECT sum(n_tokens) AS tot_tokens, sum(sq_units) AS tot_sq FROM w)
+    SELECT source, n_docs, n_tokens,
+           floor(CAST(n_tokens AS DOUBLE) / tot_tokens * 1000000 + 0.5) / 1000000.0
+             AS raw_share,
+           floor(CAST(sq_units AS DOUBLE) / tot_sq * 1000000 + 0.5) / 1000000.0
+             AS temp_share,
+           least(1.0, floor(
+             (floor(CAST(sq_units AS DOUBLE) / tot_sq * 1000000 + 0.5) / 1000000.0)
+             * CAST(floor(tot_tokens * {_MIX_BUDGET_FRAC}) AS BIGINT)
+             / n_tokens * 1000000 + 0.5) / 1000000.0)
+             AS sampling_rate,
+           CAST(floor(least(1.0, floor(
+             (floor(CAST(sq_units AS DOUBLE) / tot_sq * 1000000 + 0.5) / 1000000.0)
+             * CAST(floor(tot_tokens * {_MIX_BUDGET_FRAC}) AS BIGINT)
+             / n_tokens * 1000000 + 0.5) / 1000000.0) * n_tokens) AS BIGINT)
+             AS target_tokens
+    FROM w CROSS JOIN t
+    ORDER BY source
+    """,
+    doc="Data-mixture planner: per-source sampling rates hitting a 50%-of-"
+    "corpus token budget under tau=0.5 temperature re-weighting (sqrt "
+    "shares). Corpus collapses to O(sources) rows; totals broadcast back.",
+)
+def data_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return mixture_plan(docs).orderBy("source")
+
+
+# --- PII scrubbing ------------------------------------------------------------
+
+# Patterns are RE2-safe (no backrefs/lookaround) so Spark (Java regex) and
+# DuckDB (RE2) agree; ordered longest-first so e.g. an SSN is taken before
+# its digit runs.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ssn", r"\d{3}-\d{2}-\d{4}"),
+    ("phone", r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}"),
+    ("digits", r"\d{2,}"),
+)
+
+
+def scrub_pii(df: DataFrame, col: str) -> DataFrame:
+    """Redact PII-shaped spans in ``col`` (emails, SSNs, phones, then any
+    leftover multi-digit runs) and count the redactions per category.
+    A chain of JVM regexp_replace/regexp_count expressions — a pure map
+    stage inside whole-stage codegen, no Python, no shuffle; at 100 TB this
+    is scan-bound like every other narrow transform."""
+    out = df
+    scrubbed = F.col(col)
+    for name, pat in PII_PATTERNS:
+        out = out.withColumn(f"n_{name}", F.regexp_count(scrubbed, F.lit(pat)))
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
+    return out.withColumn("scrubbed", scrubbed)
+
+
+@register(
+    "pii_scrub_events",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             len(regexp_extract_all(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+             regexp_replace(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+      FROM events
+    ),
+    s2 AS (
+      SELECT event_type, n_email,
+             len(regexp_extract_all(t1, '\\d{3}-\\d{2}-\\d{4}')) AS n_ssn,
+             regexp_replace(t1, '\\d{3}-\\d{2}-\\d{4}', '<SSN>', 'g') AS t2
+      FROM s
+    ),
+    s3 AS (
+      SELECT event_type, n_email, n_ssn,
+             len(regexp_extract_all(t2, '\\+?\\d{3}[-. ]\\d{3}[-. ]\\d{4}')) AS n_phone,
+             regexp_replace(t2, '\\+?\\d{3}[-. ]\\d{3}[-. ]\\d{4}', '<PHONE>', 'g') AS t3
+      FROM s2
+    ),
+    s4 AS (
+      SELECT event_type, n_email, n_ssn, n_phone,
+             len(regexp_extract_all(t3, '\\d{2,}')) AS n_digits,
+             regexp_replace(t3, '\\d{2,}', '<DIGITS>', 'g') AS scrubbed
+      FROM s3
+    )
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(n_email + n_ssn + n_phone + n_digits) AS BIGINT)
+             AS total_redactions,
+           CAST(sum(CASE WHEN n_email + n_ssn + n_phone + n_digits > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS events_with_pii,
+           count(DISTINCT scrubbed) AS distinct_scrubbed_forms
+    FROM s4
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="PII scrub over events.props: chained email/SSN/phone/digit-run "
+    "redaction (RE2-safe patterns, identical in Java regex), rolled up per "
+    "event type. The scrub itself is a shuffle-free JVM map; only the tiny "
+    "per-type rollup shuffles.",
+)
+def pii_scrub_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    s = scrub_pii(ev, "props")
+    total = (
+        F.col("n_email") + F.col("n_ssn") + F.col("n_phone") + F.col("n_digits")
+    )
+    return (
+        s.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(total).alias("total_redactions"),
+            F.sum(F.when(total > 0, 1).otherwise(0)).alias("events_with_pii"),
+            F.countDistinct("scrubbed").alias("distinct_scrubbed_forms"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # --- quantile quality filter -------------------------------------------------
 
 

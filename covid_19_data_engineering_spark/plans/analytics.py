@@ -362,3 +362,54 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@register(
+    "events_ohlc_daily",
+    oracle="""
+    WITH r AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY date_trunc('day', ts), event_type
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY date_trunc('day', ts), event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT day, event_type,
+           MIN(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MIN(CASE WHEN rn_d = 1 THEN value END) AS close,
+           COUNT(*) AS n_events
+    FROM r
+    GROUP BY day, event_type
+    ORDER BY day, event_type
+    """,
+    doc="Time-series resample (OHLC): per day and event type, the opening/"
+    "closing values by (ts, event_id) order plus min/max/count — the metric-"
+    "downsampling shape for dashboards over raw event streams. One shuffle "
+    "on (day, event_type); open/close come from the same window pass, and "
+    "no arithmetic touches the doubles (exact picks, exact hash parity).",
+)
+def events_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    )
+    w = Window.partitionBy("day", "event_type")
+    rn_a = F.row_number().over(w.orderBy(F.col("ts").asc(), F.col("event_id").asc()))
+    rn_d = F.row_number().over(w.orderBy(F.col("ts").desc(), F.col("event_id").desc()))
+    r = e.withColumn("rn_a", rn_a).withColumn("rn_d", rn_d)
+    return (
+        r.groupBy("day", "event_type")
+        .agg(
+            F.min(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.min(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("day", "event_type")
+    )

@@ -91,3 +91,69 @@ def test_quality_quantile_strictly_above_median(spark, docs):
     assert 0 < len(kept) <= 2
     # the repetitive spam doc has low stopword mass -> never the top scorer
     assert 3 not in scored
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from covid_19_data_engineering_spark.operators.llmprep import scrub_pii
+
+    rows = [
+        (1, "contact alice@example.com or +555-123-4567 now"),
+        (2, "ssn 123-45-6789 on file, ref 99821"),
+        (3, "clean text with one 7 digit"),
+    ]
+    df = spark.createDataFrame(rows, "id long, body string")
+    out = {r["id"]: r for r in scrub_pii(df, "body").collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1
+    assert "<EMAIL>" in out[1]["scrubbed"] and "<PHONE>" in out[1]["scrubbed"]
+    assert "alice" not in out[1]["scrubbed"].split("@")[0] or "@" not in out[1]["scrubbed"].replace("<EMAIL>", "")
+    assert out[2]["n_ssn"] == 1 and out[2]["n_digits"] == 1  # 99821 is the leftover run
+    assert "<SSN>" in out[2]["scrubbed"] and "<DIGITS>" in out[2]["scrubbed"]
+    assert "123-45-6789" not in out[2]["scrubbed"]
+    # single digits are not redacted; clean text passes through unchanged
+    assert out[3]["scrubbed"] == "clean text with one 7 digit"
+    assert out[3]["n_email"] == out[3]["n_ssn"] == out[3]["n_phone"] == out[3]["n_digits"] == 0
+
+
+def test_boilerplate_profile_flags_template_docs(spark):
+    from covid_19_data_engineering_spark.operators.llmprep import boilerplate_profile
+
+    template = "copyright acme corp all rights reserved"
+    rows = (
+        # 4 docs sharing the template prefix -> its 4-grams hit df >= 3
+        [(i, template + f" unique{i} body{i} words{i} here{i}", "en", "s") for i in range(4)]
+        # 2 docs with fully unique text -> no boilerplate grams
+        + [(10 + i, " ".join(f"w{i}_{j}" for j in range(12)), "en", "s") for i in range(2)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = {r["doc_id"]: r for r in boilerplate_profile(df).collect()}
+    for i in range(4):
+        assert out[i]["boiler_grams"] >= 3, out[i]  # the shared template 4-grams
+        assert out[i]["boiler_frac"] > 0
+    for i in (10, 11):
+        assert out[i]["boiler_grams"] == 0 and out[i]["boiler_frac"] == 0.0
+        assert not out[i]["is_boilerplate_heavy"]
+
+
+def test_mixture_plan_invariants(spark):
+    from covid_19_data_engineering_spark.operators.llmprep import mixture_plan
+
+    rows = (
+        [(i, " ".join(["tok"] * 400), "en", "big") for i in range(10)]      # 4000 tokens
+        + [(100 + i, " ".join(["tok"] * 40), "en", "small") for i in range(5)]  # 200 tokens
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = {r["source"]: r for r in mixture_plan(df).collect()}
+    assert out["big"]["n_tokens"] == 4000 and out["small"]["n_tokens"] == 200
+    # temperature flattening: small source's share rises vs raw, big's falls
+    assert out["small"]["temp_share"] > out["small"]["raw_share"]
+    assert out["big"]["temp_share"] < out["big"]["raw_share"]
+    for r in out.values():
+        assert 0.0 < r["sampling_rate"] <= 1.0
+        assert r["target_tokens"] <= r["n_tokens"]
+    # the small source is fully consumed (its temp-share allocation exceeds
+    # its size, so the rate caps at 1.0); the big source gets its exact
+    # temp-share slice of the 2100-token budget
+    assert out["small"]["sampling_rate"] == 1.0
+    assert out["small"]["target_tokens"] == 200
+    big_expected = out["big"]["temp_share"] * 2100
+    assert abs(out["big"]["target_tokens"] - big_expected) / big_expected < 0.01
