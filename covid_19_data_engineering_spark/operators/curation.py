@@ -187,3 +187,68 @@ def stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Per-source (domain) cap — the web-corpus "domain cap" curation standard.
+# --------------------------------------------------------------------------
+
+def source_cap(docs: DataFrame, cap: int = 100) -> DataFrame:
+    """Keep at most ``cap`` documents per source, chosen by md5(doc_id) rank.
+
+    The hash rank (not doc_id order, not arrival order) makes the kept set a
+    uniform random-looking but fully deterministic subset per source —
+    re-running on a repartitioned / re-sharded corpus keeps the SAME docs,
+    which is what an incremental pretraining pipeline needs when it re-caps
+    a domain after a crawl refresh. One shuffle on ``source``; at 100 TB the
+    window never materializes more than a partition's rows, and a skewed
+    mega-domain splits under AQE skew handling since rank-then-filter
+    tolerates partial windows per task only via the shuffle — for truly
+    pathological domains, pre-filter with an approximate per-source count.
+    """
+    rank_key = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(rank_key, "doc_id")
+    return (
+        docs.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= cap)
+        .drop("_r")
+    )
+
+
+@register(
+    "source_cap_sample",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_kept,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS r
+      FROM documents
+    )
+    WHERE r <= 20
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Domain-cap curation: keep at most 20 docs per source by "
+    "deterministic md5(doc_id) rank, then account the kept set per source. "
+    "The cap is the standard defense against a single crawled domain "
+    "dominating a pretraining mix; hash-rank selection keeps the same "
+    "survivors across re-runs and re-shardings (rand() would not).",
+)
+def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select("source", "doc_id")
+    return (
+        source_cap(docs, cap=20)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("source")
+    )

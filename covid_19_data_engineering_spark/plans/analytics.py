@@ -413,3 +413,49 @@ def events_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Market-basket pair mining: within-order part co-occurrence.
+# --------------------------------------------------------------------------
+
+@register(
+    "part_copurchase_pairs",
+    oracle="""
+    SELECT a.l_partkey AS part_a,
+           b.l_partkey AS part_b,
+           COUNT(*) AS n_orders
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY part_a, part_b
+    HAVING COUNT(*) >= 3
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 50
+    """,
+    doc="Co-occurrence pair mining (market-basket / recsys co-view shape): "
+    "part pairs bought together in >=3 orders, top 50. The self-join is "
+    "BLOCKED on l_orderkey — both sides shuffle once on the same key and "
+    "pairs explode only within an order (~7 lines -> <=21 pairs), so the "
+    "join output is O(rows x avg_basket), never O(n^2); the same plan shape "
+    "mines co-occurring n-grams or co-clicked items at 100 TB. The distinct "
+    "pre-projection collapses duplicate (order, part) lines before pairing.",
+)
+def part_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs_src = (
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    a = pairs_src.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = pairs_src.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= 3)
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(50)
+    )
