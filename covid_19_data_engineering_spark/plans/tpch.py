@@ -870,27 +870,24 @@ def tpch_q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFra
 @register(
     "tpch_q21_waiting_suppliers",
     oracle="""
-    WITH joined AS (
+    WITH pairs AS (
       SELECT l_orderkey, l_suppkey,
-             CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
-                  THEN 1 ELSE 0 END AS is_late
+             MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                      THEN 1 ELSE 0 END) AS late
       FROM lineitem
       JOIN orders ON o_orderkey = l_orderkey
       WHERE o_orderstatus = 'F'
-    ), order_stats AS (
-      SELECT l_orderkey,
-             COUNT(DISTINCT l_suppkey) AS n_supp,
-             COUNT(DISTINCT CASE WHEN is_late = 1 THEN l_suppkey END) AS n_late
-      FROM joined
-      GROUP BY l_orderkey
-    ), offenders AS (
-      SELECT DISTINCT l_orderkey, l_suppkey FROM joined WHERE is_late = 1
+      GROUP BY l_orderkey, l_suppkey
+    ), flagged AS (
+      SELECT *,
+             COUNT(*)  OVER (PARTITION BY l_orderkey) AS n_supp,
+             SUM(late) OVER (PARTITION BY l_orderkey) AS n_late
+      FROM pairs
     )
     SELECT s_name, COUNT(*) AS numwait
-    FROM offenders
-    JOIN order_stats USING (l_orderkey)
+    FROM flagged
     JOIN supplier ON s_suppkey = l_suppkey
-    WHERE n_supp > 1 AND n_late = 1
+    WHERE late = 1 AND n_supp > 1 AND n_late = 1
     GROUP BY s_name
     ORDER BY numwait DESC, s_name
     LIMIT 20
@@ -899,38 +896,37 @@ def tpch_q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFra
     "finalized multi-supplier orders ('late' = shipped >60 days after the "
     "order date; the spec's receipt/commit dates are absent from this "
     "schema). The spec's EXISTS (another supplier) + NOT EXISTS (another "
-    "late supplier) pair decorrelates into one per-order aggregate: "
-    "COUNT(DISTINCT supplier) and COUNT(DISTINCT late supplier), computed "
-    "in the same shuffle family as the offender pairs (all keyed on "
-    "orderkey) — the fact joins the fact exactly once.",
+    "late supplier) pair decorrelates into ONE pass over the fact join: "
+    "collapse to (order, supplier, max(late)) pairs, then window "
+    "COUNT/SUM per order for the 'another supplier' tests — lineitem is "
+    "scanned exactly once (the naive offenders-joins-stats form scans it "
+    "twice; asserted in tests/test_plans.py).",
 )
 def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
     o = (
         _t(spark, sf_dir, "orders")
         .where(F.col("o_orderstatus") == "F")
         .select("o_orderkey", "o_orderdate")
     )
-    joined = (
+    pairs = (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .withColumn(
-            "is_late",
+            "late",
             (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
             .cast("int"),
         )
-        .select("l_orderkey", "l_suppkey", "is_late")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("late").alias("late"))
     )
-    order_stats = joined.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias("n_late"),
-    )
-    offenders = (
-        joined.where(F.col("is_late") == 1).select("l_orderkey", "l_suppkey").distinct()
-    )
+    w = Window.partitionBy("l_orderkey")
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        offenders.join(order_stats, "l_orderkey")
-        .where((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        pairs.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late", F.sum("late").over(w))
+        .where((F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
@@ -970,8 +966,8 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY n_name
     """,
     doc="TPC-H Q22 shape: customers with above-average positive balance and "
-    "no orders since 2000 (the spec's 7-year dormancy window) (the spec's phone country code "
-    "is absent; n_name is the geography axis). The scalar AVG subquery is "
+    "no orders since 2000 — the spec's 7-year dormancy window (its phone "
+    "country code is absent; n_name is the geography axis). The scalar AVG subquery is "
     "computed as (sum, count) in ONE exact-decimal aggregate and broadcast; "
     "the above-average test multiplies through by the count — "
     "bal*cnt > total — so no float division enters the predicate. The NOT "

@@ -234,3 +234,60 @@ def test_distributed_rank_never_sorts_the_fact_in_one_task(spark):
     ntile_windows = [l for l in battery.splitlines() if "ntile(4)" in l]
     assert ntile_windows and all("_bkt" not in l for l in ntile_windows)
     assert "Exchange SinglePartition" in battery
+
+
+def test_tpch_q2_decorrelated_no_cartesian(spark):
+    """Q2's correlated-MIN decorrelation must stay a window over the
+    pre-aggregated supply relation: broadcast joins only, no cartesian
+    product, no per-row re-scan of lineitem (exactly one lineitem scan)."""
+    df = REGISTRY["tpch_q2_min_cost_supplier"].builder(spark, SF_SMOKE)
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("lineitem.parquet") == 1
+    assert "SortMergeJoin" not in plan  # part subset + EU suppliers broadcast
+
+
+def test_tpch_q21_single_fact_fact_shuffle_family(spark):
+    """Q21's EXISTS/NOT-EXISTS pair decorrelates into per-order aggregates:
+    lineitem and orders are each scanned once; offender pairs and order
+    stats join on the same orderkey partitioning; limit is TakeOrdered."""
+    df = REGISTRY["tpch_q21_waiting_suppliers"].builder(spark, SF_SMOKE)
+    plan = _executed_plan(df)
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("orders.parquet") == 1
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q11_scalar_subquery_from_preagg(spark):
+    """Q11's global-total threshold must come from the aggregated O(parts)
+    frame (broadcast one-row cross join), never a nested loop per part.
+    Runs at SF_ORACLE: at smoke SF the NATION_1 slice is empty and AQE
+    collapses the whole plan to EmptyRelation."""
+    from tests.conftest import SF_ORACLE
+
+    df = REGISTRY["tpch_q11_important_parts"].builder(spark, SF_ORACLE)
+    plan = _executed_plan(df)
+    # the one-row total joins via broadcast nested loop (that IS the
+    # broadcast scalar); the part_value⋈total pairing must not be a
+    # shuffled cartesian
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan
+
+
+def test_copurchase_join_is_blocked_on_orderkey(spark):
+    """The basket self-join must be an equi-join on l_orderkey (blocked),
+    never a cartesian/nested-loop pairing."""
+    df = REGISTRY["part_copurchase_pairs"].builder(spark, SF_SMOKE)
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_source_cap_single_shuffle_on_source(spark):
+    """Domain-cap keeps one exchange (hashpartitioning on source) before the
+    rank window; the rank filter runs inside the window stage."""
+    df = REGISTRY["source_cap_sample"].builder(spark, SF_SMOKE)
+    plan = _executed_plan(df)
+    assert "hashpartitioning(source" in plan
+    assert "row_number" in plan
