@@ -46,6 +46,10 @@ EXTRA = [
     "tpch_q18_large_volume_customers",
     "boilerplate_ngram_profile",
     "pii_scrub_events",
+    "tpch_q9_product_profit",
+    "tpch_q21_waiting_suppliers",
+    "part_copurchase_pairs",
+    "source_cap_sample",
 ]
 
 

@@ -153,3 +153,85 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cluster_size") > 1)
         .orderBy("cluster")
     )
+
+
+def _representatives_oracle_sql() -> str:
+    """Same recursive-CTE closure as the components oracle, then the
+    canonical pick: highest quality score in the cluster, min doc_id on
+    ties (the deterministic tiebreak matters — quality scores quantize to
+    4 decimals and collide often)."""
+    from covid_19_data_engineering_spark.operators.textstats import quality_score_sql
+
+    return f"""
+    WITH RECURSIVE {minhash_pipeline_ctes()},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      WHERE ROUND(CAST({minhash_agree_sql()} AS DOUBLE) / 32, 4) >= 0.3
+    ),
+    sym AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, comp) AS (
+      SELECT u, u FROM sym
+      UNION
+      SELECT s.u, r.comp FROM sym s JOIN reach r ON s.v = r.node
+    ),
+    comp AS (SELECT node, MIN(comp) AS component FROM reach GROUP BY node),
+    scored AS (
+      SELECT c.component AS cluster, d.doc_id,
+             {quality_score_sql()} AS quality
+      FROM comp c JOIN documents d ON d.doc_id = c.node
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY cluster ORDER BY quality DESC, doc_id
+      ) AS rn,
+      COUNT(*) OVER (PARTITION BY cluster) AS cluster_size
+      FROM scored
+    )
+    SELECT cluster, doc_id AS keep_doc, quality AS keep_quality, cluster_size
+    FROM ranked WHERE rn = 1 AND cluster_size > 1
+    ORDER BY cluster
+    """
+
+
+@register(
+    "dedup_cluster_representatives",
+    oracle=_representatives_oracle_sql(),
+    doc="Canonical-survivor selection per duplicate cluster: connected "
+    "components over MinHash-LSH pairs, then keep the HIGHEST-quality doc "
+    "per cluster (min doc_id tiebreak) instead of the naive min-id. This is "
+    "the curation-correct dedup: near-dup groups usually contain one clean "
+    "copy and several boilerplate-wrapped ones, and min-id keeps an "
+    "arbitrary one. Same iterative closure as dedup_cluster_components; "
+    "the quality join adds one broadcast-sized label join, and the "
+    "representative pick is a window over O(clustered docs) rows.",
+)
+def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from covid_19_data_engineering_spark.operators.textstats import quality_score_col
+
+    docs = load_table(spark, "documents", sf_dir)
+    clusters = duplicate_clusters(docs)
+    scored = clusters.join(
+        docs.select("doc_id", quality_score_col(F.col("text")).alias("quality")),
+        "doc_id",
+    )
+    w = Window.partitionBy("cluster")
+    rank_w = Window.partitionBy("cluster").orderBy(F.col("quality").desc(), "doc_id")
+    return (
+        scored.withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .withColumn("rn", F.row_number().over(rank_w))
+        .where((F.col("rn") == 1) & (F.col("cluster_size") > 1))
+        .select(
+            "cluster",
+            F.col("doc_id").alias("keep_doc"),
+            F.col("quality").alias("keep_quality"),
+            "cluster_size",
+        )
+        .orderBy("cluster")
+    )

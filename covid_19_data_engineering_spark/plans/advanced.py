@@ -534,3 +534,48 @@ def user_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFra
         .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_after_view")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_after_click")))
     )
+
+
+# --------------------------------------------------------------------------
+# Windowed distinct cardinality: exact + HLL sketch side by side.
+# --------------------------------------------------------------------------
+
+@register(
+    "hourly_active_users",
+    oracle="""
+    SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
+           COUNT(DISTINCT user_id) AS exact_users,
+           COUNT(*) AS n_events,
+           TRUE AS hll_within_2pct
+    FROM events
+    GROUP BY 1
+    ORDER BY window_start
+    """,
+    doc="Hourly active users: per-hour COUNT(DISTINCT user_id) with an "
+    "approx_count_distinct (HLL++) sketch beside it, reported as a "
+    "within-2%-of-exact flag (the raw estimate is engine-specific; the flag "
+    "is deterministic because HLL++ is order-independent). The 100 TB path "
+    "drops the exact column: the sketch shuffles fixed-size bytes per "
+    "(hour) group instead of expanding raw user ids, and sketches merge "
+    "across days for rolling actives without rescanning history.",
+)
+def hourly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "exact_users",
+            "n_events",
+            (
+                F.abs(F.col("approx") - F.col("exact_users"))
+                <= 0.02 * F.col("exact_users")
+            ).alias("hll_within_2pct"),
+        )
+        .orderBy("window_start")
+    )
