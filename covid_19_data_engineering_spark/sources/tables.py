@@ -26,20 +26,21 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
-        # events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark
-        # refuses outright (PARQUET_TYPE_ILLEGAL) unless this legacy flag is
-        # on. It is a runtime-settable SQL conf, and callers (the correctness
-        # driver, notebooks) build their own SparkSession without it — so set
-        # it here instead of relying on session.py's factory.
+        # The testdata generator has shipped events.ts under two different
+        # parquet physical types across rounds: INT64 TIMESTAMP(NANOS) (which
+        # Spark refuses outright — PARQUET_TYPE_ILLEGAL — unless the legacy
+        # nanosAsLong flag is on, and then reads as BIGINT nanos) and plain
+        # timestamp[us] (read as TIMESTAMP_NTZ). Never assume the physical
+        # type: set the legacy flag so the nanos vintage at least loads, then
+        # convert ONLY when the column actually read as bigint.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark reads as long
-        # nanos under spark.sql.legacy.parquet.nanosAsLong; convert to a real
-        # TimestampType at microsecond precision (matches DuckDB's cast of
-        # TIMESTAMP_NS to TIMESTAMP, which also truncates to micros).
-        # Integer `div`, NOT `/`: float division of 1.7e18-scale nanos loses
-        # the low bits (2^53 mantissa) and lands ±1µs off.
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # Legacy vintage: ts is long nanos; convert to TimestampType at
+        # microsecond precision (matches DuckDB's cast of TIMESTAMP_NS to
+        # TIMESTAMP, which also truncates to micros). Integer `div`, NOT `/`:
+        # float division of 1.7e18-scale nanos loses the low bits (2^53
+        # mantissa) and lands ±1µs off.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 

@@ -132,8 +132,11 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     marked = e.select(
         "user_id", "ts", "value", "event_id",
+        # interval arithmetic, NOT ts.cast("long"): the cast is legal on
+        # TIMESTAMP but forbidden on TIMESTAMP_NTZ (what timestamp[us]
+        # parquet reads as); subtraction yields a day-time interval on both.
         F.when(
-            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > 300, 1
+            F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 300 SECONDS"), 1
         ).when(F.lag("ts").over(w).isNull(), 1).otherwise(0).alias("new_session"),
     )
     sessions = marked.withColumn(
@@ -187,11 +190,15 @@ def events_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet (stand-in for Kafka/file-arrival).
-    ts arrives as long nanos (nanosAsLong) and is re-typed exactly like the
-    batch loader so stream and batch plans share semantics."""
+
+    The ts physical type has flip-flopped between testdata vintages (INT64
+    TIMESTAMP(NANOS) vs timestamp[us]); take the schema from a batch read of
+    the actual file and re-type exactly like the batch loader so stream and
+    batch plans share semantics regardless of vintage."""
     import os
 
-    raw_schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     # FileStreamSource requires a directory; pathGlobFilter narrows the
     # listing to the events file (at scale: the arrival directory itself)
     stream = (
@@ -200,7 +207,9 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
 
 
 def stream_tumbling_counts(events: DataFrame) -> DataFrame:
