@@ -613,9 +613,11 @@ def hourly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sketch flag; HLL++ is order-independent, so the flag is stable.",
 )
 def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events")
+    from covid_19_data_engineering_spark.sources.tables import events_with_time_cols
+
+    e = events_with_time_cols(spark, sf_dir)
     daily = (
-        e.select(F.date_trunc("day", F.col("ts")).alias("day"), "user_id")
+        e.select(F.col("ts_day").alias("day"), "user_id")
         .groupBy("day")
         .agg(
             F.hll_sketch_agg("user_id", F.lit(14)).alias("sketch"),
@@ -638,7 +640,7 @@ def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact trailing-7d distinct for the driver check (the scale path drops
     # this column and trusts the sketch)
     ew = (
-        e.select(F.date_trunc("day", F.col("ts")).alias("day"), "user_id").alias("ev")
+        e.select(F.col("ts_day").alias("day"), "user_id").alias("ev")
     )
     exact = (
         d1.select(F.col("anchor").alias("x_anchor"))

@@ -346,12 +346,15 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "large-scale product-analytics shape.",
 )
 def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events").select("user_id", "ts")
+    from covid_19_data_engineering_spark.sources.tables import events_with_time_cols
+
+    # min(ts_week) == date_trunc('week', min(ts)): trunc is monotonic
+    e = events_with_time_cols(spark, sf_dir).select("user_id", "ts_week")
     firsts = e.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+        F.min("ts_week").cast("date").alias("cohort_week")
     )
     activity = e.select(
-        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("active_week")
+        "user_id", F.col("ts_week").cast("date").alias("active_week")
     ).distinct()
     return (
         activity.join(firsts, "user_id")
@@ -394,9 +397,11 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    e = _t(spark, sf_dir, "events").select(
+    from covid_19_data_engineering_spark.sources.tables import events_with_time_cols
+
+    e = events_with_time_cols(spark, sf_dir).select(
         "event_id", "ts", "event_type", "value",
-        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        F.col("ts_day").cast("date").alias("day"),
     )
     w = Window.partitionBy("day", "event_type")
     rn_a = F.row_number().over(w.orderBy(F.col("ts").asc(), F.col("event_id").asc()))

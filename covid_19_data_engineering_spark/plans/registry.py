@@ -57,6 +57,88 @@ def all_oracle_sql() -> dict[str, str]:
 
 _LOADED = False
 
+# The correctness driver samples the FIRST 50 registry entries in insertion
+# order. Import order is an accident of module layout, so we pin the head of
+# the registry explicitly: one representative query per operator family
+# (ingestion/profiling, each relational shape, TPC-H decorrelation shapes,
+# events temporal/streaming, every dedup family, ANN, text stats, LLM-prep,
+# multimodal, SCD-2, distributed rank, skew salting, UDAF/UDTF) so a driver
+# sample of any prefix covers the whole engine surface. Everything not
+# listed keeps its import order after the pinned head and is still checked
+# by tools/driver_gate.py over all entries.
+PRIORITY = (
+    # ingestion / profiling / data quality (SURVEY §2 A10, B1/B2, C3)
+    "count_validation",
+    "schema_profile",
+    "column_sample",
+    "orders_column_profile",
+    # core relational shapes
+    "pricing_summary",
+    "revenue_by_nation",
+    "shipping_priority_topk",
+    "nation_market_share",
+    "top_orders_per_customer",
+    "customer_running_spend",
+    "monthly_order_gapfill",
+    "grouping_sets_status_priority",
+    "segment_set_ops",
+    "orders_above_customer_avg",
+    "customers_without_orders",
+    "order_fill_outer",
+    "conditional_agg_pivot",
+    # TPC-H decorrelation / multi-join shapes
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q21_waiting_suppliers",
+    # events: temporal analytics + streaming batch twin
+    "hourly_active_users",
+    "rolling_7d_active_users",
+    "user_retention_cohorts",
+    "events_json_extract",
+    "events_asof_click_before_purchase",
+    "events_sessionization",
+    # deduplication families
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_cluster_components",
+    # similarity search
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    # text analysis
+    "text_quality_profile",
+    "lang_id_confusion",
+    "doc_fingerprints",
+    "token_count_bpe",
+    # LLM-prep pipeline
+    "doc_chunking",
+    "benchmark_contamination",
+    "corpus_curation_yield",
+    "data_mixture_plan",
+    "pii_scrub_events",
+    "quality_quantile_filter",
+    # multimodal plumbing
+    "multimodal_features",
+    # merge / rank / skew / extensibility
+    "customer_scd2_merge",
+    "order_price_ranks_scalable",
+    "salted_lineitem_revenue",
+    "udaf_geometric_mean_price",
+    "udtf_sentence_stats",
+)
+
+
+def _reorder_registry() -> None:
+    missing = [n for n in PRIORITY if n not in REGISTRY]
+    if missing:
+        raise KeyError(f"PRIORITY names not registered: {missing}")
+    ordered = {n: REGISTRY[n] for n in PRIORITY}
+    ordered.update((n, q) for n, q in REGISTRY.items() if n not in ordered)
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
+
 
 def _ensure_loaded() -> None:
     """Import every module that registers queries (import-for-side-effect)."""
@@ -81,4 +163,5 @@ def _ensure_loaded() -> None:
     import covid_19_data_engineering_spark.operators.temporal  # noqa: F401
     import covid_19_data_engineering_spark.functions.udfs  # noqa: F401
     import covid_19_data_engineering_spark.streaming.events  # noqa: F401
+    _reorder_registry()
     _LOADED = True

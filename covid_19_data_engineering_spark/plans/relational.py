@@ -361,10 +361,24 @@ def trailing_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY o_orderkey
     """,
     doc="Distribution window battery: ntile / percent_rank / cume_dist over a "
-    "global price ordering (single-partition window — the documented "
-    "anti-pattern at scale; partition by a bucketing key there).",
+    "global price ordering. Backed by the distributed bucket+offset rank "
+    "(operators/distrank.py) so no registered plan contains a fact-size "
+    "single-partition sort; the naive Window.orderBy form survives below as "
+    "the unregistered pytest equivalence baseline.",
 )
 def order_price_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from covid_19_data_engineering_spark.operators.distrank import (
+        order_price_ranks_scalable,
+    )
+
+    return order_price_ranks_scalable(spark, sf_dir)
+
+
+def order_price_distribution_ranks_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNREGISTERED anti-pattern twin: global Window.orderBy plans an
+    Exchange SinglePartition over the whole fact — correct at any SF,
+    impossible at 100 TB. Kept as the plan-contrast and equivalence
+    baseline for tests/test_plans.py only."""
     o = _t(spark, sf_dir, "orders")
     w = Window.orderBy("o_totalprice", "o_orderkey")
     return (

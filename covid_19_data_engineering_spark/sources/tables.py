@@ -45,6 +45,23 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     return df
 
 
+def events_with_time_cols(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """events plus derived calendar columns (``ts_day``/``ts_hour``/
+    ``ts_week``, each a truncated timestamp).
+
+    The ONE place that derives calendar grains from ``ts`` — consumers
+    (retention cohorts, OHLC, rolling actives, temporal joins) pick the
+    grain they need and Catalyst prunes the rest, so a future ts-type change
+    is a single edit here, not one per consumer. ``date_trunc`` is legal on
+    TIMESTAMP and TIMESTAMP_NTZ alike."""
+    e = load_table(spark, "events", sf_dir)
+    return (
+        e.withColumn("ts_day", F.date_trunc("day", F.col("ts")))
+        .withColumn("ts_hour", F.date_trunc("hour", F.col("ts")))
+        .withColumn("ts_week", F.date_trunc("week", F.col("ts")))
+    )
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     return {name: load_table(spark, name, sf_dir) for name in TABLES}
 

@@ -215,12 +215,14 @@ def test_distributed_rank_never_sorts_the_fact_in_one_task(spark):
     (hashpartitioning(_bkt)), so no fact-size data crosses a SinglePartition
     exchange — the remaining SinglePartition nodes cover only the 1-row
     min/max aggregate and the O(n_buckets) offsets window. Contrast: the
-    battery twin's global window is exactly the SinglePartition sort."""
+    UNREGISTERED naive twin's global window is exactly the SinglePartition
+    sort, and the registered battery name now delegates to the scalable
+    plan (no registered query may plan a fact-size single-partition sort)."""
     from covid_19_data_engineering_spark.operators.distrank import (
         order_price_ranks_scalable,
     )
     from covid_19_data_engineering_spark.plans.relational import (
-        order_price_distribution_ranks,
+        order_price_distribution_ranks_naive,
     )
 
     sf = "/root/testdata/sf0.001"
@@ -230,10 +232,14 @@ def test_distributed_rank_never_sorts_the_fact_in_one_task(spark):
     rn_windows = [l for l in scalable.splitlines() if "row_number()" in l]
     assert rn_windows and all("_bkt" in l for l in rn_windows)
 
-    battery = _executed_plan(order_price_distribution_ranks(spark, sf))
-    ntile_windows = [l for l in battery.splitlines() if "ntile(4)" in l]
+    battery = _executed_plan(REGISTRY["order_price_distribution_ranks"].builder(spark, sf))
+    rn_windows = [l for l in battery.splitlines() if "row_number()" in l]
+    assert rn_windows and all("_bkt" in l for l in rn_windows)
+
+    naive = _executed_plan(order_price_distribution_ranks_naive(spark, sf))
+    ntile_windows = [l for l in naive.splitlines() if "ntile(4)" in l]
     assert ntile_windows and all("_bkt" not in l for l in ntile_windows)
-    assert "Exchange SinglePartition" in battery
+    assert "Exchange SinglePartition" in naive
 
 
 def test_tpch_q2_decorrelated_no_cartesian(spark):
