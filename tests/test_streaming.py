@@ -169,3 +169,130 @@ def test_stream_static_snapshot_dedup_matches_batch(spark):
         for r in cross_snapshot_near_dups(new_batch, snapshot).collect()
     }
     assert got == want and len(want) > 0
+
+
+# --- micro-batch runs: multiple batches, watermark-bounded state ------------
+
+
+def _mb_schema():
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+
+
+def _append_events(spark, src_dir: str, rows) -> None:
+    spark.createDataFrame(rows, _mb_schema()).coalesce(1).write.mode("append").parquet(src_dir)
+
+
+def _state_metrics(q):
+    """(total_rows_latest, rows_removed_cumulative) from progress telemetry."""
+    removed, latest_total = 0, 0
+    for p in q.recentProgress:
+        for op in p.get("stateOperators", []):
+            removed += op.get("numRowsRemoved", 0) or 0
+            latest_total = op.get("numRowsTotal", latest_total)
+    return latest_total, removed
+
+
+def test_micro_batch_tumbling_watermark_eviction(spark, tmp_path):
+    """Multi-batch run with a real trigger interval: the hour-0 window's
+    state must be EMITTED (append mode finalizes it) and EVICTED from the
+    state store once later batches push the watermark past window end +
+    delay — state is O(active windows), not O(stream history)."""
+    import datetime as dt
+
+    src = str(tmp_path / "src")
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    _append_events(
+        spark, src,
+        [(i, base + dt.timedelta(minutes=2 * i), i % 3, "view", 1.0) for i in range(10)],
+    )
+
+    stream = spark.readStream.schema(_mb_schema()).option("maxFilesPerTrigger", "1").parquet(src)
+    q = (
+        stream_tumbling_counts(stream)
+        .writeStream.format("memory")
+        .queryName("mb_tumble")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # watermark hasn't passed hour-0's end yet: nothing finalized
+        assert spark.table("mb_tumble").count() == 0
+        total_before, _ = _state_metrics(q)
+        assert total_before >= 1
+
+        # two later files: the first advances the watermark at batch end,
+        # the second lets the new watermark finalize + evict hour-0 state
+        _append_events(spark, src, [(100, base + dt.timedelta(hours=3), 1, "view", 1.0)])
+        q.processAllAvailable()
+        _append_events(spark, src, [(101, base + dt.timedelta(hours=6), 2, "view", 1.0)])
+        q.processAllAvailable()
+
+        emitted = {r["window_start"] for r in spark.table("mb_tumble").collect()}
+        assert base in emitted  # hour-0 window finalized exactly once
+        _, removed = _state_metrics(q)
+        assert removed >= 1, "watermark passed but no state rows were evicted"
+    finally:
+        q.stop()
+
+
+def test_micro_batch_session_watermark_eviction(spark, tmp_path):
+    """Same protocol for session windows: a closed session (gap exceeded,
+    watermark past) is emitted with its merged span and its state evicted."""
+    import datetime as dt
+
+    src = str(tmp_path / "src")
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    # one user, three events 1 min apart -> a single 5-min-gap session
+    _append_events(
+        spark, src,
+        [(i, base + dt.timedelta(minutes=i), 7, "view", 2.0) for i in range(3)],
+    )
+
+    stream = spark.readStream.schema(_mb_schema()).option("maxFilesPerTrigger", "1").parquet(src)
+    q = (
+        stream_session_windows(stream)
+        .writeStream.format("memory")
+        .queryName("mb_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table("mb_sessions").count() == 0
+
+        _append_events(spark, src, [(100, base + dt.timedelta(hours=2), 7, "view", 1.0)])
+        q.processAllAvailable()
+        _append_events(spark, src, [(101, base + dt.timedelta(hours=4), 7, "view", 1.0)])
+        q.processAllAvailable()
+
+        done = {
+            (r["user_id"], r["session_start"], r["n_events"], r["session_value"])
+            for r in spark.table("mb_sessions").collect()
+        }
+        assert (7, base, 3, 6.0) in done
+        _, removed = _state_metrics(q)
+        assert removed >= 1, "session closed but state not evicted"
+    finally:
+        q.stop()
