@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
 with typed metadata.
 
-The container has no image/audio codecs, so the decode kernel is a
-clearly-marked stub (deterministic fake features derived from the bytes);
-everything AROUND it — binary column materialization, metadata struct schema,
-Arrow-batched ``mapInPandas`` signature, partition-preserving batch shape —
-is the real 100 TB design:
+The decode kernels SELF-UPGRADE: when PIL is importable on the workers,
+payloads are first tried as real images (decode / resample / stat); rows
+that don't decode fall back to deterministic fake features derived from the
+bytes. This container ships no codecs and the synthetic corpus is text
+bytes, so the fallback path is what runs — and everything AROUND the kernel
+— binary column materialization, metadata struct schema, Arrow-batched
+``mapInPandas`` signature, partition-preserving batch shape — is the real
+100 TB design either way:
 
 - payloads stay opaque bytes end-to-end (no driver round trip, no base64
   inflation);
@@ -15,8 +18,9 @@ is the real 100 TB design:
 - the output schema is declared up front so the optimizer can prune/push
   around the UDF stage.
 
-Swap ``_extract_features_batch``'s body for a real decoder (PIL/librosa) and
-nothing else changes.
+Installing PIL upgrades image decode/resize in place with no code change;
+audio (librosa/soundfile) and video (pyav) kernels would slot into the same
+try-decode-else-fake pattern.
 """
 
 from __future__ import annotations
@@ -51,33 +55,60 @@ def attach_binary_payload(docs: DataFrame) -> DataFrame:
     )
 
 
-def _extract_features_batch(batches):
-    """STUB DECODER — deterministic fake features from raw bytes.
+def _pil_available() -> bool:
+    import importlib.util
 
-    A real implementation decodes the payload (PIL.Image.open /
-    soundfile.read) per row inside the same loop; the Arrow batch shape,
-    output schema, and partition behavior are already exactly what a real
-    decoder needs. NotImplementedError is NOT raised so pipelines exercise
-    the full path with the fake kernel.
+    return importlib.util.find_spec("PIL") is not None
+
+
+def _extract_features_batch(batches):
+    """Feature decoder with a self-upgrading kernel.
+
+    When PIL is installed, each payload is first tried as a real image
+    (PIL.Image.open on the bytes); rows that decode get true dimensions and
+    channel mean. Rows that don't decode — all of the synthetic corpus,
+    whose payloads are utf-8 text bytes — fall back to the deterministic
+    fake features, so registered oracle queries stay hash-stable whether or
+    not codecs are present. The Arrow batch shape, output schema, and
+    partition behavior are identical on both paths.
     """
     import pandas as pd
 
-    for pdf in batches:
-        n_bytes = pdf["payload"].map(len)
-        # fake "dimensions": derived from byte length, deterministic
-        width = (n_bytes % 640 + 1).astype("int32")
-        height = (n_bytes % 480 + 1).astype("int32")
-        channel_mean = pdf["payload"].map(
-            lambda b: round(sum(b[:64]) / max(min(len(b), 64), 1), 4)
+    use_pil = _pil_available()
+
+    def features_one(b):
+        if use_pil:
+            try:
+                import io
+
+                from PIL import Image, ImageStat
+
+                img = Image.open(io.BytesIO(bytes(b)))
+                img.load()
+                w, h = img.size
+                mean = round(
+                    sum(ImageStat.Stat(img.convert("L")).mean) , 4
+                )
+                return w, h, mean
+            except Exception:
+                pass  # not a decodable image -> deterministic fake below
+        n = len(b)
+        return (
+            n % 640 + 1,
+            n % 480 + 1,
+            round(sum(b[:64]) / max(min(n, 64), 1), 4),
         )
+
+    for pdf in batches:
+        feats = pdf["payload"].map(features_one)
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
                 "media_type": pdf["media_type"],
-                "payload_bytes": n_bytes.astype("int32"),
-                "width": width,
-                "height": height,
-                "channel_mean": channel_mean,
+                "payload_bytes": pdf["payload"].map(len).astype("int32"),
+                "width": feats.map(lambda t: t[0]).astype("int32"),
+                "height": feats.map(lambda t: t[1]).astype("int32"),
+                "channel_mean": feats.map(lambda t: t[2]),
             }
         )
 
@@ -95,21 +126,41 @@ FRAME_SCHEMA = "doc_id bigint, frame_no int, frame_offset int, frame binary"
 
 
 def _resize_batch(target_w: int, target_h: int):
-    """STUB RESIZE — a real kernel decodes, resamples (PIL.Image.resize),
-    re-encodes. The fake deterministically truncates/pads the payload to
-    target_w*target_h bytes so output sizes are schema-checkable."""
+    """Resize kernel with the same self-upgrade: payloads that decode under
+    PIL are truly resampled (Image.resize) and re-encoded PNG; anything that
+    doesn't decode — the whole synthetic corpus — deterministically
+    truncates/pads to target_w*target_h bytes so output sizes stay
+    schema-checkable without codecs."""
 
     def fn(batches):
         import pandas as pd
 
+        use_pil = _pil_available()
         n = target_w * target_h
+
+        def resize_one(b):
+            if use_pil:
+                try:
+                    import io
+
+                    from PIL import Image
+
+                    img = Image.open(io.BytesIO(bytes(b)))
+                    img.load()
+                    out = io.BytesIO()
+                    img.resize((target_w, target_h)).save(out, format="PNG")
+                    return out.getvalue()
+                except Exception:
+                    pass
+            return bytes(b[:n]).ljust(n, b"\0")
+
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "width": target_w,
                     "height": target_h,
-                    "resized": pdf["payload"].map(lambda b: bytes(b[:n]).ljust(n, b"\0")),
+                    "resized": pdf["payload"].map(resize_one),
                 }
             )
 
