@@ -111,10 +111,16 @@ def contamination_report(corpus: DataFrame, eval_set: DataFrame,
         eval_set.select(F.explode(_ngrams_distinct(F.col("text"), k)).alias("gram"))
         .distinct()
     )
+    # materialize the gram array BEFORE exploding: a sibling size(<expr>)
+    # next to explode(<expr>) is re-evaluated once per exploded OUTPUT row,
+    # so the O(tokens) transform ran O(grams) times per doc (~100x at
+    # sf0.1; same codegen trap the minhash _h materialization documents)
     corp = corpus.select(
+        "doc_id", _ngrams_distinct(F.col("text"), k).alias("_grams")
+    ).select(
         "doc_id",
-        F.size(_ngrams_distinct(F.col("text"), k)).alias("total_ngrams"),
-        F.explode(_ngrams_distinct(F.col("text"), k)).alias("gram"),
+        F.size("_grams").alias("total_ngrams"),
+        F.explode("_grams").alias("gram"),
     )
     hits = (
         corp.join(F.broadcast(eval_grams), "gram")
