@@ -575,3 +575,105 @@ def quality_quantile_keep(docs: DataFrame, q: float = 0.5) -> DataFrame:
 def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return quality_quantile_keep(docs).orderBy("doc_id")
+
+
+# --- bigram language-model perplexity scoring --------------------------------
+
+
+def lm_bigram_scores(docs: DataFrame, text_col: str = "text",
+                     key_col: str = "doc_id") -> DataFrame:
+    """Per-document negative log-likelihood under a corpus-trained bigram LM
+    with add-one smoothing — the CCNet-style statistical quality filter
+    (docs that look unlike the corpus score high; boilerplate/templated docs
+    score low).
+
+    P(w2|w1) = (C(w1,w2) + 1) / (C(w1) + V), where C(w1) is the context
+    count derived from the bigram table itself and V is the corpus distinct
+    token count. Score = mean over the doc's bigram OCCURRENCES (with
+    multiplicity) of -ln P.
+
+    100 TB posture: the bigram stream collapses map-side into (w1,w2)
+    counts (one shuffle on uniform text keys); contexts reduce from the
+    already-aggregated count table (O(distinct bigrams), not O(tokens));
+    V is a 1-row broadcast; the scoring join is equi-keyed on (w1,w2) so
+    both sides co-partition, and the final rollup is one shuffle on doc_id.
+    Never a doc-doc or token-token self-join.
+
+    Determinism across engines: each -ln P is rounded to 6 decimals before
+    averaging and the mean to 4, so Spark/DuckDB libm ulp differences and
+    float sum order cannot surface in the compared values.
+    """
+    toks = docs.select(F.col(key_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("t"))
+    pairs = (
+        toks.where(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i + 1] AS w2))")
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    cnt = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    ctx = cnt.groupBy("w1").agg(F.sum("c").alias("cw"))
+    vocab = toks.select(F.explode("t").alias("tok")).agg(
+        F.countDistinct("tok").alias("v")
+    )
+    probs = (
+        cnt.join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1", "w2",
+            F.round(-F.log((F.col("c") + 1) / (F.col("cw") + F.col("v"))), 6).alias("nll"),
+        )
+    )
+    return (
+        pairs.join(probs, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("nll"), 4).alias("avg_nll"),
+        )
+    )
+
+
+@register(
+    "lm_bigram_perplexity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    bi AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> {'w1': t[i], 'w2': t[i + 1]}),
+                    recursive := true)
+      FROM toks WHERE len(t) >= 2
+    ),
+    cnt AS (SELECT w1, w2, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+    ctx AS (SELECT w1, SUM(c) AS cw FROM cnt GROUP BY 1),
+    vocab AS (
+      SELECT COUNT(DISTINCT tok) AS v
+      FROM (SELECT unnest(t) AS tok FROM toks)
+    ),
+    probs AS (
+      SELECT w1, w2,
+             ROUND(-ln((c + 1) / (cw + v)), 6) AS nll
+      FROM cnt JOIN ctx USING (w1) CROSS JOIN vocab
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(AVG(nll), 4) AS avg_nll
+    FROM bi JOIN probs USING (w1, w2)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="Bigram-LM perplexity scoring (CCNet-style statistical quality "
+    "filter): per-doc mean negative log-likelihood under an add-one-"
+    "smoothed bigram model trained on the corpus itself. Counts collapse "
+    "map-side, scoring join is equi-keyed on (w1,w2), rollup shuffles "
+    "once on doc_id.",
+)
+def lm_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return lm_bigram_scores(docs).orderBy("doc_id")

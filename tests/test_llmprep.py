@@ -157,3 +157,24 @@ def test_mixture_plan_invariants(spark):
     assert out["small"]["target_tokens"] == 200
     big_expected = out["big"]["temp_share"] * 2100
     assert abs(out["big"]["target_tokens"] - big_expected) / big_expected < 0.01
+
+
+def test_lm_bigram_perplexity_semantics(spark):
+    """Templated docs (bigrams common across the corpus) must score lower
+    avg_nll than a doc whose bigrams appear nowhere else; unseen-heavy docs
+    lean on the +1 smoothing floor and rank worst."""
+    from covid_19_data_engineering_spark.operators.llmprep import lm_bigram_scores
+
+    template = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, template, "en", "web") for i in range(8)] + [
+        (100, "zyx wvu tsr qpo nml kji hgf edc ba", "en", "web"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = {r["doc_id"]: r for r in lm_bigram_scores(df).collect()}
+    assert set(out) == {0, 1, 2, 3, 4, 5, 6, 7, 100}
+    # every templated copy has identical bigram multiset -> identical score
+    assert len({out[i]["avg_nll"] for i in range(8)}) == 1
+    assert out[100]["avg_nll"] > out[0]["avg_nll"]
+    assert out[100]["n_bigrams"] == 8
+    for r in out.values():
+        assert r["avg_nll"] > 0.0
