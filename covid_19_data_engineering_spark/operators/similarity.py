@@ -333,3 +333,112 @@ def _lsh_topk_oracle_sql() -> str:
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
     return lsh_bucketed_topk(corpus, default_queries(corpus)).orderBy("query_id", "rank")
+
+
+# --- int8 scalar quantization ------------------------------------------------
+
+
+def quantize_int8(df: DataFrame, vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization — the memory-compression
+    step that makes a 100 TB embedding corpus ANN-servable (float32 -> int8
+    is 4x less scan volume and SIMD-friendly distance kernels; the re-rank
+    stage dequantizes with ``scale``).
+
+    q_i = floor(x_i * 127 / amax + 0.5) with amax = max|x_i| (all-zero
+    vectors quantize to zeros with scale 1/127). A pure row-local map —
+    zero shuffles; folds run left-to-right so Spark and the DuckDB oracle
+    produce bit-identical doubles before the final rounding.
+
+    Returns (id, quantized array, scale, per-vector reconstruction RMSE).
+    """
+    xd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.aggregate(xd, F.lit(0.0), lambda a, v: F.greatest(a, F.abs(v)))
+    amax_s = F.when(amax == 0.0, F.lit(1.0)).otherwise(amax)
+    scale = amax_s / F.lit(127.0)
+    with_q = df.select(
+        F.col(id_col),
+        xd.alias("_x"),
+        scale.alias("_scale"),
+    ).select(
+        id_col,
+        "_scale",
+        F.transform(
+            "_x", lambda x: F.floor(x / F.col("_scale") + 0.5).cast("long")
+        ).alias("q"),
+        "_x",
+    )
+    err = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("_x"), F.col("q"),
+                lambda x, q: (x - q * F.col("_scale")) * (x - q * F.col("_scale")),
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        / F.size("_x")
+    )
+    return with_q.select(
+        id_col,
+        F.col("q").alias("q_int8"),
+        F.round("_scale", 8).alias("scale"),
+        F.round(err, 6).alias("recon_rmse"),
+    )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    m AS (
+      SELECT vec_id, e,
+             list_reduce(list_transform(e, x -> abs(x)),
+                         (a, b) -> greatest(a, b)) AS amax
+      FROM emb
+    ),
+    s AS (
+      SELECT vec_id, e,
+             (CASE WHEN amax = 0 THEN 1.0 ELSE amax END) / 127.0 AS scale
+      FROM m
+    ),
+    q AS (
+      SELECT vec_id, e, scale,
+             list_transform(e, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS qv
+      FROM s
+    )
+    SELECT vec_id,
+           CAST(len(qv) AS INTEGER) AS n_dims,
+           CAST(list_reduce(qv, (a, b) -> a + b) AS BIGINT) AS sum_q,
+           CAST(list_reduce(list_transform(qv, v -> abs(v)),
+                            (a, b) -> a + b) AS BIGINT) AS sum_abs_q,
+           ROUND(scale, 8) AS scale,
+           ROUND(sqrt(list_reduce(
+                   list_transform(range(1, len(e) + 1),
+                                  i -> (e[i] - qv[i] * scale) * (e[i] - qv[i] * scale)),
+                   (a, b) -> a + b) / len(e)), 6) AS recon_rmse
+    FROM q
+    ORDER BY vec_id
+    """,
+    doc="Int8 scalar quantization of the embedding corpus: per-vector "
+    "symmetric scale, integer checksums + reconstruction RMSE in the "
+    "registered projection (raw int arrays stay in the library function "
+    "quantize_int8 — list cells don't survive the driver's canonicalizer). "
+    "Pure row-local map, zero shuffles.",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    q = quantize_int8(emb)
+    return q.select(
+        "vec_id",
+        F.size("q_int8").alias("n_dims"),
+        F.aggregate("q_int8", F.lit(0).cast("long"), lambda a, v: a + v).alias("sum_q"),
+        F.aggregate(
+            F.transform("q_int8", lambda v: F.abs(v)),
+            F.lit(0).cast("long"), lambda a, v: a + v,
+        ).alias("sum_abs_q"),
+        "scale",
+        "recon_rmse",
+    ).orderBy("vec_id")

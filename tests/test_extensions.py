@@ -287,3 +287,27 @@ def test_duplicate_clusters_on_planted_docs(spark, planted_docs):
     clusters = {r["doc_id"]: r["cluster"] for r in duplicate_clusters(planted_docs).collect()}
     assert clusters[1] == 1 and clusters[2] == 1 and clusters[3] == 1
     assert clusters[4] == 4 and clusters[5] == 5
+
+
+def test_quantize_int8_error_bound(spark):
+    """|x - q*scale| <= scale/2 per component (half-step bound of symmetric
+    round-to-nearest), q within int8 range, zero vectors stay zeros."""
+    from covid_19_data_engineering_spark.operators.similarity import quantize_int8
+
+    rows = [
+        (1, [1.0, -1.0, 0.5, -0.25, 0.127]),
+        (2, [0.0, 0.0, 0.0, 0.0, 0.0]),
+        (3, [1e-6, -2e-6, 3e-6, -4e-6, 5e-6]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    orig = {r[0]: r[1] for r in rows}
+    for vid, r in out.items():
+        assert all(-127 <= q <= 127 for q in r["q_int8"]), r
+        scale = r["scale"]
+        for x, q in zip(orig[vid], r["q_int8"]):
+            assert abs(x - q * scale) <= scale / 2 + 1e-6
+    assert out[2]["q_int8"] == [0, 0, 0, 0, 0]
+    assert out[2]["recon_rmse"] == 0.0
+    # extreme components hit +/-127 exactly
+    assert 127 in out[1]["q_int8"] and -127 in out[1]["q_int8"]
