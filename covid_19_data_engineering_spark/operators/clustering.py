@@ -235,3 +235,135 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("cluster")
     )
+
+
+def retention_manifest(docs: DataFrame, threshold: float = 0.3) -> DataFrame:
+    """End-to-end dedup DECISION table — the artifact a curation run
+    actually ships: every doc_id mapped to keep / drop_exact /
+    drop_near_dup plus the doc retained in its place.
+
+    Precedence: exact-content duplicates (normalized-text md5) drop first,
+    keeping the min doc_id per fingerprint; then near-dup clusters
+    (MinHash-LSH -> connected components) drop everything but the
+    highest-quality representative. The representative is provably always
+    exact-canonical (exact copies share quality and cluster, so the
+    min-id-on-quality-tie pick lands on the fingerprint's min id), so the
+    two rules never orphan a cluster.
+
+    100 TB posture: fingerprint dedup is one shuffle on a uniform md5 key;
+    the cluster stage reuses the bounded-round component labels; the final
+    assembly is equi-joins on doc_id/cluster (no new shuffle families).
+    """
+    from covid_19_data_engineering_spark.operators.textstats import (
+        fingerprint_col,
+        quality_score_col,
+    )
+    from pyspark.sql import Window
+
+    base = docs.select(
+        "doc_id",
+        fingerprint_col(F.col("text")).alias("fp"),
+        quality_score_col(F.col("text")).alias("quality"),
+    )
+    exact = base.groupBy("fp").agg(F.min("doc_id").alias("exact_canon"))
+    clusters = duplicate_clusters(docs)
+    rank_w = Window.partitionBy("cluster").orderBy(F.col("quality").desc(), "doc_id")
+    size_w = Window.partitionBy("cluster")
+    ranked = (
+        clusters.join(base, "doc_id")
+        .withColumn("cluster_size", F.count(F.lit(1)).over(size_w))
+        .withColumn("rn", F.row_number().over(rank_w))
+    )
+    reps = ranked.where(F.col("rn") == 1).select(
+        "cluster", F.col("doc_id").alias("rep_doc")
+    )
+    return (
+        ranked.join(exact, "fp")
+        .join(reps, "cluster")
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") != F.col("exact_canon"), F.lit("drop_exact"))
+            .when(
+                (F.col("cluster_size") > 1) & (F.col("doc_id") != F.col("rep_doc")),
+                F.lit("drop_near_dup"),
+            )
+            .otherwise(F.lit("keep"))
+            .alias("status"),
+            F.when(F.col("doc_id") != F.col("exact_canon"), F.col("exact_canon"))
+            .when(
+                (F.col("cluster_size") > 1) & (F.col("doc_id") != F.col("rep_doc")),
+                F.col("rep_doc"),
+            )
+            .otherwise(F.col("doc_id"))
+            .alias("ref_doc"),
+        )
+    )
+
+
+def _retention_manifest_oracle_sql() -> str:
+    from covid_19_data_engineering_spark.operators.textstats import quality_score_sql
+
+    return f"""
+    WITH RECURSIVE {minhash_pipeline_ctes()},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      WHERE ROUND(CAST({minhash_agree_sql()} AS DOUBLE) / 32, 4) >= 0.3
+    ),
+    sym AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, comp) AS (
+      SELECT u, u FROM sym
+      UNION
+      SELECT s.u, r.comp FROM sym s JOIN reach r ON s.v = r.node
+    ),
+    comp AS (SELECT node, MIN(comp) AS component FROM reach GROUP BY node),
+    base AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+             {quality_score_sql()} AS quality
+      FROM documents
+    ),
+    exact AS (SELECT fp, MIN(doc_id) AS exact_canon FROM base GROUP BY fp),
+    clusters AS (
+      SELECT b.doc_id, COALESCE(c.component, b.doc_id) AS cluster
+      FROM base b LEFT JOIN comp c ON c.node = b.doc_id
+    ),
+    ranked AS (
+      SELECT cl.cluster, cl.doc_id, b.fp, b.quality,
+             ROW_NUMBER() OVER (PARTITION BY cl.cluster
+                                ORDER BY b.quality DESC, cl.doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY cl.cluster) AS cluster_size
+      FROM clusters cl JOIN base b USING (doc_id)
+    ),
+    reps AS (SELECT cluster, doc_id AS rep_doc FROM ranked WHERE rn = 1)
+    SELECT r.doc_id,
+           CASE WHEN r.doc_id != e.exact_canon THEN 'drop_exact'
+                WHEN r.cluster_size > 1 AND r.doc_id != p.rep_doc THEN 'drop_near_dup'
+                ELSE 'keep' END AS status,
+           CASE WHEN r.doc_id != e.exact_canon THEN e.exact_canon
+                WHEN r.cluster_size > 1 AND r.doc_id != p.rep_doc THEN p.rep_doc
+                ELSE r.doc_id END AS ref_doc
+    FROM ranked r
+    JOIN exact e USING (fp)
+    JOIN reps p USING (cluster)
+    ORDER BY r.doc_id
+    """
+
+
+@register(
+    "dedup_retention_manifest",
+    oracle=_retention_manifest_oracle_sql(),
+    doc="The shippable dedup decision table: every document marked keep / "
+    "drop_exact / drop_near_dup with the surviving doc it defers to. "
+    "Composes fingerprint dedup (one md5-keyed shuffle), MinHash-LSH "
+    "connected components, and quality-ranked representative selection "
+    "into one manifest — what an incremental curation run joins against "
+    "before admitting new data.",
+)
+def dedup_retention_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return retention_manifest(docs).orderBy("doc_id")

@@ -311,3 +311,33 @@ def test_quantize_int8_error_bound(spark):
     assert out[2]["recon_rmse"] == 0.0
     # extreme components hit +/-127 exactly
     assert 127 in out[1]["q_int8"] and -127 in out[1]["q_int8"]
+
+
+def test_retention_manifest_semantics(spark):
+    """Planted corpus: exact copies drop to the min-id canonical, near-dups
+    drop to the highest-quality representative, uniques keep themselves."""
+    from covid_19_data_engineering_spark.operators.clustering import retention_manifest
+
+    base = ("spark query engine shuffles data across the cluster nodes "
+            "while the optimizer prunes columns and pushes filters down " * 3)
+    near = base + "extra trailing tokens appended here"
+    rows = [
+        (1, base, "en", "web"),
+        (2, base, "en", "web"),          # exact copy of 1
+        (3, near, "en", "web"),          # near-dup of 1/2
+        (4, "totally unrelated words about cooking pasta and sauce recipes "
+            "with garlic olive oil basil tomatoes parmesan and fresh bread "
+            "baked slowly in a stone oven for the family dinner table",
+         "en", "web"),                    # unique
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = {r["doc_id"]: (r["status"], r["ref_doc"]) for r in retention_manifest(df).collect()}
+    assert out[2] == ("drop_exact", 1)
+    assert out[4] == ("keep", 4)
+    # docs 1 and 3 form a near-dup cluster: exactly one survives and the
+    # other defers to it
+    statuses = {out[1][0], out[3][0]}
+    assert "keep" in statuses and "drop_near_dup" in statuses
+    kept = 1 if out[1][0] == "keep" else 3
+    dropped = 3 if kept == 1 else 1
+    assert out[dropped][1] == kept
