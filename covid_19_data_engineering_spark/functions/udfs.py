@@ -165,3 +165,67 @@ def udtf_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY doc_id
         """
     )
+
+
+def grouped_zscore_fn():
+    """Grouped-map kernel for ``applyInPandas``: the whole group arrives as
+    one pandas frame, so cross-row statistics (here: per-source z-scores of
+    n_chars) are plain columnar math.
+
+    Determinism contract with the DuckDB oracle: mean and variance derive
+    from EXACT integer sums (sum, sum-of-squares over int64), so both
+    engines execute the identical correctly-rounded double ops
+    (div/sub/sqrt) — no float-accumulation order to disagree on.
+    """
+
+    def _z(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        x = pdf["n_chars"].astype("int64")
+        s = int(x.sum())
+        ss = int((x * x).sum())
+        mean = s / float(n)
+        if n > 1:
+            var = (ss - s * s / float(n)) / float(n - 1)
+        else:
+            var = 0.0
+        std = float(np.sqrt(var))
+        z = (x - mean) / std if std > 0 else x * 0.0
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "source": pdf["source"],
+                "n_chars": x,
+                "z": z.round(4),
+            }
+        )
+
+    return _z
+
+
+@register(
+    "grouped_map_source_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT source, COUNT(*) AS n,
+             SUM(n_chars) AS s, SUM(n_chars * n_chars) AS ss
+      FROM documents GROUP BY source
+    )
+    SELECT d.doc_id, d.source, d.n_chars,
+           ROUND((d.n_chars - s / CAST(n AS DOUBLE))
+                 / sqrt((ss - s * s / CAST(n AS DOUBLE)) / (n - 1)), 4) AS z
+    FROM documents d JOIN stats USING (source)
+    ORDER BY d.doc_id
+    """,
+    doc="Grouped-map applyInPandas seam: per-source z-score of document "
+    "length, each group processed as one Arrow-delivered pandas frame. "
+    "NOTE the JVM-native twin is a Window (avg/stddev over partition) — "
+    "this query exists to pin the grouped-map path the engine offers for "
+    "logic SQL can't express; groups must fit an executor (per-source "
+    "groups do; salt or fall back to the window form when one doesn't).",
+)
+def grouped_map_source_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source", "n_chars")
+    out = docs.groupBy("source").applyInPandas(
+        grouped_zscore_fn(), "doc_id bigint, source string, n_chars bigint, z double"
+    )
+    return out.orderBy("doc_id")
