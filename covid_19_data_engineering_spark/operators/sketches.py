@@ -1,0 +1,174 @@
+"""Mergeable-sketch operators beyond HLL: count-min heavy hitters.
+
+Rolling distinct counts already use Spark's native HLL sketches
+(plans/advanced.py: rolling_7d_active_users). This module adds the second
+classic mergeable sketch a 100 TB event pipeline needs: COUNT-MIN for
+frequency estimation / heavy hitters.
+
+Why a sketch at scale: an exact per-key count shuffles the full key
+cardinality every window; the CMS table is a FIXED d x w grid of counters
+(here 4 x 64 = 256 cells) regardless of how many distinct keys exist, and
+two grids merge by cell-wise addition — the same partial-aggregate /
+daily-rollup algebra as the HLL pattern. Estimates only over-count
+(collisions add), never under-count; min over d independent rows bounds the
+error at ||f||_1 * e/w with probability 1 - e^-d.
+
+Everything is deterministic (md5-derived bucket hashes), so the DuckDB
+oracle replays the sketch cell-for-cell — the right trick for keeping
+approximate operators hash-checkable (same policy as the minhash/LSH/IVF
+oracles).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from covid_19_data_engineering_spark.plans.registry import register
+from covid_19_data_engineering_spark.sources.tables import load_table
+
+CMS_DEPTH = 4     # independent hash rows
+CMS_WIDTH = 64    # buckets per row
+TOP_K = 20
+
+
+def _cms_bucket(key: Column, row: int, width: int = CMS_WIDTH) -> Column:
+    """Deterministic bucket for hash row ``row``: first 8 hex chars of
+    md5(row || ':' || key) as an integer, mod width. JVM-side, engine-
+    portable (DuckDB twin below uses the identical expression)."""
+    h = F.md5(F.concat(F.lit(f"{row}:"), key.cast("string")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % width).alias(
+        f"b{row}"
+    )
+
+
+def cms_table(df: DataFrame, key: Column) -> DataFrame:
+    """Build the d x w counter grid: one row per (hash_row, bucket) with its
+    collision-summed count. O(d * w) output rows — 256 here — independent of
+    key cardinality; the only shuffle is the groupBy on (row, bucket), and
+    partial aggregation collapses each partition to <=256 cells map-side."""
+    rows = df.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("hrow"),
+                    _cms_bucket(key, j).cast("long").alias("bucket"),
+                )
+                for j in range(CMS_DEPTH)
+            ])
+        ).alias("rb")
+    )
+    return rows.groupBy(
+        F.col("rb.hrow").alias("hrow"), F.col("rb.bucket").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cell_count"))
+
+
+def cms_heavy_hitters(df: DataFrame, key: Column, key_name: str,
+                      k: int = TOP_K) -> DataFrame:
+    """Top-k keys by count-min estimate, exact count beside it.
+
+    The estimate path never shuffles raw keys into a full-cardinality
+    aggregate: candidate keys probe the 256-cell grid (broadcast) and take
+    min over their d cells. The exact column exists for the correctness
+    harness; the 100 TB path drops it and keeps only the grid + a bounded
+    candidate set (e.g. keys seen in a sample, or all keys when the key
+    domain is small like event_type)."""
+    grid = cms_table(df, key)
+    keys = df.select(key.alias(key_name)).distinct()
+    probes = keys.select(
+        key_name,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("hrow"),
+                    _cms_bucket(F.col(key_name), j).cast("long").alias("bucket"),
+                )
+                for j in range(CMS_DEPTH)
+            ])
+        ).alias("rb"),
+    ).select(key_name, F.col("rb.hrow").alias("hrow"), F.col("rb.bucket").alias("bucket"))
+    est = (
+        probes.join(F.broadcast(grid), ["hrow", "bucket"])
+        .groupBy(key_name)
+        .agg(F.min("cell_count").alias("est_count"))
+    )
+    exact = df.groupBy(key.alias(key_name)).agg(F.count(F.lit(1)).alias("exact_count"))
+    return (
+        est.join(exact, key_name)
+        .select(
+            key_name,
+            "est_count",
+            "exact_count",
+            (F.col("est_count") >= F.col("exact_count")).alias("never_undercounts"),
+        )
+        .orderBy(F.col("est_count").desc(), key_name)
+        .limit(k)
+    )
+
+
+def _cms_oracle_sql() -> str:
+    # DuckDB lacks conv(); decode the 8 hex chars with a left fold over the
+    # digits (pure integer math, same value Spark's conv(…,16,10) yields).
+    hexval = (
+        "list_reduce(list_transform(string_split_regex({h}, ''), "
+        "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), "
+        "(a, b) -> a * 16 + b)"
+    )
+    bucket_exprs = ",\n             ".join(
+        hexval.format(h=f"substring(md5(concat('{j}:', CAST(user_id AS VARCHAR))), 1, 8)")
+        + f" % {CMS_WIDTH} AS b{j}"
+        for j in range(CMS_DEPTH)
+    )
+    cell_unions = "\n      UNION ALL\n      ".join(
+        f"SELECT {j} AS hrow, b{j} AS bucket FROM hashed" for j in range(CMS_DEPTH)
+    )
+    probe_unions = "\n      UNION ALL\n      ".join(
+        f"SELECT user_id, {j} AS hrow, b{j} AS bucket FROM khashed"
+        for j in range(CMS_DEPTH)
+    )
+    return f"""
+    WITH hashed AS (
+      SELECT user_id,
+             {bucket_exprs}
+      FROM events
+    ),
+    cells AS (
+      SELECT hrow, bucket, COUNT(*) AS cell_count FROM (
+        {cell_unions}
+      ) GROUP BY hrow, bucket
+    ),
+    khashed AS (
+      SELECT DISTINCT user_id,
+             {bucket_exprs}
+      FROM events
+    ),
+    probes AS (
+      {probe_unions}
+    ),
+    est AS (
+      SELECT p.user_id, MIN(c.cell_count) AS est_count
+      FROM probes p JOIN cells c USING (hrow, bucket)
+      GROUP BY p.user_id
+    ),
+    exact AS (SELECT user_id, COUNT(*) AS exact_count FROM events GROUP BY user_id)
+    SELECT e.user_id, e.est_count, x.exact_count,
+           e.est_count >= x.exact_count AS never_undercounts
+    FROM est e JOIN exact x USING (user_id)
+    ORDER BY e.est_count DESC, e.user_id
+    LIMIT {TOP_K}
+    """
+
+
+@register(
+    "events_heavy_hitters_cms",
+    oracle=_cms_oracle_sql(),
+    doc="Count-min-sketch heavy hitters over event users: a fixed 4x64 "
+    "counter grid (mergeable by cell-wise addition, like the HLL daily "
+    "sketches) estimates per-key frequency; top-20 by estimate with the "
+    "exact count and the never-undercounts invariant beside it. "
+    "Deterministic md5 bucket hashes let the oracle replay the sketch "
+    "cell-for-cell.",
+)
+def events_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    return cms_heavy_hitters(e, F.col("user_id"), "user_id")

@@ -160,6 +160,7 @@ def _ensure_loaded() -> None:
     import covid_19_data_engineering_spark.operators.merge  # noqa: F401
     import covid_19_data_engineering_spark.operators.clustering  # noqa: F401
     import covid_19_data_engineering_spark.operators.skew  # noqa: F401
+    import covid_19_data_engineering_spark.operators.sketches  # noqa: F401
     import covid_19_data_engineering_spark.operators.temporal  # noqa: F401
     import covid_19_data_engineering_spark.functions.udfs  # noqa: F401
     import covid_19_data_engineering_spark.streaming.events  # noqa: F401

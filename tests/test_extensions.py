@@ -341,3 +341,18 @@ def test_retention_manifest_semantics(spark):
     kept = 1 if out[1][0] == "keep" else 3
     dropped = 3 if kept == 1 else 1
     assert out[dropped][1] == kept
+
+
+def test_cms_heavy_hitters_invariants(spark):
+    """Count-min never undercounts, and a planted heavy key dominates the
+    estimate ranking."""
+    import pyspark.sql.functions as F
+    from covid_19_data_engineering_spark.operators.sketches import cms_heavy_hitters
+
+    rows = [(i, 999) for i in range(200)] + [(1000 + i, i % 37) for i in range(300)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long")
+    out = cms_heavy_hitters(df, F.col("user_id"), "user_id", k=10).collect()
+    assert out[0]["user_id"] == 999 and out[0]["exact_count"] == 200
+    for r in out:
+        assert r["never_undercounts"], r
+        assert r["est_count"] >= r["exact_count"]
