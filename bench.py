@@ -50,6 +50,12 @@ EXTRA = [
     "tpch_q21_waiting_suppliers",
     "part_copurchase_pairs",
     "source_cap_sample",
+    # round-3 additions
+    "lm_bigram_perplexity",
+    "embedding_quantize_int8",
+    "dedup_retention_manifest",
+    "grouped_map_source_zscore",
+    "events_heavy_hitters_cms",
 ]
 
 
