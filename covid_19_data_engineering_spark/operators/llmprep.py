@@ -592,19 +592,25 @@ def lm_bigram_scores(docs: DataFrame, text_col: str = "text",
     token count. Score = mean over the doc's bigram OCCURRENCES (with
     multiplicity) of -ln P.
 
-    100 TB posture: the bigram stream collapses map-side into (w1,w2)
-    counts (one shuffle on uniform text keys); contexts reduce from the
-    already-aggregated count table (O(distinct bigrams), not O(tokens));
-    V is a 1-row broadcast; the scoring join is equi-keyed on (w1,w2) so
-    both sides co-partition, and the final rollup is one shuffle on doc_id.
-    Never a doc-doc or token-token self-join.
+    100 TB posture — the textbook CCNet two-pass shape, explicitly bounded
+    at TWO corpus scans: pass 1 tokenizes once and collapses to per-doc
+    bigram counts (``docbi``), which is eagerly localCheckpoint()ed — it is
+    the algorithm's working set, and every downstream table (global counts,
+    contexts, the scoring join) derives from the checkpoint instead of
+    re-tokenizing the corpus per branch (the naive DAG re-scanned the
+    corpus 4x because the broadcast probe side defeats exchange reuse);
+    pass 2 is the vocabulary count. All joins are equi-keyed on (w1,w2);
+    the rollup shuffles once on doc_id. Never a doc-doc self-join. On a
+    cluster swap localCheckpoint for reliable checkpoint() if executor
+    loss matters.
 
     Determinism across engines: each -ln P is rounded to 6 decimals before
-    averaging and the mean to 4, so Spark/DuckDB libm ulp differences and
-    float sum order cannot surface in the compared values.
+    the multiplicity-weighted mean and the mean to 4, so Spark/DuckDB libm
+    ulp differences and float sum order cannot surface in the compared
+    values.
     """
     toks = docs.select(F.col(key_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("t"))
-    pairs = (
+    docbi = (
         toks.where(F.size("t") >= 2)
         .select(
             "doc_id",
@@ -612,9 +618,11 @@ def lm_bigram_scores(docs: DataFrame, text_col: str = "text",
                 F.expr("transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i + 1] AS w2))")
             ).alias("b"),
         )
-        .select("doc_id", "b.w1", "b.w2")
+        .groupBy("doc_id", "b.w1", "b.w2")
+        .agg(F.count(F.lit(1)).alias("c_doc"))
+        .localCheckpoint(eager=True)
     )
-    cnt = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    cnt = docbi.groupBy("w1", "w2").agg(F.sum("c_doc").alias("c"))
     ctx = cnt.groupBy("w1").agg(F.sum("c").alias("cw"))
     vocab = toks.select(F.explode("t").alias("tok")).agg(
         F.countDistinct("tok").alias("v")
@@ -628,11 +636,11 @@ def lm_bigram_scores(docs: DataFrame, text_col: str = "text",
         )
     )
     return (
-        pairs.join(probs, ["w1", "w2"])
+        docbi.join(probs, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.avg("nll"), 4).alias("avg_nll"),
+            F.sum("c_doc").alias("n_bigrams"),
+            F.round(F.sum(F.col("nll") * F.col("c_doc")) / F.sum("c_doc"), 4).alias("avg_nll"),
         )
     )
 
@@ -650,7 +658,8 @@ def lm_bigram_scores(docs: DataFrame, text_col: str = "text",
                     recursive := true)
       FROM toks WHERE len(t) >= 2
     ),
-    cnt AS (SELECT w1, w2, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+    docbi AS (SELECT doc_id, w1, w2, COUNT(*) AS c_doc FROM bi GROUP BY 1, 2, 3),
+    cnt AS (SELECT w1, w2, SUM(c_doc) AS c FROM docbi GROUP BY 1, 2),
     ctx AS (SELECT w1, SUM(c) AS cw FROM cnt GROUP BY 1),
     vocab AS (
       SELECT COUNT(DISTINCT tok) AS v
@@ -662,9 +671,9 @@ def lm_bigram_scores(docs: DataFrame, text_col: str = "text",
       FROM cnt JOIN ctx USING (w1) CROSS JOIN vocab
     )
     SELECT doc_id,
-           COUNT(*) AS n_bigrams,
-           ROUND(AVG(nll), 4) AS avg_nll
-    FROM bi JOIN probs USING (w1, w2)
+           CAST(SUM(c_doc) AS BIGINT) AS n_bigrams,
+           ROUND(SUM(nll * c_doc) / SUM(c_doc), 4) AS avg_nll
+    FROM docbi JOIN probs USING (w1, w2)
     GROUP BY doc_id
     ORDER BY doc_id
     """,
