@@ -260,11 +260,14 @@ def retention_manifest(docs: DataFrame, threshold: float = 0.3) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    # the only text-reading pass this function adds (duplicate_clusters owns
+    # the other); checkpoint the 3-column result so the exact/ranked/manifest
+    # branches never re-read document text
     base = docs.select(
         "doc_id",
         fingerprint_col(F.col("text")).alias("fp"),
         quality_score_col(F.col("text")).alias("quality"),
-    )
+    ).localCheckpoint(eager=True)
     exact = base.groupBy("fp").agg(F.min("doc_id").alias("exact_canon"))
     clusters = duplicate_clusters(docs)
     rank_w = Window.partitionBy("cluster").orderBy(F.col("quality").desc(), "doc_id")

@@ -74,8 +74,15 @@ def cms_heavy_hitters(df: DataFrame, key: Column, key_name: str,
     candidate set (e.g. keys seen in a sample, or all keys when the key
     domain is small like event_type)."""
     grid = cms_table(df, key)
-    keys = df.select(key.alias(key_name)).distinct()
-    probes = keys.select(
+    # one corpus pass yields BOTH the candidate key set and the exact column
+    # (harness-only); checkpointing the O(keys) result keeps every probe
+    # branch off the corpus — total corpus passes: grid + this = 2
+    exact = (
+        df.groupBy(key.alias(key_name))
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .localCheckpoint(eager=True)
+    )
+    probes = exact.select(
         key_name,
         F.explode(
             F.array(*[
@@ -92,7 +99,6 @@ def cms_heavy_hitters(df: DataFrame, key: Column, key_name: str,
         .groupBy(key_name)
         .agg(F.min("cell_count").alias("est_count"))
     )
-    exact = df.groupBy(key.alias(key_name)).agg(F.count(F.lit(1)).alias("exact_count"))
     return (
         est.join(exact, key_name)
         .select(
