@@ -464,3 +464,52 @@ def part_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
         .limit(50)
     )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev_type, event_type AS curr_type, COUNT(*) AS n_transitions
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT prev_type, curr_type, n_transitions,
+           ROUND(CAST(n_transitions AS DOUBLE)
+                 / SUM(n_transitions) OVER (PARTITION BY prev_type), 6) AS p
+    FROM pairs
+    ORDER BY prev_type, curr_type
+    """,
+    doc="Markov transition matrix over per-user event sequences: P(next "
+    "event type | current) — the path-analysis primitive behind funnel "
+    "discovery and session modeling. One window shuffle on user_id "
+    "produces the lag pairs; the matrix itself is O(types^2) rows, so the "
+    "probability window runs over a broadcast-sized frame.",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select("user_id", "event_type", F.lag("event_type").over(w).alias("prev_type"))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("curr_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    pw = Window.partitionBy("prev_type")
+    return (
+        pairs.select(
+            "prev_type", "curr_type", "n_transitions",
+            F.round(
+                F.col("n_transitions") / F.sum("n_transitions").over(pw), 6
+            ).alias("p"),
+        )
+        .orderBy("prev_type", "curr_type")
+    )
