@@ -297,3 +297,28 @@ def test_source_cap_single_shuffle_on_source(spark):
     plan = _executed_plan(df)
     assert "hashpartitioning(source" in plan
     assert "row_number" in plan
+
+
+def test_round3_operator_plans(spark):
+    """Plan pins for the round-3 operators: quantization stays a pure JVM
+    map (no hash exchange, no Python eval), the CMS grid probe broadcasts
+    (never shuffles the corpus for the join), and the perplexity DAG reads
+    its checkpointed working set instead of re-tokenizing per branch."""
+    sf = "/root/testdata/sf0.001"
+
+    quant = _executed_plan(REGISTRY["embedding_quantize_int8"].builder(spark, sf))
+    assert "Exchange hashpartitioning" not in quant
+    assert "BatchEvalPython" not in quant and "ArrowEvalPython" not in quant
+
+    cms = _executed_plan(REGISTRY["events_heavy_hitters_cms"].builder(spark, sf))
+    assert "BroadcastHashJoin" in cms
+    assert "BatchEvalPython" not in cms
+    assert cms.count("events.parquet") <= 2  # grid + exact, never more
+
+    ppl_df = REGISTRY["lm_bigram_perplexity"].builder(spark, sf)
+    ppl = _executed_plan(ppl_df)
+    assert "ExistingRDD" in ppl              # checkpointed per-doc counts
+    assert ppl.count("documents.parquet") <= 2
+
+    trans = _executed_plan(REGISTRY["event_transition_matrix"].builder(spark, sf))
+    assert trans.count("events.parquet") == 1
