@@ -442,3 +442,89 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "scale",
         "recon_rmse",
     ).orderBy("vec_id")
+
+
+def quantized_topk(corpus: DataFrame, k: int = TOP_K,
+                   n_queries: int = N_QUERY_VECTORS) -> DataFrame:
+    """Cosine top-k over the int8-QUANTIZED corpus — proof the compression
+    is servable end-to-end. The symmetric per-vector scales cancel in
+    cosine, so scoring is PURE INTEGER arithmetic (dot and norms over int8
+    components, exact in int64) with one double division at the end —
+    deterministic across engines by construction, and exactly the SIMD
+    integer kernel an ANN service runs over the 4x-smaller corpus."""
+    q = quantize_int8(corpus).select("vec_id", "q_int8")
+    queries = (
+        q.orderBy("vec_id").limit(n_queries)
+        .select(F.col("vec_id").alias("query_id"), F.col("q_int8").alias("quv"))
+    )
+    pairs = q.crossJoin(F.broadcast(queries)).where(F.col("vec_id") != F.col("query_id"))
+    isum = lambda arr: F.aggregate(arr, F.lit(0).cast("long"), lambda a, v: a + v)
+    dot = isum(F.zip_with(F.col("quv"), F.col("q_int8"), lambda a, b: a * b))
+    na = isum(F.transform(F.col("quv"), lambda x: x * x))
+    nb = isum(F.transform(F.col("q_int8"), lambda x: x * x))
+    scored = pairs.select(
+        "query_id", "vec_id",
+        F.round(dot / (F.sqrt(na) * F.sqrt(nb)), 6).alias("cosine_q"),
+        na.alias("_na"), nb.alias("_nb"),
+    ).where((F.col("_na") > 0) & (F.col("_nb") > 0))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_q").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine_q")
+    )
+
+
+@register(
+    "ann_cosine_topk_int8",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    m AS (
+      SELECT vec_id, e,
+             list_reduce(list_transform(e, x -> abs(x)),
+                         (a, b) -> greatest(a, b)) AS amax
+      FROM emb
+    ),
+    s AS (
+      SELECT vec_id, e,
+             (CASE WHEN amax = 0 THEN 1.0 ELSE amax END) / 127.0 AS scale
+      FROM m
+    ),
+    q AS (
+      SELECT vec_id,
+             list_transform(e, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS qv
+      FROM s
+    ),
+    queries AS (
+      SELECT vec_id AS query_id, qv AS quv FROM q ORDER BY vec_id LIMIT {N_QUERY_VECTORS}
+    ),
+    scored AS (
+      SELECT qr.query_id, c.vec_id,
+             list_reduce(list_transform(range(1, len(c.qv) + 1),
+                                        i -> qr.quv[i] * c.qv[i]),
+                         (a, b) -> a + b) AS dot,
+             list_reduce(list_transform(qr.quv, x -> x * x), (a, b) -> a + b) AS na,
+             list_reduce(list_transform(c.qv, x -> x * x), (a, b) -> a + b) AS nb
+      FROM q c CROSS JOIN queries qr
+      WHERE c.vec_id != qr.query_id
+    )
+    SELECT query_id, rank, vec_id, cosine_q FROM (
+      SELECT query_id, vec_id,
+             ROUND(dot / (sqrt(na) * sqrt(nb)), 6) AS cosine_q,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY ROUND(dot / (sqrt(na) * sqrt(nb)), 6) DESC,
+                                         vec_id) AS rank
+      FROM scored WHERE na > 0 AND nb > 0
+    ) WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+    doc="Cosine top-10 over the int8-quantized corpus: scales cancel, so "
+    "scoring is exact int64 arithmetic plus one final division — the "
+    "compressed-corpus serving path, recall pinned against the float "
+    "brute force in tests.",
+)
+def ann_cosine_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    return quantized_topk(corpus).orderBy("query_id", "rank")

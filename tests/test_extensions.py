@@ -356,3 +356,32 @@ def test_cms_heavy_hitters_invariants(spark):
     for r in out:
         assert r["never_undercounts"], r
         assert r["est_count"] >= r["exact_count"]
+
+
+def test_quantized_topk_recall_vs_brute(spark):
+    """int8 quantization is high-fidelity: the quantized top-10 per query
+    must recover >=90% of the float brute-force top-10."""
+    from covid_19_data_engineering_spark.operators.similarity import (
+        brute_force_topk,
+        default_queries,
+        quantized_topk,
+    )
+    from covid_19_data_engineering_spark.sources.tables import load_table
+
+    corpus = load_table(spark, "embeddings", "/root/testdata/sf0.001").select(
+        "vec_id", "embedding"
+    )
+    brute = brute_force_topk(corpus, default_queries(corpus)).collect()
+    quant = quantized_topk(corpus).collect()
+    want = {}
+    for r in brute:
+        want.setdefault(r["query_id"], set()).add(r["vec_id"])
+    got = {}
+    for r in quant:
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    assert set(got) == set(want)
+    total = hits = 0
+    for qid, ids in want.items():
+        total += len(ids)
+        hits += len(ids & got[qid])
+    assert hits / total >= 0.9, f"recall {hits}/{total}"
