@@ -56,6 +56,8 @@ EXTRA = [
     "dedup_retention_manifest",
     "grouped_map_source_zscore",
     "events_heavy_hitters_cms",
+    "event_transition_matrix",
+    "ann_cosine_topk_int8",
 ]
 
 
