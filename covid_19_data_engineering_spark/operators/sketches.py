@@ -178,3 +178,28 @@ def _cms_oracle_sql() -> str:
 def events_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "events", sf_dir)
     return cms_heavy_hitters(e, F.col("user_id"), "user_id")
+
+
+def cms_merge_batch(store: dict, grid_rows) -> None:
+    """Cell-wise merge of one micro-batch's grid into a running store —
+    THE mergeable-sketch property, exercised by the streaming test. The
+    grid is O(d x w) = 256 cells regardless of traffic, so the store is a
+    few KB; at scale the same merge is a Delta/Iceberg MERGE or a
+    key-value upsert keyed on (hrow, bucket)."""
+    for r in grid_rows:
+        k = (r["hrow"], r["bucket"])
+        store[k] = store.get(k, 0) + r["cell_count"]
+
+
+def streaming_cms_sink(key_col: str, store: dict):
+    """foreachBatch writer maintaining the running CMS grid incrementally:
+    each micro-batch computes its own 256-cell grid (one distributed pass
+    over just that batch) and merges cell-wise into the store. Events are
+    never re-read — state is the sketch, not the stream."""
+    import pyspark.sql.functions as F  # noqa: F811 (executor-side import)
+
+    def _sink(batch_df, batch_id):
+        grid = cms_table(batch_df, F.col(key_col))
+        cms_merge_batch(store, grid.collect())
+
+    return _sink

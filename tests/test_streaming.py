@@ -296,3 +296,40 @@ def test_micro_batch_session_watermark_eviction(spark, tmp_path):
         assert removed >= 1, "session closed but state not evicted"
     finally:
         q.stop()
+
+
+def test_streaming_cms_grid_merges_to_batch_grid(spark, tmp_path):
+    """Mergeable-sketch property end-to-end: the CMS grid maintained
+    incrementally across micro-batches (one file per trigger, foreachBatch
+    merge) must equal the grid computed in one batch pass over all data."""
+    import pyspark.sql.functions as F
+    from covid_19_data_engineering_spark.operators.sketches import (
+        cms_table,
+        streaming_cms_sink,
+    )
+
+    src = str(tmp_path / "src")
+    rows_a = [(i, i % 13) for i in range(300)]
+    rows_b = [(1000 + i, i % 7) for i in range(200)]
+    schema = "event_id long, user_id long"
+    spark.createDataFrame(rows_a, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(rows_b, schema).coalesce(1).write.mode("append").parquet(src)
+
+    store: dict = {}
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(streaming_cms_sink("user_id", store))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = spark.createDataFrame(rows_a + rows_b, schema)
+    want = {
+        (r["hrow"], r["bucket"]): r["cell_count"]
+        for r in cms_table(batch, F.col("user_id")).collect()
+    }
+    assert store == want and len(store) > 0
