@@ -34,9 +34,10 @@ _ENGINE_CONF: dict[str, str] = {
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
     "spark.sql.legacy.createHiveTableByDefault": "false",
-    # the events table carries TIMESTAMP(NANOS) parquet columns, which Spark
-    # rejects outright without this flag; sources.tables re-materializes the
-    # long nanos as a proper TimestampType (micros) on load.
+    # some testdata vintages ship events.ts as TIMESTAMP(NANOS), which Spark
+    # rejects outright without this flag; sources.tables is vintage-adaptive
+    # and converts the long nanos to TimestampType only when the parquet
+    # actually reads as bigint (current vintage is timestamp[us] — no-op).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
