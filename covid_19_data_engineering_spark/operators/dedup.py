@@ -305,8 +305,16 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     Docs agreeing on all rows of at least one band share a bucket; the
     bucket equi-join emits only colliding pairs. Returns distinct pairs with
     the estimated Jaccard (fraction of agreeing minhashes).
+
+    The bands are eagerly materialized before the self-join: both aliases
+    otherwise recompute the whole shingle->md5->32-signature pipeline (the
+    expensive map) once per side. O(docs x 8) rows with a 32-long sig is
+    the standard LSH working set; at cluster scale this is the table you'd
+    persist to storage anyway for incremental (cross-snapshot) dedup. The
+    streaming path (stream_snapshot_dedup) calls minhash_bands directly —
+    checkpointing is batch-only because it is illegal on a streaming DF.
     """
-    bands = minhash_bands(df, text_col, key_col)
+    bands = minhash_bands(df, text_col, key_col).localCheckpoint(eager=True)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
