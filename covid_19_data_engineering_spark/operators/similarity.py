@@ -452,7 +452,10 @@ def quantized_topk(corpus: DataFrame, k: int = TOP_K,
     components, exact in int64) with one double division at the end —
     deterministic across engines by construction, and exactly the SIMD
     integer kernel an ANN service runs over the 4x-smaller corpus."""
-    q = quantize_int8(corpus).select("vec_id", "q_int8")
+    # materialize the quantized corpus once: the query side and the probe
+    # side otherwise each re-run the quantization map (and at scale the
+    # int8 table is exactly what you'd persist — it's the compressed index)
+    q = quantize_int8(corpus).select("vec_id", "q_int8").localCheckpoint(eager=True)
     queries = (
         q.orderBy("vec_id").limit(n_queries)
         .select(F.col("vec_id").alias("query_id"), F.col("q_int8").alias("quv"))
