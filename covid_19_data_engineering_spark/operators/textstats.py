@@ -340,3 +340,60 @@ def top_terms_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "term", "tf", "df", "rk")
         .orderBy("source", "rk")
     )
+
+
+@register(
+    "vocab_growth_curve",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    first_seen AS (
+      SELECT tok, MIN(doc_id) AS first_doc FROM toks GROUP BY tok
+    ),
+    per_bucket AS (
+      SELECT CAST(doc_id // 50 AS BIGINT) AS bucket, COUNT(*) AS bucket_tokens
+      FROM toks GROUP BY 1
+    ),
+    new_per_bucket AS (
+      SELECT CAST(first_doc // 50 AS BIGINT) AS bucket, COUNT(*) AS new_types
+      FROM first_seen GROUP BY 1
+    )
+    SELECT p.bucket,
+           CAST(SUM(p.bucket_tokens) OVER w AS BIGINT) AS cum_tokens,
+           CAST(SUM(COALESCE(n.new_types, 0)) OVER w AS BIGINT) AS cum_vocab
+    FROM per_bucket p LEFT JOIN new_per_bucket n USING (bucket)
+    WINDOW w AS (ORDER BY p.bucket ROWS UNBOUNDED PRECEDING)
+    ORDER BY p.bucket
+    """,
+    doc="Vocabulary growth curve (Heaps' law): cumulative distinct token "
+    "types vs cumulative token volume, in 50-doc ingestion buckets — the "
+    "diagnostic that sizes tokenizer vocab and predicts OOV decay. "
+    "Cumulative-distinct is made distributable by the first-seen trick "
+    "(type -> min doc_id, one shuffle on token) and the only ordered "
+    "window runs over O(buckets) aggregated rows, never the token stream.",
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    first_seen = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    per_bucket = toks.groupBy(
+        F.expr("CAST(doc_id DIV 50 AS BIGINT)").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("bucket_tokens"))
+    new_per_bucket = first_seen.groupBy(
+        F.expr("CAST(first_doc DIV 50 AS BIGINT)").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("new_types"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        per_bucket.join(new_per_bucket, "bucket", "left")
+        .select(
+            "bucket",
+            F.sum("bucket_tokens").over(w).alias("cum_tokens"),
+            F.sum(F.coalesce("new_types", F.lit(0))).over(w).alias("cum_vocab"),
+        )
+        .orderBy("bucket")
+    )
