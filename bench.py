@@ -58,6 +58,7 @@ EXTRA = [
     "events_heavy_hitters_cms",
     "event_transition_matrix",
     "ann_cosine_topk_int8",
+    "vocab_growth_curve",
 ]
 
 
