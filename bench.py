@@ -59,6 +59,7 @@ EXTRA = [
     "event_transition_matrix",
     "ann_cosine_topk_int8",
     "vocab_growth_curve",
+    "source_quality_scorecard",
 ]
 
 

@@ -252,3 +252,57 @@ def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _scorecard_oracle_sql() -> str:
+    from covid_19_data_engineering_spark.operators.textstats import quality_score_sql
+
+    fp = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+    return f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT {fp}) AS BIGINT) AS distinct_fingerprints,
+           ROUND(1.0 - CAST(COUNT(DISTINCT {fp}) AS DOUBLE) / COUNT(*), 4)
+             AS exact_dup_rate,
+           ROUND(AVG({quality_score_sql()}), 4) AS avg_quality,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+@register(
+    "source_quality_scorecard",
+    oracle=_scorecard_oracle_sql(),
+    doc="Per-source curation scorecard: volume, exact-dup rate (normalized "
+    "fingerprints), mean heuristic quality, and char mass — the table a "
+    "data lead reads before weighting sources in the mixture. One scan, "
+    "one shuffle on source; the fingerprint distinct is per-group exact "
+    "(swap to approx_count_distinct at extreme cardinality).",
+)
+def source_quality_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from covid_19_data_engineering_spark.operators.textstats import (
+        fingerprint_col,
+        quality_score_col,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select(
+            "source", "n_chars",
+            fingerprint_col(F.col("text")).alias("fp"),
+            quality_score_col(F.col("text")).alias("q"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("distinct_fingerprints"),
+            F.round(
+                F.lit(1.0) - F.countDistinct("fp") / F.count(F.lit(1)), 4
+            ).alias("exact_dup_rate"),
+            F.round(F.avg("q"), 4).alias("avg_quality"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("source")
+    )
