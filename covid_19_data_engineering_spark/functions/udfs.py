@@ -211,8 +211,16 @@ def grouped_zscore_fn():
       FROM documents GROUP BY source
     )
     SELECT d.doc_id, d.source, d.n_chars,
-           ROUND((d.n_chars - s / CAST(n AS DOUBLE))
-                 / sqrt((ss - s * s / CAST(n AS DOUBLE)) / (n - 1)), 4) AS z
+           -- degenerate-group guard mirrors the kernel exactly: z = 0.0 when
+           -- the group is a singleton (n=1) or the sample variance is not
+           -- strictly positive (constant n_chars); the kernel's std>0 check
+           -- is var>0 on the identical double expression, so both engines
+           -- branch on the same bit pattern
+           CASE WHEN n > 1
+                 AND (ss - s * s / CAST(n AS DOUBLE)) / (n - 1) > 0
+                THEN ROUND((d.n_chars - s / CAST(n AS DOUBLE))
+                           / sqrt((ss - s * s / CAST(n AS DOUBLE)) / (n - 1)), 4)
+                ELSE 0.0 END AS z
     FROM documents d JOIN stats USING (source)
     ORDER BY d.doc_id
     """,

@@ -1,14 +1,24 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
 with typed metadata.
 
-The decode kernels SELF-UPGRADE: when PIL is importable on the workers,
-payloads are first tried as real images (decode / resample / stat); rows
-that don't decode fall back to deterministic fake features derived from the
-bytes. This container ships no codecs and the synthetic corpus is text
-bytes, so the fallback path is what runs — and everything AROUND the kernel
-— binary column materialization, metadata struct schema, Arrow-batched
-``mapInPandas`` signature, partition-preserving batch shape — is the real
-100 TB design either way:
+Decode behavior is an EXPLICIT parameter, never environment detection:
+
+- ``decode="fake"`` (the default, and what every registered oracle query
+  uses): deterministic byte-derived features. Output is hash-stable on any
+  host, with or without codec libraries, so the DuckDB oracles stay valid.
+- ``decode="real"``: a REAL image decode path — pure-stdlib decoders for
+  the two uncompressed formats the engine ships codecs for, PPM (P6) and
+  24-bit BMP — true width/height, luminance channel mean, true nearest-
+  neighbor resampling. Rows that are not decodable images fall back to the
+  per-row fake features (mixed-media tables decode what they can). This
+  path is exercised in CI against generated real PPM/BMP payloads
+  (tests/test_extensions.py); heavier codecs (PIL/libjpeg, librosa, pyav)
+  would slot into the same ``_decode_image`` seam as additional format
+  branches.
+
+Everything around the kernel — binary column materialization, metadata
+struct schema, Arrow-batched ``mapInPandas`` signature, partition-preserving
+batch shape — is identical on both paths and is the real 100 TB design:
 
 - payloads stay opaque bytes end-to-end (no driver round trip, no base64
   inflation);
@@ -17,10 +27,6 @@ bytes, so the fallback path is what runs — and everything AROUND the kernel
   spark.sql.execution.arrow.maxRecordsPerBatch, independent of file count;
 - the output schema is declared up front so the optimizer can prune/push
   around the UDF stage.
-
-Installing PIL upgrades image decode/resize in place with no code change;
-audio (librosa/soundfile) and video (pyav) kernels would slot into the same
-try-decode-else-fake pattern.
 """
 
 from __future__ import annotations
@@ -55,103 +61,199 @@ def attach_binary_payload(docs: DataFrame) -> DataFrame:
     )
 
 
-def _pil_available() -> bool:
-    import importlib.util
-
-    return importlib.util.find_spec("PIL") is not None
+# --- real image codecs (pure stdlib + numpy; deterministic on any host) -----
 
 
-def _extract_features_batch(batches):
-    """Feature decoder with a self-upgrading kernel.
+def _decode_ppm(b: bytes):
+    """PPM binary (P6, maxval 255) -> (width, height, HxWx3 uint8 RGB) or
+    None. Header is whitespace-separated tokens with '#' comments; exactly
+    one whitespace byte separates the maxval token from the raster."""
+    import numpy as np
 
-    When PIL is installed, each payload is first tried as a real image
-    (PIL.Image.open on the bytes); rows that decode get true dimensions and
-    channel mean. Rows that don't decode — all of the synthetic corpus,
-    whose payloads are utf-8 text bytes — fall back to the deterministic
-    fake features, so registered oracle queries stay hash-stable whether or
-    not codecs are present. The Arrow batch shape, output schema, and
-    partition behavior are identical on both paths.
-    """
-    import pandas as pd
-
-    use_pil = _pil_available()
-
-    def features_one(b):
-        if use_pil:
-            try:
-                import io
-
-                from PIL import Image, ImageStat
-
-                img = Image.open(io.BytesIO(bytes(b)))
-                img.load()
-                w, h = img.size
-                mean = round(
-                    sum(ImageStat.Stat(img.convert("L")).mean) , 4
-                )
-                return w, h, mean
-            except Exception:
-                pass  # not a decodable image -> deterministic fake below
-        n = len(b)
-        return (
-            n % 640 + 1,
-            n % 480 + 1,
-            round(sum(b[:64]) / max(min(n, 64), 1), 4),
-        )
-
-    for pdf in batches:
-        feats = pdf["payload"].map(features_one)
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "media_type": pdf["media_type"],
-                "payload_bytes": pdf["payload"].map(len).astype("int32"),
-                "width": feats.map(lambda t: t[0]).astype("int32"),
-                "height": feats.map(lambda t: t[1]).astype("int32"),
-                "channel_mean": feats.map(lambda t: t[2]),
-            }
-        )
+    if not b.startswith(b"P6"):
+        return None
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3 and i < len(b):
+        c = b[i:i + 1]
+        if c in b" \t\r\n":
+            i += 1
+            continue
+        if c == b"#":
+            j = b.find(b"\n", i)
+            i = (j + 1) if j != -1 else len(b)
+            continue
+        j = i
+        while j < len(b) and b[j:j + 1] not in b" \t\r\n":
+            j += 1
+        tokens.append(b[i:j])
+        i = j
+    if len(tokens) < 3:
+        return None
+    try:
+        w, h, maxval = (int(t) for t in tokens)
+    except ValueError:
+        return None
+    if maxval != 255 or w <= 0 or h <= 0:
+        return None
+    i += 1  # the single whitespace byte after maxval
+    need = w * h * 3
+    if len(b) < i + need:
+        return None
+    px = np.frombuffer(b, dtype=np.uint8, count=need, offset=i).reshape(h, w, 3)
+    return w, h, px
 
 
-def extract_media_features(with_payload: DataFrame) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads."""
+def _decode_bmp(b: bytes):
+    """BMP (BITMAPINFOHEADER, 24bpp, uncompressed) -> (width, height,
+    HxWx3 uint8 RGB) or None. Rows are 4-byte padded, stored bottom-up when
+    the header height is positive, BGR byte order."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    offset = struct.unpack_from("<I", b, 10)[0]
+    w = struct.unpack_from("<i", b, 18)[0]
+    h = struct.unpack_from("<i", b, 22)[0]
+    bpp = struct.unpack_from("<H", b, 28)[0]
+    comp = struct.unpack_from("<I", b, 30)[0]
+    if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        return None
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    need = stride * h
+    if len(b) < offset + need:
+        return None
+    rows = (
+        np.frombuffer(b, dtype=np.uint8, count=need, offset=offset)
+        .reshape(h, stride)[:, : w * 3]
+        .reshape(h, w, 3)
+    )
+    if bottom_up:
+        rows = rows[::-1]
+    return w, h, rows[..., ::-1]  # BGR -> RGB
+
+
+def _decode_image(b: bytes):
+    """Try each shipped codec in turn; None when no format matches.
+    Additional codecs (PIL/libjpeg, pyav keyframes, ...) are extra branches
+    here — the kernel plumbing above/below does not change."""
+    b = bytes(b)
+    return _decode_ppm(b) or _decode_bmp(b)
+
+
+def encode_ppm(px) -> bytes:
+    """HxWx3 uint8 array -> PPM P6 bytes (the inverse of ``_decode_ppm``);
+    used by the resize kernel's re-encode and by test fixture builders."""
+    h, w = px.shape[0], px.shape[1]
+    return b"P6\n%d %d\n255\n" % (w, h) + px.astype("uint8").tobytes()
+
+
+def _luminance_mean(px) -> float:
+    """Mean ITU-R 601-2 integer luminance ((299R + 587G + 114B) // 1000) —
+    fixed-point math so every host computes the identical double."""
+    import numpy as np
+
+    lum = (
+        px[..., 0].astype(np.int64) * 299
+        + px[..., 1].astype(np.int64) * 587
+        + px[..., 2].astype(np.int64) * 114
+    ) // 1000
+    return float(lum.mean())
+
+
+def _fake_features(b) -> tuple[int, int, float]:
+    """Deterministic byte-derived stand-in features (the oracle-stable
+    default path, and the per-row fallback for non-image payloads)."""
+    n = len(b)
+    return (
+        n % 640 + 1,
+        n % 480 + 1,
+        round(sum(b[:64]) / max(min(n, 64), 1), 4),
+    )
+
+
+def _extract_features_batch(decode: str):
+    """Feature kernel factory. ``decode`` is resolved on the DRIVER and
+    captured in the closure — workers never probe their environment, so a
+    given plan computes the same rows on every host (ADVICE r3: the old
+    PIL self-upgrade made registered output environment-dependent)."""
+
+    def fn(batches):
+        import pandas as pd
+
+        real = decode == "real"
+
+        def features_one(b):
+            if real:
+                img = _decode_image(b)
+                if img is not None:
+                    w, h, px = img
+                    return w, h, round(_luminance_mean(px), 4)
+            return _fake_features(b)
+
+        for pdf in batches:
+            feats = pdf["payload"].map(features_one)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "payload_bytes": pdf["payload"].map(len).astype("int32"),
+                    "width": feats.map(lambda t: t[0]).astype("int32"),
+                    "height": feats.map(lambda t: t[1]).astype("int32"),
+                    "channel_mean": feats.map(lambda t: t[2]),
+                }
+            )
+
+    return fn
+
+
+def extract_media_features(with_payload: DataFrame, decode: str = "fake") -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    ``decode="fake"`` (default): deterministic byte-derived features —
+    the path every registered oracle query pins. ``decode="real"``: decode
+    PPM/BMP payloads to true dimensions + luminance mean, per-row fallback
+    to the fake features for non-image bytes."""
+    if decode not in ("fake", "real"):
+        raise ValueError(f"decode must be 'fake' or 'real', got {decode!r}")
     flat = with_payload.select(
         "doc_id", "payload", F.col("media_meta.media_type").alias("media_type")
     )
-    return flat.mapInPandas(_extract_features_batch, FEATURE_SCHEMA)
+    return flat.mapInPandas(_extract_features_batch(decode), FEATURE_SCHEMA)
 
 
 RESIZE_SCHEMA = "doc_id bigint, width int, height int, resized binary"
 FRAME_SCHEMA = "doc_id bigint, frame_no int, frame_offset int, frame binary"
 
 
-def _resize_batch(target_w: int, target_h: int):
-    """Resize kernel with the same self-upgrade: payloads that decode under
-    PIL are truly resampled (Image.resize) and re-encoded PNG; anything that
-    doesn't decode — the whole synthetic corpus — deterministically
+def _resize_batch(target_w: int, target_h: int, decode: str):
+    """Resize kernel factory. ``decode="real"``: PPM/BMP payloads are truly
+    resampled (nearest-neighbor index map — deterministic, no float
+    rounding ambiguity) and re-encoded as PPM; non-image rows fall back to
+    the byte truncate/pad. ``decode="fake"``: every payload deterministically
     truncates/pads to target_w*target_h bytes so output sizes stay
     schema-checkable without codecs."""
 
     def fn(batches):
+        import numpy as np
         import pandas as pd
 
-        use_pil = _pil_available()
+        real = decode == "real"
         n = target_w * target_h
 
         def resize_one(b):
-            if use_pil:
-                try:
-                    import io
-
-                    from PIL import Image
-
-                    img = Image.open(io.BytesIO(bytes(b)))
-                    img.load()
-                    out = io.BytesIO()
-                    img.resize((target_w, target_h)).save(out, format="PNG")
-                    return out.getvalue()
-                except Exception:
-                    pass
+            if real:
+                img = _decode_image(b)
+                if img is not None:
+                    w, h, px = img
+                    # nearest-neighbor: source index = floor(i * src / dst)
+                    rows = (np.arange(target_h) * h) // target_h
+                    cols = (np.arange(target_w) * w) // target_w
+                    return encode_ppm(px[rows][:, cols])
             return bytes(b[:n]).ljust(n, b"\0")
 
         for pdf in batches:
@@ -167,10 +269,14 @@ def _resize_batch(target_w: int, target_h: int):
     return fn
 
 
-def resize_media(with_payload: DataFrame, width: int = 64, height: int = 48) -> DataFrame:
-    """Arrow-batched resize over binary payloads (decode kernel stubbed)."""
+def resize_media(with_payload: DataFrame, width: int = 64, height: int = 48,
+                 decode: str = "fake") -> DataFrame:
+    """Arrow-batched resize over binary payloads; see ``_resize_batch`` for
+    the decode modes."""
+    if decode not in ("fake", "real"):
+        raise ValueError(f"decode must be 'fake' or 'real', got {decode!r}")
     flat = with_payload.select("doc_id", "payload")
-    return flat.mapInPandas(_resize_batch(width, height), RESIZE_SCHEMA)
+    return flat.mapInPandas(_resize_batch(width, height, decode), RESIZE_SCHEMA)
 
 
 def _frame_sample_batch(every_n_bytes: int, max_frames: int):

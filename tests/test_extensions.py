@@ -5,6 +5,7 @@ approximate operators' quality guarantees."""
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 import pytest
 
 from covid_19_data_engineering_spark.operators.dedup import (
@@ -385,3 +386,128 @@ def test_quantized_topk_recall_vs_brute(spark):
         total += len(ids)
         hits += len(ids & got[qid])
     assert hits / total >= 0.9, f"recall {hits}/{total}"
+
+
+# --- real multimodal decode path (pure-stdlib PPM/BMP codecs) ---------------
+
+
+def _ppm_payload():
+    """4x2 RGB gradient as PPM P6 bytes + its expected luminance mean."""
+    import numpy as np
+
+    from covid_19_data_engineering_spark.operators.multimodal import encode_ppm
+
+    px = np.array(
+        [
+            [[255, 0, 0], [0, 255, 0], [0, 0, 255], [255, 255, 255]],
+            [[0, 0, 0], [10, 20, 30], [100, 100, 100], [200, 150, 50]],
+        ],
+        dtype="uint8",
+    )
+    lums = [
+        (r * 299 + g * 587 + b * 114) // 1000
+        for row in px for (r, g, b) in [tuple(int(v) for v in p) for p in row]
+    ]
+    return px, encode_ppm(px), round(sum(lums) / len(lums), 4)
+
+
+def _bmp_payload():
+    """3x3 solid-color 24bpp BMP (bottom-up, padded rows) built by hand."""
+    import struct
+
+    w = h = 3
+    stride = (w * 3 + 3) & ~3  # 12 bytes: 9 pixel + 3 pad
+    raster = b""
+    # rows bottom-up; BGR order. Bottom row red, middle green, top blue.
+    for color in [(0, 0, 255), (0, 255, 0), (255, 0, 0)]:  # BGR triples
+        raster += bytes(color) * w + b"\0" * (stride - w * 3)
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(raster), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 0, 0, 0, 0)
+    lum_mean = ((255 * 299) // 1000 + (255 * 587) // 1000 + (255 * 114) // 1000) / 3.0
+    return header + dib + raster, round(lum_mean, 4)
+
+
+def test_multimodal_real_decode_features(spark):
+    """decode="real" runs the actual image decoders in the distributed
+    kernel: true dimensions + luminance stats for PPM and BMP payloads,
+    per-row fallback to fake features for non-image bytes."""
+    _, ppm, ppm_mean = _ppm_payload()
+    bmp, bmp_mean = _bmp_payload()
+    rows = [(1, ppm), (2, bmp), (3, b"just some text bytes")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary").select(
+        "doc_id",
+        "payload",
+        F.struct(F.lit("image/mixed").alias("media_type")).alias("media_meta"),
+    )
+    feats = {r["doc_id"]: r for r in extract_media_features(df, decode="real").collect()}
+    assert (feats[1]["width"], feats[1]["height"]) == (4, 2)
+    assert feats[1]["channel_mean"] == ppm_mean
+    assert (feats[2]["width"], feats[2]["height"]) == (3, 3)
+    assert feats[2]["channel_mean"] == bmp_mean
+    # non-image row: deterministic fake features (len % 640 + 1 etc.)
+    n = len(rows[2][1])
+    assert (feats[3]["width"], feats[3]["height"]) == (n % 640 + 1, n % 480 + 1)
+
+
+def test_multimodal_real_resize_roundtrip(spark):
+    """Real resample path: decode PPM -> nearest-neighbor 2x1 -> re-encode
+    PPM; the output decodes back to the exact expected pixels."""
+    import numpy as np
+
+    from covid_19_data_engineering_spark.operators.multimodal import (
+        _decode_ppm,
+        resize_media,
+    )
+
+    px, ppm, _ = _ppm_payload()
+    df = spark.createDataFrame([(1, ppm)], "doc_id long, payload binary").select(
+        "doc_id",
+        "payload",
+        F.struct(F.lit("image/ppm").alias("media_type")).alias("media_meta"),
+    )
+    out = resize_media(df, width=2, height=1, decode="real").collect()[0]
+    w, h, got = _decode_ppm(bytes(out["resized"]))
+    assert (w, h) == (2, 1)
+    # nearest-neighbor: row 0, cols [0*4//2, 1*4//2] = [0, 2]
+    assert np.array_equal(got, px[[0]][:, [0, 2]])
+
+
+def test_multimodal_fake_path_ignores_decodable_images(spark):
+    """The default (oracle-registered) path must NOT decode real images —
+    output depends only on payload bytes, never on environment/codecs."""
+    _, ppm, _ = _ppm_payload()
+    df = spark.createDataFrame([(1, ppm)], "doc_id long, payload binary").select(
+        "doc_id",
+        "payload",
+        F.struct(F.lit("image/ppm").alias("media_type")).alias("media_meta"),
+    )
+    r = extract_media_features(df).collect()[0]
+    n = len(ppm)
+    assert (r["width"], r["height"]) == (n % 640 + 1, n % 480 + 1)
+
+
+def test_grouped_zscore_degenerate_groups(spark):
+    """Kernel and oracle agree on degenerate groups: singleton source and
+    constant-length source both emit z = 0.0 (ADVICE r3 — the unguarded
+    oracle divided by zero, which DuckDB evaluates to NULL)."""
+    import duckdb
+
+    from covid_19_data_engineering_spark.functions.udfs import grouped_zscore_fn
+    from covid_19_data_engineering_spark.plans.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    rows = [(1, "solo", 40), (2, "const", 10), (3, "const", 10),
+            (4, "varied", 5), (5, "varied", 15)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = docs.groupBy("source").applyInPandas(
+        grouped_zscore_fn(), "doc_id bigint, source string, n_chars bigint, z double"
+    )
+    got = {r["doc_id"]: r["z"] for r in out.collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, source VARCHAR, n_chars BIGINT)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", rows)
+    oracle = {r[0]: r[3] for r in
+              con.execute(REGISTRY["grouped_map_source_zscore"].oracle).fetchall()}
+    assert got[1] == oracle[1] == 0.0       # singleton group
+    assert got[2] == oracle[2] == 0.0       # constant-length group
+    assert got == oracle
