@@ -181,20 +181,31 @@ def infer_table_schema(df: DataFrame, mode: str = "sample",
 
 
 def _infer_by_sampling(df: DataFrame, row_count: int | None) -> dict[str, str]:
+    """ONE Spark job for the whole table: a ``cap``-row slice of every
+    column is collected together and each cell classified driver-side by
+    the exact reference kernel (``classify_value`` — dateutil parsing and
+    all; the JVM ``_classify_expr`` approximation stays reserved for
+    full-scan mode).
+
+    Round-3 verdict #8: the previous formulation issued one
+    limit(cap)-collect job PER COLUMN — a 50-column staging table meant 50
+    scheduler round-trips for one schema. The limit still pushes into the
+    scan (early termination), the driver moves at most cap x n_cols
+    scalars (cap <= 1000), and per-column null filtering happens on the
+    collected slice. The one semantic trade: a column whose first cap rows
+    are all NULL contributes no labels (-> text) where per-column sampling
+    would have scanned deeper for non-null values — acceptable for a
+    sampling mode whose answers are already prefix-dependent, and the
+    full-scan mode exists for exactness."""
     if row_count is None:
         row_count = df.count()
     cap = sample_limit(row_count)
+    rows = df.limit(cap).collect()
     resolved: dict[str, str] = {}
-    for column in df.columns:
-        # single-column projection + null filter + limit all push into the
-        # scan; the collect moves at most `cap` scalars to the driver.
-        sampled = (
-            df.select(column)
-            .where(F.col(column).isNotNull())
-            .limit(cap)
-            .collect()
-        )
-        labels = {classify_value(str(row[0])) for row in sampled}
+    for i, column in enumerate(df.columns):
+        labels = {
+            classify_value(str(row[i])) for row in rows if row[i] is not None
+        }
         resolved[column] = resolve_column_type(labels)
     return resolved
 

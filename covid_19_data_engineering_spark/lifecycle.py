@@ -13,9 +13,10 @@ machinery on the Spark catalog:
 Scale notes: promote is a metastore rename — O(1), no data movement, exactly
 why the reference chose rename over copy. History tables are written
 partitioned by ``load_date`` so time-travel reads prune to one partition and
-daily appends never rewrite old data. Like the reference (same gap,
-load_tables_daily.py:232-244), DROP+RENAME is two catalog ops, not one
-transaction; the ``_build`` table survives a crash in between for recovery.
+daily appends never rewrite old data. The default DROP+RENAME promote keeps
+the reference's two-catalog-op gap (load_tables_daily.py:232-244); the
+round-4 ``mode="atomic"`` promote closes it with a single-op view-pointer
+commit over versioned physical tables (see ``promote``).
 """
 
 from __future__ import annotations
@@ -65,16 +66,72 @@ def clone_structure(spark: SparkSession, schema: str, src: str, dst: str) -> Non
     )
 
 
-def promote(spark: SparkSession, schema: str, table: str) -> None:
-    """Staging -> production swap: drop prod if present, rename build
-    (reference C2/B9). Metastore-only; no data rewrite at any scale."""
+def promote(spark: SparkSession, schema: str, table: str,
+            mode: str = "rename") -> None:
+    """Staging -> production swap (reference C2/B9). Metastore-only; no data
+    rewrite at any scale. Two commit protocols:
+
+    - ``mode="rename"`` (reference parity): DROP prod + RENAME build. Two
+      catalog ops — a reader between them sees no table (the same gap the
+      reference accepts, load_tables_daily.py:232-244); the ``_build``
+      table survives a crash in between for recovery.
+    - ``mode="atomic"``: pointer-commit protocol. The production name is a
+      VIEW over a versioned physical table ``<table>__v{n}``; promote
+      renames the (reader-invisible) build table to the next version and
+      repoints the view with CREATE OR REPLACE VIEW — ONE catalog op, so a
+      reader sees the old version or the new one, never a missing table.
+      The previous version is dropped after the commit; a crash before
+      that drop leaves a harmless orphan version, never a broken prod.
+      This is the same pointer-swap idea as a Delta/Iceberg metadata
+      commit, expressed in the vanilla catalog; on a deployment with a
+      transactional format installed, REPLACE TABLE subsumes it.
+
+    One-time migration: if prod currently exists as a plain TABLE (earlier
+    rename-mode promotes), the first atomic promote must drop it before the
+    view can take its name — that single migration swap keeps the rename-
+    mode gap; every subsequent atomic promote is gapless.
+    """
     build = table + BUILD_SUFFIX
     if not table_exists(spark, schema, build):
         raise ValueError(f"no build table {qualified(schema, build)} to promote")
-    drop_table(spark, schema, table)
-    spark.sql(
-        f"ALTER TABLE {qualified(schema, build)} RENAME TO {qualified(schema, table)}"
+    if mode == "rename":
+        # a prod name left as a view by an earlier atomic-mode promote needs
+        # DROP VIEW (DROP TABLE refuses); mode switching stays legal
+        db = schema or spark.catalog.currentDatabase()
+        if any(t.name == table and t.tableType == "VIEW"
+               for t in spark.catalog.listTables(db)):
+            spark.sql(f"DROP VIEW IF EXISTS {qualified(schema, table)}")
+        drop_table(spark, schema, table)
+        spark.sql(
+            f"ALTER TABLE {qualified(schema, build)} RENAME TO {qualified(schema, table)}"
+        )
+        return
+    if mode != "atomic":
+        raise ValueError(f"unknown promote mode {mode!r}")
+
+    db = schema or spark.catalog.currentDatabase()
+    version_prefix = f"{table}__v"
+    versions = sorted(
+        int(t.name[len(version_prefix):])
+        for t in spark.catalog.listTables(db)
+        if t.name.startswith(version_prefix)
+        and t.name[len(version_prefix):].isdigit()
     )
+    next_v = (versions[-1] + 1) if versions else 1
+    versioned = f"{version_prefix}{next_v}"
+    spark.sql(
+        f"ALTER TABLE {qualified(schema, build)} RENAME TO {qualified(schema, versioned)}"
+    )
+    prod = qualified(schema, table)
+    is_plain_table = any(
+        t.name == table and t.tableType != "VIEW" for t in spark.catalog.listTables(db)
+    )
+    if is_plain_table:
+        drop_table(spark, schema, table)  # one-time migration from rename mode
+    # THE commit: a single catalog operation repoints production
+    spark.sql(f"CREATE OR REPLACE VIEW {prod} AS SELECT * FROM {qualified(schema, versioned)}")
+    for v in versions:
+        drop_table(spark, schema, f"{version_prefix}{v}")
 
 
 def with_load_time(df: DataFrame) -> DataFrame:

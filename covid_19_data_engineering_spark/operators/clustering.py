@@ -37,8 +37,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from covid_19_data_engineering_spark.operators.dedup import (
+    _minhash_rep_pairs,
     minhash_agree_sql,
-    minhash_lsh_candidates,
     minhash_pipeline_ctes,
 )
 from covid_19_data_engineering_spark.plans.registry import register
@@ -93,15 +93,35 @@ def duplicate_clusters(docs: DataFrame, threshold: float = 0.3) -> DataFrame:
     """Full dedup-cluster pass: LSH candidate pairs above ``threshold`` →
     connected components → every document labeled with its cluster id (its
     own id when it has no near-dup). Keep ``doc_id == cluster`` rows for the
-    canonical-survivor corpus."""
-    pairs = minhash_lsh_candidates(docs).where(F.col("est_jaccard") >= threshold)
-    comps = connected_components(pairs)
+    canonical-survivor corpus.
+
+    The component iteration runs over REPRESENTATIVE pairs only (one node
+    per exact text — the round-3 hot-bucket fix): exact copies are by
+    definition in their representative's component, so the label table the
+    loop shuffles each round is O(content-distinct docs), never inflated by
+    boilerplate dup sets. Members inherit their representative's component
+    afterwards via one equi-join. Labels are unchanged from the naive
+    expanded-graph formulation: the representative is the min key of its
+    group, so the min reachable representative IS the min reachable member.
+    """
+    rep_pairs, members = _minhash_rep_pairs(docs)
+    pairs = rep_pairs.where(F.col("est_jaccard") >= threshold)
+    comps = connected_components(pairs, src="rep_a", dst="rep_b")
+    rep_cluster = (
+        members.select(F.col("rep").alias("node_rep")).distinct()
+        .join(comps, F.col("node_rep") == F.col("node"), "left")
+        .select(
+            F.col("node_rep"),
+            F.coalesce(F.col("component"), F.col("node_rep")).alias("cluster"),
+        )
+    )
     return (
         docs.select("doc_id")
-        .join(comps, docs["doc_id"] == comps["node"], "left")
+        .join(members.select("doc_id", "rep"), "doc_id", "left")
+        .join(rep_cluster, F.col("rep") == F.col("node_rep"), "left")
         .select(
             "doc_id",
-            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster"),
+            F.coalesce(F.col("cluster"), F.col("doc_id")).alias("cluster"),
         )
     )
 
@@ -245,14 +265,26 @@ def retention_manifest(docs: DataFrame, threshold: float = 0.3) -> DataFrame:
     Precedence: exact-content duplicates (normalized-text md5) drop first,
     keeping the min doc_id per fingerprint; then near-dup clusters
     (MinHash-LSH -> connected components) drop everything but the
-    highest-quality representative. The representative is provably always
-    exact-canonical (exact copies share quality and cluster, so the
-    min-id-on-quality-tie pick lands on the fingerprint's min id), so the
-    two rules never orphan a cluster.
+    highest-quality representative.
+
+    ``ref_doc`` INVARIANT (round-3 ADVICE): every ref_doc lands on a row
+    whose own status is 'keep'. Two rules enforce it:
+    - the cluster representative is ranked among the cluster's EXACT
+      CANONICALS only (doc_id == exact_canon). The normalized fingerprint is
+      case/whitespace-insensitive while quality reads raw text, so an
+      unrestricted rank could crown a doc that is itself drop_exact;
+    - drop_exact rows resolve the ref CHAIN: their fingerprint's canonical
+      may itself be drop_near_dup (its cluster kept a different
+      fingerprint's canonical), in which case the member defers to the
+      canonical's representative. Chains have depth <= 2 by construction
+      (member -> canonical -> representative, and representatives are
+      always canonical and kept), so one extra equi-join on exact_canon
+      resolves everything — no iteration.
 
     100 TB posture: fingerprint dedup is one shuffle on a uniform md5 key;
     the cluster stage reuses the bounded-round component labels; the final
-    assembly is equi-joins on doc_id/cluster (no new shuffle families).
+    assembly is equi-joins on doc_id/cluster/exact_canon (no new shuffle
+    families).
     """
     from covid_19_data_engineering_spark.operators.textstats import (
         fingerprint_col,
@@ -274,15 +306,31 @@ def retention_manifest(docs: DataFrame, threshold: float = 0.3) -> DataFrame:
     size_w = Window.partitionBy("cluster")
     ranked = (
         clusters.join(base, "doc_id")
+        .join(exact, "fp")
         .withColumn("cluster_size", F.count(F.lit(1)).over(size_w))
-        .withColumn("rn", F.row_number().over(rank_w))
     )
-    reps = ranked.where(F.col("rn") == 1).select(
-        "cluster", F.col("doc_id").alias("rep_doc")
+    # representative rank runs over exact canonicals ONLY — see docstring
+    reps = (
+        ranked.where(F.col("doc_id") == F.col("exact_canon"))
+        .withColumn("rn", F.row_number().over(rank_w))
+        .where(F.col("rn") == 1)
+        .select("cluster", F.col("doc_id").alias("rep_doc"))
+    )
+    with_rep = ranked.join(reps, "cluster")
+    # each canonical's own final ref (itself, or its cluster's rep when the
+    # cluster kept a different fingerprint's canonical) — drop_exact members
+    # defer to THIS, resolving the depth-2 ref chain in one equi-join
+    canon_ref = with_rep.where(F.col("doc_id") == F.col("exact_canon")).select(
+        F.col("doc_id").alias("_canon"),
+        F.when(
+            (F.col("cluster_size") > 1) & (F.col("doc_id") != F.col("rep_doc")),
+            F.col("rep_doc"),
+        )
+        .otherwise(F.col("doc_id"))
+        .alias("_canon_ref"),
     )
     return (
-        ranked.join(exact, "fp")
-        .join(reps, "cluster")
+        with_rep.join(canon_ref, F.col("exact_canon") == F.col("_canon"))
         .select(
             "doc_id",
             F.when(F.col("doc_id") != F.col("exact_canon"), F.lit("drop_exact"))
@@ -292,7 +340,7 @@ def retention_manifest(docs: DataFrame, threshold: float = 0.3) -> DataFrame:
             )
             .otherwise(F.lit("keep"))
             .alias("status"),
-            F.when(F.col("doc_id") != F.col("exact_canon"), F.col("exact_canon"))
+            F.when(F.col("doc_id") != F.col("exact_canon"), F.col("_canon_ref"))
             .when(
                 (F.col("cluster_size") > 1) & (F.col("doc_id") != F.col("rep_doc")),
                 F.col("rep_doc"),
@@ -336,23 +384,38 @@ def _retention_manifest_oracle_sql() -> str:
       FROM base b LEFT JOIN comp c ON c.node = b.doc_id
     ),
     ranked AS (
-      SELECT cl.cluster, cl.doc_id, b.fp, b.quality,
-             ROW_NUMBER() OVER (PARTITION BY cl.cluster
-                                ORDER BY b.quality DESC, cl.doc_id) AS rn,
+      SELECT cl.cluster, cl.doc_id, b.fp, b.quality, e.exact_canon,
              COUNT(*) OVER (PARTITION BY cl.cluster) AS cluster_size
-      FROM clusters cl JOIN base b USING (doc_id)
+      FROM clusters cl JOIN base b USING (doc_id) JOIN exact e USING (fp)
     ),
-    reps AS (SELECT cluster, doc_id AS rep_doc FROM ranked WHERE rn = 1)
+    -- representative rank over exact canonicals ONLY (mirrors the engine):
+    -- an unrestricted quality rank can pick a doc itself marked drop_exact
+    canon_ranked AS (
+      SELECT cluster, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY cluster
+                                ORDER BY quality DESC, doc_id) AS rn
+      FROM ranked WHERE doc_id = exact_canon
+    ),
+    reps AS (SELECT cluster, doc_id AS rep_doc FROM canon_ranked WHERE rn = 1),
+    -- each canonical's own final ref: drop_exact members defer to this,
+    -- resolving the depth-2 ref chain (member -> canonical -> rep)
+    canon_ref AS (
+      SELECT r.doc_id AS canon,
+             CASE WHEN r.cluster_size > 1 AND r.doc_id != p.rep_doc
+                  THEN p.rep_doc ELSE r.doc_id END AS canon_ref
+      FROM ranked r JOIN reps p USING (cluster)
+      WHERE r.doc_id = r.exact_canon
+    )
     SELECT r.doc_id,
-           CASE WHEN r.doc_id != e.exact_canon THEN 'drop_exact'
+           CASE WHEN r.doc_id != r.exact_canon THEN 'drop_exact'
                 WHEN r.cluster_size > 1 AND r.doc_id != p.rep_doc THEN 'drop_near_dup'
                 ELSE 'keep' END AS status,
-           CASE WHEN r.doc_id != e.exact_canon THEN e.exact_canon
+           CASE WHEN r.doc_id != r.exact_canon THEN c.canon_ref
                 WHEN r.cluster_size > 1 AND r.doc_id != p.rep_doc THEN p.rep_doc
                 ELSE r.doc_id END AS ref_doc
     FROM ranked r
-    JOIN exact e USING (fp)
     JOIN reps p USING (cluster)
+    JOIN canon_ref c ON c.canon = r.exact_canon
     ORDER BY r.doc_id
     """
 
@@ -370,3 +433,298 @@ def _retention_manifest_oracle_sql() -> str:
 def dedup_retention_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return retention_manifest(docs).orderBy("doc_id")
+
+
+# --- incremental retention manifest (round-4) --------------------------------
+
+_INCR_SPLIT = 250  # doc_id < split plays the frozen snapshot (same convention
+# as cross_snapshot_dedup); >= split is the arriving batch
+
+
+def incremental_retention_manifest(new: DataFrame, snapshot: DataFrame,
+                                   threshold: float = 0.3) -> DataFrame:
+    """Admission decisions for a NEW batch against a frozen corpus — the
+    incremental composition of ``cross_snapshot_near_dups`` and
+    ``retention_manifest``. Snapshot decisions are never revisited
+    (append-only manifests); the expensive machinery runs on batch-sized
+    inputs only:
+
+    - the snapshot manifest is (re)used as the resolver mapping every
+      snapshot doc to its final 'keep' row (in production it is a stored
+      table; here it is recomputed from the snapshot frame);
+    - batch-internal near-dup edges come from the exact-collapsed rep band
+      self-join (O(batch) rows); batch-to-snapshot edges from the two-sided
+      band join (O(batch x collisions) — the corpus never self-joins);
+    - connected components run over the BATCH graph (batch reps + only the
+      snapshot docs they collide with) — never over the corpus. Snapshot-
+      to-snapshot edges are deliberately absent: the frozen side must not
+      re-cluster, so two batch docs merge only through batch/cross paths.
+
+    Decision order per new doc (exact beats near, snapshot beats batch):
+    1. normalized fp matches a snapshot fp -> drop_exact, ref = the
+       snapshot canon's final keep row (via the snapshot manifest);
+    2. batch-internal exact dup (doc != batch canon) -> drop_exact, ref =
+       its canon's own final ref (depth-2 chain, as in retention_manifest);
+    3. component contains a snapshot anchor -> drop_near_dup, ref = the
+       min-id anchor's final keep row;
+    4. component keeps its highest-quality batch canonical (min-id tie);
+       everyone else drops to it;
+    5. otherwise keep.
+    The ref invariant holds: every ref_doc resolves to a 'keep' row (of
+    the snapshot manifest or of this batch output).
+    """
+    from covid_19_data_engineering_spark.operators.llmprep import (
+        cross_snapshot_near_dups,
+    )
+    from covid_19_data_engineering_spark.operators.textstats import (
+        fingerprint_col,
+        quality_score_col,
+    )
+    from pyspark.sql import Window
+
+    snap_resolve = retention_manifest(snapshot, threshold).select(
+        F.col("doc_id").alias("_sid"), F.col("ref_doc").alias("_sref")
+    )
+    base = new.select(
+        "doc_id",
+        fingerprint_col(F.col("text")).alias("fp"),
+        quality_score_col(F.col("text")).alias("quality"),
+    ).localCheckpoint(eager=True)
+    exact = base.groupBy("fp").agg(F.min("doc_id").alias("batch_canon"))
+    snap_fp = (
+        snapshot.select(fingerprint_col(F.col("text")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("snap_canon"))
+    )
+
+    rep_pairs, members = _minhash_rep_pairs(new)
+    batch_edges = rep_pairs.where(F.col("est_jaccard") >= threshold).select(
+        "rep_a", "rep_b"
+    )
+    cross_edges = (
+        cross_snapshot_near_dups(new, snapshot, threshold)
+        .join(members.select(F.col("doc_id").alias("new_doc_id"), "rep"), "new_doc_id")
+        .select(F.col("rep").alias("rep_a"), F.col("snapshot_doc_id").alias("rep_b"))
+        .distinct()
+    )
+    comps = connected_components(
+        batch_edges.unionByName(cross_edges), src="rep_a", dst="rep_b"
+    )
+    # anchor = membership in the snapshot frame (NOT an id-range test — the
+    # registered query's 250-split is a harness convention, the library
+    # works for arbitrary key spaces)
+    anchored = (
+        comps.join(snapshot.select(F.col("doc_id").alias("node")), "node")
+        .groupBy("component")
+        .agg(F.min("node").alias("anchor"))
+    )
+    doc_comp = (
+        base.select("doc_id")
+        .join(members.select("doc_id", "rep"), "doc_id", "left")
+        .join(comps, F.col("rep") == F.col("node"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "rep", "doc_id").alias("comp"),
+        )
+    )
+
+    scored = (
+        doc_comp.join(base, "doc_id")
+        .join(exact, "fp")
+        .join(snap_fp.withColumnRenamed("snap_canon", "snap_canon"), "fp", "left")
+        .join(anchored.withColumnRenamed("component", "comp"), "comp", "left")
+    )
+    canon_rows = scored.where(F.col("doc_id") == F.col("batch_canon"))
+    rank_w = Window.partitionBy("comp").orderBy(F.col("quality").desc(), "doc_id")
+    reps = (
+        canon_rows.where(F.col("snap_canon").isNull())
+        .withColumn("rn", F.row_number().over(rank_w))
+        .where(F.col("rn") == 1)
+        .select("comp", F.col("doc_id").alias("rep_doc"))
+    )
+    canon_dec = (
+        canon_rows.join(reps, "comp", "left")
+        .join(snap_resolve.withColumnRenamed("_sid", "snap_canon"), "snap_canon", "left")
+        .withColumnRenamed("_sref", "_snap_exact_ref")
+        .join(snap_resolve.withColumnRenamed("_sid", "anchor"), "anchor", "left")
+        .withColumnRenamed("_sref", "_anchor_ref")
+        .select(
+            F.col("doc_id").alias("canon"),
+            F.when(F.col("snap_canon").isNotNull(), F.lit("drop_exact"))
+            .when(F.col("anchor").isNotNull(), F.lit("drop_near_dup"))
+            .when(F.col("rep_doc") != F.col("doc_id"), F.lit("drop_near_dup"))
+            .otherwise(F.lit("keep"))
+            .alias("status"),
+            F.when(F.col("snap_canon").isNotNull(), F.col("_snap_exact_ref"))
+            .when(F.col("anchor").isNotNull(), F.col("_anchor_ref"))
+            .when(F.col("rep_doc") != F.col("doc_id"), F.col("rep_doc"))
+            .otherwise(F.col("doc_id"))
+            .alias("ref_doc"),
+        )
+    )
+    canon_final = canon_dec.select("canon", F.col("ref_doc").alias("_canon_ref"))
+    out_canon = canon_dec.select(
+        F.col("canon").alias("doc_id"), "status", "ref_doc"
+    )
+    out_members = (
+        base.join(exact, "fp")
+        .where(F.col("doc_id") != F.col("batch_canon"))
+        .join(canon_final, F.col("batch_canon") == F.col("canon"))
+        .select("doc_id", F.lit("drop_exact").alias("status"),
+                F.col("_canon_ref").alias("ref_doc"))
+    )
+    return out_canon.unionByName(out_members)
+
+
+def _incremental_manifest_oracle_sql() -> str:
+    """Full SQL replication: the snapshot-side retention manifest (filtered
+    to doc_id < split) feeds the resolver; the batch graph closure runs over
+    band pairs whose GREATER endpoint is in the batch — which admits
+    batch-batch and batch-snapshot edges and excludes snapshot-snapshot
+    edges exactly like the engine (the frozen side must not re-cluster)."""
+    from covid_19_data_engineering_spark.operators.textstats import quality_score_sql
+
+    agree = minhash_agree_sql()
+    split = _INCR_SPLIT
+    norm_fp = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+    return f"""
+    WITH RECURSIVE {minhash_pipeline_ctes()},
+    -- ONE band self-join for the whole oracle (MATERIALIZED: the snapshot
+    -- closure, batch closure, and both pair filters all read it; without
+    -- the hint DuckDB inlines the expensive join once per reference)
+    all_pairs AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      WHERE ROUND(CAST({agree} AS DOUBLE) / 32, 4) >= 0.3
+    ),
+    s_pairs AS (SELECT doc_a, doc_b FROM all_pairs WHERE doc_b < {split}),
+    s_sym AS (
+      SELECT doc_a AS u, doc_b AS v FROM s_pairs
+      UNION SELECT doc_b, doc_a FROM s_pairs
+    ),
+    s_reach(node, comp) AS (
+      SELECT u, u FROM s_sym
+      UNION
+      SELECT s.u, r.comp FROM s_sym s JOIN s_reach r ON s.v = r.node
+    ),
+    s_comp AS (SELECT node, MIN(comp) AS component FROM s_reach GROUP BY node),
+    s_base AS (
+      SELECT doc_id, {norm_fp} AS fp, {quality_score_sql()} AS quality
+      FROM documents WHERE doc_id < {split}
+    ),
+    s_exact AS (SELECT fp, MIN(doc_id) AS exact_canon FROM s_base GROUP BY fp),
+    s_clusters AS (
+      SELECT b.doc_id, COALESCE(c.component, b.doc_id) AS cluster
+      FROM s_base b LEFT JOIN s_comp c ON c.node = b.doc_id
+    ),
+    s_ranked AS (
+      SELECT cl.cluster, cl.doc_id, b.fp, b.quality, e.exact_canon,
+             COUNT(*) OVER (PARTITION BY cl.cluster) AS cluster_size
+      FROM s_clusters cl JOIN s_base b USING (doc_id) JOIN s_exact e USING (fp)
+    ),
+    s_canon_ranked AS (
+      SELECT cluster, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY cluster
+                                ORDER BY quality DESC, doc_id) AS rn
+      FROM s_ranked WHERE doc_id = exact_canon
+    ),
+    s_reps AS (SELECT cluster, doc_id AS rep_doc FROM s_canon_ranked WHERE rn = 1),
+    s_canon_ref AS (
+      SELECT r.doc_id AS canon,
+             CASE WHEN r.cluster_size > 1 AND r.doc_id != p.rep_doc
+                  THEN p.rep_doc ELSE r.doc_id END AS canon_ref
+      FROM s_ranked r JOIN s_reps p USING (cluster)
+      WHERE r.doc_id = r.exact_canon
+    ),
+    s_manifest AS (
+      SELECT r.doc_id,
+             CASE WHEN r.doc_id != r.exact_canon THEN c.canon_ref
+                  WHEN r.cluster_size > 1 AND r.doc_id != p.rep_doc THEN p.rep_doc
+                  ELSE r.doc_id END AS ref_doc
+      FROM s_ranked r JOIN s_reps p USING (cluster)
+      JOIN s_canon_ref c ON c.canon = r.exact_canon
+    ),
+    g_pairs AS (SELECT doc_a, doc_b FROM all_pairs WHERE doc_b >= {split}),
+    g_sym AS (
+      SELECT doc_a AS u, doc_b AS v FROM g_pairs
+      UNION SELECT doc_b, doc_a FROM g_pairs
+    ),
+    g_reach(node, comp) AS (
+      SELECT u, u FROM g_sym
+      UNION
+      SELECT s.u, r.comp FROM g_sym s JOIN g_reach r ON s.v = r.node
+    ),
+    g_comp AS (SELECT node, MIN(comp) AS component FROM g_reach GROUP BY node),
+    anchored AS (
+      SELECT component, MIN(node) AS anchor
+      FROM g_comp WHERE node < {split} GROUP BY component
+    ),
+    n_base AS (
+      SELECT doc_id, {norm_fp} AS fp, {quality_score_sql()} AS quality
+      FROM documents WHERE doc_id >= {split}
+    ),
+    n_exact AS (SELECT fp, MIN(doc_id) AS batch_canon FROM n_base GROUP BY fp),
+    doc_comp AS (
+      SELECT b.doc_id, COALESCE(c.component, b.doc_id) AS comp
+      FROM n_base b LEFT JOIN g_comp c ON c.node = b.doc_id
+    ),
+    scored AS (
+      SELECT dc.doc_id, dc.comp, b.fp, b.quality, e.batch_canon,
+             se.exact_canon AS snap_canon, a.anchor
+      FROM doc_comp dc
+      JOIN n_base b USING (doc_id)
+      JOIN n_exact e USING (fp)
+      LEFT JOIN s_exact se USING (fp)
+      LEFT JOIN anchored a ON a.component = dc.comp
+    ),
+    canon_rows AS (SELECT * FROM scored WHERE doc_id = batch_canon),
+    reps_r AS (
+      SELECT comp, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY comp
+                                ORDER BY quality DESC, doc_id) AS rn
+      FROM canon_rows WHERE snap_canon IS NULL
+    ),
+    comp_reps AS (SELECT comp, doc_id AS rep_doc FROM reps_r WHERE rn = 1),
+    canon_dec AS (
+      SELECT c.doc_id AS canon,
+             CASE WHEN c.snap_canon IS NOT NULL THEN 'drop_exact'
+                  WHEN c.anchor IS NOT NULL THEN 'drop_near_dup'
+                  WHEN r.rep_doc != c.doc_id THEN 'drop_near_dup'
+                  ELSE 'keep' END AS status,
+             CASE WHEN c.snap_canon IS NOT NULL THEN sm1.ref_doc
+                  WHEN c.anchor IS NOT NULL THEN sm2.ref_doc
+                  WHEN r.rep_doc != c.doc_id THEN r.rep_doc
+                  ELSE c.doc_id END AS ref_doc
+      FROM canon_rows c
+      LEFT JOIN comp_reps r ON r.comp = c.comp
+      LEFT JOIN s_manifest sm1 ON sm1.doc_id = c.snap_canon
+      LEFT JOIN s_manifest sm2 ON sm2.doc_id = c.anchor
+    )
+    SELECT doc_id, status, ref_doc FROM (
+      SELECT canon AS doc_id, status, ref_doc FROM canon_dec
+      UNION ALL
+      SELECT b.doc_id, 'drop_exact' AS status, cd.ref_doc
+      FROM n_base b
+      JOIN n_exact e USING (fp)
+      JOIN canon_dec cd ON cd.canon = e.batch_canon
+      WHERE b.doc_id != e.batch_canon
+    ) ORDER BY doc_id
+    """
+
+
+@register(
+    "incremental_retention_manifest",
+    oracle=_incremental_manifest_oracle_sql(),
+    doc="Admission manifest for an arriving batch (doc_id >= 250) against "
+    "the frozen snapshot corpus: keep / drop_exact / drop_near_dup with "
+    "refs resolved through the snapshot's own manifest — cross-snapshot "
+    "band joins + batch-only clustering, the corpus never re-clusters "
+    "(incremental composition of cross_snapshot_dedup and "
+    "dedup_retention_manifest).",
+)
+def incremental_retention_manifest_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    snapshot = docs.where(F.col("doc_id") < _INCR_SPLIT)
+    new = docs.where(F.col("doc_id") >= _INCR_SPLIT)
+    return incremental_retention_manifest(new, snapshot).orderBy("doc_id")

@@ -34,7 +34,7 @@ from __future__ import annotations
 import math
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from covid_19_data_engineering_spark.operators.vectors import (
     cosine_sim,
@@ -59,6 +59,20 @@ def shingles_col(tok: Column, k: int = 3) -> Column:
     return F.when(F.size(tok) >= k, F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tok, i, k)))
     )).otherwise(F.array().cast("array<string>"))
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Give an expensive narrow map stage full parallelism. A small local
+    input is often ONE parquet split, so a per-row md5/shingle pipeline
+    would run in a single task with every other core idle. No-op whenever
+    the scan already has >= defaultParallelism splits — the 100 TB case,
+    where maxPartitionBytes yields thousands — so no shuffle is added at
+    scale."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 # --- exact dedup ------------------------------------------------------------
@@ -114,7 +128,7 @@ def ngram_blocked_candidates(df: DataFrame, threshold: float, k: int = 3,
     ``length_blocking=False`` falls back to the block_col-only join (the
     near-all-pairs shape) — kept for the equivalence/pruning test.
     """
-    sh = df.select(
+    sh = _spread(df).select(
         F.col("doc_id"),
         F.col(block_col).alias("block"),
         shingles_col(tokens_col("text"), k).alias("sh"),
@@ -243,7 +257,9 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     without this split the duplicated tree blew whole-stage codegen past its
     limits and the minhash family ran ~15x slower."""
     sh = shingles_col(tokens_col(text_col))
-    base = df.where(F.size(sh) > 0).select(
+    # eligibility via token count: size(sh) > 0 would build the whole
+    # shingle array once for the filter and again for the projection
+    base = df.where(F.size(tokens_col(text_col)) >= 3).select(
         F.col(key_col),
         F.transform(sh, _shingle_base_hash).alias("_h"),
     )
@@ -298,6 +314,89 @@ def minhash_agreement(a_sig: Column, b_sig: Column) -> Column:
     return F.round(agree / F.lit(_N_HASHES), 4)
 
 
+def exact_text_collapse(df: DataFrame, text_col: str = "text",
+                        key_col: str = "doc_id") -> tuple[DataFrame, DataFrame]:
+    """Collapse shingle-eligible docs to one representative per exact text.
+
+    Returns ``(reps, members)``: ``reps`` is (key, text) restricted to the
+    min-key row of each md5(text) group, ready for signature building;
+    ``members`` is the (key, rep, _fp) mapping used to re-attach exact-dup
+    members after a band join.
+
+    Text rides THROUGH the fingerprint window shuffle and into the single
+    checkpoint, which buys two things at once: (1) reps needs no join back
+    to the corpus (one scan total), and (2) the downstream signature map
+    inherits the shuffle's hash-partitioning — without it, a small local
+    input is one parquet split and the whole md5/minhash pipeline runs in
+    ONE task while every other core idles (at 100 TB maxPartitionBytes
+    yields thousands of splits, but the shuffle spread costs nothing and
+    the checkpointed (key, text, fp, rep) set is exactly the LSH working
+    table you would persist for incremental dedup anyway).
+
+    Eligibility (>= k tokens, else no shingles) is checked on the token
+    count — building the full shingle array just to test emptiness would
+    evaluate the expensive expression once in the filter and again in the
+    signature projection."""
+    eligible = df.where(F.size(tokens_col(text_col)) >= 3).select(
+        F.col(key_col), F.col(text_col), F.md5(F.col(text_col)).alias("_fp")
+    )
+    mapped = eligible.withColumn(
+        "_rep", F.min(key_col).over(Window.partitionBy("_fp"))
+    ).localCheckpoint(eager=True)
+    reps = mapped.where(F.col(key_col) == F.col("_rep")).select(key_col, text_col)
+    members = mapped.select(F.col(key_col), F.col("_rep").alias("rep"), "_fp")
+    return reps, members
+
+
+def _minhash_rep_pairs(df: DataFrame, text_col: str = "text",
+                       key_col: str = "doc_id") -> tuple[DataFrame, DataFrame]:
+    """Band-join candidates computed over ONE REPRESENTATIVE per exact text.
+
+    Returns ``(rep_pairs, members)``:
+    - ``rep_pairs``: (rep_a, rep_b, est_jaccard) — distinct colliding
+      representative pairs from the banded self-join;
+    - ``members``: (key, rep) — every shingle-eligible doc mapped to its
+      group's representative (min key per md5(text)).
+
+    THE hot-bucket fix (round-3 verdict #1): a corpus with m byte-identical
+    copies of a boilerplate page previously put m rows in the same bucket in
+    all 8 bands, so the candidate join emitted O(m^2) pairs per dup set —
+    and web corpora at 100 TB have m in the 10^4..10^6 range. Identical text
+    means identical shingles, signatures, and band buckets, so collapsing to
+    min-key-per-fingerprint BEFORE banding is strictly less work with the
+    same information: the band join sees each content once, and exact-dup
+    membership is re-attached afterwards by the callers that need it.
+    The collapse key is md5 of the RAW text (not the normalized curation
+    fingerprint) because only byte-identical text guarantees identical
+    minhash bands.
+
+    The bands are still eagerly materialized before the self-join: both
+    aliases otherwise recompute the whole shingle->md5->32-signature
+    pipeline once per side. The streaming path (stream_snapshot_dedup)
+    calls minhash_bands directly — checkpointing is illegal on a streaming
+    DF, and stream batches are pre-deduped upstream.
+    """
+    reps, members = exact_text_collapse(df, text_col, key_col)
+    bands = minhash_bands(reps, text_col, key_col).localCheckpoint(eager=True)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    rep_pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{key_col}") < F.col(f"b.{key_col}")),
+        )
+        .select(
+            F.col(f"a.{key_col}").alias("rep_a"),
+            F.col(f"b.{key_col}").alias("rep_b"),
+            minhash_agreement(F.col("a.sig"), F.col("b.sig")).alias("est_jaccard"),
+        )
+        .distinct()
+    )
+    return rep_pairs, members
+
+
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            key_col: str = "doc_id") -> DataFrame:
     """Candidate near-dup pairs via banded LSH over minhash signatures.
@@ -306,31 +405,40 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     bucket equi-join emits only colliding pairs. Returns distinct pairs with
     the estimated Jaccard (fraction of agreeing minhashes).
 
-    The bands are eagerly materialized before the self-join: both aliases
-    otherwise recompute the whole shingle->md5->32-signature pipeline (the
-    expensive map) once per side. O(docs x 8) rows with a 32-long sig is
-    the standard LSH working set; at cluster scale this is the table you'd
-    persist to storage anyway for incremental (cross-snapshot) dedup. The
-    streaming path (stream_snapshot_dedup) calls minhash_bands directly —
-    checkpointing is batch-only because it is illegal on a streaming DF.
+    The expensive stage (the banded self-join) runs over one representative
+    per exact text (``_minhash_rep_pairs``); the full pair set — identical
+    to the naive formulation, as the oracle twin verifies — is then
+    reconstructed by expansion:
+    - cross-group pairs: every member of rep_a's group pairs with every
+      member of rep_b's group at the reps' estimated Jaccard (identical
+      text -> identical signature, so the estimate is exact for members);
+    - within-group pairs: exact copies agree on all 32 minhashes, so every
+      in-group pair carries est_jaccard = 1.0 by construction.
+    The expansion joins are equi-keyed on the representative/fingerprint and
+    produce output proportional to the TRUE pair count — the irreducible
+    size of this query's answer — while the band join itself stays
+    O(content-distinct collisions).
     """
-    bands = minhash_bands(df, text_col, key_col).localCheckpoint(eager=True)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{key_col}") < F.col(f"b.{key_col}")),
-        )
+    rep_pairs, members = _minhash_rep_pairs(df, text_col, key_col)
+    ma = members.select(F.col(key_col).alias("_ka"), F.col("rep").alias("_ra"))
+    mb = members.select(F.col(key_col).alias("_kb"), F.col("rep").alias("_rb"))
+    cross = (
+        rep_pairs.join(ma, F.col("_ra") == F.col("rep_a"))
+        .join(mb, F.col("_rb") == F.col("rep_b"))
         .select(
-            F.col(f"a.{key_col}").alias("doc_a"),
-            F.col(f"b.{key_col}").alias("doc_b"),
-            minhash_agreement(F.col("a.sig"), F.col("b.sig")).alias("est_jaccard"),
+            F.least("_ka", "_kb").alias("doc_a"),
+            F.greatest("_ka", "_kb").alias("doc_b"),
+            "est_jaccard",
         )
-        .distinct()
     )
+    wa = members.select(F.col(key_col).alias("doc_a"), "_fp")
+    wb = members.select(F.col(key_col).alias("doc_b"), "_fp")
+    within = (
+        wa.join(wb, "_fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.lit(1.0).alias("est_jaccard"))
+    )
+    return cross.unionByName(within)
 
 
 # DuckDB twin of the full minhash pipeline. Every stage is engine-portable
@@ -381,12 +489,15 @@ def minhash_pipeline_ctes() -> str:
     ),
     sh AS (SELECT doc_id, unnest(s) AS shingle FROM toks),
     h AS (SELECT doc_id, {_HEX_FOLD8.format(v='shingle')} % {_MERSENNE31} AS h FROM sh),
-    sig AS (
+    -- MATERIALIZED: sig is referenced by all 8 band branches and bands by
+    -- both self-join sides; without the hint DuckDB inlines (re-evaluates)
+    -- the whole shingle->hash->min pipeline per reference
+    sig AS MATERIALIZED (
       SELECT doc_id,
              {mins}
       FROM h GROUP BY doc_id
     ),
-    bands AS (
+    bands AS MATERIALIZED (
       {band_selects}
     )"""
 
@@ -428,22 +539,36 @@ def simhash_col(tok: Column, bits: int = 60) -> Column:
     """60-bit SimHash: per token take md5-derived bits, sum +1/-1 per bit
     position, sign -> fingerprint bit. Pure JVM expression (no UDF).
     60 bits (15 md5 hex chars) keep every intermediate inside a signed
-    int64 under ANSI arithmetic."""
+    int64 under ANSI arithmetic.
+
+    SINGLE-PASS vote accumulation (round-3 verdict #3): one ``aggregate()``
+    folds the token-hash array into a ``bits``-element vote vector
+    (``zip_with`` against a constant mask array), so the token array — and
+    the md5 behind it — is walked ONCE per row. The previous formulation
+    built ``bits`` independent ``aggregate()`` expressions, each re-walking
+    the tokens and re-deriving the hash: 60x the array traversals and a
+    60x-duplicated codegen subtree (the same trap fixed for the minhash
+    ``_h`` materialization)."""
     token_hash = F.transform(
         tok, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
     )
-    bit_votes = [
-        F.aggregate(
-            token_hash,
-            F.lit(0),
-            lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1),
-        )
-        for i in range(bits)
-    ]
-    fp = F.lit(0).cast("long")
-    for i, vote in enumerate(bit_votes):
-        fp = fp + F.when(vote > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-    return fp
+    masks = F.array(*[F.lit(1 << i).cast("long") for i in range(bits)])
+    votes = F.aggregate(
+        token_hash,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc, masks,
+            lambda v, m: v + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes, masks,
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda fp, x: fp + x,
+    )
 
 
 def simhash_fingerprints(df: DataFrame, text_col: str = "text",
@@ -455,7 +580,7 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by Hamming distance over SimHash, found via band join:
     fingerprints within distance d must agree exactly on at least one of
     d+1 15-bit chunks, so the chunk equi-join bounds the pair space."""
-    fp = simhash_fingerprints(df)
+    fp = simhash_fingerprints(_spread(df))
     chunks = fp.select(
         "doc_id",
         "simhash",

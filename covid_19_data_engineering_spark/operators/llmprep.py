@@ -22,6 +22,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
 from covid_19_data_engineering_spark.operators.dedup import (
+    exact_text_collapse,
     minhash_agree_sql,
     minhash_agreement,
     minhash_bands,
@@ -242,21 +243,43 @@ def cross_snapshot_near_dups(new: DataFrame, snapshot: DataFrame,
     independently; the join is new-bands x snapshot-bands on (band, bucket)
     — the new batch (small) never self-joins and the historical corpus
     (huge) is touched once. This is the shape that keeps daily ingests
-    O(new x collisions) instead of O(corpus^2)."""
-    nb = minhash_bands(new).alias("n")
-    sb = minhash_bands(snapshot).alias("s")
-    return (
+    O(new x collisions) instead of O(corpus^2).
+
+    Both sides pre-collapse exact duplicates (round-4, same hot-bucket fix
+    as the self-join path): m identical boilerplate pages in the snapshot x
+    k copies in the batch previously emitted m*k band-collision rows per
+    band; the rep band join emits ONE, and the member expansion joins
+    reconstruct the m*k output pairs — output-proportional work, never
+    collision-proportional."""
+    n_reps, n_members = exact_text_collapse(new)
+    s_reps, s_members = exact_text_collapse(snapshot)
+    nb = minhash_bands(n_reps).alias("n")
+    sb = minhash_bands(s_reps).alias("s")
+    rep_pairs = (
         nb.join(
             sb,
             (F.col("n.band") == F.col("s.band")) & (F.col("n.bucket") == F.col("s.bucket")),
         )
         .select(
-            F.col("s.doc_id").alias("snapshot_doc_id"),
-            F.col("n.doc_id").alias("new_doc_id"),
+            F.col("s.doc_id").alias("_s_rep"),
+            F.col("n.doc_id").alias("_n_rep"),
             minhash_agreement(F.col("n.sig"), F.col("s.sig")).alias("est_jaccard"),
         )
         .where(F.col("est_jaccard") >= threshold)
         .distinct()
+    )
+    return (
+        rep_pairs.join(
+            s_members.select(F.col("doc_id").alias("snapshot_doc_id"),
+                             F.col("rep").alias("_s_rep")),
+            "_s_rep",
+        )
+        .join(
+            n_members.select(F.col("doc_id").alias("new_doc_id"),
+                             F.col("rep").alias("_n_rep")),
+            "_n_rep",
+        )
+        .select("snapshot_doc_id", "new_doc_id", "est_jaccard")
     )
 
 

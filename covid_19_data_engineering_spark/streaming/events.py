@@ -188,14 +188,42 @@ def events_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- streaming builders (driven by tests with availableNow) ------------------
 
 
-def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet (stand-in for Kafka/file-arrival).
+def events_stream(spark: SparkSession, sf_dir: str, source: str = "files") -> DataFrame:
+    """Streaming events in the engine's canonical shape, from a pluggable
+    source. Every ``stream_*`` builder below takes this DataFrame — the
+    plans never know which source produced it (the Kafka-shaped seam:
+    swapping sources changes THIS function only).
 
-    The ts physical type has flip-flopped between testdata vintages (INT64
-    TIMESTAMP(NANOS) vs timestamp[us]); take the schema from a batch read of
-    the actual file and re-type exactly like the batch loader so stream and
-    batch plans share semantics regardless of vintage."""
+    - ``source="files"``: readStream over the events parquet directory
+      (stand-in for file-arrival ingestion). The ts physical type has
+      flip-flopped between testdata vintages (INT64 TIMESTAMP(NANOS) vs
+      timestamp[us]); take the schema from a batch read of the actual file
+      and re-type exactly like the batch loader so stream and batch plans
+      share semantics regardless of vintage.
+    - ``source="rate"``: the built-in rate source mapped onto the events
+      schema — a live unbounded source with none of the file machinery,
+      proving the builders are source-agnostic (tests drive a stream_*
+      plan off it).
+    - a real Kafka deployment is one more branch with the same contract:
+      ``spark.readStream.format("kafka")...load()`` then
+      ``from_json(value, events_schema)`` projected to these columns; not
+      wired here because the kafka connector jar isn't shipped in this
+      container.
+    """
     import os
+
+    if source == "rate":
+        raw = spark.readStream.format("rate").option("rowsPerSecond", "500").load()
+        types = F.array(F.lit("click"), F.lit("view"), F.lit("purchase"))
+        return raw.select(
+            F.col("value").alias("event_id"),
+            (F.col("value") % 50).alias("user_id"),
+            F.element_at(types, (F.col("value") % 3 + 1).cast("int")).alias("event_type"),
+            F.col("timestamp").alias("ts"),
+            F.round(F.col("value") % 100 / 10.0, 2).alias("value"),
+        )
+    if source != "files":
+        raise ValueError(f"unknown stream source {source!r}")
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema

@@ -333,7 +333,6 @@ def test_retention_manifest_semantics(spark):
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
     out = {r["doc_id"]: (r["status"], r["ref_doc"]) for r in retention_manifest(df).collect()}
-    assert out[2] == ("drop_exact", 1)
     assert out[4] == ("keep", 4)
     # docs 1 and 3 form a near-dup cluster: exactly one survives and the
     # other defers to it
@@ -342,6 +341,11 @@ def test_retention_manifest_semantics(spark):
     kept = 1 if out[1][0] == "keep" else 3
     dropped = 3 if kept == 1 else 1
     assert out[dropped][1] == kept
+    # doc 2 is an exact copy of doc 1; its ref resolves the chain — straight
+    # to doc 1 when doc 1 survives, else to the doc that beat doc 1 — so the
+    # ref always lands on a 'keep' row (round-3 ADVICE invariant)
+    assert out[2][0] == "drop_exact"
+    assert out[2][1] == kept
 
 
 def test_cms_heavy_hitters_invariants(spark):
@@ -511,3 +515,102 @@ def test_grouped_zscore_degenerate_groups(spark):
     assert got[1] == oracle[1] == 0.0       # singleton group
     assert got[2] == oracle[2] == 0.0       # constant-length group
     assert got == oracle
+
+
+def test_lsh_exact_dup_precollapse(spark):
+    """Round-3 verdict #1 regression: a corpus with a planted 1000-copy doc
+    produces O(1000) manifest rows but O(1) band-join candidates — the band
+    self-join sees one representative per exact text, never the m^2 clique."""
+    from covid_19_data_engineering_spark.operators.clustering import (
+        retention_manifest,
+    )
+    from covid_19_data_engineering_spark.operators.dedup import _minhash_rep_pairs
+
+    m = 1000
+    near = BASE.replace("green fields", "golden fields")
+    other = ("completely different subject matter discussing numerical "
+             "linear algebra and distributed matrix factorization at depth")
+    rows = ([(i, BASE, "en") for i in range(m)]
+            + [(5000, near, "en"), (6000, other, "en")])
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    rep_pairs, members = _minhash_rep_pairs(docs)
+    # O(1) band-join candidates for the dup set: the only possible rep pairs
+    # are between the 3 distinct texts, never within the 1000-copy group
+    assert rep_pairs.count() <= 3
+    # every copy maps to the min-id representative
+    reps = {r["rep"] for r in members.where(F.col("doc_id") < m).collect()}
+    assert reps == {0}
+
+    # the full candidate expansion still reconstructs every within-group
+    # pair at est_jaccard = 1.0 (the oracle-checked output contract)
+    cands = minhash_lsh_candidates(docs).where(
+        (F.col("doc_a") < m) & (F.col("doc_b") < m)
+    )
+    n_within = cands.count()
+    assert n_within == m * (m - 1) // 2
+    assert cands.where(F.col("est_jaccard") != 1.0).count() == 0
+
+    # manifest: O(m) rows — 999 drop_exact, and the ref invariant holds:
+    # every ref_doc lands on a row whose own status is 'keep', even though
+    # the 1000-copy group's canonical may itself lose the cluster rank to
+    # the near-dup doc (the depth-2 ref chain case)
+    manifest = retention_manifest(docs).localCheckpoint(eager=True)
+    assert manifest.count() == m + 2
+    assert manifest.where(F.col("status") == "drop_exact").count() == m - 1
+    # the {copies + near} cluster keeps exactly one survivor
+    assert manifest.where((F.col("doc_id") <= 5000) & (F.col("status") == "keep")).count() == 1
+    keep_ids = {r["doc_id"] for r in manifest.where(F.col("status") == "keep").collect()}
+    dangling = manifest.where(~F.col("ref_doc").isin(list(keep_ids)))
+    assert dangling.count() == 0
+
+
+def test_incremental_retention_manifest_semantics(spark):
+    """Planted batch-vs-snapshot scenario covering every decision branch:
+    snapshot-exact, batch-exact (chained ref), snapshot-near-dup (anchored
+    component), batch-only near-dup cluster, unique keep — and the ref
+    invariant (every batch ref lands on a keep row of either manifest)."""
+    from covid_19_data_engineering_spark.operators.clustering import (
+        incremental_retention_manifest,
+        retention_manifest,
+    )
+
+    near = BASE.replace("green fields", "golden fields")
+    batch_text = ("a freshly written reflection on distributed stream "
+                  "processing engines and their checkpointing strategies "
+                  "under sustained failure injection at scale")
+    batch_near = batch_text.replace("failure injection", "fault injection")
+    unrelated = ("gardening tips for growing tomatoes basil and peppers in "
+                 "raised beds with drip irrigation through the hot summer")
+    snapshot = spark.createDataFrame(
+        [(10, BASE, "en"), (20, unrelated, "en"), (30, BASE, "en")],
+        "doc_id long, text string, lang string",
+    )
+    new = spark.createDataFrame(
+        [
+            (250, BASE, "en"),          # exact copy of snapshot doc 10
+            (251, batch_text, "en"),    # batch-internal exact pair canon
+            (252, batch_text, "en"),    # exact copy of 251
+            (253, near, "en"),          # near-dup of snapshot doc 10
+            (254, batch_near, "en"),    # near-dup of 251 (batch-only cluster)
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["doc_id"]: (r["status"], r["ref_doc"])
+           for r in incremental_retention_manifest(new, snapshot).collect()}
+    assert set(out) == {250, 251, 252, 253, 254}
+    assert out[250] == ("drop_exact", 10)       # snapshot exact wins
+    assert out[253] == ("drop_near_dup", 10)    # anchored component
+    # batch cluster {251, 252, 254}: 254 collides with 251 in the band join;
+    # exactly one keep, everyone else resolves to it
+    batch_cluster = {251, 252, 254}
+    keeps = {d for d in batch_cluster if out[d][0] == "keep"}
+    assert len(keeps) == 1
+    kept = keeps.pop()
+    assert all(out[d][1] == kept for d in batch_cluster)
+    assert out[252][0] == "drop_exact"
+    # invariant: every ref lands on a keep row (snapshot manifest or batch)
+    snap_keep = {r["doc_id"] for r in retention_manifest(snapshot).collect()
+                 if r["status"] == "keep"}
+    batch_keep = {d for d, (s, _) in out.items() if s == "keep"}
+    assert all(ref in snap_keep | batch_keep for _, ref in out.values())

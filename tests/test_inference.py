@@ -201,3 +201,50 @@ def test_profile_csv_files_walks_files(spark, tmp_path):
     assert rows[("labels", "code")] == "text"     # zero-padded stays text
     assert rows[("labels", "label")] == "text"
     assert len(rows) == 5
+
+
+def test_sampling_inference_single_job_wide_table(spark):
+    """Round-3 verdict #8: sampling inference must launch ONE Spark job no
+    matter how wide the table — the old per-column limit/collect meant 50
+    scheduler round-trips for a 50-column staging table."""
+    import pyspark.sql.functions as F
+
+    from covid_19_data_engineering_spark.inference import infer_table_schema
+
+    df = spark.range(100).select(
+        *[F.lit(str(i)).alias(f"c{i}") for i in range(50)]
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("wide-infer", "inference job-count gate")
+    try:
+        schema = infer_table_schema(df, row_count=100)
+    finally:
+        sc.setJobGroup("", "")
+    jobs = sc.statusTracker().getJobIdsForGroup("wide-infer")
+    assert len(jobs) == 1, f"expected 1 job, saw {len(jobs)}"
+    assert len(schema) == 50
+    assert set(schema.values()) == {"smallint"}
+
+
+def test_sampling_inference_null_and_mixed_columns(spark):
+    """Slice semantics: per-column null filtering happens on the collected
+    slice; an all-null column resolves to text, mixed columns resolve
+    through the reference lattice exactly as before."""
+    import pyspark.sql.functions as F
+
+    from covid_19_data_engineering_spark.inference import infer_table_schema
+
+    rows = [
+        ("1", None, "2021-03-04", "x"),
+        ("900", "t", None, "y"),
+        (None, "f", "2021-05-06", "3.25"),
+    ]
+    df = spark.createDataFrame(
+        rows, "a string, b string, c string, d string"
+    ).withColumn("e", F.lit(None).cast("string"))
+    schema = infer_table_schema(df, row_count=3)
+    assert schema["a"] == "smallint"   # nulls skipped, ints resolved
+    assert schema["b"] == "boolean"
+    assert schema["c"] == "date"
+    assert schema["d"] == "text"       # text absorbs everything
+    assert schema["e"] == "text"       # all-null -> default text

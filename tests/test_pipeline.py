@@ -162,3 +162,54 @@ def test_backup_csv_files(tmp_path):
     assert len(copies) == 2
     assert all("upload_2026_08_13" in c for c in copies)
     assert (tmp_path / "hist" / "upload_2026_08_13" / "a.csv").read_text() == "id\n1\n"
+
+
+@pytest.mark.parametrize("mode", ["rename", "atomic"])
+def test_promote_swap_semantics_both_modes(spark, mode):
+    """B9 swap parameterized over both commit protocols: reference-parity
+    DROP+RENAME and the round-4 atomic view-pointer commit. Same observable
+    contract: prod serves the new rows, the build name is released."""
+    from covid_19_data_engineering_spark import lifecycle as lc
+
+    schema = f"promote_{mode}"
+    lc.ensure_schema(spark, schema)
+    v1 = spark.createDataFrame([(1, "old")], "id long, tag string")
+    lc.write_build_table(spark, v1, schema, "t")
+    lc.promote(spark, schema, "t", mode=mode)
+    assert {r["tag"] for r in spark.table(f"{schema}.t").collect()} == {"old"}
+
+    v2 = spark.createDataFrame([(2, "new"), (3, "new")], "id long, tag string")
+    lc.write_build_table(spark, v2, schema, "t")
+    lc.promote(spark, schema, "t", mode=mode)
+    assert {r["tag"] for r in spark.table(f"{schema}.t").collect()} == {"new"}
+    assert not lc.table_exists(spark, schema, "t_build")
+
+    if mode == "atomic":
+        # pointer commit: prod is a view over exactly one versioned table —
+        # old versions are GC'd after the commit
+        tables = {t.name: t.tableType for t in spark.catalog.listTables(schema)}
+        assert tables["t"] == "VIEW"
+        versions = [n for n in tables if n.startswith("t__v")]
+        assert len(versions) == 1
+
+
+def test_promote_mode_switching(spark):
+    """rename -> atomic migrates (drops the plain table once), atomic ->
+    rename drops the view; both directions end with correct prod rows."""
+    from covid_19_data_engineering_spark import lifecycle as lc
+
+    schema = "promote_switch"
+    lc.ensure_schema(spark, schema)
+    lc.write_build_table(
+        spark, spark.createDataFrame([(1,)], "id long"), schema, "t")
+    lc.promote(spark, schema, "t", mode="rename")
+
+    lc.write_build_table(
+        spark, spark.createDataFrame([(2,)], "id long"), schema, "t")
+    lc.promote(spark, schema, "t", mode="atomic")
+    assert [r["id"] for r in spark.table(f"{schema}.t").collect()] == [2]
+
+    lc.write_build_table(
+        spark, spark.createDataFrame([(3,)], "id long"), schema, "t")
+    lc.promote(spark, schema, "t", mode="rename")
+    assert [r["id"] for r in spark.table(f"{schema}.t").collect()] == [3]

@@ -322,3 +322,62 @@ def test_round3_operator_plans(spark):
 
     trans = _executed_plan(REGISTRY["event_transition_matrix"].builder(spark, sf))
     assert trans.count("events.parquet") == 1
+
+
+def test_minhash_expansion_reads_checkpoints_not_corpus(spark):
+    """The round-4 pre-collapse restructure: the final dedup_minhash_lsh
+    plan (rep band join + member expansion) runs entirely off the two
+    checkpointed working sets (members, rep bands) — the corpus parquet is
+    scanned only while building them, never re-read by the expansion."""
+    df = REGISTRY["dedup_minhash_lsh"].builder(spark, SF_SMOKE)
+    plan = _executed_plan(df)
+    assert "documents.parquet" not in plan
+    assert "ExistingRDD" in plan
+
+
+def test_lsh_band_join_skew_split(spark):
+    """Residual skew hazard after the exact-dup pre-collapse: a hot NEAR-dup
+    (distinct-text) cluster still lands its band rows in one bucket. Gate:
+    AQE actually splits the skewed partition of the band self-join
+    (OptimizeSkewedJoin marks the SMJ with skew=true) under scaled-down
+    thresholds, and candidate pairs stay bounded by C(m,2) emitted once."""
+    from covid_19_data_engineering_spark.operators.dedup import _minhash_rep_pairs
+
+    m = 300
+    base_tokens = (
+        "the quick brown fox jumps over the lazy dog while the cat sleeps "
+        "near the warm fire and dreams of chasing mice through green fields"
+    ).split()
+    rows = [
+        (i, " ".join(base_tokens + [f"uniquetoken{i}"]), "en") for i in range(m)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    overrides = {
+        # force SMJ (no broadcast) and make the skew machinery trigger on
+        # KB-scale test data instead of the production 256MB thresholds
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8192",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4096",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1024",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        rep_pairs, _ = _minhash_rep_pairs(docs)
+        rep_pairs = rep_pairs.where(F.col("est_jaccard") >= 0.3)
+        plan = _executed_plan(rep_pairs)
+        assert "skew=true" in plan, "AQE did not split the hot band bucket"
+        n = rep_pairs.count()
+        n_distinct = rep_pairs.select("rep_a", "rep_b").distinct().count()
+        assert n == n_distinct, "pairs emitted more than once"
+        assert n <= m * (m - 1) // 2
+        assert n >= int(0.9 * m * (m - 1) // 2), f"LSH recall collapsed: {n}"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

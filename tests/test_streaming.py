@@ -333,3 +333,38 @@ def test_streaming_cms_grid_merges_to_batch_grid(spark, tmp_path):
         for r in cms_table(batch, F.col("user_id")).collect()
     }
     assert store == want and len(store) > 0
+
+
+def test_stream_builders_are_source_agnostic_rate(spark):
+    """The Kafka-shaped seam: the same stream_tumbling_counts plan runs
+    unchanged off the built-in rate source (a live unbounded source with no
+    file machinery). Proves swapping ingestion = swapping events_stream's
+    source branch only."""
+    stream = events_stream(spark, SF_SMOKE, source="rate")
+    assert stream.isStreaming
+    assert {c for c, _ in stream.dtypes} == {
+        "event_id", "user_id", "event_type", "ts", "value"
+    }
+    q = (
+        stream_tumbling_counts(stream)
+        .writeStream.format("memory")
+        .queryName("t_rate_tumbling")
+        .outputMode("complete")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 60
+        rows = []
+        while time.time() < deadline:
+            time.sleep(2)
+            rows = spark.table("t_rate_tumbling").collect()
+            if rows:
+                break
+    finally:
+        q.stop()
+    assert rows, "rate-sourced stream produced no windows"
+    assert {r["event_type"] for r in rows} <= {"click", "view", "purchase"}
+    assert all(r["n_events"] > 0 for r in rows)
