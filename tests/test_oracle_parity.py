@@ -81,9 +81,16 @@ def test_oracle_match(name, spark, duck):
     assert not mismatches, f"{name}: {len(mismatches)} row mismatches, first 3: {mismatches[:3]}"
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY_CASES)
-def test_rows_only_runs(name, spark):
-    q = REGISTRY[name]
-    sdf = q.builder(spark, SF_ORACLE)
-    assert sdf.count() >= 0
-    assert len(sdf.schema.fields) > 0
+def test_registry_has_no_rows_only_entries():
+    """Every registered query carries a full DuckDB oracle — the strongest
+    driver check. (An empty parametrize list here used to auto-skip one
+    placeholder test and show up as the suite's lone mystery skip.) If a
+    genuinely non-SQL-expressible query ever lands, re-add the rows-only
+    runner:
+
+        @pytest.mark.parametrize("name", ROWS_ONLY_CASES)
+        def test_rows_only_runs(name, spark):
+            sdf = REGISTRY[name].builder(spark, SF_ORACLE)
+            assert sdf.count() >= 0 and len(sdf.schema.fields) > 0
+    """
+    assert ROWS_ONLY_CASES == []
