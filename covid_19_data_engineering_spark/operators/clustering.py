@@ -89,7 +89,8 @@ def connected_components(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b
     return labels
 
 
-def duplicate_clusters(docs: DataFrame, threshold: float = 0.3) -> DataFrame:
+def duplicate_clusters(docs: DataFrame, threshold: float = 0.3,
+                       rep_state: tuple[DataFrame, DataFrame] | None = None) -> DataFrame:
     """Full dedup-cluster pass: LSH candidate pairs above ``threshold`` →
     connected components → every document labeled with its cluster id (its
     own id when it has no near-dup). Keep ``doc_id == cluster`` rows for the
@@ -103,8 +104,12 @@ def duplicate_clusters(docs: DataFrame, threshold: float = 0.3) -> DataFrame:
     afterwards via one equi-join. Labels are unchanged from the naive
     expanded-graph formulation: the representative is the min key of its
     group, so the min reachable representative IS the min reachable member.
+
+    ``rep_state``: optionally inject precomputed ``(rep_pairs, members)``
+    so a composition (the incremental manifest) shares one collapse+bands
+    working set across stages instead of re-deriving signatures.
     """
-    rep_pairs, members = _minhash_rep_pairs(docs)
+    rep_pairs, members = rep_state if rep_state is not None else _minhash_rep_pairs(docs)
     pairs = rep_pairs.where(F.col("est_jaccard") >= threshold)
     comps = connected_components(pairs, src="rep_a", dst="rep_b")
     rep_cluster = (
@@ -257,7 +262,8 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-def retention_manifest(docs: DataFrame, threshold: float = 0.3) -> DataFrame:
+def retention_manifest(docs: DataFrame, threshold: float = 0.3,
+                       rep_state: tuple[DataFrame, DataFrame] | None = None) -> DataFrame:
     """End-to-end dedup DECISION table — the artifact a curation run
     actually ships: every doc_id mapped to keep / drop_exact /
     drop_near_dup plus the doc retained in its place.
@@ -301,7 +307,7 @@ def retention_manifest(docs: DataFrame, threshold: float = 0.3) -> DataFrame:
         quality_score_col(F.col("text")).alias("quality"),
     ).localCheckpoint(eager=True)
     exact = base.groupBy("fp").agg(F.min("doc_id").alias("exact_canon"))
-    clusters = duplicate_clusters(docs)
+    clusters = duplicate_clusters(docs, threshold, rep_state)
     rank_w = Window.partitionBy("cluster").orderBy(F.col("quality").desc(), "doc_id")
     size_w = Window.partitionBy("cluster")
     ranked = (
@@ -473,8 +479,11 @@ def incremental_retention_manifest(new: DataFrame, snapshot: DataFrame,
     The ref invariant holds: every ref_doc resolves to a 'keep' row (of
     the snapshot manifest or of this batch output).
     """
-    from covid_19_data_engineering_spark.operators.llmprep import (
-        cross_snapshot_near_dups,
+    from covid_19_data_engineering_spark.operators.dedup import (
+        band_self_pairs,
+        exact_text_collapse,
+        minhash_agreement,
+        minhash_bands,
     )
     from covid_19_data_engineering_spark.operators.textstats import (
         fingerprint_col,
@@ -482,9 +491,18 @@ def incremental_retention_manifest(new: DataFrame, snapshot: DataFrame,
     )
     from pyspark.sql import Window
 
-    snap_resolve = retention_manifest(snapshot, threshold).select(
-        F.col("doc_id").alias("_sid"), F.col("ref_doc").alias("_sref")
-    )
+    # ONE collapse + ONE band checkpoint per side, shared by every stage
+    # (the snapshot manifest, the batch self-join, and the cross join) —
+    # composing via the standalone operators re-derived each working set
+    # once per stage (~2x the whole query's cost at bench scale)
+    s_reps, s_members = exact_text_collapse(snapshot)
+    s_bands = minhash_bands(s_reps).localCheckpoint(eager=True)
+    n_reps, n_members = exact_text_collapse(new)
+    n_bands = minhash_bands(n_reps).localCheckpoint(eager=True)
+
+    snap_resolve = retention_manifest(
+        snapshot, threshold, rep_state=(band_self_pairs(s_bands), s_members)
+    ).select(F.col("doc_id").alias("_sid"), F.col("ref_doc").alias("_sref"))
     base = new.select(
         "doc_id",
         fingerprint_col(F.col("text")).alias("fp"),
@@ -497,14 +515,28 @@ def incremental_retention_manifest(new: DataFrame, snapshot: DataFrame,
         .agg(F.min("doc_id").alias("snap_canon"))
     )
 
-    rep_pairs, members = _minhash_rep_pairs(new)
+    rep_pairs, members = band_self_pairs(n_bands), n_members
     batch_edges = rep_pairs.where(F.col("est_jaccard") >= threshold).select(
         "rep_a", "rep_b"
     )
+    # cross edges at rep level: new-rep bands x snapshot-rep bands; exact-dup
+    # members on BOTH sides are represented by their reps, and expansion is
+    # unnecessary here because the component closure + member maps recover
+    # membership (snapshot rep stands for every snapshot doc in its group —
+    # the anchor join below resolves through the snapshot manifest anyway)
     cross_edges = (
-        cross_snapshot_near_dups(new, snapshot, threshold)
-        .join(members.select(F.col("doc_id").alias("new_doc_id"), "rep"), "new_doc_id")
-        .select(F.col("rep").alias("rep_a"), F.col("snapshot_doc_id").alias("rep_b"))
+        n_bands.alias("n")
+        .join(
+            s_bands.alias("s"),
+            (F.col("n.band") == F.col("s.band")) & (F.col("n.bucket") == F.col("s.bucket")),
+        )
+        .select(
+            F.col("n.doc_id").alias("rep_a"),
+            F.col("s.doc_id").alias("rep_b"),
+            minhash_agreement(F.col("n.sig"), F.col("s.sig")).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+        .select("rep_a", "rep_b")
         .distinct()
     )
     comps = connected_components(

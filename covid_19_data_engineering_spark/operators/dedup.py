@@ -411,9 +411,17 @@ def _minhash_rep_pairs(df: DataFrame, text_col: str = "text",
     """
     reps, members = exact_text_collapse(df, text_col, key_col)
     bands = minhash_bands(reps, text_col, key_col).localCheckpoint(eager=True)
+    return band_self_pairs(bands, key_col), members
+
+
+def band_self_pairs(bands: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """Distinct colliding pairs from a (materialized) band table self-join:
+    (rep_a, rep_b, est_jaccard). Callers that hold several band tables
+    (the incremental manifest) reuse one checkpoint across self- and
+    cross-joins instead of re-deriving signatures per composition stage."""
     a = bands.alias("a")
     b = bands.alias("b")
-    rep_pairs = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -427,7 +435,6 @@ def _minhash_rep_pairs(df: DataFrame, text_col: str = "text",
         )
         .distinct()
     )
-    return rep_pairs, members
 
 
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",

@@ -381,3 +381,14 @@ def test_lsh_band_join_skew_split(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_incremental_manifest_plan_posture(spark):
+    """The incremental manifest's final plan is equi-joins over the
+    checkpointed working sets — JVM-only (no Python eval anywhere) and the
+    corpus parquet is never re-read by the decision assembly."""
+    df = REGISTRY["incremental_retention_manifest"].builder(spark, SF_SMOKE)
+    plan = _executed_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "ExistingRDD" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
