@@ -65,6 +65,10 @@ EXTRA = [
     "dedup_ngram_jaccard",
     "dedup_cluster_components",
     "incremental_retention_manifest",
+    "dup_span_profile",
+    "pagerank_copurchase",
+    "kmeans_embedding_clusters",
+    "ann_range_search",
 ]
 
 

@@ -1,0 +1,158 @@
+"""Fixed-point PageRank over the part co-purchase graph.
+
+Iterative graph algorithms are the canonical "Spark can, a warehouse
+can't comfortably" workload (the reference delegates everything relational
+to PostgreSQL/Vertica and has no graph surface at all — SURVEY §2
+C-extensions). This module runs PageRank over the undirected co-purchase
+graph already mined by ``part_copurchase_pairs`` (plans/analytics.py):
+nodes are parts, an edge links two parts that ever co-occur in an order.
+
+Design decisions, all scale- or determinism-driven:
+
+- **Edges are built with an order-blocked self-join** (shuffle on
+  l_orderkey, pairs explode only within a basket — O(rows x basket), never
+  O(parts^2)), then symmetrized. Same shape as the pair-mining query.
+- **Fixed-point integer arithmetic.** Float PageRank is order-dependent:
+  SUM(double) over incoming contributions reduces in engine- and
+  partition-dependent order, so Spark and DuckDB would diverge in the last
+  bits and the driver's value-hash would flap. Instead ranks live in
+  integer units of 1e-12: contribution = units div degree, damping =
+  (85 * sum) div 100 — every op is exact BIGINT arithmetic, identical on
+  any engine and any partitioning. (Same trick as the exact-integer
+  mixture plan in llmprep.py.)
+- **3 unrolled iterations in ONE Catalyst plan.** Each iteration is an
+  equi-join of ranks with edges on the source key plus a groupBy on the
+  destination — both hash-partition on the part key, so AQE coalesces and
+  re-uses the exchange family. At cluster scale the ranks side is tiny
+  relative to edges; Catalyst broadcast-joins it automatically under the
+  threshold. Unbounded iteration counts would checkpoint per round like
+  operators/clustering.py; 3 rounds is plan-depth-safe without it.
+- Dangling nodes cannot exist: the graph is symmetrized, so every node has
+  degree >= 1; the left join from the node set is belt-and-braces.
+
+Output: top 30 parts by rank with exact integer rank units (hash-stable)
+and a human-readable double derived from them by one exact division.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from covid_19_data_engineering_spark.plans.registry import register
+from covid_19_data_engineering_spark.sources.tables import load_table
+
+UNIT = 1_000_000_000_000  # rank fixed-point denominator (1e-12 units)
+PR_ITERS = 3
+PR_TOP = 30
+
+
+def copurchase_edges(lineitem: DataFrame) -> DataFrame:
+    """Symmetric distinct edge list (src, dst) of parts sharing an order."""
+    lines = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = lines.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = lines.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("pa") < F.col("pb")))
+        .select("pa", "pb").distinct()
+    )
+    return pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
+        pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+
+
+def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+    """Fixed-point PageRank. edges: symmetric (src, dst). Returns
+    (part, rank_units) for every node."""
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    nodes = deg.select(F.col("src").alias("part"), "deg")
+    n = nodes.groupBy().agg(F.count("*").alias("n"))
+    # every node starts with UNIT div N units; base = (15 * u0) div 100
+    init = nodes.crossJoin(F.broadcast(n)).select(
+        "part", "deg",
+        F.expr(f"{UNIT} div n").alias("u0"),
+    )
+    ranks = init.select("part", "deg", F.col("u0").alias("units"),
+                        F.expr(f"(15 * u0) div 100").alias("base"))
+    for _ in range(iters):
+        contrib = (
+            ranks.select(F.col("part").alias("src"),
+                         F.expr("units div deg").alias("c"))
+            .join(edges, "src")
+            .groupBy("dst").agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            ranks.select("part", "deg", "base")
+            .join(contrib, ranks.part == contrib.dst, "left")
+            .select(
+                "part", "deg", "base",
+                (F.col("base")
+                 + F.expr("(85 * coalesce(inflow, 0)) div 100")).alias("units"),
+            )
+        )
+    return ranks.select("part", "units")
+
+
+def _pagerank_oracle_sql() -> str:
+    it = """
+    it{i} AS (
+      -- CAST: SUM(BIGINT) is HUGEINT in DuckDB, which pandas renders as
+      -- float and the driver would hash 8.3e8 vs Spark's long
+      SELECT n.part, n.deg, n.base,
+             CAST(n.base + (85 * COALESCE(s.inflow, 0)) // 100 AS BIGINT) AS units
+      FROM n LEFT JOIN (
+        SELECT e.dst, SUM(r.units // r.deg) AS inflow
+        FROM it{p} r JOIN edges e ON e.src = r.part
+        GROUP BY e.dst
+      ) s ON s.dst = n.part
+    )"""
+    chain = ",".join(it.format(i=i, p=i - 1) for i in range(1, PR_ITERS + 1))
+    return f"""
+    WITH lines AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lines a JOIN lines b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    edges AS (
+      SELECT pa AS src, pb AS dst FROM pairs
+      UNION ALL
+      SELECT pb AS src, pa AS dst FROM pairs
+    ),
+    deg AS (SELECT src AS part, COUNT(*) AS deg FROM edges GROUP BY src),
+    n AS (
+      SELECT part, deg,
+             {UNIT} // (SELECT COUNT(*) FROM deg) AS u0,
+             (15 * ({UNIT} // (SELECT COUNT(*) FROM deg))) // 100 AS base
+      FROM deg
+    ),
+    it0 AS (SELECT part, deg, base, u0 AS units FROM n),
+    {chain}
+    SELECT part, units AS rank_units,
+           ROUND(CAST(units AS DOUBLE) / {UNIT}, 10) AS rank
+    FROM it{PR_ITERS}
+    ORDER BY rank_units DESC, part
+    LIMIT {PR_TOP}
+    """
+
+
+@register(
+    "pagerank_copurchase",
+    oracle=_pagerank_oracle_sql(),
+    doc=f"{PR_ITERS}-iteration fixed-point PageRank over the symmetric part "
+    "co-purchase graph (order-blocked edge build, integer rank units for "
+    "cross-engine hash stability). The iterative-graph workload class the "
+    "reference's warehouse delegation cannot express.",
+)
+def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    pr = pagerank(copurchase_edges(li))
+    return (
+        pr.select(
+            "part",
+            F.col("units").alias("rank_units"),
+            F.round(F.col("units").cast("double") / UNIT, 10).alias("rank"),
+        )
+        .orderBy(F.col("rank_units").desc(), "part")
+        .limit(PR_TOP)
+    )

@@ -531,3 +531,61 @@ def quantized_topk(corpus: DataFrame, k: int = TOP_K,
 def ann_cosine_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
     return quantized_topk(corpus).orderBy("query_id", "rank")
+
+
+# --- cosine range search -----------------------------------------------------
+
+RANGE_THRESHOLD = 0.25
+
+
+def range_search(corpus: DataFrame, queries: DataFrame,
+                 threshold: float = RANGE_THRESHOLD) -> DataFrame:
+    """All corpus vectors within a cosine radius of each query — the
+    "find everything similar enough" contract (radius dedup sweeps,
+    near-match retrieval) that top-k cannot express: result size is
+    data-driven, not fixed at k.
+
+    Same scale posture as the brute top-k: queries broadcast, corpus
+    scanned ONCE with the threshold filter applied inside the scan
+    projection, and — unlike top-k — NO window/shuffle at all: the
+    predicate is per-row, so the whole operator is map-only."""
+    pairs = corpus.crossJoin(F.broadcast(queries)).where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    return (
+        pairs.select(
+            "query_id", "vec_id",
+            F.round(cosine_sim(F.col("q_embedding"), F.col("embedding")), 6)
+            .alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+@register(
+    "ann_range_search",
+    oracle=f"""
+    WITH queries AS (
+      SELECT vec_id AS query_id, embedding AS q_embedding
+      FROM embeddings ORDER BY vec_id LIMIT {N_QUERY_VECTORS}
+    )
+    SELECT q.query_id, e.vec_id,
+           ROUND(list_cosine_similarity(CAST(q.q_embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])), 6) AS cosine
+    FROM embeddings e CROSS JOIN queries q
+    WHERE e.vec_id != q.query_id
+      AND ROUND(list_cosine_similarity(CAST(q.q_embedding AS DOUBLE[]),
+                                       CAST(e.embedding AS DOUBLE[])), 6)
+          >= {RANGE_THRESHOLD}
+    ORDER BY query_id, cosine DESC, vec_id
+    """,
+    doc=f"Cosine range search (all neighbors with cosine >= "
+    f"{RANGE_THRESHOLD}): broadcast queries, map-only corpus scan, "
+    "result size data-driven — the radius-query contract top-k can't "
+    "express.",
+)
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    return range_search(corpus, default_queries(corpus)).orderBy(
+        "query_id", F.col("cosine").desc(), "vec_id"
+    )

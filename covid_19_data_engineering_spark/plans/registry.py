@@ -162,6 +162,9 @@ def _ensure_loaded() -> None:
     import covid_19_data_engineering_spark.operators.skew  # noqa: F401
     import covid_19_data_engineering_spark.operators.sketches  # noqa: F401
     import covid_19_data_engineering_spark.operators.temporal  # noqa: F401
+    import covid_19_data_engineering_spark.operators.spans  # noqa: F401
+    import covid_19_data_engineering_spark.operators.graphs  # noqa: F401
+    import covid_19_data_engineering_spark.operators.kmeans  # noqa: F401
     import covid_19_data_engineering_spark.functions.udfs  # noqa: F401
     import covid_19_data_engineering_spark.streaming.events  # noqa: F401
     _reorder_registry()

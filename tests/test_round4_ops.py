@@ -1,0 +1,153 @@
+"""Planted-case semantics for the round-4 operators: duplicated-span
+profiling, fixed-point PageRank, deterministic k-means, cosine range
+search. Oracle hash-parity is covered by tools/driver_gate.py; these pin
+the SEMANTICS on corpora constructed so the right answer is known by hand.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from covid_19_data_engineering_spark.operators.graphs import (
+    UNIT,
+    copurchase_edges,
+    pagerank,
+)
+from covid_19_data_engineering_spark.operators.kmeans import kmeans_stats
+from covid_19_data_engineering_spark.operators.similarity import range_search
+from covid_19_data_engineering_spark.operators.spans import (
+    SPAN_K,
+    dup_span_profile,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+class TestDupSpans:
+    def test_planted_shared_substring(self, spark):
+        shared = " ".join(f"s{i}" for i in range(12))  # 12 shared tokens
+        docs = _docs(spark, [
+            f"a1 a2 a3 {shared} a4 a5 a6",
+            f"b1 b2 {shared} b3 b4 b5 b6 b7",
+            "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12 c13 c14",
+        ])
+        out = {r["doc_id"]: r for r in dup_span_profile(docs).collect()}
+        # a 12-token shared substring = 12 - K + 1 = 5 consecutive dup grams
+        # -> span reported as 5 + K - 1 = 12 tokens, in BOTH docs
+        assert out[0]["longest_dup_span"] == 12
+        assert out[1]["longest_dup_span"] == 12
+        assert out[0]["dup_grams"] == 12 - SPAN_K + 1
+        # the unique doc shares nothing
+        assert out[2]["dup_grams"] == 0
+        assert out[2]["longest_dup_span"] == 0
+        assert not out[2]["flag_dup_heavy"]
+
+    def test_within_doc_repeat_not_dup(self, spark):
+        phrase = " ".join(f"p{i}" for i in range(SPAN_K))
+        docs = _docs(spark, [
+            f"{phrase} x1 x2 {phrase}",  # repeats only within itself
+            "z1 z2 z3 z4 z5 z6 z7 z8 z9",
+        ])
+        out = {r["doc_id"]: r for r in dup_span_profile(docs).collect()}
+        # cross-DOC frequency counts distinct docs: a phrase repeated inside
+        # one document is not a duplicate span
+        assert out[0]["dup_grams"] == 0
+
+    def test_short_doc_zero_grams(self, spark):
+        docs = _docs(spark, ["one two three", "a b c d e f g h i j"])
+        out = {r["doc_id"]: r for r in dup_span_profile(docs).collect()}
+        assert out[0]["n_grams"] == 0
+        assert out[0]["longest_dup_span"] == 0
+        assert out[1]["n_grams"] == 10 - SPAN_K + 1
+
+
+class TestPageRank:
+    def _edges(self, spark, pairs):
+        sym = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+        return spark.createDataFrame(sym, "src long, dst long")
+
+    def test_hub_outranks_leaves(self, spark):
+        # star: 1 — {2,3,4}
+        pr = {r["part"]: r["units"]
+              for r in pagerank(self._edges(spark, [(1, 2), (1, 3), (1, 4)])).collect()}
+        assert pr[1] > pr[2]
+        assert pr[2] == pr[3] == pr[4]  # symmetric leaves tie exactly
+
+    def test_mass_conserved_within_truncation(self, spark):
+        pr = pagerank(self._edges(spark, [(1, 2), (2, 3), (3, 1), (3, 4)]))
+        total = pr.agg(F.sum("units")).collect()[0][0]
+        # integer floor-div truncation only ever LOSES units, a few per node
+        # per iteration — total stays within a hair under 1.0
+        assert 0.999 * UNIT < total <= UNIT
+
+    def test_edges_blocked_on_order(self, spark):
+        li = spark.createDataFrame(
+            [(1, 10), (1, 11), (1, 10), (2, 11), (2, 12)],
+            "l_orderkey long, l_partkey long",
+        )
+        edges = copurchase_edges(li).collect()
+        got = {(r["src"], r["dst"]) for r in edges}
+        # order 1 links 10-11 (the duplicate line collapses), order 2 links
+        # 11-12; no 10-12 edge (never share an order)
+        assert got == {(10, 11), (11, 10), (11, 12), (12, 11)}
+
+
+class TestKMeans:
+    def test_planted_clusters_separate(self, spark):
+        import random
+        rng = random.Random(7)
+        rows = []
+        # two tight blobs around +1 and -1 in all 64 dims
+        for vid in range(40):
+            center = 1.0 if vid % 2 == 0 else -1.0
+            rows.append(
+                (vid, [center + rng.uniform(-0.05, 0.05) for _ in range(64)])
+            )
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        stats = kmeans_stats(emb, k=2).collect()
+        sizes = sorted(r["n_members"] for r in stats)
+        # seeds are vec_ids 0 (+blob) and 1 (-blob): each captures its blob
+        assert sizes == [20, 20]
+        for r in stats:
+            # within-blob sq-distance: 64 dims x (<=0.1)^2 -> far below the
+            # between-blob distance of 64 x 4
+            assert r["avg_sqdist"] < 1.0
+
+    def test_sizes_cover_corpus(self, spark):
+        sf = "/root/testdata/sf0.001"
+        from covid_19_data_engineering_spark.sources.tables import load_table
+        emb = load_table(spark, "embeddings", sf)
+        stats = kmeans_stats(emb).collect()
+        assert sum(r["n_members"] for r in stats) == emb.count()
+
+
+class TestRangeSearch:
+    def test_radius_contract(self, spark):
+        base = [1.0] * 64
+        near = [1.0] * 63 + [0.9]           # cosine ~ 0.9998
+        ortho = [1.0, -1.0] * 32            # cosine 0
+        corpus = spark.createDataFrame(
+            [(1, base), (2, near), (3, ortho)],
+            "vec_id long, embedding array<double>",
+        )
+        queries = spark.createDataFrame(
+            [(1, base)], "query_id long, q_embedding array<double>"
+        )
+        got = {r["vec_id"]: r["cosine"]
+               for r in range_search(corpus, queries, threshold=0.5).collect()}
+        assert set(got) == {2}              # self excluded, ortho below radius
+        assert got[2] > 0.99
+
+    def test_result_size_data_driven(self, spark):
+        # radius 1.01 excludes everything; radius -1 admits everything
+        vecs = [(i, [float(i + d) for d in range(64)]) for i in range(1, 6)]
+        corpus = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+        queries = spark.createDataFrame(
+            [(99, vecs[0][1])], "query_id long, q_embedding array<double>"
+        )
+        assert range_search(corpus, queries, threshold=1.01).count() == 0
+        assert range_search(corpus, queries, threshold=-1.0).count() == 5
