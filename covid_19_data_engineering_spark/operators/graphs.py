@@ -156,3 +156,105 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank_units").desc(), "part")
         .limit(PR_TOP)
     )
+
+
+# --- triangle counting -------------------------------------------------------
+
+TRI_MIN_SUPPORT = 2
+
+
+def support_pairs(lineitem: DataFrame, min_support: int = TRI_MIN_SUPPORT) -> DataFrame:
+    """Oriented (pa < pb) co-purchase edges kept only when the pair
+    co-occurs in >= min_support orders — the noise floor that keeps the
+    triangle-graph dense structure and drops one-off coincidences (and, at
+    scale, bounds the wedge space)."""
+    lines = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = lines.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = lines.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pb"))
+    return (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("pa") < F.col("pb")))
+        .groupBy("pa", "pb").agg(F.count("*").alias("c"))
+        .where(F.col("c") >= min_support)
+        .select("pa", "pb")
+    )
+
+
+def triangle_stats(pairs: DataFrame) -> DataFrame:
+    """Global triangle census of the oriented edge set: nodes, edges,
+    wedges (= sum of C(deg,2) over undirected degrees — computed from the
+    degree table, NO join), triangles (oriented wedge join a<b<c closed by
+    an edge probe), and the global clustering coefficient 3T/W.
+
+    The id-orientation (pa < pb) makes each triangle count exactly once.
+    At production scale the orientation key becomes (degree, id) —
+    degree-ordered orientation bounds per-node wedge fan-out by sqrt(m),
+    the standard skew cap for power-law graphs; the plan shape (two
+    equi-joins on single part keys) is unchanged."""
+    sym = pairs.select(F.col("pa").alias("p"), F.col("pb").alias("q")).unionAll(
+        pairs.select(F.col("pb").alias("p"), F.col("pa").alias("q"))
+    )
+    deg = sym.groupBy("p").agg(F.count("*").alias("d"))
+    node_stats = deg.agg(
+        F.count("*").alias("n_nodes"),
+        (F.sum(F.expr("d * (d - 1) div 2"))).alias("n_wedges"),
+    )
+    e1 = pairs.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    e2 = pairs.select(F.col("pa").alias("b2"), F.col("pb").alias("c"))
+    wedges = e1.join(e2, F.col("b") == F.col("b2")).select("a", "b", "c")
+    closed = wedges.join(
+        pairs, (F.col("a") == F.col("pa")) & (F.col("c") == F.col("pb"))
+    )
+    tri = closed.agg(F.count("*").alias("n_triangles"))
+    edge_n = pairs.agg(F.count("*").alias("n_edges"))
+    return (
+        node_stats.crossJoin(F.broadcast(edge_n))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes", "n_edges", "n_wedges", "n_triangles",
+            F.round(
+                3.0 * F.col("n_triangles") / F.greatest("n_wedges", F.lit(1)), 6
+            ).alias("global_clustering"),
+        )
+    )
+
+
+@register(
+    "copurchase_triangles",
+    oracle=f"""
+    WITH lines AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lines a JOIN lines b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY pa, pb HAVING COUNT(*) >= {TRI_MIN_SUPPORT}
+    ),
+    sym AS (
+      SELECT pa AS p, pb AS q FROM pairs
+      UNION ALL SELECT pb AS p, pa AS q FROM pairs
+    ),
+    deg AS (SELECT p, COUNT(*) AS d FROM sym GROUP BY p),
+    node_stats AS (
+      SELECT COUNT(*) AS n_nodes,
+             CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+      FROM deg
+    ),
+    tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM pairs e1
+      JOIN pairs e2 ON e1.pb = e2.pa
+      JOIN pairs e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    ),
+    edges AS (SELECT COUNT(*) AS n_edges FROM pairs)
+    SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           ROUND(3.0 * n_triangles / greatest(n_wedges, 1), 6)
+             AS global_clustering
+    FROM node_stats, edges, tri
+    """,
+    doc=f"Triangle census of the support>={TRI_MIN_SUPPORT} co-purchase "
+    "graph: oriented wedge join closed by an edge probe (each triangle "
+    "counted once), wedge count from the degree table alone, global "
+    "clustering coefficient 3T/W.",
+)
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return triangle_stats(support_pairs(li))

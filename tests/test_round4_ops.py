@@ -151,3 +151,56 @@ class TestRangeSearch:
         )
         assert range_search(corpus, queries, threshold=1.01).count() == 0
         assert range_search(corpus, queries, threshold=-1.0).count() == 5
+
+
+class TestBM25:
+    def test_term_frequency_ranks(self, spark):
+        docs = spark.createDataFrame([
+            (1, "spark spark spark filler filler filler"),
+            (2, "spark filler filler filler filler filler"),
+            (3, "filler filler filler filler filler filler"),
+        ], "doc_id long, text string")
+        from covid_19_data_engineering_spark.operators.retrieval import bm25_topk
+        got = bm25_topk(docs, terms=("spark",), k=10).collect()
+        ids = [r["doc_id"] for r in got]
+        # zero-match doc filtered out; heavier tf ranks first (equal dl)
+        assert ids == [1, 2]
+        assert got[0]["bm25"] > got[1]["bm25"] > 0
+
+    def test_length_normalization(self, spark):
+        # same tf, longer doc scores lower (b=0.75 length penalty)
+        docs = spark.createDataFrame([
+            (1, "spark " + "x " * 5 + "end"),
+            (2, "spark " + "x " * 50 + "end"),
+        ], "doc_id long, text string")
+        from covid_19_data_engineering_spark.operators.retrieval import bm25_topk
+        got = {r["doc_id"]: r["bm25"] for r in bm25_topk(docs, terms=("spark",)).collect()}
+        assert got[1] > got[2]
+
+
+class TestTriangles:
+    def _li(self, spark, baskets):
+        rows = [(ok, pk) for ok, parts in enumerate(baskets) for pk in parts]
+        return spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+
+    def test_planted_triangle(self, spark):
+        from covid_19_data_engineering_spark.operators.graphs import (
+            support_pairs, triangle_stats)
+        # each pair of {1,2,3} co-occurs in 2 orders (meets support=2);
+        # {4,5} co-occurs twice but closes no triangle
+        baskets = [[1, 2, 3], [1, 2, 3], [4, 5], [4, 5]]
+        out = triangle_stats(support_pairs(self._li(spark, baskets))).collect()[0]
+        assert out["n_triangles"] == 1
+        assert out["n_edges"] == 4          # (1,2) (1,3) (2,3) (4,5)
+        assert out["n_nodes"] == 5
+        # wedges: node1 C(2,2)=1, node2 1, node3 1, nodes 4,5 deg1 -> 0
+        assert out["n_wedges"] == 3
+        assert out["global_clustering"] == 1.0
+
+    def test_support_filter_drops_one_off(self, spark):
+        from covid_19_data_engineering_spark.operators.graphs import (
+            support_pairs, triangle_stats)
+        # triangle exists but every edge appears in only ONE order
+        out = triangle_stats(support_pairs(self._li(spark, [[1, 2, 3]]))).collect()[0]
+        assert out["n_edges"] == 0
+        assert out["n_triangles"] == 0
