@@ -175,7 +175,11 @@ def ngram_blocked_candidates(df: DataFrame, threshold: float, k: int = 3,
         F.array_distinct(
             F.transform(shingles_col(tokens_col("text"), k), _shingle_base_hash)
         ).alias("sh"),
-    )
+    ).localCheckpoint(eager=True)
+    # ^ materialize the shingle sets ONCE: both sides of the self-join (and
+    # the explode side's 3x bucket fan-out) would otherwise re-run the
+    # split -> shingle -> md5-fold pipeline per reference — the same
+    # shared-working-set rule as minhash_bands (dedup.py:413)
     if not length_blocking:
         a, b = sh.alias("a"), sh.alias("b")
         cond = (F.col("a.block") == F.col("b.block")) & (F.col("a.doc_id") < F.col("b.doc_id"))

@@ -64,6 +64,10 @@ def copurchase_edges(lineitem: DataFrame) -> DataFrame:
 def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     """Fixed-point PageRank. edges: symmetric (src, dst). Returns
     (part, rank_units) for every node."""
+    # materialize the edge list ONCE: it is referenced in every iteration's
+    # contribution join, and without this the order-blocked edge build
+    # (distinct + self-join + distinct) re-executes per round
+    edges = edges.localCheckpoint(eager=True)
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     nodes = deg.select(F.col("src").alias("part"), "deg")
     n = nodes.groupBy().agg(F.count("*").alias("n"))

@@ -36,6 +36,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from covid_19_data_engineering_spark.operators.dedup import _spread
 from covid_19_data_engineering_spark.plans.registry import register
 from covid_19_data_engineering_spark.sources.tables import load_table
 
@@ -55,7 +56,9 @@ def position_grams(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
             lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return docs.select("doc_id", F.posexplode(grams).alias("pos", "gram"))
+    # _spread: locally the corpus parquet is ONE split — without it the
+    # whole md5 gram pipeline runs in a single task (see dedup.py:_spread)
+    return _spread(docs).select("doc_id", F.posexplode(grams).alias("pos", "gram"))
 
 
 def dup_span_profile(docs: DataFrame, k: int = SPAN_K,
@@ -72,7 +75,10 @@ def dup_span_profile(docs: DataFrame, k: int = SPAN_K,
     flagged = (
         grams.join(df_gram, "gram")
         .select("doc_id", "pos", (F.col("n_docs") >= 2).alias("is_dup"))
+        .localCheckpoint(eager=True)
     )
+    # ^ three consumers (per-doc rollup, islands window, final join) would
+    # each re-run the gram explode + df join without this materialization
     per_doc = flagged.groupBy("doc_id").agg(
         F.count("*").alias("n_grams"),
         F.sum(F.col("is_dup").cast("long")).alias("dup_grams"),
