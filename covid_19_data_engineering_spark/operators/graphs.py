@@ -132,8 +132,13 @@ def _pagerank_oracle_sql() -> str:
     ),
     it0 AS (SELECT part, deg, base, u0 AS units FROM n),
     {chain}
+    -- rank is ONE exact double division of the integer units — no ROUND:
+    -- units/1e12 has up to 12 exact decimal digits, so rounding at 10
+    -- digits hits a genuine decimal half-tie whenever the last two digits
+    -- are 50 (~1% of rows), and the engines' tie handling on the binary
+    -- approximation is the one place they can disagree
     SELECT part, units AS rank_units,
-           ROUND(CAST(units AS DOUBLE) / {UNIT}, 10) AS rank
+           CAST(units AS DOUBLE) / {UNIT} AS rank
     FROM it{PR_ITERS}
     ORDER BY rank_units DESC, part
     LIMIT {PR_TOP}
@@ -155,7 +160,8 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         pr.select(
             "part",
             F.col("units").alias("rank_units"),
-            F.round(F.col("units").cast("double") / UNIT, 10).alias("rank"),
+            # exact division only — see the oracle note on ROUND half-ties
+            (F.col("units").cast("double") / UNIT).alias("rank"),
         )
         .orderBy(F.col("rank_units").desc(), "part")
         .limit(PR_TOP)
@@ -215,9 +221,11 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
         .crossJoin(F.broadcast(tri))
         .select(
             "n_nodes", "n_edges", "n_wedges", "n_triangles",
-            F.round(
-                3.0 * F.col("n_triangles") / F.greatest("n_wedges", F.lit(1)), 6
-            ).alias("global_clustering"),
+            # exact ppm integer division, then one exact double division:
+            # 3T/W is a small rational, exactly the shape where ROUND()'s
+            # decimal half-tie handling can differ between engines
+            (F.expr("(3 * n_triangles * 1000000) div greatest(n_wedges, 1)")
+             .cast("double") / F.lit(1000000.0)).alias("global_clustering"),
         )
     )
 
@@ -250,8 +258,8 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
     ),
     edges AS (SELECT COUNT(*) AS n_edges FROM pairs)
     SELECT n_nodes, n_edges, n_wedges, n_triangles,
-           ROUND(3.0 * n_triangles / greatest(n_wedges, 1), 6)
-             AS global_clustering
+           CAST((3 * n_triangles * 1000000) // greatest(n_wedges, 1) AS DOUBLE)
+             / 1000000.0 AS global_clustering
     FROM node_stats, edges, tri
     """,
     doc=f"Triangle census of the support>={TRI_MIN_SUPPORT} co-purchase "

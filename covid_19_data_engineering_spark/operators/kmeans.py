@@ -113,9 +113,10 @@ def kmeans_stats(emb: DataFrame, k: int = KM_K) -> DataFrame:
             F.col("cid").alias("cluster_id"),
             "n_members",
             "dist_units",
-            F.round(
-                F.col("dist_units").cast("double") / F.col("n_members") / DIST_UNIT, 6
-            ).alias("avg_sqdist"),
+            # exact integer mean-in-units, then one exact double division —
+            # avoids ROUND()'s decimal half-tie exposure on su/n rationals
+            (F.expr("dist_units div n_members").cast("double") / DIST_UNIT)
+            .alias("avg_sqdist"),
         )
     )
 
@@ -164,8 +165,8 @@ def _kmeans_oracle_sql() -> str:
            COUNT(*) AS n_members,
            CAST(SUM(CAST(floor(dist * {DIST_UNIT}) AS BIGINT)) AS BIGINT)
              AS dist_units,
-           ROUND(CAST(SUM(CAST(floor(dist * {DIST_UNIT}) AS BIGINT)) AS DOUBLE)
-                 / COUNT(*) / {DIST_UNIT}, 6) AS avg_sqdist
+           CAST(CAST(SUM(CAST(floor(dist * {DIST_UNIT}) AS BIGINT)) AS BIGINT)
+                // COUNT(*) AS DOUBLE) / {DIST_UNIT} AS avg_sqdist
     FROM a2 GROUP BY cid ORDER BY cid
     """
 

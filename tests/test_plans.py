@@ -392,3 +392,46 @@ def test_incremental_manifest_plan_posture(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "ExistingRDD" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_round4_operator_plans(spark):
+    """Plan pins for the round-4 operators: range search is map-only (zero
+    exchange — the radius predicate runs inside the scan projection),
+    k-means assignment attaches centroids by broadcast (never a per-vector
+    shuffle; the only hash exchanges are the (cluster,dim) update and final
+    rollup), BM25 ends in TakeOrderedAndProject off ONE corpus scan pair
+    (stats + scorer), and the span profiler's consumers read the
+    checkpointed flagged positions, not three re-runs of the gram
+    pipeline."""
+    sf = "/root/testdata/sf0.001"
+
+    rng = _executed_plan(REGISTRY["ann_range_search"].builder(spark, sf))
+    assert "Exchange hashpartitioning" not in rng
+    assert "SortMergeJoin" not in rng
+    assert "BatchEvalPython" not in rng and "ArrowEvalPython" not in rng
+
+    km = _executed_plan(REGISTRY["kmeans_embedding_clusters"].builder(spark, sf))
+    assert "SortMergeJoin" not in km
+    assert "BroadcastNestedLoopJoin" in km   # 1-row centroid-array attach
+    assert "BatchEvalPython" not in km
+
+    bm = _executed_plan(REGISTRY["bm25_retrieval"].builder(spark, sf))
+    assert "TakeOrderedAndProject" in bm
+    assert "SortMergeJoin" not in bm
+    assert bm.count("documents.parquet") == 2  # stats pass + scorer pass
+
+    spans = _executed_plan(REGISTRY["dup_span_profile"].builder(spark, sf))
+    assert "ExistingRDD" in spans            # checkpointed flagged positions
+    # corpus re-read only for the final doc_id left-join spine
+    assert spans.count("documents.parquet") <= 1
+
+
+def test_pagerank_iterations_read_checkpointed_edges(spark):
+    """The 3 PageRank iterations must run off the materialized edge list:
+    exactly zero lineitem scans in the final plan (the edge build happened
+    at checkpoint time), and one ExistingRDD reference per use of the
+    edge/degree working set."""
+    sf = "/root/testdata/sf0.001"
+    plan = _executed_plan(REGISTRY["pagerank_copurchase"].builder(spark, sf))
+    assert "lineitem.parquet" not in plan
+    assert "ExistingRDD" in plan
