@@ -189,17 +189,67 @@ def support_pairs(lineitem: DataFrame, min_support: int = TRI_MIN_SUPPORT) -> Da
     )
 
 
-def triangle_stats(pairs: DataFrame) -> DataFrame:
-    """Global triangle census of the oriented edge set: nodes, edges,
-    wedges (= sum of C(deg,2) over undirected degrees — computed from the
-    degree table, NO join), triangles (oriented wedge join a<b<c closed by
-    an edge probe), and the global clustering coefficient 3T/W.
+def degree_oriented_edges(pairs: DataFrame) -> DataFrame:
+    """Re-orient each undirected edge from its lower-(degree, id) endpoint
+    to the higher one. Output: (src, dst, dd, dst_id ordering struct
+    columns sd/dd carried for the wedge ordering).
 
-    The id-orientation (pa < pb) makes each triangle count exactly once.
-    At production scale the orientation key becomes (degree, id) —
-    degree-ordered orientation bounds per-node wedge fan-out by sqrt(m),
-    the standard skew cap for power-law graphs; the plan shape (two
-    equi-joins on single part keys) is unchanged."""
+    This is THE skew cap for triangle counting on power-law graphs: a hub
+    with degree h receives all its edges as IN-edges (every neighbor has
+    lower degree), so the hub generates ZERO wedge candidates instead of
+    C(h, 2) — per-node out-degree is bounded by O(sqrt(m)) and the wedge
+    join's worst key disappears. Output stats are orientation-invariant,
+    so the DuckDB oracle keeps the simpler id-orientation and still
+    hash-matches."""
+    sym = pairs.select(F.col("pa").alias("p"), F.col("pb").alias("q")).unionAll(
+        pairs.select(F.col("pb").alias("p"), F.col("pa").alias("q"))
+    )
+    deg = sym.groupBy("p").agg(F.count("*").alias("d"))
+    e = (
+        pairs.join(deg.select(F.col("p").alias("pa"), F.col("d").alias("da")), "pa")
+        .join(deg.select(F.col("p").alias("pb"), F.col("d").alias("db")), "pb")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("pa") < F.col("pb"))
+    )
+    return e.select(
+        F.when(a_first, F.col("pa")).otherwise(F.col("pb")).alias("src"),
+        F.when(a_first, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dst_deg"),
+    )
+
+
+def oriented_wedge_candidates(oriented: DataFrame) -> DataFrame:
+    """Wedge candidates (v, w) from pairs of out-edges at each source,
+    ordered so each unordered out-neighbor pair appears once. The count of
+    these rows is the actual join work — the planted-hub test pins that a
+    hub contributes zero."""
+    e1 = oriented.select(
+        F.col("src").alias("u"), F.col("dst").alias("v"),
+        F.col("dst_deg").alias("dv"),
+    )
+    e2 = oriented.select(
+        F.col("src").alias("u2"), F.col("dst").alias("w"),
+        F.col("dst_deg").alias("dw"),
+    )
+    lower = (F.col("dv") < F.col("dw")) | (
+        (F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w"))
+    )
+    return e1.join(e2, (F.col("u") == F.col("u2")) & lower).select("v", "w")
+
+
+def triangle_stats(pairs: DataFrame) -> DataFrame:
+    """Global triangle census: nodes, edges, wedges (= sum of C(deg,2)
+    over undirected degrees — computed from the degree table, NO join),
+    triangles, and the global clustering coefficient 3T/W.
+
+    Triangles come from the DEGREE-ORDERED wedge join (see
+    ``degree_oriented_edges``): candidates are pairs of out-neighbors
+    under the (degree, id) acyclic orientation, closed by an equi-probe
+    against the oriented edge set. Each triangle has exactly one vertex
+    with two out-edges in an acyclic orientation, so it is counted exactly
+    once — for ANY acyclic orientation, which is why the oracle can count
+    with plain id-orientation and the outputs still agree."""
     sym = pairs.select(F.col("pa").alias("p"), F.col("pb").alias("q")).unionAll(
         pairs.select(F.col("pb").alias("p"), F.col("pa").alias("q"))
     )
@@ -208,11 +258,10 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
         F.count("*").alias("n_nodes"),
         (F.sum(F.expr("d * (d - 1) div 2"))).alias("n_wedges"),
     )
-    e1 = pairs.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
-    e2 = pairs.select(F.col("pa").alias("b2"), F.col("pb").alias("c"))
-    wedges = e1.join(e2, F.col("b") == F.col("b2")).select("a", "b", "c")
-    closed = wedges.join(
-        pairs, (F.col("a") == F.col("pa")) & (F.col("c") == F.col("pb"))
+    oriented = degree_oriented_edges(pairs).localCheckpoint(eager=True)
+    closed = oriented_wedge_candidates(oriented).join(
+        oriented.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+        ["v", "w"],
     )
     tri = closed.agg(F.count("*").alias("n_triangles"))
     edge_n = pairs.agg(F.count("*").alias("n_edges"))

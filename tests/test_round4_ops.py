@@ -204,3 +204,24 @@ class TestTriangles:
         out = triangle_stats(support_pairs(self._li(spark, [[1, 2, 3]]))).collect()[0]
         assert out["n_edges"] == 0
         assert out["n_triangles"] == 0
+
+    def test_degree_orientation_kills_hub_wedges(self, spark):
+        from covid_19_data_engineering_spark.operators.graphs import (
+            degree_oriented_edges, oriented_wedge_candidates, support_pairs,
+            triangle_stats)
+        # hub part 0 (lowest id) co-occurs with 40 leaves, each edge in 2
+        # orders; leaves never co-occur with each other -> 0 triangles.
+        # id-orientation would put all 40 edges OUT of the hub and emit
+        # C(40,2)=780 wedge candidates; degree-orientation points every
+        # edge INTO the hub (leaves have degree 1), emitting ZERO.
+        baskets = []
+        for leaf in range(1, 41):
+            baskets += [[0, leaf], [0, leaf]]
+        li = self._li(spark, baskets)
+        pairs = support_pairs(li)
+        oriented = degree_oriented_edges(pairs)
+        assert oriented_wedge_candidates(oriented).count() == 0
+        out = triangle_stats(pairs).collect()[0]
+        assert out["n_triangles"] == 0
+        assert out["n_edges"] == 40
+        assert out["n_wedges"] == 780  # C(40,2) at the hub — a degree fact
