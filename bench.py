@@ -69,6 +69,9 @@ EXTRA = [
     "pagerank_copurchase",
     "kmeans_embedding_clusters",
     "ann_range_search",
+    "bm25_retrieval",
+    "copurchase_triangles",
+    "hybrid_rrf_retrieval",
 ]
 
 

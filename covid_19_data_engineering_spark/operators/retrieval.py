@@ -117,3 +117,149 @@ def _bm25_oracle_sql() -> str:
 def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return bm25_topk(docs)
+
+
+# --- reciprocal-rank fusion --------------------------------------------------
+
+RRF_K = 60
+RRF_UNIT = 1_000_000_000
+
+
+def rrf_fuse(ranked_a: DataFrame, ranked_b: DataFrame,
+             k: int = BM25_TOP) -> DataFrame:
+    """Reciprocal-rank fusion of two (query_id, rank, vec_id) result lists
+    — the standard hybrid-retrieval combiner (Cormack et al. 2009): a
+    document's fused score is the sum of 1/(60 + rank) over the lists that
+    retrieved it, which rewards agreement without requiring the two
+    scoring scales to be comparable.
+
+    Contributions are exact integer units (floor(1e9/(60+rank)) — rank is
+    a small integer, so both engines compute identical BIGINTs and the
+    order-independent integer sum keeps the fusion hash-stable). The join
+    is a full outer on (query_id, vec_id): both inputs are top-k lists, so
+    the fused working set is O(queries x 2k) — trivially broadcastable at
+    any corpus scale; the heavy lifting stays in the underlying retrievers.
+    """
+    a = ranked_a.select(
+        "query_id", "vec_id",
+        F.expr(f"{RRF_UNIT} div ({RRF_K} + rank)").alias("ca"),
+    )
+    b = ranked_b.select(
+        "query_id", "vec_id",
+        F.expr(f"{RRF_UNIT} div ({RRF_K} + rank)").alias("cb"),
+    )
+    fused = (
+        a.join(b, ["query_id", "vec_id"], "full_outer")
+        .select(
+            "query_id", "vec_id",
+            (F.coalesce("ca", F.lit(0)) + F.coalesce("cb", F.lit(0)))
+            .alias("rrf_units"),
+        )
+    )
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_units").desc(), F.col("vec_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .where(F.col("fused_rank") <= k)
+        .select("query_id", "fused_rank", "vec_id", "rrf_units")
+    )
+
+
+def _rrf_oracle_sql() -> str:
+    from covid_19_data_engineering_spark.operators.similarity import (
+        N_QUERY_VECTORS, TOP_K)
+    return f"""
+    WITH fqueries AS (
+      SELECT vec_id AS query_id, embedding AS q_embedding
+      FROM embeddings ORDER BY vec_id LIMIT {N_QUERY_VECTORS}
+    ),
+    fscored AS (
+      SELECT q.query_id, e.vec_id,
+             ROUND(list_cosine_similarity(CAST(q.q_embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])), 6) AS cosine
+      FROM embeddings e CROSS JOIN fqueries q
+      WHERE e.vec_id != q.query_id
+    ),
+    franked AS (
+      SELECT query_id, vec_id, rank FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS rank
+        FROM fscored
+      ) WHERE rank <= {TOP_K}
+    ),
+    emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    m AS (
+      SELECT vec_id, e,
+             list_reduce(list_transform(e, x -> abs(x)),
+                         (a, b) -> greatest(a, b)) AS amax
+      FROM emb
+    ),
+    s AS (
+      SELECT vec_id, e,
+             (CASE WHEN amax = 0 THEN 1.0 ELSE amax END) / 127.0 AS scale
+      FROM m
+    ),
+    q8 AS (
+      SELECT vec_id,
+             list_transform(e, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS qv
+      FROM s
+    ),
+    q8queries AS (
+      SELECT vec_id AS query_id, qv AS quv FROM q8 ORDER BY vec_id LIMIT {N_QUERY_VECTORS}
+    ),
+    q8scored AS (
+      SELECT qr.query_id, c.vec_id,
+             list_reduce(list_transform(range(1, len(c.qv) + 1),
+                                        i -> qr.quv[i] * c.qv[i]),
+                         (a, b) -> a + b) AS dot,
+             list_reduce(list_transform(qr.quv, x -> x * x), (a, b) -> a + b) AS na,
+             list_reduce(list_transform(c.qv, x -> x * x), (a, b) -> a + b) AS nb
+      FROM q8 c CROSS JOIN q8queries qr
+      WHERE c.vec_id != qr.query_id
+    ),
+    q8ranked AS (
+      SELECT query_id, vec_id, rank FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY ROUND(dot / (sqrt(na) * sqrt(nb)), 6) DESC,
+                                           vec_id) AS rank
+        FROM q8scored WHERE na > 0 AND nb > 0
+      ) WHERE rank <= {TOP_K}
+    ),
+    fused AS (
+      SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+             COALESCE(a.vec_id, b.vec_id) AS vec_id,
+             CAST(COALESCE({RRF_UNIT} // ({RRF_K} + a.rank), 0)
+                  + COALESCE({RRF_UNIT} // ({RRF_K} + b.rank), 0) AS BIGINT)
+               AS rrf_units
+      FROM franked a
+      FULL OUTER JOIN q8ranked b
+        ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+    )
+    SELECT query_id, fused_rank, vec_id, rrf_units FROM (
+      SELECT query_id, vec_id, rrf_units,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY rrf_units DESC, vec_id) AS fused_rank
+      FROM fused
+    ) WHERE fused_rank <= {BM25_TOP}
+    ORDER BY query_id, fused_rank
+    """
+
+
+@register(
+    "hybrid_rrf_retrieval",
+    oracle=_rrf_oracle_sql(),
+    doc="Reciprocal-rank fusion of the exact-float and int8-quantized "
+    "cosine top-k lists (Cormack et al. 2009): integer-unit 1/(60+rank) "
+    "contributions summed over a full-outer join of the two O(queries x k) "
+    "lists — the hybrid-retrieval combiner, hash-stable by construction.",
+)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from covid_19_data_engineering_spark.operators.similarity import (
+        brute_force_topk, default_queries, quantized_topk)
+    corpus = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    ranked_a = brute_force_topk(corpus, default_queries(corpus))
+    ranked_b = quantized_topk(corpus)
+    return rrf_fuse(ranked_a, ranked_b).orderBy("query_id", "fused_rank")

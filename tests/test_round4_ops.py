@@ -225,3 +225,33 @@ class TestTriangles:
         assert out["n_triangles"] == 0
         assert out["n_edges"] == 40
         assert out["n_wedges"] == 780  # C(40,2) at the hub — a degree fact
+
+
+class TestRRF:
+    def test_agreement_wins(self, spark):
+        from covid_19_data_engineering_spark.operators.retrieval import (
+            RRF_K, RRF_UNIT, rrf_fuse)
+        a = spark.createDataFrame(
+            [(1, 1, 100), (1, 2, 200), (1, 3, 300)],
+            "query_id long, rank long, vec_id long")
+        b = spark.createDataFrame(
+            [(1, 1, 200), (1, 2, 400)],
+            "query_id long, rank long, vec_id long")
+        got = rrf_fuse(a, b).collect()
+        by_rank = {r["fused_rank"]: r for r in got}
+        # vec 200: rank 2 in a + rank 1 in b beats vec 100 (rank 1, one list)
+        assert by_rank[1]["vec_id"] == 200
+        assert by_rank[1]["rrf_units"] == RRF_UNIT // (RRF_K + 2) + RRF_UNIT // (RRF_K + 1)
+        assert by_rank[2]["vec_id"] == 100
+        # single-list docs still present (full outer, not inner)
+        assert {r["vec_id"] for r in got} == {100, 200, 300, 400}
+
+    def test_tie_breaks_on_vec_id(self, spark):
+        from covid_19_data_engineering_spark.operators.retrieval import rrf_fuse
+        a = spark.createDataFrame(
+            [(1, 1, 500), (1, 1, 0)][:1], "query_id long, rank long, vec_id long")
+        b = spark.createDataFrame(
+            [(1, 1, 7)], "query_id long, rank long, vec_id long")
+        got = rrf_fuse(a, b).collect()
+        # equal units (rank 1 each, different lists) -> lower vec_id first
+        assert [r["vec_id"] for r in got] == [7, 500]
