@@ -72,6 +72,8 @@ EXTRA = [
     "bm25_retrieval",
     "copurchase_triangles",
     "hybrid_rrf_retrieval",
+    "events_value_interpolation",
+    "shuffle_skew_report",
 ]
 
 

@@ -255,3 +255,49 @@ class TestRRF:
         got = rrf_fuse(a, b).collect()
         # equal units (rank 1 each, different lists) -> lower vec_id first
         assert [r["vec_id"] for r in got] == [7, 500]
+
+
+class TestInterpolation:
+    def test_linear_midpoint(self, spark):
+        import datetime as dt
+        from covid_19_data_engineering_spark.operators.interpolate import (
+            interpolate_values)
+        t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+        events = spark.createDataFrame(
+            [(1, t(0), 7, "x", 10.0, None),
+             (10, t(10), 7, "x", 999.0, None),   # masked (id % 10 == 0)
+             (3, t(40), 7, "x", 40.0, None)],
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string")
+        got = interpolate_values(events).collect()
+        assert len(got) == 1
+        # 10s into a 40s gap from 10.0 to 40.0 -> 10 + 30 * 0.25 = 17.5
+        assert got[0]["event_id"] == 10
+        assert got[0]["interp_value"] == 17.5
+
+    def test_boundary_gap_is_null(self, spark):
+        import datetime as dt
+        from covid_19_data_engineering_spark.operators.interpolate import (
+            interpolate_values)
+        t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+        events = spark.createDataFrame(
+            [(20, t(0), 7, "x", 5.0, None),      # masked, nothing before
+             (1, t(10), 7, "x", 10.0, None)],
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string")
+        got = interpolate_values(events).collect()
+        assert len(got) == 1 and got[0]["interp_value"] is None
+
+
+class TestSkewReport:
+    def test_planted_hot_key(self, spark):
+        from covid_19_data_engineering_spark.operators.interpolate import (
+            skew_report)
+        rows = [(0,)] * 90 + [(k,) for k in range(1, 11)]  # hot key 0
+        df = spark.createDataFrame(rows, "k long")
+        out = skew_report([(df, "k", "t.k")]).collect()[0]
+        assert out["n_keys"] == 11
+        assert out["n_rows"] == 100
+        assert out["max_per_key"] == 90
+        assert out["p50_per_key"] == 1.0
+        assert out["skew_ratio"] == 90.0
