@@ -86,14 +86,14 @@ PRIORITY = (
     "customers_without_orders",
     "order_fill_outer",
     "conditional_agg_pivot",
-    # TPC-H decorrelation / multi-join shapes
+    # TPC-H decorrelation shapes + iterative graph
     "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_profit",
+    "pagerank_copurchase",
     "tpch_q21_waiting_suppliers",
-    # events: temporal analytics + streaming batch twin
+    # events: temporal analytics, gap repair, substring dedup
     "hourly_active_users",
-    "rolling_7d_active_users",
-    "user_retention_cohorts",
+    "events_value_interpolation",
+    "dup_span_profile",
     "events_json_extract",
     "events_asof_click_before_purchase",
     "events_sessionization",
@@ -107,18 +107,18 @@ PRIORITY = (
     # similarity search
     "ann_cosine_topk",
     "ann_ivf_topk",
-    # text analysis
+    # text analysis + retrieval
     "text_quality_profile",
     "lang_id_confusion",
-    "doc_fingerprints",
+    "bm25_retrieval",
     "token_count_bpe",
-    # LLM-prep pipeline
+    # LLM-prep pipeline + embedding clustering
     "doc_chunking",
     "benchmark_contamination",
     "corpus_curation_yield",
     "data_mixture_plan",
     "pii_scrub_events",
-    "quality_quantile_filter",
+    "kmeans_embedding_clusters",
     # multimodal plumbing
     "multimodal_features",
     # merge / rank / skew / extensibility
