@@ -74,6 +74,7 @@ EXTRA = [
     "hybrid_rrf_retrieval",
     "events_value_interpolation",
     "shuffle_skew_report",
+    "fuzzy_part_name_matches",
 ]
 
 

@@ -301,3 +301,30 @@ class TestSkewReport:
         assert out["max_per_key"] == 90
         assert out["p50_per_key"] == 1.0
         assert out["skew_ratio"] == 90.0
+
+
+class TestFuzzyJoin:
+    def test_blocked_levenshtein(self, spark):
+        from covid_19_data_engineering_spark.operators.fuzzy import (
+            fuzzy_name_pairs)
+        df = spark.createDataFrame(
+            [(1, "red widget"), (2, "rad widget"), (3, "red widget"),
+             (4, "red gizmo"), (5, "completely different widget")],
+            "id long, name string")
+        got = fuzzy_name_pairs(df, "name", "id", max_dist=2).collect()
+        assert len(got) == 1
+        r = got[0]
+        # only the same-block (widget) 1-edit pair survives; "red gizmo"
+        # is in another block, the long name is > 2 edits away
+        assert (r["name_a"], r["name_b"]) == ("rad widget", "red widget")
+        assert r["lev_dist"] == 1
+        # rows_* count source rows per distinct name (red widget x2)
+        assert (r["rows_a"], r["rows_b"]) == (1, 2)
+
+    def test_block_is_recall_lossy_by_design(self, spark):
+        from covid_19_data_engineering_spark.operators.fuzzy import (
+            fuzzy_name_pairs)
+        # 1-edit pair whose NOUN differs -> different blocks -> no candidate
+        df = spark.createDataFrame(
+            [(1, "red widget"), (2, "red widgex")], "id long, name string")
+        assert fuzzy_name_pairs(df, "name", "id").count() == 0
