@@ -39,28 +39,43 @@ FUZZY_MAX_DIST = 4
 
 
 def fuzzy_name_pairs(df: DataFrame, name_col: str, id_col: str,
-                     max_dist: int = FUZZY_MAX_DIST) -> DataFrame:
+                     max_dist: int = FUZZY_MAX_DIST,
+                     blocks: tuple[str, ...] = ("last",)) -> DataFrame:
     """Distinct-name fuzzy match pairs. Output: name_a, name_b (a < b),
-    lev_dist, rows_a, rows_b (how many source rows carry each name)."""
-    names = (
-        df.groupBy(F.col(name_col).alias("name"))
-        .agg(F.count("*").alias("n_rows"))
-        .withColumn("blk", F.element_at(F.split(F.col("name"), " "), -1))
-    )
-    a = names.select(F.col("name").alias("name_a"), F.col("n_rows").alias("rows_a"),
-                     F.col("blk").alias("blk_a"))
-    b = names.select(F.col("name").alias("name_b"), F.col("n_rows").alias("rows_b"),
-                     F.col("blk").alias("blk_b"))
-    return (
-        a.join(b, (F.col("blk_a") == F.col("blk_b"))
-               & (F.col("name_a") < F.col("name_b")))
-        .select(
-            "name_a", "name_b",
-            F.levenshtein("name_a", "name_b").alias("lev_dist"),
-            "rows_a", "rows_b",
+    lev_dist, rows_a, rows_b (how many source rows carry each name).
+
+    ``blocks`` selects one or more blocking keys ("last" / "first" token);
+    multi-key runs are unioned then de-duplicated on the pair — the
+    standard recall-recovery second pass (a typo in one key's token still
+    collides under the other key)."""
+    names = df.groupBy(F.col(name_col).alias("name")).agg(
+        F.count("*").alias("n_rows"))
+    key = {
+        "last": F.element_at(F.split(F.col("name"), " "), -1),
+        "first": F.element_at(F.split(F.col("name"), " "), 1),
+    }
+    out = None
+    for blk in blocks:
+        keyed = names.withColumn("blk", key[blk])
+        a = keyed.select(F.col("name").alias("name_a"),
+                         F.col("n_rows").alias("rows_a"),
+                         F.col("blk").alias("blk_a"))
+        b = keyed.select(F.col("name").alias("name_b"),
+                         F.col("n_rows").alias("rows_b"),
+                         F.col("blk").alias("blk_b"))
+        pass_pairs = (
+            a.join(b, (F.col("blk_a") == F.col("blk_b"))
+                   & (F.col("name_a") < F.col("name_b")))
+            .select(
+                "name_a", "name_b",
+                F.levenshtein("name_a", "name_b").alias("lev_dist"),
+                "rows_a", "rows_b",
+            )
+            .where(F.col("lev_dist") <= max_dist)
         )
-        .where(F.col("lev_dist") <= max_dist)
-    )
+        out = pass_pairs if out is None else out.unionAll(pass_pairs)
+    # a pair can collide under several keys — keep it once
+    return out.dropDuplicates(["name_a", "name_b"]) if len(blocks) > 1 else out
 
 
 @register(

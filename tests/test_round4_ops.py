@@ -328,3 +328,18 @@ class TestFuzzyJoin:
         df = spark.createDataFrame(
             [(1, "red widget"), (2, "red widgex")], "id long, name string")
         assert fuzzy_name_pairs(df, "name", "id").count() == 0
+
+    def test_second_blocking_key_recovers_recall(self, spark):
+        from covid_19_data_engineering_spark.operators.fuzzy import (
+            fuzzy_name_pairs)
+        # the noun-typo pair collides under the FIRST-token key instead;
+        # the same-noun pair is found by both passes but kept once
+        df = spark.createDataFrame(
+            [(1, "red widget"), (2, "red widgex"), (3, "rad widget")],
+            "id long, name string")
+        got = fuzzy_name_pairs(df, "name", "id",
+                               blocks=("last", "first")).collect()
+        pairs = {(r["name_a"], r["name_b"]) for r in got}
+        assert ("red widget", "red widgex") in pairs
+        assert ("rad widget", "red widget") in pairs
+        assert len(got) == len(pairs)  # no duplicate pair rows
