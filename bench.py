@@ -95,8 +95,17 @@ def main() -> None:
     # warmup pass: run every benched query once so whole-stage-codegen
     # compilation and JVM JIT are absorbed; the timed pass below measures
     # steady-state throughput (what a long-running cluster actually sees)
+    #
+    # gc.collect() between queries releases the Python references to each
+    # query's localCheckpoint()ed RDDs so Spark's ContextCleaner can drop
+    # their storage blocks — otherwise 45 queries' checkpoint blocks pile
+    # up in the one executor heap and late queries pay 2-3x in GC pressure
+    # (observed: dedup_ngram_jaccard 5s isolated vs 15s late in the run)
+    import gc
+
     for name in names + extra_names:
         queries[name](spark, SF_DIR).collect()
+        gc.collect()
 
     def timed(batch: list[str]) -> dict[str, float]:
         timings: dict[str, float] = {}
@@ -104,6 +113,7 @@ def main() -> None:
             start = time.perf_counter()
             queries[name](spark, SF_DIR).collect()
             timings[name] = round(time.perf_counter() - start, 3)
+            gc.collect()
         return timings
 
     timings = timed(names)

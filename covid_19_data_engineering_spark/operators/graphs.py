@@ -250,6 +250,10 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
     with two out-edges in an acyclic orientation, so it is counted exactly
     once — for ANY acyclic orientation, which is why the oracle can count
     with plain id-orientation and the outputs still agree."""
+    # the support-filtered pair build (distinct + order-blocked self-join +
+    # groupBy) feeds FOUR branches (sym x2, the orientation joins, edge
+    # count) — materialize it once
+    pairs = pairs.localCheckpoint(eager=True)
     sym = pairs.select(F.col("pa").alias("p"), F.col("pb").alias("q")).unionAll(
         pairs.select(F.col("pb").alias("p"), F.col("pa").alias("q"))
     )
