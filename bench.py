@@ -75,6 +75,7 @@ EXTRA = [
     "events_value_interpolation",
     "shuffle_skew_report",
     "fuzzy_part_name_matches",
+    "ab_conversion_ztest",
 ]
 
 

@@ -168,6 +168,7 @@ def _ensure_loaded() -> None:
     import covid_19_data_engineering_spark.operators.retrieval  # noqa: F401
     import covid_19_data_engineering_spark.operators.interpolate  # noqa: F401
     import covid_19_data_engineering_spark.operators.fuzzy  # noqa: F401
+    import covid_19_data_engineering_spark.operators.abtest  # noqa: F401
     import covid_19_data_engineering_spark.functions.udfs  # noqa: F401
     import covid_19_data_engineering_spark.streaming.events  # noqa: F401
     _reorder_registry()

@@ -343,3 +343,37 @@ class TestFuzzyJoin:
         assert ("red widget", "red widgex") in pairs
         assert ("rad widget", "red widget") in pairs
         assert len(got) == len(pairs)  # no duplicate pair rows
+
+
+class TestABTest:
+    def _events(self, spark, rows):
+        import datetime as dt
+        data = [(i, dt.datetime(2024, 1, 1, 0, 0, i % 60, i), u, t, 1.0, None)
+                for i, (u, t) in enumerate(rows)]
+        return spark.createDataFrame(
+            data, "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string")
+
+    def test_known_counts_and_z_sign(self, spark):
+        from covid_19_data_engineering_spark.operators.abtest import (
+            ab_conversion_ztest)
+        rows = []
+        # cohort 0 (even users): 3 of 4 first-purchase; cohort 1: 1 of 4
+        for u in range(8):
+            first = "purchase" if (u % 2 == 0 and u < 6) or u == 1 else "view"
+            rows.append((u, first))
+            rows.append((u, "click"))  # later event, must not count
+        out = ab_conversion_ztest(self._events(spark, rows)).collect()[0]
+        assert (out["na"], out["xa"], out["nb"], out["xb"]) == (4, 3, 4, 1)
+        assert out["rate_a"] == 0.75 and out["rate_b"] == 0.25
+        assert out["z_stat"] > 0          # cohort A converts more
+        assert not out["significant_5pct"]  # n=8 is far too small
+
+    def test_saturated_experiment_yields_null_z(self, spark):
+        from covid_19_data_engineering_spark.operators.abtest import (
+            ab_conversion_ztest)
+        rows = [(u, "purchase") for u in range(6)]
+        out = ab_conversion_ztest(self._events(spark, rows)).collect()[0]
+        # p0 = 1 -> zero pooled variance -> z undefined (NULL, not a crash)
+        assert out["z_stat"] is None
+        assert out["significant_5pct"] is None
