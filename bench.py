@@ -104,9 +104,10 @@ def main() -> None:
     # (observed: dedup_ngram_jaccard 5s isolated vs 15s late in the run)
     import gc
 
-    for name in names + extra_names:
-        queries[name](spark, SF_DIR).collect()
-        gc.collect()
+    def warm(batch: list[str]) -> None:
+        for name in batch:
+            queries[name](spark, SF_DIR).collect()
+            gc.collect()
 
     def timed(batch: list[str]) -> dict[str, float]:
         timings: dict[str, float] = {}
@@ -117,7 +118,13 @@ def main() -> None:
             gc.collect()
         return timings
 
+    # phase per batch (warm headline -> time headline -> warm extras ->
+    # time extras): the headline total stays comparable round-over-round
+    # even as the extras list grows — timing it after a 37-query extras
+    # warmup inherited their heap churn and drifted ~15%
+    warm(names)
     timings = timed(names)
+    warm(extra_names)
     extra_timings = timed(extra_names)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
