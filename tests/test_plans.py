@@ -435,3 +435,28 @@ def test_pagerank_iterations_read_checkpointed_edges(spark):
     plan = _executed_plan(REGISTRY["pagerank_copurchase"].builder(spark, sf))
     assert "lineitem.parquet" not in plan
     assert "ExistingRDD" in plan
+
+
+def test_round4b_operator_plans(spark):
+    """Plan pins for the later round-4 operators: interpolation's window
+    family shuffles ONCE on user_id, the fuzzy join never degenerates to a
+    cartesian product, the RRF fusion joins two TakeOrdered lists (no
+    corpus-sized shuffle), and the A/B test is one rollup + one scalar
+    aggregate off a single events scan."""
+    sf = "/root/testdata/sf0.001"
+
+    interp = _executed_plan(REGISTRY["events_value_interpolation"].builder(spark, sf))
+    assert interp.count("Exchange hashpartitioning") == 1  # user_id only
+    assert "BatchEvalPython" not in interp
+
+    fz = _executed_plan(REGISTRY["fuzzy_part_name_matches"].builder(spark, sf))
+    assert "CartesianProduct" not in fz
+    assert "BroadcastNestedLoopJoin" not in fz
+    assert "levenshtein" in fz
+
+    rrf = _executed_plan(REGISTRY["hybrid_rrf_retrieval"].builder(spark, sf))
+    assert "CartesianProduct" not in rrf
+
+    ab = _executed_plan(REGISTRY["ab_conversion_ztest"].builder(spark, sf))
+    assert ab.count("events.parquet") == 1
+    assert "BatchEvalPython" not in ab
