@@ -76,6 +76,7 @@ EXTRA = [
     "shuffle_skew_report",
     "fuzzy_part_name_matches",
     "ab_conversion_ztest",
+    "dup_span_scrub",
 ]
 
 

@@ -164,3 +164,144 @@ def dup_span_profile(docs: DataFrame, k: int = SPAN_K,
 def dup_span_profile_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return dup_span_profile(docs).orderBy("doc_id")
+
+
+# --- span scrubbing (the removal step) ---------------------------------------
+
+
+def dup_span_scrub(docs: DataFrame, k: int = SPAN_K,
+                   flag_tokens: int = SPAN_FLAG_TOKENS) -> DataFrame:
+    """REMOVE long duplicated spans from the text — the action step of
+    exact-substring dedup (Lee et al. cut the shared substring, not the
+    whole document). A token is dropped when it is covered by any k-gram
+    belonging to a duplicated RUN of >= flag_tokens total tokens (short
+    incidental matches survive; only long verbatim boilerplate is cut).
+
+    Plan: re-uses the position/df/islands machinery, keeps only positions
+    in long runs, folds them into ONE boolean array per doc (sorted
+    collect_list — grouped on doc_id, the same shuffle family as the
+    profile), then token filtering is a pure array expression: token j is
+    covered iff any gram flag in [j-k, j-1] is set. Output is the cleaned
+    token count and an md5 of the rebuilt text (hash-stable evidence the
+    reconstruction is identical across engines).
+    """
+    min_run = flag_tokens - k + 1
+    grams = position_grams(docs, k)
+    df_gram = grams.groupBy("gram").agg(F.countDistinct("doc_id").alias("n_docs"))
+    dup_pos = (
+        grams.join(df_gram, "gram")
+        .where(F.col("n_docs") >= 2)
+        .select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = dup_pos.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    long_pos = (
+        runs.withColumn("run", F.count("*").over(
+            Window.partitionBy("doc_id", "grp")))
+        .where(F.col("run") >= min_run)
+        .select("doc_id", "pos")
+    )
+    flags = long_pos.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("cut_pos"))
+    toks = F.split(F.col("text"), " ")
+    # token j (1-based) is covered iff any cut gram position g (0-based)
+    # with g <= j-1 <= g+k-1, i.e. g in [j-k, j-1]
+    covered = lambda j: F.exists(
+        F.col("cut_pos"),
+        lambda g: (g >= j - k) & (g <= j - 1),
+    )
+    kept = F.filter(
+        F.transform(F.sequence(F.lit(1), F.size(toks)),
+                    lambda j: F.struct(j.alias("j"),
+                                       F.element_at(toks, j).alias("t"))),
+        lambda s: ~covered(s["j"]),
+    )
+    out = (
+        docs.join(flags, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            F.when(F.col("cut_pos").isNull(), F.lit(0))
+            .otherwise(F.size(toks) - F.size(kept)).alias("n_removed"),
+            F.md5(
+                F.when(F.col("cut_pos").isNull(), F.col("text")).otherwise(
+                    F.concat_ws(" ", F.transform(kept, lambda s: s["t"]))
+                )
+            ).alias("cleaned_fp"),
+        )
+    )
+    return out
+
+
+@register(
+    "dup_span_scrub",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    gl AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, greatest(len(toks) - {SPAN_K - 2}, 1)),
+               i -> md5(array_to_string(list_slice(toks, i, i + {SPAN_K - 1}), ' '))
+             ) AS grams
+      FROM t
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(range(0, len(grams))) AS pos,
+             unnest(grams) AS gram
+      FROM gl
+    ),
+    df AS (SELECT gram, COUNT(DISTINCT doc_id) AS n_docs FROM g GROUP BY gram),
+    dup_pos AS (
+      SELECT g.doc_id, g.pos FROM g JOIN df USING (gram) WHERE df.n_docs >= 2
+    ),
+    runs AS (
+      SELECT doc_id, pos,
+             COUNT(*) OVER (PARTITION BY doc_id, grp) AS run
+      FROM (
+        SELECT doc_id, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM dup_pos
+      )
+    ),
+    long_pos AS (
+      SELECT doc_id, pos FROM runs
+      WHERE run >= {SPAN_FLAG_TOKENS - SPAN_K + 1}
+    ),
+    flags AS (
+      SELECT doc_id, list_sort(list(pos)) AS cut_pos
+      FROM long_pos GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           len(t.toks) AS n_tokens,
+           CASE WHEN f.cut_pos IS NULL THEN 0
+                ELSE len(t.toks) - len(kept.k_toks) END AS n_removed,
+           -- COALESCE: DuckDB array_to_string([]) is NULL, Spark
+           -- concat_ws of an empty array is '' — align on ''
+           md5(CASE WHEN f.cut_pos IS NULL THEN d.text
+                    ELSE COALESCE(array_to_string(kept.k_toks, ' '), '') END)
+             AS cleaned_fp
+    FROM documents d
+    JOIN t USING (doc_id)
+    LEFT JOIN flags f USING (doc_id)
+    LEFT JOIN LATERAL (
+      SELECT list_transform(
+               list_filter(
+                 list_transform(range(1, len(t.toks) + 1),
+                                j -> {{'j': j, 't': t.toks[j]}}),
+                 s -> len(list_filter(COALESCE(f.cut_pos, []),
+                          g -> g >= s.j - {SPAN_K} AND g <= s.j - 1)) = 0
+               ),
+               s -> s.t
+             ) AS k_toks
+    ) kept ON TRUE
+    ORDER BY doc_id
+    """,
+    doc=f"Exact-substring SCRUB: remove tokens covered by duplicated runs "
+    f"of >= {SPAN_FLAG_TOKENS} tokens (the Lee-et-al removal step); output "
+    "is the removed-token count plus an md5 of the rebuilt text so both "
+    "engines prove byte-identical reconstruction.",
+)
+def dup_span_scrub_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return dup_span_scrub(docs).orderBy("doc_id")

@@ -377,3 +377,39 @@ class TestABTest:
         # p0 = 1 -> zero pooled variance -> z undefined (NULL, not a crash)
         assert out["z_stat"] is None
         assert out["significant_5pct"] is None
+
+
+class TestDupSpanScrub:
+    def test_long_span_cut_short_match_kept(self, spark):
+        from covid_19_data_engineering_spark.operators.spans import (
+            dup_span_scrub)
+        long_shared = " ".join(f"L{i}" for i in range(40))   # >= 30 tokens
+        short_shared = " ".join(f"S{i}" for i in range(10))  # dup but short
+        docs = _docs(spark, [
+            f"a1 a2 {long_shared} a3 a4",
+            f"b1 {long_shared} b2 b3 b4 b5",
+            f"c1 c2 c3 {short_shared} c4 c5",
+            f"d1 d2 {short_shared} d3 d4 d5",
+        ])
+        out = {r["doc_id"]: r for r in dup_span_scrub(docs).collect()}
+        # the 40-token shared block is cut from both carriers
+        assert out[0]["n_removed"] == 40
+        assert out[1]["n_removed"] == 40
+        # the short (10 < 30) shared phrase survives in full
+        assert out[2]["n_removed"] == 0
+        assert out[3]["n_removed"] == 0
+        import hashlib
+        # reconstruction check: doc 0 keeps exactly its unique tokens
+        expect = hashlib.md5(b"a1 a2 a3 a4").hexdigest()
+        assert out[0]["cleaned_fp"] == expect
+
+    def test_fully_duplicated_doc_scrubs_to_empty(self, spark):
+        from covid_19_data_engineering_spark.operators.spans import (
+            dup_span_scrub)
+        body = " ".join(f"w{i}" for i in range(35))
+        docs = _docs(spark, [body, body])
+        out = dup_span_scrub(docs).collect()
+        import hashlib
+        for r in out:
+            assert r["n_removed"] == 35
+            assert r["cleaned_fp"] == hashlib.md5(b"").hexdigest()
