@@ -565,7 +565,9 @@ def incremental_retention_manifest(new: DataFrame, snapshot: DataFrame,
         .join(exact, "fp")
         .join(snap_fp.withColumnRenamed("snap_canon", "snap_canon"), "fp", "left")
         .join(anchored.withColumnRenamed("component", "comp"), "comp", "left")
-    )
+    ).localCheckpoint(eager=True)
+    # ^ three consumers (rep ranking, canon decisions, member expansion)
+    # would each re-execute the whole five-way join tree without this
     canon_rows = scored.where(F.col("doc_id") == F.col("batch_canon"))
     rank_w = Window.partitionBy("comp").orderBy(F.col("quality").desc(), "doc_id")
     reps = (
@@ -598,9 +600,10 @@ def incremental_retention_manifest(new: DataFrame, snapshot: DataFrame,
     out_canon = canon_dec.select(
         F.col("canon").alias("doc_id"), "status", "ref_doc"
     )
+    # scored carries every base row with its batch_canon — the member
+    # expansion reads the checkpoint instead of re-joining base with exact
     out_members = (
-        base.join(exact, "fp")
-        .where(F.col("doc_id") != F.col("batch_canon"))
+        scored.where(F.col("doc_id") != F.col("batch_canon"))
         .join(canon_final, F.col("batch_canon") == F.col("canon"))
         .select("doc_id", F.lit("drop_exact").alias("status"),
                 F.col("_canon_ref").alias("ref_doc"))
