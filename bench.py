@@ -77,6 +77,8 @@ EXTRA = [
     "fuzzy_part_name_matches",
     "ab_conversion_ztest",
     "dup_span_scrub",
+    "training_shard_manifest",
+    "ivf_incremental_assign",
 ]
 
 

@@ -589,3 +589,117 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return range_search(corpus, default_queries(corpus)).orderBy(
         "query_id", F.col("cosine").desc(), "vec_id"
     )
+
+
+# --- incremental IVF maintenance ---------------------------------------------
+
+_IVF_SPLIT = 250  # vec_id < split is the frozen index; >= split arrives
+
+
+def ivf_incremental_assign(snapshot: DataFrame, batch: DataFrame) -> DataFrame:
+    """Place an arriving vector batch into a FROZEN IVF index — the
+    maintenance operation of a serving ANN system: the quantizer
+    (centroids) is trained once on the indexed corpus and new vectors are
+    routed into existing cells without touching the snapshot's inverted
+    lists or recomputing centroids.
+
+    Output is the cell-occupancy drift report (cid, n_snapshot, n_batch):
+    the signal an operator watches to decide when the quantizer has
+    drifted enough to rebuild. Scale shape: centroid training touches the
+    snapshot once; batch placement is a broadcast-centroid map over the
+    BATCH only — O(batch), not O(corpus)."""
+    cents = ivf_centroids(snapshot)
+    inv_s = _assign_cells(snapshot, cents, nprobe=1, id_col="vec_id")
+    inv_b = _assign_cells(batch, cents, nprobe=1, id_col="vec_id")
+    s_counts = inv_s.groupBy("cid").agg(F.count("*").alias("n_snapshot"))
+    b_counts = inv_b.groupBy("cid").agg(F.count("*").alias("n_batch"))
+    return (
+        cents.select("cid")
+        .join(s_counts, "cid", "left")
+        .join(b_counts, "cid", "left")
+        .select(
+            "cid",
+            F.coalesce("n_snapshot", F.lit(0)).alias("n_snapshot"),
+            F.coalesce("n_batch", F.lit(0)).alias("n_batch"),
+        )
+        .orderBy("cid")
+    )
+
+
+def _ivf_incr_oracle_sql() -> str:
+    def cos(a: str, b: str) -> str:
+        dot = (f"list_reduce(list_transform(range(1, {_IVF_DIM} + 1), "
+               f"i -> {a}[i] * {b}[i]), (x, y) -> x + y)")
+        na = (f"sqrt(list_reduce(list_transform(range(1, {_IVF_DIM} + 1), "
+              f"i -> {a}[i] * {a}[i]), (x, y) -> x + y))")
+        nb = (f"sqrt(list_reduce(list_transform(range(1, {_IVF_DIM} + 1), "
+              f"i -> {b}[i] * {b}[i]), (x, y) -> x + y))")
+        return f"({dot} / ({na} * {nb}))"
+
+    avgs = ", ".join(f"AVG(e[{i + 1}])" for i in range(_IVF_DIM))
+    return f"""
+    WITH emb_s AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      WHERE vec_id < {_IVF_SPLIT}
+    ),
+    emb_b AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      WHERE vec_id >= {_IVF_SPLIT}
+    ),
+    seeds AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY e) - 1 AS cid, e AS c
+      FROM (SELECT e FROM emb_s ORDER BY vec_id LIMIT {_IVF_K})
+    ),
+    a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, s.cid,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {cos('v.e', 's.c')} DESC, s.cid) AS rk
+        FROM emb_s v CROSS JOIN seeds s
+      ) WHERE rk = 1
+    ),
+    cents AS (
+      SELECT a1.cid, list_value({avgs}) AS c
+      FROM a1 JOIN emb_s USING (vec_id) GROUP BY a1.cid
+    ),
+    inv_s AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {cos('v.e', 'c.c')} DESC, c.cid) AS rk
+        FROM emb_s v CROSS JOIN cents c
+      ) WHERE rk = 1
+    ),
+    inv_b AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {cos('v.e', 'c.c')} DESC, c.cid) AS rk
+        FROM emb_b v CROSS JOIN cents c
+      ) WHERE rk = 1
+    )
+    SELECT c.cid,
+           COALESCE(s.n_snapshot, 0) AS n_snapshot,
+           COALESCE(b.n_batch, 0) AS n_batch
+    FROM (SELECT cid FROM cents) c
+    LEFT JOIN (SELECT cid, COUNT(*) AS n_snapshot FROM inv_s GROUP BY cid) s
+      USING (cid)
+    LEFT JOIN (SELECT cid, COUNT(*) AS n_batch FROM inv_b GROUP BY cid) b
+      USING (cid)
+    ORDER BY c.cid
+    """
+
+
+@register(
+    "ivf_incremental_assign",
+    oracle=_ivf_incr_oracle_sql(),
+    doc=f"Incremental IVF index maintenance: vectors with vec_id >= "
+    f"{_IVF_SPLIT} route into the FROZEN quantizer trained on the "
+    "snapshot — O(batch) placement, no centroid recompute, no snapshot "
+    "re-assignment; output is the cell-occupancy drift report.",
+)
+def ivf_incremental_assign_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    snapshot = emb.where(F.col("vec_id") < _IVF_SPLIT)
+    batch = emb.where(F.col("vec_id") >= _IVF_SPLIT)
+    return ivf_incremental_assign(snapshot, batch)

@@ -413,3 +413,40 @@ class TestDupSpanScrub:
         for r in out:
             assert r["n_removed"] == 35
             assert r["cleaned_fp"] == hashlib.md5(b"").hexdigest()
+
+
+class TestShardManifest:
+    def test_partition_of_corpus(self, spark):
+        from covid_19_data_engineering_spark.operators.shards import (
+            N_SHARDS, shard_manifest)
+        from covid_19_data_engineering_spark.sources.tables import load_table
+        docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+        m = shard_manifest(docs).collect()
+        assert sum(r["n_docs"] for r in m) == docs.count()   # exact partition
+        assert len(m) <= N_SHARDS
+        assert all(r["n_docs"] > 0 for r in m)
+
+    def test_assignment_stable_across_runs(self, spark):
+        from covid_19_data_engineering_spark.operators.shards import (
+            shard_manifest)
+        docs = _docs(spark, [f"text number {i}" for i in range(50)])
+        a = {r["shard_id"]: (r["n_docs"], r["min_doc_id"]) for r in shard_manifest(docs).collect()}
+        b = {r["shard_id"]: (r["n_docs"], r["min_doc_id"]) for r in shard_manifest(docs).collect()}
+        assert a == b
+
+
+class TestIVFIncremental:
+    def test_batch_routes_without_touching_snapshot(self, spark):
+        from covid_19_data_engineering_spark.operators.similarity import (
+            ivf_incremental_assign)
+        from covid_19_data_engineering_spark.sources.tables import load_table
+        import pyspark.sql.functions as F
+        emb = load_table(spark, "embeddings", "/root/testdata/sf0.001") \
+            .select("vec_id", "embedding")
+        snap = emb.where(F.col("vec_id") < 250)
+        batch = emb.where(F.col("vec_id") >= 250)
+        rep = ivf_incremental_assign(snap, batch).collect()
+        assert sum(r["n_snapshot"] for r in rep) == snap.count()
+        assert sum(r["n_batch"] for r in rep) == batch.count()
+        # growth report covers every cell of the frozen quantizer
+        assert len(rep) == 16
