@@ -450,3 +450,70 @@ class TestIVFIncremental:
         assert sum(r["n_batch"] for r in rep) == batch.count()
         # growth report covers every cell of the frozen quantizer
         assert len(rep) == 16
+
+
+class TestCrossOperatorInvariants:
+    def test_scrub_fires_exactly_on_flagged_docs(self, spark):
+        """profile and scrub share the run threshold: a doc loses tokens
+        IFF the profiler flags it (longest_dup_span >= 30)."""
+        from covid_19_data_engineering_spark.operators.spans import (
+            dup_span_profile, dup_span_scrub)
+        from covid_19_data_engineering_spark.sources.tables import load_table
+        docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+        prof = {r["doc_id"]: r["flag_dup_heavy"]
+                for r in dup_span_profile(docs).collect()}
+        scrub = {r["doc_id"]: r["n_removed"]
+                 for r in dup_span_scrub(docs).collect()}
+        assert set(prof) == set(scrub)
+        for d, flagged in prof.items():
+            assert (scrub[d] > 0) == flagged, f"doc {d}"
+
+    def test_pagerank_mass_and_floor_on_real_graph(self, spark):
+        """Truncation only loses units: total <= UNIT, and every node
+        keeps at least its damping base."""
+        import pyspark.sql.functions as F
+        from covid_19_data_engineering_spark.operators.graphs import (
+            UNIT, copurchase_edges, pagerank)
+        from covid_19_data_engineering_spark.sources.tables import load_table
+        li = load_table(spark, "lineitem", "/root/testdata/sf0.001")
+        pr = pagerank(copurchase_edges(li))
+        row = pr.agg(F.sum("units").alias("s"), F.min("units").alias("m"),
+                     F.count("*").alias("n")).collect()[0]
+        assert row["s"] <= UNIT
+        assert row["s"] > 0.99 * UNIT
+        base = (15 * (UNIT // row["n"])) // 100
+        assert row["m"] >= base
+
+    def test_rrf_of_identical_lists_preserves_order(self, spark):
+        """Fusing a ranking with itself is a no-op on the order."""
+        from covid_19_data_engineering_spark.operators.retrieval import rrf_fuse
+        a = spark.createDataFrame(
+            [(1, r, 100 + r) for r in range(1, 8)],
+            "query_id long, rank long, vec_id long")
+        got = rrf_fuse(a, a).collect()
+        assert [r["vec_id"] for r in got] == [101, 102, 103, 104, 105, 106, 107]
+
+    def test_triangle_census_agrees_with_id_orientation(self, spark):
+        """The degree-ordered count must equal the naive id-oriented count
+        (any acyclic orientation counts each triangle once)."""
+        import random
+        import pyspark.sql.functions as F
+        from covid_19_data_engineering_spark.operators.graphs import (
+            support_pairs, triangle_stats)
+        rng = random.Random(11)
+        baskets = []
+        for _ in range(60):
+            basket = rng.sample(range(12), rng.randint(2, 5))
+            baskets.append(basket)
+            baskets.append(basket)  # meet support >= 2
+        rows = [(ok, pk) for ok, parts in enumerate(baskets) for pk in parts]
+        li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+        pairs = support_pairs(li)
+        got = triangle_stats(pairs).collect()[0]["n_triangles"]
+        # naive reference: id-oriented wedge join
+        e1 = pairs.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+        e2 = pairs.select(F.col("pa").alias("b2"), F.col("pb").alias("c"))
+        naive = (e1.join(e2, F.col("b") == F.col("b2"))
+                 .join(pairs, (F.col("a") == F.col("pa")) & (F.col("c") == F.col("pb")))
+                 .count())
+        assert got == naive and got > 0
