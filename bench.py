@@ -79,6 +79,7 @@ EXTRA = [
     "dup_span_scrub",
     "training_shard_manifest",
     "ivf_incremental_assign",
+    "referential_integrity_report",
 ]
 
 

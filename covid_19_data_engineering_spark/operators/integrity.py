@@ -1,0 +1,149 @@
+"""Referential-integrity audit across the star schema — the dbt-style
+data-contract check a warehouse team schedules after every load. The
+reference validates loads by row COUNT only (SURVEY §2 C3 /
+`lifecycle.py:count_report`); this closes the gap between "the rows
+arrived" and "the rows join".
+
+One row per foreign-key edge: child rows, distinct child keys, orphan
+rows (child keys with no parent — LEFT ANTI join), and null keys
+(reported separately: a NULL FK never joins but is a different defect
+than a dangling one).
+
+Scale shape: each edge is ONE anti-join. Parent key sets are dimension
+tables (broadcast under the threshold; the plan degrades gracefully to a
+shuffle join for fact-to-fact edges like lineitem->orders where the
+parent is also huge). No edge ever scans a table twice: counts ride the
+anti-join output.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from covid_19_data_engineering_spark.plans.registry import register
+from covid_19_data_engineering_spark.sources.tables import load_table
+
+FK_EDGES = (
+    # (child, fk, parent, pk)
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def fk_edge_report(child: DataFrame, fk: str, parent: DataFrame, pk: str,
+                   edge_name: str) -> DataFrame:
+    """One-row orphan report for a single FK edge."""
+    keys = child.select(F.col(fk).alias("k"))
+    nn = keys.where(F.col("k").isNotNull())
+    orphans = nn.join(parent.select(F.col(pk).alias("k")), "k", "left_anti")
+    stats = keys.agg(
+        F.lit(edge_name).alias("fk_edge"),
+        F.count("*").alias("child_rows"),
+        F.count("k").alias("non_null_keys"),
+        F.countDistinct("k").alias("distinct_keys"),
+    )
+    return stats.crossJoin(
+        F.broadcast(orphans.agg(F.count("*").alias("orphan_rows")))
+    ).select(
+        "fk_edge", "child_rows", "non_null_keys", "distinct_keys",
+        "orphan_rows",
+        (F.col("child_rows") - F.col("non_null_keys")).alias("null_keys"),
+    )
+
+
+def integrity_report(tables: dict[str, DataFrame]) -> DataFrame:
+    out = None
+    for child, fk, parent, pk in FK_EDGES:
+        row = fk_edge_report(
+            tables[child], fk, tables[parent], pk, f"{child}.{fk}->{parent}.{pk}"
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+@register(
+    "referential_integrity_report",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS fk_edge,
+             (SELECT COUNT(*) FROM lineitem) AS child_rows,
+             (SELECT COUNT(l_orderkey) FROM lineitem) AS non_null_keys,
+             (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS distinct_keys,
+             (SELECT COUNT(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+                AND NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey)) AS orphan_rows,
+             (SELECT COUNT(*) - COUNT(l_orderkey) FROM lineitem) AS null_keys
+      UNION ALL
+      SELECT 'lineitem.l_partkey->part.p_partkey',
+             (SELECT COUNT(*) FROM lineitem),
+             (SELECT COUNT(l_partkey) FROM lineitem),
+             (SELECT COUNT(DISTINCT l_partkey) FROM lineitem),
+             (SELECT COUNT(*) FROM lineitem l WHERE l.l_partkey IS NOT NULL
+                AND NOT EXISTS (SELECT 1 FROM part p
+                                WHERE p.p_partkey = l.l_partkey)),
+             (SELECT COUNT(*) - COUNT(l_partkey) FROM lineitem)
+      UNION ALL
+      SELECT 'lineitem.l_suppkey->supplier.s_suppkey',
+             (SELECT COUNT(*) FROM lineitem),
+             (SELECT COUNT(l_suppkey) FROM lineitem),
+             (SELECT COUNT(DISTINCT l_suppkey) FROM lineitem),
+             (SELECT COUNT(*) FROM lineitem l WHERE l.l_suppkey IS NOT NULL
+                AND NOT EXISTS (SELECT 1 FROM supplier s
+                                WHERE s.s_suppkey = l.l_suppkey)),
+             (SELECT COUNT(*) - COUNT(l_suppkey) FROM lineitem)
+      UNION ALL
+      SELECT 'orders.o_custkey->customer.c_custkey',
+             (SELECT COUNT(*) FROM orders),
+             (SELECT COUNT(o_custkey) FROM orders),
+             (SELECT COUNT(DISTINCT o_custkey) FROM orders),
+             (SELECT COUNT(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+                AND NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey)),
+             (SELECT COUNT(*) - COUNT(o_custkey) FROM orders)
+      UNION ALL
+      SELECT 'customer.c_nationkey->nation.n_nationkey',
+             (SELECT COUNT(*) FROM customer),
+             (SELECT COUNT(c_nationkey) FROM customer),
+             (SELECT COUNT(DISTINCT c_nationkey) FROM customer),
+             (SELECT COUNT(*) FROM customer c WHERE c.c_nationkey IS NOT NULL
+                AND NOT EXISTS (SELECT 1 FROM nation n
+                                WHERE n.n_nationkey = c.c_nationkey)),
+             (SELECT COUNT(*) - COUNT(c_nationkey) FROM customer)
+      UNION ALL
+      SELECT 'supplier.s_nationkey->nation.n_nationkey',
+             (SELECT COUNT(*) FROM supplier),
+             (SELECT COUNT(s_nationkey) FROM supplier),
+             (SELECT COUNT(DISTINCT s_nationkey) FROM supplier),
+             (SELECT COUNT(*) FROM supplier s WHERE s.s_nationkey IS NOT NULL
+                AND NOT EXISTS (SELECT 1 FROM nation n
+                                WHERE n.n_nationkey = s.s_nationkey)),
+             (SELECT COUNT(*) - COUNT(s_nationkey) FROM supplier)
+      UNION ALL
+      SELECT 'nation.n_regionkey->region.r_regionkey',
+             (SELECT COUNT(*) FROM nation),
+             (SELECT COUNT(n_regionkey) FROM nation),
+             (SELECT COUNT(DISTINCT n_regionkey) FROM nation),
+             (SELECT COUNT(*) FROM nation n WHERE n.n_regionkey IS NOT NULL
+                AND NOT EXISTS (SELECT 1 FROM region r
+                                WHERE r.r_regionkey = n.n_regionkey)),
+             (SELECT COUNT(*) - COUNT(n_regionkey) FROM nation)
+    ) ORDER BY fk_edge
+    """,
+    doc="Referential-integrity audit over all 7 FK edges of the star "
+    "schema: orphan rows via LEFT ANTI join, null keys reported "
+    "separately — the data-contract check the reference's count-only "
+    "validation (SURVEY C3) cannot express.",
+)
+def referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = {
+        name: load_table(spark, name, sf_dir)
+        for name in ("lineitem", "orders", "part", "supplier", "customer",
+                     "nation", "region")
+    }
+    return integrity_report(tables).orderBy("fk_edge")

@@ -517,3 +517,28 @@ class TestCrossOperatorInvariants:
                  .join(pairs, (F.col("a") == F.col("pa")) & (F.col("c") == F.col("pb")))
                  .count())
         assert got == naive and got > 0
+
+
+class TestIntegrityReport:
+    def test_planted_orphans_and_nulls(self, spark):
+        from covid_19_data_engineering_spark.operators.integrity import (
+            fk_edge_report)
+        child = spark.createDataFrame(
+            [(1, 10), (2, 10), (3, 99), (4, None), (5, 20)],
+            "id long, fk long")
+        parent = spark.createDataFrame([(10,), (20,)], "pk long")
+        r = fk_edge_report(child, "fk", parent, "pk", "t.fk->p.pk").collect()[0]
+        assert r["child_rows"] == 5
+        assert r["non_null_keys"] == 4
+        assert r["distinct_keys"] == 3      # 10, 99, 20
+        assert r["orphan_rows"] == 1        # fk=99
+        assert r["null_keys"] == 1
+
+    def test_star_schema_is_clean(self, spark):
+        from covid_19_data_engineering_spark.plans.registry import all_queries
+        rows = all_queries()["referential_integrity_report"](
+            spark, "/root/testdata/sf0.001").collect()
+        assert len(rows) == 7
+        for r in rows:
+            assert r["orphan_rows"] == 0, r["fk_edge"]
+            assert r["null_keys"] == 0, r["fk_edge"]
