@@ -80,6 +80,7 @@ EXTRA = [
     "training_shard_manifest",
     "ivf_incremental_assign",
     "referential_integrity_report",
+    "ann_lsh_range_search",
 ]
 
 

@@ -542,3 +542,39 @@ class TestIntegrityReport:
         for r in rows:
             assert r["orphan_rows"] == 0, r["fk_edge"]
             assert r["null_keys"] == 0, r["fk_edge"]
+
+
+class TestLSHRangeSearch:
+    def test_recall_vs_brute(self, spark):
+        from covid_19_data_engineering_spark.operators.similarity import (
+            default_queries, lsh_range_search, range_search)
+        from covid_19_data_engineering_spark.sources.tables import load_table
+        corpus = load_table(spark, "embeddings", "/root/testdata/sf0.01") \
+            .select("vec_id", "embedding")
+        qs = default_queries(corpus)
+        brute = {(r["query_id"], r["vec_id"]): r["cosine"]
+                 for r in range_search(corpus, qs).collect()}
+        lsh = {(r["query_id"], r["vec_id"])
+               for r in lsh_range_search(corpus, qs).collect()}
+        assert lsh <= set(brute)               # no false positives
+        assert len(lsh) / len(brute) >= 0.6    # overall recall floor
+
+    def test_planted_near_dup_always_found(self, spark):
+        # collision prob per table is (1-theta/pi)^4: ~0.09 at cos 0.32 but
+        # ~1 as cos -> 1, so near-duplicates are found with certainty while
+        # radius-edge matches may drop — the documented LSH contract
+        from covid_19_data_engineering_spark.operators.similarity import (
+            lsh_range_search)
+        import random
+        rng = random.Random(3)
+        base = [rng.uniform(-1, 1) for _ in range(64)]
+        near = [x + rng.uniform(-0.01, 0.01) for x in base]
+        rows = [(1, base), (2, near)] + [
+            (i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(3, 60)
+        ]
+        corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        queries = spark.createDataFrame(
+            [(1, base)], "query_id long, q_embedding array<double>")
+        got = {r["vec_id"] for r in
+               lsh_range_search(corpus, queries, threshold=0.9).collect()}
+        assert got == {2}
