@@ -37,6 +37,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from covid_19_data_engineering_spark.operators.vectors import (
+    _spread,
     cosine_sim,
     with_lsh_buckets,
 )
@@ -61,18 +62,6 @@ def shingles_col(tok: Column, k: int = 3) -> Column:
     )).otherwise(F.array().cast("array<string>"))
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Give an expensive narrow map stage full parallelism. A small local
-    input is often ONE parquet split, so a per-row md5/shingle pipeline
-    would run in a single task with every other core idle. No-op whenever
-    the scan already has >= defaultParallelism splits — the 100 TB case,
-    where maxPartitionBytes yields thousands — so no shuffle is added at
-    scale."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
 
 
 # --- engine-portable hashing primitives -------------------------------------
