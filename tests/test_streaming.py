@@ -368,3 +368,23 @@ def test_stream_builders_are_source_agnostic_rate(spark):
     assert rows, "rate-sourced stream produced no windows"
     assert {r["event_type"] for r in rows} <= {"click", "view", "purchase"}
     assert all(r["n_events"] > 0 for r in rows)
+
+
+def test_stream_shard_routing_matches_batch_manifest(spark):
+    """The shard router (operators/shards.py) is a pure per-row projection
+    plus an aggregation, so it composes directly onto the document stream:
+    an availableNow run over the arrival directory must produce the same
+    shard manifest as the batch operator — the stream IS the ingest path a
+    dataloader-shard writer would hang off foreachBatch."""
+    from covid_19_data_engineering_spark.operators.shards import shard_manifest
+    from covid_19_data_engineering_spark.streaming.events import documents_stream
+
+    stream_counts = _run_to_memory(
+        shard_manifest(documents_stream(spark, SF_SMOKE)),
+        "shard_stream", spark, complete=True,
+    )
+    got = {r["shard_id"]: (r["n_docs"], r["n_tokens"])
+           for r in stream_counts.collect()}
+    batch = {r["shard_id"]: (r["n_docs"], r["n_tokens"])
+             for r in shard_manifest(load_table(spark, "documents", SF_SMOKE)).collect()}
+    assert got == batch
