@@ -81,6 +81,7 @@ EXTRA = [
     "ivf_incremental_assign",
     "referential_integrity_report",
     "ann_lsh_range_search",
+    "gopher_rule_gate",
 ]
 
 

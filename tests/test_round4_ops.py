@@ -578,3 +578,31 @@ class TestLSHRangeSearch:
         got = {r["vec_id"] for r in
                lsh_range_search(corpus, queries, threshold=0.9).collect()}
         assert got == {2}
+
+
+class TestRuleGate:
+    def test_reasons_and_keep(self, spark):
+        from covid_19_data_engineering_spark.operators.rules import rule_gate
+        docs = spark.createDataFrame([
+            (1, " ".join(f"s{i}" for i in range(10)), "a"),          # too few tokens
+            (2, " ".join(["word"] * 30), "a"),                       # one token repeated
+            (3, " ".join(f"w{i}" for i in range(30)), "a"),          # clean
+            (4, " ".join(["x"] * 25), "b"),  # short tokens AND repetition
+        ], "doc_id long, text string, source string")
+        out = {r["doc_id"]: r for r in rule_gate(docs).collect()}
+        assert out[1]["failed"] == ["min_tokens"]
+        assert out[2]["failed"] == ["top_tok_frac"]
+        assert out[3]["failed"] == [] and out[3]["keep"]
+        assert out[4]["failed"] == ["mean_tok_len", "top_tok_frac"]
+        assert not out[4]["keep"]
+
+    def test_fixed_point_ratios_exact(self, spark):
+        from covid_19_data_engineering_spark.operators.rules import rule_gate
+        docs = spark.createDataFrame(
+            [(1, " ".join(["abc"] * 10 + ["defghi"] * 10 + ["xy"] * 20), "s")],
+            "doc_id long, text string, source string")
+        r = rule_gate(docs).collect()[0]
+        # 40 tokens, 10*3 + 10*6 + 20*2 = 130 chars -> 1000*130 div 40 = 3250
+        assert r["n_tokens"] == 40
+        assert r["mean_len_milli"] == 3250
+        assert r["top_frac_milli"] == 500   # 'xy' x20 of 40
