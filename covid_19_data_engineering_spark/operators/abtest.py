@@ -15,10 +15,13 @@ cohort) via one user-keyed aggregate + one tiny rollup; the z statistic
     z = (pa - pb) / sqrt(p0 * (1 - p0) * (1/na + 1/nb)),  p0 pooled
 
 is a single fixed-order double expression over those integers —
-identical on any engine with no rounding needed. z uses try_divide:
-a saturated (p0 in {0,1}) experiment yields se = 0, where DuckDB's
-division returns NULL — try_divide makes Spark agree instead of raising
-under ANSI mode.
+identical on any engine with no rounding needed. The saturated case
+(p0 in {0,1} -> se = 0) is pinned to NULL on BOTH engines explicitly:
+Spark via try_divide (which would otherwise raise under ANSI mode),
+the oracle via NULLIF(se, 0) (bare float division by zero in DuckDB is
+configuration-dependent — NULL or IEEE inf depending on
+ieee_floating_point_ops — so the oracle never relies on it). The planted
+saturated-experiment parity test lives in tests/test_round4_ops.py.
 
 Scale shape: one shuffle on user_id (the first-event rollup), then an
 O(1) aggregate — embarrassingly parallel at 100 TB.
@@ -64,9 +67,9 @@ def ab_conversion_ztest(events: DataFrame,
     pb = F.col("xb").cast("double") / F.col("nb")
     p0 = (F.col("xa") + F.col("xb")).cast("double") / (F.col("na") + F.col("nb"))
     se = F.sqrt(p0 * (1 - p0) * (1.0 / F.col("na") + 1.0 / F.col("nb")))
-    # try_divide: a saturated experiment (p0 in {0,1}) has se = 0; DuckDB
-    # division yields NULL there and try_divide makes Spark agree instead
-    # of raising under ANSI mode
+    # try_divide: a saturated experiment (p0 in {0,1}) has se = 0 -> NULL z,
+    # the same semantics the oracle pins with NULLIF(se, 0) (and Spark would
+    # otherwise raise under ANSI mode)
     z = F.try_divide(pa - pb, se)
     return counts.select(
         "na", "xa", "nb", "xb",
@@ -95,14 +98,19 @@ def ab_conversion_ztest(events: DataFrame,
     SELECT na, xa, nb, xb,
            CAST(xa AS DOUBLE) / na AS rate_a,
            CAST(xb AS DOUBLE) / nb AS rate_b,
+           -- NULLIF pins the saturated case (p0 in {{0,1}} -> se = 0) to
+           -- NULL regardless of DuckDB's ieee_floating_point_ops setting,
+           -- matching Spark's try_divide exactly (round-4 ADVICE: the old
+           -- bare division relied on a NULL-on-div-by-zero behavior that
+           -- is configuration-dependent and never exercised at sf0.01)
            (CAST(xa AS DOUBLE) / na - CAST(xb AS DOUBLE) / nb)
-             / sqrt((CAST(xa + xb AS DOUBLE) / (na + nb))
+             / NULLIF(sqrt((CAST(xa + xb AS DOUBLE) / (na + nb))
                     * (1 - CAST(xa + xb AS DOUBLE) / (na + nb))
-                    * (1.0 / na + 1.0 / nb)) AS z_stat,
+                    * (1.0 / na + 1.0 / nb)), 0) AS z_stat,
            abs((CAST(xa AS DOUBLE) / na - CAST(xb AS DOUBLE) / nb)
-               / sqrt((CAST(xa + xb AS DOUBLE) / (na + nb))
+               / NULLIF(sqrt((CAST(xa + xb AS DOUBLE) / (na + nb))
                       * (1 - CAST(xa + xb AS DOUBLE) / (na + nb))
-                      * (1.0 / na + 1.0 / nb))) >= {Z_CRIT}
+                      * (1.0 / na + 1.0 / nb)), 0)) >= {Z_CRIT}
              AS significant_5pct
     FROM counts
     """,

@@ -22,7 +22,15 @@ def _spread(df: DataFrame) -> DataFrame:
     the scan already has >= defaultParallelism splits — the 100 TB case,
     where maxPartitionBytes yields thousands — so no shuffle is added at
     scale. (Canonical home; operators/dedup.py re-exports for its md5
-    pipelines.)"""
+    pipelines.)
+
+    Streaming DataFrames pass through untouched: ``df.rdd`` is illegal on
+    a stream (and would force an eager plan-to-RDD conversion anyway), and
+    a micro-batch's partitioning is the source's concern — the batch-side
+    spread is a local-testing affordance, not part of the operator
+    contract."""
+    if df.isStreaming:
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:
@@ -91,7 +99,8 @@ def lsh_bucket_ctes() -> str:
     )"""
 
 
-_PLANES_LIT: Column | None = None
+_PLANES_SQL: str | None = None
+_PLANES_CACHE: dict[str, Column] = {}
 
 
 def _planes_lit() -> Column:
@@ -101,18 +110,32 @@ def _planes_lit() -> Column:
     64 CreateArray trees of 64 F.lit nodes (thousands of expression nodes
     walked by every analysis pass), then ``F.lit(PLANES)`` (one Literal
     node but ~2.5s of py4j list conversion per CALL), now a parsed SQL
-    array literal built lazily ONCE per process — F.expr construction is
-    O(1) and the parse happens a single time at first analysis. Values are
+    array literal built lazily ONCE per SparkContext. Values are
     bit-identical across all three forms (each double rendered via repr,
-    which round-trips exactly)."""
-    global _PLANES_LIT
-    if _PLANES_LIT is None:
-        sql = "array(" + ",".join(
+    which round-trips exactly).
+
+    The cache is keyed on the active application id, NOT a bare module
+    global: an F.expr Column holds a py4j reference into the JVM, so after
+    a SparkContext stop/restart in the same Python process a global would
+    hand out a stale JVM handle that fails obscurely on next use (round-4
+    ADVICE). The SQL string itself is process-cached — rebuilding the
+    Column for a fresh context is one O(1) F.expr call."""
+    global _PLANES_SQL
+    if _PLANES_SQL is None:
+        _PLANES_SQL = "array(" + ",".join(
             "array(" + ",".join(f"CAST({x!r} AS DOUBLE)" for x in p) + ")"
             for p in PLANES
         ) + ")"
-        _PLANES_LIT = F.expr(sql)
-    return _PLANES_LIT
+    from pyspark.sql import SparkSession
+
+    sess = SparkSession.getActiveSession()
+    key = sess.sparkContext.applicationId if sess is not None else "<none>"
+    col = _PLANES_CACHE.get(key)
+    if col is None:
+        _PLANES_CACHE.clear()  # at most one live context per process
+        col = F.expr(_PLANES_SQL)
+        _PLANES_CACHE[key] = col
+    return col
 
 
 def signature_bits_array(vec: Column) -> Column:

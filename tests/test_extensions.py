@@ -129,6 +129,46 @@ def test_ngram_length_blocking_lossless_and_pruning(spark):
     assert n_blocked < n_full, f"length blocking pruned nothing ({n_blocked} vs {n_full})"
 
 
+def test_ngram_lsh_matches_exact_twin(spark):
+    """The registered dedup_ngram_jaccard now routes candidates through 32
+    r=1 minhash bands (round-4 verdict #1); on real corpora the output must
+    equal the lossless all-pairs twin — the theoretical miss bound at the
+    registered threshold is (1-0.35)^32 ~ 1e-6 per pair, and the corpora
+    here are fixed, so equality is deterministic."""
+    from covid_19_data_engineering_spark.operators.dedup import (
+        ngram_jaccard_pairs_lsh,
+    )
+    from covid_19_data_engineering_spark.sources.tables import load_table
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        docs = load_table(spark, "documents", sf)
+        exact = {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in ngram_jaccard_pairs(docs, threshold=0.35).collect()
+        }
+        lsh = {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in ngram_jaccard_pairs_lsh(docs, threshold=0.35).collect()
+        }
+        assert lsh == exact, f"{sf}: missed {exact - lsh}, spurious {lsh - exact}"
+
+
+def test_ngram_lsh_planted_semantics(planted_docs):
+    """Exact-dup pairs carry jaccard 1.0 through the collapse expansion;
+    near dups verify with their true exact Jaccard; unrelated docs never
+    pair — the same planted contract the all-pairs twin pins above."""
+    from covid_19_data_engineering_spark.operators.dedup import (
+        ngram_jaccard_pairs_lsh,
+    )
+
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs_lsh(planted_docs, threshold=0.3).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(2, 3)] == pairs[(1, 3)]  # member inherits the rep's jaccard
+    assert (1, 3) in pairs and pairs[(1, 3)] >= 0.6
+    assert (1, 4) not in pairs
+
+
 def test_embedding_lsh_pairs_recall_vs_brute(embeddings_001):
     """The registered embedding dedup is LSH-bucketed; pin its recall against
     the all-pairs brute twin. At the registered 0.95 threshold 16-table

@@ -378,6 +378,42 @@ class TestABTest:
         assert out["z_stat"] is None
         assert out["significant_5pct"] is None
 
+    def test_saturated_case_oracle_parity(self, spark):
+        """Round-4 ADVICE: the sf0.01 parity data never saturates (~20%
+        conversion), so the engine/oracle agreement on the se=0 branch was
+        unexercised — and the oracle's bare division relied on DuckDB's
+        configuration-dependent div-by-zero behavior. Plant an all-convert
+        experiment and run BOTH sides: the oracle (NULLIF-pinned) and the
+        engine (try_divide) must each yield NULL z / NULL significance."""
+        import duckdb
+
+        from covid_19_data_engineering_spark.operators.abtest import (
+            ab_conversion_ztest)
+        from covid_19_data_engineering_spark.plans.registry import (
+            REGISTRY, _ensure_loaded)
+
+        _ensure_loaded()
+        rows = [(u, "purchase") for u in range(6)]
+        engine = ab_conversion_ztest(self._events(spark, rows)).collect()[0]
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE events AS SELECT "
+            "CAST(i AS BIGINT) AS event_id, "
+            "TIMESTAMP '2024-01-01' + INTERVAL (i) SECOND AS ts, "
+            "CAST(i AS BIGINT) AS user_id, 'purchase' AS event_type, "
+            "1.0 AS value, CAST(NULL AS VARCHAR) AS props "
+            "FROM range(6) t(i)"
+        )
+        oracle = con.execute(REGISTRY["ab_conversion_ztest"].oracle).fetchone()
+        ocols = [d[0] for d in con.description]
+        orow = dict(zip(ocols, oracle))
+        assert orow["z_stat"] is None and engine["z_stat"] is None
+        assert orow["significant_5pct"] is None
+        assert engine["significant_5pct"] is None
+        assert (orow["na"], orow["xa"], orow["nb"], orow["xb"]) == (
+            engine["na"], engine["xa"], engine["nb"], engine["xb"])
+
 
 class TestDupSpanScrub:
     def test_long_span_cut_short_match_kept(self, spark):
