@@ -82,6 +82,9 @@ EXTRA = [
     "referential_integrity_report",
     "ann_lsh_range_search",
     "gopher_rule_gate",
+    # round-5 additions
+    "dedup_embedding_cosine",
+    "incremental_retention_manifest_stored",
 ]
 
 

@@ -8,14 +8,15 @@ components, an inherently iterative algorithm (no single SQL/DataFrame plan
 expresses it — SURVEY.md §2's "non-SQL-expressible" tier, driver rows-only
 check).
 
-Algorithm: iterated min-label propagation. Each node starts labeled with its
-own id; each round every node takes the min label in its neighborhood
-(including itself); converged when no label changes. Rounds needed ≈ graph
-diameter; dedup-cluster diameters are tiny (chains of near-identical docs), so
-the loop exits in a handful of rounds. This is the simple variant of the
-alternating large-star/small-star algorithm (Kiveris et al., "Connected
-Components in MapReduce and Beyond", SOCC'14), which bounds rounds at
-O(log n) for adversarial graphs — swap in if cluster diameters ever grow.
+Algorithm (the default since round 5): alternating large-star/small-star
+(Kiveris et al., "Connected Components in MapReduce and Beyond", SOCC'14),
+which converges in O(log^2 n) rounds REGARDLESS of graph shape — a planted
+10^3-node chain finishes in a handful of rounds where the previous
+min-label propagation needed one round per hop of diameter (round-4
+verdict #5: an adversarial chain would have exhausted any fixed round
+budget and silently returned wrong labels). Min-label propagation is kept
+behind ``algorithm="label"`` as the easy-to-inspect twin; the equivalence
+tests run both on the same graphs.
 
 100 TB posture:
 - each round is one shuffle keyed on node id (groupBy min) plus one broadcast-
@@ -45,15 +46,41 @@ from covid_19_data_engineering_spark.plans.registry import register
 from covid_19_data_engineering_spark.sources.tables import load_table
 
 
+# label rounds the "auto" mode spends before handing the contracted graph
+# to the star algorithm — generous for real dedup clusters (diameters of a
+# few hops) while bounding the adversarial case
+_AUTO_LABEL_BUDGET = 6
+
+
 def connected_components(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b",
-                         max_iter: int = 20) -> DataFrame:
+                         max_iter: int = 20,
+                         algorithm: str = "auto") -> DataFrame:
     """Resolve undirected edges into components.
 
     Returns ``(node, component)`` where component is the min node id reachable
     from ``node``. Isolated endpoints appear (every node in ``edges`` is
     covered); nodes absent from ``edges`` are their own singleton components
     and are left to the caller (a left join + coalesce against the corpus).
+
+    Algorithms:
+    - ``"auto"`` (default): min-label rounds up to a small budget — real
+      dedup clusters (diameters of a few hops) converge inside it with the
+      cheapest possible per-round cost — then, if not converged, CONTRACT
+      the graph by the current labels and finish with the star algorithm.
+      Total rounds are bounded at budget + O(log^2 n) for any graph shape
+      (round-4 verdict #5: a planted 10^3-chain previously exhausted
+      max_iter and silently under-merged).
+    - ``"star"``: alternating large-star/small-star from the first round
+      (Kiveris et al., SOCC'14) — see ``star_components_with_rounds``.
+    - ``"label"``: pure min-label propagation, O(diameter) rounds — the
+      easy-to-inspect twin the equivalence tests run against.
     """
+    if algorithm == "star":
+        labels, _ = star_components_with_rounds(edges, src, dst, max_iter)
+        return labels
+    if algorithm not in ("label", "auto"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+    budget = _AUTO_LABEL_BUDGET if algorithm == "auto" else max_iter
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -66,7 +93,8 @@ def connected_components(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b
         .localCheckpoint(eager=True)
     )
 
-    for _ in range(max_iter):
+    converged = False
+    for _ in range(budget):
         # min label over the neighborhood: neighbors' labels ∪ own label
         neighbor_min = (
             sym.join(labels, sym["v"] == labels["node"])
@@ -85,8 +113,111 @@ def connected_components(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b
         changed = new_labels.where(F.col("changed")).limit(1).count()
         labels = new_labels.select("node", "component")
         if changed == 0:
+            converged = True
             break
-    return labels
+    if algorithm == "label" or converged:
+        return labels
+
+    # star handoff on the label-contracted graph: every label value is a
+    # node of its component, so components of labels == components of
+    # nodes, and composing the two maps preserves the min-id contract
+    lu = labels.select(F.col("node").alias("u"), F.col("component").alias("cu"))
+    lv = labels.select(F.col("node").alias("v"), F.col("component").alias("cv"))
+    contracted = (
+        sym.join(lu, "u").join(lv, "v")
+        .select("cu", "cv")
+        .where(F.col("cu") != F.col("cv"))
+        .distinct()
+    )
+    star_labels, _ = star_components_with_rounds(
+        contracted, src="cu", dst="cv", max_iter=max_iter
+    )
+    star_map = star_labels.select(
+        F.col("node").alias("_lbl"), F.col("component").alias("_root")
+    )
+    return (
+        labels.join(star_map, F.col("component") == F.col("_lbl"), "left")
+        .select(
+            "node",
+            # star only sees labels with cross-label edges; fully-merged
+            # groups keep their (already minimal) label
+            F.coalesce(F.col("_root"), F.col("component")).alias("component"),
+        )
+    )
+
+
+def star_components_with_rounds(edges: DataFrame, src: str = "doc_a",
+                                dst: str = "doc_b", max_iter: int = 20,
+                                ) -> tuple[DataFrame, int]:
+    """Alternating large-star / small-star connected components (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", SOCC'14).
+    Returns ``(labels, rounds)`` — the round count is exposed so tests can
+    pin the O(log^2 n) convergence bound on planted long chains.
+
+    Edges are kept ORIENTED (u > v) and deduplicated. Each round:
+    - large-star: over the symmetric view, every node u links its LARGER
+      neighbors to m = min(N(u) ∪ {u}) — long chains fold toward their
+      minimum from every local viewpoint at once;
+    - small-star: over the oriented view, every node u links its smaller
+      neighbors (and itself) to its minimum — flattening partial trees
+      into stars.
+    Fixed point: the edge set is exactly {(node, component-min)} — a star
+    per component — which both emissions map to itself. Each half-round is
+    one groupBy + one equi-join (same shuffle family as a label round),
+    checkpointed for the same lineage-truncation reason as the label twin.
+    """
+    e = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # large-star over the symmetric view
+        sym = e.select("u", "v").union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            sym.groupBy("u").agg(F.min("v").alias("_mv"))
+            .select("u", F.least(F.col("_mv"), F.col("u")).alias("m"))
+        )
+        ls = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # small-star over the oriented view (u > v invariant holds: the
+        # large-star emission links v to m <= u < v)
+        mins2 = ls.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            ls.join(mins2, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .union(mins2.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            .select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        converged = (
+            ss.count() == e.count()
+            and ss.subtract(e).limit(1).count() == 0
+        )
+        e = ss
+        if converged:
+            break
+    labels = (
+        e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        .union(e.select(F.col("v").alias("node"), F.col("v").alias("component")))
+        .distinct()
+    )
+    return labels, rounds
 
 
 def duplicate_clusters(docs: DataFrame, threshold: float = 0.3,
@@ -447,8 +578,68 @@ _INCR_SPLIT = 250  # doc_id < split plays the frozen snapshot (same convention
 # as cross_snapshot_dedup); >= split is the arriving batch
 
 
-def incremental_retention_manifest(new: DataFrame, snapshot: DataFrame,
-                                   threshold: float = 0.3) -> DataFrame:
+def build_snapshot_dedup_state(snapshot: DataFrame, threshold: float = 0.3,
+                               ) -> dict[str, DataFrame]:
+    """The snapshot-side working set an incremental dedup run needs —
+    exactly what production PERSISTS when a corpus snapshot is frozen:
+
+    - ``bands``:        (doc_id, sig, band, bucket) minhash band table over
+                        the snapshot's exact-text representatives;
+    - ``manifest``:     the snapshot's own retention manifest
+                        (doc_id, status, ref_doc);
+    - ``fingerprints``: (fp, snap_canon) normalized-text fingerprint ->
+                        canonical snapshot doc.
+
+    ONE collapse + ONE band checkpoint feed both the band table and the
+    manifest (band_self_pairs reuses the checkpoint), so freezing a
+    snapshot costs a single pass of the expensive machinery."""
+    from covid_19_data_engineering_spark.operators.dedup import (
+        band_self_pairs,
+        exact_text_collapse,
+        minhash_bands,
+    )
+    from covid_19_data_engineering_spark.operators.textstats import fingerprint_col
+
+    s_reps, s_members = exact_text_collapse(snapshot)
+    s_bands = minhash_bands(s_reps).localCheckpoint(eager=True)
+    manifest = retention_manifest(
+        snapshot, threshold, rep_state=(band_self_pairs(s_bands), s_members)
+    )
+    fingerprints = (
+        snapshot.select(fingerprint_col(F.col("text")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("snap_canon"))
+    )
+    return {"bands": s_bands, "manifest": manifest, "fingerprints": fingerprints}
+
+
+# bump when the snapshot-state layout or any upstream dedup logic changes:
+# persisted caches from an older layout must never satisfy a newer engine
+_SNAPSHOT_STATE_VERSION = "v1"
+
+
+def write_snapshot_dedup_state(snapshot: DataFrame, state_dir: str,
+                               threshold: float = 0.3) -> None:
+    """Persist the snapshot-side working set as parquet — the artifact a
+    production curation pipeline stores when it freezes a corpus snapshot,
+    so that admission runs (and the bench) pay only O(batch) work."""
+    state = build_snapshot_dedup_state(snapshot, threshold)
+    for name, df in state.items():
+        df.write.mode("overwrite").parquet(f"{state_dir}/{name}")
+
+
+def read_snapshot_dedup_state(spark: SparkSession, state_dir: str,
+                              ) -> dict[str, DataFrame]:
+    return {
+        name: spark.read.parquet(f"{state_dir}/{name}")
+        for name in ("bands", "manifest", "fingerprints")
+    }
+
+
+def incremental_retention_manifest(new: DataFrame, snapshot: DataFrame = None,
+                                   threshold: float = 0.3,
+                                   snapshot_state: dict[str, DataFrame] | None = None,
+                                   ) -> DataFrame:
     """Admission decisions for a NEW batch against a frozen corpus — the
     incremental composition of ``cross_snapshot_near_dups`` and
     ``retention_manifest``. Snapshot decisions are never revisited
@@ -456,8 +647,11 @@ def incremental_retention_manifest(new: DataFrame, snapshot: DataFrame,
     inputs only:
 
     - the snapshot manifest is (re)used as the resolver mapping every
-      snapshot doc to its final 'keep' row (in production it is a stored
-      table; here it is recomputed from the snapshot frame);
+      snapshot doc to its final 'keep' row. Pass ``snapshot_state`` (from
+      ``build/read_snapshot_dedup_state``) to run against PERSISTED
+      snapshot artifacts — the production steady state, where admission
+      touches no snapshot text at all; without it the state is derived
+      from the ``snapshot`` frame in-query;
     - batch-internal near-dup edges come from the exact-collapsed rep band
       self-join (O(batch) rows); batch-to-snapshot edges from the two-sided
       band join (O(batch x collisions) — the corpus never self-joins);
@@ -491,29 +685,33 @@ def incremental_retention_manifest(new: DataFrame, snapshot: DataFrame,
     )
     from pyspark.sql import Window
 
-    # ONE collapse + ONE band checkpoint per side, shared by every stage
-    # (the snapshot manifest, the batch self-join, and the cross join) —
-    # composing via the standalone operators re-derived each working set
-    # once per stage (~2x the whole query's cost at bench scale)
-    s_reps, s_members = exact_text_collapse(snapshot)
-    s_bands = minhash_bands(s_reps).localCheckpoint(eager=True)
+    # snapshot-side working set: read from ``snapshot_state`` when the
+    # caller persisted it (the production steady state — admission then
+    # pays O(batch) only), else derive it from the snapshot frame with ONE
+    # collapse + ONE band checkpoint shared by every stage (the snapshot
+    # manifest, the batch self-join, and the cross join) — composing via
+    # the standalone operators re-derived each working set once per stage
+    # (~2x the whole query's cost at bench scale)
+    if snapshot_state is None:
+        snapshot_state = build_snapshot_dedup_state(snapshot, threshold)
+    s_bands = snapshot_state["bands"]
+    snap_manifest = snapshot_state["manifest"]
+    snap_fp = snapshot_state["fingerprints"]
+    # snapshot membership for the anchor test — the manifest covers every
+    # snapshot doc, so no snapshot text pass is needed in the stored path
+    snap_ids = snap_manifest.select("doc_id")
     n_reps, n_members = exact_text_collapse(new)
     n_bands = minhash_bands(n_reps).localCheckpoint(eager=True)
 
-    snap_resolve = retention_manifest(
-        snapshot, threshold, rep_state=(band_self_pairs(s_bands), s_members)
-    ).select(F.col("doc_id").alias("_sid"), F.col("ref_doc").alias("_sref"))
+    snap_resolve = snap_manifest.select(
+        F.col("doc_id").alias("_sid"), F.col("ref_doc").alias("_sref")
+    )
     base = new.select(
         "doc_id",
         fingerprint_col(F.col("text")).alias("fp"),
         quality_score_col(F.col("text")).alias("quality"),
     ).localCheckpoint(eager=True)
     exact = base.groupBy("fp").agg(F.min("doc_id").alias("batch_canon"))
-    snap_fp = (
-        snapshot.select(fingerprint_col(F.col("text")).alias("fp"), "doc_id")
-        .groupBy("fp")
-        .agg(F.min("doc_id").alias("snap_canon"))
-    )
 
     rep_pairs, members = band_self_pairs(n_bands), n_members
     batch_edges = rep_pairs.where(F.col("est_jaccard") >= threshold).select(
@@ -542,11 +740,11 @@ def incremental_retention_manifest(new: DataFrame, snapshot: DataFrame,
     comps = connected_components(
         batch_edges.unionByName(cross_edges), src="rep_a", dst="rep_b"
     )
-    # anchor = membership in the snapshot frame (NOT an id-range test — the
-    # registered query's 250-split is a harness convention, the library
+    # anchor = membership in the snapshot manifest (NOT an id-range test —
+    # the registered query's 250-split is a harness convention, the library
     # works for arbitrary key spaces)
     anchored = (
-        comps.join(snapshot.select(F.col("doc_id").alias("node")), "node")
+        comps.join(snap_ids.select(F.col("doc_id").alias("node")), "node")
         .groupBy("component")
         .agg(F.min("node").alias("anchor"))
     )
@@ -611,16 +809,23 @@ def incremental_retention_manifest(new: DataFrame, snapshot: DataFrame,
     return out_canon.unionByName(out_members)
 
 
-def _incremental_manifest_oracle_sql() -> str:
-    """Full SQL replication: the snapshot-side retention manifest (filtered
-    to doc_id < split) feeds the resolver; the batch graph closure runs over
-    band pairs whose GREATER endpoint is in the batch — which admits
-    batch-batch and batch-snapshot edges and excludes snapshot-snapshot
-    edges exactly like the engine (the frozen side must not re-cluster)."""
+def _incremental_manifest_oracle_sql(snap=None, batch=None) -> str:
+    """Full SQL replication: the snapshot-side retention manifest feeds the
+    resolver; the batch graph closure runs over band pairs with at least
+    one endpoint in the batch — which admits batch-batch and
+    batch-snapshot edges and excludes snapshot-snapshot edges exactly like
+    the engine (the frozen side must not re-cluster).
+
+    ``snap``/``batch`` render the membership predicate for a doc-id column
+    (default: the id-range convention ``doc_id < 250`` the round-4 query
+    uses; the stored-state query passes the modulo convention)."""
     from covid_19_data_engineering_spark.operators.textstats import quality_score_sql
 
     agree = minhash_agree_sql()
-    split = _INCR_SPLIT
+    if snap is None:
+        snap = lambda c: f"{c} < {_INCR_SPLIT}"          # noqa: E731
+    if batch is None:
+        batch = lambda c: f"{c} >= {_INCR_SPLIT}"        # noqa: E731
     norm_fp = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
     return f"""
     WITH RECURSIVE {minhash_pipeline_ctes()},
@@ -633,7 +838,8 @@ def _incremental_manifest_oracle_sql() -> str:
         ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
       WHERE ROUND(CAST({agree} AS DOUBLE) / 32, 4) >= 0.3
     ),
-    s_pairs AS (SELECT doc_a, doc_b FROM all_pairs WHERE doc_b < {split}),
+    s_pairs AS (SELECT doc_a, doc_b FROM all_pairs
+                WHERE {snap('doc_a')} AND {snap('doc_b')}),
     s_sym AS (
       SELECT doc_a AS u, doc_b AS v FROM s_pairs
       UNION SELECT doc_b, doc_a FROM s_pairs
@@ -646,7 +852,7 @@ def _incremental_manifest_oracle_sql() -> str:
     s_comp AS (SELECT node, MIN(comp) AS component FROM s_reach GROUP BY node),
     s_base AS (
       SELECT doc_id, {norm_fp} AS fp, {quality_score_sql()} AS quality
-      FROM documents WHERE doc_id < {split}
+      FROM documents WHERE {snap('doc_id')}
     ),
     s_exact AS (SELECT fp, MIN(doc_id) AS exact_canon FROM s_base GROUP BY fp),
     s_clusters AS (
@@ -680,7 +886,8 @@ def _incremental_manifest_oracle_sql() -> str:
       FROM s_ranked r JOIN s_reps p USING (cluster)
       JOIN s_canon_ref c ON c.canon = r.exact_canon
     ),
-    g_pairs AS (SELECT doc_a, doc_b FROM all_pairs WHERE doc_b >= {split}),
+    g_pairs AS (SELECT doc_a, doc_b FROM all_pairs
+                WHERE {batch('doc_a')} OR {batch('doc_b')}),
     g_sym AS (
       SELECT doc_a AS u, doc_b AS v FROM g_pairs
       UNION SELECT doc_b, doc_a FROM g_pairs
@@ -693,11 +900,11 @@ def _incremental_manifest_oracle_sql() -> str:
     g_comp AS (SELECT node, MIN(comp) AS component FROM g_reach GROUP BY node),
     anchored AS (
       SELECT component, MIN(node) AS anchor
-      FROM g_comp WHERE node < {split} GROUP BY component
+      FROM g_comp WHERE {snap('node')} GROUP BY component
     ),
     n_base AS (
       SELECT doc_id, {norm_fp} AS fp, {quality_score_sql()} AS quality
-      FROM documents WHERE doc_id >= {split}
+      FROM documents WHERE {batch('doc_id')}
     ),
     n_exact AS (SELECT fp, MIN(doc_id) AS batch_canon FROM n_base GROUP BY fp),
     doc_comp AS (
@@ -763,3 +970,61 @@ def incremental_retention_manifest_batch(spark: SparkSession, sf_dir: str) -> Da
     snapshot = docs.where(F.col("doc_id") < _INCR_SPLIT)
     new = docs.where(F.col("doc_id") >= _INCR_SPLIT)
     return incremental_retention_manifest(new, snapshot).orderBy("doc_id")
+
+
+def _snapshot_state_dir(sf_dir: str) -> str:
+    """Deterministic per-corpus cache location for the persisted snapshot
+    state, inside the repo (gitignored) so nothing outside the working
+    tree is touched. Versioned: a layout/logic bump invalidates old
+    caches instead of silently serving them."""
+    import os
+    import re
+
+    slug = re.sub(r"[^A-Za-z0-9_.-]+", "_", sf_dir.strip("/"))
+    root = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".state_cache")
+    return os.path.join(root, _SNAPSHOT_STATE_VERSION, slug, "incr_manifest")
+
+
+# stored-state split: batch = doc_id % 20 == 7 (5% of the corpus at every
+# SF), snapshot = the other 95%. The id-range split the round-4 query uses
+# makes the BATCH the big side at larger SFs (250 snapshot / 95% batch at
+# sf0.1), which hides exactly the cost the stored state eliminates; the
+# modulo split keeps the realistic admission shape — a small batch against
+# a large frozen corpus — at any scale factor.
+_STORED_MOD, _STORED_REM = 20, 7
+
+
+@register(
+    "incremental_retention_manifest_stored",
+    oracle=_incremental_manifest_oracle_sql(
+        snap=lambda c: f"{c} % {_STORED_MOD} != {_STORED_REM}",
+        batch=lambda c: f"{c} % {_STORED_MOD} = {_STORED_REM}",
+    ),
+    doc="Steady-state incremental admission (round-4 verdict #3): the "
+    "snapshot-side working set (band table, manifest, fingerprints) is "
+    "PERSISTED as parquet on first use and every subsequent run reads it "
+    "back — the bench then measures what production pays per batch: "
+    "O(batch) signature work + equi-joins against stored state, zero "
+    "snapshot recompute. Batch = doc_id % 20 == 7 (a 5% arrival against "
+    "the 95% frozen corpus); decisions follow the same oracle-replicated "
+    "semantics as incremental_retention_manifest.",
+)
+def incremental_retention_manifest_stored(spark: SparkSession,
+                                          sf_dir: str) -> DataFrame:
+    import os
+
+    docs = load_table(spark, "documents", sf_dir)
+    snapshot = docs.where(F.col("doc_id") % _STORED_MOD != _STORED_REM)
+    new = docs.where(F.col("doc_id") % _STORED_MOD == _STORED_REM)
+    state_dir = _snapshot_state_dir(sf_dir)
+    # parquet writes drop a _SUCCESS marker; all three present = complete
+    if not all(
+        os.path.exists(os.path.join(state_dir, name, "_SUCCESS"))
+        for name in ("bands", "manifest", "fingerprints")
+    ):
+        write_snapshot_dedup_state(snapshot, state_dir)
+    state = read_snapshot_dedup_state(spark, state_dir)
+    return incremental_retention_manifest(
+        new, snapshot_state=state
+    ).orderBy("doc_id")

@@ -7,14 +7,16 @@ Decode behavior is an EXPLICIT parameter, never environment detection:
   uses): deterministic byte-derived features. Output is hash-stable on any
   host, with or without codec libraries, so the DuckDB oracles stay valid.
 - ``decode="real"``: a REAL image decode path — pure-stdlib decoders for
-  the two uncompressed formats the engine ships codecs for, PPM (P6) and
-  24-bit BMP — true width/height, luminance channel mean, true nearest-
-  neighbor resampling. Rows that are not decodable images fall back to the
-  per-row fake features (mixed-media tables decode what they can). This
-  path is exercised in CI against generated real PPM/BMP payloads
-  (tests/test_extensions.py); heavier codecs (PIL/libjpeg, librosa, pyav)
-  would slot into the same ``_decode_image`` seam as additional format
-  branches.
+  the three formats the engine ships codecs for: PPM (P6), 24-bit BMP,
+  and baseline PNG (zlib inflate + per-scanline unfilter; 8-bit
+  gray/RGB/RGBA, non-interlaced) — true width/height, luminance channel
+  mean, true nearest-neighbor resampling. Rows that are not decodable
+  images fall back to the per-row fake features (mixed-media tables
+  decode what they can). This path is exercised in CI against generated
+  real PPM/BMP/PNG payloads, including every PNG filter type
+  (tests/test_extensions.py); heavier codecs (libjpeg via PIL, librosa,
+  pyav) would slot into the same ``_decode_image`` seam as additional
+  format branches.
 
 Everything around the kernel — binary column materialization, metadata
 struct schema, Arrow-batched ``mapInPandas`` signature, partition-preserving
@@ -137,12 +139,163 @@ def _decode_bmp(b: bytes):
     return w, h, rows[..., ::-1]  # BGR -> RGB
 
 
+def _png_unfilter(data, h: int, w: int, bpp: int):
+    """Undo PNG per-scanline filtering (spec filters 0-4) -> H x (W*bpp)
+    uint8. Sub is vectorized as a per-channel prefix sum (recon[x] =
+    cur[x] + recon[x-bpp] telescopes to a cumsum mod 256); Up is a plain
+    vector add; Average/Paeth walk the row (their reconstruction is
+    sequentially dependent in two directions) — fine for the CI-scale
+    images this pure-stdlib path decodes."""
+    import numpy as np
+
+    stride = w * bpp
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint16)
+    pos = 0
+    for y in range(h):
+        ftype = data[pos]
+        row = np.frombuffer(data, dtype=np.uint8,
+                            count=stride, offset=pos + 1).astype(np.uint16)
+        pos += 1 + stride
+        if ftype == 0:
+            recon = row
+        elif ftype == 1:  # Sub
+            recon = np.cumsum(row.reshape(w, bpp), axis=0,
+                              dtype=np.uint64).reshape(stride) % 256
+            recon = recon.astype(np.uint16)
+        elif ftype == 2:  # Up
+            recon = (row + prior) % 256
+        elif ftype in (3, 4):  # Average / Paeth
+            recon = np.zeros(stride, dtype=np.uint16)
+            for x in range(stride):
+                left = int(recon[x - bpp]) if x >= bpp else 0
+                up = int(prior[x])
+                if ftype == 3:
+                    pred = (left + up) // 2
+                else:
+                    ul = int(prior[x - bpp]) if x >= bpp else 0
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if (pa <= pb and pa <= pc) else (
+                        up if pb <= pc else ul)
+                recon[x] = (int(row[x]) + pred) % 256
+        else:
+            return None
+        out[y] = recon.astype(np.uint8)
+        prior = recon
+    return out
+
+
+def _decode_png(b: bytes):
+    """PNG (non-interlaced, 8-bit gray / RGB / RGBA) -> (width, height,
+    HxWx3 uint8 RGB) or None. Pure stdlib + numpy: chunk walk, zlib
+    inflate of the concatenated IDAT stream, per-scanline unfiltering
+    (round-4 verdict #4 — zlib + unfilter is all a baseline PNG needs).
+    Grayscale replicates to 3 channels; RGBA drops alpha; palette /
+    16-bit / interlaced images fall back to the caller's non-image path."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(b) < 8 or b[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, w = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(b):
+        (length,), ctype = struct.unpack_from(">I", b, pos), b[pos + 4:pos + 8]
+        data = b[pos + 8:pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            if length < 13:
+                return None
+            w, h, depth, color, comp, filt, interlace = struct.unpack_from(
+                ">IIBBBBB", data, 0)
+            if depth != 8 or color not in (0, 2, 6) or comp != 0 \
+                    or filt != 0 or interlace != 0 or w <= 0 or h <= 0:
+                return None
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if w is None or not idat:
+        return None
+    bpp = {0: 1, 2: 3, 6: 4}[color]
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    if len(raw) != h * (1 + w * bpp):
+        return None
+    rows = _png_unfilter(raw, h, w, bpp)
+    if rows is None:
+        return None
+    px = rows.reshape(h, w, bpp)
+    if bpp == 1:
+        px = np.repeat(px, 3, axis=2)
+    elif bpp == 4:
+        px = px[..., :3]
+    return w, h, px
+
+
+def encode_png(px, row_filters=None) -> bytes:
+    """HxWx3 uint8 array -> PNG bytes (8-bit RGB, non-interlaced).
+    ``row_filters`` optionally assigns a spec filter type (0-4) per row —
+    the test suite uses it to exercise every unfilter branch of
+    ``_decode_png`` against known pixels; default is filter 0."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = px.shape[0], px.shape[1]
+    px = px.astype(np.int32)
+    if row_filters is None:
+        row_filters = [0] * h
+    raw = bytearray()
+    zero = np.zeros((w, 3), dtype=np.int32)
+    for y in range(h):
+        f = row_filters[y]
+        cur = px[y]
+        prior = px[y - 1] if y > 0 else zero
+        left = np.vstack([zero[:1], cur[:-1]])
+        ul = np.vstack([zero[:1], prior[:-1]])
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = cur - left
+        elif f == 2:
+            filt = cur - prior
+        elif f == 3:
+            filt = cur - (left + prior) // 2
+        elif f == 4:
+            p = left + prior - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prior, ul))
+            filt = cur - pred
+        else:
+            raise ValueError(f"bad filter {f}")
+        raw.append(f)
+        raw += (filt % 256).astype(np.uint8).tobytes()
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
 def _decode_image(b: bytes):
     """Try each shipped codec in turn; None when no format matches.
-    Additional codecs (PIL/libjpeg, pyav keyframes, ...) are extra branches
-    here — the kernel plumbing above/below does not change."""
+    Additional codecs (libjpeg via PIL, pyav keyframes, ...) are extra
+    branches here — the kernel plumbing above/below does not change."""
     b = bytes(b)
-    return _decode_ppm(b) or _decode_bmp(b)
+    return _decode_ppm(b) or _decode_bmp(b) or _decode_png(b)
 
 
 def encode_ppm(px) -> bytes:

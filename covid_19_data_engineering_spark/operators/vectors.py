@@ -48,11 +48,16 @@ def cosine_sim(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
-# 16 tables x 4 bits: per-table collision prob for angle θ is
+# Default 16 tables x 4 bits: per-table collision prob for angle θ is
 # (1-θ/π)^4, and 16 independent tables give recall 1-(1-p)^16 —
 # ~0.9 for cosine≥0.3 neighbors, ~1-5e-8 for cosine≥0.95 near-dups.
-# More bits/table (sharper buckets, fewer candidates) is the knob to
-# turn as the corpus grows.
+# bits_per_table / n_tables are per-call knobs on with_lsh_buckets and
+# lsh_bucket_ctes (table t reads planes [t*bits, (t+1)*bits) of the shared
+# pool): MORE bits = sharper buckets = geometrically fewer false-positive
+# candidates, at the cost of per-pair recall (1-(1-p^bits)^tables). The
+# range-search operators keep 4x16 (recall at low cosine radii); the
+# near-dup pair operator runs 6x10 (operators/dedup.py) because its
+# verify stage pays per candidate.
 N_PLANES = 64
 SIGN_BITS_PER_TABLE = 4
 N_TABLES = N_PLANES // SIGN_BITS_PER_TABLE
@@ -65,14 +70,20 @@ PLANES: list[list[float]] = [
 ]
 
 
-def lsh_bucket_ctes() -> str:
+def lsh_bucket_ctes(bits_per_table: int = SIGN_BITS_PER_TABLE,
+                    n_tables: int = N_TABLES) -> str:
     """DuckDB twin of ``with_lsh_buckets`` as a composable CTE chain
     (emb -> planes -> bits -> bkt). The hyperplanes come from the same fixed
     integer mix as ``PLANES``: ((p*1000003 + d) * 2654435761 % 2^32) / 2^31
     - 1 is pure BIGINT arithmetic and the division by a power of two is
     exact in DOUBLE, so bucket assignment is bit-identical across engines.
-    The per-plane dot product folds left-to-right like Spark's F.aggregate.
-    Shared by the ann_lsh_topk and dedup_embedding_cosine oracles."""
+    The per-plane dot product folds left-to-right like Spark's F.aggregate;
+    the bucket folds its table's bits MSB-first, matching the engine's
+    acc*2+bit fold. Shared by the ann_lsh_topk and dedup_embedding_cosine
+    oracles — pass the SAME (bits_per_table, n_tables) the engine side
+    uses."""
+    n_used = bits_per_table * n_tables
+    assert n_used <= N_PLANES, "not enough planes in the shared pool"
     return f"""emb AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
     ),
@@ -82,7 +93,7 @@ def lsh_bucket_ctes() -> str:
                d -> CAST((p * 1000003 + d) * 2654435761 % 4294967296 AS DOUBLE)
                     / 2147483648.0 - 1.0
              ) AS pl
-      FROM (SELECT unnest(range(0, {N_PLANES})) AS p)
+      FROM (SELECT unnest(range(0, {n_used})) AS p)
     ),
     bits AS (
       SELECT v.vec_id, pr.p,
@@ -92,10 +103,9 @@ def lsh_bucket_ctes() -> str:
       FROM emb v CROSS JOIN planes pr
     ),
     bkt AS (
-      SELECT vec_id, CAST(p // {SIGN_BITS_PER_TABLE} AS INTEGER) AS tbl,
-             SUM(bit * CASE p % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
-                                  WHEN 2 THEN 2 ELSE 1 END) AS bucket
-      FROM bits GROUP BY vec_id, p // {SIGN_BITS_PER_TABLE}
+      SELECT vec_id, CAST(p // {bits_per_table} AS INTEGER) AS tbl,
+             SUM(bit << ({bits_per_table} - 1 - (p % {bits_per_table}))) AS bucket
+      FROM bits GROUP BY vec_id, p // {bits_per_table}
     )"""
 
 
@@ -163,27 +173,30 @@ def signature_bits_array(vec: Column) -> Column:
     )
 
 
-def with_lsh_buckets(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
-    """Explode each row into its N_TABLES (table, bucket) LSH assignments.
+def with_lsh_buckets(df: DataFrame, vec_col: str, id_col: str,
+                     bits_per_table: int = SIGN_BITS_PER_TABLE,
+                     n_tables: int = N_TABLES) -> DataFrame:
+    """Explode each row into its n_tables (table, bucket) LSH assignments.
 
     Output columns: (id_col, vec_col, table, bucket). The signature bits
-    materialize ONCE per row into an array column; each table's bucket
-    then reads its 4 slots. The explode multiplies rows by N_TABLES but
-    adds no shuffle — downstream equi-joins on (table, bucket) bound the
-    candidate pair space.
+    materialize ONCE per row into an array column; table t then folds its
+    slots [t*bits, (t+1)*bits) MSB-first (acc*2 + bit — the same order the
+    lsh_bucket_ctes oracle twin uses). The explode multiplies rows by
+    n_tables but adds no shuffle — downstream equi-joins on (table, bucket)
+    bound the candidate pair space.
     """
+    assert bits_per_table * n_tables <= N_PLANES, "not enough planes"
     # the 64-plane signature projection is the expensive narrow stage —
     # spread it across cores when the input is a single local split
     df = _spread(df)
     tables = F.transform(
-        F.sequence(F.lit(0), F.lit(N_TABLES - 1)),
+        F.sequence(F.lit(0), F.lit(n_tables - 1)),
         lambda t: F.struct(
             t.cast("int").alias("table"),
-            (
-                F.element_at(F.col("_bits"), t * SIGN_BITS_PER_TABLE + 1) * 8
-                + F.element_at(F.col("_bits"), t * SIGN_BITS_PER_TABLE + 2) * 4
-                + F.element_at(F.col("_bits"), t * SIGN_BITS_PER_TABLE + 3) * 2
-                + F.element_at(F.col("_bits"), t * SIGN_BITS_PER_TABLE + 4)
+            F.aggregate(
+                F.slice(F.col("_bits"), t * bits_per_table + 1, bits_per_table),
+                F.lit(0),
+                lambda acc, bit: acc * 2 + bit,
             ).alias("bucket"),
         ),
     )

@@ -170,10 +170,11 @@ def test_ngram_lsh_planted_semantics(planted_docs):
 
 
 def test_embedding_lsh_pairs_recall_vs_brute(embeddings_001):
-    """The registered embedding dedup is LSH-bucketed; pin its recall against
-    the all-pairs brute twin. At the registered 0.95 threshold 16-table
-    recall is ~1-5e-8, so also check exact-equality there; at a looser 0.8
-    the pinned floor is 0.9."""
+    """The registered embedding dedup is LSH-bucketed (6 bits x 10 tables);
+    pin its recall against the all-pairs brute twin: at the 0.95 near-dup
+    threshold per-table collision is ~0.53 so recall is 1-(0.47)^10 ~
+    0.9994 — check exact equality (the corpus is fixed); at a looser 0.8
+    no false positives and a 0.9 floor (theoretical 0.945)."""
     from covid_19_data_engineering_spark.operators.dedup import (
         embedding_cosine_pairs_brute,
         embedding_lsh_near_pairs,
@@ -189,6 +190,49 @@ def test_embedding_lsh_pairs_recall_vs_brute(embeddings_001):
     if brute80:
         recall = len(brute80 & lsh80) / len(brute80)
         assert recall >= 0.9, f"LSH pair recall {recall} too low"
+
+
+def test_embedding_lsh_candidate_budget(spark):
+    """Round-4 verdict #2 gate: the candidate stage must emit a BOUNDED,
+    deduplicated pair set. For near-orthogonal corpora (this synthetic
+    table: pair cosines ~0) the 6x10 config's collision rate is
+    1-(1-2^-6)^10 ~ 0.145 — assert an 0.18 ceiling (and that the old 4x16
+    default would have blown it: ~0.64), plus planted high-cosine recall:
+    every planted >=0.9 pair must survive candidate generation."""
+    import math
+    import random
+
+    from covid_19_data_engineering_spark.operators.dedup import (
+        embedding_lsh_candidates,
+    )
+    from covid_19_data_engineering_spark.sources.tables import load_table
+
+    em = load_table(spark, "embeddings", "/root/testdata/sf0.01") \
+        .select("vec_id", "embedding")
+    n = em.count()
+    all_pairs = n * (n - 1) // 2
+    n_cand = embedding_lsh_candidates(em).count()
+    assert n_cand / all_pairs <= 0.18, (
+        f"candidate budget blown: {n_cand}/{all_pairs}")
+    n_cand_default = embedding_lsh_candidates(em, 4, 16).count()
+    assert n_cand_default / all_pairs > 0.4  # the old config's volume
+
+    # planted recall through the candidate stage: 30 near-dup pairs
+    # (deterministic noise, cosine >= 0.9) among 200 random vectors
+    rng = random.Random(7)
+    rows = []
+    for i in range(30):
+        base = [rng.uniform(-1, 1) for _ in range(64)]
+        nrm = math.sqrt(sum(x * x for x in base))
+        near = [x + rng.uniform(-0.05, 0.05) * nrm / 8 for x in base]
+        rows += [(2 * i, base), (2 * i + 1, near)]
+    rows += [(1000 + i, [rng.uniform(-1, 1) for _ in range(64)])
+             for i in range(200)]
+    planted = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cands = {(r["vec_a"], r["vec_b"])
+             for r in embedding_lsh_candidates(planted).collect()}
+    found = sum((2 * i, 2 * i + 1) in cands for i in range(30))
+    assert found >= 29, f"planted near-dup candidate recall too low: {found}/30"
 
 
 def test_embedding_lsh_finds_planted_near_dups(spark):
@@ -491,6 +535,101 @@ def test_multimodal_real_decode_features(spark):
     # non-image row: deterministic fake features (len % 640 + 1 etc.)
     n = len(rows[2][1])
     assert (feats[3]["width"], feats[3]["height"]) == (n % 640 + 1, n % 480 + 1)
+
+
+def test_png_roundtrip_every_filter_type():
+    """_decode_png must invert every spec filter (0=None, 1=Sub, 2=Up,
+    3=Average, 4=Paeth): encode a deterministic gradient with each filter
+    assigned per row and require exact pixel recovery."""
+    import numpy as np
+
+    from covid_19_data_engineering_spark.operators.multimodal import (
+        _decode_png,
+        encode_png,
+    )
+
+    h, w = 5, 7
+    px = np.array(
+        [[[(x * 37 + y * 91 + c * 53) % 256 for c in range(3)]
+          for x in range(w)] for y in range(h)],
+        dtype="uint8",
+    )
+    for filters in ([0, 1, 2, 3, 4], [4, 3, 2, 1, 0], [1] * 5, [4] * 5):
+        out = _decode_png(encode_png(px, row_filters=filters))
+        assert out is not None, f"filters {filters} failed to decode"
+        dw, dh, got = out
+        assert (dw, dh) == (w, h)
+        assert np.array_equal(got, px), f"filters {filters} corrupted pixels"
+
+
+def test_png_gray_and_rgba_variants():
+    """Grayscale replicates into 3 channels; RGBA drops alpha; palette /
+    interlaced / 16-bit PNGs return None (per-row fallback upstream).
+    The variant headers are built by hand — encode_png only writes RGB."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from covid_19_data_engineering_spark.operators.multimodal import _decode_png
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF)
+
+    def png(w, h, color, raw, depth=8, interlace=0):
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+    # 2x2 grayscale (filter 0 rows): values 10,20 / 30,40
+    gray = png(2, 2, 0, b"\x00\x0a\x14\x00\x1e\x28")
+    w, h, px = _decode_png(gray)
+    assert (w, h) == (2, 2)
+    assert np.array_equal(px[0, 0], [10, 10, 10]) and px[1, 1, 2] == 40
+
+    # 2x1 RGBA: alpha must be dropped
+    rgba = png(2, 1, 6, b"\x00" + bytes([1, 2, 3, 255, 4, 5, 6, 128]))
+    w, h, px = _decode_png(rgba)
+    assert (w, h) == (2, 1)
+    assert np.array_equal(px[0], [[1, 2, 3], [4, 5, 6]])
+
+    # unsupported shapes -> None, not garbage
+    assert _decode_png(png(2, 2, 3, b"\x00\x00\x00\x00\x00\x00")) is None  # palette
+    assert _decode_png(png(2, 2, 0, b"\x00" * 10, depth=16)) is None
+    assert _decode_png(png(2, 2, 2, b"\x00" * 14, interlace=1)) is None
+    assert _decode_png(b"\x89PNG\r\n\x1a\nnot really") is None
+
+
+def test_multimodal_real_decode_png_features(spark):
+    """The PNG codec plugs into the same decode="real" kernel: true
+    dimensions + luminance mean for a PNG payload in a mixed-media frame,
+    alongside the PPM row and the non-image fallback."""
+    import numpy as np
+
+    from covid_19_data_engineering_spark.operators.multimodal import encode_png
+
+    px = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [90, 90, 90]]],
+        dtype="uint8",
+    )
+    lums = [(255 * 299) // 1000, (255 * 587) // 1000,
+            (255 * 114) // 1000, (90 * 299 + 90 * 587 + 90 * 114) // 1000]
+    png_mean = round(sum(lums) / 4, 4)
+    _, ppm, ppm_mean = _ppm_payload()
+    rows = [(1, encode_png(px, row_filters=[4, 2])), (2, ppm), (3, b"xyz")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary").select(
+        "doc_id",
+        "payload",
+        F.struct(F.lit("image/mixed").alias("media_type")).alias("media_meta"),
+    )
+    feats = {r["doc_id"]: r
+             for r in extract_media_features(df, decode="real").collect()}
+    assert (feats[1]["width"], feats[1]["height"]) == (2, 2)
+    assert feats[1]["channel_mean"] == png_mean
+    assert feats[2]["channel_mean"] == ppm_mean
+    assert feats[3]["width"] == 3 % 640 + 1  # fake-feature fallback
 
 
 def test_multimodal_real_resize_roundtrip(spark):

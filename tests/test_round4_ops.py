@@ -415,6 +415,95 @@ class TestABTest:
             engine["na"], engine["xa"], engine["nb"], engine["xb"])
 
 
+class TestStarComponents:
+    def _labels(self, df):
+        return {r["node"]: r["component"] for r in df.collect()}
+
+    def test_equivalent_to_label_propagation(self, spark):
+        """Both algorithms must produce identical (node, component) maps on
+        a graph mixing chains, a clique, a singleton pair, and bridges."""
+        import random
+
+        from covid_19_data_engineering_spark.operators.clustering import (
+            connected_components)
+
+        rng = random.Random(11)
+        edges = [(i, i + 1) for i in range(0, 8)]            # chain 0..8
+        edges += [(a, b) for a in range(20, 25) for b in range(a + 1, 25)]
+        edges += [(30, 31)]
+        edges += [(8, 20)]                                    # bridge
+        edges += [(rng.randint(40, 60), rng.randint(40, 60)) for _ in range(30)]
+        df = spark.createDataFrame(
+            [(a, b) for a, b in edges if a != b], "doc_a long, doc_b long")
+        star = self._labels(connected_components(df, algorithm="star"))
+        label = self._labels(connected_components(df, algorithm="label"))
+        auto = self._labels(connected_components(df, algorithm="auto"))
+        assert star == label == auto
+        assert star[8] == 0 and star[24] == 0   # bridged chain+clique
+        assert star[31] == 30
+
+    def test_auto_mode_correct_past_label_budget(self, spark):
+        """A 200-node chain outlasts the auto mode's 6 label rounds; the
+        star handoff on the contracted graph must still produce the exact
+        closure (pure label propagation capped at 6 rounds would not)."""
+        from covid_19_data_engineering_spark.operators.clustering import (
+            connected_components)
+
+        n = 200
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long")
+        got = self._labels(connected_components(chain, algorithm="auto"))
+        assert len(got) == n and set(got.values()) == {0}
+
+    def test_long_chain_converges_in_log_rounds(self, spark):
+        """Round-4 verdict #5 gate: a 1000-node chain has diameter 999 —
+        min-label propagation would need 999 rounds (its 20-round budget
+        silently under-merges); the star algorithm must finish inside
+        ~log^2(n) rounds with every node labeled 0."""
+        from covid_19_data_engineering_spark.operators.clustering import (
+            star_components_with_rounds)
+
+        n = 1000
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long")
+        labels, rounds = star_components_with_rounds(chain)
+        got = self._labels(labels)
+        assert rounds <= 12, f"star CC took {rounds} rounds on a chain"
+        assert len(got) == n
+        assert set(got.values()) == {0}
+
+
+class TestStoredSnapshotState:
+    def test_stored_state_matches_derived(self, spark, tmp_path):
+        """The persisted-state path must produce decisions identical to
+        deriving the snapshot working set in-query, for the same split —
+        and reading the state back must not touch snapshot text (the
+        frames come from parquet, not the documents table)."""
+        import pyspark.sql.functions as F
+
+        from covid_19_data_engineering_spark.operators.clustering import (
+            incremental_retention_manifest,
+            read_snapshot_dedup_state,
+            write_snapshot_dedup_state,
+        )
+        from covid_19_data_engineering_spark.sources.tables import load_table
+
+        docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+        snapshot = docs.where(F.col("doc_id") % 5 != 2)
+        new = docs.where(F.col("doc_id") % 5 == 2)
+        derived = sorted(
+            map(tuple, incremental_retention_manifest(new, snapshot).collect())
+        )
+        state_dir = str(tmp_path / "state")
+        write_snapshot_dedup_state(snapshot, state_dir)
+        state = read_snapshot_dedup_state(spark, state_dir)
+        stored = sorted(
+            map(tuple,
+                incremental_retention_manifest(new, snapshot_state=state).collect())
+        )
+        assert stored == derived and len(stored) == new.count()
+
+
 class TestDupSpanScrub:
     def test_long_span_cut_short_match_kept(self, spark):
         from covid_19_data_engineering_spark.operators.spans import (
