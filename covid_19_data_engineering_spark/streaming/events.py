@@ -361,3 +361,46 @@ def stream_snapshot_dedup(new_docs: DataFrame, snapshot: DataFrame,
         .where(F.col("est_jaccard") >= threshold)
         .dropDuplicates(["snapshot_doc_id", "new_doc_id"])
     )
+
+
+def start_admission_stream(new_docs: DataFrame, snapshot_state: dict,
+                           sink, checkpoint_dir: str,
+                           trigger_available_now: bool = True):
+    """Streaming hand-off for the retention manifest (round-4 verdict #7):
+    each arriving micro-batch of documents is ADMITTED against the frozen
+    snapshot working set via ``incremental_retention_manifest`` inside
+    ``foreachBatch``, and the per-batch decision table (doc_id, status,
+    ref_doc) is handed to ``sink(decisions_df, epoch_id)``.
+
+    Contract: admission epochs are independent decisions against the
+    FROZEN snapshot — the steady-state shape where the snapshot state is
+    a persisted table (``write_snapshot_dedup_state``) and folding
+    accepted docs back into it is a separate, explicitly-versioned state
+    update (exactly how the stored-state batch variant treats it). Inside
+    foreachBatch the micro-batch is a plain DataFrame, so the full batch
+    operator — checkpointed working sets, star components, the lot — runs
+    unchanged; nothing is reimplemented for the stream.
+
+    Returns the started StreamingQuery (availableNow by default — drain
+    what has arrived, then stop — matching the test/batch-parity posture;
+    pass ``trigger_available_now=False`` for a continuous micro-batch
+    loop)."""
+    from covid_19_data_engineering_spark.operators.clustering import (
+        incremental_retention_manifest,
+    )
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        decisions = incremental_retention_manifest(
+            batch_df, snapshot_state=snapshot_state
+        )
+        sink(decisions, epoch_id)
+
+    writer = (
+        new_docs.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -418,6 +418,79 @@ def test_ngram_r1_candidates_hot_block_bounded(spark):
     assert n <= family + m // 10, f"candidate volume not bounded: {n}"
 
 
+def test_simhash_chunk_join_hot_dupset_bounded(spark):
+    """Round-4 verdict #6: the planted-hot-bucket + bounded-candidates gate
+    for the simhash family. m byte-identical copies share a fingerprint
+    and previously met in ALL FOUR chunk buckets — O(m^2) join rows; after
+    the exact-text collapse the chunk join sees ONE row per distinct
+    content, and the expansion reconstructs the full C(m,2)+... answer."""
+    from covid_19_data_engineering_spark.operators.dedup import (
+        _simhash_rep_pairs,
+        simhash_near_pairs,
+    )
+
+    from covid_19_data_engineering_spark.operators.dedup import (
+        simhash_fingerprints,
+    )
+
+    m = 300
+    # long boilerplate: one swapped token flips few vote margins, keeping
+    # the near variant inside the Hamming radius (verified below from the
+    # fingerprints themselves, not assumed)
+    boiler = " ".join(f"boiler{i}" for i in range(64))
+    near = boiler.replace("boiler7", "changed7")
+    rows = [(i, boiler) for i in range(m)]
+    rows += [(m, near), (m + 1, "totally unrelated words here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    fps = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(
+        spark.createDataFrame(rows[:1] + rows[m:], "doc_id long, text string")
+    ).collect()}
+    near_is_in = bin(fps[0] ^ fps[m]).count("1") <= 3
+    assert near_is_in, "fixture drifted: near variant left the radius"
+
+    rep_pairs, _ = _simhash_rep_pairs(docs)
+    n_rep = rep_pairs.count()
+    # 3 distinct contents -> at most C(3,2) rep pairs through the join
+    assert n_rep <= 3, f"chunk join saw duplicated content: {n_rep} rep pairs"
+
+    out = simhash_near_pairs(docs).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in out}
+    assert len(pairs) == len(out), "pair emitted more than once"
+    # the full dup set is reconstructed: C(m,2) zero-distance pairs plus
+    # every member paired with the near-dup doc m
+    assert sum(1 for k, v in pairs.items() if v == 0 and k[1] < m) == m * (m - 1) // 2
+    assert all((i, m) in pairs for i in range(m))
+    assert not any(m + 1 in k for k in pairs)
+
+
+def test_fuzzy_blocking_row_volume_bounded(spark):
+    """Round-4 verdict #6: fuzzy blocking's candidate space must scale with
+    DISTINCT NAMES per block, never with row count — 20x row duplication
+    of the same catalog cannot change the pair count, and a planted hot
+    block stays C(names,2)."""
+    from covid_19_data_engineering_spark.operators.fuzzy import fuzzy_name_pairs
+
+    names = [f"shiny widget type{i}" for i in range(40)]  # one hot block: 'type*'?
+    # trailing token differs per name -> blocks of 1; add a genuinely hot
+    # block where 30 names share the trailing noun
+    hot = [f"model {chr(97 + i)} widget" for i in range(30)]
+    rows = [(i, n) for i, n in enumerate(names + hot)]
+    dup_rows = [(1000 + 20 * i + j, n)
+                for i, n in enumerate(names + hot) for j in range(19)]
+    once = spark.createDataFrame(rows, "p_partkey long, p_name string")
+    duped = spark.createDataFrame(rows + dup_rows, "p_partkey long, p_name string")
+
+    p1 = {(r["name_a"], r["name_b"]) for r in
+          fuzzy_name_pairs(once, "p_name", "p_partkey").collect()}
+    p20 = {(r["name_a"], r["name_b"]) for r in
+           fuzzy_name_pairs(duped, "p_name", "p_partkey").collect()}
+    assert p1 == p20, "row duplication changed the candidate space"
+    # hot block bound: all pairs come from within blocks; the 30-name
+    # 'widget' block caps at C(30,2), the singleton blocks contribute 0
+    assert len(p1) <= 30 * 29 // 2
+
+
 def test_incremental_manifest_plan_posture(spark):
     """The incremental manifest's final plan is equi-joins over the
     checkpointed working sets — JVM-only (no Python eval anywhere) and the

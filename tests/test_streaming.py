@@ -388,3 +388,48 @@ def test_stream_shard_routing_matches_batch_manifest(spark):
     batch = {r["shard_id"]: (r["n_docs"], r["n_tokens"])
              for r in shard_manifest(load_table(spark, "documents", SF_SMOKE)).collect()}
     assert got == batch
+
+
+def test_stream_admission_manifest_matches_batch(spark, tmp_path):
+    """foreachBatch admission (round-4 verdict #7): streamed new docs run
+    the FULL incremental_retention_manifest against persisted snapshot
+    state; with availableNow draining one batch, the decision rows must
+    equal the batch operator's output exactly."""
+    from covid_19_data_engineering_spark.operators.clustering import (
+        incremental_retention_manifest,
+        read_snapshot_dedup_state,
+        write_snapshot_dedup_state,
+    )
+    from covid_19_data_engineering_spark.streaming.events import (
+        documents_stream,
+        start_admission_stream,
+    )
+
+    docs = load_table(spark, "documents", SF_SMOKE)
+    snapshot = docs.where(F.col("doc_id") % 4 != 1)
+    new_batch = docs.where(F.col("doc_id") % 4 == 1)
+    state_dir = str(tmp_path / "snapstate")
+    write_snapshot_dedup_state(snapshot, state_dir)
+    state = read_snapshot_dedup_state(spark, state_dir)
+
+    got = []
+
+    def sink(decisions, epoch_id):
+        got.extend(
+            (r["doc_id"], r["status"], r["ref_doc"]) for r in decisions.collect()
+        )
+
+    stream = documents_stream(spark, SF_SMOKE).where(F.col("doc_id") % 4 == 1)
+    assert stream.isStreaming
+    q = start_admission_stream(
+        stream, state, sink, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+
+    want = sorted(
+        (r["doc_id"], r["status"], r["ref_doc"])
+        for r in incremental_retention_manifest(
+            new_batch, snapshot_state=state
+        ).collect()
+    )
+    assert sorted(got) == want and len(want) == new_batch.count()
