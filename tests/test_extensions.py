@@ -156,17 +156,22 @@ def test_ngram_lsh_matches_exact_twin(spark):
 def test_ngram_lsh_planted_semantics(planted_docs):
     """Exact-dup pairs carry jaccard 1.0 through the collapse expansion;
     near dups verify with their true exact Jaccard; unrelated docs never
-    pair — the same planted contract the all-pairs twin pins above."""
+    pair — the same planted contract the all-pairs twin pins above. Both
+    adaptive-probe outcomes are forced (the tiny planted dup group stays
+    under the auto threshold, so "auto" exercises the uncollapsed path and
+    collapse=True the expansion path)."""
     from covid_19_data_engineering_spark.operators.dedup import (
         ngram_jaccard_pairs_lsh,
     )
 
-    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
-             for r in ngram_jaccard_pairs_lsh(planted_docs, threshold=0.3).collect()}
-    assert pairs[(1, 2)] == 1.0
-    assert pairs[(2, 3)] == pairs[(1, 3)]  # member inherits the rep's jaccard
-    assert (1, 3) in pairs and pairs[(1, 3)] >= 0.6
-    assert (1, 4) not in pairs
+    for mode in ("auto", True, False):
+        pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+                 for r in ngram_jaccard_pairs_lsh(
+                     planted_docs, threshold=0.3, collapse=mode).collect()}
+        assert pairs[(1, 2)] == 1.0, mode
+        assert pairs[(2, 3)] == pairs[(1, 3)], mode  # member inherits rep's J
+        assert (1, 3) in pairs and pairs[(1, 3)] >= 0.6
+        assert (1, 4) not in pairs
 
 
 def test_embedding_lsh_pairs_recall_vs_brute(embeddings_001):

@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""Second bench scale point for the dedup / ANN families (round-4 verdict #8).
+
+The sf0.1 single-box numbers sit inside a ~±25% variance band (PERF.md
+round-4c), so 1-2s deltas between rounds are unreadable; what the plan
+gates actually argue is an ASYMPTOTE — candidate volume and wall-clock
+should grow ~linearly with corpus size for the banded/blocked designs.
+This tool measures that directly: it derives a deterministic 3x corpus
+from sf0.1 and times each dedup/ANN query at both scales.
+
+The 3x derivation preserves the similarity structure WITHIN each replica
+and decorrelates it ACROSS replicas, so the true answer (and any
+bounded-collision candidate set) grows exactly ~3x while an O(n^2) stage
+would grow ~9x:
+
+- documents: replica k suffixes every token with ``_k`` (token counts,
+  lengths, langs unchanged; no shared shingles across replicas);
+- embeddings: replica k flips the signs of a k-specific dim subset (an
+  orthogonal transform — within-replica cosines are bit-identical to the
+  original; cross-replica cosines decorrelate).
+
+Usage: python tools/bench_scale.py            # writes one JSON line
+The derived corpus is cached under .state_cache/ (gitignored).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPLICAS = 3
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCALE_DIR = os.path.join(REPO, ".state_cache", "scale",
+                         f"{REPLICAS}x_" + BASE_SF.strip("/").replace("/", "_"))
+
+# the dedup / ANN families — every query here reads only documents and/or
+# embeddings, so the derived directory needs just those two tables
+FAMILY = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_cluster_components",
+    "dedup_retention_manifest",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ann_lsh_range_search",
+    "ann_cosine_topk_int8",
+]
+
+ID_OFFSET = 1_000_000
+
+
+def materialize_scaled(spark) -> None:
+    import pyspark.sql.functions as F
+
+    from covid_19_data_engineering_spark.sources.tables import load_table
+
+    if all(os.path.exists(os.path.join(SCALE_DIR, f"{t}.parquet", "_SUCCESS"))
+           for t in ("documents", "embeddings")):
+        return
+    docs = load_table(spark, "documents", BASE_SF)
+    parts = []
+    for k in range(REPLICAS):
+        if k == 0:
+            parts.append(docs)
+            continue
+        suffixed = F.array_join(
+            F.transform(F.split(F.col("text"), " "),
+                        lambda t: F.concat(t, F.lit(f"_{k}"))),
+            " ",
+        )
+        parts.append(docs.select(
+            (F.col("doc_id") + k * ID_OFFSET).alias("doc_id"),
+            suffixed.alias("text"),
+            *[c for c in docs.columns if c not in ("doc_id", "text")],
+        ).select(*docs.columns))
+    scaled_docs = parts[0]
+    for p in parts[1:]:
+        scaled_docs = scaled_docs.unionByName(p)
+    scaled_docs.write.mode("overwrite").parquet(
+        os.path.join(SCALE_DIR, "documents.parquet"))
+
+    emb = load_table(spark, "embeddings", BASE_SF)
+    eparts = []
+    dim = len(emb.select("embedding").first()[0])
+    for k in range(REPLICAS):
+        if k == 0:
+            eparts.append(emb)
+            continue
+        # orthogonal sign-flip pattern per replica: dims where i % (k+1) == 0
+        signs = [(-1.0 if i % (k + 1) == 0 else 1.0) for i in range(dim)]
+        signs_lit = F.array(*[F.lit(s) for s in signs])
+        flipped = F.zip_with(F.col("embedding"), signs_lit,
+                             lambda x, s: (x * s).cast("double"))
+        eparts.append(emb.select(
+            (F.col("vec_id") + k * ID_OFFSET).alias("vec_id"),
+            flipped.alias("embedding"),
+            *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+        ).select(*emb.columns))
+    scaled_emb = eparts[0]
+    for p in eparts[1:]:
+        scaled_emb = scaled_emb.unionByName(p)
+    scaled_emb.write.mode("overwrite").parquet(
+        os.path.join(SCALE_DIR, "embeddings.parquet"))
+
+
+def main() -> None:
+    from covid_19_data_engineering_spark.plans.registry import all_queries
+    from covid_19_data_engineering_spark.session import get_spark
+
+    spark = get_spark(app_name="bench-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+    materialize_scaled(spark)
+
+    out: dict[str, dict[str, float]] = {}
+    for name in FAMILY:
+        if name not in queries:
+            continue
+        # warmup (codegen) at the smallest SF
+        queries[name](spark, "/root/testdata/sf0.001").collect()
+        rec: dict[str, float] = {}
+        for label, sf_dir in (("base", BASE_SF), ("x3", SCALE_DIR)):
+            t0 = time.time()
+            n = len(queries[name](spark, sf_dir).collect())
+            rec[label] = round(time.time() - t0, 2)
+            rec[f"{label}_rows"] = n
+        rec["ratio"] = round(rec["x3"] / rec["base"], 2) if rec["base"] else -1
+        out[name] = rec
+        print(json.dumps({name: rec}), file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "dedup_ann_scale_ratio",
+        "replicas": REPLICAS,
+        "base_sf_dir": BASE_SF,
+        "queries": out,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
