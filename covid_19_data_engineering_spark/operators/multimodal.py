@@ -7,16 +7,20 @@ Decode behavior is an EXPLICIT parameter, never environment detection:
   uses): deterministic byte-derived features. Output is hash-stable on any
   host, with or without codec libraries, so the DuckDB oracles stay valid.
 - ``decode="real"``: a REAL image decode path — pure-stdlib decoders for
-  the three formats the engine ships codecs for: PPM (P6), 24-bit BMP,
-  and baseline PNG (zlib inflate + per-scanline unfilter; 8-bit
-  gray/RGB/RGBA, non-interlaced) — true width/height, luminance channel
-  mean, true nearest-neighbor resampling. Rows that are not decodable
-  images fall back to the per-row fake features (mixed-media tables
-  decode what they can). This path is exercised in CI against generated
-  real PPM/BMP/PNG payloads, including every PNG filter type
-  (tests/test_extensions.py); heavier codecs (libjpeg via PIL, librosa,
-  pyav) would slot into the same ``_decode_image`` seam as additional
-  format branches.
+  the four formats the engine ships codecs for: PPM (P6), 24-bit BMP,
+  baseline PNG (zlib inflate + per-scanline unfilter; 8-bit
+  gray/RGB/RGBA, non-interlaced), and baseline JPEG (full ITU-T.81
+  sequential DCT decode incl. 4:2:0/4:2:2 chroma subsampling and restart
+  markers — operators/jpeg.py, which also encodes) — true width/height,
+  luminance channel mean, true nearest-neighbor resampling. Rows that
+  are not decodable images fall back to the per-row fake features
+  (mixed-media tables decode what they can). This path is exercised in
+  CI against generated real PPM/BMP/PNG/JPEG payloads, including every
+  PNG filter type and JPEG round-trips at several qualities
+  (tests/test_extensions.py); remaining media kinds (video keyframes,
+  audio) would slot into the same ``_decode_image`` seam as additional
+  format branches, with libjpeg-turbo/pyav as drop-in speedups when the
+  cluster image allows dependencies.
 
 Everything around the kernel — binary column materialization, metadata
 struct schema, Arrow-batched ``mapInPandas`` signature, partition-preserving
@@ -292,10 +296,16 @@ def encode_png(px, row_filters=None) -> bytes:
 
 def _decode_image(b: bytes):
     """Try each shipped codec in turn; None when no format matches.
-    Additional codecs (libjpeg via PIL, pyav keyframes, ...) are extra
-    branches here — the kernel plumbing above/below does not change."""
+    Every branch gates on its magic bytes first, so the chain costs one
+    header check per miss. Baseline JPEG lives in operators/jpeg.py (a
+    full pure-stdlib ITU-T.81 baseline decoder — Huffman, dequantize,
+    IDCT, chroma upsampling); further codecs (pyav keyframes, ...) are
+    extra branches here — the kernel plumbing above/below does not
+    change."""
+    from covid_19_data_engineering_spark.operators.jpeg import decode_jpeg
+
     b = bytes(b)
-    return _decode_ppm(b) or _decode_bmp(b) or _decode_png(b)
+    return _decode_ppm(b) or _decode_bmp(b) or _decode_png(b) or decode_jpeg(b)
 
 
 def encode_ppm(px) -> bytes:

@@ -607,6 +607,64 @@ def test_png_gray_and_rgba_variants():
     assert _decode_png(b"\x89PNG\r\n\x1a\nnot really") is None
 
 
+def test_jpeg_roundtrip_quality_ladder():
+    """The pure-stdlib baseline JPEG codec must round-trip within the
+    quantization error budget at several qualities, reproduce a flat
+    image near-exactly, and reject what it cannot decode."""
+    import numpy as np
+
+    from covid_19_data_engineering_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    h, w = 24, 33  # non-multiple-of-8 on both axes exercises edge blocks
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.clip(np.stack([xx * 4, yy * 6, (xx + yy) * 3], axis=2),
+                  0, 255).astype(np.uint8)
+    for q, budget in ((95, 4), (90, 6), (50, 10)):
+        out = decode_jpeg(encode_jpeg(img, quality=q))
+        assert out is not None
+        dw, dh, px = out
+        assert (dw, dh) == (w, h)
+        err = np.abs(px.astype(int) - img.astype(int)).mean()
+        assert err < budget, f"q={q}: mean abs err {err}"
+
+    flat = np.full((16, 16, 3), 130, dtype=np.uint8)
+    _, _, px = decode_jpeg(encode_jpeg(flat, 90))
+    assert np.abs(px.astype(int) - 130).max() <= 2
+
+    assert decode_jpeg(b"\xFF\xD8\xFF\xDBgarbage") is None
+    assert decode_jpeg(b"not a jpeg at all") is None
+
+
+def test_multimodal_real_decode_jpeg_features(spark):
+    """The JPEG codec plugs into the same decode="real" kernel: true
+    dimensions for a JPEG payload in a mixed-media frame, with the
+    luminance mean within the lossy-compression budget of the source."""
+    import numpy as np
+
+    from covid_19_data_engineering_spark.operators.jpeg import encode_jpeg
+
+    h, w = 16, 24
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.clip(np.stack([xx * 9, yy * 11, (xx * yy) % 200], axis=2),
+                  0, 255).astype(np.uint8)
+    lum = (img[..., 0].astype(int) * 299 + img[..., 1].astype(int) * 587
+           + img[..., 2].astype(int) * 114) // 1000
+    rows = [(1, encode_jpeg(img, quality=95)), (2, b"opaque")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary").select(
+        "doc_id",
+        "payload",
+        F.struct(F.lit("image/mixed").alias("media_type")).alias("media_meta"),
+    )
+    feats = {r["doc_id"]: r
+             for r in extract_media_features(df, decode="real").collect()}
+    assert (feats[1]["width"], feats[1]["height"]) == (w, h)
+    assert abs(feats[1]["channel_mean"] - lum.mean()) < 3.0
+    assert feats[2]["width"] == 6 % 640 + 1  # fallback row
+
+
 def test_multimodal_real_decode_png_features(spark):
     """The PNG codec plugs into the same decode="real" kernel: true
     dimensions + luminance mean for a PNG payload in a mixed-media frame,
