@@ -85,6 +85,7 @@ EXTRA = [
     # round-5 additions
     "dedup_embedding_cosine",
     "incremental_retention_manifest_stored",
+    "semantic_dedup",
 ]
 
 

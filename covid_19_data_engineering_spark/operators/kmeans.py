@@ -74,10 +74,11 @@ def _assign(corpus: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def kmeans_stats(emb: DataFrame, k: int = KM_K) -> DataFrame:
-    """Two-round deterministic Lloyd: assign -> integer-exact centroid
-    update -> reassign -> per-cluster stats. emb: (vec_id, embedding
-    array<float>)."""
+def kmeans_assignments(emb: DataFrame, k: int = KM_K) -> DataFrame:
+    """Two-round deterministic Lloyd assignment: (vec_id, e, cid, dist)
+    after assign -> integer-exact centroid update -> reassign. The shared
+    partitioning stage behind the cluster-stats query and semantic dedup
+    (operators/semdedup.py). emb: (vec_id, embedding array<float>)."""
     corpus = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
     cent0 = (
         corpus.orderBy("vec_id").limit(k)
@@ -102,9 +103,15 @@ def kmeans_stats(emb: DataFrame, k: int = KM_K) -> DataFrame:
             lambda s: s["coord"],
         ).alias("c")
     )
-    a2 = _assign(corpus, cent1)
+    return _assign(corpus, cent1)
+
+
+def kmeans_stats(emb: DataFrame, k: int = KM_K) -> DataFrame:
+    """Two-round deterministic Lloyd: assign -> integer-exact centroid
+    update -> reassign -> per-cluster stats. emb: (vec_id, embedding
+    array<float>)."""
     return (
-        a2.groupBy("cid")
+        kmeans_assignments(emb, k).groupBy("cid")
         .agg(
             F.count("*").alias("n_members"),
             F.sum(F.floor(F.col("dist") * DIST_UNIT)).alias("dist_units"),
@@ -121,14 +128,17 @@ def kmeans_stats(emb: DataFrame, k: int = KM_K) -> DataFrame:
     )
 
 
-def _kmeans_oracle_sql() -> str:
+def kmeans_cte_chain() -> str:
+    """The shared DuckDB CTE chain through the final assignment ``a2``
+    (vec_id, e, cid, dist) — composed into a WITH clause by this module's
+    stats oracle and the semantic-dedup oracle (operators/semdedup.py)."""
+
     def sqdist(v: str, c: str) -> str:
         return (f"list_reduce(list_transform(range(1, {KM_DIM} + 1), "
                 f"i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])), "
                 "(a, b) -> a + b)")
 
-    return f"""
-    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    return f"""emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     cent0 AS (
       SELECT vec_id AS cid, e AS c FROM emb ORDER BY vec_id LIMIT {KM_K}
     ),
@@ -154,13 +164,18 @@ def _kmeans_oracle_sql() -> str:
       FROM upd GROUP BY cid
     ),
     a2 AS (
-      SELECT vec_id, cid, dist FROM (
-        SELECT v.vec_id, c.cid, {sqdist('v.e', 'c.c')} AS dist,
+      SELECT vec_id, e, cid, dist FROM (
+        SELECT v.vec_id, v.e, c.cid, {sqdist('v.e', 'c.c')} AS dist,
                ROW_NUMBER() OVER (PARTITION BY v.vec_id
                                   ORDER BY {sqdist('v.e', 'c.c')}, c.cid) AS rn
         FROM emb v CROSS JOIN cent1 c
       ) WHERE rn = 1
-    )
+    )"""
+
+
+def _kmeans_oracle_sql() -> str:
+    return f"""
+    WITH {kmeans_cte_chain()}
     SELECT cid AS cluster_id,
            COUNT(*) AS n_members,
            CAST(SUM(CAST(floor(dist * {DIST_UNIT}) AS BIGINT)) AS BIGINT)

@@ -856,3 +856,42 @@ def test_incremental_retention_manifest_semantics(spark):
                  if r["status"] == "keep"}
     batch_keep = {d for d, (s, _) in out.items() if s == "keep"}
     assert all(ref in snap_keep | batch_keep for _, ref in out.values())
+
+
+def test_semantic_dedup_planted_cluster(spark):
+    """SemDeDup semantics on a planted corpus: 8 well-separated anchor
+    vectors seed the k-means init; five noisy copies of anchor 3 land in
+    its cluster and must all collapse onto the cluster's
+    closest-to-centroid member, while every other vector keeps."""
+    import random
+
+    from covid_19_data_engineering_spark.operators.semdedup import semantic_dedup
+
+    rng = random.Random(13)
+    anchors = []
+    for a in range(8):
+        v = [0.0] * 64
+        for d in range(8):
+            v[a * 8 + d] = 1.0 + rng.uniform(0, 0.1)
+        anchors.append(v)
+    rows = [(i, anchors[i]) for i in range(8)]
+    dup_family = [3] + list(range(10, 15))
+    for i in range(10, 15):
+        rows.append((i, [x + rng.uniform(-0.02, 0.02) for x in anchors[3]]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = {r["vec_id"]: r for r in semantic_dedup(emb, threshold=0.9).collect()}
+    assert len(out) == len(rows)
+    fam = [out[i] for i in dup_family]
+    keeps = [r for r in fam if r["status"] == "keep"]
+    drops = [r for r in fam if r["status"] == "drop_semantic"]
+    assert len(keeps) == 1 and len(drops) == len(dup_family) - 1
+    keeper = keeps[0]["vec_id"]
+    for r in drops:
+        assert r["dup_of"] == keeper
+        assert r["max_cosine"] >= 0.9
+    for i in range(8):
+        if i == 3 and keeper != 3:
+            continue
+        if i not in dup_family:
+            assert out[i]["status"] == "keep" and out[i]["dup_of"] is None
