@@ -86,6 +86,7 @@ EXTRA = [
     "dedup_embedding_cosine",
     "incremental_retention_manifest_stored",
     "semantic_dedup",
+    "bpe_merge_induction",
 ]
 
 

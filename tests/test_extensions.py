@@ -895,3 +895,27 @@ def test_semantic_dedup_planted_cluster(spark):
             continue
         if i not in dup_family:
             assert out[i]["status"] == "keep" and out[i]["dup_of"] is None
+
+
+def test_bpe_merges_planted_corpus(spark):
+    """Hand-checkable BPE: a corpus dominated by 'aaab' must first merge
+    (a,a) — the most frequent adjacent pair — then build on the result,
+    with greedy left-to-right application inside each word."""
+    from covid_19_data_engineering_spark.operators.bpe import bpe_merge_table
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab aaab aaab xy"), (2, "aaab aaab xy zq")],
+        "doc_id long, text string")
+    out = {r["merge_rank"]: r for r in bpe_merge_table(docs, n_merges=3).collect()}
+    # 'aaab' x6: pairs per word (greedy counting of adjacent symbols):
+    # (a,a) twice, (a,b) once -> (a,a) total 12 dominates
+    assert (out[1]["left_sym"], out[1]["right_sym"]) == ("a", "a")
+    assert out[1]["pair_count"] == 12 and out[1]["merged"] == "aa"
+    # after merging (greedy leftmost): 'aaab' -> ['aa','a','b']; the round-2
+    # candidates tie at 6 ((aa,a) vs (a,b)) and the deterministic tie-break
+    # (count DESC, left ASC) picks (a,b) — 'a' sorts before 'aa'
+    assert (out[2]["left_sym"], out[2]["right_sym"]) == ("a", "b")
+    assert out[2]["pair_count"] == 6
+    # words are now ['aa','ab']; (aa,ab) at 6 beats (x,y)=3, (z,q)=1
+    assert (out[3]["left_sym"], out[3]["right_sym"]) == ("aa", "ab")
+    assert out[3]["pair_count"] == 6
