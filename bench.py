@@ -87,6 +87,7 @@ EXTRA = [
     "incremental_retention_manifest_stored",
     "semantic_dedup",
     "bpe_merge_induction",
+    "bpe_vocab_tokens",
 ]
 
 

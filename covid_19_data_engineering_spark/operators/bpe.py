@@ -85,6 +85,16 @@ def bpe_merge_table(docs: DataFrame, n_merges: int = N_MERGES,
                     text_col: str = "text") -> DataFrame:
     """Learn ``n_merges`` BPE merges; returns one row per merge:
     (merge_rank, left_sym, right_sym, merged, pair_count)."""
+    merges, _ = bpe_train(docs, n_merges, text_col)
+    return merges
+
+
+def bpe_train(docs: DataFrame, n_merges: int = N_MERGES,
+              text_col: str = "text") -> tuple[DataFrame, DataFrame]:
+    """Full BPE training state: ``(merge_table, final_words)`` where
+    final_words is the word-frequency table with all learned merges
+    applied (ws = SEP-joined symbols, cnt) — what tokenization with the
+    learned vocabulary produces."""
     words = _seed_symbols(word_frequencies(docs, text_col))
     # every round reads the previous round's words twice (pair counts +
     # replace) — checkpoint per round, the iterative-operator rule
@@ -121,7 +131,25 @@ def bpe_merge_table(docs: DataFrame, n_merges: int = N_MERGES,
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)
-    return out
+    return out, words
+
+
+def bpe_vocab_topk(docs: DataFrame, n_merges: int = N_MERGES, k: int = 20,
+                   text_col: str = "text") -> DataFrame:
+    """Tokenize the corpus with the learned merges and report the top-k
+    resulting subword tokens: (token, token_count) — the sanity readout a
+    tokenizer-training run ships (which subwords the merges produced and
+    how much corpus mass they carry). Deterministic order: count DESC,
+    token ASC."""
+    _, words = bpe_train(docs, n_merges, text_col)
+    sym = F.split(F.col("ws"), SEP)
+    return (
+        words.select(F.explode(sym).alias("token"), "cnt")
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("token_count"))
+        .orderBy(F.col("token_count").desc(), "token")
+        .limit(k)
+    )
 
 
 def _bpe_oracle_sql(n_merges: int = N_MERGES) -> str:
@@ -164,6 +192,34 @@ def _bpe_oracle_sql(n_merges: int = N_MERGES) -> str:
       {union}
     ) ORDER BY merge_rank
     """
+
+
+def _bpe_vocab_oracle_sql(n_merges: int = N_MERGES, k: int = 20) -> str:
+    """Reuses the full unrolled training chain — words{n_merges} IS the
+    tokenized corpus — then one split + rollup."""
+    base = _bpe_oracle_sql(n_merges)
+    # keep the WITH chain, swap the final select
+    chain_end = base.index("SELECT * FROM (")
+    return base[:chain_end] + f"""SELECT token, token_count FROM (
+      SELECT token, CAST(SUM(cnt) AS BIGINT) AS token_count FROM (
+        SELECT unnest(string_split(ws, chr(31))) AS token, cnt
+        FROM words{n_merges}
+      ) GROUP BY token
+    ) ORDER BY token_count DESC, token LIMIT {k}
+    """
+
+
+@register(
+    "bpe_vocab_tokens",
+    oracle=_bpe_vocab_oracle_sql(),
+    doc=f"Corpus tokenized with the {N_MERGES} learned BPE merges: top-20 "
+    "subword tokens by corpus mass — the tokenizer-training sanity "
+    "readout. Oracle replays training AND tokenization (the unrolled "
+    "words chain's final state IS the tokenized corpus).",
+)
+def bpe_vocab_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return bpe_vocab_topk(docs)
 
 
 @register(
