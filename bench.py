@@ -88,6 +88,7 @@ EXTRA = [
     "semantic_dedup",
     "bpe_merge_induction",
     "bpe_vocab_tokens",
+    "dsir_importance_selection",
 ]
 
 

@@ -919,3 +919,29 @@ def test_bpe_merges_planted_corpus(spark):
     # words are now ['aa','ab']; (aa,ab) at 6 beats (x,y)=3, (z,q)=1
     assert (out[3]["left_sym"], out[3]["right_sym"]) == ("aa", "ab")
     assert out[3]["pair_count"] == 6
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    """DSIR semantics on a planted pool: raw docs written in the target
+    domain's vocabulary must outweigh docs from a disjoint vocabulary —
+    and weights are finite/deterministic under add-1 smoothing even for
+    grams never seen in the target."""
+    from covid_19_data_engineering_spark.operators.dsir import dsir_log_weights
+
+    target = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma delta epsilon zeta", "t")
+         for i in range(5)],
+        "doc_id long, text string, source string")
+    raw = spark.createDataFrame(
+        [(1, "alpha beta gamma delta", "r"),       # target-like
+         (2, "alpha beta", "r"),                   # mildly target-like
+         (3, "umber vortex willow xenon", "r"),    # disjoint vocab
+         (4, "umber vortex", "r")],
+        "doc_id long, text string, source string")
+    w = {r["doc_id"]: r["log_weight"]
+         for r in dsir_log_weights(raw, target).collect()}
+    assert len(w) == 4
+    assert w[1] > w[2] > 0 > w[4] > w[3] or (
+        w[1] > w[2] and w[1] > w[3] and w[1] > w[4] and w[3] < w[2])
+    # longer target-like evidence accumulates; disjoint-vocab docs sink
+    assert w[1] == max(w.values()) and w[3] == min(w.values())
