@@ -82,12 +82,15 @@ def _bucket_dist(grams: DataFrame) -> DataFrame:
 def dsir_log_weights(raw: DataFrame, target: DataFrame) -> DataFrame:
     """Per-raw-document DSIR log importance weight:
     (doc_id, weight_units, log_weight)."""
+    # the raw gram explode (the corpus-sized stage) feeds BOTH the raw
+    # bucket distribution and the per-doc scoring — materialize it once
+    raw_grams = doc_gram_buckets(raw).localCheckpoint(eager=True)
     # the bucket tables are N_BUCKETS rows — materialize once; their
     # totals are two scalars, collected as bounded O(1) literals (avoids a
     # self-lineage crossJoin of t with its own aggregate)
     t = _bucket_dist(doc_gram_buckets(target)).select(
         "b", F.col("n").alias("nt")).localCheckpoint(eager=True)
-    r = _bucket_dist(doc_gram_buckets(raw)).select(
+    r = _bucket_dist(raw_grams).select(
         "b", F.col("n").alias("nr")).localCheckpoint(eager=True)
     n_t = t.agg(F.sum("nt")).first()[0] or 0
     n_r = r.agg(F.sum("nr")).first()[0] or 0
@@ -106,7 +109,7 @@ def dsir_log_weights(raw: DataFrame, target: DataFrame) -> DataFrame:
         )
     )
     return (
-        doc_gram_buckets(raw)
+        raw_grams
         .join(F.broadcast(ratio), "b")
         .groupBy("doc_id")
         .agg(F.sum("ratio_units").alias("weight_units"))

@@ -59,16 +59,33 @@ def semantic_dedup(emb: DataFrame, threshold: float = SEM_THRESHOLD,
     similarity to a better-ranked member (NULL on keep)."""
     assigned = kmeans_assignments(emb, k)
     rank_w = Window.partitionBy("cid").orderBy("dist", "vec_id")
-    ranked = assigned.withColumn("rk", F.row_number().over(rank_w))
+    # hoist each vector's norm out of the pair stage (the round-5
+    # embedding-dedup lesson): dot/(na*nb) with per-vector norms is the
+    # SAME operand tree as cosine_sim per pair, at one array walk instead
+    # of three
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("e"), lambda x: (x * x).cast("double")),
+            F.lit(0.0), lambda acc, v: acc + v,
+        )
+    )
+    ranked = assigned.withColumn("rk", F.row_number().over(rank_w)) \
+        .withColumn("_n", norm)
     # the cluster working set feeds both self-join sides and the final
     # spine — materialize it once (same shared-working-set rule as every
     # band join)
     ranked = ranked.localCheckpoint(eager=True)
     a = ranked.select(F.col("cid").alias("cid_a"), F.col("vec_id").alias("dom"),
-                      F.col("e").alias("ea"), F.col("rk").alias("rk_a"))
+                      F.col("e").alias("ea"), F.col("_n").alias("_na"),
+                      F.col("rk").alias("rk_a"))
     b = ranked.select(F.col("cid").alias("cid_b"), F.col("vec_id").alias("vid"),
-                      F.col("e").alias("eb"), F.col("rk").alias("rk_b"))
-    cos = F.round(cosine_sim(F.col("ea"), F.col("eb")), 4)
+                      F.col("e").alias("eb"), F.col("_n").alias("_nb"),
+                      F.col("rk").alias("rk_b"))
+    dot = F.aggregate(
+        F.zip_with(F.col("ea"), F.col("eb"), lambda x, y: (x * y).cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+    cos = F.round(dot / (F.col("_na") * F.col("_nb")), 4)
     dominated = (
         a.join(b, (F.col("cid_a") == F.col("cid_b"))
                & (F.col("rk_a") < F.col("rk_b")))
