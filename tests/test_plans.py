@@ -568,3 +568,32 @@ def test_round4b_operator_plans(spark):
     ab = _executed_plan(REGISTRY["ab_conversion_ztest"].builder(spark, sf))
     assert ab.count("events.parquet") == 1
     assert "BatchEvalPython" not in ab
+
+
+def test_round5_operator_plans(spark):
+    """Plan pins for the round-5 operators: the BPE rounds and DSIR run
+    entirely JVM-side with their corpus-sized stages materialized once
+    (ExistingRDD in the final plan), semantic dedup's within-cluster join
+    is equi-keyed (no cartesian), and the embedding near-dup re-rank
+    reads the checkpointed bucket table rather than re-deriving
+    signatures."""
+    sf = "/root/testdata/sf0.001"
+
+    bpe = _executed_plan(REGISTRY["bpe_merge_induction"].builder(spark, sf))
+    assert "BatchEvalPython" not in bpe and "ArrowEvalPython" not in bpe
+    assert "ExistingRDD" in bpe          # per-round checkpointed words
+
+    dsir = _executed_plan(REGISTRY["dsir_importance_selection"].builder(spark, sf))
+    assert "BatchEvalPython" not in dsir
+    assert "ExistingRDD" in dsir         # raw grams materialized once
+    assert "TakeOrderedAndProject" in dsir
+
+    sem = _executed_plan(REGISTRY["semantic_dedup"].builder(spark, sf))
+    assert "CartesianProduct" not in sem
+    assert "BatchEvalPython" not in sem
+    assert "ExistingRDD" in sem          # ranked cluster working set
+
+    emb = _executed_plan(REGISTRY["dedup_embedding_cosine"].builder(spark, sf))
+    assert "ExistingRDD" in emb          # checkpointed bucket table
+    assert "CartesianProduct" not in emb
+    assert "BatchEvalPython" not in emb
