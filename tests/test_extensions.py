@@ -945,3 +945,68 @@ def test_dsir_prefers_target_like_docs(spark):
         w[1] > w[2] and w[1] > w[3] and w[1] > w[4] and w[3] < w[2])
     # longer target-like evidence accumulates; disjoint-vocab docs sink
     assert w[1] == max(w.values()) and w[3] == min(w.values())
+
+
+def test_png_roundtrip_property():
+    """Property test: ANY 8-bit RGB image with ANY per-row filter
+    assignment must round-trip the PNG codec exactly — losslessness is
+    the format's contract, so there is no tolerance to hide behind."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from covid_19_data_engineering_spark.operators.multimodal import (
+        _decode_png,
+        encode_png,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.data())
+    def check(data):
+        h = data.draw(st.integers(1, 12))
+        w = data.draw(st.integers(1, 12))
+        flat = data.draw(st.lists(st.integers(0, 255),
+                                  min_size=h * w * 3, max_size=h * w * 3))
+        filters = data.draw(st.lists(st.integers(0, 4),
+                                     min_size=h, max_size=h))
+        px = np.array(flat, dtype="uint8").reshape(h, w, 3)
+        out = _decode_png(encode_png(px, row_filters=filters))
+        assert out is not None
+        dw, dh, got = out
+        assert (dw, dh) == (w, h)
+        assert np.array_equal(got, px)
+
+    check()
+
+
+def test_jpeg_roundtrip_property():
+    """Property test: arbitrary shapes (edge-block padding paths) and
+    arbitrary pixel noise stay within a generous lossy budget at q=95,
+    and dimensions always survive exactly. Noise is JPEG's worst case,
+    so the budget is loose — the exactness claims live in the
+    deterministic ladder test above."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from covid_19_data_engineering_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.data())
+    def check(data):
+        h = data.draw(st.integers(1, 20))
+        w = data.draw(st.integers(1, 20))
+        seed = data.draw(st.integers(0, 2**31 - 1))
+        rng = np.random.RandomState(seed)
+        px = rng.randint(0, 256, size=(h, w, 3)).astype("uint8")
+        out = decode_jpeg(encode_jpeg(px, quality=95))
+        assert out is not None
+        dw, dh, got = out
+        assert (dw, dh) == (w, h)
+        err = np.abs(got.astype(int) - px.astype(int)).mean()
+        assert err < 32, f"{h}x{w} seed={seed}: mean abs err {err}"
+
+    check()
