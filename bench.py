@@ -112,15 +112,27 @@ def main() -> None:
     #
     # gc.collect() between queries releases the Python references to each
     # query's localCheckpoint()ed RDDs so Spark's ContextCleaner can drop
-    # their storage blocks — otherwise 45 queries' checkpoint blocks pile
+    # their storage blocks — otherwise 45+ queries' checkpoint blocks pile
     # up in the one executor heap and late queries pay 2-3x in GC pressure
-    # (observed: dedup_ngram_jaccard 5s isolated vs 15s late in the run)
+    # (observed: dedup_ngram_jaccard 5s isolated vs 15s late in the run).
+    # The JVM System.gc() matters too: ContextCleaner discovers dead RDDs
+    # through WEAK references, which only clear on a JVM collection —
+    # without forcing one, cleanup timing is arbitrary and late queries
+    # still measured 2x their isolated cost (round-5: ngram 3.7s isolated
+    # vs 7.9s as extra #25 of 51).
     import gc
+
+    def _reclaim() -> None:
+        gc.collect()
+        try:
+            spark._jvm.System.gc()
+        except Exception:
+            pass  # bench must never fail on a cleanup hint
 
     def warm(batch: list[str]) -> None:
         for name in batch:
             queries[name](spark, SF_DIR).collect()
-            gc.collect()
+            _reclaim()
 
     def timed(batch: list[str]) -> dict[str, float]:
         timings: dict[str, float] = {}
@@ -128,7 +140,7 @@ def main() -> None:
             start = time.perf_counter()
             queries[name](spark, SF_DIR).collect()
             timings[name] = round(time.perf_counter() - start, 3)
-            gc.collect()
+            _reclaim()
         return timings
 
     # phase per batch (warm headline -> time headline -> warm extras ->
