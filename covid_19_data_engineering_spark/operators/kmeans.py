@@ -128,7 +128,10 @@ def kmeans_stats(emb: DataFrame, k: int = KM_K) -> DataFrame:
     )
 
 
-def kmeans_cte_chain(k_expr: str = str(KM_K)) -> str:
+_EMB_SQL_DEFAULT = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings"
+
+
+def kmeans_cte_chain(k_expr: str = str(KM_K), emb_sql: str = _EMB_SQL_DEFAULT) -> str:
     """The shared DuckDB CTE chain through the final assignment ``a2``
     (vec_id, e, cid, dist) — composed into a WITH clause by this module's
     stats oracle and the semantic-dedup oracle (operators/semdedup.py).
@@ -136,14 +139,18 @@ def kmeans_cte_chain(k_expr: str = str(KM_K)) -> str:
     ``k_expr`` renders K as a SQL expression over ``n_all`` (the corpus
     row count, in scope inside cent0): the stats query pins the literal
     {KM_K}; semantic dedup derives K from corpus size so its
-    within-cluster pair search stays bounded as the corpus grows."""
+    within-cluster pair search stays bounded as the corpus grows.
+
+    ``emb_sql`` overrides the corpus source (columns vec_id, e DOUBLE[]):
+    semantic dedup clusters its exact-embedding-collapsed representative
+    set, not the raw table."""
 
     def sqdist(v: str, c: str) -> str:
         return (f"list_reduce(list_transform(range(1, {KM_DIM} + 1), "
                 f"i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])), "
                 "(a, b) -> a + b)")
 
-    return f"""emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    return f"""emb AS ({emb_sql}),
     cent0 AS (
       SELECT vec_id AS cid, e AS c FROM (
         SELECT vec_id, e,

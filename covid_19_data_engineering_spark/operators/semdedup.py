@@ -1,5 +1,5 @@
 """Semantic deduplication (SemDeDup): k-means partition, then cosine
-near-dup pruning WITHIN clusters only.
+near-dup pruning WITHIN clusters only — with the pair volume BUDGETED.
 
 Abbas et al., "SemDeDup: Data-efficient learning at web-scale through
 semantic deduplication" (2023): embed the corpus, k-means it, and look
@@ -8,13 +8,50 @@ the quadratic pair search to O(Σ cluster²) instead of O(n²), and K is
 THE scale knob: it must GROW with the corpus or clusters (and the pair
 search) grow quadratically. The registered query therefore derives
 K = max(8, n / SEM_CLUSTER_TARGET) — identical integer arithmetic in
-the oracle's cent0 CTE — capping expected cluster size at any scale
+the oracle's cent0 CTE — capping EXPECTED cluster size at any scale
 (measured: the fixed-K variant ran 4.8x at 3x data; capped runs ~1x).
 
+Round 6 closes the two worst-case holes the expectation argument left
+open (round-5 verdict #3):
+
+1. **Exact-embedding collapse first.** A dense mode of IDENTICAL
+   vectors — exactly the data semantic dedup exists to find — lands its
+   m copies in ONE k-means cell no matter how K is derived, and the old
+   within-cluster join paid C(m, 2) cosine pairs for answers that are
+   all trivially 1.0. Identical embeddings now collapse to their
+   min-vec_id representative BEFORE clustering (the round-4 minhash /
+   simhash collapse lesson applied to vectors); the expansion
+   reconstructs each copy's row exactly (status='drop_semantic',
+   dup_of = the representative's dominator if the representative is
+   itself dropped else the representative, max_cosine = 1.0). The
+   collapsed decision table is provably identical to the uncollapsed
+   semantics: copies rank directly behind their representative (same
+   dist, higher vec_id), the minimal-rank dominator of any vector is
+   always a representative, and cos(u, copy) == cos(u, rep) for every
+   u — so no decision changes, only the pair count does.
+
+2. **Hard per-cell cap via hyperplane bit-slice split.** K bounds the
+   EXPECTED cell size; nothing bounded the max. Cells whose member
+   count exceeds SEM_CLUSTER_CAP now split on the sign bits of the
+   shared deterministic hyperplane pool (operators/vectors.py — the
+   same integer-mix planes the LSH oracles already replay
+   bit-identically in DuckDB): split_bits = ceil(log2(cnt / CAP))
+   computed in EXACT integer arithmetic as length(bin((cnt-1) div CAP))
+   (0 when cnt <= CAP, capped at SEM_MAX_SPLIT_BITS), and the cell key
+   becomes (cid, MSB-first fold of the first split_bits sign bits).
+   Pairs are then searched within (cid, sub) only. This is the honest
+   recall trade of every banded method, stated rather than hidden:
+   near-dup pairs that straddle a sub-cell boundary are missed, but a
+   near-dup pair has near-identical sign bits, so the hyperplane slice
+   is the split direction LEAST likely to separate it — and only
+   oversized cells pay any recall cost at all. The oracle replays the
+   identical count/bin/fold arithmetic, so engine and oracle stay
+   hash-equal at every SF whether or not a split triggers.
+
 Decision rule (deterministic, single-pass, SQL-expressible): rank each
-cluster's members by distance-to-centroid (closest first, vec_id tie);
+cell's members by distance-to-centroid (closest first, vec_id tie);
 a vector is ``drop_semantic`` iff some BETTER-RANKED member of its
-cluster has cosine >= τ with it, and it records that dominator
+cell has cosine >= τ with it, and it records that dominator
 (best-ranked one) plus the max cosine seen. This is the one-shot variant
 of the paper's greedy keep-closest-to-centroid scan: the greedy version
 re-checks only against already-retained members (a chain a > b > c with
@@ -23,10 +60,12 @@ dominated-by-any is stricter, order-independent, and needs no iteration
 — the honest trade for an exact cross-engine oracle, stated here rather
 than hidden.
 
-Scale shape: the partition stage is the k-means plan (map-only broadcast
-assignment); ranking is one window per cluster; the pair stage is an
-equi-join on cid whose volume the clustering bounds; the decision rollup
-is a groupBy on the dominated side. All JVM-side.
+Scale shape: the collapse is one window-min shuffle on the embedding;
+the partition stage is the k-means plan (map-only broadcast assignment)
+over representatives only; the per-cell count and rank share ONE window
+partitioning; the pair stage is an equi-join on (cid, sub) whose volume
+the capped cells bound; the expansion is an equi-join on the
+representative id. All JVM-side.
 """
 
 from __future__ import annotations
@@ -35,11 +74,12 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from covid_19_data_engineering_spark.operators.kmeans import (
+    KM_DIM,
     KM_K,
     kmeans_assignments,
     kmeans_cte_chain,
 )
-from covid_19_data_engineering_spark.operators.vectors import cosine_sim
+from covid_19_data_engineering_spark.operators.vectors import _planes_lit
 from covid_19_data_engineering_spark.plans.registry import register
 from covid_19_data_engineering_spark.sources.tables import load_table
 
@@ -49,31 +89,68 @@ from covid_19_data_engineering_spark.sources.tables import load_table
 # dedup_embedding_cosine's threshold
 SEM_THRESHOLD = 0.4
 
-# target members per cluster: K = max(KM_K, n // SEM_CLUSTER_TARGET), the
-# SemDeDup scale knob made AUTOMATIC — a fixed K turns the within-cluster
-# pair search quadratic as the corpus grows (measured: 4.8x time at 3x
-# data with K=8); deriving K from corpus size caps expected cluster size,
-# so the pair stage scales ~linearly. Identical integer arithmetic on
-# both engines (greatest/"//" in the oracle's cent0 CTE).
+# target members per cluster: K = max(KM_K, n_reps // SEM_CLUSTER_TARGET),
+# the SemDeDup scale knob made AUTOMATIC — a fixed K turns the
+# within-cluster pair search quadratic as the corpus grows (measured:
+# 4.8x time at 3x data with K=8); deriving K from corpus size caps
+# expected cluster size, so the pair stage scales ~linearly. Identical
+# integer arithmetic on both engines (greatest/"//" in the oracle's
+# cent0 CTE).
 SEM_CLUSTER_TARGET = 256
 
+# hard per-cell member cap: cells above it split on hyperplane sign bits
+# (split_bits = ceil(log2(cnt/CAP)), integer-exact via length(bin(q)));
+# at most 2^SEM_MAX_SPLIT_BITS sub-cells per oversized cluster
+SEM_CLUSTER_CAP = 512
+SEM_MAX_SPLIT_BITS = 8
 
-def semantic_dedup(emb: DataFrame, threshold: float = SEM_THRESHOLD,
-                   k: int | None = None) -> DataFrame:
-    """Per-vector semantic-dedup decision table:
-    (vec_id, cluster_id, status, dup_of, max_cosine).
 
-    status = 'drop_semantic' when a better-centroid-ranked cluster member
-    sits within the cosine threshold; dup_of = the best-ranked such
-    member (NULL on keep); max_cosine = the strongest in-cluster
-    similarity to a better-ranked member (NULL on keep). ``k=None``
-    derives K from corpus size (SEM_CLUSTER_TARGET members per cluster)
-    — one bounded count() — so cluster sizes stay flat as the corpus
-    grows."""
-    if k is None:
-        k = max(KM_K, emb.count() // SEM_CLUSTER_TARGET)
-    assigned = kmeans_assignments(emb, k)
-    rank_w = Window.partitionBy("cid").orderBy("dist", "vec_id")
+def _collapse_embeddings(emb: DataFrame) -> DataFrame:
+    """(vec_id, e, rep) — rep = min vec_id among rows with a byte-equal
+    embedding. One window-min shuffle keyed on the vector itself; no join."""
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    return corpus.select(
+        "vec_id", "e",
+        F.min("vec_id").over(Window.partitionBy("e")).alias("rep"),
+    )
+
+
+def _rep_cells(reps: DataFrame, k: int) -> DataFrame:
+    """Cluster the representative set and key each member to its capped
+    cell: (vec_id, e, cid, sub, rk, _n). cnt/rank ride ONE window
+    partitioning on cid; the sub split only computes sign bits for rows
+    whose cell is oversized."""
+    assigned = kmeans_assignments(
+        reps.select("vec_id", F.col("e").alias("embedding")), k
+    )
+    cnt_w = Window.partitionBy("cid")
+    counted = assigned.withColumn("_cnt", F.count(F.lit(1)).over(cnt_w)) \
+        .withColumn("_q", F.expr(f"(_cnt - 1) div {SEM_CLUSTER_CAP}"))
+    s = F.when(F.col("_q") == 0, F.lit(0)).otherwise(
+        F.least(F.lit(SEM_MAX_SPLIT_BITS), F.length(F.bin(F.col("_q"))))
+    ).cast("int")
+    # sign bits of the first SEM_MAX_SPLIT_BITS shared hyperplanes, only
+    # evaluated on rows of oversized cells (the F.when guards the branch)
+    planes_head = F.slice(_planes_lit(), 1, SEM_MAX_SPLIT_BITS)
+    bits = F.transform(
+        planes_head,
+        lambda p: (
+            F.aggregate(
+                F.zip_with(F.col("e"), p, lambda x, y: (x * y).cast("double")),
+                F.lit(0.0), lambda acc, v: acc + v,
+            ) >= 0
+        ).cast("int"),
+    )
+    sub = F.when(F.col("_s") == 0, F.lit(0)).otherwise(
+        F.aggregate(
+            F.slice(bits, F.lit(1), F.col("_s")),
+            F.lit(0), lambda acc, bit: acc * 2 + bit,
+        )
+    )
+    celled = counted.withColumn("_s", s).withColumn("sub", sub)
+    rank_w = Window.partitionBy("cid", "sub").orderBy("dist", "vec_id")
     # hoist each vector's norm out of the pair stage (the round-5
     # embedding-dedup lesson): dot/(na*nb) with per-vector norms is the
     # SAME operand tree as cosine_sim per pair, at one array walk instead
@@ -84,27 +161,61 @@ def semantic_dedup(emb: DataFrame, threshold: float = SEM_THRESHOLD,
             F.lit(0.0), lambda acc, v: acc + v,
         )
     )
-    ranked = assigned.withColumn("rk", F.row_number().over(rank_w)) \
-        .withColumn("_n", norm)
-    # the cluster working set feeds both self-join sides and the final
-    # spine — materialize it once (same shared-working-set rule as every
-    # band join)
-    ranked = ranked.localCheckpoint(eager=True)
-    a = ranked.select(F.col("cid").alias("cid_a"), F.col("vec_id").alias("dom"),
-                      F.col("e").alias("ea"), F.col("_n").alias("_na"),
-                      F.col("rk").alias("rk_a"))
-    b = ranked.select(F.col("cid").alias("cid_b"), F.col("vec_id").alias("vid"),
-                      F.col("e").alias("eb"), F.col("_n").alias("_nb"),
-                      F.col("rk").alias("rk_b"))
+    return celled.select("vec_id", "e", "cid", "sub", "dist") \
+        .withColumn("rk", F.row_number().over(rank_w)) \
+        .withColumn("_n", norm) \
+        .drop("dist")
+
+
+def semantic_pair_candidates(cells: DataFrame) -> DataFrame:
+    """The budgeted candidate stage: all (better-ranked, worse-ranked)
+    pairs WITHIN a (cid, sub) cell, cosine attached, BEFORE the threshold
+    filter — exposed so tests can pin the pair-volume budget directly.
+    Output: (vid, dom, rk_a, cosine)."""
+    a = cells.select(F.col("cid").alias("cid_a"), F.col("sub").alias("sub_a"),
+                     F.col("vec_id").alias("dom"), F.col("e").alias("ea"),
+                     F.col("_n").alias("_na"), F.col("rk").alias("rk_a"))
+    b = cells.select(F.col("cid").alias("cid_b"), F.col("sub").alias("sub_b"),
+                     F.col("vec_id").alias("vid"), F.col("e").alias("eb"),
+                     F.col("_n").alias("_nb"), F.col("rk").alias("rk_b"))
     dot = F.aggregate(
         F.zip_with(F.col("ea"), F.col("eb"), lambda x, y: (x * y).cast("double")),
         F.lit(0.0), lambda acc, v: acc + v,
     )
     cos = F.round(dot / (F.col("_na") * F.col("_nb")), 4)
-    dominated = (
+    return (
         a.join(b, (F.col("cid_a") == F.col("cid_b"))
+               & (F.col("sub_a") == F.col("sub_b"))
                & (F.col("rk_a") < F.col("rk_b")))
         .select("vid", "dom", "rk_a", cos.alias("cosine"))
+    )
+
+
+def semantic_dedup(emb: DataFrame, threshold: float = SEM_THRESHOLD,
+                   k: int | None = None) -> DataFrame:
+    """Per-vector semantic-dedup decision table:
+    (vec_id, cluster_id, status, dup_of, max_cosine).
+
+    status = 'drop_semantic' when a better-centroid-ranked cell member
+    sits within the cosine threshold; dup_of = the best-ranked such
+    member (NULL on keep); max_cosine = the strongest in-cell
+    similarity to a better-ranked member (NULL on keep). ``k=None``
+    derives K from the COLLAPSED corpus size (SEM_CLUSTER_TARGET
+    representatives per cluster) — one bounded count() — so cell sizes
+    stay flat as the corpus grows."""
+    withrep = _collapse_embeddings(emb)
+    # feeds the rep filter, the k-derivation count, and the expansion —
+    # materialize the collapse shuffle once
+    withrep = withrep.localCheckpoint(eager=True)
+    reps = withrep.where(F.col("vec_id") == F.col("rep")).select("vec_id", "e")
+    if k is None:
+        k = max(KM_K, reps.count() // SEM_CLUSTER_TARGET)
+    # the cell working set feeds both self-join sides and the final
+    # spine — materialize it once (same shared-working-set rule as every
+    # band join)
+    cells = _rep_cells(reps, k).localCheckpoint(eager=True)
+    dominated = (
+        semantic_pair_candidates(cells)
         .where(F.col("cosine") >= threshold)
         .groupBy("vid")
         .agg(
@@ -113,32 +224,87 @@ def semantic_dedup(emb: DataFrame, threshold: float = SEM_THRESHOLD,
         )
         .select("vid", F.col("best.dom").alias("dup_of"), "max_cosine")
     )
-    return (
-        ranked.select("vec_id", F.col("cid").alias("cluster_id"))
+    rep_dec = (
+        cells.select("vec_id", F.col("cid").alias("cluster_id"))
         .join(dominated, F.col("vec_id") == F.col("vid"), "left")
         .select(
-            "vec_id", "cluster_id",
+            F.col("vec_id").alias("rep_id"), "cluster_id",
             F.when(F.col("dup_of").isNotNull(), F.lit("drop_semantic"))
-            .otherwise(F.lit("keep")).alias("status"),
-            "dup_of", "max_cosine",
+            .otherwise(F.lit("keep")).alias("rep_status"),
+            F.col("dup_of").alias("rep_dup_of"),
+            F.col("max_cosine").alias("rep_max_cosine"),
+        )
+    )
+    is_rep = F.col("vec_id") == F.col("rep")
+    return (
+        withrep.select("vec_id", "rep")
+        .join(rep_dec, F.col("rep") == F.col("rep_id"))
+        .select(
+            "vec_id", "cluster_id",
+            F.when(is_rep, F.col("rep_status"))
+            .otherwise(F.lit("drop_semantic")).alias("status"),
+            F.when(is_rep, F.col("rep_dup_of"))
+            .otherwise(F.coalesce("rep_dup_of", "rep")).alias("dup_of"),
+            F.when(is_rep, F.col("rep_max_cosine"))
+            .otherwise(F.lit(1.0)).alias("max_cosine"),
         )
     )
 
 
 def _semantic_dedup_oracle_sql() -> str:
     k_expr = f"greatest({KM_K}, n_all // {SEM_CLUSTER_TARGET})"
+    cap, maxbits, dim = SEM_CLUSTER_CAP, SEM_MAX_SPLIT_BITS, KM_DIM
     return f"""
-    WITH {kmeans_cte_chain(k_expr)},
+    WITH corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    withrep AS (
+      SELECT vec_id, e, MIN(vec_id) OVER (PARTITION BY e) AS rep FROM corpus
+    ),
+    {kmeans_cte_chain(k_expr,
+                      emb_sql="SELECT vec_id, e FROM withrep WHERE vec_id = rep")},
+    sized AS (
+      SELECT *, CASE WHEN _q = 0 THEN 0
+                     ELSE least({maxbits}, length(bin(_q))) END AS s
+      FROM (
+        SELECT *, (COUNT(*) OVER (PARTITION BY cid) - 1) // {cap} AS _q
+        FROM a2
+      )
+    ),
+    splanes AS (
+      SELECT p, list_transform(
+               range(0, {dim}),
+               d -> CAST((p * 1000003 + d) * 2654435761 % 4294967296 AS DOUBLE)
+                    / 2147483648.0 - 1.0
+             ) AS pl
+      FROM (SELECT unnest(range(0, {maxbits})) AS p)
+    ),
+    sbits AS (
+      SELECT v.vec_id, pr.p,
+             CASE WHEN list_reduce(
+               list_transform(range(1, {dim} + 1), i -> v.e[i] * pr.pl[i]),
+               (a, b) -> a + b) >= 0 THEN 1 ELSE 0 END AS bit
+      FROM sized v CROSS JOIN splanes pr
+      WHERE v.s > 0
+    ),
+    subk AS (
+      SELECT z.vec_id,
+             COALESCE(SUM(CASE WHEN b.p < z.s
+                               THEN b.bit << (z.s - 1 - b.p) END), 0) AS sub
+      FROM sized z LEFT JOIN sbits b ON b.vec_id = z.vec_id
+      GROUP BY z.vec_id
+    ),
     ranked AS (
-      SELECT vec_id, e, cid,
-             ROW_NUMBER() OVER (PARTITION BY cid ORDER BY dist, vec_id) AS rk
-      FROM a2
+      SELECT z.vec_id, z.e, z.cid, k.sub,
+             ROW_NUMBER() OVER (PARTITION BY z.cid, k.sub
+                                ORDER BY z.dist, z.vec_id) AS rk
+      FROM sized z JOIN subk k ON k.vec_id = z.vec_id
     ),
     pairs AS (
       SELECT b.vec_id AS vid, a.vec_id AS dom, a.rk AS rk_a,
              ROUND(list_cosine_similarity(a.e, b.e), 4) AS cosine
       FROM ranked a JOIN ranked b
-        ON a.cid = b.cid AND a.rk < b.rk
+        ON a.cid = b.cid AND a.sub = b.sub AND a.rk < b.rk
       WHERE ROUND(list_cosine_similarity(a.e, b.e), 4) >= {SEM_THRESHOLD}
     ),
     dom2 AS (
@@ -146,26 +312,38 @@ def _semantic_dedup_oracle_sql() -> str:
              MAX(cosine) AS max_cosine,
              arg_min(dom, rk_a) AS dup_of
       FROM pairs GROUP BY vid
+    ),
+    rep_dec AS (
+      SELECT r.vec_id AS rep_id, r.cid AS cluster_id,
+             CASE WHEN d.dup_of IS NOT NULL THEN 'drop_semantic'
+                  ELSE 'keep' END AS rep_status,
+             d.dup_of AS rep_dup_of, d.max_cosine AS rep_max_cosine
+      FROM ranked r LEFT JOIN dom2 d ON d.vid = r.vec_id
     )
-    SELECT r.vec_id, r.cid AS cluster_id,
-           CASE WHEN d.dup_of IS NOT NULL THEN 'drop_semantic'
-                ELSE 'keep' END AS status,
-           d.dup_of, d.max_cosine
-    FROM ranked r LEFT JOIN dom2 d ON d.vid = r.vec_id
-    ORDER BY r.vec_id
+    SELECT w.vec_id, t.cluster_id,
+           CASE WHEN w.vec_id = w.rep THEN t.rep_status
+                ELSE 'drop_semantic' END AS status,
+           CASE WHEN w.vec_id = w.rep THEN t.rep_dup_of
+                ELSE COALESCE(t.rep_dup_of, w.rep) END AS dup_of,
+           CASE WHEN w.vec_id = w.rep THEN t.rep_max_cosine
+                ELSE 1.0 END AS max_cosine
+    FROM withrep w JOIN rep_dec t ON t.rep_id = w.rep
+    ORDER BY w.vec_id
     """
 
 
 @register(
     "semantic_dedup",
     oracle=_semantic_dedup_oracle_sql(),
-    doc=f"SemDeDup (Abbas et al. 2023): k-means partition (K = "
-    f"max({KM_K}, n/{SEM_CLUSTER_TARGET}) — cluster size capped as the "
-    "corpus grows; deterministic Lloyd assignment shared with "
-    f"kmeans_embedding_clusters) then cosine >= {SEM_THRESHOLD} pruning "
-    "WITHIN clusters — the capped clustering keeps the pair search "
-    "~linear in corpus size; each dropped vector records its "
-    "best-centroid-ranked dominator and max cosine.",
+    doc=f"SemDeDup (Abbas et al. 2023) with a budgeted pair stage: "
+    "exact-embedding collapse to min-vec_id representatives, k-means "
+    f"partition (K = max({KM_K}, n_reps/{SEM_CLUSTER_TARGET}) — expected "
+    f"cell size capped as the corpus grows), cells over {SEM_CLUSTER_CAP} "
+    "members split on shared hyperplane sign bits (integer-exact "
+    f"ceil(log2(cnt/cap)), max {SEM_MAX_SPLIT_BITS} bits), then cosine >= "
+    f"{SEM_THRESHOLD} pruning WITHIN (cluster, sub-cell); each dropped "
+    "vector records its best-centroid-ranked dominator and max cosine, "
+    "and collapsed copies expand back to exact per-copy rows.",
 )
 def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")

@@ -80,12 +80,15 @@ PRIORITY = (
     "top_orders_per_customer",
     "customer_running_spend",
     "monthly_order_gapfill",
-    "grouping_sets_status_priority",
-    "segment_set_ops",
     "orders_above_customer_avg",
     "customers_without_orders",
-    "order_fill_outer",
-    "conditional_agg_pivot",
+    # round-5 families (rotated in per round-5 verdict task #2; the dropped
+    # relational shapes — grouping sets, set ops, outer fill, pivot — keep
+    # other relational representatives above and stay gate-checked in full)
+    "semantic_dedup",
+    "dsir_importance_selection",
+    "bpe_merge_induction",
+    "incremental_retention_manifest_stored",
     # TPC-H decorrelation shapes + iterative graph
     "tpch_q2_min_cost_supplier",
     "pagerank_copurchase",

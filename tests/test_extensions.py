@@ -897,6 +897,132 @@ def test_semantic_dedup_planted_cluster(spark):
             assert out[i]["status"] == "keep" and out[i]["dup_of"] is None
 
 
+def test_semdedup_dense_dup_collapse_budget(spark):
+    """Round-5 verdict #3 gate, part 1: a dense mode of IDENTICAL
+    embeddings (40% of the corpus is one repeated vector) must collapse to
+    its min-vec_id representative BEFORE the pair stage — the candidate
+    join sees representatives only, never the C(copies, 2) ~ 8e4 pairs the
+    uncollapsed within-cluster join paid — and the expansion must
+    reconstruct each copy's row exactly."""
+    import random
+
+    from covid_19_data_engineering_spark.operators.semdedup import (
+        _collapse_embeddings,
+        _rep_cells,
+        semantic_dedup,
+        semantic_pair_candidates,
+    )
+
+    rng = random.Random(7)
+    n_distinct, n_copies = 600, 400
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)])
+            for i in range(n_distinct)]
+    rows += [(n_distinct + j, list(rows[0][1])) for j in range(n_copies)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    withrep = _collapse_embeddings(emb)
+    reps = withrep.where("vec_id = rep").select("vec_id", "e")
+    assert reps.count() == n_distinct
+    cells = _rep_cells(reps, k=8)
+    sizes = [r["m"] for r in cells.groupBy("cid", "sub")
+             .agg(F.count(F.lit(1)).alias("m")).collect()]
+    n_cand = semantic_pair_candidates(cells).count()
+    # the candidate stage is EXACTLY the within-cell pair count...
+    assert n_cand == sum(m * (m - 1) // 2 for m in sizes)
+    # ...and far below the dense-mode C(400,2) = 79_800 the old plan paid
+    assert n_cand < n_copies * (n_copies - 1) // 2, n_cand
+
+    out = {r["vec_id"]: r for r in
+           semantic_dedup(emb, threshold=0.95, k=8).collect()}
+    assert len(out) == n_distinct + n_copies
+    # random 64-d vectors are near-orthogonal: at τ=0.95 the rep keeps
+    assert out[0]["status"] == "keep"
+    for j in range(n_distinct, n_distinct + n_copies):
+        r = out[j]
+        assert r["status"] == "drop_semantic"
+        assert r["dup_of"] == 0 and r["max_cosine"] == 1.0
+        assert r["cluster_id"] == out[0]["cluster_id"]
+
+
+def test_semdedup_oversized_cell_split_budget(spark):
+    """Round-5 verdict #3 gate, part 2: a cell over SEM_CLUSTER_CAP members
+    splits on hyperplane sign bits — 2000 diverse vectors forced into ONE
+    k-means cluster (k=1) must land in ceil(log2(2000/512)) = 2 bits = 4
+    sub-cells, and the pair stage must pay the per-cell quadratic only."""
+    import random
+
+    from covid_19_data_engineering_spark.operators.semdedup import (
+        _collapse_embeddings,
+        _rep_cells,
+        semantic_pair_candidates,
+    )
+
+    rng = random.Random(11)
+    n = 2000
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    reps = _collapse_embeddings(emb).where("vec_id = rep").select("vec_id", "e")
+
+    cells = _rep_cells(reps, k=1)
+    sizes = [r["m"] for r in cells.groupBy("cid", "sub")
+             .agg(F.count(F.lit(1)).alias("m")).collect()]
+    assert len(sizes) == 4, sizes
+    # random vectors spread ~evenly across the two sign bits
+    assert max(sizes) <= 700, sizes
+    n_cand = semantic_pair_candidates(cells).count()
+    assert n_cand == sum(m * (m - 1) // 2 for m in sizes)
+    # vs the unsplit single-cell join at C(2000, 2) = 1_999_000
+    assert n_cand <= 0.3 * n * (n - 1) // 2, n_cand
+
+
+def test_semdedup_split_path_oracle_parity(spark):
+    """When the split DOES trigger in the registered query path (a planted
+    1400-member near-dup cluster >> SEM_CLUSTER_CAP), engine and DuckDB
+    oracle must still agree row-for-row — the count/bin/bit-fold arithmetic
+    is replayed identically on both sides."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from covid_19_data_engineering_spark.operators.semdedup import (
+        _collapse_embeddings,
+        _rep_cells,
+        _semantic_dedup_oracle_sql,
+        semantic_dedup,
+    )
+    from tests.test_oracle_parity import _fingerprint
+
+    rng = random.Random(23)
+    anchor = [rng.uniform(-1, 1) for _ in range(64)]
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(600)]
+    rows += [(600 + j, [x + rng.uniform(-0.3, 0.3) for x in anchor])
+             for j in range(1400)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # the anchor family lands in one k-means cluster of ~1400 > 512:
+    # assert the split is actually exercised, not vacuously green
+    reps = _collapse_embeddings(emb).where("vec_id = rep").select("vec_id", "e")
+    n_reps = reps.count()
+    k = max(8, n_reps // 256)
+    assert _rep_cells(reps, k).where("sub > 0").limit(1).count() == 1
+
+    sdf = semantic_dedup(emb).orderBy("vec_id")
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    con.register("embeddings", pd.DataFrame(
+        {"vec_id": [r[0] for r in rows], "embedding": [r[1] for r in rows]}
+    ))
+    res = con.execute(_semantic_dedup_oracle_sql())
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(sdf.columns) == sorted(duck_cols)
+    assert len(spark_rows) == len(duck_rows) == len(rows)
+    assert _fingerprint(spark_rows, sdf.columns) == _fingerprint(duck_rows, duck_cols)
+
+
 def test_bpe_merges_planted_corpus(spark):
     """Hand-checkable BPE: a corpus dominated by 'aaab' must first merge
     (a,a) — the most frequent adjacent pair — then build on the result,
@@ -919,6 +1045,61 @@ def test_bpe_merges_planted_corpus(spark):
     # words are now ['aa','ab']; (aa,ab) at 6 beats (x,y)=3, (z,q)=1
     assert (out[3]["left_sym"], out[3]["right_sym"]) == ("aa", "ab")
     assert out[3]["pair_count"] == 6
+
+
+def test_bpe_merge_is_symbol_aware(spark):
+    """Round-5 advisory regression: after merges (a,b) then (b,c), the word
+    'abc' holds symbols [ab, c] — a bare literal replace of 'b<SEP>c' used
+    to fire across the symbol boundary ('ab<SEP>c' -> 'abc'), corrupting
+    token mass; the wrapped replace must leave [ab, c] intact."""
+    from covid_19_data_engineering_spark.operators.bpe import SEP, bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab ab ab ab bc bc bc abc")], "doc_id long, text string")
+    merges, words = bpe_train(docs, n_merges=2)
+    got = [(r["left_sym"], r["right_sym"]) for r in
+           merges.orderBy("merge_rank").collect()]
+    assert got == [("a", "b"), ("b", "c")]
+    ws = {r["ws"] for r in words.collect()}
+    assert f"ab{SEP}c" in ws, ws
+    assert "abc" not in ws
+
+
+def test_bpe_batched_b1_equals_sequential(spark):
+    """The batched operator at B=1 degenerates to the exact greedy argmax:
+    its merge table must be row-for-row identical to the sequential
+    operator on real corpus data."""
+    from covid_19_data_engineering_spark.operators.bpe import (
+        bpe_merge_table,
+        bpe_merge_table_batched,
+    )
+    from covid_19_data_engineering_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    seq = [tuple(r) for r in
+           bpe_merge_table(docs, n_merges=6).orderBy("merge_rank").collect()]
+    bat = [tuple(r) for r in
+           bpe_merge_table_batched(docs, n_rounds=6, batch=1)
+           .orderBy("merge_rank").collect()]
+    assert seq == bat
+
+
+def test_bpe_batched_disjointness_rule(spark):
+    """One batched round must apply DISJOINT top pairs together and drop a
+    window candidate that shares a symbol with a higher-ranked one: corpus
+    with (a,b) x6, (x,y) x4, (b,q) x3 — (b,q) conflicts with (a,b) and is
+    skipped for the round; (x,y) rides along."""
+    from covid_19_data_engineering_spark.operators.bpe import (
+        bpe_merge_table_batched,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab ab ab ab ab xy xy xy xy bq bq bq")],
+        "doc_id long, text string")
+    out = [(r["left_sym"], r["right_sym"], r["pair_count"]) for r in
+           bpe_merge_table_batched(docs, n_rounds=1, batch=3)
+           .orderBy("merge_rank").collect()]
+    assert out == [("a", "b", 6), ("x", "y", 4)]
 
 
 def test_dsir_prefers_target_like_docs(spark):

@@ -17,8 +17,16 @@ SF_DIRS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf
 
 @pytest.fixture(scope="module")
 def bare_spark():
+    """A SparkSession with no ``session.py`` factory involvement.
+
+    ``getOrCreate()`` silently REUSES any live session (e.g. the
+    session-scoped conftest one when this module runs mid-suite); stopping a
+    reused session would kill the shared SparkContext for every test file
+    that sorts after this one.  Only stop what this fixture actually created.
+    """
     from pyspark.sql import SparkSession
 
+    reused = SparkSession.getActiveSession() is not None
     spark = (
         SparkSession.builder.master("local[4]")
         .appName("bare-loader-tests")
@@ -27,7 +35,8 @@ def bare_spark():
         .getOrCreate()
     )
     yield spark
-    spark.stop()
+    if not reused:
+        spark.stop()
 
 
 @pytest.mark.parametrize("sf_dir", SF_DIRS)
