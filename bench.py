@@ -4,8 +4,12 @@ on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec}, "sf": ...}
 
 Each query is collected (not just planned) so the number is end-to-end
-executor time. A warmup pass on the smallest SF primes JVM/codegen so the
-measured numbers reflect steady-state throughput, not first-query JIT.
+executor time. A warmup pass primes JVM/codegen; each reported number is
+then the PER-QUERY MEDIAN OF 3 INTERLEAVED TIMED PASSES (round-5 verdict
+#5: the single-pass protocol let one noisy run swing the round-over-round
+record by ~20% with zero plan changes). "queries_spread" reports each
+query's max-min across the passes so the noise band is part of the
+record; SPARK_GRAFT_BENCH_PASSES overrides the pass count.
 """
 
 from __future__ import annotations
@@ -89,6 +93,8 @@ EXTRA = [
     "bpe_merge_induction",
     "bpe_vocab_tokens",
     "dsir_importance_selection",
+    # round-6 additions
+    "bpe_merge_induction_batched",
 ]
 
 
@@ -134,23 +140,32 @@ def main() -> None:
             queries[name](spark, SF_DIR).collect()
             _reclaim()
 
-    def timed(batch: list[str]) -> dict[str, float]:
-        timings: dict[str, float] = {}
-        for name in batch:
-            start = time.perf_counter()
-            queries[name](spark, SF_DIR).collect()
-            timings[name] = round(time.perf_counter() - start, 3)
-            _reclaim()
-        return timings
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+
+    def timed(batch: list[str]) -> tuple[dict[str, float], dict[str, float]]:
+        """Median-of-n per query over INTERLEAVED passes (pass 1 runs every
+        query, then pass 2, ...) so slow environmental drift — GC pressure,
+        page cache, CPU thermal state — lands on all queries alike instead
+        of biasing whichever query a back-to-back triple happened to hit."""
+        per: dict[str, list[float]] = {name: [] for name in batch}
+        for _ in range(n_passes):
+            for name in batch:
+                start = time.perf_counter()
+                queries[name](spark, SF_DIR).collect()
+                per[name].append(time.perf_counter() - start)
+                _reclaim()
+        medians = {n: round(sorted(v)[len(v) // 2], 3) for n, v in per.items()}
+        spreads = {n: round(max(v) - min(v), 3) for n, v in per.items()}
+        return medians, spreads
 
     # phase per batch (warm headline -> time headline -> warm extras ->
     # time extras): the headline total stays comparable round-over-round
     # even as the extras list grows — timing it after a 37-query extras
     # warmup inherited their heap churn and drifted ~15%
     warm(names)
-    timings = timed(names)
+    timings, spreads = timed(names)
     warm(extra_names)
-    extra_timings = timed(extra_names)
+    extra_timings, extra_spreads = timed(extra_names)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -159,6 +174,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_extra": extra_timings,
+        "queries_spread": spreads,
+        "queries_extra_spread": extra_spreads,
+        "passes": n_passes,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

@@ -166,6 +166,11 @@ def star_components_with_rounds(edges: DataFrame, src: str = "doc_a",
     one groupBy + one equi-join (same shuffle family as a label round),
     checkpointed for the same lineage-truncation reason as the label twin.
     """
+    all_nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
     e = (
         edges.select(
             F.greatest(F.col(src), F.col(dst)).alias("u"),
@@ -217,7 +222,14 @@ def star_components_with_rounds(edges: DataFrame, src: str = "doc_a",
         .union(e.select(F.col("v").alias("node"), F.col("v").alias("component")))
         .distinct()
     )
-    return labels, rounds
+    # the u != v orientation filter drops nodes whose ONLY edges are
+    # self-loops; emit them as singleton components so every node in
+    # ``edges`` is covered, matching the label twin (round-5 advisory)
+    singletons = (
+        all_nodes.join(labels.select("node"), "node", "left_anti")
+        .select("node", F.col("node").alias("component"))
+    )
+    return labels.union(singletons), rounds
 
 
 def duplicate_clusters(docs: DataFrame, threshold: float = 0.3,
@@ -693,6 +705,12 @@ def incremental_retention_manifest(new: DataFrame, snapshot: DataFrame = None,
     # the standalone operators re-derived each working set once per stage
     # (~2x the whole query's cost at bench scale)
     if snapshot_state is None:
+        if snapshot is None:
+            raise ValueError(
+                "incremental_retention_manifest needs a frozen side: pass "
+                "snapshot (a DataFrame) or snapshot_state "
+                "(build/read_snapshot_dedup_state output)"
+            )
         snapshot_state = build_snapshot_dedup_state(snapshot, threshold)
     s_bands = snapshot_state["bands"]
     snap_manifest = snapshot_state["manifest"]
@@ -975,15 +993,24 @@ def incremental_retention_manifest_batch(spark: SparkSession, sf_dir: str) -> Da
 def _snapshot_state_dir(sf_dir: str) -> str:
     """Deterministic per-corpus cache location for the persisted snapshot
     state, inside the repo (gitignored) so nothing outside the working
-    tree is touched. Versioned: a layout/logic bump invalidates old
-    caches instead of silently serving them."""
+    tree is touched. Versioned two ways: a layout/logic bump
+    (_SNAPSHOT_STATE_VERSION) invalidates old caches instead of silently
+    serving them, and a cheap corpus fingerprint (documents.parquet size +
+    mtime) keys the directory so REGENERATING the corpus at the same path
+    invalidates the cache automatically (round-5 advisory — stale
+    persisted state would otherwise produce wrong admission decisions
+    that surface only as an unexplained oracle parity failure)."""
     import os
     import re
 
     slug = re.sub(r"[^A-Za-z0-9_.-]+", "_", sf_dir.strip("/"))
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(doc_path)
+    corpus_fp = f"{st.st_size}-{st.st_mtime_ns}"
     root = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__)))), ".state_cache")
-    return os.path.join(root, _SNAPSHOT_STATE_VERSION, slug, "incr_manifest")
+    return os.path.join(root, _SNAPSHOT_STATE_VERSION, slug, corpus_fp,
+                        "incr_manifest")
 
 
 # stored-state split: batch = doc_id % 20 == 7 (5% of the corpus at every

