@@ -188,6 +188,34 @@ def events_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- streaming builders (driven by tests with availableNow) ------------------
 
 
+# the canonical events payload as Kafka record JSON: one schema string
+# covers producer and consumer; ts is timestamp_ntz to match the batch
+# loader's canonical events shape, and the wire format pins SIX fractional
+# digits — Spark's default JSON timestamp format truncates to millis,
+# which would silently shave microseconds off every event on a round trip
+EVENTS_KAFKA_SCHEMA = ("event_id bigint, user_id bigint, event_type string, "
+                       "ts timestamp_ntz, value double")
+KAFKA_JSON_OPTS = {"timestampNTZFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS"}
+
+
+def events_from_kafka_records(raw: DataFrame) -> DataFrame:
+    """Decode Kafka records (binary ``value`` column) into the engine's
+    canonical events shape — the projection half of the kafka branch,
+    shared by the stream reader and the batch-twin test (which feeds it
+    literal JSON bytes, no connector or broker needed). Malformed records
+    surface as NULL columns (from_json PERMISSIVE mode), the same
+    row-tolerant posture as the CSV ingestion path."""
+    payload = F.from_json(F.col("value").cast("string"), EVENTS_KAFKA_SCHEMA,
+                          KAFKA_JSON_OPTS)
+    return raw.select(
+        payload["event_id"].alias("event_id"),
+        payload["user_id"].alias("user_id"),
+        payload["event_type"].alias("event_type"),
+        payload["ts"].alias("ts"),
+        payload["value"].alias("value"),
+    )
+
+
 def events_stream(spark: SparkSession, sf_dir: str, source: str = "files") -> DataFrame:
     """Streaming events in the engine's canonical shape, from a pluggable
     source. Every ``stream_*`` builder below takes this DataFrame — the
@@ -204,14 +232,31 @@ def events_stream(spark: SparkSession, sf_dir: str, source: str = "files") -> Da
       schema — a live unbounded source with none of the file machinery,
       proving the builders are source-agnostic (tests drive a stream_*
       plan off it).
-    - a real Kafka deployment is one more branch with the same contract:
-      ``spark.readStream.format("kafka")...load()`` then
-      ``from_json(value, events_schema)`` projected to these columns; not
-      wired here because the kafka connector jar isn't shipped in this
-      container.
+    - ``source="kafka"``: the real connector branch —
+      ``spark.readStream.format("kafka")`` subscribed to
+      ``$SPARK_GRAFT_KAFKA_TOPIC`` (default ``events``) at
+      ``$SPARK_GRAFT_KAFKA_BOOTSTRAP`` (default ``localhost:9092``), each
+      record's JSON value decoded to the canonical columns by
+      ``events_from_kafka_records``. The branch EXECUTES whenever the
+      spark-sql-kafka connector jar is on the classpath (pytest drives it
+      and skips, with the exact resolution error pinned, where the jar is
+      absent — this container ships none); the record decode itself is
+      batch-testable without any connector.
     """
     import os
 
+    if source == "kafka":
+        bootstrap = os.environ.get("SPARK_GRAFT_KAFKA_BOOTSTRAP",
+                                   "localhost:9092")
+        topic = os.environ.get("SPARK_GRAFT_KAFKA_TOPIC", "events")
+        raw = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap)
+            .option("subscribe", topic)
+            .option("startingOffsets", "earliest")
+            .load()
+        )
+        return events_from_kafka_records(raw)
     if source == "rate":
         raw = spark.readStream.format("rate").option("rowsPerSecond", "500").load()
         types = F.array(F.lit("click"), F.lit("view"), F.lit("purchase"))

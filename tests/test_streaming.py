@@ -433,3 +433,55 @@ def test_stream_admission_manifest_matches_batch(spark, tmp_path):
         ).collect()
     )
     assert sorted(got) == want and len(want) == new_batch.count()
+
+
+def test_kafka_record_decode_matches_batch_events(spark):
+    """The kafka branch's record decode (from_json over the binary value
+    column) must reproduce the canonical events shape exactly — driven
+    with literal JSON bytes, so the projection is fully tested without a
+    connector or broker. A malformed record degrades to NULL columns
+    (PERMISSIVE), not a failed batch."""
+    from covid_19_data_engineering_spark.streaming.events import (
+        KAFKA_JSON_OPTS,
+        events_from_kafka_records,
+    )
+
+    e = load_table(spark, "events", SF_SMOKE).limit(50)
+    as_records = e.select(
+        F.col("event_id").cast("string").cast("binary").alias("key"),
+        F.to_json(F.struct("event_id", "user_id", "event_type", "ts", "value"),
+                  KAFKA_JSON_OPTS)
+        .cast("binary").alias("value"),
+    )
+    decoded = events_from_kafka_records(as_records)
+    assert decoded.schema == e.select(
+        "event_id", "user_id", "event_type", "ts", "value").schema
+    want = sorted(map(tuple, e.select(
+        "event_id", "user_id", "event_type", "ts", "value").collect()))
+    got = sorted(map(tuple, decoded.collect()))
+    assert got == want
+
+    junk = spark.createDataFrame(
+        [(b"k", b"{not-json"), (b"k", b'{"event_id": 7}')],
+        "key binary, value binary")
+    rows = events_from_kafka_records(junk).collect()
+    assert [r["event_id"] for r in rows] == [None, 7]
+
+
+def test_kafka_source_branch_executes_or_skips(spark):
+    """Drive the REAL source="kafka" branch. With the spark-sql-kafka
+    connector on the classpath this builds the streaming plan (and a
+    broker-backed CI would run it availableNow); in this container no jar
+    ships, so the branch must fail precisely at Spark's data-source
+    resolution — proving the option wiring executed — and the test skips."""
+    try:
+        stream = events_stream(spark, SF_SMOKE, source="kafka")
+    except Exception as exc:  # noqa: BLE001 — asserting on the failure class
+        msg = str(exc)
+        assert "kafka" in msg.lower(), msg
+        assert ("Failed to find data source" in msg
+                or "DATA_SOURCE_NOT_FOUND" in msg), msg
+        pytest.skip("spark-sql-kafka connector jar not shipped here")
+    assert stream.isStreaming
+    assert [f.name for f in stream.schema.fields] == [
+        "event_id", "user_id", "event_type", "ts", "value"]

@@ -115,6 +115,60 @@ def materialize_scaled(spark) -> None:
         os.path.join(SCALE_DIR, "embeddings.parquet"))
 
 
+DENSE_BASE = os.path.join(REPO, ".state_cache", "scale", "dense_base")
+DENSE_X3 = os.path.join(REPO, ".state_cache", "scale", "dense_x3")
+DENSE_DUP_FRACTION = 0.25
+
+
+def materialize_dense(spark) -> None:
+    """Planted dense-mode corpora for semantic_dedup (round-5 verdict #3):
+    the base adds 25% EXACT-duplicate embeddings (copies of vec 0) to the
+    sf0.1 set — the worst case for a within-cluster pair search, since
+    every copy lands in one k-means cell — and the 3x variant replicates
+    it with the same sign-flip decorrelation as the main scale corpus, so
+    each replica carries its own dense mode. A ≲1.5 time ratio at 3x
+    shows the exact-collapse + cell-cap budget holds under density."""
+    import pyspark.sql.functions as F
+
+    from covid_19_data_engineering_spark.sources.tables import load_table
+
+    if all(os.path.exists(os.path.join(d, "embeddings.parquet", "_SUCCESS"))
+           for d in (DENSE_BASE, DENSE_X3)):
+        return
+    emb = load_table(spark, "embeddings", BASE_SF).select("vec_id", "embedding")
+    n = emb.count()
+    n_dup = int(n * DENSE_DUP_FRACTION / (1 - DENSE_DUP_FRACTION))
+    mode_vec = emb.orderBy("vec_id").first()["embedding"]
+    mode_lit = F.array(*[F.lit(float(x)) for x in mode_vec])
+    dups = spark.range(n_dup).select(
+        (F.col("id") + 10 * ID_OFFSET).alias("vec_id"),
+        mode_lit.alias("embedding"),
+    )
+    base = emb.unionByName(dups)
+    base.write.mode("overwrite").parquet(
+        os.path.join(DENSE_BASE, "embeddings.parquet"))
+
+    dim = len(mode_vec)
+    parts = []
+    for k in range(REPLICAS):
+        if k == 0:
+            parts.append(base)
+            continue
+        signs = [(-1.0 if i % (k + 1) == 0 else 1.0) for i in range(dim)]
+        signs_lit = F.array(*[F.lit(s) for s in signs])
+        flipped = F.zip_with(F.col("embedding"), signs_lit,
+                             lambda x, s: (x * s).cast("double"))
+        parts.append(base.select(
+            (F.col("vec_id") + (20 + k) * ID_OFFSET).alias("vec_id"),
+            flipped.alias("embedding"),
+        ))
+    scaled = parts[0]
+    for p in parts[1:]:
+        scaled = scaled.unionByName(p)
+    scaled.write.mode("overwrite").parquet(
+        os.path.join(DENSE_X3, "embeddings.parquet"))
+
+
 def main() -> None:
     from covid_19_data_engineering_spark.plans.registry import all_queries
     from covid_19_data_engineering_spark.session import get_spark
@@ -123,6 +177,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
     materialize_scaled(spark)
+    materialize_dense(spark)
 
     out: dict[str, dict[str, float]] = {}
     for name in FAMILY:
@@ -139,6 +194,19 @@ def main() -> None:
         rec["ratio"] = round(rec["x3"] / rec["base"], 2) if rec["base"] else -1
         out[name] = rec
         print(json.dumps({name: rec}), file=sys.stderr)
+
+    # planted dense-mode scale point: semantic_dedup under 25% duplicated
+    # embeddings at base and 3x scale (round-5 verdict #3 deliverable)
+    rec = {}
+    queries["semantic_dedup"](spark, "/root/testdata/sf0.001").collect()
+    for label, sf_dir in (("base", DENSE_BASE), ("x3", DENSE_X3)):
+        t0 = time.time()
+        n = len(queries["semantic_dedup"](spark, sf_dir).collect())
+        rec[label] = round(time.time() - t0, 2)
+        rec[f"{label}_rows"] = n
+    rec["ratio"] = round(rec["x3"] / rec["base"], 2) if rec["base"] else -1
+    out["semantic_dedup_dense25"] = rec
+    print(json.dumps({"semantic_dedup_dense25": rec}), file=sys.stderr)
 
     print(json.dumps({
         "metric": "dedup_ann_scale_ratio",
