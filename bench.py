@@ -95,6 +95,8 @@ EXTRA = [
     "dsir_importance_selection",
     # round-6 additions
     "bpe_merge_induction_batched",
+    "sequence_packing_manifest",
+    "zorder_file_layout",
 ]
 
 

@@ -1,0 +1,103 @@
+"""Planted-case semantics for the round-6 operators: training-sequence
+packing (distributed prefix-sum correctness, cross-bucket offsets,
+window-spanning fragments) and z-order file layout (row conservation,
+radix file assignment, the actual two-dimensional pruning win)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def test_sequence_packing_hand_checked(spark):
+    """L=10 window: docs of 3/8/2 tokens (+1 EOS each) start at offsets
+    0/4/13; the 8-token doc straddles the seq 0|1 boundary."""
+    from covid_19_data_engineering_spark.operators.packing import (
+        sequence_packing_manifest,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "t1 t2 t3 t4 t5 t6 t7 t8"), (3, "x y")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           sequence_packing_manifest(docs, seq_len=10).collect()}
+    assert (out[1]["n_tokens"], out[1]["start_offset"]) == (3, 0)
+    assert (out[1]["seq_first"], out[1]["seq_last"], out[1]["n_fragments"]) \
+        == (0, 0, 1)
+    assert (out[2]["n_tokens"], out[2]["start_offset"]) == (8, 4)
+    assert (out[2]["seq_first"], out[2]["seq_last"], out[2]["n_fragments"]) \
+        == (0, 1, 2)
+    assert (out[3]["n_tokens"], out[3]["start_offset"]) == (2, 13)
+    assert (out[3]["seq_first"], out[3]["seq_last"], out[3]["n_fragments"]) \
+        == (1, 1, 1)
+
+
+def test_sequence_packing_crosses_prefix_sum_buckets(spark):
+    """Doc ids spread across three PACK_BUCKET ranges: the two-level
+    prefix sum (within-bucket window + bucket bases) must reproduce the
+    plain global cumulative sum exactly, including sparse/gapped ids."""
+    from covid_19_data_engineering_spark.operators.packing import (
+        PACK_BUCKET,
+        sequence_packing_manifest,
+    )
+
+    ids = [10, PACK_BUCKET - 1, PACK_BUCKET, PACK_BUCKET + 7,
+           2 * PACK_BUCKET + 123]
+    texts = ["a " * (i % 7 + 1) for i in range(len(ids))]
+    docs = spark.createDataFrame(
+        list(zip(ids, [t.strip() for t in texts])), "doc_id long, text string")
+    out = {r["doc_id"]: r for r in sequence_packing_manifest(docs).collect()}
+    # manual exclusive cumsum over doc_id order
+    expect_off = 0
+    for i, doc_id in enumerate(sorted(ids)):
+        n = ids.index(doc_id) % 7 + 1
+        assert out[doc_id]["n_tokens"] == n
+        assert out[doc_id]["start_offset"] == expect_off, doc_id
+        expect_off += n + 1
+
+
+def test_zorder_layout_conserves_rows_and_prunes_both_dims(spark):
+    """The layout readout must cover every row exactly once across at most
+    2^FILE_BITS files, and the per-file min/max footprint must be MUCH
+    tighter than the global range on BOTH dimensions — the two-dimensional
+    pruning win that justifies z-order over a single-column sort."""
+    from covid_19_data_engineering_spark.operators.layout import (
+        FILE_BITS,
+        zorder_file_layout,
+    )
+    from covid_19_data_engineering_spark.sources.tables import load_table
+
+    li = load_table(spark, "lineitem", "/root/testdata/sf0.01") \
+        .select("l_orderkey", "l_partkey")
+    n = li.count()
+    rows = zorder_file_layout(li, "l_orderkey", "l_partkey").collect()
+    assert sum(r["n_rows"] for r in rows) == n
+    assert all(0 <= r["file_id"] < (1 << FILE_BITS) for r in rows)
+
+    ga = (li.agg(F.max("l_orderkey") - F.min("l_orderkey")).first()[0])
+    gb = (li.agg(F.max("l_partkey") - F.min("l_partkey")).first()[0])
+    # weight by rows: the footprint a planner would actually scan
+    span_a = sum((r["max_a"] - r["min_a"]) * r["n_rows"] for r in rows) / n
+    span_b = sum((r["max_b"] - r["min_b"]) * r["n_rows"] for r in rows) / n
+    # 64 files = 3 z-bits per dimension -> ~1/8 of each range per file;
+    # 0.5 leaves ample slack for quantization + data nonuniformity
+    assert span_a <= 0.5 * ga, (span_a, ga)
+    assert span_b <= 0.5 * gb, (span_b, gb)
+
+
+def test_zorder_layout_plan_has_no_global_sort_or_window(spark):
+    """The layout plan must be radix (map-only z + bounded groupBy): a
+    Window or global Sort in the executed plan means the implementation
+    regressed to the single-partition ntile shape."""
+    from covid_19_data_engineering_spark.operators.layout import (
+        zorder_file_layout,
+    )
+    from covid_19_data_engineering_spark.sources.tables import load_table
+
+    li = load_table(spark, "lineitem", "/root/testdata/sf0.001") \
+        .select("l_orderkey", "l_partkey")
+    df = zorder_file_layout(li, "l_orderkey", "l_partkey")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "Sort" not in plan.replace("SortAggregate", "").replace(
+        "SortMergeJoin", "")
