@@ -196,7 +196,31 @@ def main() -> None:
         print(json.dumps({name: rec}), file=sys.stderr)
 
     # planted dense-mode scale point: semantic_dedup under 25% duplicated
-    # embeddings at base and 3x scale (round-5 verdict #3 deliverable)
+    # embeddings at base and 3x scale (round-5 verdict #3 deliverable).
+    # Also record the CANDIDATE-PAIR VOLUME at each scale — the budget the
+    # collapse + cell-cap argument is actually about; wall-clock at these
+    # toy sizes is dominated by per-pair expression cost and fixed
+    # latency, so the volume ratio is the cleaner asymptote readout.
+    import pyspark.sql.functions as F  # noqa: PLC0415
+
+    from covid_19_data_engineering_spark.operators.kmeans import KM_K
+    from covid_19_data_engineering_spark.operators.semdedup import (
+        SEM_CLUSTER_TARGET,
+        _collapse_embeddings,
+        _rep_cells,
+        semantic_pair_candidates,
+    )
+    from covid_19_data_engineering_spark.sources.tables import load_table
+
+    def cand_volume(sf_dir: str) -> int:
+        emb = load_table(spark, "embeddings", sf_dir).select(
+            "vec_id", "embedding")
+        reps = _collapse_embeddings(emb).where("vec_id = rep") \
+            .select("vec_id", "e").localCheckpoint(eager=True)
+        k = max(KM_K, reps.count() // SEM_CLUSTER_TARGET)
+        cells = _rep_cells(reps, k).localCheckpoint(eager=True)
+        return semantic_pair_candidates(cells).count()
+
     rec = {}
     queries["semantic_dedup"](spark, "/root/testdata/sf0.001").collect()
     for label, sf_dir in (("base", DENSE_BASE), ("x3", DENSE_X3)):
@@ -204,9 +228,20 @@ def main() -> None:
         n = len(queries["semantic_dedup"](spark, sf_dir).collect())
         rec[label] = round(time.time() - t0, 2)
         rec[f"{label}_rows"] = n
+        rec[f"{label}_cands"] = cand_volume(sf_dir)
     rec["ratio"] = round(rec["x3"] / rec["base"], 2) if rec["base"] else -1
+    rec["cand_ratio"] = (round(rec["x3_cands"] / rec["base_cands"], 2)
+                         if rec["base_cands"] else -1)
     out["semantic_dedup_dense25"] = rec
     print(json.dumps({"semantic_dedup_dense25": rec}), file=sys.stderr)
+
+    rec = {}
+    for label, sf_dir in (("base", BASE_SF), ("x3", SCALE_DIR)):
+        rec[f"{label}_cands"] = cand_volume(sf_dir)
+    rec["cand_ratio"] = (round(rec["x3_cands"] / rec["base_cands"], 2)
+                         if rec["base_cands"] else -1)
+    out["semantic_dedup_cand_volume"] = rec
+    print(json.dumps({"semantic_dedup_cand_volume": rec}), file=sys.stderr)
 
     print(json.dumps({
         "metric": "dedup_ann_scale_ratio",
