@@ -97,6 +97,7 @@ EXTRA = [
     "bpe_merge_induction_batched",
     "sequence_packing_manifest",
     "zorder_file_layout",
+    "exact_price_quantiles",
 ]
 
 

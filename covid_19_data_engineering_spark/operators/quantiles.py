@@ -1,0 +1,124 @@
+"""Exact distributed quantiles via histogram refine — order statistics
+without a global sort.
+
+``percentile`` over 100 TB has two classic failure modes: a global sort
+(one total-order shuffle of the corpus) or an approximate sketch (whose
+error bound then infects every downstream SLA). The histogram-refine
+pattern gets EXACT order statistics in two bounded passes: pass 1 bins
+the column into BINS equal-width buckets (a map-side-combined groupBy on
+at most BINS groups); the tiny bin-count table locates, for each target
+rank k, the bucket holding the k-th smallest value and the residual rank
+within it; pass 2 ranks ONLY the rows of the (few, distinct) candidate
+buckets — expected n/BINS rows each — with a window partitioned by
+bucket. No stage ever sees a total order; a pathological bucket (all
+mass on one value) still bounds pass 2 at that bucket's row count, and
+the construction recurses if a deployment needs a hard cap.
+
+Rank semantics are explicit order statistics — k = floor((n-1) * p) + 1,
+the 1-based index of the p-quantile in the sorted column — so the oracle
+can state the same rank arithmetic with a window instead of relying on
+any engine's percentile interpolation flavor. Ties: equal values are
+interchangeable at equal rank, so the readout is unique.
+
+No reference analogue (the reference delegates aggregation SQL);
+SURVEY §2 C-extensions. The mergeable-sketch alternatives (HLL, CMS)
+live in operators/sketches.py; this is the exact path.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from covid_19_data_engineering_spark.plans.registry import register
+from covid_19_data_engineering_spark.sources.tables import load_table
+
+BINS = 1024
+QUANTILES = (0.25, 0.5, 0.75, 0.9, 0.99)
+# fixed-point units for the binned value: prices carry 2 decimals, so
+# 100x units make the bin arithmetic exact integer on both engines
+VAL_UNIT = 100
+
+
+def exact_quantiles_histogram(df: DataFrame, col: str,
+                              quantiles: tuple[float, ...] = QUANTILES,
+                              bins: int = BINS) -> DataFrame:
+    """(quantile, rank, value) — exact order statistics of ``df[col]``.
+
+    Pass 1: integer-unit values bin into ``bins`` equal-width buckets
+    (min/max collected as two O(1) scalars); the bin-count cumsum (a
+    window over <= bins rows) converts each target rank into (bucket,
+    rank-within-bucket). Pass 2: a row_number window over candidate
+    buckets only."""
+    lo, hi, n = df.agg(
+        F.min(col).alias("lo"), F.max(col).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    lo_u, hi_u = int(round(float(lo) * VAL_UNIT)), int(round(float(hi) * VAL_UNIT))
+    width = max(1, (hi_u - lo_u) // bins + 1)
+    binned = df.select(
+        F.col(col).alias("v"),
+        F.expr(f"(CAST(round({col} * {VAL_UNIT}) AS BIGINT) - {lo_u}) "
+               f"div {width}").alias("b"),
+    )
+    counts = binned.groupBy("b").agg(F.count(F.lit(1)).alias("cnt"))
+    cum_w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    cum = counts.withColumn(
+        "below", F.coalesce(F.sum("cnt").over(cum_w), F.lit(0)))
+    # target ranks: k = floor((n-1) * p) + 1, exact integer arithmetic
+    targets = [(p, int((n - 1) * p) + 1) for p in quantiles]
+    tdf = df.sparkSession.createDataFrame(targets, "quantile double, rank long")
+    # bucket holding rank k: below < k <= below + cnt  (tiny join: bins x q)
+    located = (
+        tdf.join(F.broadcast(cum),
+                 (F.col("below") < F.col("rank"))
+                 & (F.col("rank") <= F.col("below") + F.col("cnt")))
+        .select("quantile", "rank", "b", (F.col("rank") - F.col("below")).alias("rk_in"))
+    )
+    cand_bins = [r["b"] for r in located.select("b").distinct().collect()]
+    ranked = (
+        binned.where(F.col("b").isin(cand_bins))
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("b").orderBy("v")))
+    )
+    return (
+        located.join(ranked, (located["b"] == ranked["b"])
+                     & (F.col("rk_in") == F.col("rn")))
+        .select("quantile", "rank", F.col("v").alias("value"))
+    )
+
+
+def _quantiles_oracle_sql() -> str:
+    qlist = ", ".join(str(p) for p in QUANTILES)
+    return f"""
+    WITH n_all AS (SELECT COUNT(*) AS n FROM lineitem),
+    targets AS (
+      SELECT q AS quantile,
+             CAST(floor(((SELECT n FROM n_all) - 1) * q) AS BIGINT) + 1 AS rank
+      FROM (SELECT unnest([{qlist}]) AS q)
+    ),
+    ranked AS (
+      SELECT l_extendedprice AS value,
+             ROW_NUMBER() OVER (ORDER BY l_extendedprice) AS rn
+      FROM lineitem
+    )
+    SELECT t.quantile, t.rank, r.value
+    FROM targets t JOIN ranked r ON r.rn = t.rank
+    ORDER BY t.quantile
+    """
+
+
+@register(
+    "exact_price_quantiles",
+    oracle=_quantiles_oracle_sql(),
+    doc=f"Exact order statistics of l_extendedprice at p = {QUANTILES} via "
+    f"histogram refine: {BINS}-bucket integer-unit binning (map-side "
+    "combine, <= bins groups), cumsum over the tiny count table locates "
+    "each rank's bucket + residual rank, then a window over candidate "
+    "buckets ONLY — no global sort anywhere; the oracle states the same "
+    "k = floor((n-1)p)+1 ranks against a plain ranked window.",
+)
+def exact_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).select("l_extendedprice")
+    return exact_quantiles_histogram(li, "l_extendedprice") \
+        .orderBy("quantile")

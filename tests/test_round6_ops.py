@@ -101,3 +101,29 @@ def test_zorder_layout_plan_has_no_global_sort_or_window(spark):
     assert "Window" not in plan
     assert "Sort" not in plan.replace("SortAggregate", "").replace(
         "SortMergeJoin", "")
+
+
+def test_exact_quantiles_hand_checked(spark):
+    """Order statistics on 1..100: k = floor(99p)+1 gives 25/50/75/90/99
+    exactly — no interpolation flavor ambiguity."""
+    from covid_19_data_engineering_spark.operators.quantiles import (
+        exact_quantiles_histogram,
+    )
+
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)], "x double")
+    out = {r["quantile"]: r for r in exact_quantiles_histogram(df, "x").collect()}
+    assert {p: out[p]["value"] for p in out} == {
+        0.25: 25.0, 0.5: 50.0, 0.75: 75.0, 0.9: 90.0, 0.99: 99.0}
+    assert out[0.5]["rank"] == 50
+
+
+def test_exact_quantiles_degenerate_single_bucket(spark):
+    """All-equal values collapse to one histogram bucket: every quantile
+    is that value and pass 2 is bounded by the bucket's row count."""
+    from covid_19_data_engineering_spark.operators.quantiles import (
+        exact_quantiles_histogram,
+    )
+
+    df = spark.createDataFrame([(7.5,)] * 50, "x double")
+    rows = exact_quantiles_histogram(df, "x").collect()
+    assert len(rows) == 5 and all(r["value"] == 7.5 for r in rows)
