@@ -127,3 +127,20 @@ def test_exact_quantiles_degenerate_single_bucket(spark):
     df = spark.createDataFrame([(7.5,)] * 50, "x double")
     rows = exact_quantiles_histogram(df, "x").collect()
     assert len(rows) == 5 and all(r["value"] == 7.5 for r in rows)
+
+
+def test_sequence_packing_plan_buckets_the_big_window(spark):
+    """The corpus-sized cumulative sum must ride a bkt-PARTITIONED window
+    (parallel across buckets); only the tiny per-bucket-totals table may
+    use an unpartitioned window. A bare global window over the docs scan
+    is the single-partition regression this pins against."""
+    from covid_19_data_engineering_spark.operators.packing import (
+        sequence_packing_manifest,
+    )
+    from covid_19_data_engineering_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    df = sequence_packing_manifest(docs)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(bkt" in plan, "big window lost its bucket partition"
