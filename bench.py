@@ -98,6 +98,7 @@ EXTRA = [
     "sequence_packing_manifest",
     "zorder_file_layout",
     "exact_price_quantiles",
+    "semantic_dedup_ivf",
 ]
 
 

@@ -939,7 +939,7 @@ def test_semdedup_dense_dup_collapse_budget(spark):
     reps = withrep.where("vec_id = rep").select("vec_id", "e")
     assert reps.count() == n_distinct
     cells = _rep_cells(reps, k=8)
-    sizes = [r["m"] for r in cells.groupBy("cid", "sub")
+    sizes = [r["m"] for r in cells.groupBy("cell", "sub")
              .agg(F.count(F.lit(1)).alias("m")).collect()]
     n_cand = semantic_pair_candidates(cells).count()
     # the candidate stage is EXACTLY the within-cell pair count...
@@ -979,7 +979,7 @@ def test_semdedup_oversized_cell_split_budget(spark):
     reps = _collapse_embeddings(emb).where("vec_id = rep").select("vec_id", "e")
 
     cells = _rep_cells(reps, k=1)
-    sizes = [r["m"] for r in cells.groupBy("cid", "sub")
+    sizes = [r["m"] for r in cells.groupBy("cell", "sub")
              .agg(F.count(F.lit(1)).alias("m")).collect()]
     assert len(sizes) == 4, sizes
     # random vectors spread ~evenly across the two sign bits
@@ -1036,6 +1036,32 @@ def test_semdedup_split_path_oracle_parity(spark):
     assert sorted(sdf.columns) == sorted(duck_cols)
     assert len(spark_rows) == len(duck_rows) == len(rows)
     assert _fingerprint(spark_rows, sdf.columns) == _fingerprint(duck_rows, duck_cols)
+
+
+def test_semdedup_ivf_copies_and_cell_shape(spark):
+    """The two-level (IVF) variant shares the collapse/decision contract:
+    exact copies drop onto their representative with max_cosine 1.0, and
+    every cluster_id carries the 'coarse:fine' composite shape."""
+    import random
+
+    from covid_19_data_engineering_spark.operators.semdedup import (
+        semantic_dedup,
+    )
+
+    rng = random.Random(19)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(300)]
+    rows += [(300 + j, list(rows[0][1])) for j in range(100)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in
+           semantic_dedup(emb, threshold=0.95, partition="ivf").collect()}
+    assert len(out) == 400
+    assert all(":" in r["cluster_id"] for r in out.values())
+    assert out[0]["status"] == "keep"
+    for j in range(300, 400):
+        r = out[j]
+        assert r["status"] == "drop_semantic"
+        assert r["dup_of"] == 0 and r["max_cosine"] == 1.0
+        assert r["cluster_id"] == out[0]["cluster_id"]
 
 
 def test_bpe_merges_planted_corpus(spark):
