@@ -4,12 +4,16 @@ on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec}, "sf": ...}
 
 Each query is collected (not just planned) so the number is end-to-end
-executor time. A warmup pass primes JVM/codegen; each reported number is
-then the PER-QUERY MEDIAN OF 3 INTERLEAVED TIMED PASSES (round-5 verdict
-#5: the single-pass protocol let one noisy run swing the round-over-round
-record by ~20% with zero plan changes). "queries_spread" reports each
-query's max-min across the passes so the noise band is part of the
-record; SPARK_GRAFT_BENCH_PASSES overrides the pass count.
+executor time. Each reported number is the PER-QUERY MEDIAN OF 3
+INTERLEAVED TIMED PASSES (round-5 verdict #5: the single-pass protocol
+let one noisy run swing the round-over-round record by ~20% with zero
+plan changes). No separate warmup pass: the first pass pays
+whole-stage-codegen + JIT, and the MEDIAN discards it automatically —
+one cold among three passes never lands in the middle — so the steady-
+state number survives at 3/4 the wall cost of warm+3. "queries_spread"
+reports each query's max-min across the passes (cold-start inflation
+included, by design — it IS part of the noise band);
+SPARK_GRAFT_BENCH_PASSES overrides the pass count.
 """
 
 from __future__ import annotations
@@ -139,11 +143,6 @@ def main() -> None:
         except Exception:
             pass  # bench must never fail on a cleanup hint
 
-    def warm(batch: list[str]) -> None:
-        for name in batch:
-            queries[name](spark, SF_DIR).collect()
-            _reclaim()
-
     n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
 
     def timed(batch: list[str]) -> tuple[dict[str, float], dict[str, float]]:
@@ -162,13 +161,11 @@ def main() -> None:
         spreads = {n: round(max(v) - min(v), 3) for n, v in per.items()}
         return medians, spreads
 
-    # phase per batch (warm headline -> time headline -> warm extras ->
-    # time extras): the headline total stays comparable round-over-round
-    # even as the extras list grows — timing it after a 37-query extras
-    # warmup inherited their heap churn and drifted ~15%
-    warm(names)
+    # phase per batch (time headline fully, then extras): the headline
+    # total stays comparable round-over-round even as the extras list
+    # grows — timing it after the extras inherited their heap churn and
+    # drifted ~15% in round 2's layout
     timings, spreads = timed(names)
-    warm(extra_names)
     extra_timings, extra_spreads = timed(extra_names)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
