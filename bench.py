@@ -120,10 +120,6 @@ def main() -> None:
         names = [n for n in override.split(",") if n in queries]
         extra_names = []
 
-    # warmup pass: run every benched query once so whole-stage-codegen
-    # compilation and JVM JIT are absorbed; the timed pass below measures
-    # steady-state throughput (what a long-running cluster actually sees)
-    #
     # gc.collect() between queries releases the Python references to each
     # query's localCheckpoint()ed RDDs so Spark's ContextCleaner can drop
     # their storage blocks — otherwise 45+ queries' checkpoint blocks pile

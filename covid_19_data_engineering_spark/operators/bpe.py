@@ -211,11 +211,16 @@ def bpe_train_batched(docs: DataFrame, n_rounds: int = BATCH_ROUNDS,
     words = words.localCheckpoint(eager=True)
     per_round = []
     for rnd in range(1, n_rounds + 1):
+        # TakeOrdered-of-B (orderBy + limit), THEN rank the B-row result —
+        # an unpartitioned row_number window over the full pair-counts
+        # table would funnel O(distinct pairs) through one task, the exact
+        # single-partition shape the sequential twin's limit(1) avoids
         rank_w = Window.orderBy(F.col("total").desc(), "l", "r")
         topb = (
             _pair_counts(words)
+            .orderBy(F.col("total").desc(), "l", "r")
+            .limit(batch)
             .withColumn("rn", F.row_number().over(rank_w))
-            .where(F.col("rn") <= batch)
         )
         kept = _no_conflict_keep(topb).localCheckpoint(eager=True)
         per_round.append(

@@ -14,8 +14,11 @@ window), and the per-file min/max footprint a pruning planner would see.
 Determinism across engines: both columns quantize to 16-bit lanes by
 exact integer arithmetic against the column max (collected as two O(1)
 scalars; the oracle uses scalar subselects), and the bit interleave is
-floor/pow/mod arithmetic — every intermediate < 2^53, exact in DOUBLE on
-both engines, no engine-specific shift operators.
+an UNROLLED sum of 32 pure-BIGINT div/mod terms with literal powers of
+two — the bit positions are compile-time constants, so there is no
+reason to pay a runtime higher-order-function fold (the first cut did,
+and the interpreted per-row pow/aggregate lambda cost ~9s at sf0.1 vs
+~1s unrolled inside whole-stage codegen).
 
 Scale shape: one scan computes z-values map-only; file assignment is
 ``z div 2^(32 - file_bits)`` (radix, embarrassingly parallel — unlike
@@ -31,7 +34,7 @@ warehouses); SURVEY §2 C-extensions.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 from covid_19_data_engineering_spark.plans.registry import register
 from covid_19_data_engineering_spark.sources.tables import load_table
@@ -40,23 +43,16 @@ Z_BITS = 16     # quantization bits per dimension
 FILE_BITS = 6   # 2^6 = 64 target files
 
 
-def _morton(qa: Column, qb: Column) -> Column:
-    """Interleave Z_BITS bits of qa (odd lanes) and qb (even lanes):
-    z = Σ_i bit_i(qa)·2^(2i+1) + bit_i(qb)·2^(2i). floor/pow/mod only —
-    exact in DOUBLE below 2^53 on both engines, no shift builtins."""
-
-    def bit(q: Column, i: Column) -> Column:
-        p = F.pow(F.lit(2.0), i.cast("double"))
-        return F.floor(q.cast("double") / p).cast("long") % 2
-
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(Z_BITS - 1)),
-        F.lit(0).cast("long"),
-        lambda acc, i: (
-            acc
-            + bit(qa, i) * F.pow(F.lit(2.0), (i * 2 + 1).cast("double")).cast("long")
-            + bit(qb, i) * F.pow(F.lit(2.0), (i * 2).cast("double")).cast("long")
-        ),
+def _morton_sql(qa: str, qb: str, div: str) -> str:
+    """Unrolled Morton interleave of Z_BITS bits per lane as one integer
+    expression over columns ``qa``/``qb``: z = Σ_i bit_i(qa)·2^(2i+1) +
+    bit_i(qb)·2^(2i). ``div`` is the engine's integer-division operator
+    ("div" for Spark SQL, "//" for DuckDB); every term is literal-power
+    BIGINT arithmetic, so both engines stay in compiled arithmetic."""
+    return " + ".join(
+        f"(({qa} {div} {1 << i}) % 2) * {1 << (2 * i + 1)}"
+        f" + (({qb} {div} {1 << i}) % 2) * {1 << (2 * i)}"
+        for i in range(Z_BITS)
     )
 
 
@@ -66,6 +62,9 @@ def zorder_file_layout(df: DataFrame, col_a: str, col_b: str,
     (file_id, n_rows, min_a, max_a, min_b, max_b). file_id = the top
     ``file_bits`` bits of the 2*Z_BITS-bit z-value (radix partition)."""
     maxes = df.agg(F.max(col_a).alias("ma"), F.max(col_b).alias("mb")).first()
+    if maxes["ma"] is None or maxes["mb"] is None:
+        raise ValueError(
+            f"zorder_file_layout: empty input or all-NULL {col_a}/{col_b}")
     qa = F.expr(f"(CAST({col_a} AS BIGINT) * {1 << Z_BITS}) "
                 f"div ({int(maxes['ma'])} + 1)")
     qb = F.expr(f"(CAST({col_b} AS BIGINT) * {1 << Z_BITS}) "
@@ -74,9 +73,11 @@ def zorder_file_layout(df: DataFrame, col_a: str, col_b: str,
     return (
         df.select(
             F.col(col_a).alias("a"), F.col(col_b).alias("b"),
-            _morton(qa, qb).alias("z"),
+            qa.alias("qa"), qb.alias("qb"),
         )
-        .select("a", "b", F.expr(f"z div {shift}").alias("file_id"))
+        .select("a", "b",
+                F.expr(f"({_morton_sql('qa', 'qb', 'div')}) div {shift}")
+                .alias("file_id"))
         .groupBy("file_id")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
@@ -89,14 +90,7 @@ def zorder_file_layout(df: DataFrame, col_a: str, col_b: str,
 def _zorder_oracle_sql() -> str:
     nq = 1 << Z_BITS
     shift = 1 << (2 * Z_BITS - FILE_BITS)
-    bit = ("CAST(FLOOR({q} / CAST(pow(2.0, i) AS DOUBLE)) AS BIGINT) % 2")
-    z = (
-        "list_reduce(list_transform(range(0, " + str(Z_BITS) + "), i -> "
-        + bit.format(q="qa")
-        + " * CAST(pow(2.0, i * 2 + 1) AS BIGINT) + "
-        + bit.format(q="qb")
-        + " * CAST(pow(2.0, i * 2) AS BIGINT)), (x, y) -> x + y)"
-    )
+    z = _morton_sql("qa", "qb", "//")
     return f"""
     WITH q AS (
       SELECT l_orderkey AS a, l_partkey AS b,
@@ -120,8 +114,9 @@ def _zorder_oracle_sql() -> str:
     "zorder_file_layout",
     oracle=_zorder_oracle_sql(),
     doc=f"Z-order layout plan for lineitem on (l_orderkey, l_partkey): "
-    f"{Z_BITS}-bit integer quantization per dimension, Morton bit "
-    f"interleave in exact floor/pow arithmetic, radix file assignment "
+    f"{Z_BITS}-bit integer quantization per dimension, unrolled "
+    "literal-power Morton bit interleave (pure BIGINT, codegen-compiled), "
+    "radix file assignment "
     f"(top {FILE_BITS} z-bits — no global sort), per-file min/max "
     "footprint. The layout both filter dimensions prune on — what "
     "OPTIMIZE ZORDER BY computes before rewriting files.",

@@ -54,6 +54,8 @@ def exact_quantiles_histogram(df: DataFrame, col: str,
         F.min(col).alias("lo"), F.max(col).alias("hi"),
         F.count(F.lit(1)).alias("n"),
     ).first()
+    if n == 0:
+        raise ValueError(f"exact_quantiles_histogram: {col} has no rows")
     lo_u, hi_u = int(round(float(lo) * VAL_UNIT)), int(round(float(hi) * VAL_UNIT))
     width = max(1, (hi_u - lo_u) // bins + 1)
     binned = df.select(
@@ -93,7 +95,9 @@ def _quantiles_oracle_sql() -> str:
     return f"""
     WITH n_all AS (SELECT COUNT(*) AS n FROM lineitem),
     targets AS (
-      SELECT q AS quantile,
+      -- CAST: DuckDB types the literal list DECIMAL(3,2); the engine's
+      -- quantile column is DOUBLE and the parity canon is dtype-strict
+      SELECT CAST(q AS DOUBLE) AS quantile,
              CAST(floor(((SELECT n FROM n_all) - 1) * q) AS BIGINT) + 1 AS rank
       FROM (SELECT unnest([{qlist}]) AS q)
     ),

@@ -196,12 +196,14 @@ def _rep_cells(reps: DataFrame, k: int) -> DataFrame:
     return _cap_rank_cells(assigned)
 
 
-def _ivf_cells(reps: DataFrame, n_reps: int) -> DataFrame:
+def _ivf_cells(reps: DataFrame, n_reps: int,
+               k_total: int | None = None) -> DataFrame:
     """Two-level partition: K1 = ceil(sqrt(K_total)) broadcast coarse
     centroids (single-round argmin), then per-coarse-cell fine centroids
     seeded from the cell's lowest vec_ids and distributed BY JOIN on the
     coarse id — no K-row broadcast anywhere. Cell id = 'coarse:fine'."""
-    k_total = max(KM_K, n_reps // SEM_CLUSTER_TARGET)
+    if k_total is None:
+        k_total = max(KM_K, n_reps // SEM_CLUSTER_TARGET)
     k1 = int(math.ceil(math.sqrt(float(k_total))))
     corpus = reps.select("vec_id", "e")
     c0 = (
@@ -333,7 +335,8 @@ def semantic_dedup(emb: DataFrame, threshold: float = SEM_THRESHOLD,
     reps = withrep.where(F.col("vec_id") == F.col("rep")).select("vec_id", "e")
     n_reps = reps.count()
     if partition == "ivf":
-        cells = _ivf_cells(reps, n_reps)
+        # an explicit k is the TOTAL cell budget here, same as flat
+        cells = _ivf_cells(reps, n_reps, k_total=k)
     elif partition == "flat":
         if k is None:
             k = max(KM_K, n_reps // SEM_CLUSTER_TARGET)

@@ -56,6 +56,9 @@ FAMILY = [
     "semantic_dedup",
     "dsir_importance_selection",
     "bpe_merge_induction",
+    # round-6
+    "semantic_dedup_ivf",
+    "bpe_merge_induction_batched",
 ]
 
 ID_OFFSET = 1_000_000
@@ -115,9 +118,19 @@ def materialize_scaled(spark) -> None:
         os.path.join(SCALE_DIR, "embeddings.parquet"))
 
 
-DENSE_BASE = os.path.join(REPO, ".state_cache", "scale", "dense_base")
-DENSE_X3 = os.path.join(REPO, ".state_cache", "scale", "dense_x3")
 DENSE_DUP_FRACTION = 0.25
+
+
+def _dense_dirs() -> tuple[str, str]:
+    """Dense-corpus cache dirs keyed on the BASE corpus fingerprint
+    (size + mtime of embeddings.parquet), so regenerating the testdata
+    invalidates the derived corpora instead of silently serving stale
+    ones — the same rule as the snapshot-state cache."""
+    st = os.stat(os.path.join(BASE_SF, "embeddings.parquet"))
+    fp = f"{st.st_size}-{st.st_mtime_ns}"
+    root = os.path.join(REPO, ".state_cache", "scale")
+    return (os.path.join(root, f"dense_base_{fp}"),
+            os.path.join(root, f"dense_x3_{fp}"))
 
 
 def materialize_dense(spark) -> None:
@@ -132,8 +145,9 @@ def materialize_dense(spark) -> None:
 
     from covid_19_data_engineering_spark.sources.tables import load_table
 
+    dense_base, dense_x3 = _dense_dirs()
     if all(os.path.exists(os.path.join(d, "embeddings.parquet", "_SUCCESS"))
-           for d in (DENSE_BASE, DENSE_X3)):
+           for d in (dense_base, dense_x3)):
         return
     emb = load_table(spark, "embeddings", BASE_SF).select("vec_id", "embedding")
     n = emb.count()
@@ -146,7 +160,7 @@ def materialize_dense(spark) -> None:
     )
     base = emb.unionByName(dups)
     base.write.mode("overwrite").parquet(
-        os.path.join(DENSE_BASE, "embeddings.parquet"))
+        os.path.join(dense_base, "embeddings.parquet"))
 
     dim = len(mode_vec)
     parts = []
@@ -166,7 +180,7 @@ def materialize_dense(spark) -> None:
     for p in parts[1:]:
         scaled = scaled.unionByName(p)
     scaled.write.mode("overwrite").parquet(
-        os.path.join(DENSE_X3, "embeddings.parquet"))
+        os.path.join(dense_x3, "embeddings.parquet"))
 
 
 def main() -> None:
@@ -223,7 +237,8 @@ def main() -> None:
 
     rec = {}
     queries["semantic_dedup"](spark, "/root/testdata/sf0.001").collect()
-    for label, sf_dir in (("base", DENSE_BASE), ("x3", DENSE_X3)):
+    dense_base, dense_x3 = _dense_dirs()
+    for label, sf_dir in (("base", dense_base), ("x3", dense_x3)):
         t0 = time.time()
         n = len(queries["semantic_dedup"](spark, sf_dir).collect())
         rec[label] = round(time.time() - t0, 2)
