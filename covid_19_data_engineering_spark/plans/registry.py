@@ -79,16 +79,19 @@ PRIORITY = (
     "nation_market_share",
     "top_orders_per_customer",
     "customer_running_spend",
-    "monthly_order_gapfill",
-    "orders_above_customer_avg",
-    "customers_without_orders",
     # round-5 families (rotated in per round-5 verdict task #2; the dropped
-    # relational shapes — grouping sets, set ops, outer fill, pivot — keep
-    # other relational representatives above and stay gate-checked in full)
+    # relational shapes — grouping sets, set ops, outer fill, pivot,
+    # decorrelated-subquery and anti-join variants, gapfill — keep other
+    # representatives above/below and stay gate-checked in full)
     "semantic_dedup",
     "dsir_importance_selection",
     "bpe_merge_induction",
     "incremental_retention_manifest_stored",
+    # round-6 families, rotated in the round they shipped so the driver's
+    # CORRECTNESS sample never lags the engine (round-5 verdict #2 rule)
+    "sequence_packing_manifest",
+    "zorder_file_layout",
+    "exact_price_quantiles",
     # TPC-H decorrelation shapes + iterative graph
     "tpch_q2_min_cost_supplier",
     "pagerank_copurchase",
