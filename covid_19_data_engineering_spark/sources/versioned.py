@@ -39,12 +39,16 @@ checkpoint or overwrite — O(interval) log reads for a table with any
 number of append commits, where the round-5 design walked O(versions).
 ``vacuum`` likewise anchors its kept range at the newest checkpoint at
 or below the oldest kept version instead of extending down to an
-overwrite, so append-heavy tables can actually drop old log records. What this
+overwrite, so append-heavy tables can actually drop old log records.
+``compact_versioned`` adds the OPTIMIZE step (small files rewritten into
+one as a compare-and-swap overwrite — a racing append raises
+CommitConflict instead of being clobbered), and the streaming sink
+(streaming/stateful.py:start_versioned_append_stream) commits each
+micro-batch as one epoch-tagged append, replay-idempotent. What this
 deliberately does NOT implement (and where the real formats earn their
 size): file-level statistics for data skipping, schema evolution beyond
-exact-match appends, compaction, and multi-table transactions — on a
-deployment with Delta/Iceberg installed, the same call sites swap to the
-real format.
+exact-match appends, and multi-table transactions — on a deployment with
+Delta/Iceberg installed, the same call sites swap to the real format.
 
 No reference analogue (the reference's history mechanism is an
 INSERT-SELECT append into a *_hist warehouse table — covid_hist_load.py —
@@ -158,14 +162,24 @@ def _snapshot_files(path: str, version: int) -> list[str]:
 
 
 def write_versioned(df: DataFrame, path: str, mode: str = "overwrite",
-                    max_retries: int = 10) -> int:
+                    max_retries: int = 10,
+                    expect_base: int | None = None,
+                    meta: dict | None = None) -> int:
     """Commit ``df`` as the table's next version; returns the version.
 
     ``mode="overwrite"`` starts a new snapshot; ``mode="append"`` extends
     the current one (schema must match the table's exactly — the minimal
     honest contract; evolution belongs to a full table format). Data files
     land under a per-commit uuid directory BEFORE the commit record
-    exists, so concurrent readers never see half a version."""
+    exists, so concurrent readers never see half a version.
+
+    ``expect_base`` makes the commit a COMPARE-AND-SWAP on the version it
+    was derived from: if any other writer committed since, raise
+    CommitConflict instead of silently clobbering their rows — the guard
+    a read-modify-write (compaction, upsert) needs, where blind-slot
+    retry semantics would lose the concurrent update. ``meta`` merges
+    extra keys into the commit record (e.g. the streaming sink's
+    ``stream_epoch`` idempotence marker)."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unknown mode {mode!r}")
     os.makedirs(_log_dir(path), exist_ok=True)
@@ -181,6 +195,10 @@ def write_versioned(df: DataFrame, path: str, mode: str = "overwrite",
 
     for _ in range(max_retries):
         base = current_version(path)
+        if expect_base is not None and base != expect_base:
+            raise CommitConflict(
+                f"{path}: expected base version {expect_base}, found {base} "
+                "(a concurrent writer committed; re-derive and retry)")
         if mode == "append" and base > 0:
             base_schema = _read_commit(path, base)["schema"]
             if base_schema != schema_json:
@@ -196,6 +214,8 @@ def write_versioned(df: DataFrame, path: str, mode: str = "overwrite",
             "ts": time.time(),
             "commit_id": commit_id,
         }
+        if meta:
+            record.update(meta)
         tmp = os.path.join(_log_dir(path), f".tmp-{commit_id}-{version}")
         with open(tmp, "w") as f:
             json.dump(record, f)
@@ -306,3 +326,26 @@ def vacuum_versioned(path: str, keep_versions: int = 2,
             if os.path.exists(cp):
                 os.unlink(cp)
     return deleted
+
+
+def compact_versioned(spark: SparkSession, path: str,
+                      target_files: int = 1) -> int:
+    """Rewrite the CURRENT snapshot's (possibly many, small) data files
+    into ``target_files`` files as a new overwrite version — the OPTIMIZE
+    step an append-heavy table needs so reads stop paying per-file open
+    cost. Logical content is unchanged; history is preserved (older
+    versions still time-travel until vacuumed).
+
+    Safe under concurrency via compare-and-swap: the commit carries
+    ``expect_base`` = the version the rewrite was derived from, so an
+    append landing mid-compaction raises CommitConflict instead of being
+    silently erased by the blind overwrite — callers re-read and retry."""
+    versions = table_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions at {path}")
+    base = versions[-1]
+    df = read_versioned(spark, path, version=base)
+    return write_versioned(
+        df.coalesce(target_files), path, mode="overwrite",
+        expect_base=base, meta={"compacted_from": base},
+    )

@@ -86,3 +86,44 @@ def stream_user_anomaly(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def start_versioned_append_stream(sdf, table_path: str, checkpoint_dir: str):
+    """Stream micro-batches into a versioned table: each non-empty batch
+    commits as ONE append version (the first as the founding overwrite),
+    so downstream readers get snapshot isolation and time travel across
+    the ingestion timeline — the Delta-style streaming-sink shape on the
+    engine's own log-structured format.
+
+    Exactly-once across micro-batch RETRIES: foreachBatch may replay an
+    epoch after a failure, so each commit records its ``stream_epoch``
+    and the sink skips any epoch at or below the last committed one
+    (reading ONE commit record — the table's latest — not the history;
+    valid because this sink is the table's only writer, which is also
+    Structured Streaming's own single-writer sink assumption)."""
+    from covid_19_data_engineering_spark.sources.versioned import (
+        _read_commit,
+        current_version,
+        write_versioned,
+    )
+
+    def _sink(batch_df, epoch_id: int) -> None:
+        base = current_version(table_path)
+        if base > 0:
+            last_epoch = _read_commit(table_path, base).get("stream_epoch")
+            if last_epoch is not None and epoch_id <= last_epoch:
+                return  # replayed epoch — already committed
+        if batch_df.isEmpty():
+            return
+        write_versioned(
+            batch_df, table_path,
+            mode="append" if base > 0 else "overwrite",
+            meta={"stream_epoch": epoch_id},
+        )
+
+    return (
+        sdf.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -237,3 +237,82 @@ def test_exhausted_retries_raise(spark, tbl, monkeypatch):
     with pytest.raises(CommitConflict):
         write_versioned(_df(spark, [(2, "b")]), tbl, mode="append",
                         max_retries=3)
+
+
+def test_compact_rewrites_snapshot_and_preserves_history(spark, tbl):
+    """Compaction: an append chain's many small files rewrite into one
+    overwrite version with identical rows; prior versions still
+    time-travel; the commit records its provenance."""
+    import covid_19_data_engineering_spark.sources.versioned as V
+
+    write_versioned(_df(spark, [(0, "seed")]), tbl)
+    for i in range(1, 6):
+        write_versioned(_df(spark, [(i, f"r{i}")]), tbl, mode="append")
+    n_files_before = len(V._snapshot_files(tbl, 6))
+    assert n_files_before >= 6  # one+ per commit
+    v = V.compact_versioned(spark, tbl)
+    assert v == 7
+    assert len(V._snapshot_files(tbl, 7)) == 1
+    got = {r["id"] for r in read_versioned(spark, tbl).collect()}
+    assert got == set(range(6))
+    # history preserved: the pre-compaction tip still reads
+    got6 = {r["id"] for r in read_versioned(spark, tbl, version=6).collect()}
+    assert got6 == set(range(6))
+    assert V._read_commit(tbl, 7)["compacted_from"] == 6
+
+
+def test_compact_cas_loses_to_concurrent_append(spark, tbl):
+    """A commit landing between compaction's read and its write must make
+    the compare-and-swap overwrite fail with CommitConflict — a blind
+    overwrite would silently erase the concurrent append's rows."""
+    import json as _json
+
+    import covid_19_data_engineering_spark.sources.versioned as V
+
+    write_versioned(_df(spark, [(1, "a")]), tbl)
+    base = V.current_version(tbl)
+    # forge a racing append commit the way another writer would land it
+    forged = {
+        "version": base + 1, "action": "append", "files": [],
+        "schema": _df(spark, [(1, "a")]).schema.json(),
+        "ts": time.time(), "commit_id": "racer",
+    }
+    with open(V._commit_path(tbl, base + 1), "w") as f:
+        _json.dump(forged, f)
+    df = read_versioned(spark, tbl, version=base)
+    with pytest.raises(CommitConflict, match="expected base"):
+        write_versioned(df.coalesce(1), tbl, mode="overwrite",
+                        expect_base=base)
+
+
+def test_versioned_streaming_sink_commits_per_batch(spark, tbl, tmp_path):
+    """The streaming sink lands the events stream in a versioned table:
+    row set equals the batch read, the founding commit is an overwrite,
+    and every commit carries its stream_epoch; re-running the same stream
+    over the same checkpoint adds NO new versions (no new data, and a
+    replayed epoch would be skipped by the epoch guard)."""
+    import covid_19_data_engineering_spark.sources.versioned as V
+    from covid_19_data_engineering_spark.sources.tables import load_table
+    from covid_19_data_engineering_spark.streaming.events import events_stream
+    from covid_19_data_engineering_spark.streaming.stateful import (
+        start_versioned_append_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    stream = events_stream(spark, sf).select("event_id", "user_id", "value")
+    q = start_versioned_append_stream(stream, tbl, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    n_batch = load_table(spark, "events", sf).count()
+    assert read_versioned(spark, tbl).count() == n_batch
+    hist = table_history(tbl)
+    assert hist[-1]["action"] == "overwrite"  # founding commit
+    assert all("stream_epoch" in V._read_commit(tbl, h["version"])
+               for h in hist)
+    v_before = V.current_version(tbl)
+
+    q2 = start_versioned_append_stream(
+        events_stream(spark, sf).select("event_id", "user_id", "value"),
+        tbl, str(tmp_path / "ckpt"))
+    q2.awaitTermination(120)
+    assert V.current_version(tbl) == v_before
+    assert read_versioned(spark, tbl).count() == n_batch
