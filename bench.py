@@ -103,6 +103,7 @@ EXTRA = [
     "zorder_file_layout",
     "exact_price_quantiles",
     "semantic_dedup_ivf",
+    "retrieval_quality_eval",
 ]
 
 

