@@ -172,3 +172,66 @@ def test_retrieval_quality_eval_planted(spark):
     # the perfect doc exists in the top-k, so mrr is 1/its rank — a
     # positive reciprocal no larger than 1
     assert 0.0 < row["mrr"] <= 1.0
+
+
+def test_sequence_packing_property_matches_plain_cumsum(spark):
+    """Property: for ANY doc set (random ids with gaps, random token
+    counts), the two-level prefix sum equals the plain exclusive cumsum
+    in doc_id order — offsets, window spans, fragment counts."""
+    import random
+
+    from covid_19_data_engineering_spark.operators.packing import (
+        sequence_packing_manifest,
+    )
+
+    rng = random.Random(31)
+    for trial in range(3):
+        ids = sorted(rng.sample(range(0, 20000), 40))
+        counts = [rng.randint(1, 30) for _ in ids]
+        docs = spark.createDataFrame(
+            [(i, " ".join("w" for _ in range(c)))
+             for i, c in zip(ids, counts)],
+            "doc_id long, text string")
+        L = rng.choice([10, 64, 2048])
+        out = {r["doc_id"]: r for r in
+               sequence_packing_manifest(docs, seq_len=L).collect()}
+        off = 0
+        for i, c in zip(ids, counts):
+            r = out[i]
+            assert (r["n_tokens"], r["start_offset"]) == (c, off), (trial, i)
+            last = off + c  # + EOS - 1 == off + (c+1) - 1
+            assert r["seq_first"] == off // L
+            assert r["seq_last"] == last // L
+            assert r["n_fragments"] == last // L - off // L + 1
+            off += c + 1
+
+
+def test_zorder_morton_matches_reference_interleave(spark):
+    """The engine's unrolled div/mod Morton expression must equal a
+    straightforward Python bit-interleave for random quantized inputs —
+    pinned through the ACTUAL engine plan, not a reimplementation."""
+    import random
+
+    import pyspark.sql.functions as F  # noqa: F811
+    from covid_19_data_engineering_spark.operators.layout import (
+        Z_BITS,
+        _morton_sql,
+    )
+
+    rng = random.Random(41)
+    rows = [(rng.randrange(1 << Z_BITS), rng.randrange(1 << Z_BITS))
+            for _ in range(200)] + [(0, 0), ((1 << Z_BITS) - 1, (1 << Z_BITS) - 1)]
+    df = spark.createDataFrame(rows, "qa long, qb long")
+    got = {(r["qa"], r["qb"]): r["z"] for r in df.select(
+        "qa", "qb", F.expr(_morton_sql("qa", "qb", "div")).alias("z")
+    ).collect()}
+
+    def interleave(qa, qb):
+        z = 0
+        for i in range(Z_BITS):
+            z |= ((qa >> i) & 1) << (2 * i + 1)
+            z |= ((qb >> i) & 1) << (2 * i)
+        return z
+
+    for (qa, qb), z in got.items():
+        assert z == interleave(qa, qb), (qa, qb)
