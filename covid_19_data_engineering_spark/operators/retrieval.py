@@ -71,23 +71,15 @@ def bm25_topk(docs: DataFrame, terms: tuple[str, ...] = BM25_TERMS,
     )
 
 
-def _bm25_oracle_sql() -> str:
+def _bm25_base_stats_sql() -> str:
+    """The base + stats CTE pair both BM25-family oracles open with — ONE
+    definition so a formula tweak cannot drift between them."""
     dfs = ",\n             ".join(
         f"CAST(SUM(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END) "
         f"AS BIGINT) AS df_{i}"
         for i, t in enumerate(BM25_TERMS)
     )
-    contribs = []
-    for i, t in enumerate(BM25_TERMS):
-        tf = f"CAST(len(list_filter(toks, x -> x = '{t}')) AS DOUBLE)"
-        idf = (f"ln(1.0 + (CAST(n AS DOUBLE) - CAST(df_{i} AS DOUBLE) + 0.5)"
-               f" / (CAST(df_{i} AS DOUBLE) + 0.5))")
-        denom = (f"({tf} + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * "
-                 f"(dl / (CAST(sumdl AS DOUBLE) / n))))")
-        contribs.append(f"{idf} * (({tf} * ({BM25_K1} + 1)) / {denom})")
-    score = " + ".join(contribs)
-    return f"""
-    WITH base AS (
+    return f"""base AS (
       SELECT doc_id, string_split(text, ' ') AS toks,
              len(string_split(text, ' ')) AS dl
       FROM documents
@@ -96,9 +88,26 @@ def _bm25_oracle_sql() -> str:
       SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl,
              {dfs}
       FROM base
-    )
+    )"""
+
+
+def _bm25_score_sql() -> str:
+    contribs = []
+    for i, t in enumerate(BM25_TERMS):
+        tf = f"CAST(len(list_filter(toks, x -> x = '{t}')) AS DOUBLE)"
+        idf = (f"ln(1.0 + (CAST(n AS DOUBLE) - CAST(df_{i} AS DOUBLE) + 0.5)"
+               f" / (CAST(df_{i} AS DOUBLE) + 0.5))")
+        denom = (f"({tf} + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * "
+                 f"(dl / (CAST(sumdl AS DOUBLE) / n))))")
+        contribs.append(f"{idf} * (({tf} * ({BM25_K1} + 1)) / {denom})")
+    return " + ".join(contribs)
+
+
+def _bm25_oracle_sql() -> str:
+    return f"""
+    WITH {_bm25_base_stats_sql()}
     SELECT doc_id, dl, bm25 FROM (
-      SELECT doc_id, dl, ROUND({score}, 6) AS bm25
+      SELECT doc_id, dl, ROUND({_bm25_score_sql()}, 6) AS bm25
       FROM base CROSS JOIN stats
     ) WHERE bm25 > 0
     ORDER BY bm25 DESC, doc_id
@@ -280,8 +289,10 @@ def retrieval_quality(docs: DataFrame, terms: tuple[str, ...] = BM25_TERMS,
     measures whether tf-idf weighting actually recovers the multi-term
     docs an ideal grade-ordering would put first. DCG discounts each
     rank's grade by log2(rank+1); IDCG is the same sum over the corpus's
-    k best grades; MRR is the reciprocal rank of the first doc with any
-    relevance in the top-k.
+    k best grades; MRR is the reciprocal rank of the first PERFECT doc
+    (all query terms present) in the top-k — "first doc with any
+    relevance" would be vacuous here, since a positive BM25 score already
+    implies grade >= 1, so rank 1 is always relevant.
 
     Determinism: every discounted contribution is floored to 1e-9 units
     so the k-row sums are BIGINT (order-independent); ln parity across
@@ -344,9 +355,6 @@ def retrieval_quality(docs: DataFrame, terms: tuple[str, ...] = BM25_TERMS,
 
 
 def _retrieval_eval_oracle_sql() -> str:
-    base_and_stats = _bm25_oracle_sql()
-    # reuse the bm25 chain's base/stats CTE text up to its final SELECT
-    head = base_and_stats[: base_and_stats.index("SELECT doc_id, dl, bm25")]
     grade = " + ".join(
         f"(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END)"
         for t in BM25_TERMS
@@ -354,7 +362,8 @@ def _retrieval_eval_oracle_sql() -> str:
     disc = ("CAST(FLOOR(CAST(CAST(grade AS BIGINT) * {unit} AS DOUBLE) "
             "/ (ln(CAST(rank + 1 AS DOUBLE)) / ln(2.0))) AS BIGINT)"
             ).format(unit=NDCG_UNIT)
-    return f"""{head.rstrip()},
+    return f"""
+    WITH {_bm25_base_stats_sql()},
     topk AS (
       SELECT doc_id, bm25,
              ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank
@@ -395,18 +404,6 @@ def _retrieval_eval_oracle_sql() -> str:
            CASE WHEN mr IS NULL THEN 0.0 ELSE 1.0 / mr END AS mrr
     FROM dcg CROSS JOIN idcg CROSS JOIN mrr CROSS JOIN nrel
     """
-
-
-def _bm25_score_sql() -> str:
-    contribs = []
-    for i, t in enumerate(BM25_TERMS):
-        tf = f"CAST(len(list_filter(toks, x -> x = '{t}')) AS DOUBLE)"
-        idf = (f"ln(1.0 + (CAST(n AS DOUBLE) - CAST(df_{i} AS DOUBLE) + 0.5)"
-               f" / (CAST(df_{i} AS DOUBLE) + 0.5))")
-        denom = (f"({tf} + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * "
-                 f"(dl / (CAST(sumdl AS DOUBLE) / n))))")
-        contribs.append(f"{idf} * (({tf} * ({BM25_K1} + 1)) / {denom})")
-    return " + ".join(contribs)
 
 
 @register(

@@ -123,11 +123,50 @@ def _read_checkpoint(path: str, version: int) -> dict | None:
         return None
 
 
+def _checkpoint_txns(path: str, version: int) -> dict[str, int]:
+    """Aggregate the per-writer txn map as of ``version``: newest commit
+    wins per app; the previous checkpoint supplies apps whose last commit
+    is older than the walk — so the map survives any number of commits by
+    OTHER writers (compaction, competing streams) at O(interval) reads."""
+    txns: dict[str, int] = {}
+    for v in range(version, 0, -1):
+        c = _read_commit(path, v)
+        t = c.get("txn")
+        if t and t["app"] not in txns:
+            txns[t["app"]] = t["epoch"]
+        if v < version:
+            cp = _read_checkpoint(path, v)
+            if cp is not None:
+                for app, epoch in cp.get("txns", {}).items():
+                    txns.setdefault(app, epoch)
+                break
+    return txns
+
+
+def last_txn_epoch(path: str, app: str) -> int | None:
+    """Latest committed epoch for writer ``app`` (None if it never
+    committed): walk commits newest-first; a commit carrying this app's
+    txn answers directly, else the nearest log checkpoint answers from
+    its aggregated txn map — O(CHECKPOINT_INTERVAL) reads, and commits by
+    other writers in between cannot erase the idempotence marker."""
+    for v in range(current_version(path), 0, -1):
+        c = _read_commit(path, v)
+        t = c.get("txn")
+        if t and t.get("app") == app:
+            return t["epoch"]
+        cp = _read_checkpoint(path, v)
+        if cp is not None:
+            return cp.get("txns", {}).get(app)
+    return None
+
+
 def _write_checkpoint(path: str, version: int) -> None:
-    """Materialize ``version``'s full file list as an atomic, idempotent
-    log checkpoint. Losing the link race (another writer checkpointed the
-    same version) is fine — the contents are identical by construction."""
-    record = {"version": version, "files": _snapshot_files(path, version)}
+    """Materialize ``version``'s full file list (plus the aggregated
+    per-writer txn map) as an atomic, idempotent log checkpoint. Losing
+    the link race (another writer checkpointed the same version) is fine
+    — the contents are identical by construction."""
+    record = {"version": version, "files": _snapshot_files(path, version),
+              "txns": _checkpoint_txns(path, version)}
     tmp = os.path.join(_log_dir(path), f".tmpcp-{uuid.uuid4().hex}")
     with open(tmp, "w") as f:
         json.dump(record, f)
@@ -182,6 +221,14 @@ def write_versioned(df: DataFrame, path: str, mode: str = "overwrite",
     ``stream_epoch`` idempotence marker)."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unknown mode {mode!r}")
+    if expect_base is not None and current_version(path) != expect_base:
+        # fail BEFORE materializing the new snapshot — a conflicting
+        # compaction should not pay a full table rewrite (and leave the
+        # orphaned data dir behind) just to lose the CAS at claim time
+        raise CommitConflict(
+            f"{path}: expected base version {expect_base}, found "
+            f"{current_version(path)} (a concurrent writer committed; "
+            "re-derive and retry)")
     os.makedirs(_log_dir(path), exist_ok=True)
     commit_id = uuid.uuid4().hex
     data_dir = os.path.join(path, "data", commit_id)

@@ -88,7 +88,8 @@ def stream_user_anomaly(events: DataFrame) -> DataFrame:
     )
 
 
-def start_versioned_append_stream(sdf, table_path: str, checkpoint_dir: str):
+def start_versioned_append_stream(sdf, table_path: str, checkpoint_dir: str,
+                                  writer_id: str | None = None):
     """Stream micro-batches into a versioned table: each non-empty batch
     commits as ONE append version (the first as the founding overwrite),
     so downstream readers get snapshot isolation and time travel across
@@ -96,29 +97,35 @@ def start_versioned_append_stream(sdf, table_path: str, checkpoint_dir: str):
     engine's own log-structured format.
 
     Exactly-once across micro-batch RETRIES: foreachBatch may replay an
-    epoch after a failure, so each commit records its ``stream_epoch``
-    and the sink skips any epoch at or below the last committed one
-    (reading ONE commit record — the table's latest — not the history;
-    valid because this sink is the table's only writer, which is also
-    Structured Streaming's own single-writer sink assumption)."""
+    epoch after a failure, so each commit carries a (writer, epoch) txn
+    marker — ``writer_id`` defaults to the checkpoint directory, which
+    IS the epoch sequence's identity (Delta's txnAppId idea) — and the
+    sink skips any epoch at or below this writer's last committed one.
+    The lookup (``last_txn_epoch``) survives interleaved commits by
+    OTHER writers: compaction or a second stream cannot erase the
+    marker, because checkpoints aggregate the per-writer txn map and
+    the walk is bounded at O(CHECKPOINT_INTERVAL) log reads. A NEW
+    query with a fresh checkpoint dir restarts epochs at 0 but carries
+    a different writer_id, so its batches land instead of being
+    silently swallowed by a stale guard."""
     from covid_19_data_engineering_spark.sources.versioned import (
-        _read_commit,
         current_version,
+        last_txn_epoch,
         write_versioned,
     )
 
+    app = writer_id or checkpoint_dir
+
     def _sink(batch_df, epoch_id: int) -> None:
-        base = current_version(table_path)
-        if base > 0:
-            last_epoch = _read_commit(table_path, base).get("stream_epoch")
-            if last_epoch is not None and epoch_id <= last_epoch:
-                return  # replayed epoch — already committed
+        last_epoch = last_txn_epoch(table_path, app)
+        if last_epoch is not None and epoch_id <= last_epoch:
+            return  # replayed epoch — already committed by THIS writer
         if batch_df.isEmpty():
             return
         write_versioned(
             batch_df, table_path,
-            mode="append" if base > 0 else "overwrite",
-            meta={"stream_epoch": epoch_id},
+            mode="append" if current_version(table_path) > 0 else "overwrite",
+            meta={"txn": {"app": app, "epoch": epoch_id}},
         )
 
     return (

@@ -306,8 +306,7 @@ def test_versioned_streaming_sink_commits_per_batch(spark, tbl, tmp_path):
     assert read_versioned(spark, tbl).count() == n_batch
     hist = table_history(tbl)
     assert hist[-1]["action"] == "overwrite"  # founding commit
-    assert all("stream_epoch" in V._read_commit(tbl, h["version"])
-               for h in hist)
+    assert all("txn" in V._read_commit(tbl, h["version"]) for h in hist)
     v_before = V.current_version(tbl)
 
     q2 = start_versioned_append_stream(
@@ -316,3 +315,63 @@ def test_versioned_streaming_sink_commits_per_batch(spark, tbl, tmp_path):
     q2.awaitTermination(120)
     assert V.current_version(tbl) == v_before
     assert read_versioned(spark, tbl).count() == n_batch
+
+
+def test_txn_marker_survives_interleaved_commits(spark, tbl):
+    """The idempotence marker must survive commits by OTHER writers:
+    a compaction (no txn) and a second stream's commits between a
+    writer's last epoch and its replay must not reset the guard — and
+    the lookup must answer from a checkpoint when the marker is deeper
+    than the commit walk."""
+    import covid_19_data_engineering_spark.sources.versioned as V
+
+    write_versioned(_df(spark, [(0, "seed")]), tbl)
+    write_versioned(_df(spark, [(1, "a")]), tbl, mode="append",
+                    meta={"txn": {"app": "stream-A", "epoch": 7}})
+    # a compaction erases nothing
+    V.compact_versioned(spark, tbl)
+    assert V.last_txn_epoch(tbl, "stream-A") == 7
+    # a second writer's txns do not shadow A's
+    write_versioned(_df(spark, [(2, "b")]), tbl, mode="append",
+                    meta={"txn": {"app": "stream-B", "epoch": 0}})
+    assert V.last_txn_epoch(tbl, "stream-A") == 7
+    assert V.last_txn_epoch(tbl, "stream-B") == 0
+    assert V.last_txn_epoch(tbl, "never-committed") is None
+    # push A's marker past a checkpoint boundary: 16+ appends by B
+    for i in range(16):
+        write_versioned(_df(spark, [(10 + i, f"b{i}")]), tbl, mode="append",
+                        meta={"txn": {"app": "stream-B", "epoch": 1 + i}})
+    cp_versions = [v for v in V.table_versions(tbl)
+                   if V._read_checkpoint(tbl, v) is not None]
+    assert cp_versions, "no checkpoint written past 16 commits"
+    assert V._read_checkpoint(tbl, cp_versions[-1])["txns"]["stream-A"] == 7
+    assert V.last_txn_epoch(tbl, "stream-A") == 7
+    assert V.last_txn_epoch(tbl, "stream-B") == 16
+
+
+def test_new_stream_writer_lands_despite_restarted_epochs(spark, tbl, tmp_path):
+    """A NEW streaming query (fresh checkpoint dir -> epochs restart at 0)
+    writing to an existing sink table must have its batches LAND — the
+    guard keys on (writer, epoch), so another writer's higher epochs
+    cannot silently swallow them."""
+    import covid_19_data_engineering_spark.sources.versioned as V
+    from covid_19_data_engineering_spark.sources.tables import load_table
+    from covid_19_data_engineering_spark.streaming.events import events_stream
+    from covid_19_data_engineering_spark.streaming.stateful import (
+        start_versioned_append_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    n_batch = load_table(spark, "events", sf).count()
+    cols = ["event_id", "user_id", "value"]
+    q1 = start_versioned_append_stream(
+        events_stream(spark, sf).select(*cols), tbl, str(tmp_path / "ck1"))
+    q1.awaitTermination(120)
+    assert read_versioned(spark, tbl).count() == n_batch
+    # second, independent query: same epochs (0...), different writer
+    q2 = start_versioned_append_stream(
+        events_stream(spark, sf).select(*cols), tbl, str(tmp_path / "ck2"))
+    q2.awaitTermination(120)
+    assert read_versioned(spark, tbl).count() == 2 * n_batch
+    assert V.last_txn_epoch(tbl, str(tmp_path / "ck1")) is not None
+    assert V.last_txn_epoch(tbl, str(tmp_path / "ck2")) is not None
