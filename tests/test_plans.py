@@ -597,3 +597,28 @@ def test_round5_operator_plans(spark):
     assert "ExistingRDD" in emb          # checkpointed bucket table
     assert "CartesianProduct" not in emb
     assert "BatchEvalPython" not in emb
+
+
+def test_round6_scans_are_column_pruned(spark):
+    """Round-6 operators must prune their scans to exactly the columns
+    they consume — a 2-column z-order plan reading all 16 lineitem
+    columns would multiply the 100 TB scan cost for nothing."""
+    from covid_19_data_engineering_spark.plans.registry import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+
+    def read_schemas(name, table):
+        plan = _executed_plan(REGISTRY[name].builder(spark, sf))
+        return [line.split("ReadSchema: ")[1]
+                for line in plan.split("\n")
+                if f"{table}.parquet" in line and "ReadSchema: " in line]
+
+    for schema in read_schemas("zorder_file_layout", "lineitem"):
+        assert "l_orderkey" in schema and "l_partkey" in schema
+        assert "l_extendedprice" not in schema and "l_comment" not in schema
+    for schema in read_schemas("exact_price_quantiles", "lineitem"):
+        assert "l_extendedprice" in schema
+        assert "l_orderkey" not in schema and "l_comment" not in schema
+    for schema in read_schemas("sequence_packing_manifest", "documents"):
+        assert "doc_id" in schema and "text" in schema
+        assert "source" not in schema and "lang" not in schema
