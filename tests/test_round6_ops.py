@@ -235,3 +235,51 @@ def test_zorder_morton_matches_reference_interleave(spark):
 
     for (qa, qb), z in got.items():
         assert z == interleave(qa, qb), (qa, qb)
+
+
+def test_round6_single_row_oracle_parity(spark):
+    """Engine and DuckDB oracle must agree on DEGENERATE inputs the gate's
+    full testdata never exercises: a one-row table (quantiles: every rank
+    is 1; zorder: max==value quantization; packing: offset 0)."""
+    import duckdb
+    import pandas as pd
+
+    from covid_19_data_engineering_spark.operators.layout import (
+        _zorder_oracle_sql,
+        zorder_file_layout,
+    )
+    from covid_19_data_engineering_spark.operators.packing import (
+        _packing_oracle_sql,
+        sequence_packing_manifest,
+    )
+    from covid_19_data_engineering_spark.operators.quantiles import (
+        _quantiles_oracle_sql,
+        exact_quantiles_histogram,
+    )
+    from tests.test_oracle_parity import _fingerprint
+
+    con = duckdb.connect()
+    con.register("lineitem", pd.DataFrame(
+        {"l_orderkey": [5], "l_partkey": [3], "l_extendedprice": [42.37]}))
+    con.register("documents", pd.DataFrame(
+        {"doc_id": [7], "text": ["a b"]}))
+
+    li = spark.createDataFrame(
+        [(5, 3, 42.37)], "l_orderkey long, l_partkey long, l_extendedprice double")
+    docs = spark.createDataFrame([(7, "a b")], "doc_id long, text string")
+
+    cases = [
+        (zorder_file_layout(li, "l_orderkey", "l_partkey").orderBy("file_id"),
+         _zorder_oracle_sql()),
+        (exact_quantiles_histogram(li, "l_extendedprice").orderBy("quantile"),
+         _quantiles_oracle_sql()),
+        (sequence_packing_manifest(docs).orderBy("doc_id"),
+         _packing_oracle_sql()),
+    ]
+    for sdf, oracle in cases:
+        srows = [tuple(r) for r in sdf.collect()]
+        res = con.execute(oracle)
+        dcols = [d[0] for d in res.description]
+        drows = res.fetchall()
+        assert sorted(sdf.columns) == sorted(dcols)
+        assert _fingerprint(srows, sdf.columns) == _fingerprint(drows, dcols)
