@@ -51,8 +51,8 @@ exact-match appends, and multi-table transactions — on a deployment with
 Delta/Iceberg installed, the same call sites swap to the real format.
 
 No reference analogue (the reference's history mechanism is an
-INSERT-SELECT append into a *_hist warehouse table — covid_hist_load.py —
-with no versioning or isolation).
+INSERT-SELECT append into a *_hist warehouse table —
+vertica_upload.py:209-230 — with no versioning or isolation).
 """
 
 from __future__ import annotations
@@ -95,6 +95,20 @@ def _read_commit(path: str, version: int) -> dict:
         return json.load(f)
 
 
+def _read_commit_or_none(path: str, version: int) -> dict | None:
+    """``_read_commit`` that treats a vacuumed (deleted) commit record as
+    end-of-history instead of crashing. Newest-first walks MUST use this:
+    ``vacuum_versioned`` drops records below the oldest kept snapshot's
+    anchor, and when that anchor is an overwrite with no checkpoint, a
+    bare walk past it would raise FileNotFoundError — permanently killing
+    the streaming sink (every batch calls ``last_txn_epoch``) and every
+    16th commit (``_write_checkpoint``) on such tables."""
+    try:
+        return _read_commit(path, version)
+    except FileNotFoundError:
+        return None
+
+
 def table_versions(path: str) -> list[int]:
     """Committed versions, ascending; [] for a nonexistent table."""
     try:
@@ -127,10 +141,15 @@ def _checkpoint_txns(path: str, version: int) -> dict[str, int]:
     """Aggregate the per-writer txn map as of ``version``: newest commit
     wins per app; the previous checkpoint supplies apps whose last commit
     is older than the walk — so the map survives any number of commits by
-    OTHER writers (compaction, competing streams) at O(interval) reads."""
+    OTHER writers (compaction, competing streams) at O(interval) reads.
+    A missing commit record ends the walk: vacuum dropped the history
+    below it, and with it any older idempotence markers (the documented
+    cost of vacuuming past a writer's last commit)."""
     txns: dict[str, int] = {}
     for v in range(version, 0, -1):
-        c = _read_commit(path, v)
+        c = _read_commit_or_none(path, v)
+        if c is None:
+            break
         t = c.get("txn")
         if t and t["app"] not in txns:
             txns[t["app"]] = t["epoch"]
@@ -148,9 +167,15 @@ def last_txn_epoch(path: str, app: str) -> int | None:
     committed): walk commits newest-first; a commit carrying this app's
     txn answers directly, else the nearest log checkpoint answers from
     its aggregated txn map — O(CHECKPOINT_INTERVAL) reads, and commits by
-    other writers in between cannot erase the idempotence marker."""
+    other writers in between cannot erase the idempotence marker. On a
+    vacuumed table the walk stops at the first missing commit record
+    (history below it is gone) instead of crashing — an app whose last
+    commit was vacuumed away reads as "never committed", the same answer
+    a fresh table gives."""
     for v in range(current_version(path), 0, -1):
-        c = _read_commit(path, v)
+        c = _read_commit_or_none(path, v)
+        if c is None:
+            break
         t = c.get("txn")
         if t and t.get("app") == app:
             return t["epoch"]
@@ -274,7 +299,14 @@ def write_versioned(df: DataFrame, path: str, mode: str = "overwrite",
             os.unlink(tmp)  # lost the race: re-base and retry
             continue
         if version % CHECKPOINT_INTERVAL == 0:
-            _write_checkpoint(path, version)
+            # best-effort: the commit is already durable (the link above
+            # succeeded), so a checkpoint failure must not surface as a
+            # failed write — readers just walk a longer tail until the
+            # next interval's winner checkpoints successfully
+            try:
+                _write_checkpoint(path, version)
+            except OSError:
+                pass
         return version
     raise CommitConflict(f"lost {max_retries} commit races on {path}")
 

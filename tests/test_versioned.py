@@ -375,3 +375,73 @@ def test_new_stream_writer_lands_despite_restarted_epochs(spark, tbl, tmp_path):
     assert read_versioned(spark, tbl).count() == 2 * n_batch
     assert V.last_txn_epoch(tbl, str(tmp_path / "ck1")) is not None
     assert V.last_txn_epoch(tbl, str(tmp_path / "ck2")) is not None
+
+
+def test_last_txn_epoch_survives_vacuumed_history(spark, tbl):
+    """Round-7 verdict HIGH: after vacuum anchors the kept range at an
+    overwrite with NO checkpoint, commits below the anchor are gone —
+    the newest-first walks in last_txn_epoch must treat the missing
+    record as end-of-history, not crash with FileNotFoundError (which
+    permanently killed the streaming sink on such tables)."""
+    import covid_19_data_engineering_spark.sources.versioned as V
+
+    write_versioned(_df(spark, [(0, "seed")]), tbl)
+    for i in range(4):
+        write_versioned(_df(spark, [(i, "a")]), tbl, mode="append",
+                        meta={"txn": {"app": "old-stream", "epoch": i}})
+    # overwrite anchors a new snapshot at v6 (not a checkpoint multiple)
+    write_versioned(_df(spark, [(9, "z")]), tbl, mode="overwrite")
+    vacuum_versioned(tbl, keep_versions=1, retention_s=0.0)
+    assert min(table_versions(tbl)) == 6  # history below the anchor gone
+    # the walk from v6 steps into vacuumed territory: must not raise
+    assert V.last_txn_epoch(tbl, "old-stream") is None
+    assert V.last_txn_epoch(tbl, "never-committed") is None
+    # markers committed AFTER the vacuum still resolve
+    write_versioned(_df(spark, [(10, "n")]), tbl, mode="append",
+                    meta={"txn": {"app": "new-stream", "epoch": 3}})
+    assert V.last_txn_epoch(tbl, "new-stream") == 3
+
+
+def test_checkpoint_boundary_write_on_vacuumed_table(spark, tbl):
+    """Writing THROUGH a checkpoint boundary (every 16th commit triggers
+    _write_checkpoint -> _checkpoint_txns full walk) on a vacuumed table
+    must succeed and produce a checkpoint aggregating only the retained
+    history — previously the walk crashed every 16th commit forever."""
+    import covid_19_data_engineering_spark.sources.versioned as V
+
+    write_versioned(_df(spark, [(0, "seed")]), tbl)
+    for i in range(4):
+        write_versioned(_df(spark, [(i, "a")]), tbl, mode="append")
+    write_versioned(_df(spark, [(9, "z")]), tbl, mode="overwrite")  # v6
+    vacuum_versioned(tbl, keep_versions=1, retention_s=0.0)
+    # append across v16: the boundary commit aggregates the txn map
+    for i in range(7, 17):
+        write_versioned(_df(spark, [(i, "b")]), tbl, mode="append",
+                        meta={"txn": {"app": "s", "epoch": i}})
+    assert current_version(tbl) == 16
+    cp = V._read_checkpoint(tbl, 16)
+    assert cp is not None, "boundary checkpoint missing on vacuumed table"
+    assert cp["txns"] == {"s": 16}
+    assert V.last_txn_epoch(tbl, "s") == 16
+    assert read_versioned(spark, tbl).count() == 11  # v6 row + 10 appends
+
+
+def test_checkpoint_failure_never_masks_a_committed_write(spark, tbl,
+                                                          monkeypatch):
+    """The commit is durable the instant its log link lands; a checkpoint
+    materialization failure afterwards must not surface as a failed
+    write (ADVICE r7 #2) — readers just walk a longer tail."""
+    import covid_19_data_engineering_spark.sources.versioned as V
+
+    write_versioned(_df(spark, [(0, "seed")]), tbl)
+    for i in range(14):
+        write_versioned(_df(spark, [(i, "a")]), tbl, mode="append")
+
+    def boom(path, version):
+        raise OSError("disk full while checkpointing")
+
+    monkeypatch.setattr(V, "_write_checkpoint", boom)
+    v = write_versioned(_df(spark, [(99, "x")]), tbl, mode="append")
+    assert v == 16  # the boundary commit itself succeeded
+    assert V._read_checkpoint(tbl, 16) is None  # checkpoint skipped
+    assert read_versioned(spark, tbl).count() == 16
