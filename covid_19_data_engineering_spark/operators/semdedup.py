@@ -126,6 +126,16 @@ SEM_CLUSTER_TARGET = 256
 SEM_CLUSTER_CAP = 512
 SEM_MAX_SPLIT_BITS = 8
 
+# partition="auto" switch point (round-7 verdict #4): the flat quantizer
+# broadcasts all K = n/256 centroids to every task and pays n*K
+# multiply-adds, so it stops being the right plan once K crosses ~1024
+# centroids (at 768-dim production vectors that is a multi-MB broadcast
+# and a quadratically growing assignment stage). 262144 reps = K 1024 is
+# that knee; above it the registered query takes the IVF two-level
+# quantizer (sqrt-sized broadcast, join-distributed fine assignment).
+# Both engines replay the identical n_reps <= threshold comparison.
+SEM_FLAT_MAX_REPS = 262_144
+
 
 def _collapse_embeddings(emb: DataFrame) -> DataFrame:
     """(vec_id, e, rep) — rep = min vec_id among rows with a byte-equal
@@ -189,10 +199,14 @@ def _cap_rank_cells(assigned: DataFrame) -> DataFrame:
 
 def _rep_cells(reps: DataFrame, k: int) -> DataFrame:
     """Flat partition: two-round deterministic Lloyd over the collapsed
-    representative set, then the shared cap/rank tail."""
+    representative set, then the shared cap/rank tail. The cell id is
+    cast to string so both partition strategies emit ONE cluster_id
+    type — the auto switch must never change the output schema with the
+    corpus size."""
     assigned = kmeans_assignments(
         reps.select("vec_id", F.col("e").alias("embedding")), k
-    ).withColumnRenamed("cid", "cell")
+    ).withColumnRenamed("cid", "cell") \
+        .withColumn("cell", F.col("cell").cast("string"))
     return _cap_rank_cells(assigned)
 
 
@@ -315,7 +329,8 @@ def _decide_and_expand(withrep: DataFrame, cells: DataFrame,
 
 def semantic_dedup(emb: DataFrame, threshold: float = SEM_THRESHOLD,
                    k: int | None = None,
-                   partition: str = "flat") -> DataFrame:
+                   partition: str = "auto",
+                   flat_max_reps: int | None = None) -> DataFrame:
     """Per-vector semantic-dedup decision table:
     (vec_id, cluster_id, status, dup_of, max_cosine).
 
@@ -325,15 +340,23 @@ def semantic_dedup(emb: DataFrame, threshold: float = SEM_THRESHOLD,
     similarity to a better-ranked member (NULL on keep). ``k=None``
     derives K from the COLLAPSED corpus size (SEM_CLUSTER_TARGET
     representatives per cluster) — one bounded count() — so cell sizes
-    stay flat as the corpus grows. ``partition="ivf"`` uses the
-    two-level coarse/fine quantizer (see module docstring); its
-    cluster_id is a 'coarse:fine' string."""
+    stay flat as the corpus grows. ``partition="auto"`` (the default,
+    and the registered query's mode) picks the quantizer from the
+    corpus size: "flat" while n_reps <= ``flat_max_reps`` (default
+    SEM_FLAT_MAX_REPS), the two-level "ivf" above it — flat's K-row
+    centroid broadcast and n*K assignment are a real failure at 10^9
+    vectors, and the switch removes the operator's last fixed-strategy
+    scale cliff. cluster_id is a string under every strategy ('<cid>'
+    flat, 'coarse:fine' ivf) so the switch never changes the schema."""
     withrep = _collapse_embeddings(emb)
     # feeds the rep filter, the k-derivation count, and the expansion —
     # materialize the collapse shuffle once
     withrep = withrep.localCheckpoint(eager=True)
     reps = withrep.where(F.col("vec_id") == F.col("rep")).select("vec_id", "e")
     n_reps = reps.count()
+    if partition == "auto":
+        limit = SEM_FLAT_MAX_REPS if flat_max_reps is None else flat_max_reps
+        partition = "flat" if n_reps <= limit else "ivf"
     if partition == "ivf":
         # an explicit k is the TOTAL cell budget here, same as flat
         cells = _ivf_cells(reps, n_reps, k_total=k)
@@ -437,17 +460,24 @@ def _semantic_dedup_oracle_sql() -> str:
     WITH {_COLLAPSE_SQL},
     {kmeans_cte_chain(k_expr,
                       emb_sql="SELECT vec_id, e FROM withrep WHERE vec_id = rep")},
-    cells0 AS (SELECT vec_id, e, cid AS cell, dist FROM a2),
+    cells0 AS ({_flat_cells_select()}),
     {_sem_tail_sql()}
     """
 
 
-def _semantic_dedup_ivf_oracle_sql() -> str:
+def _flat_cells_select() -> str:
+    """Flat-quantizer cell frame off the kmeans chain's ``a2`` — the cid
+    cast to VARCHAR mirrors the engine's string cell id, keeping ONE
+    cluster_id type across partition strategies."""
+    return "SELECT vec_id, e, CAST(cid AS VARCHAR) AS cell, dist FROM a2"
+
+
+def _ivf_chain_sql() -> str:
+    """The IVF quantizer's CTE chain (reps -> c0 -> coarse -> seeded ->
+    fseeds) — shared by the ivf-only and the auto-switch oracles."""
     t = SEM_CLUSTER_TARGET
     sq = _sqdist_sql
-    return f"""
-    WITH {_COLLAPSE_SQL},
-    reps AS (SELECT vec_id, e FROM withrep WHERE vec_id = rep),
+    return f"""reps AS (SELECT vec_id, e FROM withrep WHERE vec_id = rep),
     c0 AS (
       SELECT vec_id AS cid, e AS c FROM (
         SELECT vec_id, e,
@@ -474,9 +504,12 @@ def _semantic_dedup_ivf_oracle_sql() -> str:
     fseeds AS (
       SELECT ccid, vec_id AS fcid, e AS fc FROM seeded
       WHERE _crn <= (_ccnt + {t} - 1) // {t}
-    ),
-    cells0 AS (
-      SELECT vec_id, e, cell, dist FROM (
+    )"""
+
+
+def _ivf_cells_select() -> str:
+    sq = _sqdist_sql
+    return f"""SELECT vec_id, e, cell, dist FROM (
         SELECT m.vec_id, m.e,
                CAST(m.ccid AS VARCHAR) || ':' || CAST(f.fcid AS VARCHAR)
                  AS cell,
@@ -484,7 +517,39 @@ def _semantic_dedup_ivf_oracle_sql() -> str:
                ROW_NUMBER() OVER (PARTITION BY m.vec_id
                                   ORDER BY {sq('m.e', 'f.fc')}, f.fcid) AS rn
         FROM seeded m JOIN fseeds f ON f.ccid = m.ccid
-      ) WHERE rn = 1
+      ) WHERE rn = 1"""
+
+
+def _semantic_dedup_ivf_oracle_sql() -> str:
+    return f"""
+    WITH {_COLLAPSE_SQL},
+    {_ivf_chain_sql()},
+    cells0 AS ({_ivf_cells_select()}),
+    {_sem_tail_sql()}
+    """
+
+
+def _semantic_dedup_auto_oracle_sql(flat_max_reps: int | None = None) -> str:
+    """The registered oracle: replays the engine's size-derived partition
+    switch — both quantizer chains are stated, and cells0 keeps whichever
+    side the n_reps <= threshold comparison selects (the guarded UNION
+    branches are mutually exclusive, so exactly one contributes rows).
+    Flat and IVF cell ids are both VARCHAR, so the union is type-stable
+    and the downstream tail is strategy-agnostic."""
+    limit = SEM_FLAT_MAX_REPS if flat_max_reps is None else flat_max_reps
+    k_expr = f"greatest({KM_K}, n_all // {SEM_CLUSTER_TARGET})"
+    return f"""
+    WITH {_COLLAPSE_SQL},
+    {kmeans_cte_chain(k_expr,
+                      emb_sql="SELECT vec_id, e FROM withrep WHERE vec_id = rep")},
+    {_ivf_chain_sql()},
+    nreps AS (SELECT COUNT(*) AS n FROM reps),
+    cells0 AS (
+      SELECT * FROM ({_flat_cells_select()})
+      WHERE (SELECT n FROM nreps) <= {limit}
+      UNION ALL
+      SELECT * FROM ({_ivf_cells_select()})
+      WHERE (SELECT n FROM nreps) > {limit}
     ),
     {_sem_tail_sql()}
     """
@@ -498,16 +563,20 @@ def _sqdist_sql(v: str, c: str) -> str:
 
 @register(
     "semantic_dedup",
-    oracle=_semantic_dedup_oracle_sql(),
-    doc=f"SemDeDup (Abbas et al. 2023) with a budgeted pair stage: "
-    "exact-embedding collapse to min-vec_id representatives, k-means "
-    f"partition (K = max({KM_K}, n_reps/{SEM_CLUSTER_TARGET}) — expected "
-    f"cell size capped as the corpus grows), cells over {SEM_CLUSTER_CAP} "
-    "members split on shared hyperplane sign bits (integer-exact "
-    f"ceil(log2(cnt/cap)), max {SEM_MAX_SPLIT_BITS} bits), then cosine >= "
-    f"{SEM_THRESHOLD} pruning WITHIN (cluster, sub-cell); each dropped "
-    "vector records its best-centroid-ranked dominator and max cosine, "
-    "and collapsed copies expand back to exact per-copy rows.",
+    oracle=_semantic_dedup_auto_oracle_sql(),
+    doc=f"SemDeDup (Abbas et al. 2023) with a budgeted pair stage and a "
+    "SIZE-DERIVED partition strategy: exact-embedding collapse to "
+    "min-vec_id representatives, then the flat k-means quantizer "
+    f"(K = max({KM_K}, n_reps/{SEM_CLUSTER_TARGET})) while n_reps <= "
+    f"{SEM_FLAT_MAX_REPS} and the two-level IVF quantizer above it — "
+    "flat's K-row broadcast and n*K assignment fail at 10^9 vectors, "
+    "and the oracle replays the identical integer switch off n_reps. "
+    f"Cells over {SEM_CLUSTER_CAP} members split on shared hyperplane "
+    f"sign bits (integer-exact ceil(log2(cnt/cap)), max "
+    f"{SEM_MAX_SPLIT_BITS} bits), then cosine >= {SEM_THRESHOLD} pruning "
+    "WITHIN (cluster, sub-cell); each dropped vector records its "
+    "best-centroid-ranked dominator and max cosine, and collapsed "
+    "copies expand back to exact per-copy rows.",
 )
 def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")

@@ -1260,3 +1260,50 @@ def test_jpeg_roundtrip_property():
         assert err < 32, f"{h}x{w} seed={seed}: mean abs err {err}"
 
     check()
+
+
+def test_semantic_dedup_auto_switch_oracle_parity_both_sides(spark):
+    """Round-7 verdict #4: the registered semantic_dedup's partition
+    strategy is DATA-DEPENDENT (flat while n_reps <= SEM_FLAT_MAX_REPS,
+    IVF above), and the oracle replays the identical integer switch —
+    pinned hash-green on planted corpora on BOTH sides of a lowered
+    threshold, with the chosen branch asserted via the cell-id shape."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from covid_19_data_engineering_spark.operators.semdedup import (
+        _semantic_dedup_auto_oracle_sql,
+        semantic_dedup,
+    )
+    from tests.test_oracle_parity import _fingerprint
+
+    rng = random.Random(41)
+
+    def corpus(n):
+        return [(i, [rng.uniform(-1, 1) for _ in range(64)])
+                for i in range(n)]
+
+    limit = 16
+    for n, expect_ivf in ((12, False), (48, True)):
+        rows = corpus(n)
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+        sdf = semantic_dedup(emb, flat_max_reps=limit).orderBy("vec_id")
+        spark_rows = [tuple(r) for r in sdf.collect()]
+        assert len(spark_rows) == n
+        has_ivf_cells = any(":" in r[1] for r in spark_rows)
+        assert has_ivf_cells == expect_ivf, (
+            f"n={n}: expected {'ivf' if expect_ivf else 'flat'} branch")
+
+        con = duckdb.connect()
+        con.register("embeddings", pd.DataFrame(
+            {"vec_id": [r[0] for r in rows],
+             "embedding": [r[1] for r in rows]}))
+        res = con.execute(_semantic_dedup_auto_oracle_sql(flat_max_reps=limit))
+        duck_cols = [d[0] for d in res.description]
+        duck_rows = res.fetchall()
+        assert sorted(sdf.columns) == sorted(duck_cols)
+        assert _fingerprint(spark_rows, sdf.columns) == \
+            _fingerprint(duck_rows, duck_cols), f"n={n} hash mismatch"
