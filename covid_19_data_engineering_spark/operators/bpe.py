@@ -29,17 +29,26 @@ Determinism across engines:
 Batched variant (round-5 verdict #6): real tokenizers run 10^4-10^5
 merges, and one driver round-trip per merge cannot scale in rounds.
 ``bpe_merge_table_batched`` takes, per round, the top-B candidates and
-keeps each one iff it shares NO symbol (left, right, or merged result)
-with ANY higher-ranked candidate of the window — a one-pass window rule
-both engines replay without recursion — then applies all kept merges in
-rank order with ONE fold of literal replaces (F.aggregate /
-list_reduce). Symbol-disjoint merges neither create nor destroy each
-other's adjacencies, so each kept merge applies with exactly the count
-greedy would have seen at its turn; the approximation (stated, not
-hidden) is that a DROPPED conflicting candidate would, under true
-greedy, have been re-counted next turn rather than skipped for the
-round. At B=1 the rule degenerates to the exact greedy argmax —
-pytest pins batched(B=1) output-equal to the sequential operator.
+greedily keeps each one iff it shares NO symbol (left, right, or merged
+result) with any ALREADY-KEPT candidate of the window — the greedy
+maximal-independent-set scan in rank order. (Round 8 upgraded this from
+"clash with any higher-ranked CANDIDATE, kept or not": on natural text
+the top of every window shares common letters, so the candidate rule
+kept ~4 of 32 per round and the batch never amortized.) The window is
+at most B rows, so the scan runs on the driver over one bounded
+TakeOrdered collect — B is a config constant, never corpus-sized — and
+the oracle replays the identical scan as a DuckDB recursive CTE
+accumulating the used-symbol list rank by rank. All kept merges apply
+in rank order with ONE fold of literal replaces (F.aggregate /
+list_reduce): exactly 2 jobs per round (the window collect + the fold
+checkpoint) regardless of B. Symbol-disjoint merges neither create nor
+destroy each other's adjacencies, so each kept merge applies with
+exactly the count greedy would have seen at its turn; the approximation
+(stated, not hidden) is that a DROPPED conflicting candidate would,
+under true greedy, have been re-counted next turn rather than skipped
+for the round. At B=1 the rule degenerates to the exact greedy argmax —
+pytest pins batched(B=1) output-equal to the sequential operator, and a
+B=32 x 8-round run is pinned to learn 100+ merges at 2 jobs/round.
 
 Scale shape (why this is cluster-sane): all rounds operate on the
 WORD-FREQUENCY table, O(vocabulary) — orders of magnitude smaller than
@@ -53,7 +62,7 @@ the rounds-to-vocabulary ratio improves ~B-fold.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 
 from covid_19_data_engineering_spark.plans.registry import register
 from covid_19_data_engineering_spark.sources.tables import load_table
@@ -178,90 +187,72 @@ def bpe_train(docs: DataFrame, n_merges: int = N_MERGES,
     return out, words
 
 
-def _no_conflict_keep(topb: DataFrame) -> DataFrame:
-    """Keep candidate i of the ranked window iff no higher-ranked candidate
-    j shares a symbol with it ({l,r,merged} pairwise disjoint) — the
-    recursion-free batch-selection rule (see module docstring)."""
-    a = topb.select(F.col("rn").alias("rn_a"), F.col("l").alias("l_a"),
-                    F.col("r").alias("r_a"),
-                    F.concat("l", "r").alias("m_a"))
-    b = topb.select(F.col("rn").alias("rn_b"), F.col("l").alias("l_b"),
-                    F.col("r").alias("r_b"),
-                    F.concat("l", "r").alias("m_b"))
-    clash = (
-        F.col("l_a").isin(F.col("l_b"), F.col("r_b"), F.col("m_b"))
-        | F.col("r_a").isin(F.col("l_b"), F.col("r_b"), F.col("m_b"))
-        | F.col("m_a").isin(F.col("l_b"), F.col("r_b"), F.col("m_b"))
-    )
-    conflicted = (
-        a.join(b, (F.col("rn_b") < F.col("rn_a")) & clash)
-        .select(F.col("rn_a").alias("rn")).distinct()
-    )
-    return topb.join(conflicted, "rn", "left_anti")
+def _greedy_keep(top_rows: list) -> list[tuple]:
+    """Greedy maximal-independent-set scan over the ranked window: keep
+    candidate i iff {l, r, lr} is disjoint from every ALREADY-KEPT
+    candidate's symbols. Runs on the driver over at most B rows (a
+    config constant — this is a BOUNDED collect, same class as the
+    inference/quantile candidate reads); the oracle replays the scan as
+    a recursive CTE accumulating the identical used-symbol list."""
+    used: set[str] = set()
+    kept: list[tuple] = []
+    for rn, row in enumerate(top_rows, start=1):
+        l, r = row["l"], row["r"]
+        if {l, r, l + r} & used:
+            continue
+        kept.append((rn, l, r, int(row["total"])))
+        used |= {l, r, l + r}
+    return kept
 
 
 def bpe_train_batched(docs: DataFrame, n_rounds: int = BATCH_ROUNDS,
                       batch: int = BATCH_B,
                       text_col: str = "text") -> tuple[DataFrame, DataFrame]:
     """Batched BPE training: per round, learn up to ``batch`` pairwise
-    symbol-disjoint merges and apply them with one fold of symbol-aware
-    replaces. Returns ``(merge_table, final_words)``; merge_rank is the
-    global application order (round, then in-round rank)."""
+    symbol-disjoint merges (greedy independent-set over the top-B
+    window) and apply them with one fold of symbol-aware replaces —
+    exactly 2 Spark jobs per round (TakeOrdered window collect + fold
+    checkpoint) no matter the batch size. Returns
+    ``(merge_table, final_words)``; merge_rank is the global
+    application order (round, then in-round window rank)."""
+    spark = docs.sparkSession
     words = _seed_symbols(word_frequencies(docs, text_col))
     words = words.localCheckpoint(eager=True)
-    per_round = []
+    learned: list[tuple] = []
     for rnd in range(1, n_rounds + 1):
-        # TakeOrdered-of-B (orderBy + limit), THEN rank the B-row result —
-        # an unpartitioned row_number window over the full pair-counts
-        # table would funnel O(distinct pairs) through one task, the exact
-        # single-partition shape the sequential twin's limit(1) avoids
-        rank_w = Window.orderBy(F.col("total").desc(), "l", "r")
-        topb = (
+        # TakeOrdered-of-B (orderBy + limit) — an unpartitioned
+        # row_number window over the full pair-counts table would funnel
+        # O(distinct pairs) through one task, the exact single-partition
+        # shape the sequential twin's limit(1) avoids
+        top_rows = (
             _pair_counts(words)
             .orderBy(F.col("total").desc(), "l", "r")
             .limit(batch)
-            .withColumn("rn", F.row_number().over(rank_w))
+            .collect()
         )
-        kept = _no_conflict_keep(topb).localCheckpoint(eager=True)
-        per_round.append(
-            kept.select(
-                F.lit(rnd).alias("round"), F.col("rn"),
-                F.col("l").alias("left_sym"), F.col("r").alias("right_sym"),
-                F.concat("l", "r").alias("merged"),
-                F.col("total").alias("pair_count"),
-            )
-        )
-        # pack each kept merge as 'pattern<RS>replacement', fold them over
-        # the wrapped symbol string in rank order — ONE broadcast row and
-        # ONE map-side projection per round regardless of batch size
-        packed = F.concat(
-            F.lit(SEP), F.col("l"), F.lit(SEP + SEP), F.col("r"), F.lit(SEP),
-            F.lit(RS),
-            F.lit(SEP), F.col("l"), F.col("r"), F.lit(SEP),
-        )
-        mlist = kept.agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("rn", packed.alias("m")))),
-                lambda s: s["m"],
-            ).alias("ms")
-        )
+        kept = _greedy_keep(top_rows)
+        if not kept:
+            break  # corpus fully merged — nothing adjacent remains
+        learned.extend((rnd, rn, l, r, total) for rn, l, r, total in kept)
+        # pack each kept merge as 'pattern<RS>replacement' literals, fold
+        # them over the wrapped symbol string in rank order — ONE
+        # map-side projection per round regardless of batch size
+        ms = [SEP + l + SEP + SEP + r + SEP + RS + SEP + l + r + SEP
+              for _, l, r, _ in kept]
         folded = F.aggregate(
-            F.col("ms"), _wrap(F.col("ws")),
+            F.array(*[F.lit(m) for m in ms]), _wrap(F.col("ws")),
             lambda acc, m: F.replace(acc, F.split_part(m, F.lit(RS), F.lit(1)),
                                      F.split_part(m, F.lit(RS), F.lit(2))),
         )
         words = (
-            words.crossJoin(F.broadcast(mlist))
-            .select(_unwrap(folded).alias("ws"), "cnt")
+            words.select(_unwrap(folded).alias("ws"), "cnt")
             .localCheckpoint(eager=True)
         )
-    out = per_round[0]
-    for m in per_round[1:]:
-        out = out.unionByName(m)
-    rank_all = Window.orderBy("round", "rn")
-    out = out.select(
-        F.row_number().over(rank_all).alias("merge_rank"),
-        "left_sym", "right_sym", "merged", "pair_count",
+    out = spark.createDataFrame(
+        [(i, l, r, l + r, total)
+         for i, (_, _, l, r, total) in enumerate(learned, start=1)],
+        "merge_rank int, left_sym string, right_sym string, "
+        "merged string, pair_count long",
     )
     return out, words
 
@@ -374,7 +365,9 @@ def _bpe_vocab_oracle_sql(n_merges: int = N_MERGES, k: int = 20) -> str:
 def _bpe_batched_oracle_sql(n_rounds: int = BATCH_ROUNDS,
                             batch: int = BATCH_B) -> str:
     """Unrolled batched replay: per round a ranked top-B window, the
-    window-disjointness keep rule, and a list_reduce fold of the packed
+    greedy independent-set keep rule as a RECURSIVE CTE walking the
+    window in rank order (used-symbol list accumulated exactly like the
+    engine's driver-side scan), and a list_reduce fold of the packed
     replaces — the same arithmetic the engine broadcasts."""
     ctes = [_WORDS0_CTE]
     for r in range(1, n_rounds + 1):
@@ -391,14 +384,24 @@ def _bpe_batched_oracle_sql(n_rounds: int = BATCH_ROUNDS,
         ) GROUP BY s[i], s[i + 1]
       ) QUALIFY rn <= {batch}
     )""")
+        ctes.append(f"""g{r} AS (
+      SELECT 0 AS rn, CAST([] AS VARCHAR[]) AS used, FALSE AS keep
+      UNION ALL
+      SELECT t.rn,
+             CASE WHEN list_contains(g.used, t.l)
+                    OR list_contains(g.used, t.r)
+                    OR list_contains(g.used, t.l || t.r)
+                  THEN g.used
+                  ELSE list_concat(g.used, [t.l, t.r, t.l || t.r]) END,
+             NOT (list_contains(g.used, t.l)
+                    OR list_contains(g.used, t.r)
+                    OR list_contains(g.used, t.l || t.r))
+      FROM g{r} g JOIN topb{r} t ON t.rn = g.rn + 1
+    )""")
         ctes.append(f"""kept{r} AS (
-      SELECT a.* FROM topb{r} a
-      WHERE NOT EXISTS (
-        SELECT 1 FROM topb{r} b WHERE b.rn < a.rn AND (
-          a.l IN (b.l, b.r, b.l || b.r) OR
-          a.r IN (b.l, b.r, b.l || b.r) OR
-          (a.l || a.r) IN (b.l, b.r, b.l || b.r))
-      )
+      SELECT t.l, t.r, t.total, t.rn
+      FROM topb{r} t JOIN g{r} g ON g.rn = t.rn
+      WHERE g.keep
     )""")
         ctes.append(f"""mlist{r} AS (
       SELECT COALESCE(list(
@@ -419,7 +422,7 @@ def _bpe_batched_oracle_sql(n_rounds: int = BATCH_ROUNDS,
         f"l || r AS merged, total AS pair_count FROM kept{r}"
         for r in range(1, n_rounds + 1)
     )
-    return "\n    WITH " + ",\n    ".join(ctes) + f"""
+    return "\n    WITH RECURSIVE " + ",\n    ".join(ctes) + f"""
     SELECT CAST(ROW_NUMBER() OVER (ORDER BY round, rn) AS INTEGER)
              AS merge_rank,
            left_sym, right_sym, merged, pair_count
