@@ -76,6 +76,15 @@ class CommitConflict(RuntimeError):
     """All optimistic-commit retries lost their race."""
 
 
+class TxnAlreadyApplied(RuntimeError):
+    """The commit's (writer, epoch) idempotence marker is at or below the
+    table's recorded epoch for that writer: the write is a replay and was
+    NOT committed. The check runs before staging (cheap fast path) and
+    again inside every claim-loop iteration, so even two live writers
+    sharing a writer_id cannot double-commit an epoch — the atomic link
+    claim serializes them and the loser re-verifies after re-basing."""
+
+
 # a checkpoint materializes every CHECKPOINT_INTERVAL-th version's full
 # file list; reads and vacuum then touch O(interval) log records no matter
 # how many append commits the table has accumulated
@@ -295,10 +304,29 @@ def write_versioned(df: DataFrame, path: str, mode: str = "overwrite",
     CommitConflict instead of silently clobbering their rows — the guard
     a read-modify-write (compaction, upsert) needs, where blind-slot
     retry semantics would lose the concurrent update. ``meta`` merges
-    extra keys into the commit record (e.g. the streaming sink's
-    ``stream_epoch`` idempotence marker)."""
+    extra keys into the commit record; a ``{"txn": {"app", "epoch"}}``
+    entry is the exactly-once idempotence marker — if the table already
+    records that writer at this epoch or later, the write raises
+    TxnAlreadyApplied instead of committing, and the check is re-run
+    inside every claim-loop iteration so racing same-writer replays
+    serialize through the atomic version claim (no check-then-act
+    window, round-7 ADVICE low)."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unknown mode {mode!r}")
+    txn = (meta or {}).get("txn")
+
+    def _replayed() -> bool:
+        if not txn:
+            return False
+        last = last_txn_epoch(path, txn["app"])
+        return last is not None and txn["epoch"] <= last
+
+    if _replayed():
+        # fast path: refuse BEFORE staging the snapshot — replays are the
+        # common case after a stream restart
+        raise TxnAlreadyApplied(
+            f"{path}: writer {txn['app']!r} already committed epoch "
+            f">= {txn['epoch']}")
     if expect_base is not None and current_version(path) != expect_base:
         # fail BEFORE materializing the new snapshot — a conflicting
         # compaction should not pay a full table rewrite (and leave the
@@ -328,6 +356,13 @@ def write_versioned(df: DataFrame, path: str, mode: str = "overwrite",
 
     for _ in range(max_retries):
         base = current_version(path)
+        if _replayed():
+            # re-verified against the freshly read log: a racing writer
+            # with the same writer_id committed this epoch since our last
+            # check — the staged data dir becomes a vacuumable orphan
+            raise TxnAlreadyApplied(
+                f"{path}: writer {txn['app']!r} already committed epoch "
+                f">= {txn['epoch']} (raced replay)")
         if expect_base is not None and base != expect_base:
             raise CommitConflict(
                 f"{path}: expected base version {expect_base}, found {base} "

@@ -107,8 +107,13 @@ def start_versioned_append_stream(sdf, table_path: str, checkpoint_dir: str,
     the walk is bounded at O(CHECKPOINT_INTERVAL) log reads. A NEW
     query with a fresh checkpoint dir restarts epochs at 0 but carries
     a different writer_id, so its batches land instead of being
-    silently swallowed by a stale guard."""
+    silently swallowed by a stale guard. The guard is NOT check-then-act
+    (round-7 ADVICE low): write_versioned re-verifies the epoch inside
+    its atomic claim loop, so even two live writers misconfigured onto
+    one writer_id cannot double-commit an epoch — the loser surfaces
+    TxnAlreadyApplied, which the sink treats as the no-op it is."""
     from covid_19_data_engineering_spark.sources.versioned import (
+        TxnAlreadyApplied,
         current_version,
         last_txn_epoch,
         write_versioned,
@@ -119,14 +124,18 @@ def start_versioned_append_stream(sdf, table_path: str, checkpoint_dir: str,
     def _sink(batch_df, epoch_id: int) -> None:
         last_epoch = last_txn_epoch(table_path, app)
         if last_epoch is not None and epoch_id <= last_epoch:
-            return  # replayed epoch — already committed by THIS writer
+            return  # replayed epoch — skip before any Spark action
         if batch_df.isEmpty():
             return
-        write_versioned(
-            batch_df, table_path,
-            mode="append" if current_version(table_path) > 0 else "overwrite",
-            meta={"txn": {"app": app, "epoch": epoch_id}},
-        )
+        try:
+            write_versioned(
+                batch_df, table_path,
+                mode="append" if current_version(table_path) > 0
+                else "overwrite",
+                meta={"txn": {"app": app, "epoch": epoch_id}},
+            )
+        except TxnAlreadyApplied:
+            pass  # raced replay: the epoch landed via another path
 
     return (
         sdf.writeStream.foreachBatch(_sink)

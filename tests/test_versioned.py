@@ -533,3 +533,53 @@ def test_prune_keeps_files_without_stats_or_columns(spark):
         spark, tbl, prune={"missing_col": (0, 1)}).count() == 10
     # string bounds against int stats: incomparable -> keep
     assert V.read_versioned(spark, tbl, prune={"id": ("a", "b")}).count() == 10
+
+
+def test_txn_replay_refused_and_raced_replay_serialized(spark):
+    """Round-7 ADVICE low: the (writer, epoch) guard must not be
+    check-then-act. A replayed epoch is refused BEFORE staging
+    (TxnAlreadyApplied), and two live writers racing the SAME (writer,
+    epoch) commit exactly once — the claim loop re-verifies after every
+    re-base, so the loser surfaces the replay instead of
+    double-committing."""
+    import tempfile
+
+    import covid_19_data_engineering_spark.sources.versioned as V
+
+    tbl = tempfile.mkdtemp() + "/t"
+    V.write_versioned(_df(spark, [(0, "seed")]), tbl)
+    V.write_versioned(_df(spark, [(1, "a")]), tbl, mode="append",
+                      meta={"txn": {"app": "w", "epoch": 5}})
+    for epoch in (5, 4):  # same and older epochs are replays
+        with pytest.raises(V.TxnAlreadyApplied):
+            V.write_versioned(_df(spark, [(9, "x")]), tbl, mode="append",
+                              meta={"txn": {"app": "w", "epoch": epoch}})
+    assert V.current_version(tbl) == 2
+    # a NEWER epoch and a DIFFERENT writer both land
+    V.write_versioned(_df(spark, [(2, "b")]), tbl, mode="append",
+                      meta={"txn": {"app": "w", "epoch": 6}})
+    V.write_versioned(_df(spark, [(3, "c")]), tbl, mode="append",
+                      meta={"txn": {"app": "w2", "epoch": 4}})
+    assert V.current_version(tbl) == 4
+
+    # true race: two threads, same (writer, epoch) — exactly one commit
+    results: list = []
+
+    def attempt(tag):
+        try:
+            v = V.write_versioned(
+                _df(spark, [(10, tag)]), tbl, mode="append",
+                meta={"txn": {"app": "racer", "epoch": 1}})
+            results.append(("ok", v))
+        except V.TxnAlreadyApplied:
+            results.append(("replay", None))
+
+    before = V.current_version(tbl)
+    ts = [threading.Thread(target=attempt, args=(t,)) for t in ("t1", "t2")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert sorted(r[0] for r in results) == ["ok", "replay"]
+    assert V.current_version(tbl) == before + 1
+    assert V.last_txn_epoch(tbl, "racer") == 1

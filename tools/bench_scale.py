@@ -38,8 +38,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SCALE_DIR = os.path.join(REPO, ".state_cache", "scale",
                          f"{REPLICAS}x_" + BASE_SF.strip("/").replace("/", "_"))
 
-# the dedup / ANN families — every query here reads only documents and/or
-# embeddings, so the derived directory needs just those two tables
+# the dedup / ANN families plus the round-6 layout/packing/quantile
+# operators — the derived directory carries documents, embeddings, and
+# lineitem (replica k offsets l_orderkey, so key ranges grow with the
+# corpus the way a real table's would)
 FAMILY = [
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -59,6 +61,9 @@ FAMILY = [
     # round-6
     "semantic_dedup_ivf",
     "bpe_merge_induction_batched",
+    "sequence_packing_manifest",
+    "zorder_file_layout",
+    "exact_price_quantiles",
 ]
 
 ID_OFFSET = 1_000_000
@@ -69,8 +74,29 @@ def materialize_scaled(spark) -> None:
 
     from covid_19_data_engineering_spark.sources.tables import load_table
 
-    if all(os.path.exists(os.path.join(SCALE_DIR, f"{t}.parquet", "_SUCCESS"))
-           for t in ("documents", "embeddings")):
+    def _done(t: str) -> bool:
+        return os.path.exists(
+            os.path.join(SCALE_DIR, f"{t}.parquet", "_SUCCESS"))
+
+    if all(_done(t) for t in ("documents", "embeddings", "lineitem")):
+        return
+    if not _done("lineitem"):
+        # replica k offsets l_orderkey (key ranges grow with the corpus);
+        # measure columns stay as-is, so quantile targets shift by exactly
+        # the replication and the z-order key space widens
+        li = load_table(spark, "lineitem", BASE_SF)
+        lparts = []
+        for k in range(REPLICAS):
+            lparts.append(li.select(
+                (F.col("l_orderkey") + k * ID_OFFSET).alias("l_orderkey"),
+                *[c for c in li.columns if c != "l_orderkey"],
+            ).select(*li.columns))
+        scaled_li = lparts[0]
+        for p in lparts[1:]:
+            scaled_li = scaled_li.unionByName(p)
+        scaled_li.write.mode("overwrite").parquet(
+            os.path.join(SCALE_DIR, "lineitem.parquet"))
+    if all(_done(t) for t in ("documents", "embeddings")):
         return
     docs = load_table(spark, "documents", BASE_SF)
     parts = []
