@@ -71,7 +71,6 @@ PRIORITY = (
     "count_validation",
     "schema_profile",
     "column_sample",
-    "orders_column_profile",
     # core relational shapes
     "pricing_summary",
     "revenue_by_nation",
@@ -85,13 +84,19 @@ PRIORITY = (
     # representatives above/below and stay gate-checked in full)
     "semantic_dedup",
     "dsir_importance_selection",
-    "bpe_merge_induction",
     "incremental_retention_manifest_stored",
     # round-6 families, rotated in the round they shipped so the driver's
     # CORRECTNESS sample never lags the engine (round-5 verdict #2 rule)
     "sequence_packing_manifest",
     "zorder_file_layout",
     "exact_price_quantiles",
+    # round-8 rotations: the two queries whose semantics/partition
+    # strategy changed this round (batched BPE keep rule; the size-
+    # derived flat/IVF switch shares its tail with the ivf-pinned twin);
+    # bpe_merge_induction and orders_column_profile rotate out but stay
+    # gate-checked in full
+    "bpe_merge_induction_batched",
+    "semantic_dedup_ivf",
     # TPC-H decorrelation shapes + iterative graph
     "tpch_q2_min_cost_supplier",
     "pagerank_copurchase",
