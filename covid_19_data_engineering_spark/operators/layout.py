@@ -58,30 +58,59 @@ def _morton_sql(qa: str, qb: str, div: str) -> str:
     )
 
 
-def zorder_file_layout(df: DataFrame, col_a: str, col_b: str,
-                       file_bits: int = FILE_BITS) -> DataFrame:
-    """Per-file layout footprint after z-ordering ``df`` on (col_a, col_b):
-    (file_id, n_rows, min_a, max_a, min_b, max_b). file_id = the top
-    ``file_bits`` bits of the 2*Z_BITS-bit z-value (radix partition).
-
-    Quantization is range-normalized: (v - min) * 2^Z_BITS div
-    (max - min + 1), with min collected alongside max — quantizing
-    against the raw max silently corrupted negative columns (negative
-    lane values break the bit interleave) and collapsed offset ranges
-    like [10^6, 10^6 + 100] into one bucket (round-7 ADVICE low)."""
+def _quantized_exprs(df: DataFrame, col_a: str, col_b: str):
+    """Range-normalized 16-bit lane quantizers for both key columns:
+    (v - min) * 2^Z_BITS div (max - min + 1), min/max collected as four
+    O(1) scalars — quantizing against the raw max silently corrupted
+    negative columns (negative lane values break the bit interleave)
+    and collapsed offset ranges like [10^6, 10^6 + 100] into one bucket
+    (round-7 ADVICE low)."""
     stats = df.agg(
         F.min(col_a).alias("la"), F.max(col_a).alias("ma"),
         F.min(col_b).alias("lb"), F.max(col_b).alias("mb"),
     ).first()
     if stats["ma"] is None or stats["mb"] is None:
         raise ValueError(
-            f"zorder_file_layout: empty input or all-NULL {col_a}/{col_b}")
+            f"zorder: empty input or all-NULL {col_a}/{col_b}")
     la, ma = int(stats["la"]), int(stats["ma"])
     lb, mb = int(stats["lb"]), int(stats["mb"])
     qa = F.expr(f"((CAST({col_a} AS BIGINT) - {la}) * {1 << Z_BITS}) "
                 f"div ({ma} - {la} + 1)")
     qb = F.expr(f"((CAST({col_b} AS BIGINT) - {lb}) * {1 << Z_BITS}) "
                 f"div ({mb} - {lb} + 1)")
+    return qa, qb
+
+
+def zorder_repartition(df: DataFrame, col_a: str, col_b: str,
+                       n_files: int = 1 << FILE_BITS) -> DataFrame:
+    """Physically lay ``df`` out along the z-order curve: range-partition
+    on the Morton z-value into ``n_files`` partitions and sort within
+    each, so every output file covers one contiguous z-range and its
+    parquet footer min/max is TIGHT ON BOTH key columns. This is the
+    writer-side half of ``zorder_file_layout``'s plan — what Delta's
+    OPTIMIZE ZORDER BY executes — and feeds the versioned format's
+    commit-recorded stats (sources/versioned.py), so
+    ``read_versioned(prune=...)`` skips files on either dimension.
+    The range partitioner samples z-values (one pass) instead of a
+    global sort; row content is unchanged."""
+    qa, qb = _quantized_exprs(df, col_a, col_b)
+    z = F.expr(_morton_sql("_qa", "_qb", "div"))
+    return (
+        df.withColumn("_qa", qa).withColumn("_qb", qb)
+        .withColumn("_z", z).drop("_qa", "_qb")
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+
+
+def zorder_file_layout(df: DataFrame, col_a: str, col_b: str,
+                       file_bits: int = FILE_BITS) -> DataFrame:
+    """Per-file layout footprint after z-ordering ``df`` on (col_a, col_b):
+    (file_id, n_rows, min_a, max_a, min_b, max_b). file_id = the top
+    ``file_bits`` bits of the 2*Z_BITS-bit z-value (radix partition);
+    quantization is range-normalized (see ``_quantized_exprs``)."""
+    qa, qb = _quantized_exprs(df, col_a, col_b)
     shift = 1 << (2 * Z_BITS - file_bits)
     return (
         df.select(

@@ -356,3 +356,46 @@ def test_zorder_quantization_negative_and_offset_ranges(spark):
     out = zorder_file_layout(off, "a", "b", file_bits=4).collect()
     assert len(out) > 1, "offset range collapsed into one file"
     assert sum(r["n_rows"] for r in out) == 1000
+
+
+def test_zorder_repartition_makes_pruning_bite_on_both_dims(spark):
+    """The writer-side half of the z-order story: a versioned table
+    written through zorder_repartition must carry per-file footprints
+    tight on BOTH key columns, so a range-pruned read on EITHER
+    dimension plans strictly fewer files — while the same predicate on
+    a hash-shuffled write prunes nothing (every file spans the full
+    range)."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    import covid_19_data_engineering_spark.sources.versioned as V
+    from covid_19_data_engineering_spark.operators.layout import (
+        zorder_repartition,
+    )
+
+    n = 1 << 14
+    df = spark.range(n).select(
+        F.col("id").alias("a"),
+        # decorrelated second key: bit-reversed-ish permutation
+        ((F.col("id") * 48271) % n).alias("b"),
+    )
+
+    zt = tempfile.mkdtemp() + "/z"
+    V.write_versioned(zorder_repartition(df, "a", "b", n_files=16), zt)
+    ut = tempfile.mkdtemp() + "/u"
+    V.write_versioned(df.repartition(16), ut)
+
+    total = len(V.read_versioned(spark, zt).inputFiles())
+    assert total >= 8  # the range partitioner actually fanned out
+    for col in ("a", "b"):
+        pruned = len(V.read_versioned(
+            spark, zt, prune={col: (0, n // 16)}).inputFiles())
+        assert pruned < total, f"z-ordered table did not prune on {col}"
+        unpruned = len(V.read_versioned(
+            spark, ut, prune={col: (0, n // 16)}).inputFiles())
+        assert unpruned == len(V.read_versioned(spark, ut).inputFiles())
+    # correctness: the pruned read still returns every matching row
+    got = V.read_versioned(spark, zt, prune={"a": (100, 199)}) \
+        .where("a BETWEEN 100 AND 199").count()
+    assert got == 100
