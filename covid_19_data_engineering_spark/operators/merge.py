@@ -90,6 +90,45 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key_col: str,
     )
 
 
+def merge_versioned(spark: SparkSession, path: str, updates: DataFrame,
+                    key_col: str, max_conflict_retries: int = 3) -> int:
+    """Row-level MERGE INTO a versioned table (upsert: update matched
+    keys, insert new ones) — the Delta ``MERGE`` analogue on the
+    engine's own log-structured format (sources/versioned.py).
+
+    Read-modify-write done SAFELY: the rewrite commits with
+    ``expect_base`` pinned to the snapshot version the merge was derived
+    from, so a concurrent append/compaction raises CommitConflict inside
+    write_versioned instead of being silently erased; the merge then
+    re-reads and retries (bounded). Plan shape: one left-anti join of
+    the table against the update keys (drop superseded rows) + union —
+    a single key-partitioned shuffle on each side; at scale, writing the
+    table bucketed by the merge key makes the anti-join co-located.
+    Returns the committed version."""
+    from covid_19_data_engineering_spark.sources.versioned import (
+        CommitConflict,
+        read_versioned,
+        table_versions,
+        write_versioned,
+    )
+
+    for _ in range(max_conflict_retries):
+        base = table_versions(path)[-1]
+        current = read_versioned(spark, path, version=base)
+        keys = updates.select(key_col)
+        merged = current.join(keys, key_col, "left_anti") \
+            .unionByName(updates.select(*current.columns))
+        try:
+            return write_versioned(merged, path, mode="overwrite",
+                                   expect_base=base,
+                                   meta={"merge_key": key_col})
+        except CommitConflict:
+            continue  # a writer landed mid-merge: re-derive from its tip
+    raise CommitConflict(
+        f"merge_versioned: lost {max_conflict_retries} derivation races "
+        f"on {path}")
+
+
 # --- registered instantiations over the synthetic star schema ----------------
 # updates: every 10th customer's balance moves by +100 — a deterministic
 # stand-in for the day's changed rows.

@@ -622,3 +622,27 @@ def test_round6_scans_are_column_pruned(spark):
     for schema in read_schemas("sequence_packing_manifest", "documents"):
         assert "doc_id" in schema and "text" in schema
         assert "source" not in schema and "lang" not in schema
+
+
+def test_zorder_repartition_plan_is_range_partition_plus_local_sort(spark):
+    """The z-order WRITER must be a range exchange on the z-value plus an
+    in-partition sort — never a global sort (no single total-order
+    reduce at 100 TB). Pins: RangePartitioning exchange present, the
+    Sort node is non-global, and the helper columns never reach the
+    output schema."""
+    from covid_19_data_engineering_spark.operators.layout import (
+        zorder_repartition,
+    )
+    from covid_19_data_engineering_spark.sources.tables import load_table
+
+    li = load_table(spark, "lineitem", "/root/testdata/sf0.001") \
+        .select("l_orderkey", "l_partkey")
+    out = zorder_repartition(li, "l_orderkey", "l_partkey", n_files=8)
+    assert out.columns == ["l_orderkey", "l_partkey"]
+    plan = _executed_plan(out)
+    assert "rangepartitioning" in plan.lower()
+    # executed-plan sorts print as "Sort [keys], <global>, <offset>";
+    # a global sort would read ", true,"
+    sort_lines = [ln for ln in plan.splitlines() if "Sort [" in ln]
+    assert sort_lines and all(", false," in ln for ln in sort_lines), (
+        f"expected only local sorts, got: {sort_lines}")

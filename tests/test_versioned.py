@@ -583,3 +583,45 @@ def test_txn_replay_refused_and_raced_replay_serialized(spark):
     assert sorted(r[0] for r in results) == ["ok", "replay"]
     assert V.current_version(tbl) == before + 1
     assert V.last_txn_epoch(tbl, "racer") == 1
+
+
+def test_merge_versioned_upserts_and_survives_concurrent_append(spark):
+    """Row-level MERGE INTO the versioned format: matched keys update,
+    new keys insert, untouched rows survive — and a concurrent append
+    landing mid-merge is NOT erased: the CAS rejects the stale rewrite
+    and the retry re-derives from the appender's tip."""
+    import tempfile
+
+    import covid_19_data_engineering_spark.sources.versioned as V
+    from covid_19_data_engineering_spark.operators.merge import merge_versioned
+
+    tbl = tempfile.mkdtemp() + "/t"
+    V.write_versioned(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), tbl)
+    v = merge_versioned(
+        spark, tbl, _df(spark, [(2, "B2"), (9, "new")]), "id")
+    assert v == 2
+    got = {r["id"]: r["v"] for r in V.read_versioned(spark, tbl).collect()}
+    assert got == {1: "a", 2: "B2", 3: "c", 9: "new"}
+
+    # concurrent append: inject a competing commit between derivation and
+    # claim by making the FIRST write_versioned call observe a moved tip
+    real_write = V.write_versioned
+    calls = {"n": 0}
+
+    def racing_write(df, path, **kw):
+        if calls["n"] == 0:
+            calls["n"] += 1
+            real_write(_df(spark, [(50, "raced")]), path, mode="append")
+        return real_write(df, path, **kw)
+
+    import covid_19_data_engineering_spark.operators.merge as M
+    orig = V.write_versioned
+    try:
+        # patch the name merge_versioned resolves at call time
+        V.write_versioned = racing_write  # noqa: simulated interleaving
+        merge_versioned(spark, tbl, _df(spark, [(3, "C3")]), "id")
+    finally:
+        V.write_versioned = orig
+    got = {r["id"]: r["v"] for r in V.read_versioned(spark, tbl).collect()}
+    # the raced append's row SURVIVES the merge rewrite
+    assert got == {1: "a", 2: "B2", 3: "C3", 9: "new", 50: "raced"}
