@@ -107,6 +107,8 @@ EXTRA = [
     "exact_price_quantiles",
     "semantic_dedup_ivf",
     "retrieval_quality_eval",
+    # round-8 additions
+    "embedding_random_projection",
 ]
 
 

@@ -774,3 +774,94 @@ def ann_lsh_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_range_search(corpus, default_queries(corpus)).orderBy(
         "query_id", F.col("cosine").desc(), "vec_id"
     )
+
+
+# ------------------------------------------------------- random projection
+
+# Johnson-Lindenstrauss sign projection: out_j = sum_d e[d] * s[j][d]
+# / sqrt(RP_DIM), with s = +-1 from the SAME fixed integer mix as the LSH
+# hyperplane pool (sign of each plane component) — deterministic across
+# runs and engines, no runtime randomness. A +-1 (Achlioptas) matrix is a
+# valid JL projection, and reusing the plane mix means the projection and
+# the LSH buckets agree on their source of randomness.
+RP_DIM = 8
+RP_IN_DIM = 64
+
+_RP_SIGNS: list[list[float]] = [
+    [1.0 if (((p * 1_000_003 + d) * 2654435761) % 2**32) / 2**31 - 1.0 >= 0
+     else -1.0
+     for d in range(RP_IN_DIM)]
+    for p in range(RP_DIM)
+]
+
+
+def random_projection(corpus: DataFrame, out_dim: int = RP_DIM) -> DataFrame:
+    """(vec_id, dim_idx, value): ``out_dim`` JL sign-projection
+    coordinates per vector, long format so the readout is scalar-typed
+    (stable cross-engine hashing). Map-only — one corpus scan, zero
+    shuffles; each coordinate is a fold inside whole-stage codegen. At
+    100 TB this is the cheap preprocessing that shrinks every downstream
+    ANN / clustering distance computation by dim/out_dim."""
+    e = F.col("embedding").cast("array<double>")
+    scale = float(out_dim) ** 0.5
+    coords = F.array(*[
+        F.struct(
+            F.lit(j).alias("dim_idx"),
+            F.round(
+                F.aggregate(
+                    F.zip_with(e,
+                               F.array(*[F.lit(s) for s in _RP_SIGNS[j]]),
+                               lambda x, sg: (x * sg).cast("double")),
+                    F.lit(0.0), lambda acc, v: acc + v,
+                ) / F.lit(scale), 6,
+            ).alias("value"),
+        )
+        for j in range(out_dim)
+    ])
+    return (
+        corpus.select("vec_id", F.explode(coords).alias("c"))
+        .select("vec_id", F.col("c.dim_idx").alias("dim_idx"),
+                F.col("c.value").alias("value"))
+    )
+
+
+def _random_projection_oracle_sql() -> str:
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    signs AS (
+      SELECT CAST(p AS INTEGER) AS dim_idx,
+             list_transform(
+               range(0, {RP_IN_DIM}),
+               d -> CASE WHEN CAST((p * 1000003 + d) * 2654435761
+                                   % 4294967296 AS DOUBLE)
+                              / 2147483648.0 - 1.0 >= 0
+                         THEN 1.0 ELSE -1.0 END
+             ) AS s
+      FROM (SELECT unnest(range(0, {RP_DIM})) AS p)
+    )
+    SELECT v.vec_id, sg.dim_idx,
+           ROUND(list_reduce(
+                   list_transform(range(1, {RP_IN_DIM} + 1),
+                                  i -> v.e[i] * sg.s[i]),
+                   (a, b) -> a + b) / sqrt({RP_DIM}.0), 6) AS value
+    FROM emb v CROSS JOIN signs sg
+    ORDER BY v.vec_id, sg.dim_idx
+    """
+
+
+@register(
+    "embedding_random_projection",
+    oracle=_random_projection_oracle_sql(),
+    doc=f"Johnson-Lindenstrauss sign projection {RP_IN_DIM}->{RP_DIM} "
+    "dims: +-1 Achlioptas matrix derived from the shared deterministic "
+    "hyperplane integer mix, 1/sqrt(k) scaling, long-format scalar "
+    "readout. Map-only (one corpus scan, zero shuffles, codegen folds) "
+    "— the preprocessing that divides every downstream distance "
+    "computation's cost by dim/out_dim at 100 TB.",
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "embedding")
+    return random_projection(corpus).orderBy("vec_id", "dim_idx")

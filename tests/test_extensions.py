@@ -1367,3 +1367,37 @@ def test_bpe_batched_scales_to_hundreds_of_merges(spark):
     bat = [(r["left_sym"], r["right_sym"], r["pair_count"])
            for r in rows[: len(disjoint)]]
     assert bat == disjoint
+
+
+def test_random_projection_linearity_and_dup_preservation(spark):
+    """JL sign projection invariants that hold EXACTLY (not just in
+    expectation): linearity (P(2v) = 2P(v)), zero maps to zero, and
+    byte-equal vectors project byte-equal — so exact-dup structure
+    survives the dimensionality cut, which is what lets downstream
+    dedup run in projected space."""
+    import pyspark.sql.functions as F
+
+    from covid_19_data_engineering_spark.operators.similarity import (
+        RP_DIM,
+        random_projection,
+    )
+
+    base = [((i * 31 + 7) % 100) / 50.0 - 1.0 for i in range(64)]
+    rows = [
+        (1, base),
+        (2, [2 * x for x in base]),   # scaled copy
+        (3, [0.0] * 64),              # zero vector
+        (4, base),                    # byte-equal duplicate of 1
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = random_projection(emb).collect()
+    proj = {}
+    for r in out:
+        proj.setdefault(r["vec_id"], {})[r["dim_idx"]] = r["value"]
+    assert all(len(v) == RP_DIM for v in proj.values())
+    assert proj[3] == {j: 0.0 for j in range(RP_DIM)}
+    assert proj[4] == proj[1]
+    for j in range(RP_DIM):
+        assert abs(proj[2][j] - 2 * proj[1][j]) < 1e-5
+    # the projection is not degenerate: some coordinate is non-zero
+    assert any(abs(v) > 1e-9 for v in proj[1].values())

@@ -646,3 +646,19 @@ def test_zorder_repartition_plan_is_range_partition_plus_local_sort(spark):
     sort_lines = [ln for ln in plan.splitlines() if "Sort [" in ln]
     assert sort_lines and all(", false," in ln for ln in sort_lines), (
         f"expected only local sorts, got: {sort_lines}")
+
+
+def test_random_projection_is_map_only(spark):
+    """The JL projection must be one corpus scan with zero exchanges and
+    zero Python eval — a shuffle or UDF here would multiply the cost of
+    the cheapest preprocessing step in the stack."""
+    from covid_19_data_engineering_spark.plans.registry import REGISTRY
+
+    plan = _executed_plan(
+        REGISTRY["embedding_random_projection"].builder(
+            spark, "/root/testdata/sf0.001").limit(50))
+    body = plan.split("== Initial Plan ==")[0]
+    # the orderBy in the registered query is the readout, not the
+    # operator; limit keeps it a TakeOrdered, never a full exchange
+    assert "BatchEvalPython" not in body and "ArrowEvalPython" not in body
+    assert "Exchange hashpartitioning" not in body, "projection shuffled"
