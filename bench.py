@@ -109,6 +109,7 @@ EXTRA = [
     "retrieval_quality_eval",
     # round-8 additions
     "embedding_random_projection",
+    "ann_projected_topk",
 ]
 
 

@@ -865,3 +865,161 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", "embedding")
     return random_projection(corpus).orderBy("vec_id", "dim_idx")
+
+
+# candidate multiplier for the projected-space shortlist: exact re-rank
+# sees expand*k candidates per query
+RP_EXPAND = 4
+
+
+def _project_expr(vec_col) -> Column:
+    """array<double> of RP_DIM JL coordinates (unrounded — the left-fold
+    sums are bit-identical across engines, rounding happens at the
+    similarity readout)."""
+    e = vec_col.cast("array<double>")
+    scale = float(RP_DIM) ** 0.5
+    return F.array(*[
+        F.aggregate(
+            F.zip_with(e, F.array(*[F.lit(s) for s in _RP_SIGNS[j]]),
+                       lambda x, sg: (x * sg).cast("double")),
+            F.lit(0.0), lambda acc, v: acc + v,
+        ) / F.lit(scale)
+        for j in range(RP_DIM)
+    ])
+
+
+def projected_topk(corpus: DataFrame, queries: DataFrame, k: int = TOP_K,
+                   expand: int = RP_EXPAND) -> DataFrame:
+    """Two-stage ANN through the JL projection: rank ALL pairs by cosine
+    in the RP_DIM projected space (per-pair flops divided by
+    dim/RP_DIM; the candidate window carries only ids + one rounded
+    score, never a vector), keep expand*k candidates per query, then
+    re-rank the shortlist by exact full-dim cosine via a broadcast
+    join-back. Same output contract as brute_force_topk; recall is the
+    stated trade (pytest pins the exact-duplicate and planted-family
+    cases, and the oracle replays both stages so the trade is
+    deterministic, not sampled)."""
+    pc = corpus.select("vec_id", _project_expr(F.col("embedding")).alias("p"))
+    pq = queries.select(
+        "query_id", _project_expr(F.col("q_embedding")).alias("qp"))
+    cand_w = Window.partitionBy("query_id").orderBy(
+        F.col("pcos").desc(), F.col("vec_id"))
+    cands = (
+        pc.crossJoin(F.broadcast(pq))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id",
+                F.round(cosine_sim(F.col("qp"), F.col("p")), 6).alias("pcos"))
+        .withColumn("crank", F.row_number().over(cand_w))
+        .where(F.col("crank") <= expand * k)
+        .select("query_id", "vec_id")
+    )
+    exact = (
+        corpus.join(F.broadcast(cands), "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select("query_id", "vec_id",
+                # cast BEFORE the fold: float*float products differ from
+                # the oracle's double arithmetic by enough to flip a
+                # ROUND(x, 6) boundary (observed at sf0.1)
+                F.round(cosine_sim(F.col("q_embedding").cast("array<double>"),
+                                   F.col("embedding").cast("array<double>")),
+                        6).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
+def _fold_cos_sql(a: str, b: str, dim: int) -> str:
+    """Cosine as the engine's EXACT fold arithmetic: left-fold dot and
+    norms, then dot / (na * nb) — bit-identical to cosine_sim before
+    rounding, where DuckDB's list_cosine_similarity can differ by an ULP
+    and flip a ROUND(x, 6) boundary (observed at sf0.1)."""
+    dot = (f"list_reduce(list_transform(range(1, {dim} + 1), "
+           f"i -> {a}[i] * {b}[i]), (x, y) -> x + y)")
+    na = (f"sqrt(list_reduce(list_transform(range(1, {dim} + 1), "
+          f"i -> {a}[i] * {a}[i]), (x, y) -> x + y))")
+    nb = (f"sqrt(list_reduce(list_transform(range(1, {dim} + 1), "
+          f"i -> {b}[i] * {b}[i]), (x, y) -> x + y))")
+    return f"({dot} / ({na} * {nb}))"
+
+
+def _projected_topk_oracle_sql() -> str:
+    c = RP_EXPAND * TOP_K
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    signs AS (
+      SELECT p,
+             list_transform(
+               range(0, {RP_IN_DIM}),
+               d -> CASE WHEN CAST((p * 1000003 + d) * 2654435761
+                                   % 4294967296 AS DOUBLE)
+                              / 2147483648.0 - 1.0 >= 0
+                         THEN 1.0 ELSE -1.0 END
+             ) AS s
+      FROM (SELECT unnest(range(0, {RP_DIM})) AS p)
+    ),
+    proj AS (
+      SELECT v.vec_id,
+             list(list_reduce(
+                    list_transform(range(1, {RP_IN_DIM} + 1),
+                                   i -> v.e[i] * sg.s[i]),
+                    (a, b) -> a + b) / sqrt({RP_DIM}.0)
+                  ORDER BY sg.p) AS pl
+      FROM emb v CROSS JOIN signs sg
+      GROUP BY v.vec_id
+    ),
+    queries AS (
+      SELECT vec_id AS query_id FROM embeddings
+      ORDER BY vec_id LIMIT {N_QUERY_VECTORS}
+    ),
+    cands AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, c.vec_id,
+               ROUND({_fold_cos_sql('pq.pl', 'c.pl', RP_DIM)}, 6) AS pcos,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY ROUND({_fold_cos_sql('pq.pl', 'c.pl', RP_DIM)}, 6) DESC,
+                          c.vec_id) AS crank
+        FROM proj c
+        CROSS JOIN queries q
+        JOIN proj pq ON pq.vec_id = q.query_id
+        WHERE c.vec_id != q.query_id
+      ) WHERE crank <= {c}
+    )
+    SELECT query_id, rank, vec_id, cosine FROM (
+      SELECT cd.query_id, cd.vec_id,
+             ROUND({_fold_cos_sql('qe.e', 'ce.e', RP_IN_DIM)}, 6) AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY cd.query_id
+               ORDER BY ROUND({_fold_cos_sql('qe.e', 'ce.e', RP_IN_DIM)}, 6)
+                          DESC,
+                        cd.vec_id) AS rank
+      FROM cands cd
+      JOIN emb qe ON qe.vec_id = cd.query_id
+      JOIN emb ce ON ce.vec_id = cd.vec_id
+    ) WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """
+
+
+@register(
+    "ann_projected_topk",
+    oracle=_projected_topk_oracle_sql(),
+    doc=f"Two-stage ANN through the {RP_IN_DIM}->{RP_DIM} JL projection: "
+    f"projected-space cosine shortlist ({RP_EXPAND}x{TOP_K} candidates "
+    "per query, the candidate window carries ids only — no vector rides "
+    "the shuffle), exact full-dim re-rank via broadcast join-back. "
+    f"Per-pair scoring flops divided by {RP_IN_DIM // RP_DIM}; both "
+    "stages oracle-replayed so the recall trade is deterministic.",
+)
+def ann_projected_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "embedding")
+    return projected_topk(corpus, default_queries(corpus)).orderBy(
+        "query_id", "rank")

@@ -1401,3 +1401,34 @@ def test_random_projection_linearity_and_dup_preservation(spark):
         assert abs(proj[2][j] - 2 * proj[1][j]) < 1e-5
     # the projection is not degenerate: some coordinate is non-zero
     assert any(abs(v) > 1e-9 for v in proj[1].values())
+
+
+def test_projected_topk_finds_exact_and_near_duplicates(spark):
+    """Deterministic recall pins for the projected-space ANN: an EXACT
+    duplicate of the query projects identically (pcos = 1.0), so it must
+    survive the shortlist and re-rank at #1 with cosine 1.0; a planted
+    high-cosine family must dominate the top ranks over background
+    noise."""
+    import random
+
+    from covid_19_data_engineering_spark.operators.similarity import (
+        projected_topk,
+    )
+
+    rng = random.Random(7)
+    anchor = [rng.uniform(-1, 1) for _ in range(64)]
+    rows = [(0, anchor)]                       # the query
+    rows += [(1, list(anchor))]                # exact duplicate
+    rows += [(i, [x + rng.uniform(-0.05, 0.05) for x in anchor])
+             for i in range(2, 8)]            # near-dup family
+    rows += [(i, [rng.uniform(-1, 1) for _ in range(64)])
+             for i in range(100, 400)]        # background noise
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(0, anchor)], "query_id long, q_embedding array<double>")
+
+    out = projected_topk(emb, queries, k=10).orderBy("rank").collect()
+    assert len(out) == 10
+    assert out[0]["vec_id"] == 1 and out[0]["cosine"] == 1.0
+    top7 = {r["vec_id"] for r in out[:7]}
+    assert top7 == {1, 2, 3, 4, 5, 6, 7}, f"family not recovered: {top7}"

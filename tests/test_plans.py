@@ -662,3 +662,20 @@ def test_random_projection_is_map_only(spark):
     # operator; limit keeps it a TakeOrdered, never a full exchange
     assert "BatchEvalPython" not in body and "ArrowEvalPython" not in body
     assert "Exchange hashpartitioning" not in body, "projection shuffled"
+
+
+def test_projected_topk_candidate_shuffle_carries_no_vectors(spark):
+    """The projected ANN's candidate window must shuffle only (query_id,
+    vec_id, pcos) — a 64-float embedding riding the n x q candidate
+    exchange would erase the projection's savings. Also: no Python eval,
+    no CartesianProduct (the query side is broadcast)."""
+    import re
+
+    from covid_19_data_engineering_spark.plans.registry import REGISTRY
+
+    plan = _executed_plan(REGISTRY["ann_projected_topk"].builder(
+        spark, "/root/testdata/sf0.001"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "embedding" not in m.group(1), f"vector in shuffle key: {m.group(0)}"

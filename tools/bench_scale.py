@@ -64,6 +64,9 @@ FAMILY = [
     "sequence_packing_manifest",
     "zorder_file_layout",
     "exact_price_quantiles",
+    # round-8
+    "embedding_random_projection",
+    "ann_projected_topk",
 ]
 
 ID_OFFSET = 1_000_000
