@@ -210,12 +210,43 @@ def _rep_cells(reps: DataFrame, k: int) -> DataFrame:
     return _cap_rank_cells(assigned)
 
 
+def _fine_assign(members: DataFrame, farr: DataFrame) -> DataFrame:
+    """Assign each member to its nearest fine centroid WITHIN its coarse
+    cell — distributed by an equi-join on ccid (never a monolithic
+    broadcast); argmin over struct(dist, fcid) inside one codegen
+    projection. Output: (vec_id, e, ccid, fcid, dist)."""
+    best = F.array_min(
+        F.transform(
+            F.col("fs"),
+            lambda f: F.struct(
+                _sqdist(F.col("e"), f["fc"]).alias("dist"),
+                f["fcid"].alias("fcid"),
+            ),
+        )
+    )
+    return (
+        members.join(farr, "ccid")
+        .select("vec_id", "e", "ccid", best.alias("best"))
+        .select("vec_id", "e", "ccid",
+                F.col("best.fcid").alias("fcid"),
+                F.col("best.dist").alias("dist"))
+    )
+
+
 def _ivf_cells(reps: DataFrame, n_reps: int,
                k_total: int | None = None) -> DataFrame:
     """Two-level partition: K1 = ceil(sqrt(K_total)) broadcast coarse
     centroids (single-round argmin), then per-coarse-cell fine centroids
-    seeded from the cell's lowest vec_ids and distributed BY JOIN on the
-    coarse id — no K-row broadcast anywhere. Cell id = 'coarse:fine'."""
+    seeded from the cell's lowest vec_ids, refined with ONE Lloyd round
+    (the same integer-exact fixed-point centroid update as the flat
+    quantizer's kmeans, keyed by (coarse, fine)) and distributed BY JOIN
+    on the coarse id — no K-row broadcast anywhere. The refinement
+    removes the seeded-Voronoi quality gap the round-6 docstring traded
+    away: fine cells now center on their members, matching the flat
+    path's assign -> update -> reassign protocol. Cell id =
+    'coarse:fine'."""
+    from covid_19_data_engineering_spark.operators.kmeans import COORD_UNIT
+
     if k_total is None:
         k_total = max(KM_K, n_reps // SEM_CLUSTER_TARGET)
     k1 = int(math.ceil(math.sqrt(float(k_total))))
@@ -238,27 +269,40 @@ def _ivf_cells(reps: DataFrame, n_reps: int,
     # one array of fine centroids per coarse cell, distributed by join —
     # argmin over struct(dist, fcid) is order-independent, so the
     # collect_list order does not matter
-    farr = seeds.groupBy("ccid").agg(
+    farr0 = seeds.groupBy("ccid").agg(
         F.collect_list(F.struct("fcid", "fc")).alias("fs"))
-    best = F.array_min(
-        F.transform(
-            F.col("fs"),
-            lambda f: F.struct(
-                _sqdist(F.col("e"), f["fc"]).alias("dist"),
-                f["fcid"].alias("fcid"),
-            ),
+    members = seeded.select("vec_id", "e", "ccid")
+    f1 = _fine_assign(members, farr0)
+    # Lloyd update, (ccid, fcid, pos)-keyed: at most K x dim groups, the
+    # identical su/cnt fixed-point arithmetic as kmeans cent1 (exact on
+    # both engines); empty fine cells simply vanish and each coarse cell
+    # keeps >= 1 centroid (it had >= 1 member)
+    fupd = (
+        f1.select("ccid", "fcid", F.posexplode("e").alias("pos", "val"))
+        .groupBy("ccid", "fcid", "pos")
+        .agg(
+            F.sum(F.floor(F.col("val") * COORD_UNIT)).alias("su"),
+            F.count("*").alias("cnt"),
+        )
+        .select(
+            "ccid", "fcid", "pos",
+            (F.col("su").cast("double") / F.col("cnt") / COORD_UNIT)
+            .alias("coord"),
         )
     )
-    assigned = (
-        seeded.select("vec_id", "e", "ccid")
-        .join(farr, "ccid")
-        .select("vec_id", "e", "ccid", best.alias("best"))
-        .select(
-            "vec_id", "e",
-            F.concat(F.col("ccid").cast("string"), F.lit(":"),
-                     F.col("best.fcid").cast("string")).alias("cell"),
-            F.col("best.dist").alias("dist"),
-        )
+    fcent1 = fupd.groupBy("ccid", "fcid").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "coord"))),
+            lambda s: s["coord"],
+        ).alias("fc")
+    )
+    farr1 = fcent1.groupBy("ccid").agg(
+        F.collect_list(F.struct("fcid", "fc")).alias("fs"))
+    assigned = _fine_assign(members, farr1).select(
+        "vec_id", "e",
+        F.concat(F.col("ccid").cast("string"), F.lit(":"),
+                 F.col("fcid").cast("string")).alias("cell"),
+        "dist",
     )
     return _cap_rank_cells(assigned)
 
@@ -474,9 +518,14 @@ def _flat_cells_select() -> str:
 
 def _ivf_chain_sql() -> str:
     """The IVF quantizer's CTE chain (reps -> c0 -> coarse -> seeded ->
-    fseeds) — shared by the ivf-only and the auto-switch oracles."""
+    fseeds -> fa1 -> fupd -> fcent1) — shared by the ivf-only and the
+    auto-switch oracles. fa1/fupd/fcent1 replay the engine's one Lloyd
+    refinement of the fine centroids with the identical su/cnt
+    fixed-point arithmetic as the flat kmeans chain."""
     t = SEM_CLUSTER_TARGET
     sq = _sqdist_sql
+    from covid_19_data_engineering_spark.operators.kmeans import COORD_UNIT
+
     return f"""reps AS (SELECT vec_id, e FROM withrep WHERE vec_id = rep),
     c0 AS (
       SELECT vec_id AS cid, e AS c FROM (
@@ -504,6 +553,29 @@ def _ivf_chain_sql() -> str:
     fseeds AS (
       SELECT ccid, vec_id AS fcid, e AS fc FROM seeded
       WHERE _crn <= (_ccnt + {t} - 1) // {t}
+    ),
+    fa1 AS (
+      SELECT vec_id, e, ccid, fcid FROM (
+        SELECT m.vec_id, m.e, m.ccid, f.fcid,
+               ROW_NUMBER() OVER (PARTITION BY m.vec_id
+                                  ORDER BY {sq('m.e', 'f.fc')}, f.fcid) AS rn
+        FROM seeded m JOIN fseeds f ON f.ccid = m.ccid
+      ) WHERE rn = 1
+    ),
+    fupd AS (
+      SELECT ccid, fcid, pos,
+             CAST(SUM(CAST(floor(val * {COORD_UNIT}) AS BIGINT)) AS BIGINT)
+               AS su,
+             COUNT(*) AS cnt
+      FROM (SELECT ccid, fcid, unnest(range(1, {KM_DIM} + 1)) AS pos,
+                   unnest(e) AS val
+            FROM fa1)
+      GROUP BY ccid, fcid, pos
+    ),
+    fcent1 AS (
+      SELECT ccid, fcid,
+             list(CAST(su AS DOUBLE) / cnt / {COORD_UNIT} ORDER BY pos) AS fc
+      FROM fupd GROUP BY ccid, fcid
     )"""
 
 
@@ -516,7 +588,7 @@ def _ivf_cells_select() -> str:
                {sq('m.e', 'f.fc')} AS dist,
                ROW_NUMBER() OVER (PARTITION BY m.vec_id
                                   ORDER BY {sq('m.e', 'f.fc')}, f.fcid) AS rn
-        FROM seeded m JOIN fseeds f ON f.ccid = m.ccid
+        FROM seeded m JOIN fcent1 f ON f.ccid = m.ccid
       ) WHERE rn = 1"""
 
 
