@@ -61,10 +61,12 @@ seeded from the cell's lowest vec_ids and DISTRIBUTED BY JOIN on the
 coarse cell id — no monolithic broadcast anywhere, assignment cost
 ~2 n sqrt(K). Fine cells target the same 256 expected members, and the
 same collapse / cap / decision tail runs unchanged (cell id =
-'coarse:fine' string). The fine assignment is single-round (seeded
-Voronoi, no Lloyd update) — the quantizer-quality trade for a
-replayable oracle, stated here; the paper's full k-means is a quality
-upgrade on the same plan shape.
+'coarse:fine' string). Round 8: the fine assignment is seeded Voronoi
+PLUS ONE Lloyd refinement round ((coarse, fine)-keyed integer-exact
+centroid update, replayed CTE-for-CTE) — the same assign -> update ->
+reassign protocol as the flat quantizer, closing the round-6
+quality-trade note; the paper's fully converged k-means remains a
+further upgrade on the same plan shape.
 
 Decision rule (deterministic, single-pass, SQL-expressible): rank each
 cell's members by distance-to-centroid (closest first, vec_id tie);
