@@ -110,6 +110,7 @@ EXTRA = [
     # round-8 additions
     "embedding_random_projection",
     "ann_projected_topk",
+    "ann_projected_recall",
 ]
 
 

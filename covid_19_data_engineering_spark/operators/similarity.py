@@ -1023,3 +1023,139 @@ def ann_projected_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding")
     return projected_topk(corpus, default_queries(corpus)).orderBy(
         "query_id", "rank")
+
+
+def projected_recall(corpus: DataFrame, queries: DataFrame,
+                     k: int = TOP_K) -> DataFrame:
+    """(query_id, n_overlap, recall): recall@k of the projected two-stage
+    ANN against the exact brute-force top-k, per query — the projection's
+    accuracy trade as a MEASURED number instead of a docstring claim.
+    Both pipelines are deterministic, so the readout is exact and
+    oracle-replayable. The brute side runs on double-cast embeddings so
+    its fold matches the oracle bit-for-bit (same ULP lesson as the
+    projected re-rank)."""
+    dcorpus = corpus.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    dqueries = queries.select(
+        "query_id",
+        F.col("q_embedding").cast("array<double>").alias("q_embedding"))
+    brute = brute_force_topk(dcorpus, dqueries, k).select(
+        "query_id", "vec_id")
+    proj = projected_topk(dcorpus, dqueries, k).select(
+        "query_id", "vec_id")
+    hits = (
+        brute.join(proj, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        queries.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.round(F.coalesce("n_overlap", F.lit(0)) / F.lit(float(k)), 4)
+            .alias("recall"),
+        )
+    )
+
+
+def _projected_recall_oracle_sql() -> str:
+    c = RP_EXPAND * TOP_K
+    brute_cos = _fold_cos_sql("qe.e", "ce.e", RP_IN_DIM)
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    signs AS (
+      SELECT p,
+             list_transform(
+               range(0, {RP_IN_DIM}),
+               d -> CASE WHEN CAST((p * 1000003 + d) * 2654435761
+                                   % 4294967296 AS DOUBLE)
+                              / 2147483648.0 - 1.0 >= 0
+                         THEN 1.0 ELSE -1.0 END
+             ) AS s
+      FROM (SELECT unnest(range(0, {RP_DIM})) AS p)
+    ),
+    proj AS (
+      SELECT v.vec_id,
+             list(list_reduce(
+                    list_transform(range(1, {RP_IN_DIM} + 1),
+                                   i -> v.e[i] * sg.s[i]),
+                    (a, b) -> a + b) / sqrt({RP_DIM}.0)
+                  ORDER BY sg.p) AS pl
+      FROM emb v CROSS JOIN signs sg
+      GROUP BY v.vec_id
+    ),
+    queries AS (
+      SELECT vec_id AS query_id FROM embeddings
+      ORDER BY vec_id LIMIT {N_QUERY_VECTORS}
+    ),
+    brute AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, ce.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY ROUND({brute_cos}, 6) DESC, ce.vec_id) AS rank
+        FROM emb ce
+        CROSS JOIN queries q
+        JOIN emb qe ON qe.vec_id = q.query_id
+        WHERE ce.vec_id != q.query_id
+      ) WHERE rank <= {TOP_K}
+    ),
+    cands AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, c.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY ROUND({_fold_cos_sql('pq.pl', 'c.pl', RP_DIM)},
+                                6) DESC,
+                          c.vec_id) AS crank
+        FROM proj c
+        CROSS JOIN queries q
+        JOIN proj pq ON pq.vec_id = q.query_id
+        WHERE c.vec_id != q.query_id
+      ) WHERE crank <= {c}
+    ),
+    ptop AS (
+      SELECT query_id, vec_id FROM (
+        SELECT cd.query_id, cd.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY cd.query_id
+                 ORDER BY ROUND({brute_cos.replace('ce.e', 'ce2.e')
+                                          .replace('qe.e', 'qe2.e')}, 6)
+                            DESC,
+                          cd.vec_id) AS rank
+        FROM cands cd
+        JOIN emb qe2 ON qe2.vec_id = cd.query_id
+        JOIN emb ce2 ON ce2.vec_id = cd.vec_id
+      ) WHERE rank <= {TOP_K}
+    ),
+    hits AS (
+      SELECT b.query_id, COUNT(*) AS n_overlap
+      FROM brute b JOIN ptop p
+        ON p.query_id = b.query_id AND p.vec_id = b.vec_id
+      GROUP BY b.query_id
+    )
+    SELECT q.query_id,
+           COALESCE(h.n_overlap, 0) AS n_overlap,
+           ROUND(COALESCE(h.n_overlap, 0) / {TOP_K}.0, 4) AS recall
+    FROM queries q LEFT JOIN hits h ON h.query_id = q.query_id
+    ORDER BY q.query_id
+    """
+
+
+@register(
+    "ann_projected_recall",
+    oracle=_projected_recall_oracle_sql(),
+    doc=f"Recall@{TOP_K} of the projected two-stage ANN against the "
+    "exact brute-force ranking, per query — the JL accuracy trade as a "
+    "measured, oracle-replayed number (both pipelines are deterministic, "
+    "so the readout is exact, not sampled).",
+)
+def ann_projected_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "embedding")
+    return projected_recall(corpus, default_queries(corpus)).orderBy(
+        "query_id")
