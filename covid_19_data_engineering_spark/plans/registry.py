@@ -97,6 +97,11 @@ PRIORITY = (
     # gate-checked in full
     "bpe_merge_induction_batched",
     "semantic_dedup_ivf",
+    # round-8 new operators (JL projection family); ann_ivf_topk and
+    # lang_id_confusion rotate out but stay gate-checked in full, with
+    # family representatives remaining in the head
+    "embedding_random_projection",
+    "ann_projected_recall",
     # TPC-H decorrelation shapes + iterative graph
     "tpch_q2_min_cost_supplier",
     "pagerank_copurchase",
@@ -117,10 +122,8 @@ PRIORITY = (
     "dedup_cluster_components",
     # similarity search
     "ann_cosine_topk",
-    "ann_ivf_topk",
     # text analysis + retrieval
     "text_quality_profile",
-    "lang_id_confusion",
     "bm25_retrieval",
     "token_count_bpe",
     # LLM-prep pipeline + embedding clustering
