@@ -679,3 +679,7 @@ def test_projected_topk_candidate_shuffle_carries_no_vectors(spark):
     assert "CartesianProduct" not in plan
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "embedding" not in m.group(1), f"vector in shuffle key: {m.group(0)}"
+    # the rank <= c filter must push a map-side per-query group limit
+    # below the window shuffle — without it, 5 query keys would funnel
+    # the whole corpus through 5 window tasks at scale
+    assert "WindowGroupLimit" in plan, "rank filter not pushed below shuffle"
