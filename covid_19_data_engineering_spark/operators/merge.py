@@ -112,8 +112,23 @@ def merge_versioned(spark: SparkSession, path: str, updates: DataFrame,
         write_versioned,
     )
 
+    # Delta's MERGE rule: multiple source rows matching one target key is
+    # an error, not a silent double-insert — the anti-join would drop the
+    # old row once and append BOTH updates, corrupting the upsert
+    # invariant forever after
+    dup = (updates.groupBy(key_col).count()
+           .where(F.col("count") > 1).limit(1).collect())
+    if dup:
+        raise ValueError(
+            f"merge_versioned: updates carry {dup[0]['count']} rows for "
+            f"{key_col}={dup[0][key_col]!r}; an upsert needs exactly one "
+            "source row per key — pre-aggregate the updates")
+
     for _ in range(max_conflict_retries):
-        base = table_versions(path)[-1]
+        versions = table_versions(path)
+        if not versions:
+            raise FileNotFoundError(f"no committed versions at {path}")
+        base = versions[-1]
         current = read_versioned(spark, path, version=base)
         keys = updates.select(key_col)
         merged = current.join(keys, key_col, "left_anti") \

@@ -21,6 +21,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from covid_19_data_engineering_spark.operators.vectors import (
+    DIM as _VEC_DIM,
+    PLANES,
     cosine_sim,
     lsh_bucket_ctes,
     with_lsh_buckets,
@@ -779,19 +781,16 @@ def ann_lsh_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------- random projection
 
 # Johnson-Lindenstrauss sign projection: out_j = sum_d e[d] * s[j][d]
-# / sqrt(RP_DIM), with s = +-1 from the SAME fixed integer mix as the LSH
-# hyperplane pool (sign of each plane component) — deterministic across
-# runs and engines, no runtime randomness. A +-1 (Achlioptas) matrix is a
-# valid JL projection, and reusing the plane mix means the projection and
-# the LSH buckets agree on their source of randomness.
+# / sqrt(out_dim), with s = +-1 taken DIRECTLY as the signs of the shared
+# LSH hyperplane pool (operators/vectors.PLANES) — one source of
+# randomness for the projection and the buckets, deterministic across
+# runs and engines. A +-1 (Achlioptas) matrix is a valid JL projection.
+# out_dim may be anything up to the pool size (len(PLANES) = 64).
 RP_DIM = 8
-RP_IN_DIM = 64
+RP_IN_DIM = _VEC_DIM
 
 _RP_SIGNS: list[list[float]] = [
-    [1.0 if (((p * 1_000_003 + d) * 2654435761) % 2**32) / 2**31 - 1.0 >= 0
-     else -1.0
-     for d in range(RP_IN_DIM)]
-    for p in range(RP_DIM)
+    [1.0 if c >= 0 else -1.0 for c in plane] for plane in PLANES
 ]
 
 
@@ -799,39 +798,26 @@ def random_projection(corpus: DataFrame, out_dim: int = RP_DIM) -> DataFrame:
     """(vec_id, dim_idx, value): ``out_dim`` JL sign-projection
     coordinates per vector, long format so the readout is scalar-typed
     (stable cross-engine hashing). Map-only — one corpus scan, zero
-    shuffles; each coordinate is a fold inside whole-stage codegen. At
-    100 TB this is the cheap preprocessing that shrinks every downstream
-    ANN / clustering distance computation by dim/out_dim."""
-    e = F.col("embedding").cast("array<double>")
-    scale = float(out_dim) ** 0.5
-    coords = F.array(*[
-        F.struct(
-            F.lit(j).alias("dim_idx"),
-            F.round(
-                F.aggregate(
-                    F.zip_with(e,
-                               F.array(*[F.lit(s) for s in _RP_SIGNS[j]]),
-                               lambda x, sg: (x * sg).cast("double")),
-                    F.lit(0.0), lambda acc, v: acc + v,
-                ) / F.lit(scale), 6,
-            ).alias("value"),
-        )
-        for j in range(out_dim)
-    ])
+    shuffles; the coordinates come from the shared ``_project_expr``
+    fold (one implementation for this operator AND the two-stage ANN),
+    each inside whole-stage codegen. At 100 TB this is the cheap
+    preprocessing that shrinks every downstream ANN / clustering
+    distance computation by dim/out_dim."""
+    coords = _project_expr(F.col("embedding"), out_dim)
     return (
-        corpus.select("vec_id", F.explode(coords).alias("c"))
-        .select("vec_id", F.col("c.dim_idx").alias("dim_idx"),
-                F.col("c.value").alias("value"))
+        corpus.select(
+            "vec_id", F.posexplode(coords).alias("dim_idx", "value"))
+        .select("vec_id", F.col("dim_idx").cast("int").alias("dim_idx"),
+                F.round("value", 6).alias("value"))
     )
 
 
-def _random_projection_oracle_sql() -> str:
-    return f"""
-    WITH emb AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-    ),
-    signs AS (
-      SELECT CAST(p AS INTEGER) AS dim_idx,
+def _rp_signs_cte() -> str:
+    """DuckDB twin of _RP_SIGNS as a ``signs`` CTE — the identical
+    integer mix as vectors.PLANES, shared by every projection oracle so
+    a plane-mix change cannot silently split them."""
+    return f"""signs AS (
+      SELECT p,
              list_transform(
                range(0, {RP_IN_DIM}),
                d -> CASE WHEN CAST((p * 1000003 + d) * 2654435761
@@ -840,14 +826,38 @@ def _random_projection_oracle_sql() -> str:
                          THEN 1.0 ELSE -1.0 END
              ) AS s
       FROM (SELECT unnest(range(0, {RP_DIM})) AS p)
-    )
-    SELECT v.vec_id, sg.dim_idx,
+    )"""
+
+
+def _rp_proj_cte() -> str:
+    """``proj`` CTE: each vector's RP_DIM-coordinate projection list,
+    folded exactly like the engine's _project_expr (expects ``emb`` and
+    ``signs`` in scope)."""
+    return f"""proj AS (
+      SELECT v.vec_id,
+             list(list_reduce(
+                    list_transform(range(1, {RP_IN_DIM} + 1),
+                                   i -> v.e[i] * sg.s[i]),
+                    (a, b) -> a + b) / sqrt({RP_DIM}.0)
+                  ORDER BY sg.p) AS pl
+      FROM emb v CROSS JOIN signs sg
+      GROUP BY v.vec_id
+    )"""
+
+
+def _random_projection_oracle_sql() -> str:
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    {_rp_signs_cte()}
+    SELECT v.vec_id, CAST(sg.p AS INTEGER) AS dim_idx,
            ROUND(list_reduce(
                    list_transform(range(1, {RP_IN_DIM} + 1),
                                   i -> v.e[i] * sg.s[i]),
                    (a, b) -> a + b) / sqrt({RP_DIM}.0), 6) AS value
     FROM emb v CROSS JOIN signs sg
-    ORDER BY v.vec_id, sg.dim_idx
+    ORDER BY v.vec_id, dim_idx
     """
 
 
@@ -872,19 +882,24 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 RP_EXPAND = 4
 
 
-def _project_expr(vec_col) -> Column:
-    """array<double> of RP_DIM JL coordinates (unrounded — the left-fold
-    sums are bit-identical across engines, rounding happens at the
-    similarity readout)."""
+def _project_expr(vec_col, out_dim: int = RP_DIM) -> Column:
+    """array<double> of ``out_dim`` JL coordinates (unrounded — the
+    left-fold sums are bit-identical across engines, rounding happens at
+    the readout). The ONE projection fold: random_projection and the
+    two-stage ANN both build on it, so the arithmetic cannot drift."""
+    if not 1 <= out_dim <= len(_RP_SIGNS):
+        raise ValueError(
+            f"out_dim must be in [1, {len(_RP_SIGNS)}] (the shared "
+            f"hyperplane pool size), got {out_dim}")
     e = vec_col.cast("array<double>")
-    scale = float(RP_DIM) ** 0.5
+    scale = float(out_dim) ** 0.5
     return F.array(*[
         F.aggregate(
             F.zip_with(e, F.array(*[F.lit(s) for s in _RP_SIGNS[j]]),
                        lambda x, sg: (x * sg).cast("double")),
             F.lit(0.0), lambda acc, v: acc + v,
         ) / F.lit(scale)
-        for j in range(RP_DIM)
+        for j in range(out_dim)
     ])
 
 
@@ -953,27 +968,8 @@ def _projected_topk_oracle_sql() -> str:
     WITH emb AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
     ),
-    signs AS (
-      SELECT p,
-             list_transform(
-               range(0, {RP_IN_DIM}),
-               d -> CASE WHEN CAST((p * 1000003 + d) * 2654435761
-                                   % 4294967296 AS DOUBLE)
-                              / 2147483648.0 - 1.0 >= 0
-                         THEN 1.0 ELSE -1.0 END
-             ) AS s
-      FROM (SELECT unnest(range(0, {RP_DIM})) AS p)
-    ),
-    proj AS (
-      SELECT v.vec_id,
-             list(list_reduce(
-                    list_transform(range(1, {RP_IN_DIM} + 1),
-                                   i -> v.e[i] * sg.s[i]),
-                    (a, b) -> a + b) / sqrt({RP_DIM}.0)
-                  ORDER BY sg.p) AS pl
-      FROM emb v CROSS JOIN signs sg
-      GROUP BY v.vec_id
-    ),
+    {_rp_signs_cte()},
+    {_rp_proj_cte()},
     queries AS (
       SELECT vec_id AS query_id FROM embeddings
       ORDER BY vec_id LIMIT {N_QUERY_VECTORS}
@@ -1067,27 +1063,8 @@ def _projected_recall_oracle_sql() -> str:
     WITH emb AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
     ),
-    signs AS (
-      SELECT p,
-             list_transform(
-               range(0, {RP_IN_DIM}),
-               d -> CASE WHEN CAST((p * 1000003 + d) * 2654435761
-                                   % 4294967296 AS DOUBLE)
-                              / 2147483648.0 - 1.0 >= 0
-                         THEN 1.0 ELSE -1.0 END
-             ) AS s
-      FROM (SELECT unnest(range(0, {RP_DIM})) AS p)
-    ),
-    proj AS (
-      SELECT v.vec_id,
-             list(list_reduce(
-                    list_transform(range(1, {RP_IN_DIM} + 1),
-                                   i -> v.e[i] * sg.s[i]),
-                    (a, b) -> a + b) / sqrt({RP_DIM}.0)
-                  ORDER BY sg.p) AS pl
-      FROM emb v CROSS JOIN signs sg
-      GROUP BY v.vec_id
-    ),
+    {_rp_signs_cte()},
+    {_rp_proj_cte()},
     queries AS (
       SELECT vec_id AS query_id FROM embeddings
       ORDER BY vec_id LIMIT {N_QUERY_VECTORS}

@@ -1432,3 +1432,24 @@ def test_projected_topk_finds_exact_and_near_duplicates(spark):
     assert out[0]["vec_id"] == 1 and out[0]["cosine"] == 1.0
     top7 = {r["vec_id"] for r in out[:7]}
     assert top7 == {1, 2, 3, 4, 5, 6, 7}, f"family not recovered: {top7}"
+
+
+def test_random_projection_out_dim_honored_and_pool_bounded(spark):
+    """out_dim is a real parameter: any value up to the shared plane
+    pool (64) works and emits that many coordinates; beyond the pool it
+    raises a clear ValueError instead of an IndexError at plan-build."""
+    import pytest
+
+    from covid_19_data_engineering_spark.operators.similarity import (
+        _RP_SIGNS,
+        random_projection,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [float(i) for i in range(64)])],
+        "vec_id long, embedding array<double>")
+    out = random_projection(emb, out_dim=16).collect()
+    assert len(out) == 16
+    assert sorted(r["dim_idx"] for r in out) == list(range(16))
+    with pytest.raises(ValueError, match="out_dim"):
+        random_projection(emb, out_dim=len(_RP_SIGNS) + 1)

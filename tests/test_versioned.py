@@ -625,3 +625,26 @@ def test_merge_versioned_upserts_and_survives_concurrent_append(spark):
     got = {r["id"]: r["v"] for r in V.read_versioned(spark, tbl).collect()}
     # the raced append's row SURVIVES the merge rewrite
     assert got == {1: "a", 2: "B2", 3: "C3", 9: "new", 50: "raced"}
+
+
+def test_merge_versioned_rejects_duplicate_update_keys_and_empty_table(spark):
+    """Delta's MERGE rule: multiple source rows for one key is an error,
+    not a silent double-insert (the anti-join would drop the old row
+    once and append BOTH updates). And an uncommitted table surfaces
+    the same FileNotFoundError read_versioned gives, not a bare
+    IndexError."""
+    import tempfile
+
+    import covid_19_data_engineering_spark.sources.versioned as V
+    from covid_19_data_engineering_spark.operators.merge import merge_versioned
+
+    tbl = tempfile.mkdtemp() + "/t"
+    with pytest.raises(FileNotFoundError, match="no committed versions"):
+        merge_versioned(spark, tbl, _df(spark, [(1, "a")]), "id")
+
+    V.write_versioned(_df(spark, [(1, "a"), (2, "b")]), tbl)
+    with pytest.raises(ValueError, match="exactly one source row"):
+        merge_versioned(
+            spark, tbl, _df(spark, [(2, "x"), (2, "y")]), "id")
+    # the failed merge committed nothing
+    assert V.current_version(tbl) == 1

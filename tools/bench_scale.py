@@ -88,6 +88,13 @@ def materialize_scaled(spark) -> None:
         # measure columns stay as-is, so quantile targets shift by exactly
         # the replication and the z-order key space widens
         li = load_table(spark, "lineitem", BASE_SF)
+        max_key = li.agg(F.max("l_orderkey")).first()[0]
+        if max_key >= ID_OFFSET:
+            raise ValueError(
+                f"lineitem max l_orderkey {max_key} >= ID_OFFSET "
+                f"{ID_OFFSET}: replica key ranges would overlap and "
+                "silently corrupt the 3x zorder/quantile ratios — raise "
+                "ID_OFFSET for this base corpus")
         lparts = []
         for k in range(REPLICAS):
             lparts.append(li.select(
