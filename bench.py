@@ -111,6 +111,7 @@ EXTRA = [
     "embedding_random_projection",
     "ann_projected_topk",
     "ann_projected_recall",
+    "leakage_safe_split",
 ]
 
 

@@ -1453,3 +1453,40 @@ def test_random_projection_out_dim_honored_and_pool_bounded(spark):
     assert sorted(r["dim_idx"] for r in out) == list(range(16))
     with pytest.raises(ValueError, match="out_dim"):
         random_projection(emb, out_dim=len(_RP_SIGNS) + 1)
+
+
+def test_leakage_safe_split_never_splits_a_cluster(spark):
+    """The whole point: every member of a near-dup cluster carries ONE
+    split label. Planted: three exact/near copies of one document plus
+    independent docs — the copies must share cluster AND split, the
+    fractions must come from the cluster hash (deterministic), and the
+    overall assignment covers every doc exactly once."""
+    from covid_19_data_engineering_spark.operators.shards import (
+        leakage_safe_split,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep green forest tonight") * 3
+    rows = [(1, base), (2, base), (3, base + " extra tail words here")]
+    rows += [(100 + i,
+              f"completely unrelated document number {i} with its own "
+              f"distinct vocabulary token{i} payload{i * 7} "
+              + " ".join(f"w{i}_{j}" for j in range(30)))
+             for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = leakage_safe_split(docs).collect()
+    assert len(out) == len(rows)
+    by_doc = {r["doc_id"]: r for r in out}
+    fam = [by_doc[1], by_doc[2], by_doc[3]]
+    assert len({r["cluster"] for r in fam}) == 1, "copies not clustered"
+    assert len({r["split"] for r in fam}) == 1, "cluster straddles splits"
+    # per-cluster split uniqueness holds globally, not just for the plant
+    from collections import defaultdict
+    splits_per_cluster = defaultdict(set)
+    for r in out:
+        splits_per_cluster[r["cluster"]].add(r["split"])
+    assert all(len(s) == 1 for s in splits_per_cluster.values())
+    # determinism: a second run assigns identically
+    again = {r["doc_id"]: r["split"] for r in leakage_safe_split(docs).collect()}
+    assert again == {r["doc_id"]: r["split"] for r in out}
