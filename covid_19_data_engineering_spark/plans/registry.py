@@ -102,6 +102,7 @@ PRIORITY = (
     # family representatives remaining in the head
     "embedding_random_projection",
     "ann_projected_recall",
+    "leakage_safe_split",
     # TPC-H decorrelation shapes + iterative graph
     "tpch_q2_min_cost_supplier",
     "pagerank_copurchase",
@@ -112,7 +113,6 @@ PRIORITY = (
     "dup_span_profile",
     "events_json_extract",
     "events_asof_click_before_purchase",
-    "events_sessionization",
     # deduplication families
     "dedup_exact",
     "dedup_minhash_lsh",
