@@ -1002,3 +1002,92 @@ def tpch_q22_acctbal_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# --------------------------------------------------------------------------
+# Q6 — forecasting revenue change (tight single-scan filter + aggregate).
+# --------------------------------------------------------------------------
+
+@register(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount
+                               AS DECIMAL(20,6))), 2) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: the pure filter-and-aggregate revenue forecast — "
+    "no join at all. The plan is the scale-efficiency litmus test: all "
+    "three predicates and the 4-column projection must reach the parquet "
+    "scan (PushedFilters + ReadSchema), the partial decimal sum folds "
+    "map-side, and exactly one row crosses the final exchange. Revenue is "
+    "summed in DECIMAL(20,6) so the result is order-independent.",
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(_dec(F.col("l_extendedprice") * F.col("l_discount"))), 2)
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q12 — shipping-mode / order-priority classification (join + CASE counts).
+# --------------------------------------------------------------------------
+
+@register(
+    "tpch_q12_priority_lines",
+    oracle="""
+    SELECT l_linestatus AS linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+    doc="TPC-H Q12 shape adapted to this schema (no l_shipmode / "
+    "commitdate / receiptdate in the testdata — FIXTURES.md §A): "
+    "l_linestatus stands in for the shipmode grouping and 'late' means "
+    "shipped >30 days after the order date, preserving the distinctive "
+    "plan: fact⋈fact join on the natural orderkey shuffle key, a residual "
+    "date comparison evaluated post-join in codegen, then conditional "
+    "CASE-counts pivoting priority classes into columns. At 100 TB both "
+    "sides shuffle once on orderkey (or co-locate for free if bucketed); "
+    "the aggregate is O(statuses) rows.",
+)
+def tpch_q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_linestatus"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .groupBy(F.col("l_linestatus").alias("linestatus"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("linestatus")
+    )

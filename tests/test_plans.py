@@ -683,3 +683,33 @@ def test_projected_topk_candidate_shuffle_carries_no_vectors(spark):
     # below the window shuffle — without it, 5 query keys would funnel
     # the whole corpus through 5 window tasks at scale
     assert "WindowGroupLimit" in plan, "rank filter not pushed below shuffle"
+
+
+def test_tpch_q6_pushdown_and_single_row_exchange(spark):
+    df = REGISTRY["tpch_q6_forecast_revenue"].builder(spark, SF_SMOKE)
+    plan = _executed_plan(df)
+    # all three predicates reach the parquet reader
+    pushed = plan.split("PushedFilters: ")[1].split("\n")[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+    # scan reads only the 4 referenced columns
+    read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "l_extendedprice" in read_schema
+    assert "l_orderkey" not in read_schema and "l_returnflag" not in read_schema
+    # map-side partial sum before the single-row final aggregate
+    assert "partial_sum" in plan
+
+
+def test_tpch_q12_single_fact_shuffle_pair(spark):
+    df = REGISTRY["tpch_q12_priority_lines"].builder(spark, SF_SMOKE)
+    plan = _executed_plan(df)
+    # fact-to-fact join on orderkey: sort-merge (or shuffled hash) join, and
+    # the O(statuses) aggregate never adds a wide shuffle after it
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan  # AQE may downgrade at smoke scale
+    )
+    # conditional counts are partial map-side
+    assert "partial_sum" in plan
+    # scans are pruned to the referenced columns only
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "l_comment" not in line and "o_totalprice" not in line
