@@ -306,3 +306,70 @@ def source_quality_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis-Spirakis A-ES).
+# --------------------------------------------------------------------------
+
+_U_BITS = 52  # md5-derived uniform: 13 hex chars = 52 bits, exact in a double
+
+
+def weighted_sample_wor(docs: DataFrame, k: int = 64,
+                        weight: str = "n_chars") -> DataFrame:
+    """Draw ``k`` documents without replacement with probability proportional
+    to ``weight``, deterministically (Efraimidis & Spirakis 2006, A-ES).
+
+    Each row gets an exponential key ``-ln(u) / w`` where ``u`` is a
+    52-bit uniform derived from md5(doc_id); the k SMALLEST keys are the
+    sample. This is the one-pass, merge-friendly formulation: at 100 TB
+    every executor keeps a local top-k heap (Spark's TakeOrderedAndProject
+    — map-side partial top-k, no global sort, no shuffle of the corpus)
+    and only P*k candidate rows reach the driver-side final ordering.
+    Hash-derived randomness (not rand()) makes the draw reproducible
+    across re-runs, repartitions, and engines — the property a training
+    mixture needs for auditability. The uniform is (v+1)/2^52 in (0,1]:
+    exact in a double, so Spark and a replay in any IEEE-754 engine pick
+    the identical sample.
+    """
+    v = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10).cast("long")
+    u = (v + F.lit(1)).cast("double") / F.lit(float(2 ** _U_BITS))
+    key = -F.log(u) / F.col(weight).cast("double")
+    return (
+        docs.select(
+            "doc_id", "source",
+            F.col(weight).cast("long").alias("weight"),
+            key.alias("_k"),
+        )
+        .orderBy("_k", "doc_id")
+        .limit(k)
+        .select(
+            "doc_id", "source", "weight",
+            F.round(F.col("_k"), 8).alias("sample_key"),
+        )
+    )
+
+
+@register(
+    "weighted_sample_wor",
+    oracle=f"""
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight,
+           ROUND(k, 8) AS sample_key
+    FROM (
+      SELECT doc_id, source, n_chars,
+             -LN((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 1)
+                 / {float(2 ** _U_BITS)!r}) / CAST(n_chars AS DOUBLE) AS k
+      FROM documents
+    )
+    ORDER BY k, doc_id
+    LIMIT 64
+    """,
+    doc="Weighted sampling WITHOUT replacement, probability proportional to "
+    "document size (A-ES exponential-key top-k). The distributed form of "
+    "'sample 64 docs by byte mass' that a mixture builder runs per source: "
+    "deterministic md5-derived uniforms, one map-only key computation, and "
+    "a TakeOrderedAndProject top-k instead of any global sort — the corpus "
+    "is never shuffled. Oracle replays the identical IEEE key formula.",
+)
+def weighted_sample_wor_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return weighted_sample_wor(load_table(spark, "documents", sf_dir))

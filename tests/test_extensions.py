@@ -1490,3 +1490,50 @@ def test_leakage_safe_split_never_splits_a_cluster(spark):
     # determinism: a second run assigns identically
     again = {r["doc_id"]: r["split"] for r in leakage_safe_split(docs).collect()}
     assert again == {r["doc_id"]: r["split"] for r in out}
+
+
+# --------------------------------------------------------------------------
+# weighted_sample_wor — A-ES weighted sampling without replacement
+# --------------------------------------------------------------------------
+
+
+def test_weighted_sample_wor_matches_brute_force(spark):
+    import hashlib
+    import math
+
+    from covid_19_data_engineering_spark.operators.curation import (
+        weighted_sample_wor,
+    )
+    from covid_19_data_engineering_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, "documents", SF_SMOKE)
+    out = weighted_sample_wor(docs, k=16).collect()
+    assert len(out) == 16
+
+    # replicate the A-ES draw row-by-row in pure Python
+    keys = []
+    for r in docs.select("doc_id", "n_chars").collect():
+        v = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:13], 16)
+        u = (v + 1) / 2.0**52
+        keys.append((-math.log(u) / float(r["n_chars"]), r["doc_id"]))
+    expect = [d for _, d in sorted(keys)[:16]]
+    assert [r["doc_id"] for r in out] == expect
+
+    # deterministic: a repartitioned corpus draws the identical sample
+    again = weighted_sample_wor(docs.repartition(7), k=16).collect()
+    assert [r["doc_id"] for r in again] == expect
+
+
+def test_weighted_sample_wor_plan_is_take_ordered(spark):
+    from covid_19_data_engineering_spark.operators.curation import (
+        weighted_sample_wor,
+    )
+    from covid_19_data_engineering_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    df = weighted_sample_wor(load_table(spark, "documents", SF_SMOKE), k=16)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # map-side partial top-k: no global Sort/Exchange of the corpus
+    assert "TakeOrderedAndProject" in plan
