@@ -1537,3 +1537,55 @@ def test_weighted_sample_wor_plan_is_take_ordered(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # map-side partial top-k: no global Sort/Exchange of the corpus
     assert "TakeOrderedAndProject" in plan
+
+
+# --------------------------------------------------------------------------
+# bloom_semi_join_stats — measured Bloom pruning
+# --------------------------------------------------------------------------
+
+
+def test_bloom_semi_join_counts_true_matches_exactly(spark):
+    import pyspark.sql.functions as F
+
+    from covid_19_data_engineering_spark.operators.bloomjoin import (
+        bloom_semi_join_stats,
+    )
+    from covid_19_data_engineering_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    orders = load_table(spark, "orders", SF_SMOKE).where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = load_table(spark, "lineitem", SF_SMOKE)
+    row = bloom_semi_join_stats(orders, li, "o_orderkey", "l_orderkey").collect()[0]
+
+    exact = li.join(
+        orders.select("o_orderkey").distinct(),
+        li["l_orderkey"] == F.col("o_orderkey"),
+        "left_semi",
+    ).count()
+    assert row["n_true_match"] == exact
+    assert row["n_probe_rows"] == li.count()
+    # no false negatives ever (Bloom guarantee): every true match passes
+    assert row["n_bloom_pass"] >= row["n_true_match"]
+    # at 16 bits/key, k=4 the FP rate lands well under 1%
+    assert row["n_false_pos"] >= 0 and (row["fp_rate"] or 0.0) < 0.01
+
+
+def test_bloom_semi_join_probe_side_never_shuffles(spark):
+    from covid_19_data_engineering_spark.plans.registry import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    df = REGISTRY["bloom_semi_join_stats"].builder(spark, SF_SMOKE)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "SortMergeJoin" not in plan
+    # the fact scan reads ONLY the probe key column
+    fact = [
+        line
+        for line in plan.splitlines()
+        if "lineitem.parquet" in line and "ReadSchema" in line
+    ][0]
+    assert "l_orderkey" in fact and "l_extendedprice" not in fact
