@@ -1589,3 +1589,39 @@ def test_bloom_semi_join_probe_side_never_shuffles(spark):
         if "lineitem.parquet" in line and "ReadSchema" in line
     ][0]
     assert "l_orderkey" in fact and "l_extendedprice" not in fact
+
+
+# --------------------------------------------------------------------------
+# minhash_lsh_accuracy — measured LSH precision/recall
+# --------------------------------------------------------------------------
+
+
+def test_minhash_lsh_accuracy_on_planted_near_dups(spark):
+    import pyspark.sql.functions as F
+
+    from covid_19_data_engineering_spark.operators.dedup import (
+        minhash_lsh_accuracy,
+    )
+
+    # 30 distinct base docs + 10 high-Jaccard variants (drop last word of a
+    # 40-word doc -> J ~ 0.92 on 3-shingles) that LSH must catch
+    words = [f"w{i}" for i in range(200)]
+    rows = []
+    for d in range(30):
+        text = " ".join(words[(7 * d + j) % 200] for j in range(40))
+        rows.append((d, text))
+        if d < 10:
+            rows.append((100 + d, text.rsplit(" ", 1)[0] + " zz"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    out = minhash_lsh_accuracy(docs, threshold=0.5, target_sample=4096).collect()[0]
+    assert out["n_docs"] == 40
+    assert out["n_true_pairs"] >= 10  # the planted pairs are all above 0.5
+    assert out["n_hits"] <= min(out["n_true_pairs"], out["n_candidate_pairs"])
+    # at J~0.9 the 8x4 band miss probability is ~(1-0.9^4)^8 ~ 4%
+    assert out["recall"] >= 0.8
+    # deterministic across physical layout
+    again = minhash_lsh_accuracy(
+        docs.repartition(5), threshold=0.5, target_sample=4096
+    ).collect()[0]
+    assert again == out
