@@ -1625,3 +1625,43 @@ def test_minhash_lsh_accuracy_on_planted_near_dups(spark):
         docs.repartition(5), threshold=0.5, target_sample=4096
     ).collect()[0]
     assert again == out
+
+
+# --------------------------------------------------------------------------
+# cdc_chunk_stats — content-defined chunking
+# --------------------------------------------------------------------------
+
+
+def test_cdc_chunks_partition_the_document_losslessly(spark):
+    import pyspark.sql.functions as F
+
+    from covid_19_data_engineering_spark.operators.cdc import cdc_chunks_col
+    from covid_19_data_engineering_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, "documents", SF_SMOKE).limit(50)
+    rows = docs.select(
+        "text", F.concat_ws(" ", cdc_chunks_col(F.col("text"))).alias("rejoined")
+    ).collect()
+    for r in rows:
+        assert r["rejoined"] == r["text"]
+
+
+def test_cdc_boundaries_resist_prefix_shifts(spark):
+    import pyspark.sql.functions as F
+
+    from covid_19_data_engineering_spark.operators.cdc import cdc_chunks_col
+
+    base = " ".join(f"tok{i}" for i in range(400))
+    shifted = "inserted words up front " + base
+    df = spark.createDataFrame([(1, base), (2, shifted)], ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r["ch"]
+        for r in df.select(
+            "doc_id", cdc_chunks_col(F.col("text")).alias("ch")
+        ).collect()
+    }
+    shared = set(out[1]) & set(out[2])
+    # a fixed-width chunker would share ~nothing after a 4-word prefix
+    # insertion; CDC re-synchronizes at the first anchor word
+    assert len(shared) >= 0.8 * len(out[1])
