@@ -103,15 +103,26 @@ PRIORITY = (
     "embedding_random_projection",
     "ann_projected_recall",
     "leakage_safe_split",
+    # round-8 continuation: the four new operator families added after the
+    # first round-8 rotation (weighted sampling, Bloom semi-join pruning,
+    # LSH accuracy audit, content-defined chunking). events_json_extract,
+    # token_count_bpe, doc_chunking, and tpch_q21_waiting_suppliers rotate
+    # out but stay gate-checked in full; their families keep other head
+    # representatives (regexp_battery's events battery never had one — the
+    # temporal reps cover events; BPE keeps bpe_merge_induction_batched;
+    # LLM-prep keeps corpus_curation_yield/benchmark_contamination; TPC-H
+    # keeps q2 + pagerank).
+    "weighted_sample_wor",
+    "bloom_semi_join_stats",
+    "minhash_lsh_accuracy",
+    "cdc_chunk_stats",
     # TPC-H decorrelation shapes + iterative graph
     "tpch_q2_min_cost_supplier",
     "pagerank_copurchase",
-    "tpch_q21_waiting_suppliers",
     # events: temporal analytics, gap repair, substring dedup
     "hourly_active_users",
     "events_value_interpolation",
     "dup_span_profile",
-    "events_json_extract",
     "events_asof_click_before_purchase",
     # deduplication families
     "dedup_exact",
@@ -125,9 +136,7 @@ PRIORITY = (
     # text analysis + retrieval
     "text_quality_profile",
     "bm25_retrieval",
-    "token_count_bpe",
     # LLM-prep pipeline + embedding clustering
-    "doc_chunking",
     "benchmark_contamination",
     "corpus_curation_yield",
     "data_mixture_plan",
