@@ -152,3 +152,88 @@ def events_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("error_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Keyless interval join via bucket expansion.
+# --------------------------------------------------------------------------
+
+
+def interval_bucket_join(intervals: DataFrame, points: DataFrame,
+                         start: str, end: str, ts: str,
+                         bucket_seconds: int) -> DataFrame:
+    """Join every ``points`` row into every [start, end) interval it falls
+    in, WITHOUT an equi-key — the shape Spark would otherwise execute as a
+    BroadcastNestedLoopJoin (all pairs filtered row-by-row, the non-equi
+    join scale killer).
+
+    The bucket-expansion rewrite makes it an equi-join: quantize time into
+    ``bucket_seconds`` buckets, explode each interval to the buckets it can
+    touch, map each point to its single bucket, hash-join on the bucket id,
+    then apply the exact containment predicate as a residual. Requires
+    interval length <= bucket_seconds, so an interval covers exactly
+    {b0, b0 + 1} and every (interval, point) pair meets in AT MOST ONE
+    bucket — no post-join dedup. Pair volume is O(points per bucket x
+    intervals per bucket), time-local by construction, instead of
+    |intervals| x |points|. (For longer intervals, raise bucket_seconds or
+    explode to ceil(len/bucket) buckets; the residual stays exact.)
+    Returns interval rows joined to their contained points ('left', so
+    empty intervals survive with null point columns).
+    """
+    b0 = F.floor(F.unix_timestamp(F.col(start)) / bucket_seconds).cast("long")
+    iv = intervals.withColumn("_b", F.explode(F.array(b0, b0 + 1)))
+    pt = points.withColumn(
+        "_b", F.floor(F.unix_timestamp(F.col(ts)) / bucket_seconds).cast("long")
+    )
+    cond = (
+        (iv["_b"] == pt["_b"])
+        & (pt[ts] >= iv[start])
+        & (pt[ts] < iv[end])
+    )
+    return iv.join(pt, cond, "left").drop("_b")
+
+
+@register(
+    "events_interval_coverage",
+    oracle="""
+    WITH iv AS (
+      SELECT event_id AS interval_id, ts AS t0,
+             ts + INTERVAL 5 MINUTE AS t1
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT iv.interval_id,
+           CAST(COUNT(e.event_id) AS BIGINT) AS n_in_window,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+           ROUND(SUM(e.value), 2) AS window_value
+    FROM iv LEFT JOIN events e
+      ON e.ts >= iv.t0 AND e.ts < iv.t1
+    GROUP BY iv.interval_id
+    ORDER BY iv.interval_id
+    """,
+    doc="Per-incident coverage rollup: every error event opens a 5-minute "
+    "[t0, t0+5m) window; count ALL events (any user — there is no shared "
+    "key) falling inside each window. The non-equi join is rewritten as a "
+    "bucket-expansion equi-join (intervals explode to 2 time buckets, "
+    "points map to 1, hash-join on bucket, exact residual) so the pair "
+    "space is time-local instead of |windows| x |events| — plan-gated to "
+    "never contain a BroadcastNestedLoopJoin. Empty windows survive with "
+    "zero counts. Oracle states the naive non-equi join directly.",
+)
+def events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    iv = events.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("interval_id"),
+        F.col("ts").alias("t0"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("t1"),
+    )
+    pts = events.select("event_id", "user_id", "ts", "value")
+    joined = interval_bucket_join(iv, pts, "t0", "t1", "ts", 300)
+    return (
+        joined.groupBy("interval_id")
+        .agg(
+            F.count("event_id").alias("n_in_window"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("window_value"),
+        )
+        .orderBy("interval_id")
+    )

@@ -1665,3 +1665,47 @@ def test_cdc_boundaries_resist_prefix_shifts(spark):
     # a fixed-width chunker would share ~nothing after a 4-word prefix
     # insertion; CDC re-synchronizes at the first anchor word
     assert len(shared) >= 0.8 * len(out[1])
+
+
+# --------------------------------------------------------------------------
+# interval_bucket_join — keyless interval join without BNLJ
+# --------------------------------------------------------------------------
+
+
+def test_interval_bucket_join_equals_naive_nonequi_join(spark):
+    import pyspark.sql.functions as F
+
+    from covid_19_data_engineering_spark.operators.temporal import (
+        interval_bucket_join,
+    )
+    from covid_19_data_engineering_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, "events", SF_SMOKE)
+    iv = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("interval_id"),
+        F.col("ts").alias("t0"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("t1"),
+    ).limit(40)
+    pts = ev.select(F.col("event_id").alias("pid"), "ts")
+
+    fast = interval_bucket_join(iv, pts, "t0", "t1", "ts", 300).where(
+        F.col("pid").isNotNull()
+    )
+    naive = iv.join(pts, (pts["ts"] >= iv["t0"]) & (pts["ts"] < iv["t1"]))
+    fast_pairs = {(r["interval_id"], r["pid"]) for r in fast.collect()}
+    naive_pairs = {(r["interval_id"], r["pid"]) for r in naive.collect()}
+    assert fast_pairs == naive_pairs and len(fast_pairs) > 0
+
+
+def test_events_interval_coverage_plan_has_no_nested_loop(spark):
+    from covid_19_data_engineering_spark.plans.registry import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    df = REGISTRY["events_interval_coverage"].builder(spark, SF_SMOKE)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
