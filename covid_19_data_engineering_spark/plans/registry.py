@@ -119,8 +119,10 @@ PRIORITY = (
     # TPC-H decorrelation shapes + iterative graph
     "tpch_q2_min_cost_supplier",
     "pagerank_copurchase",
-    # events: temporal analytics, gap repair, substring dedup
-    "hourly_active_users",
+    # events: temporal analytics, gap repair, substring dedup, keyless
+    # interval join (hourly_active_users rotates out; the temporal family
+    # keeps three other head representatives)
+    "events_interval_coverage",
     "events_value_interpolation",
     "dup_span_profile",
     "events_asof_click_before_purchase",

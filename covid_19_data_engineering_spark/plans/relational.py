@@ -835,3 +835,99 @@ def column_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .select("o_totalprice")
     )
+
+
+@register(
+    "embedding_class_separation",
+    oracle="""
+    WITH comp AS (
+      SELECT label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS c
+      FROM embeddings CROSS JOIN range(1, 65) t(i)
+    ),
+    per AS (
+      SELECT label, pos, COUNT(*) AS n,
+             SUM(CAST(c AS DECIMAL(25,12))) AS s,
+             SUM(CAST(c * c AS DECIMAL(25,12))) AS ss
+      FROM comp GROUP BY label, pos
+    ),
+    tot AS (
+      SELECT pos, CAST(SUM(n) AS BIGINT) AS n_all,
+             SUM(s) AS s_all, COUNT(*) AS n_labels
+      FROM per GROUP BY pos
+    ),
+    terms AS (
+      SELECT p.pos, t.n_all, t.n_labels,
+             CAST(CAST(p.n AS DOUBLE)
+                  * (CAST(p.s AS DOUBLE) / CAST(p.n AS DOUBLE)
+                     - CAST(t.s_all AS DOUBLE) / CAST(t.n_all AS DOUBLE))
+                  * (CAST(p.s AS DOUBLE) / CAST(p.n AS DOUBLE)
+                     - CAST(t.s_all AS DOUBLE) / CAST(t.n_all AS DOUBLE))
+                  AS DECIMAL(25,12)) AS bt,
+             CAST(CAST(p.ss AS DOUBLE)
+                  - CAST(p.n AS DOUBLE)
+                    * (CAST(p.s AS DOUBLE) / CAST(p.n AS DOUBLE))
+                    * (CAST(p.s AS DOUBLE) / CAST(p.n AS DOUBLE))
+                  AS DECIMAL(25,12)) AS wt
+      FROM per p JOIN tot t USING (pos)
+    )
+    SELECT pos,
+           CAST(MAX(n_labels) AS BIGINT) AS n_labels,
+           ROUND(CAST(SUM(bt) AS DOUBLE) / MAX(n_all), 6) AS between_var,
+           ROUND(CAST(SUM(wt) AS DOUBLE) / MAX(n_all), 6) AS within_var,
+           ROUND((CAST(SUM(bt) AS DOUBLE) / MAX(n_all))
+                 / NULLIF(CAST(SUM(wt) AS DOUBLE) / MAX(n_all), 0), 4)
+             AS fisher_ratio
+    FROM terms
+    GROUP BY pos
+    ORDER BY pos
+    """,
+    doc="Per-dimension Fisher ratio (between-class variance / within-class "
+    "variance) over the labeled embedding table — the separability audit "
+    "run before trusting labels for classifier training or class-balanced "
+    "sampling. Two-level aggregation: per-(label, dim) exact DECIMAL "
+    "partial sums (order-independent — the 100 TB shuffle is 64 x L tiny "
+    "rows), then per-dim scalar double algebra identical on both engines; "
+    "squares are explicit multiplications (pow() implementations vary).",
+)
+def embedding_class_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = _t(spark, sf_dir, "embeddings")
+    comp = em.select("label", F.posexplode("embedding").alias("pos", "c0")).select(
+        "label", "pos", F.col("c0").cast("double").alias("c")
+    )
+    per = comp.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("c").cast("decimal(25,12)")).alias("s"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(25,12)")).alias("ss"),
+    )
+    tot = per.groupBy("pos").agg(
+        F.sum("n").alias("n_all"),
+        F.sum("s").alias("s_all"),
+        F.count(F.lit(1)).alias("n_labels"),
+    )
+    mu_l = F.col("s").cast("double") / F.col("n").cast("double")
+    mu = F.col("s_all").cast("double") / F.col("n_all").cast("double")
+    terms = per.join(F.broadcast(tot), "pos").select(
+        "pos",
+        "n_all",
+        "n_labels",
+        (F.col("n").cast("double") * (mu_l - mu) * (mu_l - mu))
+        .cast("decimal(25,12)")
+        .alias("bt"),
+        (F.col("ss").cast("double") - F.col("n").cast("double") * mu_l * mu_l)
+        .cast("decimal(25,12)")
+        .alias("wt"),
+    )
+    bvar = F.sum("bt").cast("double") / F.max("n_all")
+    wvar = F.sum("wt").cast("double") / F.max("n_all")
+    return (
+        terms.groupBy("pos")
+        .agg(
+            F.max("n_labels").alias("n_labels"),
+            F.round(bvar, 6).alias("between_var"),
+            F.round(wvar, 6).alias("within_var"),
+            # constant dims have zero within-class variance: NULL, not an
+            # ANSI divide-by-zero
+            F.round(bvar / F.nullif(wvar, F.lit(0.0)), 4).alias("fisher_ratio"),
+        )
+        .orderBy("pos")
+    )

@@ -1709,3 +1709,37 @@ def test_events_interval_coverage_plan_has_no_nested_loop(spark):
     )[0]
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------------------
+# embedding_class_separation — Fisher-ratio separability audit
+# --------------------------------------------------------------------------
+
+
+def test_fisher_ratio_flags_the_separable_dimension(spark):
+    from covid_19_data_engineering_spark.plans.registry import (
+        REGISTRY,
+        _ensure_loaded,
+    )
+
+    _ensure_loaded()
+
+    # dim 0 perfectly separates the two labels; dim 1 is identical noise
+    rows = []
+    for i in range(40):
+        label = i % 2
+        vec = [10.0 * label, ((i * 37) % 7) / 7.0] + [0.0] * 62
+        rows.append((i, vec, label))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+    out = {
+        r["pos"]: r
+        for r in REGISTRY["embedding_class_separation"].builder(spark, d).collect()
+    }
+    # dim 0 separates perfectly: within-class variance is exactly zero,
+    # so the ratio is NULL-guarded rather than infinite
+    assert out[0]["within_var"] == 0.0 and out[0]["between_var"] > 20
+    assert abs(out[1]["between_var"]) < 0.05  # noise dim: labels look alike
+    assert out[0]["n_labels"] == 2
