@@ -1743,3 +1743,52 @@ def test_fisher_ratio_flags_the_separable_dimension(spark):
     assert out[0]["within_var"] == 0.0 and out[0]["between_var"] > 20
     assert abs(out[1]["between_var"]) < 0.05  # noise dim: labels look alike
     assert out[0]["n_labels"] == 2
+
+
+# --------------------------------------------------------------------------
+# setsim_prefix_join — exact prefix-filtered set-similarity join
+# --------------------------------------------------------------------------
+
+
+def test_setsim_prefix_join_equals_brute_force(spark):
+    import pyspark.sql.functions as F
+
+    from covid_19_data_engineering_spark.operators.dedup import (
+        setsim_prefix_join,
+        shingles_col,
+        tokens_col,
+    )
+
+    # planted family: 20 distinct bases, plus variants at several overlap
+    # levels straddling the 0.7 threshold
+    words = [f"w{i}" for i in range(300)]
+    rows = []
+    for d in range(20):
+        base = [words[(11 * d + j) % 300] for j in range(30)]
+        rows.append((d, " ".join(base)))
+        if d < 12:
+            keep = 30 - (d % 6) * 3  # drop 0..15 trailing words
+            rows.append((100 + d, " ".join(base[:keep] + [f"x{d}"])))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in setsim_prefix_join(docs).collect()
+    }
+
+    # brute force: all pairs over the same shingle sets
+    sets = {
+        r["doc_id"]: set(r["s"])
+        for r in docs.select(
+            "doc_id", shingles_col(tokens_col("text")).alias("s")
+        ).collect()
+    }
+    ids = sorted(sets)
+    expect = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter / union >= 0.7:
+                expect[(a, b)] = round(inter / union, 4)
+    assert got == expect and len(expect) > 3
