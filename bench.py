@@ -112,6 +112,16 @@ EXTRA = [
     "ann_projected_topk",
     "ann_projected_recall",
     "leakage_safe_split",
+    # round-8 continuation
+    "tpch_q6_forecast_revenue",
+    "tpch_q12_priority_lines",
+    "weighted_sample_wor",
+    "bloom_semi_join_stats",
+    "minhash_lsh_accuracy",
+    "cdc_chunk_stats",
+    "events_interval_coverage",
+    "embedding_class_separation",
+    "setsim_prefix_join",
 ]
 
 
