@@ -81,8 +81,24 @@ def bloom_semi_join_stats(build_keys: DataFrame, probe: DataFrame,
         F.expr("p DIV 64").alias("w"),
         F.expr("shiftleft(1L, CAST(p % 64 AS INT))").alias("m"),
     ).groupBy("w").agg(F.expr("bit_or(m)").alias("mask"))
-    bloom = words.agg(
-        F.map_from_entries(F.collect_list(F.struct("w", "mask"))).alias("bloom_words")
+    # Dense bitmask ARRAY (index = word), built ONCE in the 1-row build
+    # plan: map_from_entries element_at is an O(words) scan per lookup, so
+    # probing through the map made the per-row test O(words) — measurably
+    # super-linear at 3x corpus (ratio 3.7). Array element_at is O(1).
+    bloom = (
+        n_keys.crossJoin(words.agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("w", "mask"))
+            ).alias("_wm")
+        ))
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.expr("(m_bits + 63) DIV 64 - 1")),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("_wm"), i), F.lit(0).cast("long")
+                ),
+            ).alias("bloom_arr")
+        )
     )
 
     marked = (
@@ -97,7 +113,7 @@ def bloom_semi_join_stats(build_keys: DataFrame, probe: DataFrame,
     )
     bit_tests = [
         F.expr(
-            f"(shiftright(coalesce(element_at(bloom_words, _p{j} DIV 64), 0L),"
+            f"(shiftright(element_at(bloom_arr, CAST(_p{j} DIV 64 AS INT) + 1),"
             f" CAST(_p{j} % 64 AS INT)) & 1) = 1"
         )
         for j in range(_K)

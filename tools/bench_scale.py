@@ -67,6 +67,15 @@ FAMILY = [
     # round-8
     "embedding_random_projection",
     "ann_projected_topk",
+    # round-8 continuation (weighted sampling, CDC, audits, Bloom
+    # semi-join, keyless interval join, Q12's fact-fact classification)
+    "weighted_sample_wor",
+    "cdc_chunk_stats",
+    "minhash_lsh_accuracy",
+    "embedding_class_separation",
+    "bloom_semi_join_stats",
+    "events_interval_coverage",
+    "tpch_q12_priority_lines",
 ]
 
 ID_OFFSET = 1_000_000
@@ -81,8 +90,45 @@ def materialize_scaled(spark) -> None:
         return os.path.exists(
             os.path.join(SCALE_DIR, f"{t}.parquet", "_SUCCESS"))
 
-    if all(_done(t) for t in ("documents", "embeddings", "lineitem")):
+    if all(_done(t) for t in ("documents", "embeddings", "lineitem",
+                              "orders", "events")):
         return
+    if not _done("orders"):
+        # replica k offsets o_orderkey in lockstep with lineitem, so the
+        # bloom/Q12 semi-join structure repeats per replica (the true
+        # match volume grows exactly 3x)
+        orders = load_table(spark, "orders", BASE_SF)
+        oparts = [
+            orders.select(
+                (F.col("o_orderkey") + k * ID_OFFSET).alias("o_orderkey"),
+                *[c for c in orders.columns if c != "o_orderkey"],
+            ).select(*orders.columns)
+            for k in range(REPLICAS)
+        ]
+        scaled_o = oparts[0]
+        for p in oparts[1:]:
+            scaled_o = scaled_o.unionByName(p)
+        scaled_o.write.mode("overwrite").parquet(
+            os.path.join(SCALE_DIR, "orders.parquet"))
+    if not _done("events"):
+        # replica k shifts time by k*40 days (base span ~30 days), so the
+        # replicas are time-DISJOINT: a keyless interval join's pair
+        # volume grows 3x with the corpus, the way a longer-running
+        # deployment's would, instead of 9x from densifying one window
+        events = load_table(spark, "events", BASE_SF)
+        eparts = [
+            events.select(
+                (F.col("event_id") + k * ID_OFFSET).alias("event_id"),
+                (F.col("ts") + F.expr(f"INTERVAL {40 * k} DAYS")).alias("ts"),
+                *[c for c in events.columns if c not in ("event_id", "ts")],
+            ).select(*events.columns)
+            for k in range(REPLICAS)
+        ]
+        scaled_e = eparts[0]
+        for p in eparts[1:]:
+            scaled_e = scaled_e.unionByName(p)
+        scaled_e.write.mode("overwrite").parquet(
+            os.path.join(SCALE_DIR, "events.parquet"))
     if not _done("lineitem"):
         # replica k offsets l_orderkey (key ranges grow with the corpus);
         # measure columns stay as-is, so quantile targets shift by exactly
