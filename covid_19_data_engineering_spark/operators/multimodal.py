@@ -532,3 +532,216 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # channel_mean is the stub's Python-float reduction — exclude it from the
     # oracle-compared projection (its fake math is pinned by unit tests)
     return feats.select("doc_id", "media_type", "payload_bytes", "width", "height").orderBy("doc_id")
+
+
+# --- audio: pure-stdlib WAV codec + Arrow-batched feature extraction --------
+# The audio analog of the image seam above (module docstring: "remaining
+# media kinds would slot into the same seam"): RIFF/WAVE PCM is fully
+# decodable with struct + numpy, so the decode="real" path is REAL here
+# too, while the registered oracle query pins the deterministic fake path
+# exactly like the image twin.
+
+AUDIO_SCHEMA = (
+    "doc_id bigint, media_type string, payload_bytes int, sample_rate int, "
+    "channels int, n_samples int, rms double, zero_cross int"
+)
+
+AUDIO_FRAME_SCHEMA = "doc_id bigint, frame_no int, n_samples int, rms double"
+
+
+def _decode_wav(b: bytes):
+    """RIFF/WAVE PCM parser: returns (sample_rate, channels, samples) with
+    ``samples`` an int32 ndarray of shape (n_frames, channels), or None if
+    the bytes are not a PCM WAV this path decodes (8/16-bit integer PCM;
+    float/extensible/compressed formats fall back to the caller's
+    non-audio path). Chunk-walks the container, so extra chunks (LIST,
+    fact, cue) are skipped, matching real-world files."""
+    import struct
+
+    import numpy as np
+
+    b = bytes(b)
+    if len(b) < 44 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos:pos + 4]
+        (size,) = struct.unpack("<I", b[pos + 4:pos + 8])
+        body = b[pos + 8:pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        return None
+    audio_format, channels, rate, _, _, bits = fmt
+    if audio_format != 1 or channels < 1 or bits not in (8, 16):
+        return None
+    if bits == 16:
+        n = len(data) // 2
+        samples = np.frombuffer(data[:n * 2], dtype="<i2").astype(np.int32)
+    else:
+        samples = np.frombuffer(data, dtype=np.uint8).astype(np.int32) - 128
+    n_frames = len(samples) // channels
+    return rate, channels, samples[:n_frames * channels].reshape(n_frames, channels)
+
+
+def encode_wav(samples, rate: int) -> bytes:
+    """(n_frames, channels) int array -> PCM16 WAV bytes (the inverse of
+    ``_decode_wav``; used by test fixture builders)."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(samples)
+    if px.ndim == 1:
+        px = px[:, None]
+    channels = px.shape[1]
+    data = px.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2,
+                      channels * 2, 16)
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def _fake_audio_features(b) -> tuple[int, int, int, float, int]:
+    """Deterministic byte-derived stand-ins (oracle-stable default, and the
+    per-row fallback for non-WAV payloads)."""
+    n = len(b)
+    return (
+        n % 48000 + 1,
+        n % 2 + 1,
+        n,
+        round(sum(b[:64]) / max(min(n, 64), 1), 4),
+        n % 997,
+    )
+
+
+def _audio_features_batch(decode: str):
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        real = decode == "real"
+
+        def features_one(b):
+            if real:
+                wav = _decode_wav(b)
+                if wav is not None:
+                    rate, channels, px = wav
+                    flat = px.reshape(-1)
+                    # integer mean-square then one float sqrt: every host
+                    # computes the identical double
+                    ms = int((flat.astype(np.int64) ** 2).sum()) // max(len(flat), 1)
+                    ch0 = px[:, 0]
+                    zc = int(((ch0[:-1] * ch0[1:]) < 0).sum())
+                    return (rate, channels, px.shape[0],
+                            round(float(ms) ** 0.5, 4), zc)
+            return _fake_audio_features(b)
+
+        for pdf in batches:
+            feats = pdf["payload"].map(features_one)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "payload_bytes": pdf["payload"].map(len).astype("int32"),
+                    "sample_rate": feats.map(lambda t: t[0]).astype("int32"),
+                    "channels": feats.map(lambda t: t[1]).astype("int32"),
+                    "n_samples": feats.map(lambda t: t[2]).astype("int32"),
+                    "rms": feats.map(lambda t: t[3]),
+                    "zero_cross": feats.map(lambda t: t[4]).astype("int32"),
+                }
+            )
+
+    return fn
+
+
+def extract_audio_features(with_payload: DataFrame, decode: str = "fake") -> DataFrame:
+    """Arrow-batched audio feature extraction (duration, rate, RMS, zero
+    crossings). ``decode="real"`` truly parses PCM WAV payloads with the
+    pure-stdlib codec above, per-row fallback to fake features otherwise —
+    the same environment-independent contract as the image kernel."""
+    if decode not in ("fake", "real"):
+        raise ValueError(f"decode must be 'fake' or 'real', got {decode!r}")
+    flat = with_payload.select(
+        "doc_id", "payload", F.col("media_meta.media_type").alias("media_type")
+    )
+    return flat.mapInPandas(_audio_features_batch(decode), AUDIO_SCHEMA)
+
+
+def audio_frame_energy(with_payload: DataFrame, frame_samples: int = 1024,
+                       max_frames: int = 16) -> DataFrame:
+    """Per-frame RMS energy profile (the audio analog of video frame
+    sampling): each decoded WAV explodes into up to ``max_frames`` fixed
+    windows of ``frame_samples`` mono-mixed samples. Non-WAV payloads emit
+    zero rows — the profile is only meaningful for real audio."""
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_no": [], "n_samples": [], "rms": []}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                wav = _decode_wav(b)
+                if wav is None:
+                    continue
+                _, _, px = wav
+                mono = px.astype(np.int64).sum(axis=1) // px.shape[1]
+                for k in range(min(max_frames, (len(mono) + frame_samples - 1) // frame_samples)):
+                    fr = mono[k * frame_samples:(k + 1) * frame_samples]
+                    ms = int((fr ** 2).sum()) // max(len(fr), 1)
+                    out["doc_id"].append(doc_id)
+                    out["frame_no"].append(k)
+                    out["n_samples"].append(len(fr))
+                    out["rms"].append(round(float(ms) ** 0.5, 4))
+            yield pd.DataFrame(out)
+
+    flat = with_payload.select("doc_id", "payload")
+    return flat.mapInPandas(fn, AUDIO_FRAME_SCHEMA)
+
+
+def attach_audio_payload(docs: DataFrame) -> DataFrame:
+    """Opaque binary column + typed audio metadata (utf-8 text bytes stand
+    in for WAV bytes in the driver testdata, same as the image twin)."""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.struct(
+            F.lit("audio/fake").alias("media_type"),
+            F.octet_length(F.col("text")).alias("content_length"),
+            F.col("source").alias("origin"),
+        ).alias("media_meta"),
+    )
+
+
+@register(
+    "multimodal_audio_features",
+    oracle="""
+    SELECT doc_id,
+           'audio/fake' AS media_type,
+           CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS payload_bytes,
+           CAST(octet_length(CAST(text AS BLOB)) % 48000 + 1 AS INTEGER)
+             AS sample_rate,
+           CAST(octet_length(CAST(text AS BLOB)) % 2 + 1 AS INTEGER)
+             AS channels,
+           CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_samples,
+           CAST(octet_length(CAST(text AS BLOB)) % 997 AS INTEGER)
+             AS zero_cross
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Audio-payload feature extraction via Arrow-batched mapInPandas "
+    "(pure-stdlib PCM WAV decode on the real path; the registered query "
+    "pins the deterministic fake path, rms excluded like channel_mean).",
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    feats = extract_audio_features(attach_audio_payload(docs))
+    return feats.select(
+        "doc_id", "media_type", "payload_bytes", "sample_rate",
+        "channels", "n_samples", "zero_cross",
+    ).orderBy("doc_id")

@@ -1792,3 +1792,77 @@ def test_setsim_prefix_join_equals_brute_force(spark):
             if union and inter / union >= 0.7:
                 expect[(a, b)] = round(inter / union, 4)
     assert got == expect and len(expect) > 3
+
+
+# --------------------------------------------------------------------------
+# audio WAV codec + feature extraction
+# --------------------------------------------------------------------------
+
+
+def test_wav_roundtrip_and_real_audio_features(spark):
+    import math
+
+    import numpy as np
+
+    from covid_19_data_engineering_spark.operators.multimodal import (
+        _decode_wav,
+        encode_wav,
+        extract_audio_features,
+    )
+    import pyspark.sql.functions as F
+
+    # 440 Hz sine, 8000 Hz stereo PCM16, 0.25 s
+    n, rate = 2000, 8000
+    t = np.arange(n)
+    mono = (10000 * np.sin(2 * math.pi * 440 * t / rate)).astype(np.int32)
+    stereo = np.stack([mono, -mono], axis=1)
+    wav = encode_wav(stereo, rate)
+
+    got = _decode_wav(wav)
+    assert got is not None
+    r2, ch, px = got
+    assert (r2, ch, px.shape) == (rate, 2, (n, 2))
+    assert np.array_equal(px[:, 0], mono)
+
+    docs = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(b"not audio at all"))],
+        "doc_id long, payload binary",
+    ).select(
+        "doc_id", "payload",
+        F.struct(F.lit("audio/wav").alias("media_type")).alias("media_meta"),
+    )
+    rows = {r["doc_id"]: r for r in extract_audio_features(docs, decode="real").collect()}
+    real = rows[1]
+    assert real["sample_rate"] == rate and real["channels"] == 2
+    assert real["n_samples"] == n
+    # sine RMS ~ amplitude/sqrt(2); integer mean-square keeps it deterministic
+    assert abs(real["rms"] - 10000 / math.sqrt(2)) < 100
+    # 440 Hz over 0.25 s crosses zero ~2*440*0.25 = 220 times
+    assert 200 <= real["zero_cross"] <= 240
+    # non-audio row fell back to the deterministic fake features
+    fake = rows[2]
+    assert fake["n_samples"] == len(b"not audio at all")
+
+
+def test_audio_frame_energy_profiles_the_decodable_rows_only(spark):
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from covid_19_data_engineering_spark.operators.multimodal import (
+        audio_frame_energy,
+        encode_wav,
+    )
+
+    quiet = np.zeros(1024, dtype=np.int32)
+    loud = np.full(1024, 20000, dtype=np.int32)
+    wav = encode_wav(np.concatenate([quiet, loud]), 16000)
+    docs = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(b"txt"))],
+        "doc_id long, payload binary",
+    ).select("doc_id", "payload")
+    rows = sorted(
+        audio_frame_energy(docs, frame_samples=1024).collect(),
+        key=lambda r: (r["doc_id"], r["frame_no"]),
+    )
+    assert [r["doc_id"] for r in rows] == [1, 1]  # non-audio emits nothing
+    assert rows[0]["rms"] == 0.0 and rows[1]["rms"] == 20000.0
