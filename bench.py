@@ -122,6 +122,7 @@ EXTRA = [
     "events_interval_coverage",
     "embedding_class_separation",
     "setsim_prefix_join",
+    "multimodal_audio_features",
 ]
 
 

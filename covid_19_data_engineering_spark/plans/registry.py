@@ -116,6 +116,7 @@ PRIORITY = (
     "bloom_semi_join_stats",
     "minhash_lsh_accuracy",
     "cdc_chunk_stats",
+    "setsim_prefix_join",
     # TPC-H decorrelation shapes + iterative graph
     "tpch_q2_min_cost_supplier",
     "pagerank_copurchase",
@@ -127,10 +128,11 @@ PRIORITY = (
     "dup_span_profile",
     "events_asof_click_before_purchase",
     # deduplication families
+    # (dedup_simhash rotates out for the round-8 prefix-filter family
+    # above; it stays gate-checked in full)
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_cluster_components",
     # similarity search
@@ -144,8 +146,9 @@ PRIORITY = (
     "data_mixture_plan",
     "pii_scrub_events",
     "kmeans_embedding_clusters",
-    # multimodal plumbing
-    "multimodal_features",
+    # multimodal plumbing (the audio seam is the round-8 addition; the
+    # image twin stays gate-checked in full)
+    "multimodal_audio_features",
     # merge / rank / skew / extensibility
     "customer_scd2_merge",
     "order_price_ranks_scalable",

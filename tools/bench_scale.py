@@ -76,6 +76,7 @@ FAMILY = [
     "bloom_semi_join_stats",
     "events_interval_coverage",
     "tpch_q12_priority_lines",
+    "setsim_prefix_join",
 ]
 
 ID_OFFSET = 1_000_000
