@@ -713,3 +713,22 @@ def test_tpch_q12_single_fact_shuffle_pair(spark):
     for line in plan.splitlines():
         if "ReadSchema" in line:
             assert "l_comment" not in line and "o_totalprice" not in line
+
+
+def test_cdc_chunk_stats_is_map_then_uniform_shuffle(spark):
+    df = REGISTRY["cdc_chunk_stats"].builder(spark, SF_SMOKE)
+    plan = _executed_plan(df)
+    # chunking is row-local array algebra: no join, no sort, no Python
+    assert "Join" not in plan and "Sort" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # two-phase aggregates only: chunk groupBy + O(1) rollup
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_setsim_prefix_join_never_nested_loops(spark):
+    df = REGISTRY["setsim_prefix_join"].builder(spark, SF_SMOKE)
+    plan = _executed_plan(df)
+    # every join is equi (prefix shingle / doc ids) — candidates are
+    # collisions, never the cross product
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
