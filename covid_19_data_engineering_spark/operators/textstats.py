@@ -397,3 +397,95 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# Dunning log-likelihood (G-squared) token keyness: which tokens are
+# over-represented in one source vs the rest of the corpus. The standard
+# corpus-curation diagnostic for "what is this source actually made of"
+# before weighting it in a training mixture.
+# --------------------------------------------------------------------------
+
+# G2 = 2 * (a*ln(a/E1) + b*ln(b/E2)) with E_i the expected count under the
+# pooled rate; zero-count terms contribute 0 by convention. The expression
+# is written ONCE and shared verbatim by Spark and the DuckDB oracle so the
+# doubles are bit-identical (same association order, same int->double
+# promotions) — the ROUND(.,6) readout cannot flip.
+_G2_EXPR = (
+    "2 * ((CASE WHEN a > 0 THEN a * ln(a / "
+    "((CAST(a + b AS DOUBLE) * n1) / (n1 + n2))) ELSE 0.0 END)"
+    " + (CASE WHEN b > 0 THEN b * ln(b / "
+    "((CAST(a + b AS DOUBLE) * n2) / (n1 + n2))) ELSE 0.0 END))"
+)
+_ENRICHED_EXPR = "CASE WHEN a * n2 > b * n1 THEN 1 ELSE 0 END"
+
+
+def token_keyness_g2(docs: DataFrame, target_source: str = "src0",
+                     k: int = 20) -> DataFrame:
+    """Top-``k`` tokens by Dunning G2 keyness of ``target_source`` vs the
+    rest of the corpus.
+
+    100 TB shape: explode -> one map-side-combined groupBy on token (the
+    only shuffle, keyed on a high-cardinality uniform key), corpus totals
+    as a 1-row broadcast crossJoin (stays in-plan — no driver round-trip),
+    and a TakeOrderedAndProject top-k instead of a global sort. Enrichment
+    direction a/n1 > b/n2 is decided by exact integer cross-multiplication
+    (a*n2 > b*n1) so no float boundary exists.
+    """
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
+        (F.col("source") == target_source).alias("is_t"),
+    )
+    counts = toks.groupBy("token").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("a"),
+        F.sum(F.when(~F.col("is_t"), 1).otherwise(0)).alias("b"),
+    )
+    totals = counts.agg(F.sum("a").alias("n1"), F.sum("b").alias("n2"))
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "token",
+            F.col("a").alias("target_tokens"),
+            F.col("b").alias("rest_tokens"),
+            F.round(F.expr(_G2_EXPR), 6).alias("g2"),
+            F.expr(_ENRICHED_EXPR).alias("enriched"),
+        )
+        .orderBy(F.desc("g2"), "token")
+        .limit(k)
+    )
+
+
+@register(
+    "token_keyness_g2",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS token,
+             source = 'src0' AS is_t
+      FROM documents
+    ),
+    counts AS (
+      SELECT token,
+             CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN NOT is_t THEN 1 ELSE 0 END) AS BIGINT) AS b
+      FROM toks GROUP BY token
+    ),
+    totals AS (
+      SELECT CAST(SUM(a) AS BIGINT) AS n1, CAST(SUM(b) AS BIGINT) AS n2
+      FROM counts
+    )
+    SELECT token, a AS target_tokens, b AS rest_tokens,
+           ROUND({_G2_EXPR}, 6) AS g2,
+           {_ENRICHED_EXPR} AS enriched
+    FROM counts, totals
+    ORDER BY g2 DESC, token
+    LIMIT 20
+    """,
+    doc="Dunning log-likelihood (G2) keyness: the 20 tokens most "
+    "over/under-represented in source src0 vs the rest of the corpus — the "
+    "standard 'what is this source made of' audit before a mixture weights "
+    "it. One token-keyed shuffle with map-side combine, totals broadcast "
+    "in-plan, top-k via TakeOrderedAndProject; the G2 expression string is "
+    "shared verbatim with the oracle so doubles match bit-for-bit.",
+)
+def token_keyness_g2_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_keyness_g2(load_table(spark, "documents", sf_dir))
