@@ -209,6 +209,7 @@ def _ensure_loaded() -> None:
     import covid_19_data_engineering_spark.operators.bloomjoin  # noqa: F401
     import covid_19_data_engineering_spark.operators.cdc  # noqa: F401
     import covid_19_data_engineering_spark.operators.skyline  # noqa: F401
+    import covid_19_data_engineering_spark.operators.drift  # noqa: F401
     import covid_19_data_engineering_spark.functions.udfs  # noqa: F401
     import covid_19_data_engineering_spark.streaming.events  # noqa: F401
     _reorder_registry()
