@@ -149,3 +149,91 @@ def exact_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir).select("l_extendedprice")
     return exact_quantiles_histogram(li, "l_extendedprice") \
         .orderBy("quantile")
+
+
+# --------------------------------------------------------------------------
+# Robust (median/MAD) outlier report — the scale-safe alternative to
+# mean/stddev outlier fences, which a single fat-tailed shard can corrupt.
+# Both order statistics come from the histogram-refine pass above, so the
+# whole report costs four bounded passes and never sorts the corpus.
+# --------------------------------------------------------------------------
+
+
+def mad_outlier_report(df: DataFrame, col: str, group: str,
+                       z: int = 3) -> DataFrame:
+    """Per ``group``: rows whose |x - median| exceeds ``z`` * MAD, with the
+    global median/MAD computed exactly via histogram refine.
+
+    100 TB shape: median and MAD are each an exact_quantiles_histogram run
+    (two bounded passes, no global sort); each yields ONE scalar — the
+    only driver round-trips, both O(1) rows. The outlier fence is then a
+    single map-side-combined groupBy where the decision runs in BIGINT
+    cents (round(|x - med| * 100) > z * round(mad * 100)) so Spark and
+    the oracle decide identically with no float boundary.
+    """
+    med = float(exact_quantiles_histogram(
+        df.select(col), col, (0.5,)).first()["value"])
+    dev = df.select(F.abs(F.col(col) - F.lit(med)).alias("dev"))
+    mad = float(exact_quantiles_histogram(dev, "dev", (0.5,)).first()["value"])
+    dev_c = F.expr(f"CAST(round(abs({col} - {med!r}) * 100) AS BIGINT)")
+    mad_c = F.expr(f"CAST(round({mad!r} * 100) AS BIGINT)")
+    return (
+        df.groupBy(group)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(dev_c > z * mad_c, 1).otherwise(0))
+            .alias("n_outliers"),
+        )
+        .select(
+            group, "n_rows", "n_outliers",
+            F.round(F.lit(med), 2).alias("median_value"),
+            F.round(F.lit(mad), 2).alias("mad"),
+        )
+        .orderBy(group)
+    )
+
+
+@register(
+    "robust_price_outliers",
+    oracle="""
+    WITH n_all AS (SELECT COUNT(*) AS n FROM lineitem),
+    med AS (
+      SELECT value AS med FROM (
+        SELECT l_extendedprice AS value,
+               ROW_NUMBER() OVER (ORDER BY l_extendedprice) AS rn
+        FROM lineitem
+      ) WHERE rn = CAST(floor(((SELECT n FROM n_all) - 1) * 0.5) AS BIGINT) + 1
+    ),
+    mad AS (
+      SELECT value AS mad FROM (
+        SELECT abs(l_extendedprice - (SELECT med FROM med)) AS value,
+               ROW_NUMBER() OVER (
+                 ORDER BY abs(l_extendedprice - (SELECT med FROM med))) AS rn
+        FROM lineitem
+      ) WHERE rn = CAST(floor(((SELECT n FROM n_all) - 1) * 0.5) AS BIGINT) + 1
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN
+                 CAST(round(abs(l_extendedprice - (SELECT med FROM med))
+                            * 100) AS BIGINT)
+                 > 3 * CAST(round((SELECT mad FROM mad) * 100) AS BIGINT)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           ROUND((SELECT med FROM med), 2) AS median_value,
+           ROUND((SELECT mad FROM mad), 2) AS mad
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Robust outlier fence per return flag: count of prices more than "
+    "3 MADs from the global median, both order statistics exact via "
+    "histogram refine (no global sort, no percentile interpolation "
+    "flavor). The fence decision runs in BIGINT cents on both engines; "
+    "the oracle replays the identical k = floor((n-1)*0.5)+1 rank "
+    "semantics with ranked windows. The robust twin of mean/stddev "
+    "fences, which a single fat-tailed shard corrupts at 100 TB.",
+)
+def robust_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir) \
+        .select("l_returnflag", "l_extendedprice")
+    return mad_outlier_report(li, "l_extendedprice", "l_returnflag")
