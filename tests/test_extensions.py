@@ -1866,3 +1866,155 @@ def test_audio_frame_energy_profiles_the_decodable_rows_only(spark):
     )
     assert [r["doc_id"] for r in rows] == [1, 1]  # non-audio emits nothing
     assert rows[0]["rms"] == 0.0 and rows[1]["rms"] == 20000.0
+
+
+# --------------------------------------------------------------------------
+# pareto_frontier — skyline vs brute-force dominance
+# --------------------------------------------------------------------------
+
+
+def test_pareto_frontier_matches_brute_force(spark):
+    from covid_19_data_engineering_spark.operators.skyline import (
+        pareto_frontier,
+    )
+
+    # ties on price, ties on size, a duplicate frontier point, and points
+    # dominated only via the equal-price / equal-size edges
+    pts = [
+        (1, 1.0, 5), (2, 1.0, 3),   # 2 dominated by 1 (same price, smaller)
+        (3, 2.0, 5),                # dominated by 1 (same size, pricier)
+        (4, 2.0, 7), (5, 2.0, 7),   # duplicate frontier points: both kept
+        (6, 3.0, 9), (7, 4.0, 8),   # 7 dominated by 6
+        (8, 0.5, 1),                # cheapest: always on the frontier
+    ]
+    df = spark.createDataFrame(pts, "id long, price double, size int")
+    got = sorted(r["id"] for r in pareto_frontier(df, "price", "size").collect())
+
+    def dominated(p, q):
+        return (q[1] <= p[1] and q[2] >= p[2]
+                and (q[1] < p[1] or q[2] > p[2]))
+
+    expect = sorted(p[0] for p in pts
+                    if not any(dominated(p, q) for q in pts if q[0] != p[0]))
+    assert got == expect == [1, 4, 5, 6, 8]
+
+
+def test_pareto_frontier_broadcasts_the_staircase(spark):
+    from covid_19_data_engineering_spark.operators.skyline import (
+        pareto_frontier,
+    )
+    from covid_19_data_engineering_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    df = pareto_frontier(load_table(spark, "part", SF_SMOKE),
+                         "p_retailprice", "p_size")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the corpus-side join is a broadcast of the tiny frontier, never a
+    # shuffle of the part table itself
+    assert "BroadcastHashJoin" in plan
+
+
+# --------------------------------------------------------------------------
+# token_keyness_g2 — planted marker tokens
+# --------------------------------------------------------------------------
+
+
+def test_token_keyness_flags_a_planted_marker_token(spark):
+    from covid_19_data_engineering_spark.operators.textstats import (
+        token_keyness_g2,
+    )
+
+    common = "alpha beta gamma delta"
+    rows = (
+        [(i, common + " zmarker zmarker", "en", "src0", 10)
+         for i in range(20)]
+        + [(100 + i, common + " zother zother", "en", "src1", 10)
+           for i in range(20)]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    out = {r["token"]: r for r in token_keyness_g2(docs, "src0", k=10).collect()}
+    # the planted markers dominate the keyness ranking in both directions
+    assert out["zmarker"]["enriched"] == 1
+    assert out["zother"]["enriched"] == 0
+    assert out["zmarker"]["g2"] == out["zother"]["g2"]  # symmetric plant
+    # shared vocabulary carries no signal
+    assert out["zmarker"]["g2"] > out["alpha"]["g2"]
+
+
+# --------------------------------------------------------------------------
+# drift: JS divergence + rolling z-score anomalies
+# --------------------------------------------------------------------------
+
+
+def _mk_events(spark, rows):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    data = [
+        (i, t0 + dt.timedelta(minutes=i), uid, et, float(v), "{}")
+        for i, (uid, et, v) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_js_divergence_separates_shifted_from_identical(spark):
+    from covid_19_data_engineering_spark.operators.drift import (
+        js_divergence_by_type,
+    )
+
+    rows = ([(1, "a", v) for v in range(100)]          # uniform 0..99
+            + [(2, "b", v) for v in range(100)]        # identical dist
+            + [(3, "c", v + 900) for v in range(100)])  # shifted far away
+    out = {r["event_type"]: r for r in
+           js_divergence_by_type(_mk_events(spark, rows)).collect()}
+    # a and b share a distribution; c is disjoint from most of the corpus
+    assert out["c"]["js_divergence"] > out["a"]["js_divergence"]
+    assert abs(out["a"]["js_divergence"] - out["b"]["js_divergence"]) < 1e-9
+    assert all(r["n_events"] == 100 for r in out.values())
+
+
+def test_rolling_zscore_flags_only_the_planted_spike(spark):
+    from covid_19_data_engineering_spark.operators.drift import (
+        rolling_zscore_anomalies,
+    )
+
+    # user 1: flat history then one spike; user 2: flat throughout.
+    # interleave a jittery user 3 whose wiggle stays inside 3 sigma.
+    rows = ([(1, "spiky", 10.0)] * 20 + [(1, "spiky", 500.0)]
+            + [(2, "flat", 7.0)] * 20
+            + [(3, "wiggly", 5.0 + (i % 2)) for i in range(20)])
+    out = {r["event_type"]: r for r in
+           rolling_zscore_anomalies(_mk_events(spark, rows)).collect()}
+    assert out["spiky"]["n_anomalies"] == 1      # exactly the spike
+    assert out["flat"]["n_anomalies"] == 0
+    assert out["wiggly"]["n_anomalies"] == 0     # within-band jitter
+    # scoring starts only after 8 rows of history
+    assert out["flat"]["n_scored"] == 20 - 8
+
+
+# --------------------------------------------------------------------------
+# mad_outlier_report — planted fat tail
+# --------------------------------------------------------------------------
+
+
+def test_mad_outlier_report_on_planted_fat_tail(spark):
+    from covid_19_data_engineering_spark.operators.quantiles import (
+        mad_outlier_report,
+    )
+
+    vals = [float(v) for v in range(1, 10)] + [100.0]
+    df = spark.createDataFrame(
+        [("A", v) for v in vals], "grp string, x double")
+    row = mad_outlier_report(df, "x", "grp").collect()[0]
+    # n=10: median = 5 (rank 5 of 1..9,100), MAD = 2 (rank 5 of sorted devs)
+    assert row["median_value"] == 5.0
+    assert row["mad"] == 2.0
+    # fence = 3 * MAD = 6: only the planted 100 (dev 95) crosses it
+    assert row["n_outliers"] == 1
+    assert row["n_rows"] == 10
