@@ -123,6 +123,11 @@ EXTRA = [
     "embedding_class_separation",
     "setsim_prefix_join",
     "multimodal_audio_features",
+    "token_keyness_g2",
+    "pareto_frontier_parts",
+    "events_drift_js",
+    "events_rolling_anomalies",
+    "robust_price_outliers",
 ]
 
 

@@ -117,6 +117,20 @@ PRIORITY = (
     "minhash_lsh_accuracy",
     "cdc_chunk_stats",
     "setsim_prefix_join",
+    # round-8 continuation 2: five new operator families (source keyness,
+    # skyline, distribution drift, rolling anomalies, robust MAD fences).
+    # text_quality_profile, dedup_ngram_jaccard, events_value_interpolation,
+    # order_price_ranks_scalable, and udtf_sentence_stats rotate out but
+    # stay gate-checked in full; each family keeps head representatives
+    # (text: bm25/corpus_curation_yield + the new keyness; dedup: five
+    # other reps; temporal: three other reps; rank/quantile:
+    # exact_price_quantiles + the new robust fence; extensibility:
+    # udaf_geometric_mean_price).
+    "token_keyness_g2",
+    "pareto_frontier_parts",
+    "events_drift_js",
+    "events_rolling_anomalies",
+    "robust_price_outliers",
     # TPC-H decorrelation shapes + iterative graph
     "tpch_q2_min_cost_supplier",
     "pagerank_copurchase",
@@ -124,7 +138,6 @@ PRIORITY = (
     # interval join (hourly_active_users rotates out; the temporal family
     # keeps three other head representatives)
     "events_interval_coverage",
-    "events_value_interpolation",
     "dup_span_profile",
     "events_asof_click_before_purchase",
     # deduplication families
@@ -132,13 +145,11 @@ PRIORITY = (
     # above; it stays gate-checked in full)
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "dedup_cluster_components",
     # similarity search
     "ann_cosine_topk",
     # text analysis + retrieval
-    "text_quality_profile",
     "bm25_retrieval",
     # LLM-prep pipeline + embedding clustering
     "benchmark_contamination",
@@ -151,10 +162,8 @@ PRIORITY = (
     "multimodal_audio_features",
     # merge / rank / skew / extensibility
     "customer_scd2_merge",
-    "order_price_ranks_scalable",
     "salted_lineitem_revenue",
     "udaf_geometric_mean_price",
-    "udtf_sentence_stats",
 )
 
 

@@ -77,6 +77,13 @@ FAMILY = [
     "events_interval_coverage",
     "tpch_q12_priority_lines",
     "setsim_prefix_join",
+    # round-8 continuation 2 (keyness, skyline, drift, robust stats,
+    # rolling anomalies — all lineitem/documents/events-backed)
+    "token_keyness_g2",
+    "pareto_frontier_parts",
+    "events_drift_js",
+    "events_rolling_anomalies",
+    "robust_price_outliers",
 ]
 
 ID_OFFSET = 1_000_000
@@ -92,8 +99,26 @@ def materialize_scaled(spark) -> None:
             os.path.join(SCALE_DIR, f"{t}.parquet", "_SUCCESS"))
 
     if all(_done(t) for t in ("documents", "embeddings", "lineitem",
-                              "orders", "events")):
+                              "orders", "events", "part")):
         return
+    if not _done("part"):
+        # replica k offsets p_partkey; price/size stay as-is, so the
+        # skyline's staircase (bounded by the VALUE DOMAIN) stays put
+        # while every price group grows 3x denser — the exact property
+        # the staircase decomposition is supposed to exploit
+        part = load_table(spark, "part", BASE_SF)
+        pparts = [
+            part.select(
+                (F.col("p_partkey") + k * ID_OFFSET).alias("p_partkey"),
+                *[c for c in part.columns if c != "p_partkey"],
+            ).select(*part.columns)
+            for k in range(REPLICAS)
+        ]
+        scaled_p = pparts[0]
+        for p_ in pparts[1:]:
+            scaled_p = scaled_p.unionByName(p_)
+        scaled_p.write.mode("overwrite").parquet(
+            os.path.join(SCALE_DIR, "part.parquet"))
     if not _done("orders"):
         # replica k offsets o_orderkey in lockstep with lineitem, so the
         # bloom/Q12 semi-join structure repeats per replica (the true
