@@ -128,6 +128,8 @@ EXTRA = [
     "events_drift_js",
     "events_rolling_anomalies",
     "robust_price_outliers",
+    "source_overlap_matrix",
+    "ngram_novelty_profile",
 ]
 
 

@@ -709,3 +709,176 @@ def lm_bigram_scores(docs: DataFrame, text_col: str = "text",
 def lm_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return lm_bigram_scores(docs).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Pairwise source-overlap matrix: which sources share content? The
+# contamination check benchmark_contamination runs doc-vs-eval-set; this is
+# the source-vs-source version a mixture builder uses to spot mirrored /
+# re-crawled corpora before double-weighting the same text.
+# --------------------------------------------------------------------------
+
+
+def source_overlap_matrix(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Jaccard overlap of distinct ``k``-gram sets between every source
+    pair — (source_a, source_b, shared_grams, grams_a, grams_b, jaccard).
+
+    100 TB shape: the corpus collapses to distinct (source, gram) rows in
+    one map-side-combined distinct — after that nothing touches documents
+    again. The self-join is keyed on gram with per-key fanout bounded by
+    the SOURCE COUNT (a gram can pair at most S^2/2 ways no matter how
+    many billions of documents contain it), so candidate volume is
+    O(distinct grams * S^2), never O(docs^2). Per-source totals broadcast.
+    """
+    sg = docs.select(
+        "source",
+        F.explode(_ngrams_distinct(F.col("text"), k)).alias("gram"),
+    ).distinct()
+    per_src = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    pairs = (
+        sg.alias("a").join(sg.alias("b"), "gram")
+        .where(F.col("a.source") < F.col("b.source"))
+        .groupBy(F.col("a.source").alias("source_a"),
+                 F.col("b.source").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )
+    pa = per_src.select(F.col("source").alias("source_a"),
+                        F.col("n_grams").alias("grams_a"))
+    pb = per_src.select(F.col("source").alias("source_b"),
+                        F.col("n_grams").alias("grams_b"))
+    return (
+        pairs.join(F.broadcast(pa), "source_a")
+        .join(F.broadcast(pb), "source_b")
+        .select(
+            "source_a", "source_b", "shared_grams", "grams_a", "grams_b",
+            F.round(F.expr("CAST(shared_grams AS DOUBLE) / "
+                           "(grams_a + grams_b - shared_grams)"), 6)
+            .alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+@register(
+    "source_overlap_matrix",
+    oracle="""
+    WITH g AS (
+      SELECT source, list_distinct(list_transform(
+        range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+        i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2),
+                             ' '))) AS grams
+      FROM documents
+    ),
+    sg AS (SELECT DISTINCT source, unnest(grams) AS gram FROM g),
+    ps AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams
+           FROM sg GROUP BY source),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS shared_grams
+      FROM sg a JOIN sg b USING (gram)
+      WHERE a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, shared_grams,
+           pa.n_grams AS grams_a, pb.n_grams AS grams_b,
+           ROUND(CAST(shared_grams AS DOUBLE)
+                 / (pa.n_grams + pb.n_grams - shared_grams), 6) AS jaccard
+    FROM pairs
+    JOIN ps pa ON pa.source = source_a
+    JOIN ps pb ON pb.source = source_b
+    ORDER BY source_a, source_b
+    """,
+    doc="Pairwise source-overlap matrix: Jaccard of distinct 3-gram sets "
+    "for every source pair — the mirrored/re-crawled-corpus detector a "
+    "mixture builder runs before double-weighting the same text. One "
+    "distinct (source, gram) collapse, then a gram-keyed self-join whose "
+    "per-key fanout is bounded by the source count (O(grams * S^2) "
+    "candidates, never O(docs^2)); per-source totals broadcast back.",
+)
+def source_overlap_matrix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return source_overlap_matrix(load_table(spark, "documents", sf_dir))
+
+
+# --------------------------------------------------------------------------
+# N-gram novelty profile: how much genuinely new text does each source
+# contribute, in ingestion order? The aggregate twin of the per-type
+# vocab_growth_curve — low novelty means the source mostly restates what
+# earlier documents already said (near-dup mass LSH may not catch).
+# --------------------------------------------------------------------------
+
+
+def ngram_novelty_profile(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Per source: fraction of its distinct doc-level ``k``-grams that
+    FIRST appeared in that document (by doc_id ingestion order) —
+    (source, docs, total_grams, novel_grams, novelty_rate).
+
+    100 TB shape: the first-seen trick makes cumulative novelty
+    distributable — gram -> min(doc_id) is one map-side-combined shuffle
+    on the gram key, joined back once (gram-keyed, fanout = docs carrying
+    the gram). The rate is a ratio of two BIGINT sums (one division,
+    identical on both engines) — never an average of per-doc doubles,
+    whose summation order would be engine-dependent.
+    """
+    dg = docs.select(
+        "doc_id", "source",
+        F.explode(_ngrams_distinct(F.col("text"), k)).alias("gram"),
+    )
+    first = dg.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per_src = (
+        dg.join(first, "gram")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("total_grams"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1)
+                  .otherwise(0)).alias("novel_grams"),
+        )
+    )
+    n_docs = docs.groupBy("source").agg(F.count(F.lit(1)).alias("docs"))
+    return (
+        n_docs.join(per_src, "source")
+        .select(
+            "source", "docs", "total_grams", "novel_grams",
+            F.round(F.expr("CAST(novel_grams AS DOUBLE) / total_grams"), 6)
+            .alias("novelty_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "ngram_novelty_profile",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, source, list_distinct(list_transform(
+        range(1, greatest(len(string_split(text, ' ')) - 3, 1)),
+        i -> array_to_string(list_slice(string_split(text, ' '), i, i + 4),
+                             ' '))) AS grams
+      FROM documents
+    ),
+    dg AS (SELECT doc_id, source, unnest(grams) AS gram FROM g),
+    first_seen AS (SELECT gram, MIN(doc_id) AS first_doc FROM dg GROUP BY gram),
+    per_src AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS total_grams,
+             CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS novel_grams
+      FROM dg JOIN first_seen USING (gram)
+      GROUP BY source
+    )
+    SELECT d.source, d.docs, total_grams, novel_grams,
+           ROUND(CAST(novel_grams AS DOUBLE) / total_grams, 6)
+             AS novelty_rate
+    FROM (SELECT source, CAST(COUNT(*) AS BIGINT) AS docs
+          FROM documents GROUP BY source) d
+    JOIN per_src USING (source)
+    ORDER BY d.source
+    """,
+    doc="N-gram novelty per source: the fraction of each source's distinct "
+    "doc-level 5-grams that first appeared (by doc_id ingestion order) in "
+    "that source's documents — low novelty flags sources that restate "
+    "earlier text. First-seen trick (gram -> min doc_id, one shuffle) "
+    "makes cumulative novelty distributable; the rate is a ratio of two "
+    "BIGINT sums, never an order-dependent average of doubles.",
+)
+def ngram_novelty_profile_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_novelty_profile(load_table(spark, "documents", sf_dir))

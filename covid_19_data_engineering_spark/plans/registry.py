@@ -131,6 +131,12 @@ PRIORITY = (
     "events_drift_js",
     "events_rolling_anomalies",
     "robust_price_outliers",
+    # plus the two corpus audits (source-pair overlap, first-seen novelty);
+    # data_mixture_plan and pii_scrub_events rotate out but stay
+    # gate-checked in full — LLM-prep keeps benchmark_contamination and
+    # corpus_curation_yield in the head
+    "source_overlap_matrix",
+    "ngram_novelty_profile",
     # TPC-H decorrelation shapes + iterative graph
     "tpch_q2_min_cost_supplier",
     "pagerank_copurchase",
@@ -154,8 +160,6 @@ PRIORITY = (
     # LLM-prep pipeline + embedding clustering
     "benchmark_contamination",
     "corpus_curation_yield",
-    "data_mixture_plan",
-    "pii_scrub_events",
     "kmeans_embedding_clusters",
     # multimodal plumbing (the audio seam is the round-8 addition; the
     # image twin stays gate-checked in full)

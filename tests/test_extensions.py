@@ -2018,3 +2018,61 @@ def test_mad_outlier_report_on_planted_fat_tail(spark):
     # fence = 3 * MAD = 6: only the planted 100 (dev 95) crosses it
     assert row["n_outliers"] == 1
     assert row["n_rows"] == 10
+
+
+# --------------------------------------------------------------------------
+# source_overlap_matrix + ngram_novelty_profile — corpus audits
+# --------------------------------------------------------------------------
+
+
+def _grams(text, k):
+    toks = text.split(" ")
+    n = max(len(toks) - (k - 1), 1)
+    return {" ".join(toks[i:i + k]) for i in range(n)}
+
+
+def test_source_overlap_matrix_matches_set_arithmetic(spark):
+    from covid_19_data_engineering_spark.operators.llmprep import (
+        source_overlap_matrix,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, shared + " one two three", "en", "A", 10),
+        (2, shared + " four five six", "en", "B", 10),   # overlaps A
+        (3, "pure disjoint text with nothing common here", "en", "C", 10),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    out = {(r["source_a"], r["source_b"]): r
+           for r in source_overlap_matrix(docs).collect()}
+    ga, gb = _grams(rows[0][1], 3), _grams(rows[1][1], 3)
+    ab = out[("A", "B")]
+    assert ab["shared_grams"] == len(ga & gb)
+    assert ab["grams_a"] == len(ga) and ab["grams_b"] == len(gb)
+    assert abs(ab["jaccard"] - len(ga & gb) / len(ga | gb)) < 1e-6
+    # the disjoint source pairs with nobody
+    assert ("A", "C") not in out and ("B", "C") not in out
+
+
+def test_ngram_novelty_profile_first_seen_semantics(spark):
+    from covid_19_data_engineering_spark.operators.llmprep import (
+        ngram_novelty_profile,
+    )
+
+    base = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, base, "en", "orig", 10),
+        (2, base, "en", "copycat", 10),          # restates doc 1 verbatim
+        (3, "totally fresh words appear here never before seen anywhere",
+         "en", "copycat", 10),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    out = {r["source"]: r for r in ngram_novelty_profile(docs).collect()}
+    # everything in doc 1 is first-seen; doc 2 contributes nothing new,
+    # doc 3 is all new -> copycat's rate is exactly its doc-3 share
+    assert out["orig"]["novelty_rate"] == 1.0
+    g1, g3 = _grams(base, 5), _grams(rows[2][1], 5)
+    assert out["copycat"]["total_grams"] == len(g1) + len(g3)
+    assert out["copycat"]["novel_grams"] == len(g3)

@@ -84,6 +84,8 @@ FAMILY = [
     "events_drift_js",
     "events_rolling_anomalies",
     "robust_price_outliers",
+    "source_overlap_matrix",
+    "ngram_novelty_profile",
 ]
 
 ID_OFFSET = 1_000_000
