@@ -130,6 +130,7 @@ EXTRA = [
     "robust_price_outliers",
     "source_overlap_matrix",
     "ngram_novelty_profile",
+    "events_lateness_profile",
 ]
 
 

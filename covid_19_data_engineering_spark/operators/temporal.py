@@ -237,3 +237,135 @@ def events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("interval_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Lateness profile: how out-of-order would this stream arrive through a
+# realistic transport? withWatermark("ts", delay) silently DROPS every
+# event later than the chosen delay, so a deployment measures the lateness
+# distribution BEFORE picking one. The events table carries no arrival
+# column, so arrival is modeled as ts + a deterministic md5-derived
+# network delay in [0, 10 min) — reproducible on both engines, same trick
+# as weighted_sample_wor's hash-derived uniforms.
+# --------------------------------------------------------------------------
+
+_DELAY_MOD_MS = 600_000          # network delay in [0, 10 min)
+_ARRIVAL_BKT_MS = 600_000        # 10-min arrival-time buckets for level 1
+
+# shared bucket classifier over event-time lateness in millis
+_LATE_CLASS = ("CASE WHEN late_ms <= 0 THEN 0 "
+               "WHEN late_ms <= 60000 THEN 1 "
+               "WHEN late_ms <= 300000 THEN 2 "
+               "WHEN late_ms <= 600000 THEN 3 "
+               "ELSE 4 END")
+_LATE_LABEL = ("CASE bucket_id WHEN 0 THEN 'in_order' "
+               "WHEN 1 THEN 'le_1m' WHEN 2 THEN 'le_5m' "
+               "WHEN 3 THEN 'le_10m' ELSE 'gt_10m' END")
+
+
+def lateness_profile(events: DataFrame,
+                     delay_mod_ms: int = _DELAY_MOD_MS,
+                     bucket_ms: int = _ARRIVAL_BKT_MS) -> DataFrame:
+    """Distribution of event-time lateness vs the running high-watermark
+    in (simulated) arrival order — (bucket_id, lateness_bucket, n_events,
+    share).
+
+    An event's lateness is how far its event time sits behind the max
+    event time among all earlier ARRIVALS. The running max is the classic
+    sequential scan; here it is a two-level distributed prefix-max (the
+    packing prefix-sum decomposition, keyed on TIME): within each 10-min
+    arrival bucket the prefix max runs parallel across buckets; the
+    per-bucket maxima take the only ordered window — O(deployment-minutes
+    / 10) rows, growing with calendar time, never with event volume; the
+    watermark is greatest(bucket base, local prefix). Nothing sorts the
+    stream globally at any scale.
+    """
+    ts_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    delay = (F.conv(F.substring(F.md5(F.col("event_id").cast("string")),
+                                1, 13), 16, 10)
+             .cast("long") % delay_mod_ms)
+    base = events.select(
+        "event_id", ts_ms.alias("ts_ms"),
+        (ts_ms + delay).alias("arr_ms"),
+    ).withColumn("bkt", F.expr(f"arr_ms div {bucket_ms}"))
+    in_bkt = Window.partitionBy("bkt").orderBy("arr_ms", "event_id") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    local = base.withColumn(
+        "local_max", F.coalesce(F.max("ts_ms").over(in_bkt), F.lit(-1)))
+    bkt_w = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    bases = (
+        base.groupBy("bkt").agg(F.max("ts_ms").alias("bkt_max"))
+        .withColumn("bkt_base",
+                    F.coalesce(F.max("bkt_max").over(bkt_w), F.lit(-1)))
+        .select("bkt", "bkt_base")
+    )
+    late = (
+        local.join(F.broadcast(bases), "bkt")
+        .select(
+            F.expr("CASE WHEN greatest(local_max, bkt_base) < 0 THEN 0 "
+                   "ELSE greatest(local_max, bkt_base) - ts_ms END")
+            .alias("late_ms"),
+        )
+        .select(F.expr(_LATE_CLASS).alias("bucket_id"))
+    )
+    total = late.agg(F.count(F.lit(1)).alias("n_all"))
+    return (
+        late.groupBy("bucket_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bucket_id",
+            F.expr(_LATE_LABEL).alias("lateness_bucket"),
+            "n_events",
+            F.round(F.expr("CAST(n_events AS DOUBLE) / n_all"), 6)
+            .alias("share"),
+        )
+        .orderBy("bucket_id")
+    )
+
+
+@register(
+    "events_lateness_profile",
+    oracle=f"""
+    WITH arr AS (
+      SELECT epoch_ms(ts) AS ts_ms,
+             epoch_ms(ts) + (('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                                             1, 13))::BIGINT
+                             % {_DELAY_MOD_MS}) AS arr_ms,
+             event_id
+      FROM events
+    ),
+    scanned AS (
+      SELECT ts_ms,
+             COALESCE(MAX(ts_ms) OVER (
+               ORDER BY arr_ms, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) AS wm
+      FROM arr
+    ),
+    classed AS (
+      SELECT {_LATE_CLASS} AS bucket_id
+      FROM (SELECT CASE WHEN wm < 0 THEN 0 ELSE wm - ts_ms END AS late_ms
+            FROM scanned)
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM classed)
+    SELECT bucket_id, {_LATE_LABEL} AS lateness_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / (SELECT n_all FROM tot), 6)
+             AS share
+    FROM classed
+    GROUP BY bucket_id
+    ORDER BY bucket_id
+    """,
+    doc="Event-time lateness distribution vs the running high-watermark "
+    "under a deterministic md5-derived transport delay (0-10 min), in the "
+    "buckets a streaming deployment cares about (in-order / <=1m / <=5m / "
+    "<=10m / beyond) — the measurement that sizes withWatermark() before "
+    "it silently drops late data. The sequential running max becomes a "
+    "two-level distributed prefix-max over 10-min arrival buckets "
+    "(parallel within-bucket windows; the only ordered window sees "
+    "O(deployment-minutes/10) rows, growing with calendar time, never "
+    "event volume); the oracle states the same semantics as one flat "
+    "window.",
+)
+def events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lateness_profile(load_table(spark, "events", sf_dir))

@@ -137,6 +137,11 @@ PRIORITY = (
     # corpus_curation_yield in the head
     "source_overlap_matrix",
     "ngram_novelty_profile",
+    # and the streaming-adjacent lateness profile (watermark sizing);
+    # events_asof_click_before_purchase rotates out but stays gate-checked
+    # in full — the temporal family keeps events_interval_coverage,
+    # dup_span_profile, and the two drift reps in the head
+    "events_lateness_profile",
     # TPC-H decorrelation shapes + iterative graph
     "tpch_q2_min_cost_supplier",
     "pagerank_copurchase",
@@ -145,7 +150,6 @@ PRIORITY = (
     # keeps three other head representatives)
     "events_interval_coverage",
     "dup_span_profile",
-    "events_asof_click_before_purchase",
     # deduplication families
     # (dedup_simhash rotates out for the round-8 prefix-filter family
     # above; it stays gate-checked in full)

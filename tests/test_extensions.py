@@ -2076,3 +2076,54 @@ def test_ngram_novelty_profile_first_seen_semantics(spark):
     g1, g3 = _grams(base, 5), _grams(rows[2][1], 5)
     assert out["copycat"]["total_grams"] == len(g1) + len(g3)
     assert out["copycat"]["novel_grams"] == len(g3)
+
+
+# --------------------------------------------------------------------------
+# events_lateness_profile — two-level prefix max vs flat replay
+# --------------------------------------------------------------------------
+
+
+def test_lateness_profile_matches_flat_scan_replay(spark):
+    import hashlib
+
+    from covid_19_data_engineering_spark.operators.temporal import (
+        _DELAY_MOD_MS,
+        lateness_profile,
+    )
+
+    # 300 events, 90s apart: the 0-10 min delays create real inversions,
+    # and the stream spans several 10-min arrival buckets so the
+    # two-level decomposition's bucket-boundary path is exercised
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    data = [(i, t0 + dt.timedelta(seconds=90 * i), 1, "x", 0.0, "{}")
+            for i in range(300)]
+    events = spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r["bucket_id"]: r["n_events"]
+           for r in lateness_profile(events).collect()}
+
+    def delay(eid):
+        h = hashlib.md5(str(eid).encode()).hexdigest()[:13]
+        return int(h, 16) % _DELAY_MOD_MS
+
+    arr = sorted(
+        (int((t0 + dt.timedelta(seconds=90 * i)).timestamp() * 1000)
+         + delay(i), i,
+         int((t0 + dt.timedelta(seconds=90 * i)).timestamp() * 1000))
+        for i in range(300)
+    )
+    wm, expect = -1, {}
+    for _, _, ts in arr:
+        late = 0 if wm < 0 else (wm - ts if wm - ts > 0 else 0)
+        b = (0 if late <= 0 else 1 if late <= 60000 else 2
+             if late <= 300000 else 3 if late <= 600000 else 4)
+        expect[b] = expect.get(b, 0) + 1
+        wm = max(wm, ts)
+    assert got == expect
+    # sanity: the simulated transport really reorders something
+    assert sum(v for k, v in expect.items() if k > 0) > 0

@@ -86,6 +86,7 @@ FAMILY = [
     "robust_price_outliers",
     "source_overlap_matrix",
     "ngram_novelty_profile",
+    "events_lateness_profile",
 ]
 
 ID_OFFSET = 1_000_000
