@@ -131,6 +131,8 @@ EXTRA = [
     "source_overlap_matrix",
     "ngram_novelty_profile",
     "events_lateness_profile",
+    "events_error_control_chart",
+    "functional_dependency_profile",
 ]
 
 

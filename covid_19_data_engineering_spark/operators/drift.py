@@ -238,3 +238,82 @@ def rolling_zscore_anomalies(events: DataFrame,
 )
 def events_rolling_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_zscore_anomalies(load_table(spark, "events", sf_dir))
+
+
+# --------------------------------------------------------------------------
+# p-chart (attribute control chart): hourly error-rate vs binomial
+# 3-sigma limits around the corpus rate — the SPC classic, as one pass.
+# --------------------------------------------------------------------------
+
+# decision with the division cleared: |e*N - n*E| > 3*sqrt(E*(N-E)*n).
+# LHS is an exact BIGINT product cast once; sqrt is correctly rounded in
+# both engines, so identical integer input -> identical double -> an
+# identical comparison. No rate is ever divided before the decision.
+_OOC_EXPR = ("CASE WHEN CAST(abs(e * n_all - n * e_all) AS DOUBLE) > "
+             "3 * sqrt(CAST(e_all AS DOUBLE) * (n_all - e_all) * n) "
+             "THEN 1 ELSE 0 END")
+
+
+def error_control_chart(events: DataFrame) -> DataFrame:
+    """Hourly p-chart of the error-event share — (hour, n_events,
+    n_errors, error_rate, out_of_control).
+
+    100 TB shape: one map-side-combined groupBy on the hour bucket (two
+    conditional counts), corpus totals broadcast in-plan; the 3-sigma
+    binomial test is decided from exact integer counts with the division
+    algebraically cleared, so both engines flag the identical hours. The
+    chart length grows with calendar time, never event volume.
+    """
+    hours = (
+        events.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .alias("e"),
+        )
+    )
+    totals = hours.agg(F.sum("n").alias("n_all"), F.sum("e").alias("e_all"))
+    return (
+        hours.crossJoin(F.broadcast(totals))
+        .select(
+            "hour",
+            F.col("n").alias("n_events"),
+            F.col("e").alias("n_errors"),
+            F.round(F.expr("CAST(e AS DOUBLE) / n"), 6).alias("error_rate"),
+            F.expr(_OOC_EXPR).alias("out_of_control"),
+        )
+        .orderBy("hour")
+    )
+
+
+@register(
+    "events_error_control_chart",
+    oracle=f"""
+    WITH hours AS (
+      SELECT date_trunc('hour', ts) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS e
+      FROM events GROUP BY 1
+    ),
+    totals AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_all,
+             CAST(SUM(e) AS BIGINT) AS e_all
+      FROM hours
+    )
+    SELECT hour, n AS n_events, e AS n_errors,
+           ROUND(CAST(e AS DOUBLE) / n, 6) AS error_rate,
+           {_OOC_EXPR} AS out_of_control
+    FROM hours, totals
+    ORDER BY hour
+    """,
+    doc="Hourly p-chart: error-event share per hour vs 3-sigma binomial "
+    "control limits around the corpus rate — the SPC monitor an ingest "
+    "pipeline runs to catch a bad upstream deploy. One hour-keyed "
+    "map-side-combined groupBy + broadcast totals; the limit test is "
+    "decided as |e*N - n*E| > 3*sqrt(E*(N-E)*n) from exact BIGINTs "
+    "(division cleared, sqrt correctly rounded in both engines), so the "
+    "flagged hours are engine-identical.",
+)
+def events_error_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return error_control_chart(load_table(spark, "events", sf_dir))

@@ -147,3 +147,95 @@ def referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "nation", "region")
     }
     return integrity_report(tables).orderBy("fk_edge")
+
+
+# --------------------------------------------------------------------------
+# Functional-dependency audit: does column A still determine column B?
+# The data-contract companion to the FK edges above — schema docs say
+# "status is derived from priority" until one bad load breaks it; this
+# measures each claimed dependency instead of trusting it.
+# --------------------------------------------------------------------------
+
+FD_CANDIDATES = (
+    # (determinant, dependent) over orders
+    ("o_orderkey", "o_custkey"),       # key: must hold
+    ("o_custkey", "o_orderstatus"),    # a customer's orders vary: violated
+    ("o_orderdate", "o_orderpriority"),
+    ("o_orderstatus", "o_orderpriority"),
+)
+
+
+def fd_profile(df: DataFrame,
+               pairs: tuple[tuple[str, str], ...]) -> DataFrame:
+    """Exact violation counts for each claimed functional dependency
+    A -> B: a determinant value violates when it maps to more than one
+    dependent value — (determinant, dependent, n_keys, violating_keys,
+    holds, violation_rate).
+
+    100 TB shape: each candidate is ONE map-side-combined groupBy on its
+    determinant (count + exact distinct of the dependent per key), then an
+    O(distinct keys) -> O(1) reduction; candidates union into one plan and
+    run as independent stages. No candidate ever joins or sorts the table.
+    """
+    parts = []
+    for det, dep in pairs:
+        per_key = df.groupBy(det).agg(
+            F.countDistinct(dep).alias("n_dep"))
+        parts.append(
+            per_key.agg(
+                F.lit(det).alias("determinant"),
+                F.lit(dep).alias("dependent"),
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum(F.when(F.col("n_dep") > 1, 1).otherwise(0))
+                .alias("violating_keys"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "determinant", "dependent", "n_keys", "violating_keys",
+        F.expr("CASE WHEN violating_keys = 0 THEN 1 ELSE 0 END")
+        .alias("holds"),
+        F.round(F.expr("CAST(violating_keys AS DOUBLE) / n_keys"), 6)
+        .alias("violation_rate"),
+    ).orderBy("determinant", "dependent")
+
+
+def _fd_oracle_sql() -> str:
+    parts = []
+    for det, dep in FD_CANDIDATES:
+        parts.append(f"""
+      SELECT '{det}' AS determinant, '{dep}' AS dependent,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS violating_keys
+      FROM (SELECT {det}, COUNT(DISTINCT {dep}) AS n_dep
+            FROM orders GROUP BY {det})""")
+    union = "\n      UNION ALL\n".join(parts)
+    return f"""
+    WITH per AS ({union}
+    )
+    SELECT determinant, dependent, n_keys, violating_keys,
+           CASE WHEN violating_keys = 0 THEN 1 ELSE 0 END AS holds,
+           ROUND(CAST(violating_keys AS DOUBLE) / n_keys, 6)
+             AS violation_rate
+    FROM per
+    ORDER BY determinant, dependent
+    """
+
+
+@register(
+    "functional_dependency_profile",
+    oracle=_fd_oracle_sql(),
+    doc="Functional-dependency audit over orders: exact violation counts "
+    "for each claimed A -> B dependency (a determinant value violates "
+    "when it maps to >1 dependent value) — the data-contract check that "
+    "catches 'status is derived from priority' silently breaking. Each "
+    "candidate is one map-side-combined groupBy on its determinant; "
+    "candidates union into one plan as independent stages; no joins, no "
+    "sorts, no second scan per candidate.",
+)
+def functional_dependency_profile(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    return fd_profile(load_table(spark, "orders", sf_dir), FD_CANDIDATES)

@@ -70,7 +70,6 @@ PRIORITY = (
     # ingestion / profiling / data quality (SURVEY §2 A10, B1/B2, C3)
     "count_validation",
     "schema_profile",
-    "column_sample",
     # core relational shapes
     "pricing_summary",
     "revenue_by_nation",
@@ -142,6 +141,13 @@ PRIORITY = (
     # in full — the temporal family keeps events_interval_coverage,
     # dup_span_profile, and the two drift reps in the head
     "events_lateness_profile",
+    # plus the SPC control chart and the functional-dependency audit;
+    # column_sample and customer_scd2_merge rotate out but stay
+    # gate-checked in full (profiling keeps count_validation and
+    # schema_profile; the merge family keeps its pytest battery and the
+    # versioned upsert twin merge_versioned in the full gate)
+    "events_error_control_chart",
+    "functional_dependency_profile",
     # TPC-H decorrelation shapes + iterative graph
     "tpch_q2_min_cost_supplier",
     "pagerank_copurchase",
@@ -169,7 +175,6 @@ PRIORITY = (
     # image twin stays gate-checked in full)
     "multimodal_audio_features",
     # merge / rank / skew / extensibility
-    "customer_scd2_merge",
     "salted_lineitem_revenue",
     "udaf_geometric_mean_price",
 )

@@ -2127,3 +2127,66 @@ def test_lateness_profile_matches_flat_scan_replay(spark):
     assert got == expect
     # sanity: the simulated transport really reorders something
     assert sum(v for k, v in expect.items() if k > 0) > 0
+
+
+# --------------------------------------------------------------------------
+# events_error_control_chart + functional_dependency_profile
+# --------------------------------------------------------------------------
+
+
+def test_control_chart_flags_only_the_planted_bad_hour(spark):
+    import math
+
+    from covid_19_data_engineering_spark.operators.drift import (
+        error_control_chart,
+    )
+
+    # 9 calm hours at 10% errors, one incident hour at 50%
+    rows = []
+    for h in range(10):
+        bad = h == 7
+        for i in range(100):
+            et = "error" if (i < (50 if bad else 10)) else "view"
+            rows.append((h, et, 1.0))
+    out = {r["hour"].hour: r for r in
+           error_control_chart(_mk_events_hourly(spark, rows)).collect()}
+    assert [h for h, r in out.items() if r["out_of_control"] == 1] == [7]
+    # replay the cleared-division decision for the incident hour
+    n_all, e_all, n, e = 1000, 140, 100, 50
+    assert (abs(e * n_all - n * e_all)
+            > 3 * math.sqrt(e_all * (n_all - e_all) * n))
+
+
+def _mk_events_hourly(spark, rows):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    data = [
+        (i, t0 + dt.timedelta(hours=h, seconds=i % 3600), 1, et, v, "{}")
+        for i, (h, et, v) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_fd_profile_separates_holding_from_violated(spark):
+    from covid_19_data_engineering_spark.operators.integrity import (
+        fd_profile,
+    )
+
+    rows = [
+        (1, "a", "X"), (2, "a", "X"),   # key -> grp holds; grp a -> X only
+        (3, "b", "X"), (4, "b", "Y"),   # grp b maps to two values: violated
+    ]
+    df = spark.createDataFrame(rows, "k long, grp string, v string")
+    out = {(r["determinant"], r["dependent"]): r
+           for r in fd_profile(df, (("k", "v"), ("grp", "v"))).collect()}
+    assert out[("k", "v")]["holds"] == 1
+    assert out[("k", "v")]["violating_keys"] == 0
+    assert out[("grp", "v")]["holds"] == 0
+    assert out[("grp", "v")]["violating_keys"] == 1
+    assert out[("grp", "v")]["n_keys"] == 2
+    assert abs(out[("grp", "v")]["violation_rate"] - 0.5) < 1e-9

@@ -87,6 +87,7 @@ FAMILY = [
     "source_overlap_matrix",
     "ngram_novelty_profile",
     "events_lateness_profile",
+    "events_error_control_chart",
 ]
 
 ID_OFFSET = 1_000_000
