@@ -133,6 +133,7 @@ EXTRA = [
     "events_lateness_profile",
     "events_error_control_chart",
     "functional_dependency_profile",
+    "embedding_covariance_profile",
 ]
 
 

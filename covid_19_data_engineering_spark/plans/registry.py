@@ -148,6 +148,11 @@ PRIORITY = (
     # versioned upsert twin merge_versioned in the full gate)
     "events_error_control_chart",
     "functional_dependency_profile",
+    # and the Arrow-batched Gram/covariance audit (the one oracle-checked
+    # mapInPandas seam); udaf_geometric_mean_price rotates out but stays
+    # gate-checked in full — extensibility keeps the pandas kernel here
+    # plus the UDTF battery in the full gate
+    "embedding_covariance_profile",
     # TPC-H decorrelation shapes + iterative graph
     "tpch_q2_min_cost_supplier",
     "pagerank_copurchase",
@@ -176,7 +181,6 @@ PRIORITY = (
     "multimodal_audio_features",
     # merge / rank / skew / extensibility
     "salted_lineitem_revenue",
-    "udaf_geometric_mean_price",
 )
 
 
@@ -232,6 +236,7 @@ def _ensure_loaded() -> None:
     import covid_19_data_engineering_spark.operators.cdc  # noqa: F401
     import covid_19_data_engineering_spark.operators.skyline  # noqa: F401
     import covid_19_data_engineering_spark.operators.drift  # noqa: F401
+    import covid_19_data_engineering_spark.operators.gram  # noqa: F401
     import covid_19_data_engineering_spark.functions.udfs  # noqa: F401
     import covid_19_data_engineering_spark.streaming.events  # noqa: F401
     _reorder_registry()

@@ -2190,3 +2190,52 @@ def test_fd_profile_separates_holding_from_violated(spark):
     assert out[("grp", "v")]["violating_keys"] == 1
     assert out[("grp", "v")]["n_keys"] == 2
     assert abs(out[("grp", "v")]["violation_rate"] - 0.5) < 1e-9
+
+
+# --------------------------------------------------------------------------
+# embedding_covariance_profile — Gram kernel vs numpy, batch invariance
+# --------------------------------------------------------------------------
+
+
+def test_covariance_profile_matches_numpy_and_is_partition_invariant(spark):
+    import numpy as np
+
+    from covid_19_data_engineering_spark.operators.gram import (
+        _FX,
+        embedding_covariance_profile,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(40).astype(np.float32) * 0.1
+    # dim 0 and dim 1 strongly correlated; everything else noise
+    vecs = []
+    for r in range(40):
+        v = rng.randn(64).astype(np.float32) * 0.05
+        v[0] = base[r]
+        v[1] = base[r] * 0.9
+        vecs.append((r, [float(x) for x in v], 0))
+    emb = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int")
+    got = embedding_covariance_profile(emb, k=64 * 65 // 2).collect()
+    table = {(r["i"], r["j"]): r["cov"] for r in got}
+
+    # numpy replay of the exact fixed-point pipeline
+    x = np.stack([np.asarray(v[1], dtype=np.float32) for v in vecs]).astype(
+        np.float64)
+    n = len(vecs)
+
+    def ha(y):
+        return (np.sign(y) * np.floor(np.abs(y) + 0.5)).astype(np.int64)
+
+    p = ha(x[:, :, None] * x[:, None, :] * _FX).sum(0)
+    m = ha(x * _FX).sum(0)
+    cov01 = (p[0, 1] / n - (m[0] / n) * (m[1] / n) / _FX) / _FX
+    assert abs(table[(0, 1)] - round(cov01, 8)) < 1e-12
+    # the planted correlated pair ranks among the strongest off-diagonals
+    off = {k: abs(v) for k, v in table.items() if k[0] != k[1]}
+    assert max(off, key=off.get) == (0, 1)
+
+    # exact int64 partials: any repartitioning yields identical output
+    again = embedding_covariance_profile(
+        emb.repartition(13), k=64 * 65 // 2).collect()
+    assert {(r["i"], r["j"]): r["cov"] for r in again} == table

@@ -88,6 +88,7 @@ FAMILY = [
     "ngram_novelty_profile",
     "events_lateness_profile",
     "events_error_control_chart",
+    "embedding_covariance_profile",
 ]
 
 ID_OFFSET = 1_000_000
