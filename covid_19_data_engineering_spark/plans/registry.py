@@ -123,8 +123,9 @@ PRIORITY = (
     # stay gate-checked in full; each family keeps head representatives
     # (text: bm25/corpus_curation_yield + the new keyness; dedup: five
     # other reps; temporal: three other reps; rank/quantile:
-    # exact_price_quantiles + the new robust fence; extensibility:
-    # udaf_geometric_mean_price).
+    # exact_price_quantiles + the new robust fence; extensibility: the
+    # Gram pandas kernel below plus the UDAF/UDTF battery in the full
+    # gate).
     "token_keyness_g2",
     "pareto_frontier_parts",
     "events_drift_js",
