@@ -134,6 +134,7 @@ EXTRA = [
     "events_error_control_chart",
     "functional_dependency_profile",
     "embedding_covariance_profile",
+    "copurchase_association_rules",
 ]
 
 

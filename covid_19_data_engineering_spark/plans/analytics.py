@@ -513,3 +513,93 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "curr_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Association rules on the co-purchase pairs: support / confidence / lift.
+# --------------------------------------------------------------------------
+
+@register(
+    "copurchase_association_rules",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n_all AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM op),
+    supp AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS s FROM op GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 3
+    ),
+    rules AS (
+      SELECT pa AS antecedent, pb AS consequent, c, sa.s AS s_ant,
+             sb.s AS s_con
+      FROM pairs JOIN supp sa ON sa.l_partkey = pa
+                 JOIN supp sb ON sb.l_partkey = pb
+      UNION ALL
+      SELECT pb, pa, c, sb.s, sa.s
+      FROM pairs JOIN supp sa ON sa.l_partkey = pa
+                 JOIN supp sb ON sb.l_partkey = pb
+    )
+    SELECT antecedent, consequent, c AS n_orders,
+           ROUND(CAST(c AS DOUBLE) / s_ant, 6) AS confidence,
+           ROUND(CAST(c * (SELECT n FROM n_all) AS DOUBLE)
+                 / (s_ant * s_con), 6) AS lift
+    FROM rules
+    ORDER BY lift DESC, antecedent, consequent
+    LIMIT 30
+    """,
+    doc="Association rules over within-order part co-occurrence: both "
+    "directions of each pair with support count, confidence c/s(A), and "
+    "lift c*N / (s(A)*s(B)) — the classic market-basket readout on the "
+    "order-blocked pair-mining shape (pairs explode only within a basket, "
+    "O(rows x avg_basket), never O(n^2)). All inputs are exact BIGINT "
+    "counts; confidence and lift are each ONE double division with the "
+    "integer products formed first, so both engines rank identically.",
+)
+def copurchase_association_rules(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    op = _t(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_partkey").distinct()
+    n_all = op.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n"))
+    supp = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
+    a = op.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("pa"))
+    b = op.select(F.col("l_orderkey").alias("ok2"),
+                  F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, (F.col("ok") == F.col("ok2"))
+               & (F.col("pa") < F.col("pb")))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 3)
+    )
+    sa = supp.select(F.col("l_partkey").alias("pa"),
+                     F.col("s").alias("s_a"))
+    sb = supp.select(F.col("l_partkey").alias("pb"),
+                     F.col("s").alias("s_b"))
+    joined = pairs.join(F.broadcast(sa), "pa").join(F.broadcast(sb), "pb")
+    fwd = joined.select(
+        F.col("pa").alias("antecedent"), F.col("pb").alias("consequent"),
+        "c", F.col("s_a").alias("s_ant"), F.col("s_b").alias("s_con"))
+    rev = joined.select(
+        F.col("pb").alias("antecedent"), F.col("pa").alias("consequent"),
+        "c", F.col("s_b").alias("s_ant"), F.col("s_a").alias("s_con"))
+    return (
+        fwd.unionByName(rev)
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            "antecedent", "consequent", F.col("c").alias("n_orders"),
+            F.round(F.expr("CAST(c AS DOUBLE) / s_ant"), 6)
+            .alias("confidence"),
+            F.round(F.expr("CAST(c * n AS DOUBLE) / (s_ant * s_con)"), 6)
+            .alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "antecedent", "consequent")
+        .limit(30)
+    )

@@ -154,6 +154,11 @@ PRIORITY = (
     # gate-checked in full — extensibility keeps the pandas kernel here
     # plus the UDTF battery in the full gate
     "embedding_covariance_profile",
+    # and the association-rules readout on the blocked pair-mining shape;
+    # salted_lineitem_revenue rotates out but stays gate-checked in full
+    # (the skew family keeps shuffle_skew_report there; salting is also
+    # pytest-pinned)
+    "copurchase_association_rules",
     # TPC-H decorrelation shapes + iterative graph
     "tpch_q2_min_cost_supplier",
     "pagerank_copurchase",
@@ -181,7 +186,6 @@ PRIORITY = (
     # image twin stays gate-checked in full)
     "multimodal_audio_features",
     # merge / rank / skew / extensibility
-    "salted_lineitem_revenue",
 )
 
 
