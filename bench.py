@@ -135,6 +135,7 @@ EXTRA = [
     "functional_dependency_profile",
     "embedding_covariance_profile",
     "copurchase_association_rules",
+    "orders_open_backlog_curve",
 ]
 
 

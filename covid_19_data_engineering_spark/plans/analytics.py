@@ -603,3 +603,70 @@ def copurchase_association_rules(spark: SparkSession,
         .orderBy(F.col("lift").desc(), "antecedent", "consequent")
         .limit(30)
     )
+
+
+# --------------------------------------------------------------------------
+# Sweep-line interval counting: how many orders were in flight on each
+# active date? The "count intervals covering a point" query, WITHOUT the
+# interval x date join (which explodes O(orders x duration) rows).
+# --------------------------------------------------------------------------
+
+@register(
+    "orders_open_backlog_curve",
+    oracle="""
+    WITH spans AS (
+      SELECT o.o_orderkey, o.o_orderdate AS d_start,
+             MAX(l.l_shipdate) AS d_end
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ),
+    deltas AS (
+      SELECT d_start AS d, 1 AS delta FROM spans
+      UNION ALL
+      SELECT d_end + INTERVAL 1 DAY, -1 FROM spans
+    ),
+    daily AS (
+      SELECT CAST(d AS DATE) AS d, CAST(SUM(delta) AS BIGINT) AS net
+      FROM deltas GROUP BY 1
+    )
+    SELECT d, net AS net_change,
+           CAST(SUM(net) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS open_orders
+    FROM daily
+    ORDER BY d
+    """,
+    doc="Open-order backlog curve: for every date where the backlog "
+    "changes, how many orders are in flight (orderdate through last line "
+    "receipt). Sweep-line decomposition: each order contributes a +1/-1 "
+    "delta pair (one groupBy on orderkey for the span, one on date), and "
+    "the only ordered window runs over the O(distinct dates) daily-net "
+    "table — bounded by the calendar, not order volume. The naive "
+    "interval-x-date join this replaces explodes O(orders x duration) "
+    "rows.",
+)
+def orders_open_backlog_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    spans = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("d_end"))
+    )
+    deltas = (
+        spans.select(F.col("o_orderdate").alias("d"), F.lit(1).alias("delta"))
+        .unionByName(
+            spans.select(F.date_add("d_end", 1).alias("d"),
+                         F.lit(-1).alias("delta")))
+    )
+    daily = deltas.groupBy("d").agg(F.sum("delta").alias("net"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding,
+                                        Window.currentRow)
+    return (
+        daily.select(
+            "d", F.col("net").alias("net_change"),
+            F.sum("net").over(w).alias("open_orders"),
+        )
+        .orderBy("d")
+    )

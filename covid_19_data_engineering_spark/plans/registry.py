@@ -159,6 +159,11 @@ PRIORITY = (
     # (the skew family keeps shuffle_skew_report there; salting is also
     # pytest-pinned)
     "copurchase_association_rules",
+    # and the sweep-line backlog curve (interval counting with no
+    # interval x date explosion); dedup_embedding_cosine rotates out but
+    # stays gate-checked in full — the embedding-dedup family keeps
+    # semantic_dedup/semantic_dedup_ivf in the head
+    "orders_open_backlog_curve",
     # TPC-H decorrelation shapes + iterative graph
     "tpch_q2_min_cost_supplier",
     "pagerank_copurchase",
@@ -172,7 +177,6 @@ PRIORITY = (
     # above; it stays gate-checked in full)
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
     "dedup_cluster_components",
     # similarity search
     "ann_cosine_topk",
