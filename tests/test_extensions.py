@@ -2239,3 +2239,30 @@ def test_covariance_profile_matches_numpy_and_is_partition_invariant(spark):
     again = embedding_covariance_profile(
         emb.repartition(13), k=64 * 65 // 2).collect()
     assert {(r["i"], r["j"]): r["cov"] for r in again} == table
+
+
+# --------------------------------------------------------------------------
+# copurchase_association_rules + orders_open_backlog_curve
+# --------------------------------------------------------------------------
+
+
+def test_backlog_curve_counts_overlapping_spans(spark):
+    import datetime as dt
+
+    from covid_19_data_engineering_spark.plans.analytics import (
+        orders_open_backlog_curve,
+    )
+    from tests.conftest import SF_SMOKE
+
+    out = orders_open_backlog_curve(spark, SF_SMOKE).collect()
+    # the cumulative sweep must start at the first net change and return
+    # to zero after the last ship date (+1s and -1s balance exactly)
+    assert out[0]["open_orders"] == out[0]["net_change"]
+    assert out[-1]["open_orders"] == 0
+    assert sum(r["net_change"] for r in out) == 0
+    # backlog is a prefix sum: every row equals the running total
+    run = 0
+    for r in out:
+        run += r["net_change"]
+        assert r["open_orders"] == run
+        assert isinstance(r["d"], dt.date)
