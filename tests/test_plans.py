@@ -732,3 +732,46 @@ def test_setsim_prefix_join_never_nested_loops(spark):
     # collisions, never the cross product
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_continuation2_operator_plans(spark):
+    """Plan pins for the continuation-2 operators: top-k stays map-side
+    partial (TakeOrderedAndProject), pair generators stay equi-keyed
+    (no cartesian/nested-loop), the corpus-side joins broadcast their
+    tiny build sides, and the only Python in any of them is the Gram
+    kernel's single ArrowEval stage."""
+    sf = SF_SMOKE
+
+    key = _executed_plan(REGISTRY["token_keyness_g2"].builder(spark, sf))
+    assert "TakeOrderedAndProject" in key     # top-k, never a global sort
+    assert "BatchEvalPython" not in key and "ArrowEvalPython" not in key
+    assert "CartesianProduct" not in key      # totals cross the plan as a
+    # broadcast 1-row join, never a real cartesian pairing
+
+    sky = _executed_plan(REGISTRY["pareto_frontier_parts"].builder(spark, sf))
+    assert "BroadcastHashJoin" in sky          # frontier broadcast back
+    assert "SortMergeJoin" not in sky          # the corpus is never shuffled for the join
+
+    anom = _executed_plan(REGISTRY["events_rolling_anomalies"].builder(spark, sf))
+    assert "hashpartitioning(user_id" in anom  # the ONE corpus shuffle
+    assert "BatchEvalPython" not in anom
+
+    over = _executed_plan(REGISTRY["source_overlap_matrix"].builder(spark, sf))
+    assert "CartesianProduct" not in over and "BroadcastNestedLoopJoin" not in over
+
+    late = _executed_plan(REGISTRY["events_lateness_profile"].builder(spark, sf))
+    # level-1 window partitions by arrival bucket; no corpus-wide
+    # SinglePartition sort ever sees the events stream (the level-2
+    # window runs over the tiny per-bucket table)
+    assert "hashpartitioning(bkt" in late
+
+    gram = _executed_plan(REGISTRY["embedding_covariance_profile"].builder(spark, sf))
+    assert "MapInPandas" in gram              # the one Arrow kernel stage
+    assert "BatchEvalPython" not in gram      # and no row-at-a-time Python
+
+    rules = _executed_plan(REGISTRY["copurchase_association_rules"].builder(spark, sf))
+    assert "CartesianProduct" not in rules
+    # the single BNLJ is the 1-row basket-total broadcast; the basket
+    # self-join and both support joins must be hash joins
+    assert rules.count("BroadcastNestedLoopJoin") <= 1
+    assert "TakeOrderedAndProject" in rules
