@@ -88,7 +88,8 @@ def js_divergence_by_type(events: DataFrame, bins: int = JS_BINS) -> DataFrame:
         .select(
             "event_type",
             "n_events",
-            F.round(F.expr(f"(js_fx / 2.0) / {_FX}"), 6).alias("js_divergence"),
+            F.round(F.expr(f"(CAST(js_fx AS DOUBLE) / 2.0) / {_FX}"), 6)
+            .alias("js_divergence"),
         )
         .orderBy("event_type")
     )
@@ -128,7 +129,7 @@ def js_divergence_by_type(events: DataFrame, bins: int = JS_BINS) -> DataFrame:
     )
     SELECT event_type,
            MAX(n_t) AS n_events,
-           ROUND((CAST(SUM({_JS_FIXED}) AS BIGINT) / 2.0) / {_FX}, 6)
+           ROUND((CAST(SUM({_JS_FIXED}) AS DOUBLE) / 2.0) / {_FX}, 6)
              AS js_divergence
     FROM grid
     GROUP BY event_type

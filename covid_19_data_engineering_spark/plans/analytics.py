@@ -647,8 +647,12 @@ def copurchase_association_rules(spark: SparkSession,
 def orders_open_backlog_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    # o_orderdate is TIMESTAMP_NTZ in the parquet; the sweep runs on DATE
+    # on both engines (the oracle CASTs identically)
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate"))
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("l_shipdate"))
     spans = (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .groupBy("o_orderkey", "o_orderdate")
