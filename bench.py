@@ -136,6 +136,7 @@ EXTRA = [
     "embedding_covariance_profile",
     "copurchase_association_rules",
     "orders_open_backlog_curve",
+    "session_duration_quantiles",
 ]
 
 

@@ -164,6 +164,10 @@ PRIORITY = (
     # stays gate-checked in full — the embedding-dedup family keeps
     # semantic_dedup/semantic_dedup_ivf in the head
     "orders_open_backlog_curve",
+    # and the sessionize->quantile composition (operators as DataFrames
+    # in/out); dup_span_profile rotates out but stays gate-checked in
+    # full — the substring-dedup family is also pytest-pinned
+    "session_duration_quantiles",
     # TPC-H decorrelation shapes + iterative graph
     "tpch_q2_min_cost_supplier",
     "pagerank_copurchase",
@@ -171,7 +175,6 @@ PRIORITY = (
     # interval join (hourly_active_users rotates out; the temporal family
     # keeps three other head representatives)
     "events_interval_coverage",
-    "dup_span_profile",
     # deduplication families
     # (dedup_simhash rotates out for the round-8 prefix-filter family
     # above; it stays gate-checked in full)

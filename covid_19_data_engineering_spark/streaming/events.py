@@ -449,3 +449,85 @@ def start_admission_stream(new_docs: DataFrame, snapshot_state: dict,
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+@register(
+    "session_duration_quantiles",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             CASE WHEN epoch(CAST(ts AS TIMESTAMP))
+                       - epoch(lag(CAST(ts AS TIMESTAMP)) OVER w) > 300
+                  OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_no
+      FROM marked
+    ),
+    durations AS (
+      SELECT CAST(epoch_ms(MAX(ts)) - epoch_ms(MIN(ts)) AS BIGINT)
+               AS duration_ms
+      FROM sessions GROUP BY user_id, session_no
+    ),
+    n_all AS (SELECT COUNT(*) AS n FROM durations),
+    targets AS (
+      SELECT CAST(q AS DOUBLE) AS quantile,
+             CAST(floor(((SELECT n FROM n_all) - 1) * q) AS BIGINT) + 1
+               AS rank
+      FROM (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q)
+    ),
+    ranked AS (
+      SELECT duration_ms,
+             ROW_NUMBER() OVER (ORDER BY duration_ms) AS rn
+      FROM durations
+    )
+    SELECT t.quantile, t.rank, r.duration_ms AS value
+    FROM targets t JOIN ranked r ON r.rn = t.rank
+    ORDER BY t.quantile
+    """,
+    doc="Exact session-duration order statistics (p25/50/75/90/99 in ms): "
+    "gap-based sessionization (5-min, the lag+cumsum twin of "
+    "session_window) composed with the histogram-refine quantile operator "
+    "— durations never leave the cluster and never sort globally; the "
+    "only ordered windows are per-user (sessionize) and per-candidate-"
+    "bucket (refine). The composition is the point: engine operators are "
+    "DataFrames in/out, so the scalable quantile pass runs on DERIVED "
+    "tables (sessions) exactly as it does on stored ones.",
+)
+def session_duration_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from covid_19_data_engineering_spark.operators.quantiles import (
+        exact_quantiles_histogram,
+    )
+
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.select(
+        "user_id", "ts", "event_id",
+        F.when(
+            F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 300 SECONDS"), 1
+        ).when(F.lag("ts").over(w).isNull(), 1).otherwise(0).alias("new_session"),
+    )
+    sessions = marked.withColumn(
+        "session_no",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    durations = (
+        sessions.groupBy("user_id", "session_no")
+        .agg((F.unix_millis(F.max("ts").cast("timestamp"))
+              - F.unix_millis(F.min("ts").cast("timestamp")))
+             .cast("long").alias("duration_ms"))
+        .select("duration_ms")
+    )
+    return (
+        exact_quantiles_histogram(durations, "duration_ms")
+        .orderBy("quantile")
+    )
