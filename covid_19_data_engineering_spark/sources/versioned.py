@@ -69,6 +69,7 @@ import os
 import time
 import uuid
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -562,3 +563,89 @@ def compact_versioned(spark: SparkSession, path: str,
         df.coalesce(target_files), path, mode="overwrite",
         expect_base=base, meta={"compacted_from": base},
     )
+
+
+def read_change_feed(spark: SparkSession, path: str, from_version: int,
+                     to_version: int | None = None) -> DataFrame:
+    """Row-level change feed between two committed versions — the CDC
+    surface an incremental downstream consumer (a materialized aggregate,
+    a search index, a replica) reads instead of re-scanning snapshots.
+
+    Every row of the table schema comes back with two extra columns:
+    ``_change_type`` ('insert' | 'delete') and ``_commit_version``.
+    Semantics per version v in (from_version, to_version]:
+
+    - append commit: the commit's own files as 'insert' at v (file-local —
+      never touches the rest of the snapshot);
+    - overwrite commit: the PRIOR snapshot's rows as 'delete' at v plus
+      the new snapshot's rows as 'insert' at v. Coarse but honest without
+      a declared primary key; callers with a key can reconcile the pair
+      into upserts with one groupBy;
+    - compaction commits (``compacted_from`` in the record) are data-
+      unchanged rewrites and contribute NOTHING — same contract as a
+      Delta dataChange=false action.
+
+    Scale shape: the feed plans directly over the affected parquet files
+    (appends read exactly the appended files), unions across versions,
+    and stays lazy — nothing is collected, and downstream filters push
+    into the file scans as usual. Cost is proportional to data CHANGED,
+    not table size, except overwrites, which by definition changed the
+    whole snapshot.
+
+    Reference parity: the reference's history table is append-only
+    snapshots (vertica_upload.py:209-230) — consumers diff snapshots by
+    rescanning; this feed is the engine-native replacement.
+    """
+    versions = table_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions at {path}")
+    if to_version is None:
+        to_version = versions[-1]
+    lo = min(versions)
+    pieces = []
+
+    def _files_df(rel_files, version):
+        full = [os.path.join(path, f) for f in rel_files]
+        if not full:
+            return None
+        return spark.read.parquet(*full)
+
+    for v in versions:
+        if not (from_version < v <= to_version):
+            continue
+        c = _read_commit(path, v)
+        if "compacted_from" in c:
+            continue
+        if c["action"] == "append":
+            ins = _files_df(c["files"], v)
+            if ins is not None:
+                pieces.append(ins.select(
+                    "*", F.lit("insert").alias("_change_type"),
+                    F.lit(v).alias("_commit_version")))
+            continue
+        # overwrite: prior snapshot deleted (when it is still retained —
+        # a vacuumed-away base has no files to report), new one inserted
+        if v - 1 >= lo and (v - 1) in versions:
+            old = _files_df(_snapshot_files(path, v - 1), v)
+            if old is not None:
+                pieces.append(old.select(
+                    "*", F.lit("delete").alias("_change_type"),
+                    F.lit(v).alias("_commit_version")))
+        ins = _files_df(c["files"], v)
+        if ins is not None:
+            pieces.append(ins.select(
+                "*", F.lit("insert").alias("_change_type"),
+                F.lit(v).alias("_commit_version")))
+    if not pieces:
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(
+            json.loads(_read_commit(path, to_version)["schema"]))
+        empty = spark.createDataFrame([], schema)
+        return empty.select(
+            "*", F.lit("").alias("_change_type"),
+            F.lit(0).alias("_commit_version")).limit(0)
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out

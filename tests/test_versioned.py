@@ -648,3 +648,65 @@ def test_merge_versioned_rejects_duplicate_update_keys_and_empty_table(spark):
             spark, tbl, _df(spark, [(2, "x"), (2, "y")]), "id")
     # the failed merge committed nothing
     assert V.current_version(tbl) == 1
+
+
+# --------------------------------------------------------------------------
+# change feed
+# --------------------------------------------------------------------------
+
+
+def _feed_rows(spark, tbl, frm, to=None):
+    from covid_19_data_engineering_spark.sources.versioned import (
+        read_change_feed,
+    )
+
+    return sorted(
+        (r["_commit_version"], r["_change_type"], r["id"], r["v"])
+        for r in read_change_feed(spark, tbl, frm, to).collect()
+    )
+
+
+def test_change_feed_appends_overwrites_and_compaction(spark, tbl):
+    from covid_19_data_engineering_spark.sources.versioned import (
+        compact_versioned,
+    )
+
+    write_versioned(_df(spark, [(1, "a"), (2, "b")]), tbl)          # v1
+    write_versioned(_df(spark, [(3, "c")]), tbl, mode="append")     # v2
+    write_versioned(_df(spark, [(4, "d")]), tbl)                    # v3 overwrite
+
+    # full feed: v1 inserts, v2 append insert, v3 delete-all + insert
+    assert _feed_rows(spark, tbl, 0) == sorted([
+        (1, "insert", 1, "a"), (1, "insert", 2, "b"),
+        (2, "insert", 3, "c"),
+        (3, "delete", 1, "a"), (3, "delete", 2, "b"),
+        (3, "delete", 3, "c"),
+        (3, "insert", 4, "d"),
+    ])
+    # incremental consumer: only what changed since v2
+    assert _feed_rows(spark, tbl, 2) == sorted([
+        (3, "delete", 1, "a"), (3, "delete", 2, "b"),
+        (3, "delete", 3, "c"),
+        (3, "insert", 4, "d"),
+    ])
+    # a compaction rewrite changes no data -> contributes nothing
+    v4 = compact_versioned(spark, tbl)
+    assert _feed_rows(spark, tbl, 3) == []
+    assert _feed_rows(spark, tbl, 3, v4) == []
+    # appends after the compaction show up file-local as usual
+    write_versioned(_df(spark, [(5, "e")]), tbl, mode="append")     # v5
+    assert _feed_rows(spark, tbl, v4) == [(5, "insert", 5, "e")]
+
+
+def test_change_feed_bounds_and_empty_range(spark, tbl):
+    write_versioned(_df(spark, [(1, "a")]), tbl)                    # v1
+    write_versioned(_df(spark, [(2, "b")]), tbl, mode="append")     # v2
+    # bounded read stops at to_version
+    assert _feed_rows(spark, tbl, 0, 1) == [(1, "insert", 1, "a")]
+    # an empty range returns an empty frame with the feed schema
+    from covid_19_data_engineering_spark.sources.versioned import (
+        read_change_feed,
+    )
+    empty = read_change_feed(spark, tbl, 2, 2)
+    assert empty.count() == 0
+    assert {"_change_type", "_commit_version"} <= set(empty.columns)
