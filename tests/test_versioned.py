@@ -710,3 +710,61 @@ def test_change_feed_bounds_and_empty_range(spark, tbl):
     empty = read_change_feed(spark, tbl, 2, 2)
     assert empty.count() == 0
     assert {"_change_type", "_commit_version"} <= set(empty.columns)
+
+
+# --------------------------------------------------------------------------
+# incremental view maintenance over the change feed
+# --------------------------------------------------------------------------
+
+
+def test_incremental_count_aggregate_tracks_the_source(spark, tmp_path):
+    from covid_19_data_engineering_spark.sources.incremental import (
+        refresh_count_aggregate,
+    )
+    from covid_19_data_engineering_spark.sources.versioned import (
+        read_versioned,
+    )
+
+    tbl, agg = str(tmp_path / "src"), str(tmp_path / "agg")
+
+    import pyspark.sql.functions as F
+
+    def check():
+        got = sorted(
+            (r["v"], r["n_rows"])
+            for r in read_versioned(spark, agg).collect())
+        want = sorted(
+            (r["v"], r["n"])
+            for r in read_versioned(spark, tbl)
+            .groupBy("v").agg(F.count("*").alias("n")).collect())
+        assert got == want
+
+    write_versioned(_df(spark, [(1, "a"), (2, "a"), (3, "b")]), tbl)
+    assert refresh_count_aggregate(spark, tbl, agg, "v") == 1
+    check()
+
+    # appends fold in as +1 deltas
+    write_versioned(_df(spark, [(4, "b"), (5, "c")]), tbl, mode="append")
+    refresh_count_aggregate(spark, tbl, agg, "v")
+    check()
+
+    # an overwrite folds as delete-all + insert; a vanished key drops out
+    write_versioned(_df(spark, [(6, "c")]), tbl)
+    refresh_count_aggregate(spark, tbl, agg, "v")
+    check()
+    keys = {r["v"] for r in read_versioned(spark, agg).collect()}
+    assert keys == {"c"}
+
+    # idempotent: no new source commits -> no new aggregate version
+    from covid_19_data_engineering_spark.sources.versioned import (
+        current_version,
+    )
+    before = current_version(agg)
+    assert refresh_count_aggregate(spark, tbl, agg, "v") == 3
+    assert current_version(agg) == before
+
+    # multiple source commits between refreshes replay from the cursor
+    write_versioned(_df(spark, [(7, "d")]), tbl, mode="append")
+    write_versioned(_df(spark, [(8, "d")]), tbl, mode="append")
+    refresh_count_aggregate(spark, tbl, agg, "v")
+    check()
