@@ -137,6 +137,7 @@ EXTRA = [
     "copurchase_association_rules",
     "orders_open_backlog_curve",
     "session_duration_quantiles",
+    "supplier_concentration_hhi",
 ]
 
 

@@ -674,3 +674,83 @@ def orders_open_backlog_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+# --------------------------------------------------------------------------
+# Market concentration (HHI): how concentrated is each nation's supply
+# base? The antitrust-style audit, made order-independent with fixed-point
+# share terms.
+# --------------------------------------------------------------------------
+
+# one squared-share term in 1e12 fixed point. floor(x + 0.5), NOT each
+# engine's round(): the identical IEEE ops on both sides (terms are
+# arbitrary doubles, so a native-round ULP boundary could flip)
+_HHI_TERM = ("CAST(floor(((CAST(r AS DOUBLE) / t) * (CAST(r AS DOUBLE) / t))"
+             " * 1000000000000 + 0.5) AS BIGINT)")
+
+
+@register(
+    "supplier_concentration_hhi",
+    oracle=f"""
+    WITH rev AS (
+      SELECT s.s_nationkey,
+             l.l_suppkey,
+             CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS r
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT s_nationkey, CAST(SUM(r) AS BIGINT) AS t,
+             CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+             CAST(MAX(r) AS BIGINT) AS top_r
+      FROM rev GROUP BY 1
+    )
+    SELECT n.n_name AS nation, t2.n_suppliers,
+           ROUND(CAST(SUM({_HHI_TERM}) AS DOUBLE) / 1000000000000, 6)
+             AS hhi,
+           ROUND(CAST(MAX(top_r) AS DOUBLE) / MAX(t), 6) AS top_share
+    FROM rev
+    JOIN tot t2 USING (s_nationkey)
+    JOIN nation n ON n.n_nationkey = rev.s_nationkey
+    GROUP BY n.n_name, t2.n_suppliers
+    ORDER BY nation
+    """,
+    doc="Herfindahl-Hirschman concentration of supplier revenue per "
+    "nation (sum of squared revenue shares, 1/n = perfectly even, 1.0 = "
+    "monopoly) plus the top supplier's share — the supply-risk audit. "
+    "Revenue folds to exact BIGINT cents per (nation, supplier); each "
+    "squared share becomes a 1e12 fixed-point term via floor(x + 0.5) "
+    "(the identical IEEE ops on both engines, immune to native-round ULP "
+    "boundaries) so the HHI sum is association-order-independent. Two "
+    "map-side-combined shuffles (supplier revenue, nation fold); the "
+    "supplier dim broadcasts.",
+)
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum(F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+             .alias("r"))
+    )
+    tot = rev.groupBy(F.col("s_nationkey").alias("_nk")).agg(
+        F.sum("r").alias("t"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.max("r").alias("top_r"),
+    )
+    return (
+        rev.join(F.broadcast(tot), rev["s_nationkey"] == tot["_nk"])
+        .join(F.broadcast(nat), rev["s_nationkey"] == nat["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"), "n_suppliers")
+        .agg(
+            F.round(F.expr(f"CAST(SUM({_HHI_TERM}) AS DOUBLE) "
+                           "/ 1000000000000"), 6).alias("hhi"),
+            F.round(F.expr("CAST(MAX(top_r) AS DOUBLE) / MAX(t)"), 6)
+            .alias("top_share"),
+        )
+        .select("nation", "n_suppliers", "hhi", "top_share")
+        .orderBy("nation")
+    )

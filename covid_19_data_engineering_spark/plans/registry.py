@@ -74,7 +74,6 @@ PRIORITY = (
     "pricing_summary",
     "revenue_by_nation",
     "shipping_priority_topk",
-    "nation_market_share",
     "top_orders_per_customer",
     "customer_running_spend",
     # round-5 families (rotated in per round-5 verdict task #2; the dropped
@@ -168,6 +167,10 @@ PRIORITY = (
     # in/out); dup_span_profile rotates out but stays gate-checked in
     # full — the substring-dedup family is also pytest-pinned
     "session_duration_quantiles",
+    # and the HHI concentration audit; nation_market_share rotates out
+    # but stays gate-checked in full (the share/ratio family keeps
+    # revenue_by_nation and the HHI here)
+    "supplier_concentration_hhi",
     # TPC-H decorrelation shapes + iterative graph
     "tpch_q2_min_cost_supplier",
     "pagerank_copurchase",
