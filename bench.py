@@ -138,6 +138,7 @@ EXTRA = [
     "orders_open_backlog_curve",
     "session_duration_quantiles",
     "supplier_concentration_hhi",
+    "embedding_quantile_calibration",
 ]
 
 

@@ -26,7 +26,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from covid_19_data_engineering_spark.plans.registry import register
 from covid_19_data_engineering_spark.sources.tables import load_table
@@ -138,3 +138,118 @@ def embedding_covariance_profile(emb: DataFrame, k: int = 20) -> DataFrame:
 def embedding_covariance_profile_query(spark: SparkSession,
                                        sf_dir: str) -> DataFrame:
     return embedding_covariance_profile(load_table(spark, "embeddings", sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Per-dimension quantile calibration: the p0.1 / p50 / p99.9 of every
+# embedding dimension, for clip-then-quantize (int8) calibration — max-abs
+# scaling (what embedding_quantize_int8 uses) wastes range on one outlier;
+# percentile clipping is the production practice. 64 parallel
+# histogram-refine passes, never a global sort.
+# --------------------------------------------------------------------------
+
+_CAL_BINS = 1024
+_CAL_QS = (0.001, 0.5, 0.999)
+# micro-unit fixed point via floor(x*1e6 + 0.5): ONE shared expression on
+# both engines (consistent tie behavior matters, not the convention)
+_MICRO = "CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
+
+
+def embedding_quantile_calibration(emb: DataFrame,
+                                   bins: int = _CAL_BINS) -> DataFrame:
+    """(dim, quantile, rank, value_micro): exact order statistics of every
+    embedding dimension at p = 0.001 / 0.5 / 0.999, in 1e-6 units.
+
+    The quantile histogram-refine pattern (operators/quantiles.py), run
+    for all 64 dimensions AT ONCE: one posexplode scan bins every (dim,
+    value) against per-dim [lo, hi] (a broadcast 64-row aggregate — no
+    driver round-trip), the cumsum + rank location runs on <= 64 * bins
+    aggregated rows, and pass 2 ranks only candidate (dim, bucket) pairs
+    — expected n/bins rows per task, 64-way parallel. Nothing ever sees
+    a global order; the corpus is scanned exactly twice.
+    """
+    vals = emb.select(
+        F.posexplode("embedding").alias("dim", "x"),
+    ).select("dim", F.expr(_MICRO).alias("v"))
+    params = vals.groupBy("dim").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    binned = (
+        vals.join(F.broadcast(params), "dim")
+        .select("dim", "v",
+                F.expr(f"CAST((v - lo) * {bins} DIV (hi - lo + 1) "
+                       "AS BIGINT)").alias("b"))
+    )
+    counts = binned.groupBy("dim", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    cum_w = Window.partitionBy("dim").orderBy("b") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    cum = counts.withColumn(
+        "below", F.coalesce(F.sum("cnt").over(cum_w), F.lit(0)))
+    qdf = emb.sparkSession.createDataFrame(
+        [(q,) for q in _CAL_QS], "quantile double")
+    targets = params.crossJoin(F.broadcast(qdf)).select(
+        "dim", "quantile",
+        F.expr("CAST(floor((n - 1) * quantile) AS BIGINT) + 1").alias("rank"),
+    )
+    located = (
+        targets.join(cum, ["dim"])
+        .where((F.col("below") < F.col("rank"))
+               & (F.col("rank") <= F.col("below") + F.col("cnt")))
+        .select("dim", "quantile", "rank", "b",
+                (F.col("rank") - F.col("below")).alias("rk_in"))
+    )
+    cand = located.select("dim", "b").distinct()
+    ranked = (
+        binned.join(F.broadcast(cand), ["dim", "b"])
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("dim", "b").orderBy("v")))
+    )
+    return (
+        located.join(ranked, ["dim", "b"])
+        .where(F.col("rk_in") == F.col("rn"))
+        .select("dim", "quantile", "rank",
+                F.col("v").alias("value_micro"))
+        .orderBy("dim", "quantile")
+    )
+
+
+@register(
+    "embedding_quantile_calibration",
+    oracle=f"""
+    WITH vals AS (
+      SELECT d.d AS dim,
+             {_MICRO.replace('CAST(x AS DOUBLE)',
+                             'CAST(e.embedding[d.d + 1] AS DOUBLE)')} AS v
+      FROM embeddings e, range({_DIM}) d(d)
+    ),
+    params AS (
+      SELECT dim, CAST(COUNT(*) AS BIGINT) AS n FROM vals GROUP BY dim
+    ),
+    targets AS (
+      SELECT dim, CAST(q AS DOUBLE) AS quantile,
+             CAST(floor((n - 1) * q) AS BIGINT) + 1 AS rank
+      FROM params, (SELECT unnest([{', '.join(str(q) for q in _CAL_QS)}]) AS q)
+    ),
+    ranked AS (
+      SELECT dim, v,
+             ROW_NUMBER() OVER (PARTITION BY dim ORDER BY v) AS rn
+      FROM vals
+    )
+    SELECT t.dim, t.quantile, t.rank, r.v AS value_micro
+    FROM targets t JOIN ranked r ON r.dim = t.dim AND r.rn = t.rank
+    ORDER BY t.dim, t.quantile
+    """,
+    doc="Per-dimension embedding order statistics (p0.1/p50/p99.9 in 1e-6 "
+    "units) for clip-then-quantize calibration — max-abs int8 scaling "
+    "wastes range on a single outlier; percentile clipping is the "
+    "production practice. All 64 dimensions run ONE shared histogram-"
+    "refine: posexplode once, bin against broadcast per-dim [lo, hi], "
+    "locate ranks on the <= 64*1024 aggregated count table, rank only "
+    "candidate (dim, bucket) pairs 64-way parallel. The oracle states the "
+    "same k = floor((n-1)p)+1 semantics as 64 plain ranked windows.",
+)
+def embedding_quantile_calibration_query(spark: SparkSession,
+                                         sf_dir: str) -> DataFrame:
+    return embedding_quantile_calibration(
+        load_table(spark, "embeddings", sf_dir))

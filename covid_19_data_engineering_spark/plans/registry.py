@@ -82,7 +82,6 @@ PRIORITY = (
     # representatives above/below and stay gate-checked in full)
     "semantic_dedup",
     "dsir_importance_selection",
-    "incremental_retention_manifest_stored",
     # round-6 families, rotated in the round they shipped so the driver's
     # CORRECTNESS sample never lags the engine (round-5 verdict #2 rule)
     "sequence_packing_manifest",
@@ -171,6 +170,11 @@ PRIORITY = (
     # but stays gate-checked in full (the share/ratio family keeps
     # revenue_by_nation and the HHI here)
     "supplier_concentration_hhi",
+    # and the per-dim quantile calibration (64 parallel histogram
+    # refines); incremental_retention_manifest_stored rotates out but
+    # stays gate-checked in full — the incremental family is also
+    # pytest-pinned and keeps the recompute twin in the full gate
+    "embedding_quantile_calibration",
     # TPC-H decorrelation shapes + iterative graph
     "tpch_q2_min_cost_supplier",
     "pagerank_copurchase",

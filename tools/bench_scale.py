@@ -89,6 +89,7 @@ FAMILY = [
     "events_lateness_profile",
     "events_error_control_chart",
     "embedding_covariance_profile",
+    "embedding_quantile_calibration",
 ]
 
 ID_OFFSET = 1_000_000
