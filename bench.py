@@ -139,6 +139,7 @@ EXTRA = [
     "session_duration_quantiles",
     "supplier_concentration_hhi",
     "embedding_quantile_calibration",
+    "events_ewma_smoothing",
 ]
 
 

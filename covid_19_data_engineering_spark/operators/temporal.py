@@ -369,3 +369,83 @@ def lateness_profile(events: DataFrame,
 )
 def events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lateness_profile(load_table(spark, "events", sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Per-user exponential smoothing (EWMA, alpha = 1/2): the sequential
+# stateful recurrence SQL windows cannot express (each output depends on
+# the PREVIOUS OUTPUT, not a frame of inputs). This is exactly the class
+# of operator the grouped-map Arrow seam exists for: one kernel per user
+# group, vectorized transport, sequential math inside.
+# --------------------------------------------------------------------------
+
+
+def ewma_by_user(events: DataFrame) -> DataFrame:
+    """Final EWMA state of ``value`` per user (s_1 = x_1;
+    s_t = (x_t + s_{t-1}) / 2) in (ts, event_id) order —
+    (user_id, n_events, ewma).
+
+    100 TB shape: ONE shuffle on user_id (the groupBy under
+    applyInPandas), then each group runs a local float64 recurrence —
+    state is O(1) per user, groups are independent, and the kernel sorts
+    only its own group. Parity without fixed-point: every step is
+    x + s (IEEE add) then / 2 (EXACT in binary floating point), applied
+    in the identical deterministic order on both engines, so the doubles
+    are bit-identical and the DuckDB recursive-CTE replay matches
+    hash-for-hash. alpha = 1/2 is the parity-friendly choice; arbitrary
+    alphas would round identically too (same op order) but halving makes
+    the argument airtight.
+    """
+    import pandas as pd
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "event_id"])
+        s = None
+        for x in pdf["value"].astype("float64"):
+            s = x if s is None else (x + s) / 2.0
+        return pd.DataFrame({
+            "user_id": [pdf["user_id"].iloc[0]],
+            "n_events": [len(pdf)],
+            "ewma": [round(s, 6)],
+        })
+
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(kernel, "user_id long, n_events long, ewma double")
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "events_ewma_smoothing",
+    oracle="""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, rn, n, CAST(value AS DOUBLE) AS s
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT seq.user_id, seq.rn, seq.n,
+             (CAST(seq.value AS DOUBLE) + r.s) / 2.0
+      FROM r JOIN seq ON seq.user_id = r.user_id AND seq.rn = r.rn + 1
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_events, ROUND(s, 6) AS ewma
+    FROM r WHERE rn = n
+    ORDER BY user_id
+    """,
+    doc="Per-user exponential smoothing (s_t = (x_t + s_(t-1))/2 in "
+    "arrival order): the sequential recurrence SQL windows cannot state "
+    "— each output depends on the previous OUTPUT — so it runs as a "
+    "grouped-map Arrow kernel: one user_id shuffle, O(1) state per "
+    "group, groups independent. Halving is exact in IEEE doubles and "
+    "both engines apply the identical op order, so the recursive-CTE "
+    "oracle matches bit-for-bit with no fixed-point scaffolding.",
+)
+def events_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ewma_by_user(load_table(spark, "events", sf_dir))

@@ -175,6 +175,11 @@ PRIORITY = (
     # stays gate-checked in full — the incremental family is also
     # pytest-pinned and keeps the recompute twin in the full gate
     "embedding_quantile_calibration",
+    # and the grouped-map EWMA recurrence (the second Arrow seam in the
+    # head, sequential-state class); corpus_curation_yield rotates out
+    # but stays gate-checked in full — LLM-prep keeps
+    # benchmark_contamination plus the keyness/overlap/novelty audits
+    "events_ewma_smoothing",
     # TPC-H decorrelation shapes + iterative graph
     "tpch_q2_min_cost_supplier",
     "pagerank_copurchase",
@@ -194,7 +199,6 @@ PRIORITY = (
     "bm25_retrieval",
     # LLM-prep pipeline + embedding clustering
     "benchmark_contamination",
-    "corpus_curation_yield",
     "kmeans_embedding_clusters",
     # multimodal plumbing (the audio seam is the round-8 addition; the
     # image twin stays gate-checked in full)
