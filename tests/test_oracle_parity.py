@@ -94,3 +94,31 @@ def test_registry_has_no_rows_only_entries():
             assert sdf.count() >= 0 and len(sdf.schema.fields) > 0
     """
     assert ROWS_ONLY_CASES == []
+
+
+def test_bench_and_scale_lists_cover_only_registered_queries():
+    """bench.py EXTRA and tools/bench_scale.py FAMILY are pinned lists: a
+    name that drifts from the registry is silently untimed (EXTRA) or
+    crashes the scale run (FAMILY). Pin membership so the drift is a test
+    failure instead."""
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def _load(relpath, name):
+        spec = importlib.util.spec_from_file_location(
+            name, os.path.join(repo, relpath))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    bench = _load("bench.py", "bench_mod")
+    scale = _load("tools/bench_scale.py", "bench_scale_mod")
+    names = set(REGISTRY)
+    missing_extra = [n for n in bench.EXTRA if n not in names]
+    missing_family = [n for n in scale.FAMILY if n not in names]
+    assert not missing_extra, f"bench EXTRA not registered: {missing_extra}"
+    assert not missing_family, f"scale FAMILY not registered: {missing_family}"
+    missing_headline = [n for n in bench.HEADLINE if n not in names]
+    assert not missing_headline, f"bench HEADLINE not registered: {missing_headline}"
