@@ -140,6 +140,7 @@ EXTRA = [
     "supplier_concentration_hhi",
     "embedding_quantile_calibration",
     "events_ewma_smoothing",
+    "source_token_entropy",
 ]
 
 

@@ -489,3 +489,91 @@ def token_keyness_g2(docs: DataFrame, target_source: str = "src0",
 )
 def token_keyness_g2_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_keyness_g2(load_table(spark, "documents", sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Unigram Shannon entropy per source: the corpus-diversity audit. Low
+# entropy = templated/repetitive source (keyness says WHAT it repeats;
+# entropy says HOW repetitive it is overall); normalized entropy
+# H / ln(vocab) separates "small vocabulary" from "skewed usage".
+# --------------------------------------------------------------------------
+
+# one -p*ln(p) term in 1e9 fixed point, c = token count, n_s = source
+# total. floor(y + 0.5) (y < 0 here), identical expression both engines.
+_ENT_TERM = ("CAST(floor((CAST(c AS DOUBLE) / n_s) * "
+             "ln(CAST(c AS DOUBLE) / n_s) * 1000000000 + 0.5) AS BIGINT)")
+
+
+def source_token_entropy(docs: DataFrame) -> DataFrame:
+    """(source, n_tokens, vocab, entropy, norm_entropy): unigram Shannon
+    entropy of each source's token distribution, and the same normalized
+    by ln(vocab) (1.0 = perfectly even usage).
+
+    100 TB shape: one map-side-combined groupBy on (source, token) — the
+    only corpus-wide shuffle — then a per-source fold over vocabulary
+    rows with fixed-point BIGINT entropy terms (order-independent); the
+    readout is O(sources) rows.
+    """
+    cnt = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
+        )
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = cnt.groupBy(F.col("source").alias("_s")).agg(
+        F.sum("c").alias("n_s"))
+    return (
+        cnt.join(F.broadcast(tot), cnt["source"] == tot["_s"])
+        .groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab"),
+            F.sum(F.expr(_ENT_TERM)).alias("_hfx"),
+        )
+        .select(
+            "source", "n_tokens", "vocab",
+            F.round(F.expr("-(CAST(_hfx AS DOUBLE)) / 1000000000"), 6)
+            .alias("entropy"),
+            F.round(F.expr("(-(CAST(_hfx AS DOUBLE)) / 1000000000) "
+                           "/ ln(CAST(vocab AS DOUBLE))"), 6)
+            .alias("norm_entropy"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "source_token_entropy",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT source,
+                   unnest(string_split(lower(text), ' ')) AS token
+            FROM documents)
+      GROUP BY source, token
+    ),
+    tot AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM cnt GROUP BY source
+    )
+    SELECT cnt.source,
+           MAX(n_s) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           ROUND(-(CAST(SUM({_ENT_TERM}) AS DOUBLE)) / 1000000000, 6)
+             AS entropy,
+           ROUND((-(CAST(SUM({_ENT_TERM}) AS DOUBLE)) / 1000000000)
+                 / ln(CAST(COUNT(*) AS DOUBLE)), 6) AS norm_entropy
+    FROM cnt JOIN tot USING (source)
+    GROUP BY cnt.source
+    ORDER BY cnt.source
+    """,
+    doc="Unigram Shannon entropy per source plus the ln(vocab)-normalized "
+    "form — the diversity audit that separates templated sources (low "
+    "normalized entropy) from small-but-even vocabularies. One (source, "
+    "token) map-side-combined shuffle; the entropy fold uses fixed-point "
+    "BIGINT -p*ln(p) terms through the shared floor(y+0.5) rounding, so "
+    "the sum is association-order-independent and engine-identical.",
+)
+def source_token_entropy_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return source_token_entropy(load_table(spark, "documents", sf_dir))

@@ -180,6 +180,10 @@ PRIORITY = (
     # but stays gate-checked in full — LLM-prep keeps
     # benchmark_contamination plus the keyness/overlap/novelty audits
     "events_ewma_smoothing",
+    # and the diversity entropy audit; kmeans_embedding_clusters rotates
+    # out but stays gate-checked in full (the clustering family keeps
+    # semantic_dedup / semantic_dedup_ivf in the head)
+    "source_token_entropy",
     # TPC-H decorrelation shapes + iterative graph
     "tpch_q2_min_cost_supplier",
     "pagerank_copurchase",
@@ -199,7 +203,6 @@ PRIORITY = (
     "bm25_retrieval",
     # LLM-prep pipeline + embedding clustering
     "benchmark_contamination",
-    "kmeans_embedding_clusters",
     # multimodal plumbing (the audio seam is the round-8 addition; the
     # image twin stays gate-checked in full)
     "multimodal_audio_features",
