@@ -2266,3 +2266,47 @@ def test_backlog_curve_counts_overlapping_spans(spark):
         run += r["net_change"]
         assert r["open_orders"] == run
         assert isinstance(r["d"], dt.date)
+
+
+# --------------------------------------------------------------------------
+# events_ewma_smoothing + source_token_entropy
+# --------------------------------------------------------------------------
+
+
+def test_ewma_matches_hand_rolled_recurrence(spark):
+    from covid_19_data_engineering_spark.operators.temporal import (
+        ewma_by_user,
+    )
+
+    vals = [10.0, 20.0, 40.0, 8.0, 16.0]
+    rows = [(1, "x", v) for v in vals] + [(2, "y", 7.0)]
+    out = {r["user_id"]: r
+           for r in ewma_by_user(_mk_events(spark, rows)).collect()}
+    s = vals[0]
+    for x in vals[1:]:
+        s = (x + s) / 2.0
+    assert out[1]["ewma"] == round(s, 6)
+    assert out[1]["n_events"] == 5
+    # a single reading is its own smoothed state
+    assert out[2]["ewma"] == 7.0
+
+
+def test_token_entropy_orders_skewed_below_uniform(spark):
+    import math
+
+    from covid_19_data_engineering_spark.operators.textstats import (
+        source_token_entropy,
+    )
+
+    rows = [
+        (1, "a b c d a b c d", "en", "uniform", 8),
+        (2, "a a a a a a a b", "en", "skewed", 8),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    out = {r["source"]: r for r in source_token_entropy(docs).collect()}
+    assert out["uniform"]["vocab"] == 4 and out["skewed"]["vocab"] == 2
+    # uniform usage maxes normalized entropy; skew drops it
+    assert abs(out["uniform"]["norm_entropy"] - 1.0) < 1e-6
+    assert out["skewed"]["norm_entropy"] < 0.6
+    assert abs(out["uniform"]["entropy"] - round(math.log(4), 6)) < 1e-6
