@@ -141,6 +141,7 @@ EXTRA = [
     "embedding_quantile_calibration",
     "events_ewma_smoothing",
     "source_token_entropy",
+    "price_quantity_spearman",
 ]
 
 

@@ -114,3 +114,84 @@ def order_price_ranks_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Spearman rank correlation, built on the distributed ranking above — the
+# robust (monotone, outlier-proof) correlation a profiler wants next to
+# Pearson, and the classic "needs global ranks" operator that looks
+# un-distributable until the bucket+offset decomposition pays off twice.
+# --------------------------------------------------------------------------
+
+
+def spearman(df: DataFrame, col_a: str, col_b: str,
+             key_expr: str) -> DataFrame:
+    """One-row (n_rows, spearman_rho) for ``col_a`` vs ``col_b``.
+
+    Both columns are ranked with ``with_global_rank`` (deterministic
+    total order via the ``key_expr`` tiebreak, so ranks are exact
+    permutations of 1..n and rho = 1 - 6*sum(d^2)/(n(n^2-1)) holds with
+    no tie correction). d^2 sums as DECIMAL(38,0) — exact to n ~ 4.6e12
+    rows — and only the final rho expression touches doubles, with the
+    identical shape on both engines. Two bucket+offset rankings (each:
+    one corpus shuffle + an O(buckets) window), one join on the surrogate
+    key, one 1-row aggregate. No single-partition sort anywhere.
+    """
+    base = df.select(F.expr(key_expr).alias("_k"),
+                     F.col(col_a).alias("_a"), F.col(col_b).alias("_b"))
+    ra = with_global_rank(base.select("_k", "_a"), "_a", "_k") \
+        .select("_k", F.col("global_rank").alias("ra"))
+    rb = with_global_rank(base.select("_k", "_b"), "_b", "_k") \
+        .select("_k", F.col("global_rank").alias("rb"), )
+    return (
+        ra.join(rb, "_k")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.expr("CAST((ra - rb) * (ra - rb) AS DECIMAL(38,0))"))
+            .alias("_sd2"),
+        )
+        .select(
+            "n_rows",
+            F.round(F.expr(
+                "1 - 6 * CAST(_sd2 AS DOUBLE) / (CAST(n_rows AS DOUBLE) * "
+                "(CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE) - 1))"), 6)
+            .alias("spearman_rho"),
+        )
+    )
+
+
+@register(
+    "price_quantity_spearman",
+    oracle="""
+    WITH base AS (
+      SELECT l_orderkey * 8 + l_linenumber AS k,
+             l_quantity AS a, l_extendedprice AS b
+      FROM lineitem
+    ),
+    ra AS (
+      SELECT k, ROW_NUMBER() OVER (ORDER BY a, k) AS ra FROM base
+    ),
+    rb AS (
+      SELECT k, ROW_NUMBER() OVER (ORDER BY b, k) AS rb FROM base
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(1 - 6 * CAST(SUM(CAST((ra - rb) * (ra - rb)
+                                       AS DECIMAL(38,0))) AS DOUBLE)
+                 / (CAST(COUNT(*) AS DOUBLE) *
+                    (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)
+                     - 1)), 6) AS spearman_rho
+    FROM ra JOIN rb USING (k)
+    """,
+    doc="Spearman rank correlation of quantity vs extended price: both "
+    "columns ranked via the bucket+offset distributed ranking (exact "
+    "1..n permutations under a deterministic surrogate-key tiebreak, so "
+    "the classic 1 - 6*sum(d^2)/(n(n^2-1)) identity applies), d^2 summed "
+    "exactly in DECIMAL(38,0), doubles only in the final one-row "
+    "expression. The monotone, outlier-proof correlation — computed with "
+    "two corpus shuffles and zero single-partition sorts, where the "
+    "textbook formulation needs two global orderings.",
+)
+def price_quantity_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return spearman(li, "l_quantity", "l_extendedprice",
+                    "l_orderkey * 8 + l_linenumber")

@@ -184,6 +184,11 @@ PRIORITY = (
     # out but stays gate-checked in full (the clustering family keeps
     # semantic_dedup / semantic_dedup_ivf in the head)
     "source_token_entropy",
+    # and Spearman over the bucket+offset ranking (the distributed-rank
+    # family's capstone); bm25_retrieval rotates out but stays
+    # gate-checked in full — retrieval keeps its pytest scorecard and
+    # benchmark_contamination covers the text-join family in the head
+    "price_quantity_spearman",
     # TPC-H decorrelation shapes + iterative graph
     "tpch_q2_min_cost_supplier",
     "pagerank_copurchase",
@@ -200,7 +205,6 @@ PRIORITY = (
     # similarity search
     "ann_cosine_topk",
     # text analysis + retrieval
-    "bm25_retrieval",
     # LLM-prep pipeline + embedding clustering
     "benchmark_contamination",
     # multimodal plumbing (the audio seam is the round-8 addition; the
