@@ -142,6 +142,7 @@ EXTRA = [
     "events_ewma_smoothing",
     "source_token_entropy",
     "price_quantity_spearman",
+    "source_zipf_fit",
 ]
 
 

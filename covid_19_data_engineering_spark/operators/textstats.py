@@ -577,3 +577,103 @@ def source_token_entropy(docs: DataFrame) -> DataFrame:
 )
 def source_token_entropy_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_token_entropy(load_table(spark, "documents", sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Zipf fit per source: natural language follows freq ~ rank^(-s) with
+# s ~ 1; templated or synthetic text does not. The OLS slope of
+# ln(freq) vs ln(rank) over the vocabulary is the one-number
+# "does this source look like natural text" audit.
+# --------------------------------------------------------------------------
+
+# per-token regression terms in 1e9 fixed point, x = ln(rank),
+# y = ln(cnt); floor(v + 0.5) is the shared rounding (see drift.py)
+_ZIPF_X = "ln(CAST(rnk AS DOUBLE))"
+_ZIPF_Y = "ln(CAST(c AS DOUBLE))"
+_ZF = "1000000000"
+_ZIPF_TERMS = {
+    "sx": f"CAST(floor({_ZIPF_X} * {_ZF} + 0.5) AS BIGINT)",
+    "sy": f"CAST(floor({_ZIPF_Y} * {_ZF} + 0.5) AS BIGINT)",
+    "sxx": f"CAST(floor({_ZIPF_X} * {_ZIPF_X} * {_ZF} + 0.5) AS BIGINT)",
+    "sxy": f"CAST(floor({_ZIPF_X} * {_ZIPF_Y} * {_ZF} + 0.5) AS BIGINT)",
+}
+# OLS slope from the fixed-point sums; doubles only here, identical shape
+_ZIPF_SLOPE = ("(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy "
+               f"/ {_ZF}) / "
+               "(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx "
+               f"/ {_ZF})")
+
+
+def source_zipf_fit(docs: DataFrame) -> DataFrame:
+    """(source, vocab, zipf_slope): OLS slope of ln(freq) on ln(rank)
+    over each source's token frequency table (natural text: ~ -1).
+
+    100 TB shape: the only corpus-wide shuffle is the (source, token)
+    count; ranking runs per source over VOCABULARY-sized partitions
+    (bounded by the language, not the corpus), and the regression is a
+    fixed-point BIGINT fold over those same rows — order-independent,
+    engine-identical.
+    """
+    cnt = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
+        )
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("c").desc(), "token")
+    ranked = cnt.withColumn("rnk", F.row_number().over(w))
+    terms = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.expr(e)).alias(k) for k, e in _ZIPF_TERMS.items()],
+    )
+    return (
+        terms.select(
+            "source",
+            F.col("n").alias("vocab"),
+            F.round(F.expr(_ZIPF_SLOPE), 4).alias("zipf_slope"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "source_zipf_fit",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT source,
+                   unnest(string_split(lower(text), ' ')) AS token
+            FROM documents)
+      GROUP BY source, token
+    ),
+    ranked AS (
+      SELECT source, c,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY c DESC, token) AS rnk
+      FROM cnt
+    ),
+    terms AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM({_ZIPF_TERMS['sx']}) AS BIGINT) AS sx,
+             CAST(SUM({_ZIPF_TERMS['sy']}) AS BIGINT) AS sy,
+             CAST(SUM({_ZIPF_TERMS['sxx']}) AS BIGINT) AS sxx,
+             CAST(SUM({_ZIPF_TERMS['sxy']}) AS BIGINT) AS sxy
+      FROM ranked GROUP BY source
+    )
+    SELECT source, n AS vocab,
+           ROUND({_ZIPF_SLOPE}, 4) AS zipf_slope
+    FROM terms
+    ORDER BY source
+    """,
+    doc="Zipf power-law fit per source: OLS slope of ln(freq) vs ln(rank) "
+    "over the token frequency table (natural text ~ -1; templated or "
+    "synthetic text deviates) — the one-number naturalness audit a "
+    "curation pipeline runs per source. One (source, token) shuffle; "
+    "ranking and the regression fold run over vocabulary-sized "
+    "partitions with fixed-point BIGINT terms through the shared "
+    "floor(v+0.5) rounding.",
+)
+def source_zipf_fit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return source_zipf_fit(load_table(spark, "documents", sf_dir))

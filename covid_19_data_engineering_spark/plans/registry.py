@@ -189,6 +189,10 @@ PRIORITY = (
     # gate-checked in full — retrieval keeps its pytest scorecard and
     # benchmark_contamination covers the text-join family in the head
     "price_quantity_spearman",
+    # and the Zipf naturalness audit; benchmark_contamination rotates out
+    # but stays gate-checked in full — LLM-prep keeps the keyness /
+    # overlap / novelty / entropy audits in the head
+    "source_zipf_fit",
     # TPC-H decorrelation shapes + iterative graph
     "tpch_q2_min_cost_supplier",
     "pagerank_copurchase",
@@ -206,7 +210,6 @@ PRIORITY = (
     "ann_cosine_topk",
     # text analysis + retrieval
     # LLM-prep pipeline + embedding clustering
-    "benchmark_contamination",
     # multimodal plumbing (the audio seam is the round-8 addition; the
     # image twin stays gate-checked in full)
     "multimodal_audio_features",
