@@ -2310,3 +2310,17 @@ def test_token_entropy_orders_skewed_below_uniform(spark):
     assert abs(out["uniform"]["norm_entropy"] - 1.0) < 1e-6
     assert out["skewed"]["norm_entropy"] < 0.6
     assert abs(out["uniform"]["entropy"] - round(math.log(4), 6)) < 1e-6
+
+
+def test_spearman_on_planted_monotone_and_inverted_series(spark):
+    from covid_19_data_engineering_spark.operators.distrank import spearman
+
+    rows = [(i, float(i), float(100 - i), float((i * 7919) % 100))
+            for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "k long, up double, down double, hash double")
+    # perfectly monotone -> rho = 1; perfectly inverted -> rho = -1
+    assert spearman(df, "up", "down", "k").collect()[0]["spearman_rho"] == -1.0
+    assert spearman(df, "up", "up", "k").collect()[0]["spearman_rho"] == 1.0
+    # a hash-scramble of the same values sits near zero
+    rho = spearman(df, "up", "hash", "k").collect()[0]["spearman_rho"]
+    assert abs(rho) < 0.3
