@@ -1,16 +1,40 @@
-"""Incremental view maintenance over versioned tables: keep a grouped
-COUNT aggregate in lockstep with a source table by consuming its change
-feed, never re-scanning the source.
+"""Incremental view maintenance over versioned tables: keep grouped
+COUNT / SUM / MIN-MAX aggregates in lockstep with a source table by
+consuming its change feed, never re-scanning the source.
 
 This is the payoff loop for the storage layer: `write_versioned` commits
 changes, `read_change_feed` exposes them as row-level insert/delete
-deltas, and `refresh_count_aggregate` folds exactly those deltas into a
+deltas, and the refresh functions fold exactly those deltas into a
 materialized aggregate — itself a versioned table, whose commit record
 carries the source version it reflects (the resume cursor). A crash
 between refreshes loses nothing: the next refresh reads the cursor from
 the aggregate's own log and replays from there. Append-only workloads
 cost O(appended rows) per refresh no matter how large the source grows;
 an overwrite costs one snapshot diff, which is what an overwrite means.
+
+Aggregate algebra (why three entry points, not one):
+
+- COUNT and SUM are *self-inverting* — a delete folds as the exact
+  negative of an insert, so the maintained state never needs the source
+  again: refresh cost is O(rows changed), period.
+- MIN/MAX are NOT invertible: deleting the current minimum says nothing
+  about the next minimum. ``refresh_minmax_aggregate`` therefore folds
+  inserts monoid-style (least/greatest) and answers deletes with a
+  *delete-triggered per-key recompute*: only keys that saw a delete
+  re-aggregate from the current snapshot (a semi-join restriction), so
+  append-heavy workloads still never touch the source and delete-heavy
+  ones pay for exactly the keys they disturbed.
+
+Failure contract: when vacuum has dropped change history the cursor
+still needs, ``read_change_feed`` raises ``ChangeFeedTruncated`` instead
+of emitting a silently partial feed (round-8 ADVICE medium). Every
+refresh here catches it and falls back to a FULL RECOMPUTE from the
+current snapshot — correctness is preserved, the cost is one fresh
+groupBy, and the cursor re-anchors at the recomputed version. The resume
+cursor itself is read by walking the aggregate's log newest-first for
+the most recent commit that carries ``source_version`` (round-8 ADVICE
+low: assuming the latest commit is always a refresh commit breaks
+permanently the first time someone compacts the aggregate table).
 
 Reference parity: the reference's consumers re-scan its append-only
 history table to rebuild aggregates (vertica_upload.py:209-230); this is
@@ -24,13 +48,38 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from covid_19_data_engineering_spark.sources.versioned import (
-    _read_commit,
+    ChangeFeedTruncated,
+    _read_commit_or_none,
     current_version,
     read_change_feed,
     read_versioned,
     table_versions,
     write_versioned,
 )
+
+
+def _resume_cursor(agg_path: str) -> int | None:
+    """The source version the aggregate at ``agg_path`` currently
+    reflects: walk its commit log newest-first for the most recent
+    commit carrying ``source_version``. Commits written by OTHER tools
+    (a compaction's record carries ``compacted_from``, not a cursor) are
+    stepped over instead of crashing the refresh loop; a vacuumed-away
+    record ends the walk (history below it is gone). None when no
+    refresh commit survives — the caller bootstraps from scratch.
+    """
+    for v in reversed(table_versions(agg_path)):
+        c = _read_commit_or_none(agg_path, v)
+        if c is None:
+            break
+        if "source_version" in c:
+            return c["source_version"]
+    return None
+
+
+def _commit_refresh(new: DataFrame, agg_path: str, src_version: int) -> int:
+    write_versioned(new, agg_path, mode="overwrite",
+                    meta={"source_version": src_version})
+    return src_version
 
 
 def refresh_count_aggregate(spark: SparkSession, table_path: str,
@@ -43,36 +92,200 @@ def refresh_count_aggregate(spark: SparkSession, table_path: str,
     so the aggregate always equals a fresh groupBy of the source
     snapshot (the invariant the tests pin). Idempotent: refreshing with
     no new source commits is a no-op that leaves the aggregate
-    unversioned-bumped.
+    unversioned-bumped. A vacuumed-away feed range falls back to a full
+    recompute instead of persisting a partial fold.
     """
     src_version = current_version(table_path)
-    agg_versions = table_versions(agg_path)
-    if agg_versions:
-        last = _read_commit(agg_path, agg_versions[-1])["source_version"]
-        if last >= src_version:
-            return last
-        old = read_versioned(spark, agg_path)
-    else:
-        last = 0
-        old = None
-    feed = read_change_feed(spark, table_path, last, src_version)
+    last = _resume_cursor(agg_path)
+    if last is not None and last >= src_version:
+        return last
+
+    def recompute() -> DataFrame:
+        return (
+            read_versioned(spark, table_path, version=src_version)
+            .groupBy(key_col)
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+        )
+
+    if last is None:
+        return _commit_refresh(recompute(), agg_path, src_version)
+    try:
+        feed = read_change_feed(spark, table_path, last, src_version)
+    except ChangeFeedTruncated:
+        return _commit_refresh(recompute(), agg_path, src_version)
+    old = read_versioned(spark, agg_path)
     delta = (
         feed.groupBy(key_col)
         .agg(F.sum(F.when(F.col("_change_type") == "insert", 1)
                    .otherwise(-1)).alias("_d"))
     )
-    if old is None:
-        new = delta.select(key_col, F.col("_d").alias("n_rows"))
-    else:
-        new = (
-            old.join(delta, key_col, "full")
-            .select(
-                key_col,
-                (F.coalesce("n_rows", F.lit(0))
-                 + F.coalesce("_d", F.lit(0))).alias("n_rows"),
-            )
+    new = (
+        old.join(delta, key_col, "full")
+        .select(
+            key_col,
+            (F.coalesce("n_rows", F.lit(0))
+             + F.coalesce("_d", F.lit(0))).alias("n_rows"),
         )
-    new = new.where(F.col("n_rows") != 0)
-    write_versioned(new, agg_path, mode="overwrite",
-                    meta={"source_version": src_version})
-    return src_version
+        .where(F.col("n_rows") != 0)
+    )
+    return _commit_refresh(new, agg_path, src_version)
+
+
+def refresh_sum_aggregate(spark: SparkSession, table_path: str,
+                          agg_path: str, key_col: str,
+                          value_col: str) -> int:
+    """Maintain per-``key_col`` (COUNT, SUM of ``value_col``) at
+    ``agg_path`` from the source's change feed; returns the source
+    version now reflected. AVG is a derived readout (sum_value /
+    n_rows), so this one materialization serves COUNT, SUM, and AVG
+    consumers.
+
+    Aggregate schema: (key_col, n_rows, n_vals, sum_value). Deltas fold
+    as insert -> (+1, +value), delete -> (-1, -value) — SUM is its own
+    inverse, so no source re-scan ever happens on the feed path. NULL
+    values contribute to n_rows but not to n_vals/sum_value, and a key
+    whose non-null count is zero reports sum_value NULL (not 0) —
+    exactly what a fresh ``groupBy().agg(count(*), count(v), sum(v))``
+    computes; n_vals is also the denominator SQL AVG uses. Keys whose
+    row count reaches zero drop out. For exact (order-independent)
+    sums, pass an integer fixed-point column — float addition is
+    associative only approximately, and the fold order here differs
+    from a fresh scan's.
+
+    Same crash-safety story as the COUNT twin: the cursor is the
+    ``source_version`` in the aggregate's own commit record (read via a
+    newest-first walk that tolerates foreign commits), refreshes are
+    idempotent, and a ``ChangeFeedTruncated`` feed (vacuumed history)
+    falls back to one full recompute instead of persisting a partial
+    fold.
+    """
+    src_version = current_version(table_path)
+    last = _resume_cursor(agg_path)
+    if last is not None and last >= src_version:
+        return last
+
+    def recompute() -> DataFrame:
+        return (
+            read_versioned(spark, table_path, version=src_version)
+            .groupBy(key_col)
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.count(value_col).alias("n_vals"),
+                 F.sum(value_col).alias("sum_value"))
+        )
+
+    if last is None:
+        return _commit_refresh(recompute(), agg_path, src_version)
+    try:
+        feed = read_change_feed(spark, table_path, last, src_version)
+    except ChangeFeedTruncated:
+        return _commit_refresh(recompute(), agg_path, src_version)
+    old = read_versioned(spark, agg_path)
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)) \
+        .otherwise(F.lit(-1))
+    delta = (
+        feed.groupBy(key_col)
+        .agg(F.sum(sign).alias("_dn"),
+             F.sum(F.when(F.col(value_col).isNotNull(), sign)
+                   .otherwise(0)).alias("_dnv"),
+             F.sum(sign * F.col(value_col)).alias("_dv"))
+    )
+    folded = (
+        old.join(delta, key_col, "full")
+        .select(
+            key_col,
+            (F.coalesce("n_rows", F.lit(0))
+             + F.coalesce("_dn", F.lit(0))).alias("n_rows"),
+            (F.coalesce("n_vals", F.lit(0))
+             + F.coalesce("_dnv", F.lit(0))).alias("n_vals"),
+            (F.coalesce("sum_value", F.lit(0))
+             + F.coalesce("_dv", F.lit(0))).alias("_raw_sum"),
+        )
+        .where(F.col("n_rows") != 0)
+    )
+    new = folded.select(
+        key_col, "n_rows", "n_vals",
+        # a key with zero surviving non-null values reports NULL, like a
+        # fresh SUM — the accumulated 0 resumes via coalesce next fold
+        F.when(F.col("n_vals") == 0, F.lit(None))
+        .otherwise(F.col("_raw_sum")).alias("sum_value"),
+    )
+    return _commit_refresh(new, agg_path, src_version)
+
+
+def refresh_minmax_aggregate(spark: SparkSession, table_path: str,
+                             agg_path: str, key_col: str,
+                             value_col: str) -> int:
+    """Maintain per-``key_col`` (MIN, MAX of ``value_col``) at
+    ``agg_path``; returns the source version now reflected.
+
+    MIN/MAX are not delta-invertible (removing the current minimum says
+    nothing about the next one), so the fold splits by delta type:
+
+    - keys that saw ONLY inserts fold monoid-style —
+      least(old_min, batch_min) / greatest(old_max, batch_max) — O(rows
+      inserted), source never read;
+    - keys that saw ANY delete are re-aggregated from the pinned source
+      snapshot, restricted by a LEFT SEMI join to exactly those keys —
+      the *delete-triggered per-key recompute* strategy. Keys whose rows
+      all vanished drop out for free (the semi join returns nothing for
+      them).
+
+    Append-only workloads therefore never re-scan the source; a delete
+    pays a scan filtered to the touched keys (at scale, with the
+    snapshot partitioned/z-ordered by key, that filter prunes files via
+    the commit-recorded min/max stats). Cursor, idempotence, and the
+    ChangeFeedTruncated -> full-recompute fallback match the COUNT/SUM
+    twins. Aggregate schema: (key_col, min_value, max_value).
+    """
+    src_version = current_version(table_path)
+    last = _resume_cursor(agg_path)
+    if last is not None and last >= src_version:
+        return last
+
+    def recompute() -> DataFrame:
+        return (
+            read_versioned(spark, table_path, version=src_version)
+            .groupBy(key_col)
+            .agg(F.min(value_col).alias("min_value"),
+                 F.max(value_col).alias("max_value"))
+        )
+
+    if last is None:
+        return _commit_refresh(recompute(), agg_path, src_version)
+    try:
+        feed = read_change_feed(spark, table_path, last, src_version)
+    except ChangeFeedTruncated:
+        return _commit_refresh(recompute(), agg_path, src_version)
+    old = read_versioned(spark, agg_path)
+    del_keys = (
+        feed.where(F.col("_change_type") == "delete")
+        .select(key_col).distinct()
+    )
+    # delete-affected keys: re-aggregate from the pinned snapshot,
+    # restricted to exactly those keys (fully-deleted keys drop out)
+    recomputed = (
+        read_versioned(spark, table_path, version=src_version)
+        .join(del_keys, key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.min(value_col).alias("min_value"),
+             F.max(value_col).alias("max_value"))
+    )
+    # insert-only keys: pure monoid fold against the old state
+    ins_agg = (
+        feed.where(F.col("_change_type") == "insert")
+        .join(del_keys, key_col, "left_anti")
+        .groupBy(key_col)
+        .agg(F.min(value_col).alias("_imin"),
+             F.max(value_col).alias("_imax"))
+    )
+    folded = (
+        old.join(del_keys, key_col, "left_anti")
+        .join(ins_agg, key_col, "full")
+        .select(
+            key_col,
+            F.least("min_value", "_imin").alias("min_value"),
+            F.greatest("max_value", "_imax").alias("max_value"),
+        )
+    )
+    new = folded.unionByName(recomputed)
+    return _commit_refresh(new, agg_path, src_version)

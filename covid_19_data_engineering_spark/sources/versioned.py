@@ -77,6 +77,17 @@ class CommitConflict(RuntimeError):
     """All optimistic-commit retries lost their race."""
 
 
+class ChangeFeedTruncated(RuntimeError):
+    """The requested change-feed range needs history that ``vacuum`` has
+    already dropped — either a commit record in (from_version, to_version]
+    is gone, or an overwrite's prior snapshot (its delete half) is no
+    longer resolvable. Raised instead of silently emitting a partial feed
+    (round-8 ADVICE medium: a silent partial feed let an incremental
+    consumer persist a wrong aggregate while advancing its cursor).
+    Consumers catch this and fall back to a full recompute — the same
+    contract as Delta's 'change data was removed' error."""
+
+
 class TxnAlreadyApplied(RuntimeError):
     """The commit's (writer, epoch) idempotence marker is at or below the
     table's recorded epoch for that writer: the write is a replay and was
@@ -585,6 +596,13 @@ def read_change_feed(spark: SparkSession, path: str, from_version: int,
       unchanged rewrites and contribute NOTHING — same contract as a
       Delta dataChange=false action.
 
+    Raises ``ChangeFeedTruncated`` when vacuum has dropped history the
+    range needs: a missing commit record inside (from_version,
+    to_version], or an overwrite whose prior snapshot (the delete half)
+    is unresolvable because version v-1 was vacuumed. A silent partial
+    feed would let consumers persist wrong state while advancing their
+    cursor; the error routes them to a full recompute instead.
+
     Scale shape: the feed plans directly over the affected parquet files
     (appends read exactly the appended files), unions across versions,
     and stays lazy — nothing is collected, and downstream filters push
@@ -601,7 +619,14 @@ def read_change_feed(spark: SparkSession, path: str, from_version: int,
         raise FileNotFoundError(f"no committed versions at {path}")
     if to_version is None:
         to_version = versions[-1]
-    lo = min(versions)
+    vset = set(versions)
+    missing = [v for v in range(from_version + 1, to_version + 1)
+               if v not in vset]
+    if missing:
+        raise ChangeFeedTruncated(
+            f"{path}: commit records {missing} in ({from_version}, "
+            f"{to_version}] were vacuumed — the feed cannot replay them; "
+            "fall back to a full recompute from the current snapshot")
     pieces = []
 
     def _files_df(rel_files, version):
@@ -623,9 +648,16 @@ def read_change_feed(spark: SparkSession, path: str, from_version: int,
                     "*", F.lit("insert").alias("_change_type"),
                     F.lit(v).alias("_commit_version")))
             continue
-        # overwrite: prior snapshot deleted (when it is still retained —
-        # a vacuumed-away base has no files to report), new one inserted
-        if v - 1 >= lo and (v - 1) in versions:
+        # overwrite: prior snapshot deleted, new one inserted. The only
+        # prior version the contiguity check above does not cover is
+        # v - 1 == from_version — if vacuum dropped it, the delete half
+        # cannot be produced and a partial feed would be silently wrong.
+        if v - 1 >= 1:
+            if (v - 1) not in vset:
+                raise ChangeFeedTruncated(
+                    f"{path}: overwrite at version {v} needs the prior "
+                    f"snapshot v{v - 1} for its delete half, but it was "
+                    "vacuumed; fall back to a full recompute")
             old = _files_df(_snapshot_files(path, v - 1), v)
             if old is not None:
                 pieces.append(old.select(

@@ -768,3 +768,199 @@ def test_incremental_count_aggregate_tracks_the_source(spark, tmp_path):
     write_versioned(_df(spark, [(8, "d")]), tbl, mode="append")
     refresh_count_aggregate(spark, tbl, agg, "v")
     check()
+
+
+def _ndf(spark, rows):
+    return spark.createDataFrame(rows, "id long, k string, x long")
+
+
+def test_incremental_sum_aggregate_tracks_the_source(spark, tmp_path):
+    """SUM/AVG IVM matrix mirroring the COUNT twin: bootstrap, append
+    folding, overwrite (delete+insert) folding with key drop-out,
+    idempotent no-op, multi-commit catch-up, and NULL-value handling."""
+    from covid_19_data_engineering_spark.sources.incremental import (
+        refresh_sum_aggregate,
+    )
+    import pyspark.sql.functions as F
+
+    tbl, agg = str(tmp_path / "src"), str(tmp_path / "agg")
+
+    def check():
+        got = sorted(
+            (r["k"], r["n_rows"], r["n_vals"], r["sum_value"])
+            for r in read_versioned(spark, agg).collect())
+        want = sorted(
+            (r["k"], r["n"], r["nv"], r["s"])
+            for r in read_versioned(spark, tbl)
+            .groupBy("k").agg(F.count(F.lit(1)).alias("n"),
+                              F.count("x").alias("nv"),
+                              F.sum("x").alias("s")).collect())
+        assert got == want
+
+    write_versioned(
+        _ndf(spark, [(1, "a", 10), (2, "a", 20), (3, "b", 5)]), tbl)
+    assert refresh_sum_aggregate(spark, tbl, agg, "k", "x") == 1
+    check()
+
+    # appends fold as (+1, +value); NULL adds to count, not sum
+    write_versioned(_ndf(spark, [(4, "b", 7), (5, "c", None)]),
+                    tbl, mode="append")
+    refresh_sum_aggregate(spark, tbl, agg, "k", "x")
+    check()
+
+    # overwrite folds as delete-all + insert; vanished keys drop out
+    write_versioned(_ndf(spark, [(6, "c", 42), (7, "c", 8)]), tbl)
+    refresh_sum_aggregate(spark, tbl, agg, "k", "x")
+    check()
+    keys = {r["k"] for r in read_versioned(spark, agg).collect()}
+    assert keys == {"c"}
+
+    # idempotent: no new source commits -> no new aggregate version
+    before = current_version(agg)
+    assert refresh_sum_aggregate(spark, tbl, agg, "k", "x") == 3
+    assert current_version(agg) == before
+
+    # multiple source commits between refreshes replay from the cursor
+    write_versioned(_ndf(spark, [(8, "d", 1)]), tbl, mode="append")
+    write_versioned(_ndf(spark, [(9, "d", 2)]), tbl, mode="append")
+    refresh_sum_aggregate(spark, tbl, agg, "k", "x")
+    check()
+
+
+def test_incremental_minmax_aggregate_tracks_the_source(spark, tmp_path):
+    """MIN/MAX IVM: monoid folding for insert-only keys, delete-triggered
+    per-key recompute (an overwrite deleting the current minimum must
+    surface the NEXT minimum, which no delta fold can know)."""
+    from covid_19_data_engineering_spark.sources.incremental import (
+        refresh_minmax_aggregate,
+    )
+    import pyspark.sql.functions as F
+
+    tbl, agg = str(tmp_path / "src"), str(tmp_path / "agg")
+
+    def check():
+        got = sorted(
+            (r["k"], r["min_value"], r["max_value"])
+            for r in read_versioned(spark, agg).collect())
+        want = sorted(
+            (r["k"], r["mn"], r["mx"])
+            for r in read_versioned(spark, tbl)
+            .groupBy("k").agg(F.min("x").alias("mn"),
+                              F.max("x").alias("mx")).collect())
+        assert got == want
+
+    write_versioned(
+        _ndf(spark, [(1, "a", 10), (2, "a", 20), (3, "b", 5)]), tbl)
+    assert refresh_minmax_aggregate(spark, tbl, agg, "k", "x") == 1
+    check()
+
+    # append-only: pure least/greatest fold, no snapshot read needed
+    write_versioned(_ndf(spark, [(4, "a", 1), (5, "b", 99)]),
+                    tbl, mode="append")
+    refresh_minmax_aggregate(spark, tbl, agg, "k", "x")
+    check()
+
+    # overwrite removes a's minimum: the delete-triggered recompute must
+    # surface the surviving next-smallest, and drop vanished keys
+    write_versioned(
+        _ndf(spark, [(6, "a", 20), (7, "a", 15), (8, "d", 3)]), tbl)
+    refresh_minmax_aggregate(spark, tbl, agg, "k", "x")
+    check()
+    rows = {r["k"]: (r["min_value"], r["max_value"])
+            for r in read_versioned(spark, agg).collect()}
+    assert rows == {"a": (15, 20), "d": (3, 3)}
+
+    # idempotent + multi-commit catch-up
+    before = current_version(agg)
+    assert refresh_minmax_aggregate(spark, tbl, agg, "k", "x") == 3
+    assert current_version(agg) == before
+    write_versioned(_ndf(spark, [(9, "d", -1)]), tbl, mode="append")
+    write_versioned(_ndf(spark, [(10, "a", 100)]), tbl, mode="append")
+    refresh_minmax_aggregate(spark, tbl, agg, "k", "x")
+    check()
+
+
+def test_change_feed_raises_on_vacuumed_history(spark, tbl):
+    """Round-8 ADVICE medium: a feed range whose commit records were
+    vacuumed must raise ChangeFeedTruncated, not silently emit a partial
+    feed — both the missing-middle case and the overwrite whose prior
+    snapshot (delete half) is gone."""
+    from covid_19_data_engineering_spark.sources.versioned import (
+        ChangeFeedTruncated,
+        read_change_feed,
+    )
+
+    write_versioned(_df(spark, [(1, "a")]), tbl)                  # v1
+    write_versioned(_df(spark, [(2, "b")]), tbl, mode="append")   # v2
+    write_versioned(_df(spark, [(3, "c")]), tbl)                  # v3 overwrite
+    vacuum_versioned(tbl, keep_versions=1, retention_s=0.0)
+    assert table_versions(tbl) == [3]
+
+    # missing middle: v2's record is gone
+    with pytest.raises(ChangeFeedTruncated, match="vacuumed"):
+        read_change_feed(spark, tbl, 1).collect()
+    # overwrite's delete half: from_version = 2 needs snapshot v2
+    with pytest.raises(ChangeFeedTruncated, match="delete half"):
+        read_change_feed(spark, tbl, 2).collect()
+    # a range entirely after the vacuum horizon still works
+    write_versioned(_df(spark, [(4, "d")]), tbl, mode="append")   # v4
+    rows = read_change_feed(spark, tbl, 3).collect()
+    assert [(r["_commit_version"], r["_change_type"], r["id"])
+            for r in rows] == [(4, "insert", 4)]
+
+
+def test_incremental_refresh_falls_back_on_truncated_feed(spark, tmp_path):
+    """A refresh whose cursor predates the vacuum horizon recomputes from
+    the current snapshot instead of persisting a silently partial fold —
+    the invariant (aggregate == fresh groupBy) survives the vacuum."""
+    from covid_19_data_engineering_spark.sources.incremental import (
+        refresh_count_aggregate,
+        refresh_sum_aggregate,
+    )
+
+    tbl = str(tmp_path / "src")
+    aggc, aggs = str(tmp_path / "aggc"), str(tmp_path / "aggs")
+    write_versioned(_ndf(spark, [(1, "a", 10), (2, "b", 20)]), tbl)  # v1
+    refresh_count_aggregate(spark, tbl, aggc, "k")
+    refresh_sum_aggregate(spark, tbl, aggs, "k", "x")
+
+    write_versioned(_ndf(spark, [(3, "b", 30)]), tbl, mode="append")  # v2
+    write_versioned(_ndf(spark, [(4, "c", 40)]), tbl)                 # v3
+    vacuum_versioned(tbl, keep_versions=1, retention_s=0.0)
+    assert table_versions(tbl) == [3]
+
+    # cursor = 1, horizon = 3: the feed is unreplayable -> full recompute
+    assert refresh_count_aggregate(spark, tbl, aggc, "k") == 3
+    assert refresh_sum_aggregate(spark, tbl, aggs, "k", "x") == 3
+    got_c = {(r["k"], r["n_rows"])
+             for r in read_versioned(spark, aggc).collect()}
+    got_s = {(r["k"], r["n_rows"], r["n_vals"], r["sum_value"])
+             for r in read_versioned(spark, aggs).collect()}
+    assert got_c == {("c", 1)}
+    assert got_s == {("c", 1, 1, 40)}
+
+
+def test_incremental_cursor_survives_foreign_agg_commits(spark, tmp_path):
+    """Round-8 ADVICE low: a compaction commit on the AGGREGATE table
+    carries no source_version; the cursor walk must step over it instead
+    of raising KeyError and permanently breaking refreshes."""
+    from covid_19_data_engineering_spark.sources.incremental import (
+        refresh_sum_aggregate,
+    )
+    from covid_19_data_engineering_spark.sources.versioned import (
+        compact_versioned,
+    )
+
+    tbl, agg = str(tmp_path / "src"), str(tmp_path / "agg")
+    write_versioned(_ndf(spark, [(1, "a", 10), (2, "b", 20)]), tbl)
+    refresh_sum_aggregate(spark, tbl, agg, "k", "x")
+    compact_versioned(spark, agg)  # latest agg commit: no source_version
+
+    # idempotent no-op still resolves the cursor through the compaction
+    assert refresh_sum_aggregate(spark, tbl, agg, "k", "x") == 1
+    # and a real refresh folds on top of the compacted state
+    write_versioned(_ndf(spark, [(3, "a", 5)]), tbl, mode="append")
+    refresh_sum_aggregate(spark, tbl, agg, "k", "x")
+    got = {(r["k"], r["n_rows"], r["n_vals"], r["sum_value"])
+           for r in read_versioned(spark, agg).collect()}
+    assert got == {("a", 2, 2, 15), ("b", 1, 1, 20)}
