@@ -143,6 +143,9 @@ EXTRA = [
     "source_token_entropy",
     "price_quantity_spearman",
     "source_zipf_fit",
+    # round-9 additions
+    "incremental_sum_aggregate",
+    "incremental_minmax_aggregate",
 ]
 
 

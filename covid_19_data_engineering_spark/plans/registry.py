@@ -97,7 +97,9 @@ PRIORITY = (
     # round-8 new operators (JL projection family); ann_ivf_topk and
     # lang_id_confusion rotate out but stay gate-checked in full, with
     # family representatives remaining in the head
-    "embedding_random_projection",
+    # (round 9: embedding_random_projection rotates out for the IVM
+    # family below — JL keeps ann_projected_recall here and the
+    # projected-topk plan gates in pytest)
     "ann_projected_recall",
     "leakage_safe_split",
     # round-8 continuation: the four new operator families added after the
@@ -193,6 +195,14 @@ PRIORITY = (
     # but stays gate-checked in full — LLM-prep keeps the keyness /
     # overlap / novelty / entropy audits in the head
     "source_zipf_fit",
+    # round-9: the CDC -> IVM loop as oracle-checked queries (maintained
+    # SUM/AVG and MIN/MAX vs a fresh recompute of the final snapshot);
+    # embedding_random_projection and dedup_minhash_lsh rotate out but
+    # stay gate-checked in full — dedup keeps dedup_exact,
+    # dedup_cluster_components, and minhash_lsh_accuracy (the LSH
+    # accuracy audit over the same banded operator) in the head
+    "incremental_sum_aggregate",
+    "incremental_minmax_aggregate",
     # TPC-H decorrelation shapes + iterative graph
     "tpch_q2_min_cost_supplier",
     "pagerank_copurchase",
@@ -201,10 +211,11 @@ PRIORITY = (
     # keeps three other head representatives)
     "events_interval_coverage",
     # deduplication families
-    # (dedup_simhash rotates out for the round-8 prefix-filter family
-    # above; it stays gate-checked in full)
+    # (dedup_simhash rotated out for the round-8 prefix-filter family
+    # above; dedup_minhash_lsh rotated out round 9 for the IVM family —
+    # minhash_lsh_accuracy above audits the same banded operator; both
+    # stay gate-checked in full)
     "dedup_exact",
-    "dedup_minhash_lsh",
     "dedup_cluster_components",
     # similarity search
     "ann_cosine_topk",
@@ -236,6 +247,7 @@ def _ensure_loaded() -> None:
     import covid_19_data_engineering_spark.plans.analytics  # noqa: F401
     import covid_19_data_engineering_spark.plans.relational  # noqa: F401
     import covid_19_data_engineering_spark.plans.ingestion_queries  # noqa: F401
+    import covid_19_data_engineering_spark.plans.ivm_queries  # noqa: F401
     import covid_19_data_engineering_spark.plans.tpch  # noqa: F401
     import covid_19_data_engineering_spark.operators.dedup  # noqa: F401
     import covid_19_data_engineering_spark.operators.similarity  # noqa: F401
