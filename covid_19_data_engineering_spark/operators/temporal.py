@@ -161,7 +161,8 @@ def events_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def interval_bucket_join(intervals: DataFrame, points: DataFrame,
                          start: str, end: str, ts: str,
-                         bucket_seconds: int) -> DataFrame:
+                         bucket_seconds: int,
+                         interval_keys: list[str] | None = None) -> DataFrame:
     """Join every ``points`` row into every [start, end) interval it falls
     in, WITHOUT an equi-key — the shape Spark would otherwise execute as a
     BroadcastNestedLoopJoin (all pairs filtered row-by-row, the non-equi
@@ -173,13 +174,30 @@ def interval_bucket_join(intervals: DataFrame, points: DataFrame,
     then apply the exact containment predicate as a residual. Requires
     interval length <= bucket_seconds, so an interval covers exactly
     {b0, b0 + 1} and every (interval, point) pair meets in AT MOST ONE
-    bucket — no post-join dedup. Pair volume is O(points per bucket x
-    intervals per bucket), time-local by construction, instead of
-    |intervals| x |points|. (For longer intervals, raise bucket_seconds or
-    explode to ceil(len/bucket) buckets; the residual stays exact.)
-    Returns interval rows joined to their contained points ('left', so
-    empty intervals survive with null point columns).
+    bucket — the inner matches need no post-join dedup. Pair volume is
+    O(points per bucket x intervals per bucket), time-local by
+    construction, instead of |intervals| x |points|. (For longer
+    intervals, raise bucket_seconds or explode to ceil(len/bucket)
+    buckets; the residual stays exact.)
+
+    Returns each interval row joined to its contained points, with empty
+    intervals surviving EXACTLY ONCE as a single all-null-points row —
+    the exact left-join semantics. The two exploded bucket copies are
+    collapsed before returning (round-8 ADVICE medium: a left join over
+    the exploded side leaked one spurious null row per unmatched bucket
+    copy, so an empty interval appeared twice and a matched interval
+    grew an extra null row; only null-ignoring aggregation masked it):
+    the exploded sides INNER-join (copies that match nothing vanish),
+    and the original un-exploded interval rows LEFT-join back onto the
+    matches over ``interval_keys`` to re-attach empty intervals once.
+
+    ``interval_keys`` names the columns identifying an interval row (an
+    interval id). When None, all interval columns form the key — correct
+    whenever interval rows are distinct; duplicate identical interval
+    rows would each re-attach to the same matches (pass an explicit
+    unique key to disambiguate).
     """
+    keys = interval_keys if interval_keys is not None else list(intervals.columns)
     b0 = F.floor(F.unix_timestamp(F.col(start)) / bucket_seconds).cast("long")
     iv = intervals.withColumn("_b", F.explode(F.array(b0, b0 + 1)))
     pt = points.withColumn(
@@ -190,7 +208,12 @@ def interval_bucket_join(intervals: DataFrame, points: DataFrame,
         & (pt[ts] >= iv[start])
         & (pt[ts] < iv[end])
     )
-    return iv.join(pt, cond, "left").drop("_b")
+    matched = iv.join(pt, cond, "inner").drop("_b")
+    # re-attach empty intervals exactly once: the original (un-exploded)
+    # interval rows left-join the matches' point columns over the key
+    point_cols = [c for c in matched.columns if c not in intervals.columns]
+    return intervals.join(
+        matched.select(*keys, *point_cols), keys, "left")
 
 
 @register(
@@ -227,7 +250,8 @@ def events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("t1"),
     )
     pts = events.select("event_id", "user_id", "ts", "value")
-    joined = interval_bucket_join(iv, pts, "t0", "t1", "ts", 300)
+    joined = interval_bucket_join(iv, pts, "t0", "t1", "ts", 300,
+                                  interval_keys=["interval_id"])
     return (
         joined.groupBy("interval_id")
         .agg(

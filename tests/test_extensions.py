@@ -1698,6 +1698,44 @@ def test_interval_bucket_join_equals_naive_nonequi_join(spark):
     assert fast_pairs == naive_pairs and len(fast_pairs) > 0
 
 
+def test_interval_bucket_join_exact_row_semantics(spark):
+    """Round-8 ADVICE medium: the exploded bucket copies must collapse —
+    a matched interval carries its matches and NO extra null row, and an
+    empty interval survives EXACTLY ONCE, so row-counting consumers (not
+    just null-ignoring aggregates) get the left-join answer."""
+    import pyspark.sql.functions as F
+
+    from covid_19_data_engineering_spark.operators.temporal import (
+        interval_bucket_join,
+    )
+
+    iv = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "2024-01-01 00:05:00"),   # 2 points
+         (2, "2024-01-01 02:00:00", "2024-01-01 02:05:00"),   # empty
+         (3, "2024-01-01 03:04:00", "2024-01-01 03:09:00")],  # 1 point,
+        "interval_id long, t0 string, t1 string",             # spans 2 buckets
+    ).select("interval_id", F.col("t0").cast("timestamp").alias("t0"),
+             F.col("t1").cast("timestamp").alias("t1"))
+    pts = spark.createDataFrame(
+        [(10, "2024-01-01 00:01:00"), (11, "2024-01-01 00:04:59"),
+         (12, "2024-01-01 01:00:00"), (13, "2024-01-01 03:08:00")],
+        "pid long, ts string",
+    ).select("pid", F.col("ts").cast("timestamp").alias("ts"))
+
+    out = interval_bucket_join(iv, pts, "t0", "t1", "ts", 300,
+                               interval_keys=["interval_id"])
+    rows = sorted((r["interval_id"], r["pid"]) for r in out.collect())
+    # interval 1: exactly its two matches, no spurious null row;
+    # interval 2: exactly one all-null row; interval 3: exactly one match
+    # even though its [t0, t1) straddles a bucket boundary
+    assert rows == [(1, 10), (1, 11), (2, None), (3, 13)]
+    # all-columns default key gives the same answer on distinct intervals
+    out_default = interval_bucket_join(iv, pts, "t0", "t1", "ts", 300)
+    rows_default = sorted(
+        (r["interval_id"], r["pid"]) for r in out_default.collect())
+    assert rows_default == rows
+
+
 def test_events_interval_coverage_plan_has_no_nested_loop(spark):
     from covid_19_data_engineering_spark.plans.registry import REGISTRY
     from tests.conftest import SF_SMOKE
