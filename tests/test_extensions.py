@@ -2329,6 +2329,26 @@ def test_ewma_matches_hand_rolled_recurrence(spark):
     assert out[2]["ewma"] == 7.0
 
 
+def test_ewma_groupby_kernel_bit_parity():
+    """The vectorized groupby-ewm kernel (round-9: one Cython pass per
+    partition instead of a per-row Python loop per user) must produce
+    BIT-identical doubles to the sequential (x + s)/2 fold the DuckDB
+    recursive-CTE oracle replays — pandas adjust=False computes
+    0.5*s + 0.5*x, and RN(s/2 + x/2) == RN(s + x)/2 away from
+    subnormals. Pure-pandas pin, 100k steps, no Spark session needed."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    for n in (1, 2, 3, 1000, 100_000):
+        x = rng.uniform(0.01, 1000.0, n).round(2)
+        s = None
+        for v in x:
+            s = v if s is None else (v + s) / 2.0
+        e = pd.Series(x).ewm(alpha=0.5, adjust=False).mean().iloc[-1]
+        assert s == e, (n, repr(s), repr(e))
+
+
 def test_token_entropy_orders_skewed_below_uniform(spark):
     import math
 
