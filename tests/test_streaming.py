@@ -447,11 +447,20 @@ def test_kafka_record_decode_matches_batch_events(spark):
     )
 
     e = load_table(spark, "events", SF_SMOKE).limit(50)
+    # the EXACT record shape the kafka connector emits (round-9 verdict
+    # task #3): key/value binary plus topic/partition/offset/timestamp/
+    # timestampType metadata — the projection must decode value and
+    # ignore the metadata columns precisely as it would on a live stream
     as_records = e.select(
         F.col("event_id").cast("string").cast("binary").alias("key"),
         F.to_json(F.struct("event_id", "user_id", "event_type", "ts", "value"),
                   KAFKA_JSON_OPTS)
         .cast("binary").alias("value"),
+        F.lit("events").alias("topic"),
+        (F.col("event_id") % 8).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.current_timestamp().alias("timestamp"),
+        F.lit(0).cast("int").alias("timestampType"),
     )
     decoded = events_from_kafka_records(as_records)
     assert decoded.schema == e.select(
