@@ -90,9 +90,32 @@ FAMILY = [
     "events_error_control_chart",
     "embedding_covariance_profile",
     "embedding_quantile_calibration",
+    # round-9 (verdict task #7): the continuation-2 arrivals — two-sort
+    # Spearman, per-source Zipf OLS, sessionize->quantile, and the
+    # vectorized grouped EWMA recurrence
+    "price_quantity_spearman",
+    "source_zipf_fit",
+    "session_duration_quantiles",
+    "events_ewma_smoothing",
 ]
 
 ID_OFFSET = 1_000_000
+
+
+def _guard_offset(df, key: str) -> None:
+    """Refuse to replicate when the base corpus's key range would overlap
+    the k*ID_OFFSET replica ranges (round-8 ADVICE low: lineitem had this
+    guard but part/orders/events did not — a larger base corpus would
+    silently interleave replica keys and corrupt the 3x ratios this file
+    exists to measure)."""
+    import pyspark.sql.functions as F
+
+    max_key = df.agg(F.max(key)).first()[0]
+    if max_key >= ID_OFFSET:
+        raise ValueError(
+            f"max {key} {max_key} >= ID_OFFSET {ID_OFFSET}: replica key "
+            "ranges would overlap and silently corrupt the 3x scale "
+            "ratios - raise ID_OFFSET for this base corpus")
 
 
 def materialize_scaled(spark) -> None:
@@ -113,6 +136,7 @@ def materialize_scaled(spark) -> None:
         # while every price group grows 3x denser — the exact property
         # the staircase decomposition is supposed to exploit
         part = load_table(spark, "part", BASE_SF)
+        _guard_offset(part, "p_partkey")
         pparts = [
             part.select(
                 (F.col("p_partkey") + k * ID_OFFSET).alias("p_partkey"),
@@ -130,6 +154,7 @@ def materialize_scaled(spark) -> None:
         # bloom/Q12 semi-join structure repeats per replica (the true
         # match volume grows exactly 3x)
         orders = load_table(spark, "orders", BASE_SF)
+        _guard_offset(orders, "o_orderkey")
         oparts = [
             orders.select(
                 (F.col("o_orderkey") + k * ID_OFFSET).alias("o_orderkey"),
@@ -148,6 +173,7 @@ def materialize_scaled(spark) -> None:
         # volume grows 3x with the corpus, the way a longer-running
         # deployment's would, instead of 9x from densifying one window
         events = load_table(spark, "events", BASE_SF)
+        _guard_offset(events, "event_id")
         eparts = [
             events.select(
                 (F.col("event_id") + k * ID_OFFSET).alias("event_id"),
@@ -166,13 +192,7 @@ def materialize_scaled(spark) -> None:
         # measure columns stay as-is, so quantile targets shift by exactly
         # the replication and the z-order key space widens
         li = load_table(spark, "lineitem", BASE_SF)
-        max_key = li.agg(F.max("l_orderkey")).first()[0]
-        if max_key >= ID_OFFSET:
-            raise ValueError(
-                f"lineitem max l_orderkey {max_key} >= ID_OFFSET "
-                f"{ID_OFFSET}: replica key ranges would overlap and "
-                "silently corrupt the 3x zorder/quantile ratios — raise "
-                "ID_OFFSET for this base corpus")
+        _guard_offset(li, "l_orderkey")
         lparts = []
         for k in range(REPLICAS):
             lparts.append(li.select(
@@ -187,6 +207,7 @@ def materialize_scaled(spark) -> None:
     if all(_done(t) for t in ("documents", "embeddings")):
         return
     docs = load_table(spark, "documents", BASE_SF)
+    _guard_offset(docs, "doc_id")
     parts = []
     for k in range(REPLICAS):
         if k == 0:
@@ -209,6 +230,7 @@ def materialize_scaled(spark) -> None:
         os.path.join(SCALE_DIR, "documents.parquet"))
 
     emb = load_table(spark, "embeddings", BASE_SF)
+    _guard_offset(emb, "vec_id")
     eparts = []
     dim = len(emb.select("embedding").first()[0])
     for k in range(REPLICAS):
