@@ -912,6 +912,48 @@ def test_semantic_dedup_planted_cluster(spark):
             assert out[i]["status"] == "keep" and out[i]["dup_of"] is None
 
 
+def test_ivf_lloyd_convergence_improves_within_cell_distance(spark):
+    """Round-9 verdict #2 quality pin: the converged fine quantizer
+    (SEM_IVF_LLOYD_ROUNDS Lloyd rounds with the fixed-point freeze) must
+    place vectors at most as far from their fine centroid as the round-8
+    single-round variant — and strictly closer on a corpus whose fine
+    seeds start badly. One coarse cell, two well-separated blobs, all
+    three fine seeds planted in blob A: round 1 leaves a mixed centroid
+    between the blobs; the extra rounds pull it onto blob B."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from covid_19_data_engineering_spark.operators.semdedup import (
+        SEM_IVF_LLOYD_ROUNDS,
+        _ivf_assigned,
+    )
+
+    rng = random.Random(5)
+
+    def blob(center_dims, n, start):
+        center = [0.0] * 64
+        for d in center_dims:
+            center[d] = 2.0
+        return [(start + i, [x + rng.uniform(-0.05, 0.05) for x in center])
+                for i in range(n)]
+
+    rows = blob(range(0, 8), 260, 0) + blob(range(32, 40), 260, 1000)
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    reps = emb.select("vec_id", F.col("embedding").alias("e"))
+
+    def total_dist(rounds):
+        return _ivf_assigned(reps, len(rows), k_total=1,
+                             lloyd_rounds=rounds)             .agg(F.sum("dist").alias("s")).first()["s"]
+
+    d1 = total_dist(1)
+    d_budget = total_dist(SEM_IVF_LLOYD_ROUNDS)
+    # never worse than the single-round variant, and on this plant the
+    # convergence recovers the blob structure (measured 112.3 -> 27.5)
+    assert d_budget <= d1
+    assert d_budget < 0.5 * d1, (d_budget, d1)
+
+
 def test_semdedup_dense_dup_collapse_budget(spark):
     """Round-5 verdict #3 gate, part 1: a dense mode of IDENTICAL
     embeddings (40% of the corpus is one repeated vector) must collapse to
