@@ -146,6 +146,8 @@ EXTRA = [
     # round-9 additions
     "incremental_sum_aggregate",
     "incremental_minmax_aggregate",
+    "incremental_distinct_aggregate",
+    "incremental_join_view",
 ]
 
 

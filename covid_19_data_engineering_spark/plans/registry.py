@@ -129,13 +129,11 @@ PRIORITY = (
     "token_keyness_g2",
     "pareto_frontier_parts",
     "events_drift_js",
-    "events_rolling_anomalies",
     "robust_price_outliers",
     # plus the two corpus audits (source-pair overlap, first-seen novelty);
     # data_mixture_plan and pii_scrub_events rotate out but stay
     # gate-checked in full — LLM-prep keeps benchmark_contamination and
     # corpus_curation_yield in the head
-    "source_overlap_matrix",
     "ngram_novelty_profile",
     # and the streaming-adjacent lateness profile (watermark sizing);
     # events_asof_click_before_purchase rotates out but stays gate-checked
@@ -203,6 +201,14 @@ PRIORITY = (
     # accuracy audit over the same banded operator) in the head
     "incremental_sum_aggregate",
     "incremental_minmax_aggregate",
+    # round-9 continuation: COUNT(DISTINCT) via the support-table
+    # decomposition and the delta-join view materialization;
+    # source_overlap_matrix and events_rolling_anomalies rotate out but
+    # stay gate-checked in full (text keeps keyness/entropy/zipf/novelty
+    # in the head; temporal keeps drift, the control chart, lateness,
+    # and interval coverage)
+    "incremental_distinct_aggregate",
+    "incremental_join_view",
     # TPC-H decorrelation shapes + iterative graph
     "tpch_q2_min_cost_supplier",
     "pagerank_copurchase",

@@ -289,3 +289,144 @@ def refresh_minmax_aggregate(spark: SparkSession, table_path: str,
     )
     new = folded.unionByName(recomputed)
     return _commit_refresh(new, agg_path, src_version)
+
+
+def refresh_distinct_aggregate(spark: SparkSession, table_path: str,
+                               agg_path: str, key_col: str,
+                               value_col: str) -> int:
+    """Maintain per-``key_col`` COUNT(DISTINCT ``value_col``) at
+    ``agg_path``; returns the source version now reflected.
+
+    DISTINCT is not delta-invertible over a bare count (deleting one
+    copy of a value says nothing about whether other copies remain), but
+    it IS decomposable: the materialization is the SUPPORT table
+    (key_col, value_col, n_rows) — the multiplicity of every distinct
+    (key, value) pair — which folds exactly like COUNT (+1/-1 per
+    delta, pairs at zero drop out). The distinct count is then the
+    support table's per-key row count, a readout over state whose size
+    is the number of DISTINCT pairs, not the row count. NULL values are
+    excluded (SQL COUNT(DISTINCT v) ignores them). Cursor, idempotence,
+    and the ChangeFeedTruncated -> full-recompute fallback match the
+    other refreshes.
+    """
+    src_version = current_version(table_path)
+    last = _resume_cursor(agg_path)
+    if last is not None and last >= src_version:
+        return last
+
+    def recompute() -> DataFrame:
+        return (
+            read_versioned(spark, table_path, version=src_version)
+            .where(F.col(value_col).isNotNull())
+            .groupBy(key_col, value_col)
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+        )
+
+    if last is None:
+        return _commit_refresh(recompute(), agg_path, src_version)
+    try:
+        feed = read_change_feed(spark, table_path, last, src_version)
+    except ChangeFeedTruncated:
+        return _commit_refresh(recompute(), agg_path, src_version)
+    old = read_versioned(spark, agg_path)
+    delta = (
+        feed.where(F.col(value_col).isNotNull())
+        .groupBy(key_col, value_col)
+        .agg(F.sum(F.when(F.col("_change_type") == "insert", 1)
+                   .otherwise(-1)).alias("_d"))
+    )
+    new = (
+        old.join(delta, [key_col, value_col], "full")
+        .select(
+            key_col, value_col,
+            (F.coalesce("n_rows", F.lit(0))
+             + F.coalesce("_d", F.lit(0))).alias("n_rows"),
+        )
+        .where(F.col("n_rows") != 0)
+    )
+    return _commit_refresh(new, agg_path, src_version)
+
+
+def read_distinct_counts(spark: SparkSession, agg_path: str,
+                         key_col: str) -> DataFrame:
+    """The COUNT(DISTINCT) readout over a maintained support table:
+    (key_col, n_distinct)."""
+    return (
+        read_versioned(spark, agg_path)
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
+    )
+
+
+def refresh_join_view(spark: SparkSession, left_path: str, right_path: str,
+                      view_path: str, on: str) -> tuple[int, int]:
+    """Maintain the materialized INNER equi-join of two versioned tables
+    at ``view_path``; returns the (left, right) source versions now
+    reflected.
+
+    The classic delta-join rule for the append-only fast path: with
+    appends dA to the left and dB to the right since the last refresh,
+
+        dView = dA >< B_new  UNION ALL  A_old >< dB
+
+    (dA >< B_new already covers dA >< dB, so each new pair appears
+    exactly once), appended to the view — cost O(dA join B + A join dB),
+    never a view rebuild. A_old is the LEFT side pinned at its previous
+    cursor version — exactly what the versioned log's time travel
+    provides, no second copy kept anywhere. At scale both delta joins
+    shuffle only the delta plus the matching side (with the stored side
+    partitioned/z-ordered on the key, the commit-recorded min/max stats
+    prune the non-delta side's files).
+
+    Any delete in either feed (an overwrite commit), or a vacuumed feed
+    range (ChangeFeedTruncated), falls back to one full recompute that
+    overwrites the view — correctness first, the same contract as the
+    aggregate refreshes. Dual cursors ride the view's own commit record
+    ({"left_version", "right_version"} — ``source_version`` is not used
+    so the single-source cursor walk never confuses a join view for an
+    aggregate); both columns sets must be disjoint apart from ``on``.
+    """
+    lv_new = current_version(left_path)
+    rv_new = current_version(right_path)
+    cursor = None
+    for v in reversed(table_versions(view_path)):
+        c = _read_commit_or_none(view_path, v)
+        if c is None:
+            break
+        if "left_version" in c and "right_version" in c:
+            cursor = (c["left_version"], c["right_version"])
+            break
+    meta = {"left_version": lv_new, "right_version": rv_new}
+    if cursor is not None and cursor[0] >= lv_new and cursor[1] >= rv_new:
+        return cursor
+
+    def recompute() -> tuple[int, int]:
+        full = read_versioned(spark, left_path, version=lv_new).join(
+            read_versioned(spark, right_path, version=rv_new), on)
+        write_versioned(full, view_path, mode="overwrite", meta=meta)
+        return lv_new, rv_new
+
+    if cursor is None:
+        return recompute()
+    lv_old, rv_old = cursor
+    try:
+        lfeed = read_change_feed(spark, left_path, lv_old, lv_new)
+        rfeed = read_change_feed(spark, right_path, rv_old, rv_new)
+        has_delete = (
+            lfeed.where(F.col("_change_type") == "delete").limit(1).count()
+            + rfeed.where(F.col("_change_type") == "delete").limit(1).count()
+        ) > 0
+    except ChangeFeedTruncated:
+        return recompute()
+    if has_delete:
+        # an overwrite rewrote a base snapshot: the append-only delta
+        # rule no longer covers the change — rebuild once
+        return recompute()
+    feed_cols = ("_change_type", "_commit_version")
+    d_left = lfeed.drop(*feed_cols)
+    d_right = rfeed.drop(*feed_cols)
+    b_new = read_versioned(spark, right_path, version=rv_new)
+    a_old = read_versioned(spark, left_path, version=lv_old)
+    d_view = d_left.join(b_new, on).unionByName(a_old.join(d_right, on))
+    write_versioned(d_view, view_path, mode="append", meta=meta)
+    return lv_new, rv_new

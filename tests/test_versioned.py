@@ -964,3 +964,144 @@ def test_incremental_cursor_survives_foreign_agg_commits(spark, tmp_path):
     got = {(r["k"], r["n_rows"], r["n_vals"], r["sum_value"])
            for r in read_versioned(spark, agg).collect()}
     assert got == {("a", 2, 2, 15), ("b", 1, 1, 20)}
+
+
+def test_incremental_distinct_aggregate_tracks_the_source(spark, tmp_path):
+    """COUNT(DISTINCT) IVM via the support-table decomposition: the
+    maintained (key, value, multiplicity) table folds like COUNT, and
+    the readout equals a fresh countDistinct at every step — including
+    the case where one copy of a value is deleted but another survives
+    (the case a bare distinct count cannot fold)."""
+    from covid_19_data_engineering_spark.sources.incremental import (
+        read_distinct_counts,
+        refresh_distinct_aggregate,
+    )
+    import pyspark.sql.functions as F
+
+    tbl, agg = str(tmp_path / "src"), str(tmp_path / "agg")
+
+    def check():
+        got = sorted(
+            (r["k"], r["n_distinct"])
+            for r in read_distinct_counts(spark, agg, "k").collect())
+        want = sorted(
+            (r["k"], r["nd"])
+            for r in read_versioned(spark, tbl)
+            .groupBy("k").agg(F.countDistinct("x").alias("nd"))
+            .collect())
+        assert got == want
+
+    # a has value 10 twice (multiplicity 2), plus 20; NULL never counts
+    write_versioned(
+        _ndf(spark, [(1, "a", 10), (2, "a", 10), (3, "a", 20),
+                     (4, "b", None), (5, "b", 7)]), tbl)
+    assert refresh_distinct_aggregate(spark, tbl, agg, "k", "x") == 1
+    check()
+
+    # append a third copy of (a, 10) and a new value
+    write_versioned(_ndf(spark, [(6, "a", 10), (7, "b", 8)]),
+                    tbl, mode="append")
+    refresh_distinct_aggregate(spark, tbl, agg, "k", "x")
+    check()
+
+    # overwrite: one copy of (a, 10) survives -> distinct count for a
+    # must NOT drop 10; key b vanishes entirely
+    write_versioned(_ndf(spark, [(8, "a", 10), (9, "a", 30)]), tbl)
+    refresh_distinct_aggregate(spark, tbl, agg, "k", "x")
+    check()
+    got = {(r["k"], r["n_distinct"])
+           for r in read_distinct_counts(spark, agg, "k").collect()}
+    assert got == {("a", 2)}
+
+    # idempotent + multi-commit catch-up
+    before = current_version(agg)
+    assert refresh_distinct_aggregate(spark, tbl, agg, "k", "x") == 3
+    assert current_version(agg) == before
+    write_versioned(_ndf(spark, [(10, "c", 1)]), tbl, mode="append")
+    write_versioned(_ndf(spark, [(11, "c", 1)]), tbl, mode="append")
+    refresh_distinct_aggregate(spark, tbl, agg, "k", "x")
+    check()
+
+
+def _jdf(spark, rows, side):
+    if side == "l":
+        return spark.createDataFrame(rows, "jk long, lval string")
+    return spark.createDataFrame(rows, "jk long, rval long")
+
+
+def test_incremental_join_view_append_only_delta_path(spark, tmp_path):
+    """Delta-join maintenance: dView = dA >< B_new UNION A_old >< dB,
+    appended — each refresh touches deltas plus the matching side, never
+    the whole view. The maintained view must equal the fresh join after
+    every refresh, including one-sided and both-sided catch-ups."""
+    from covid_19_data_engineering_spark.sources.incremental import (
+        refresh_join_view,
+    )
+
+    lt, rt, vw = (str(tmp_path / n) for n in ("lt", "rt", "vw"))
+
+    def check():
+        got = sorted(
+            (r["jk"], r["lval"], r["rval"])
+            for r in read_versioned(spark, vw).collect())
+        want = sorted(
+            (r["jk"], r["lval"], r["rval"])
+            for r in read_versioned(spark, lt)
+            .join(read_versioned(spark, rt), "jk").collect())
+        assert got == want and len(got) > 0
+
+    write_versioned(_jdf(spark, [(1, "a"), (2, "b")], "l"), lt)
+    write_versioned(_jdf(spark, [(1, 10), (1, 11), (3, 30)], "r"), rt)
+    assert refresh_join_view(spark, lt, rt, vw, "jk") == (1, 1)
+    check()
+
+    # left-only delta: key 3 now matches the pre-existing right rows
+    write_versioned(_jdf(spark, [(3, "c")], "l"), lt, mode="append")
+    assert refresh_join_view(spark, lt, rt, vw, "jk") == (2, 1)
+    check()
+
+    # both-sided catch-up across multiple commits: the new left row must
+    # pair with BOTH old and new right rows exactly once (dA><B_new
+    # covers dA><dB; A_old><dB adds the rest)
+    write_versioned(_jdf(spark, [(2, 20)], "r"), rt, mode="append")
+    write_versioned(_jdf(spark, [(1, 12)], "r"), rt, mode="append")
+    write_versioned(_jdf(spark, [(1, "a2")], "l"), lt, mode="append")
+    assert refresh_join_view(spark, lt, rt, vw, "jk") == (3, 3)
+    check()
+
+    # idempotent: nothing advanced -> no new view version
+    before = current_version(vw)
+    assert refresh_join_view(spark, lt, rt, vw, "jk") == (3, 3)
+    assert current_version(vw) == before
+
+
+def test_incremental_join_view_rebuilds_on_overwrite_and_vacuum(
+        spark, tmp_path):
+    """The append-only delta rule cannot cover an overwrite (deletes) or
+    a vacuumed feed; both must fall back to one full recompute that
+    overwrites the view — never a silently partial append."""
+    from covid_19_data_engineering_spark.sources.incremental import (
+        refresh_join_view,
+    )
+
+    lt, rt, vw = (str(tmp_path / n) for n in ("lt", "rt", "vw"))
+    write_versioned(_jdf(spark, [(1, "a"), (2, "b")], "l"), lt)
+    write_versioned(_jdf(spark, [(1, 10), (2, 20)], "r"), rt)
+    refresh_join_view(spark, lt, rt, vw, "jk")
+
+    # overwrite the left side: key 1 is gone, key 9 appears
+    write_versioned(_jdf(spark, [(9, "z"), (2, "b2")], "l"), lt)
+    assert refresh_join_view(spark, lt, rt, vw, "jk") == (2, 1)
+    got = sorted((r["jk"], r["lval"], r["rval"])
+                 for r in read_versioned(spark, vw).collect())
+    assert got == [(2, "b2", 20)]
+
+    # vacuum the right side's history past the cursor, then append: the
+    # truncated feed forces a rebuild, and the result is still exact
+    write_versioned(_jdf(spark, [(2, 21)], "r"), rt)          # overwrite v2
+    write_versioned(_jdf(spark, [(9, 90)], "r"), rt, "append")  # v3
+    vacuum_versioned(rt, keep_versions=1, retention_s=0.0)
+    assert refresh_join_view(spark, lt, rt, vw, "jk") == (2, 3)
+    got = sorted((r["jk"], r["lval"], r["rval"])
+                 for r in read_versioned(spark, vw).collect())
+    assert got == [(2, "b2", 21), (9, "z", 90)]
