@@ -143,3 +143,63 @@ def start_versioned_append_stream(sdf, table_path: str, checkpoint_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_streaming_aggregate(sdf, table_path: str, agg_path: str,
+                              checkpoint_dir: str, key_col: str,
+                              value_col: str, writer_id: str | None = None):
+    """Streaming MATERIALIZED VIEW — the CDC -> IVM loop composed with
+    the streaming sink: each micro-batch (1) commits to the versioned
+    table exactly-once via the (writer, epoch) txn guard, then (2) folds
+    the committed deltas into the maintained per-``key_col``
+    (n_rows, n_vals, sum_value) aggregate through the change feed
+    (``refresh_sum_aggregate``).
+
+    Crash safety falls out of the two cursors' independence: the
+    refresh reads its resume point from the AGGREGATE's own commit log,
+    so a crash between table commit and aggregate fold loses nothing —
+    the next batch's refresh replays the missed feed range; a replayed
+    epoch skips the table commit (txn guard) while its refresh call
+    no-ops (cursor already at the source version). The refresh also
+    runs on replayed epochs precisely to perform that catch-up. The
+    invariant after every batch: maintained aggregate == fresh groupBy
+    of the sink table (the pytest pin), at O(batch rows) fold cost —
+    what a 100 TB ingest pays instead of re-aggregating the table per
+    batch."""
+    from covid_19_data_engineering_spark.sources.incremental import (
+        refresh_sum_aggregate,
+    )
+    from covid_19_data_engineering_spark.sources.versioned import (
+        TxnAlreadyApplied,
+        current_version,
+        last_txn_epoch,
+        write_versioned,
+    )
+
+    app = writer_id or checkpoint_dir
+
+    def _sink(batch_df, epoch_id: int) -> None:
+        last_epoch = last_txn_epoch(table_path, app)
+        fresh = last_epoch is None or epoch_id > last_epoch
+        if fresh and not batch_df.isEmpty():
+            try:
+                write_versioned(
+                    batch_df, table_path,
+                    mode="append" if current_version(table_path) > 0
+                    else "overwrite",
+                    meta={"txn": {"app": app, "epoch": epoch_id}},
+                )
+            except TxnAlreadyApplied:
+                pass  # raced replay: the epoch landed via another path
+        if current_version(table_path) > 0:
+            # idempotent cursor-driven fold: catches up any feed range a
+            # previous crash left unfolded, no-ops when already current
+            refresh_sum_aggregate(batch_df.sparkSession, table_path,
+                                  agg_path, key_col, value_col)
+
+    return (
+        sdf.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1105,3 +1105,67 @@ def test_incremental_join_view_rebuilds_on_overwrite_and_vacuum(
     got = sorted((r["jk"], r["lval"], r["rval"])
                  for r in read_versioned(spark, vw).collect())
     assert got == [(2, "b2", 21), (9, "z", 90)]
+
+
+def test_streaming_aggregate_maintains_view_across_batches(
+        spark, tbl, tmp_path):
+    """The streaming CDC -> IVM composition: the events stream lands in a
+    versioned table AND the per-user sum aggregate stays in lockstep —
+    after the run, maintained state == fresh groupBy of the sink table.
+    A straggler commit whose fold was 'lost' (simulated crash between
+    table commit and refresh) is caught up by the next stream's refresh,
+    and re-running over the same checkpoint changes nothing."""
+    import pyspark.sql.functions as F
+
+    from covid_19_data_engineering_spark.streaming.events import events_stream
+    from covid_19_data_engineering_spark.streaming.stateful import (
+        start_streaming_aggregate,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    agg = str(tmp_path / "agg")
+    cols = ["event_id", "user_id", "value"]
+
+    def check():
+        got = sorted(
+            (r["user_id"], r["n_rows"], round(r["sum_value"], 6))
+            for r in read_versioned(spark, agg).collect())
+        want = sorted(
+            (r["user_id"], r["n"], round(r["s"], 6))
+            for r in read_versioned(spark, tbl)
+            .groupBy("user_id").agg(F.count(F.lit(1)).alias("n"),
+                                    F.sum("value").alias("s")).collect())
+        assert got == want and len(got) > 0
+
+    q = start_streaming_aggregate(
+        events_stream(spark, sf).select(*cols), tbl, agg,
+        str(tmp_path / "ck1"), "user_id", "value")
+    q.awaitTermination(120)
+    check()
+
+    # simulated crash: a batch committed to the table but its fold was
+    # lost — the aggregate's cursor lags the table
+    straggler = spark.createDataFrame(
+        [(10_000_001, 1, 5.0), (10_000_002, 2, 7.0)],
+        "event_id long, user_id long, value double")
+    write_versioned(straggler, tbl, mode="append")
+
+    # a second stream (fresh checkpoint -> new writer) lands more data;
+    # its per-batch refresh must fold the straggler too
+    q2 = start_streaming_aggregate(
+        events_stream(spark, sf).select(*cols), tbl, agg,
+        str(tmp_path / "ck2"), "user_id", "value")
+    q2.awaitTermination(120)
+    check()
+
+    # replay over the first checkpoint: no new versions, aggregate still
+    # exact (epoch guard skips the write, refresh no-ops on the cursor)
+    v_before = current_version(tbl)
+    a_before = current_version(agg)
+    q3 = start_streaming_aggregate(
+        events_stream(spark, sf).select(*cols), tbl, agg,
+        str(tmp_path / "ck1"), "user_id", "value")
+    q3.awaitTermination(120)
+    assert current_version(tbl) == v_before
+    assert current_version(agg) == a_before
+    check()
