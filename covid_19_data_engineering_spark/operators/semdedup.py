@@ -139,8 +139,11 @@ SEM_MAX_SPLIT_BITS = 8
 # no-op, so BOTH engines run the same fixed round count and the
 # data-dependent "converged or R rounds" semantics replays as R chained
 # CTE blocks with mutually exclusive guarded UNION branches — no
-# data-dependent control flow anywhere.
-SEM_IVF_LLOYD_ROUNDS = 3
+# data-dependent control flow anywhere. R = 2 captures ~99.9% of the
+# planted-corpus quality gain (round 2: 27.48 vs round 3: 27.455 vs
+# round 1: 112.3 total sqdist) at one guarded round's wall cost; raise
+# the budget for production corpora that keep moving.
+SEM_IVF_LLOYD_ROUNDS = 2
 SEM_IVF_MOVE_UNIT = 1_000_000_000_000   # 1e-12 fixed point for movement^2
 SEM_IVF_MOVE_EPS_FP = 1_000_000         # < 1e-6 squared movement = converged
 
