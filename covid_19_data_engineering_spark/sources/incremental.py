@@ -385,11 +385,21 @@ def refresh_join_view(spark: SparkSession, left_path: str, right_path: str,
     ({"left_version", "right_version"} — ``source_version`` is not used
     so the single-source cursor walk never confuses a join view for an
     aggregate); both columns sets must be disjoint apart from ``on``.
+
+    Race safety: the aggregate refreshes are naturally safe under
+    concurrent pollers (state and cursor OVERWRITE atomically together,
+    so the last writer's pair is self-consistent), but a join refresh
+    APPENDS — two racers folding the same cursor range would land the
+    same pairs twice. The delta append is therefore a compare-and-swap
+    on the view version the cursor was read from (``expect_base``); the
+    loser sees CommitConflict, re-reads the advanced cursor, and retries
+    from there (usually a no-op).
     """
     lv_new = current_version(left_path)
     rv_new = current_version(right_path)
     cursor = None
-    for v in reversed(table_versions(view_path)):
+    view_at_read = current_version(view_path)
+    for v in range(view_at_read, 0, -1):
         c = _read_commit_or_none(view_path, v)
         if c is None:
             break
@@ -428,5 +438,17 @@ def refresh_join_view(spark: SparkSession, left_path: str, right_path: str,
     b_new = read_versioned(spark, right_path, version=rv_new)
     a_old = read_versioned(spark, left_path, version=lv_old)
     d_view = d_left.join(b_new, on).unionByName(a_old.join(d_right, on))
-    write_versioned(d_view, view_path, mode="append", meta=meta)
+    from covid_19_data_engineering_spark.sources.versioned import (
+        CommitConflict,
+    )
+
+    try:
+        write_versioned(d_view, view_path, mode="append", meta=meta,
+                        expect_base=view_at_read)
+    except CommitConflict:
+        # a concurrent refresher advanced the view since we read its
+        # cursor; re-read and fold from wherever it landed (no-op when
+        # the racer covered our range)
+        return refresh_join_view(spark, left_path, right_path,
+                                 view_path, on)
     return lv_new, rv_new
