@@ -195,9 +195,20 @@ def interval_bucket_join(intervals: DataFrame, points: DataFrame,
     interval id). When None, all interval columns form the key — correct
     whenever interval rows are distinct; duplicate identical interval
     rows would each re-attach to the same matches (pass an explicit
-    unique key to disambiguate).
+    unique key to disambiguate). The re-attach join is NULL-SAFE, so an
+    interval row carrying NULL in a key column still recovers its
+    matches. Point columns must not collide with interval column names
+    (raises ValueError — the pre-round-9 left join silently returned
+    two same-named columns, a worse failure).
     """
     keys = interval_keys if interval_keys is not None else list(intervals.columns)
+    clash = sorted(
+        (set(points.columns) & set(intervals.columns))
+        | ({"_b"} & (set(points.columns) | set(intervals.columns))))
+    if clash:
+        raise ValueError(
+            f"interval/point column collision: {clash} — rename one side; "
+            "the bucket join needs disjoint names ('_b' is reserved)")
     b0 = F.floor(F.unix_timestamp(F.col(start)) / bucket_seconds).cast("long")
     iv = intervals.withColumn("_b", F.explode(F.array(b0, b0 + 1)))
     pt = points.withColumn(
@@ -210,10 +221,21 @@ def interval_bucket_join(intervals: DataFrame, points: DataFrame,
     )
     matched = iv.join(pt, cond, "inner").drop("_b")
     # re-attach empty intervals exactly once: the original (un-exploded)
-    # interval rows left-join the matches' point columns over the key
+    # interval rows left-join the matches' point columns over the key,
+    # null-safe per key column (NULL keys are real rows, not non-matches)
     point_cols = [c for c in matched.columns if c not in intervals.columns]
-    return intervals.join(
-        matched.select(*keys, *point_cols), keys, "left")
+    # alias both sides: m derives from intervals, so bare attribute
+    # references would be ambiguous self-join lineage
+    a = intervals.alias("_iv_side")
+    m = matched.select(*keys, *point_cols).alias("_pt_side")
+    join_cond = None
+    for k in keys:
+        c = F.col(f"_iv_side.{k}").eqNullSafe(F.col(f"_pt_side.{k}"))
+        join_cond = c if join_cond is None else (join_cond & c)
+    return a.join(m, join_cond, "left").select(
+        *[F.col(f"_iv_side.{c}") for c in intervals.columns],
+        *[F.col(f"_pt_side.{c}") for c in point_cols],
+    )
 
 
 @register(
@@ -433,11 +455,15 @@ def ewma_by_user(events: DataFrame) -> DataFrame:
 
     def run(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(["user_id", "ts", "event_id"])
-        g = pdf.groupby("user_id", sort=True)
+        # dropna=False: a NULL user_id is a real group (the Spark
+        # groupBy the old per-user kernel rode treated it as one);
+        # Arrow hands nullable int64 to pandas as float64-with-NaN, so
+        # the output key goes back through nullable Int64
+        g = pdf.groupby("user_id", sort=True, dropna=False)
         last = (g["value"].ewm(alpha=0.5, adjust=False).mean()
-                .groupby(level=0).last())
+                .groupby(level=0, dropna=False).last())
         return pd.DataFrame({
-            "user_id": last.index.to_numpy(),
+            "user_id": pd.array(last.index.to_numpy(), dtype="Int64"),
             "n_events": g.size().to_numpy(),
             "ewma": [round(v, 6) for v in last.to_numpy()],
         })

@@ -72,11 +72,17 @@ _FINAL_LO, _FINAL_HI = 1, 6
 
 def _ivm_state_dir(sf_dir: str) -> str:
     slug = re.sub(r"[^A-Za-z0-9_.-]+", "_", sf_dir.strip("/"))
-    st = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    # fingerprint BOTH source tables: the join-view state derives from
+    # lineitem too, and a corpus regeneration that changes only lineitem
+    # must invalidate it (round-9 review finding)
+    fp = "-".join(
+        f"{st.st_size}-{st.st_mtime_ns}"
+        for t in ("orders", "lineitem")
+        for st in [os.stat(os.path.join(sf_dir, f"{t}.parquet"))]
+    )
     root = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__)))), ".state_cache")
-    return os.path.join(root, _IVM_STATE_VERSION, slug,
-                        f"{st.st_size}-{st.st_mtime_ns}", "ivm")
+    return os.path.join(root, _IVM_STATE_VERSION, slug, fp, "ivm")
 
 
 def _paths(base: str) -> dict[str, str]:
@@ -197,10 +203,6 @@ _IVM_ORACLE_SRC = f"""
     "history pattern (vertica_upload.py:209-230).",
 )
 def incremental_sum_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from covid_19_data_engineering_spark.sources.versioned import (
-        read_versioned,
-    )
-
     p = _ensure_state(spark, sf_dir)
     return (
         read_versioned(spark, p["agg_sum"])
@@ -238,10 +240,6 @@ def incremental_sum_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def incremental_minmax_aggregate(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
-    from covid_19_data_engineering_spark.sources.versioned import (
-        read_versioned,
-    )
-
     p = _ensure_state(spark, sf_dir)
     return (
         read_versioned(spark, p["agg_minmax"])

@@ -82,6 +82,40 @@ def _commit_refresh(new: DataFrame, agg_path: str, src_version: int) -> int:
     return src_version
 
 
+def _null_safe_full_join(old: DataFrame, delta: DataFrame,
+                         key_cols: list[str]) -> DataFrame:
+    """Full-outer join of maintained state with a delta frame on
+    ``key_cols`` treating NULL keys as EQUAL — a fresh groupBy makes
+    NULL a real group, so the fold must match it (a plain equi-join
+    never matches NULL to NULL and would duplicate the NULL-key row on
+    every refresh). Output: one coalesced copy of each key column plus
+    both sides' payload columns."""
+    renamed = delta.select(
+        *[F.col(k).alias(f"_k_{k}") for k in key_cols],
+        *[c for c in delta.columns if c not in key_cols],
+    )
+    cond = None
+    for k in key_cols:
+        c = old[k].eqNullSafe(renamed[f"_k_{k}"])
+        cond = c if cond is None else (cond & c)
+    joined = old.join(renamed, cond, "full")
+    return joined.select(
+        *[F.coalesce(old[k], renamed[f"_k_{k}"]).alias(k)
+          for k in key_cols],
+        *[old[c] for c in old.columns if c not in key_cols],
+        *[renamed[c] for c in delta.columns if c not in key_cols],
+    )
+
+
+def _null_safe_key_filter(df: DataFrame, keys: DataFrame, key_col: str,
+                          how: str) -> DataFrame:
+    """left_semi / left_anti restriction of ``df`` by the single-column
+    ``keys`` frame, with NULL keys matching NULL (same reasoning as the
+    fold join: the NULL group is a real group)."""
+    k = keys.select(F.col(key_col).alias("_k_restrict"))
+    return df.join(k, df[key_col].eqNullSafe(k["_k_restrict"]), how)
+
+
 def refresh_count_aggregate(spark: SparkSession, table_path: str,
                             agg_path: str, key_col: str) -> int:
     """Bring the materialized per-``key_col`` COUNT at ``agg_path`` up to
@@ -120,7 +154,7 @@ def refresh_count_aggregate(spark: SparkSession, table_path: str,
                    .otherwise(-1)).alias("_d"))
     )
     new = (
-        old.join(delta, key_col, "full")
+        _null_safe_full_join(old, delta, [key_col])
         .select(
             key_col,
             (F.coalesce("n_rows", F.lit(0))
@@ -190,7 +224,7 @@ def refresh_sum_aggregate(spark: SparkSession, table_path: str,
              F.sum(sign * F.col(value_col)).alias("_dv"))
     )
     folded = (
-        old.join(delta, key_col, "full")
+        _null_safe_full_join(old, delta, [key_col])
         .select(
             key_col,
             (F.coalesce("n_rows", F.lit(0))
@@ -262,25 +296,29 @@ def refresh_minmax_aggregate(spark: SparkSession, table_path: str,
         .select(key_col).distinct()
     )
     # delete-affected keys: re-aggregate from the pinned snapshot,
-    # restricted to exactly those keys (fully-deleted keys drop out)
+    # restricted to exactly those keys (fully-deleted keys drop out);
+    # null-safe restriction so the NULL group recomputes like any other
     recomputed = (
-        read_versioned(spark, table_path, version=src_version)
-        .join(del_keys, key_col, "left_semi")
+        _null_safe_key_filter(
+            read_versioned(spark, table_path, version=src_version),
+            del_keys, key_col, "left_semi")
         .groupBy(key_col)
         .agg(F.min(value_col).alias("min_value"),
              F.max(value_col).alias("max_value"))
     )
     # insert-only keys: pure monoid fold against the old state
     ins_agg = (
-        feed.where(F.col("_change_type") == "insert")
-        .join(del_keys, key_col, "left_anti")
+        _null_safe_key_filter(
+            feed.where(F.col("_change_type") == "insert"),
+            del_keys, key_col, "left_anti")
         .groupBy(key_col)
         .agg(F.min(value_col).alias("_imin"),
              F.max(value_col).alias("_imax"))
     )
     folded = (
-        old.join(del_keys, key_col, "left_anti")
-        .join(ins_agg, key_col, "full")
+        _null_safe_full_join(
+            _null_safe_key_filter(old, del_keys, key_col, "left_anti"),
+            ins_agg, [key_col])
         .select(
             key_col,
             F.least("min_value", "_imin").alias("min_value"),
@@ -336,7 +374,7 @@ def refresh_distinct_aggregate(spark: SparkSession, table_path: str,
                    .otherwise(-1)).alias("_d"))
     )
     new = (
-        old.join(delta, [key_col, value_col], "full")
+        _null_safe_full_join(old, delta, [key_col, value_col])
         .select(
             key_col, value_col,
             (F.coalesce("n_rows", F.lit(0))
@@ -419,18 +457,31 @@ def refresh_join_view(spark: SparkSession, left_path: str, right_path: str,
     if cursor is None:
         return recompute()
     lv_old, rv_old = cursor
+
+    def range_has_overwrite(path: str, frm: int, to: int) -> bool:
+        """Driver-side rebuild decision from the COMMIT RECORDS alone:
+        a delete can only come from a non-compaction overwrite, so this
+        answers in O(log reads) with zero Spark jobs — the feed scan the
+        previous version launched here paid two full delta scans per
+        refresh just to learn 'no deletes'. A vacuumed record reads as
+        an overwrite (forces the rebuild the truncated feed would)."""
+        for v in range(frm + 1, to + 1):
+            c = _read_commit_or_none(path, v)
+            if c is None:
+                return True
+            if c["action"] == "overwrite" and "compacted_from" not in c:
+                return True
+        return False
+
+    if (range_has_overwrite(left_path, lv_old, lv_new)
+            or range_has_overwrite(right_path, rv_old, rv_new)):
+        # an overwrite rewrote a base snapshot (or history is gone): the
+        # append-only delta rule no longer covers the change — rebuild
+        return recompute()
     try:
         lfeed = read_change_feed(spark, left_path, lv_old, lv_new)
         rfeed = read_change_feed(spark, right_path, rv_old, rv_new)
-        has_delete = (
-            lfeed.where(F.col("_change_type") == "delete").limit(1).count()
-            + rfeed.where(F.col("_change_type") == "delete").limit(1).count()
-        ) > 0
     except ChangeFeedTruncated:
-        return recompute()
-    if has_delete:
-        # an overwrite rewrote a base snapshot: the append-only delta
-        # rule no longer covers the change — rebuild once
         return recompute()
     feed_cols = ("_change_type", "_commit_version")
     d_left = lfeed.drop(*feed_cols)

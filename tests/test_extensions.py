@@ -2424,3 +2424,60 @@ def test_spearman_on_planted_monotone_and_inverted_series(spark):
     # a hash-scramble of the same values sits near zero
     rho = spearman(df, "up", "hash", "k").collect()[0]["spearman_rho"]
     assert abs(rho) < 0.3
+
+
+def test_interval_bucket_join_null_key_and_collision_guard(spark):
+    """Round-9 review findings: an interval row with NULL in a default
+    (all-columns) key column must still recover its matches (null-safe
+    re-attach), and colliding interval/point column names raise instead
+    of silently dropping the point-side copy."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from covid_19_data_engineering_spark.operators.temporal import (
+        interval_bucket_join,
+    )
+
+    iv = spark.createDataFrame(
+        [(1, None, "2024-01-01 00:00:00", "2024-01-01 00:05:00")],
+        "interval_id long, label string, t0 string, t1 string",
+    ).select("interval_id", "label",
+             F.col("t0").cast("timestamp").alias("t0"),
+             F.col("t1").cast("timestamp").alias("t1"))
+    pts = spark.createDataFrame(
+        [(10, "2024-01-01 00:01:00")], "pid long, ts string",
+    ).select("pid", F.col("ts").cast("timestamp").alias("ts"))
+
+    out = interval_bucket_join(iv, pts, "t0", "t1", "ts", 300)
+    rows = [(r["interval_id"], r["label"], r["pid"]) for r in out.collect()]
+    assert rows == [(1, None, 10)]
+
+    clashing = pts.withColumnRenamed("pid", "label")
+    with _pytest.raises(ValueError, match="collision"):
+        interval_bucket_join(iv, clashing, "t0", "t1", "ts", 300)
+
+
+def test_ewma_keeps_the_null_user_group():
+    """Round-9 review finding: pandas groupby drops NaN keys by default;
+    the kernel must keep the NULL user_id group the Spark groupBy the
+    old per-user kernel rode would have emitted. Pure-pandas pin of the
+    kernel's dropna/Int64 handling."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "user_id": pd.array([1, 1, None], dtype="Int64").astype("float64"),
+        "ts": [1, 2, 3], "event_id": [1, 2, 3],
+        "value": [10.0, 20.0, 7.0],
+    })
+    g = pdf.sort_values(["user_id", "ts", "event_id"]) \
+        .groupby("user_id", sort=True, dropna=False)
+    last = (g["value"].ewm(alpha=0.5, adjust=False).mean()
+            .groupby(level=0, dropna=False).last())
+    out = pd.DataFrame({
+        "user_id": pd.array(last.index.to_numpy(), dtype="Int64"),
+        "n_events": g.size().to_numpy(),
+    })
+    assert len(out) == 2
+    assert out["user_id"].isna().sum() == 1
+    assert sorted(out["n_events"]) == [1, 2]
