@@ -24,8 +24,9 @@ Steady state (state already built): each run performs one idempotent
 refresh — a cursor read and zero Spark jobs — then reads the maintained
 table, which is what a production consumer pays per poll when nothing
 changed. State is cached under .state_cache keyed by a corpus
-fingerprint (size + mtime of orders.parquet), the same invalidation
-scheme as incremental_retention_manifest_stored.
+fingerprint (size + mtime of orders.parquet AND lineitem.parquet — the
+join-view state derives from both), the same invalidation scheme as
+incremental_retention_manifest_stored.
 
 Exactness: prices are folded as fixed-point cents
 (FLOOR(o_totalprice * 100 + 0.5) as BIGINT — the engine-portable
