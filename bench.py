@@ -148,6 +148,7 @@ EXTRA = [
     "incremental_minmax_aggregate",
     "incremental_distinct_aggregate",
     "incremental_join_view",
+    "events_user_hll",
 ]
 
 

@@ -115,7 +115,6 @@ PRIORITY = (
     "bloom_semi_join_stats",
     "minhash_lsh_accuracy",
     "cdc_chunk_stats",
-    "setsim_prefix_join",
     # round-8 continuation 2: five new operator families (source keyness,
     # skyline, distribution drift, rolling anomalies, robust MAD fences).
     # text_quality_profile, dedup_ngram_jaccard, events_value_interpolation,
@@ -209,6 +208,11 @@ PRIORITY = (
     # and interval coverage)
     "incremental_distinct_aggregate",
     "incremental_join_view",
+    # and the deterministic HLL sketch (mergeable-sketch family gains an
+    # oracle-checked head rep); setsim_prefix_join rotates out but stays
+    # gate-checked in full — similarity keeps ann_cosine_topk and
+    # ann_projected_recall in the head
+    "events_user_hll",
     # TPC-H decorrelation shapes + iterative graph
     "tpch_q2_min_cost_supplier",
     "pagerank_copurchase",
@@ -266,6 +270,7 @@ def _ensure_loaded() -> None:
     import covid_19_data_engineering_spark.operators.clustering  # noqa: F401
     import covid_19_data_engineering_spark.operators.skew  # noqa: F401
     import covid_19_data_engineering_spark.operators.sketches  # noqa: F401
+    import covid_19_data_engineering_spark.operators.hll  # noqa: F401
     import covid_19_data_engineering_spark.operators.temporal  # noqa: F401
     import covid_19_data_engineering_spark.operators.spans  # noqa: F401
     import covid_19_data_engineering_spark.operators.graphs  # noqa: F401

@@ -2481,3 +2481,43 @@ def test_ewma_keeps_the_null_user_group():
     assert len(out) == 2
     assert out["user_id"].isna().sum() == 1
     assert sorted(out["n_events"]) == [1, 2]
+
+
+def test_hll_registers_merge_and_estimate_accuracy(spark):
+    """The HLL register table must be MERGEABLE (max over (group, idx)
+    of two shards' registers == registers of the union — the property
+    that makes sketches the distributed-cardinality tool) and the
+    m=256 estimate must land within the ~3x standard error band
+    (1.04/sqrt(256) ~ 6.5%) of the true cardinality."""
+    import pyspark.sql.functions as F
+
+    from covid_19_data_engineering_spark.operators.hll import (
+        hll_estimate,
+        hll_registers,
+    )
+    from covid_19_data_engineering_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, "events", SF_SMOKE).select("event_type", "user_id")
+    whole = hll_registers(ev, "event_type", "user_id")
+
+    # shard by event_id parity stand-in: split rows by user_id parity
+    a = hll_registers(ev.where(F.col("user_id") % 2 == 0),
+                      "event_type", "user_id")
+    b = hll_registers(ev.where(F.col("user_id") % 2 == 1),
+                      "event_type", "user_id")
+    merged = (
+        a.unionByName(b).groupBy("event_type", "idx")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+    got = sorted(map(tuple, merged.collect()))
+    want = sorted(map(tuple, whole.collect()))
+    assert got == want
+
+    est = {r["event_type"]: r["hll_estimate"]
+           for r in hll_estimate(whole, "event_type").collect()}
+    exact = {r["event_type"]: r["n"]
+             for r in ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    for k, n in exact.items():
+        assert abs(est[k] - n) / n < 0.20, (k, est[k], n)
