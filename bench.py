@@ -149,6 +149,7 @@ EXTRA = [
     "incremental_distinct_aggregate",
     "incremental_join_view",
     "events_user_hll",
+    "events_value_bootstrap_ci",
 ]
 
 

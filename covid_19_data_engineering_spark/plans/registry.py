@@ -114,7 +114,6 @@ PRIORITY = (
     "weighted_sample_wor",
     "bloom_semi_join_stats",
     "minhash_lsh_accuracy",
-    "cdc_chunk_stats",
     # round-8 continuation 2: five new operator families (source keyness,
     # skyline, distribution drift, rolling anomalies, robust MAD fences).
     # text_quality_profile, dedup_ngram_jaccard, events_value_interpolation,
@@ -213,6 +212,10 @@ PRIORITY = (
     # gate-checked in full — similarity keeps ann_cosine_topk and
     # ann_projected_recall in the head
     "events_user_hll",
+    # and the Poisson-bootstrap CI (distributed uncertainty); cdc_chunk_
+    # stats rotates out but stays gate-checked in full — the chunking
+    # family is pytest-pinned and keeps its full-gate row
+    "events_value_bootstrap_ci",
     # TPC-H decorrelation shapes + iterative graph
     "tpch_q2_min_cost_supplier",
     "pagerank_copurchase",
@@ -271,6 +274,7 @@ def _ensure_loaded() -> None:
     import covid_19_data_engineering_spark.operators.skew  # noqa: F401
     import covid_19_data_engineering_spark.operators.sketches  # noqa: F401
     import covid_19_data_engineering_spark.operators.hll  # noqa: F401
+    import covid_19_data_engineering_spark.operators.bootstrap  # noqa: F401
     import covid_19_data_engineering_spark.operators.temporal  # noqa: F401
     import covid_19_data_engineering_spark.operators.spans  # noqa: F401
     import covid_19_data_engineering_spark.operators.graphs  # noqa: F401

@@ -2521,3 +2521,27 @@ def test_hll_registers_merge_and_estimate_accuracy(spark):
              .agg(F.countDistinct("user_id").alias("n")).collect()}
     for k, n in exact.items():
         assert abs(est[k] - n) / n < 0.20, (k, est[k], n)
+
+
+def test_bootstrap_ci_brackets_the_true_mean(spark):
+    """Poisson-bootstrap sanity: every per-group 95%-ish CI (2nd..63rd
+    order statistic of 64 replica means) brackets the true mean on the
+    smoke corpus, and the interval is nondegenerate. Deterministic
+    hashes -> this pin is exact, not probabilistic."""
+    import pyspark.sql.functions as F
+
+    from covid_19_data_engineering_spark.plans.registry import all_queries
+    from covid_19_data_engineering_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    out = {r["event_type"]: r
+           for r in all_queries()["events_value_bootstrap_ci"]
+           (spark, SF_SMOKE).collect()}
+    truth = {r["event_type"]: r["m"]
+             for r in load_table(spark, "events", SF_SMOKE)
+             .groupBy("event_type").agg(F.avg("value").alias("m"))
+             .collect()}
+    assert out
+    for k, r in out.items():
+        assert r["ci_lo"] < r["ci_hi"]
+        assert r["ci_lo"] <= truth[k] <= r["ci_hi"], (k, r, truth[k])
