@@ -150,6 +150,7 @@ EXTRA = [
     "incremental_join_view",
     "events_user_hll",
     "events_value_bootstrap_ci",
+    "events_hll_overlap",
 ]
 
 

@@ -182,3 +182,163 @@ def events_user_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_hll_overlap",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT
+               AS h
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    regs AS (
+      SELECT event_type, h % {HLL_M} AS idx,
+             MAX(CASE WHEN h // {HLL_M} > 0
+                      THEN {HLL_W_BITS + 1} - length(bin(h // {HLL_M}))
+                      ELSE {HLL_W_BITS + 1} END) AS m_j
+      FROM hashed GROUP BY event_type, h % {HLL_M}
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM (SELECT DISTINCT event_type FROM regs) a
+      JOIN (SELECT DISTINCT event_type FROM regs) b
+        ON a.event_type < b.event_type
+    ),
+    -- union sketch = per-register max over the two types' registers
+    uregs AS (
+      SELECT p.type_a, p.type_b, r.idx, MAX(r.m_j) AS m_j
+      FROM pairs p JOIN regs r
+        ON r.event_type IN (p.type_a, p.type_b)
+      GROUP BY p.type_a, p.type_b, r.idx
+    ),
+    est AS (
+      SELECT type_a, type_b,
+             ({HLL_M} - CAST(COUNT(*) AS BIGINT)) AS v,
+             CAST({HLL_ALPHA_M2} AS DOUBLE)
+               * CAST({float(1 << (HLL_W_BITS + 1))} AS DOUBLE)
+               / CAST(CAST(SUM(CAST(1 AS BIGINT)
+                                << ({HLL_W_BITS + 1} - CAST(m_j AS INT)))
+                           AS BIGINT)
+                      + ({HLL_M} - CAST(COUNT(*) AS BIGINT))
+                      * CAST({1 << (HLL_W_BITS + 1)} AS BIGINT) AS DOUBLE)
+               AS raw
+      FROM uregs GROUP BY type_a, type_b
+    ),
+    unions AS (
+      SELECT type_a, type_b,
+             ROUND(CASE WHEN raw <= CAST({2.5 * HLL_M} AS DOUBLE) AND v > 0
+                        THEN CAST({float(HLL_M)} AS DOUBLE)
+                             * ln(CAST({float(HLL_M)} AS DOUBLE)
+                                  / CAST(v AS DOUBLE))
+                        ELSE raw END, 2) AS union_est
+      FROM est
+    ),
+    singles AS (
+      SELECT event_type,
+             ROUND(CASE WHEN raw <= CAST({2.5 * HLL_M} AS DOUBLE) AND v > 0
+                        THEN CAST({float(HLL_M)} AS DOUBLE)
+                             * ln(CAST({float(HLL_M)} AS DOUBLE)
+                                  / CAST(v AS DOUBLE))
+                        ELSE raw END, 2) AS est
+      FROM (
+        SELECT event_type,
+               ({HLL_M} - CAST(COUNT(*) AS BIGINT)) AS v,
+               CAST({HLL_ALPHA_M2} AS DOUBLE)
+                 * CAST({float(1 << (HLL_W_BITS + 1))} AS DOUBLE)
+                 / CAST(CAST(SUM(CAST(1 AS BIGINT)
+                                  << ({HLL_W_BITS + 1} - CAST(m_j AS INT)))
+                             AS BIGINT)
+                        + ({HLL_M} - CAST(COUNT(*) AS BIGINT))
+                        * CAST({1 << (HLL_W_BITS + 1)} AS BIGINT) AS DOUBLE)
+                 AS raw
+        FROM regs GROUP BY event_type
+      )
+    ),
+    exact AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_exact_overlap
+      FROM (SELECT DISTINCT event_type, user_id FROM events
+            WHERE user_id IS NOT NULL) a
+      JOIN (SELECT DISTINCT event_type, user_id FROM events
+            WHERE user_id IS NOT NULL) b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT u.type_a, u.type_b, x.n_exact_overlap,
+           ROUND(sa.est + sb.est - u.union_est, 2) AS overlap_est
+    FROM unions u
+    JOIN singles sa ON sa.event_type = u.type_a
+    JOIN singles sb ON sb.event_type = u.type_b
+    JOIN exact x ON x.type_a = u.type_a AND x.type_b = u.type_b
+    ORDER BY u.type_a, u.type_b
+    """,
+    doc="HLL SET ALGEBRA: per-pair audience overlap |A intersect B| "
+    "estimated by inclusion-exclusion over mergeable sketches — the "
+    "union sketch is a per-register max of the two types' register "
+    "tables (never re-reads the data: sketch-sized work for every "
+    "pair), singles come from the same registers, and the overlap is "
+    "|A| + |B| - |A union B|, reported next to the exact join-counted "
+    "overlap. This is why register tables beat scalar "
+    "approx_count_distinct outputs at scale: one pass builds the "
+    "registers, then ANY of the P(P-1)/2 pair overlaps costs "
+    "O(P^2 * 256) sketch rows, not another corpus scan per pair.",
+)
+def events_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    regs = hll_registers(events, "event_type", "user_id") \
+        .localCheckpoint(eager=True)
+    singles = hll_estimate(regs, "event_type")
+    types = regs.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .join(types.select(F.col("event_type").alias("type_b")),
+              F.col("type_a") < F.col("type_b"))
+    )
+    # union sketch per pair: max-merge the two register tables
+    uregs = (
+        pairs.join(regs, regs["event_type"].isin(F.col("type_a"),
+                                                 F.col("type_b")))
+        .groupBy("type_a", "type_b", "idx")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+    # hll_estimate groups on ONE column; fold the pair key through a
+    # struct
+    uest = (
+        uregs.select(F.struct("type_a", "type_b").alias("pair"),
+                     "idx", "m_j")
+    )
+    unions = hll_estimate(uest, "pair").select(
+        F.col("pair.type_a").alias("type_a"),
+        F.col("pair.type_b").alias("type_b"),
+        F.col("hll_estimate").alias("union_est"),
+    )
+    exact_sets = (
+        events.where(F.col("user_id").isNotNull())
+        .select("event_type", "user_id").distinct()
+    )
+    ex_a = exact_sets.select(F.col("event_type").alias("type_a"),
+                             F.col("user_id").alias("u"))
+    ex_b = exact_sets.select(F.col("event_type").alias("type_b"),
+                             F.col("user_id").alias("u2"))
+    exact = (
+        ex_a.join(ex_b, (F.col("u") == F.col("u2"))
+                  & (F.col("type_a") < F.col("type_b")))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_exact_overlap"))
+    )
+    sa = singles.select(F.col("event_type").alias("type_a"),
+                        F.col("hll_estimate").alias("est_a"))
+    sb = singles.select(F.col("event_type").alias("type_b"),
+                        F.col("hll_estimate").alias("est_b"))
+    return (
+        unions.join(sa, "type_a").join(sb, "type_b")
+        .join(exact, ["type_a", "type_b"])
+        .select(
+            "type_a", "type_b", "n_exact_overlap",
+            F.round(F.col("est_a") + F.col("est_b") - F.col("union_est"),
+                    2).alias("overlap_est"),
+        )
+        .orderBy("type_a", "type_b")
+    )

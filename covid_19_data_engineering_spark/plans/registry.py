@@ -111,7 +111,6 @@ PRIORITY = (
     # temporal reps cover events; BPE keeps bpe_merge_induction_batched;
     # LLM-prep keeps corpus_curation_yield/benchmark_contamination; TPC-H
     # keeps q2 + pagerank).
-    "weighted_sample_wor",
     "bloom_semi_join_stats",
     "minhash_lsh_accuracy",
     # round-8 continuation 2: five new operator families (source keyness,
@@ -216,6 +215,11 @@ PRIORITY = (
     # stats rotates out but stays gate-checked in full — the chunking
     # family is pytest-pinned and keeps its full-gate row
     "events_value_bootstrap_ci",
+    # and the HLL set-algebra overlap (sketch union via register
+    # max-merge + inclusion-exclusion); weighted_sample_wor rotates out
+    # but stays gate-checked in full — sampling keeps leakage_safe_split
+    # in the head and the A-ES battery in pytest
+    "events_hll_overlap",
     # TPC-H decorrelation shapes + iterative graph
     "tpch_q2_min_cost_supplier",
     "pagerank_copurchase",
