@@ -151,6 +151,7 @@ EXTRA = [
     "events_user_hll",
     "events_value_bootstrap_ci",
     "events_hll_overlap",
+    "embedding_pca_power",
 ]
 
 

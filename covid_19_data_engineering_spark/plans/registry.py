@@ -111,7 +111,6 @@ PRIORITY = (
     # temporal reps cover events; BPE keeps bpe_merge_induction_batched;
     # LLM-prep keeps corpus_curation_yield/benchmark_contamination; TPC-H
     # keeps q2 + pagerank).
-    "bloom_semi_join_stats",
     "minhash_lsh_accuracy",
     # round-8 continuation 2: five new operator families (source keyness,
     # skyline, distribution drift, rolling anomalies, robust MAD fences).
@@ -220,6 +219,10 @@ PRIORITY = (
     # but stays gate-checked in full — sampling keeps leakage_safe_split
     # in the head and the A-ES battery in pytest
     "events_hll_overlap",
+    # and the power-iteration PCA (distributed Gram pass -> sketch-sized
+    # iteration); bloom_semi_join_stats rotates out but stays gate-
+    # checked in full — join pruning keeps its pytest plan gates
+    "embedding_pca_power",
     # TPC-H decorrelation shapes + iterative graph
     "tpch_q2_min_cost_supplier",
     "pagerank_copurchase",
@@ -279,6 +282,7 @@ def _ensure_loaded() -> None:
     import covid_19_data_engineering_spark.operators.sketches  # noqa: F401
     import covid_19_data_engineering_spark.operators.hll  # noqa: F401
     import covid_19_data_engineering_spark.operators.bootstrap  # noqa: F401
+    import covid_19_data_engineering_spark.operators.pca  # noqa: F401
     import covid_19_data_engineering_spark.operators.temporal  # noqa: F401
     import covid_19_data_engineering_spark.operators.spans  # noqa: F401
     import covid_19_data_engineering_spark.operators.graphs  # noqa: F401

@@ -2545,3 +2545,35 @@ def test_bootstrap_ci_brackets_the_true_mean(spark):
     for k, r in out.items():
         assert r["ci_lo"] < r["ci_hi"]
         assert r["ci_lo"] <= truth[k] <= r["ci_hi"], (k, r, truth[k])
+
+
+def test_pca_power_recovers_planted_direction(spark):
+    """PCA sanity: on a corpus whose variance is dominated by one planted
+    direction, the 8-round power iteration recovers that direction (high
+    |cosine|) and reports a dominant explained-variance share."""
+    import math
+    import random
+
+    from covid_19_data_engineering_spark.operators.pca import (
+        _collect_covariance,
+        _power_iterate,
+    )
+
+    rng = random.Random(11)
+    d = 64
+    axis = [1.0 if i < 4 else 0.0 for i in range(d)]  # planted direction
+    rows = []
+    for vid in range(400):
+        a = rng.gauss(0, 3.0)                          # dominant spread
+        noise = [rng.gauss(0, 0.1) for _ in range(d)]
+        rows.append((vid, [a * axis[i] / 2.0 + noise[i] for i in range(d)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    c, n = _collect_covariance(emb)
+    v, lam, trace = _power_iterate(c)
+    assert n == 400
+    unit = [x / 2.0 for x in axis]
+    norm_u = math.sqrt(sum(x * x for x in unit))
+    cos = abs(sum(v[i] * unit[i] for i in range(d))) / norm_u
+    assert cos > 0.95, cos
+    assert lam / trace > 0.5, (lam, trace)
