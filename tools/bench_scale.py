@@ -97,6 +97,12 @@ FAMILY = [
     "source_zipf_fit",
     "session_duration_quantiles",
     "events_ewma_smoothing",
+    # round-9 continuation: sketch family + distributed bootstrap + the
+    # Gram-pass PCA (all events/embeddings-backed)
+    "events_user_hll",
+    "events_hll_overlap",
+    "events_value_bootstrap_ci",
+    "embedding_pca_power",
 ]
 
 ID_OFFSET = 1_000_000
