@@ -152,6 +152,7 @@ EXTRA = [
     "events_value_bootstrap_ci",
     "events_hll_overlap",
     "embedding_pca_power",
+    "multimodal_video_features",
 ]
 
 

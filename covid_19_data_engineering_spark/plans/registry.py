@@ -241,9 +241,10 @@ PRIORITY = (
     "ann_cosine_topk",
     # text analysis + retrieval
     # LLM-prep pipeline + embedding clustering
-    # multimodal plumbing (the audio seam is the round-8 addition; the
-    # image twin stays gate-checked in full)
-    "multimodal_audio_features",
+    # multimodal plumbing (round 9 rotates the video seam in —
+    # frame-sampled Y4M decode, the third modality — and the round-8
+    # audio rep out; audio and the image twin stay gate-checked in full)
+    "multimodal_video_features",
     # merge / rank / skew / extensibility
 )
 

@@ -2577,3 +2577,72 @@ def test_pca_power_recovers_planted_direction(spark):
     cos = abs(sum(v[i] * unit[i] for i in range(d))) / norm_u
     assert cos > 0.95, cos
     assert lam / trace > 0.5, (lam, trace)
+
+
+def test_y4m_roundtrip_and_real_video_features(spark):
+    """The Y4M codec round-trips and the real decode path reports true
+    dimensions/frame counts, a near-zero motion proxy for a static
+    scene, and a positive one for a moving gradient — with non-Y4M
+    payloads falling back per-row to the deterministic fake features."""
+    import numpy as np
+
+    from covid_19_data_engineering_spark.operators.multimodal import (
+        _decode_y4m,
+        _fake_video_features,
+        encode_y4m,
+        extract_video_features,
+    )
+    import pyspark.sql.functions as F
+
+    h, w = 32, 48
+    static = [np.full((h, w), 100, dtype=np.uint8) for _ in range(8)]
+    moving = [np.tile((np.arange(w) * 3 + k * 40) % 256,
+                      (h, 1)).astype(np.uint8) for k in range(8)]
+    b_static, b_moving = encode_y4m(static), encode_y4m(moving)
+
+    # codec roundtrip
+    dw, dh, frames = _decode_y4m(b_moving)
+    assert (dw, dh, len(frames)) == (w, h, 8)
+    assert (frames[3] == moving[3]).all()
+
+    rows = [(1, b_static, "video/y4m"), (2, b_moving, "video/y4m"),
+            (3, b"not a video", "video/unknown")]
+    df = spark.createDataFrame(
+        rows, "doc_id long, payload binary, media_type string"
+    ).select("doc_id", "payload",
+             F.struct(F.col("media_type").alias("media_type"),
+                      F.octet_length("payload").alias("content_length"),
+                      F.lit("test").alias("origin")).alias("media_meta"))
+    out = {r["doc_id"]: r
+           for r in extract_video_features(df, decode="real").collect()}
+    assert (out[1]["width"], out[1]["height"], out[1]["n_frames"]) == (w, h, 8)
+    assert out[1]["motion"] == 0                  # static scene
+    assert out[1]["luma_mean"] == 100.0
+    assert out[2]["motion"] > 0                   # moving gradient
+    fake = _fake_video_features(b"not a video")
+    assert (out[3]["width"], out[3]["height"], out[3]["n_frames"],
+            out[3]["luma_mean"], out[3]["motion"]) == fake
+
+
+def test_video_frame_stats_samples_with_stride_and_cap(spark):
+    """The frame-sampling seam: stride-2 sampling capped at max_frames,
+    per-frame luma stats exact, non-decodable payloads emit no rows."""
+    import numpy as np
+
+    from covid_19_data_engineering_spark.operators.multimodal import (
+        encode_y4m,
+        video_frame_stats,
+    )
+
+    h, w = 16, 16
+    frames = [np.full((h, w), 10 * k, dtype=np.uint8) for k in range(40)]
+    df = spark.createDataFrame(
+        [(1, encode_y4m(frames)), (2, b"junk")],
+        "doc_id long, payload binary")
+    rows = sorted((r["frame_no"], r["luma_mean"], r["luma_range"])
+                  for r in video_frame_stats(df).collect())
+    # 40 frames, stride 2 -> 20 candidates, capped at 16
+    assert len(rows) == 16
+    assert rows[0] == (0, 0.0, 0)
+    assert rows[1] == (2, 20.0, 0)   # frame 2 has constant luma 20
+    assert {r[0] for r in rows} == set(range(0, 32, 2))

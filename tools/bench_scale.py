@@ -103,6 +103,9 @@ FAMILY = [
     "events_hll_overlap",
     "events_value_bootstrap_ci",
     "embedding_pca_power",
+    # round-9 video modality (documents-backed; payload work is
+    # frame-capped so the scan should scale linearly with doc bytes)
+    "multimodal_video_features",
 ]
 
 ID_OFFSET = 1_000_000
