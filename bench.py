@@ -153,6 +153,9 @@ EXTRA = [
     "events_hll_overlap",
     "embedding_pca_power",
     "multimodal_video_features",
+    "events_cusum_changepoint",
+    "events_ks_drift",
+    "events_acf_daily",
 ]
 
 

@@ -318,3 +318,361 @@ def error_control_chart(events: DataFrame) -> DataFrame:
 )
 def events_error_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     return error_control_chart(load_table(spark, "events", sf_dir))
+
+
+# --------------------------------------------------------------------------
+# CUSUM changepoint detection over the daily value series.
+# --------------------------------------------------------------------------
+
+def cusum_daily_changepoint(events: DataFrame) -> DataFrame:
+    """CUSUM changepoint scan over the daily value totals: the cumulative
+    deviation from the series mean, with the day of maximum |deviation|
+    flagged — the classic "when did the level shift?" estimator (the
+    argmax of the CUSUM statistic is the maximum-likelihood single
+    changepoint for a mean shift).
+
+    Exactness: daily totals are exact integer cents (per-event
+    round(value*100) then a BIGINT sum); the CUSUM deviation at day k is
+    carried multiplied out as  d_k = n*cum_k - k*total  (all BIGINT, no
+    float crosses an aggregation), so the flagged day is engine-identical.
+
+    100 TB shape: one map-side-combined groupBy on the day — the only
+    corpus-wide work. Everything after runs on O(distinct days) rows
+    (bounded by calendar time, never event volume), where the single tiny
+    ordered window is harmless — the same O(chart-length) posture as the
+    control chart above.
+    """
+    daily = (
+        events.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("x_fp"))
+    )
+    totals = daily.agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("x_fp").alias("total_fp")
+    )
+    w = Window.orderBy("day")  # O(distinct days) rows — harmless
+    cum = (
+        daily.crossJoin(F.broadcast(totals))
+        .withColumn("k", F.row_number().over(w))
+        .withColumn("cum_fp", F.sum("x_fp").over(w))
+        .withColumn("d_fp", F.expr("n_days * cum_fp - k * total_fp"))
+    )
+    mx = cum.agg(F.max(F.abs(F.col("d_fp"))).alias("d_max"))
+    return (
+        cum.crossJoin(F.broadcast(mx))
+        .select(
+            "day",
+            F.col("x_fp").alias("daily_cents"),
+            F.round(F.expr("CAST(d_fp AS DOUBLE) / (n_days * 100.0)"), 4)
+            .alias("cusum_dollars"),
+            (F.abs(F.col("d_fp")) == F.col("d_max")).alias("is_changepoint"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "events_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x_fp
+      FROM events GROUP BY 1
+    ),
+    totals AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(x_fp) AS BIGINT) AS total_fp
+      FROM daily
+    ),
+    cum AS (
+      SELECT day, x_fp, n_days,
+             ROW_NUMBER() OVER (ORDER BY day) AS k,
+             SUM(x_fp) OVER (ORDER BY day) AS cum_fp
+      FROM daily, totals
+    ),
+    dev AS (
+      SELECT day, x_fp, n_days,
+             n_days * cum_fp - k * (SELECT total_fp FROM totals) AS d_fp
+      FROM cum
+    )
+    SELECT day, x_fp AS daily_cents,
+           ROUND(CAST(d_fp AS DOUBLE) / (n_days * 100.0), 4) AS cusum_dollars,
+           abs(d_fp) = (SELECT MAX(abs(d_fp)) FROM dev) AS is_changepoint
+    FROM dev
+    ORDER BY day
+    """,
+    doc="CUSUM changepoint scan over daily value totals: cumulative "
+    "deviation from the series mean with the max-|deviation| day flagged "
+    "(the ML single-changepoint estimator for a mean shift). One day-keyed "
+    "map-side-combined groupBy is the only corpus-wide work; the deviation "
+    "is carried as n*cum - k*total in exact BIGINT cents so the flagged "
+    "day is engine-identical, and the ordered window runs over "
+    "O(calendar-days) rows only.",
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cusum_daily_changepoint(load_table(spark, "events", sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Binned two-sample Kolmogorov-Smirnov drift between event types.
+# --------------------------------------------------------------------------
+
+KS_BINS = 256
+_KS_A = "view"
+_KS_B = "click"
+# Kolmogorov two-sided 5% critical coefficient
+_KS_C05 = 1.3581
+
+
+def ks_binned_two_sample(events: DataFrame, type_a: str = _KS_A,
+                         type_b: str = _KS_B,
+                         bins: int = KS_BINS) -> DataFrame:
+    """Binned two-sample Kolmogorov-Smirnov statistic between the value
+    distributions of two event types: max ECDF gap over a shared
+    equal-width integer-cent grid, with the 5% significance decision.
+
+    The binned statistic is the exact KS of the binned distributions (a
+    conservative reading of the continuous one); the ECDF gap is compared
+    cross-multiplied —  |cumA*nB - cumB*nA|  in BIGINT — so the argmax
+    bin and the max are engine-identical with no float anywhere in the
+    scan. The one float expression (the critical value) is a single
+    fixed-order formula over four integers.
+
+    100 TB shape: bin assignment is a map-side expression off a broadcast
+    1-row min/max; one map-side-combined groupBy on the bin is the only
+    corpus-wide work; the ECDF window runs over <= bins observed rows.
+    ECDFs only change at observed bins, so the max over observed bins is
+    the max over the full grid.
+    """
+    two = events.filter(F.col("event_type").isin(type_a, type_b))
+    lim = two.agg(
+        F.min(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("lo"),
+        F.max(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("hi"),
+    )
+    binned = two.crossJoin(F.broadcast(lim)).select(
+        F.expr(f"CAST((CAST(round(value * 100) AS BIGINT) - lo) * {bins} "
+               "DIV (hi - lo + 1) AS BIGINT)").alias("b"),
+        (F.col("event_type") == type_a).cast("long").alias("in_a"),
+    )
+    cnt = binned.groupBy("b").agg(
+        F.sum("in_a").alias("ca"), F.sum(1 - F.col("in_a")).alias("cb")
+    )
+    w = Window.orderBy("b")  # O(bins) rows — harmless
+    ecdf = (
+        cnt.withColumn("cum_a", F.sum("ca").over(w))
+        .withColumn("cum_b", F.sum("cb").over(w))
+    )
+    tot = cnt.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    gaps = (
+        ecdf.crossJoin(F.broadcast(tot))
+        .withColumn("gap_fp", F.abs(F.expr("cum_a * nb - cum_b * na")))
+    )
+    mx = gaps.agg(F.max("gap_fp").alias("gap_max"))
+    # tie-break the argmax bin to the smallest bin index, deterministically
+    return (
+        gaps.crossJoin(F.broadcast(mx))
+        .groupBy()
+        .agg(
+            F.max("na").alias("n_a"),
+            F.max("nb").alias("n_b"),
+            F.max("gap_fp").alias("gap_max"),
+            F.min(F.when(F.col("gap_fp") == F.col("gap_max"), F.col("b")))
+            .alias("ks_bin"),
+        )
+        .select(
+            "n_a", "n_b", "ks_bin",
+            F.round(F.expr("CAST(gap_max AS DOUBLE) / (n_a * n_b)"), 6)
+            .alias("ks_stat"),
+            F.expr(f"CAST(gap_max AS DOUBLE) / (n_a * n_b) > "
+                   f"{_KS_C05} * sqrt(CAST(n_a + n_b AS DOUBLE) / "
+                   "(CAST(n_a AS DOUBLE) * n_b))").alias("significant_5pct"),
+        )
+    )
+
+
+@register(
+    "events_ks_drift",
+    oracle=f"""
+    WITH two AS (
+      SELECT event_type, value FROM events
+      WHERE event_type IN ('{_KS_A}', '{_KS_B}')
+    ),
+    lim AS (
+      SELECT MIN(CAST(round(value * 100) AS BIGINT)) AS lo,
+             MAX(CAST(round(value * 100) AS BIGINT)) AS hi
+      FROM two
+    ),
+    binned AS (
+      SELECT CAST((CAST(round(value * 100) AS BIGINT) - lo) * {KS_BINS}
+                  // (hi - lo + 1) AS BIGINT) AS b,
+             CASE WHEN event_type = '{_KS_A}' THEN 1 ELSE 0 END AS in_a
+      FROM two, lim
+    ),
+    cnt AS (
+      SELECT b, CAST(SUM(in_a) AS BIGINT) AS ca,
+             CAST(SUM(1 - in_a) AS BIGINT) AS cb
+      FROM binned GROUP BY b
+    ),
+    ecdf AS (
+      SELECT b, ca, cb,
+             SUM(ca) OVER (ORDER BY b) AS cum_a,
+             SUM(cb) OVER (ORDER BY b) AS cum_b
+      FROM cnt
+    ),
+    tot AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+      FROM cnt
+    ),
+    gaps AS (
+      SELECT b, na, nb, abs(cum_a * nb - cum_b * na) AS gap_fp
+      FROM ecdf, tot
+    )
+    SELECT MAX(na) AS n_a, MAX(nb) AS n_b,
+           MIN(CASE WHEN gap_fp = (SELECT MAX(gap_fp) FROM gaps) THEN b END)
+             AS ks_bin,
+           ROUND(CAST(MAX(gap_fp) AS DOUBLE) / (MAX(na) * MAX(nb)), 6)
+             AS ks_stat,
+           CAST(MAX(gap_fp) AS DOUBLE) / (MAX(na) * MAX(nb)) >
+             {_KS_C05} * sqrt(CAST(MAX(na) + MAX(nb) AS DOUBLE) /
+                              (CAST(MAX(na) AS DOUBLE) * MAX(nb)))
+             AS significant_5pct
+    FROM gaps
+    """,
+    doc=f"Binned two-sample Kolmogorov-Smirnov drift between the "
+    f"'{_KS_A}' and '{_KS_B}' value distributions over {KS_BINS} shared "
+    "equal-width integer-cent bins: max ECDF gap compared cross-"
+    "multiplied (|cumA*nB - cumB*nA| in BIGINT) so the statistic and its "
+    "argmax bin are engine-identical, plus the 5% Kolmogorov decision. "
+    "One bin-keyed map-side-combined groupBy is the only corpus-wide "
+    "work; the ECDF window runs over <= bins rows.",
+)
+def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ks_binned_two_sample(load_table(spark, "events", sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Autocorrelation profile of the daily value series.
+# --------------------------------------------------------------------------
+
+ACF_MAX_LAG = 7
+# fixed-point downscale for centered cross products: terms are rounded to
+# units of 1e6 (squared-cents) before the SUM so the sums are association-
+# order-independent while the per-term double product stays deterministic
+_ACF_DOWN = 1_000_000
+
+
+def acf_daily_profile(events: DataFrame,
+                      max_lag: int = ACF_MAX_LAG) -> DataFrame:
+    """Autocorrelation of the daily value-total series at lags 1..max_lag
+    — the seasonality/persistence readout (a weekly cycle shows as a
+    lag-7 peak) every forecasting pipeline starts from.
+
+    Estimator: r_l = sum_t (x_t - m)(x_{t-l} - m) / sum_t (x_t - m)^2
+    with m the full-series mean, computed over the observed-day sequence.
+    Centered values are carried multiplied out (c_t = n*x_t - S, exact
+    BIGINT off integer-cent daily totals); each cross product is ONE
+    double multiply (deterministic in both engines) rounded to fixed
+    point before the SUM, so no association-order float sum exists.
+
+    100 TB shape: one day-keyed map-side-combined groupBy; the lag
+    windows run over O(calendar-days) rows.
+    """
+    daily = (
+        events.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("x_fp"))
+    )
+    totals = daily.agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("x_fp").alias("total_fp")
+    )
+    w = Window.orderBy("day")  # O(distinct days) rows — harmless
+    centered = (
+        daily.crossJoin(F.broadcast(totals))
+        .withColumn("c", F.expr("n_days * x_fp - total_fp"))
+    )
+    lagged = centered.select(
+        "day", "c", "n_days",
+        *[F.lag("c", l).over(w).alias(f"c_l{l}") for l in range(1, max_lag + 1)],
+    )
+    den = lagged.agg(
+        F.sum(F.expr(f"CAST(round(CAST(c AS DOUBLE) * CAST(c AS DOUBLE) "
+                     f"/ {_ACF_DOWN}) AS BIGINT)")).alias("den_fp")
+    )
+    # one explode stacks all lags so every lag aggregates in a single pass
+    # over the tiny day table (no per-lag re-scan of the corpus groupBy)
+    stacked = lagged.select(
+        "c",
+        F.explode(F.array(*[
+            F.struct(F.lit(l).cast("int").alias("lag"),
+                     F.col(f"c_l{l}").alias("cl"))
+            for l in range(1, max_lag + 1)
+        ])).alias("e"),
+    ).select("c", F.col("e.lag").alias("lag"), F.col("e.cl").alias("cl"))
+    acf = stacked.groupBy("lag").agg(
+        F.sum(F.col("cl").isNotNull().cast("long")).alias("n_pairs"),
+        F.sum(F.expr(
+            f"CAST(round(CAST(c AS DOUBLE) * CAST(cl AS DOUBLE) "
+            f"/ {_ACF_DOWN}) AS BIGINT)")).alias("num_fp"),
+    )
+    return (
+        acf.crossJoin(F.broadcast(den))
+        .select(
+            "lag", "n_pairs",
+            F.round(F.expr("CAST(num_fp AS DOUBLE) / den_fp"), 6).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+@register(
+    "events_acf_daily",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x_fp
+      FROM events GROUP BY 1
+    ),
+    totals AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(x_fp) AS BIGINT) AS total_fp
+      FROM daily
+    ),
+    centered AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY day) AS k,
+             n_days * x_fp - total_fp AS c
+      FROM daily, totals
+    ),
+    lags AS (
+      SELECT CAST(range AS INTEGER) AS lag FROM range(1, {ACF_MAX_LAG} + 1)
+    ),
+    pairs AS (
+      SELECT l.lag, a.c AS c, b.c AS cl
+      FROM lags l
+      CROSS JOIN centered a
+      LEFT JOIN centered b ON b.k = a.k - l.lag
+    ),
+    den AS (
+      SELECT CAST(SUM(CAST(round(CAST(c AS DOUBLE) * CAST(c AS DOUBLE)
+                           / {_ACF_DOWN}) AS BIGINT)) AS BIGINT) AS den_fp
+      FROM centered
+    )
+    SELECT lag,
+           CAST(COUNT(cl) AS BIGINT) AS n_pairs,
+           ROUND(CAST(CAST(SUM(CASE WHEN cl IS NOT NULL THEN
+                     CAST(round(CAST(c AS DOUBLE) * CAST(cl AS DOUBLE)
+                          / {_ACF_DOWN}) AS BIGINT) END) AS BIGINT) AS DOUBLE)
+                 / (SELECT den_fp FROM den), 6) AS acf
+    FROM pairs
+    GROUP BY lag
+    ORDER BY lag
+    """,
+    doc=f"Autocorrelation of the daily value-total series at lags "
+    f"1..{ACF_MAX_LAG} — the seasonality/persistence readout (a weekly "
+    "cycle peaks at lag 7). Centered values carried multiplied out "
+    "(n*x - S, exact BIGINT cents); each cross product is one "
+    "deterministic double multiply rounded to fixed point before the SUM, "
+    "so no association-order float sum exists. One day-keyed map-side-"
+    "combined groupBy is the only corpus-wide work; all lags stack "
+    "through one explode so the tiny day table aggregates in a single "
+    "pass.",
+)
+def events_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return acf_daily_profile(load_table(spark, "events", sf_dir))

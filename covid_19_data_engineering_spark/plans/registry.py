@@ -124,7 +124,9 @@ PRIORITY = (
     # gate).
     "token_keyness_g2",
     "pareto_frontier_parts",
-    "events_drift_js",
+    # round-9 drift swap: the binned two-sample KS statistic rotates in
+    # for events_drift_js (same family; JS stays gate-checked in full)
+    "events_ks_drift",
     "robust_price_outliers",
     # plus the two corpus audits (source-pair overlap, first-seen novelty);
     # data_mixture_plan and pii_scrub_events rotate out but stay
@@ -141,7 +143,10 @@ PRIORITY = (
     # gate-checked in full (profiling keeps count_validation and
     # schema_profile; the merge family keeps its pytest battery and the
     # versioned upsert twin merge_versioned in the full gate)
-    "events_error_control_chart",
+    # round-9 SPC swap: the CUSUM changepoint scan rotates in for the
+    # hourly p-chart (same monitoring family; the control chart stays
+    # gate-checked in full)
+    "events_cusum_changepoint",
     "functional_dependency_profile",
     # and the Arrow-batched Gram/covariance audit (the one oracle-checked
     # mapInPandas seam); udaf_geometric_mean_price rotates out but stays
@@ -158,10 +163,11 @@ PRIORITY = (
     # stays gate-checked in full — the embedding-dedup family keeps
     # semantic_dedup/semantic_dedup_ivf in the head
     "orders_open_backlog_curve",
-    # and the sessionize->quantile composition (operators as DataFrames
-    # in/out); dup_span_profile rotates out but stays gate-checked in
-    # full — the substring-dedup family is also pytest-pinned
-    "session_duration_quantiles",
+    # round-9 time-series swap: the daily autocorrelation profile rotates
+    # in for the sessionize->quantile composition (quantiles keep
+    # exact_price_quantiles, the robust fence, and the calibration in the
+    # head; session_duration_quantiles stays gate-checked in full)
+    "events_acf_daily",
     # and the HHI concentration audit; nation_market_share rotates out
     # but stays gate-checked in full (the share/ratio family keeps
     # revenue_by_nation and the HHI here)

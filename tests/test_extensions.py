@@ -2646,3 +2646,81 @@ def test_video_frame_stats_samples_with_stride_and_cap(spark):
     assert rows[0] == (0, 0.0, 0)
     assert rows[1] == (2, 20.0, 0)   # frame 2 has constant luma 20
     assert {r[0] for r in rows} == set(range(0, 32, 2))
+
+
+def test_cusum_flags_planted_level_shift(spark):
+    """A series that jumps from level 100 to level 300 at day 20 has its
+    max-|CUSUM| day flagged exactly at the shift boundary."""
+    from datetime import datetime, timedelta
+
+    from covid_19_data_engineering_spark.operators.drift import (
+        cusum_daily_changepoint,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = [(k, base + timedelta(days=d), 1, "view",
+             100.0 if d < 20 else 300.0, "{}")
+            for k, d in enumerate(range(40))]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    out = cusum_daily_changepoint(events).collect()
+    flagged = [r["day"] for r in out if r["is_changepoint"]]
+    # cumsum(x - mean) is most negative at the last low-level day (day 19)
+    assert flagged == [base.date() + timedelta(days=19)]
+    assert out[0]["daily_cents"] == 100_00
+
+
+def test_ks_separates_disjoint_and_passes_identical(spark):
+    """Disjoint value ranges give KS ~ 1.0/significant; identical
+    distributions give KS 0.0/not significant."""
+    from datetime import datetime
+
+    from covid_19_data_engineering_spark.operators.drift import (
+        ks_binned_two_sample,
+    )
+
+    ts = datetime(2024, 1, 1)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double, props string")
+
+    disjoint = mk(
+        [(i, ts, 1, "view", float(i), "{}") for i in range(100)]
+        + [(1000 + i, ts, 1, "click", 1000.0 + i, "{}") for i in range(100)])
+    r = ks_binned_two_sample(disjoint).collect()[0]
+    assert r["ks_stat"] == 1.0 and r["significant_5pct"]
+    assert (r["n_a"], r["n_b"]) == (100, 100)
+
+    same = mk(
+        [(i, ts, 1, "view", float(i % 50), "{}") for i in range(200)]
+        + [(1000 + i, ts, 1, "click", float(i % 50), "{}")
+           for i in range(200)])
+    r = ks_binned_two_sample(same).collect()[0]
+    assert r["ks_stat"] == 0.0 and not r["significant_5pct"]
+
+
+def test_acf_peaks_at_planted_period(spark):
+    """A strict period-4 daily series autocorrelates at ~1 on lag 4 and
+    negatively on lag 2."""
+    from datetime import datetime, timedelta
+
+    from covid_19_data_engineering_spark.operators.drift import (
+        acf_daily_profile,
+    )
+
+    base = datetime(2024, 1, 1)
+    cycle = [100.0, 200.0, 300.0, 200.0]
+    rows = [(d, base + timedelta(days=d), 1, "view", cycle[d % 4], "{}")
+            for d in range(40)]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    acf = {r["lag"]: r["acf"] for r in acf_daily_profile(events).collect()}
+    # the biased estimator divides by the FULL-series sum of squares, so a
+    # perfect period-4 cycle over 40 days reads exactly 36/40 = 0.9
+    assert acf[4] == 0.9
+    assert acf[2] < -0.5
+    assert set(acf) == set(range(1, 8))

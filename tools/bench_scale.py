@@ -106,6 +106,12 @@ FAMILY = [
     # round-9 video modality (documents-backed; payload work is
     # frame-capped so the scan should scale linearly with doc bytes)
     "multimodal_video_features",
+    # round-9 monitoring trio (events-backed; each is one map-side-
+    # combined groupBy + an O(days|bins) tail, so time should track the
+    # scan linearly)
+    "events_cusum_changepoint",
+    "events_ks_drift",
+    "events_acf_daily",
 ]
 
 ID_OFFSET = 1_000_000
