@@ -156,6 +156,8 @@ EXTRA = [
     "events_cusum_changepoint",
     "events_ks_drift",
     "events_acf_daily",
+    "cohort_retention_matrix",
+    "order_status_priority_independence",
 ]
 
 

@@ -147,7 +147,11 @@ PRIORITY = (
     # hourly p-chart (same monitoring family; the control chart stays
     # gate-checked in full)
     "events_cusum_changepoint",
-    "functional_dependency_profile",
+    # round-9 cohort analytics: the month-cohort retention matrix rotates
+    # in for the functional-dependency audit (profiling keeps
+    # count_validation and schema_profile in the head; the FD audit stays
+    # gate-checked in full)
+    "cohort_retention_matrix",
     # and the Arrow-batched Gram/covariance audit (the one oracle-checked
     # mapInPandas seam); udaf_geometric_mean_price rotates out but stays
     # gate-checked in full — extensibility keeps the pandas kernel here
@@ -182,10 +186,11 @@ PRIORITY = (
     # but stays gate-checked in full — LLM-prep keeps
     # benchmark_contamination plus the keyness/overlap/novelty audits
     "events_ewma_smoothing",
-    # and the diversity entropy audit; kmeans_embedding_clusters rotates
-    # out but stays gate-checked in full (the clustering family keeps
-    # semantic_dedup / semantic_dedup_ivf in the head)
-    "source_token_entropy",
+    # round-9 info-theory swap: the contingency independence profile
+    # (chi-square + MI + Cramer's V) rotates in for the diversity entropy
+    # audit (same information-theoretic family; source_token_entropy
+    # stays gate-checked in full, and text keeps keyness/zipf/novelty)
+    "order_status_priority_independence",
     # and Spearman over the bucket+offset ranking (the distributed-rank
     # family's capstone); bm25_retrieval rotates out but stays
     # gate-checked in full — retrieval keeps its pytest scorecard and
@@ -311,6 +316,8 @@ def _ensure_loaded() -> None:
     import covid_19_data_engineering_spark.operators.cdc  # noqa: F401
     import covid_19_data_engineering_spark.operators.skyline  # noqa: F401
     import covid_19_data_engineering_spark.operators.drift  # noqa: F401
+    import covid_19_data_engineering_spark.operators.cohort  # noqa: F401
+    import covid_19_data_engineering_spark.operators.contingency  # noqa: F401
     import covid_19_data_engineering_spark.operators.gram  # noqa: F401
     import covid_19_data_engineering_spark.functions.udfs  # noqa: F401
     import covid_19_data_engineering_spark.streaming.events  # noqa: F401

@@ -2724,3 +2724,57 @@ def test_acf_peaks_at_planted_period(spark):
     assert acf[4] == 0.9
     assert acf[2] < -0.5
     assert set(acf) == set(range(1, 8))
+
+
+def test_cohort_retention_matrix_planted(spark):
+    """Hand-built cohorts: A (Jan, back in Mar), B (Jan only),
+    C (Feb + Mar) — the matrix reads exactly off the construction and the
+    offset-0 diagonal equals each cohort's size."""
+    from datetime import datetime
+
+    from covid_19_data_engineering_spark.operators.cohort import (
+        cohort_retention_matrix,
+    )
+
+    def o(key, cust, month, day=5):
+        return (key, cust, "O", 100.0, datetime(2024, month, day), "1-URGENT")
+
+    orders = spark.createDataFrame(
+        [o(1, 1, 1), o(2, 1, 3), o(3, 2, 1), o(4, 3, 2), o(5, 3, 3),
+         o(6, 3, 3, day=20)],  # same-month repeat must not double-count
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string")
+    got = {(str(r["cohort_month"]), r["month_offset"]):
+           (r["active_customers"], r["cohort_size"], r["retention_rate"])
+           for r in cohort_retention_matrix(orders).collect()}
+    assert got == {
+        ("2024-01-01", 0): (2, 2, 1.0),   # A + B acquired in Jan
+        ("2024-01-01", 2): (1, 2, 0.5),   # A returns in Mar
+        ("2024-02-01", 0): (1, 1, 1.0),   # C acquired in Feb
+        ("2024-02-01", 1): (1, 1, 1.0),   # C returns in Mar (once)
+    }
+
+
+def test_contingency_independence_extremes(spark):
+    """A perfectly independent 2x2 reads chi2 = MI = 0; a perfectly
+    dependent one reads Cramer's V = 1 and MI = ln(2)."""
+    import math
+
+    from covid_19_data_engineering_spark.operators.contingency import (
+        contingency_independence,
+    )
+
+    indep = spark.createDataFrame(
+        [("a", "x")] * 10 + [("a", "y")] * 10
+        + [("b", "x")] * 10 + [("b", "y")] * 10,
+        "r string, k string")
+    row = contingency_independence(indep, "r", "k").collect()[0]
+    assert row["chi_square"] == 0.0 and row["mi_nats"] == 0.0
+    assert (row["n"], row["n_rows"], row["n_cols"], row["dof"]) == (40, 2, 2, 1)
+
+    dep = spark.createDataFrame(
+        [("a", "x")] * 20 + [("b", "y")] * 20, "r string, k string")
+    row = contingency_independence(dep, "r", "k").collect()[0]
+    assert row["cramers_v"] == 1.0
+    assert abs(row["mi_nats"] - math.log(2)) < 1e-6
+    assert row["chi_square"] == 40.0

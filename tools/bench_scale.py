@@ -112,6 +112,10 @@ FAMILY = [
     "events_cusum_changepoint",
     "events_ks_drift",
     "events_acf_daily",
+    # round-9 orders-backed analytics (one customer-keyed shuffle / one
+    # pair groupBy; both should track the orders scan linearly)
+    "cohort_retention_matrix",
+    "order_status_priority_independence",
 ]
 
 ID_OFFSET = 1_000_000
