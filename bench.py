@@ -158,6 +158,9 @@ EXTRA = [
     "events_acf_daily",
     "cohort_retention_matrix",
     "order_status_priority_independence",
+    "events_value_auc",
+    "customer_revenue_gini",
+    "customer_lifetime_km",
 ]
 
 

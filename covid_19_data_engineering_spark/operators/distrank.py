@@ -195,3 +195,191 @@ def price_quantity_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
     return spearman(li, "l_quantity", "l_extendedprice",
                     "l_orderkey * 8 + l_linenumber")
+
+
+# --------------------------------------------------------------------------
+# Mann-Whitney AUC: does a score separate two classes? (rank-sum test)
+# --------------------------------------------------------------------------
+
+_AUC_POS = "purchase"
+_AUC_NEG = "view"
+
+
+def mannwhitney_auc(df: DataFrame, score_col: str, label_col: str,
+                    tiebreak_col: str) -> DataFrame:
+    """One-row (n_pos, n_neg, auc, rank_biserial): the probability a
+    random positive outscores a random negative (ties at half credit) —
+    the threshold-free classifier/quality-score evaluation, identically
+    the Mann-Whitney U statistic normalized by n1*n0.
+
+    Tie handling is EXACT average ranks, carried in integers: rows get
+    unique global ranks via the bucket+offset ranking (no single-
+    partition sort), then a groupBy on the exact score value recovers
+    per-value (min_rank, count, n_pos); twice the positive rank-sum is
+        2*R1 = sum_v n_pos_v * (2*min_rank_v + cnt_v - 1)
+    (each tied row's average rank is min + (cnt-1)/2), so
+        AUC = (2*R1 - n1*(n1+1)) / (2*n1*n0)
+    is one fixed-order double expression over exact BIGINTs.
+
+    100 TB shape: two corpus shuffles (the rank bucketing and the
+    score-value groupBy), both map-side combinable; nothing else sees
+    the corpus.
+    """
+    ranked = with_global_rank(df, score_col, tiebreak_col)
+    per_value = ranked.groupBy(F.col(score_col).alias("v")).agg(
+        F.min("global_rank").alias("min_rank"),
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col(label_col).cast("long")).alias("np"),
+    )
+    agg = per_value.agg(
+        F.sum("np").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("np")).alias("n_neg"),
+        F.sum(F.expr("np * (2 * min_rank + cnt - 1)")).alias("r1_x2"),
+    )
+    auc = ("(CAST(r1_x2 AS DOUBLE) - CAST(n_pos AS DOUBLE) * (n_pos + 1)) "
+           "/ (2.0 * CAST(n_pos AS DOUBLE) * n_neg)")
+    return agg.select(
+        "n_pos", "n_neg",
+        F.round(F.expr(auc), 6).alias("auc"),
+        F.round(F.expr(f"2 * ({auc}) - 1"), 6).alias("rank_biserial"),
+    )
+
+
+@register(
+    "events_value_auc",
+    oracle=f"""
+    WITH two AS (
+      SELECT event_id, value,
+             CASE WHEN event_type = '{_AUC_POS}' THEN 1 ELSE 0 END AS pos
+      FROM events
+      WHERE event_type IN ('{_AUC_POS}', '{_AUC_NEG}')
+    ),
+    ranked AS (
+      SELECT value, pos,
+             ROW_NUMBER() OVER (ORDER BY value, event_id) AS rk
+      FROM two
+    ),
+    per_value AS (
+      SELECT value, CAST(MIN(rk) AS BIGINT) AS min_rank,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(pos) AS BIGINT) AS np
+      FROM ranked GROUP BY value
+    ),
+    agg AS (
+      SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+             CAST(SUM(cnt - np) AS BIGINT) AS n_neg,
+             CAST(SUM(np * (2 * min_rank + cnt - 1)) AS BIGINT) AS r1_x2
+      FROM per_value
+    )
+    SELECT n_pos, n_neg,
+           ROUND((CAST(r1_x2 AS DOUBLE) - CAST(n_pos AS DOUBLE) * (n_pos + 1))
+                 / (2.0 * CAST(n_pos AS DOUBLE) * n_neg), 6) AS auc,
+           ROUND(2 * ((CAST(r1_x2 AS DOUBLE)
+                       - CAST(n_pos AS DOUBLE) * (n_pos + 1))
+                 / (2.0 * CAST(n_pos AS DOUBLE) * n_neg)) - 1, 6)
+             AS rank_biserial
+    FROM agg
+    """,
+    doc=f"Mann-Whitney AUC of the value score separating '{_AUC_POS}' "
+    f"from '{_AUC_NEG}' events: unique global ranks via the bucket+offset "
+    "distributed ranking (no single-partition sort), exact average-rank "
+    "tie handling recovered from per-value (min_rank, count) integers, "
+    "AUC = (2R1 - n1(n1+1))/(2 n1 n0) as one fixed-order double over "
+    "BIGINTs. The threshold-free score evaluation; two map-side-"
+    "combinable corpus shuffles.",
+)
+def events_value_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    two = events.filter(
+        F.col("event_type").isin(_AUC_POS, _AUC_NEG)
+    ).select(
+        "event_id", "value",
+        (F.col("event_type") == _AUC_POS).alias("pos"),
+    )
+    return mannwhitney_auc(two, "value", "pos", "event_id")
+
+
+# --------------------------------------------------------------------------
+# Gini coefficient + Lorenz top-decile share of customer revenue.
+# --------------------------------------------------------------------------
+
+def gini_concentration(df: DataFrame, value_fp_col: str,
+                       tiebreak_col: str) -> DataFrame:
+    """One-row (n_units, total_fp, gini, top_decile_share) over exact
+    fixed-point values: G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x))
+    with i the ascending global rank — entirely BIGINT until the two
+    final divisions.
+
+    100 TB shape: the ranking is the bucket+offset composition (one
+    corpus shuffle, no single-partition sort); the Gini reduction is one
+    map-side-combined aggregate over the ranked rows.
+    """
+    ranked = with_global_rank(df, value_fp_col, tiebreak_col)
+    x = F.col(value_fp_col)
+    agg = ranked.agg(
+        F.max("total").alias("n"),
+        F.sum(x).alias("total_fp"),
+        F.sum(F.col("global_rank") * x).alias("rank_weighted"),
+        F.sum(F.when(F.col("global_rank") > F.col("total")
+                     - F.floor(F.col("total") / 10), x)
+              .otherwise(F.lit(0))).alias("top_dec_fp"),
+    )
+    return agg.select(
+        F.col("n").alias("n_units"),
+        "total_fp",
+        F.round(
+            F.expr("(2.0 * CAST(rank_weighted AS DOUBLE) "
+                   "- (CAST(n AS DOUBLE) + 1) * total_fp) "
+                   "/ (CAST(n AS DOUBLE) * total_fp)"), 6
+        ).alias("gini"),
+        F.round(F.expr("CAST(top_dec_fp AS DOUBLE) / total_fp"), 6)
+        .alias("top_decile_share"),
+    )
+
+
+@register(
+    "customer_revenue_gini",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_fp
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT rev_fp,
+             ROW_NUMBER() OVER (ORDER BY rev_fp, o_custkey) AS rk,
+             COUNT(*) OVER () AS n
+      FROM rev
+    ),
+    agg AS (
+      SELECT CAST(MAX(n) AS BIGINT) AS n,
+             CAST(SUM(rev_fp) AS BIGINT) AS total_fp,
+             CAST(SUM(rk * rev_fp) AS BIGINT) AS rank_weighted,
+             CAST(SUM(CASE WHEN rk > n - n // 10 THEN rev_fp ELSE 0 END)
+                  AS BIGINT) AS top_dec_fp
+      FROM ranked
+    )
+    SELECT n AS n_units, total_fp,
+           ROUND((2.0 * CAST(rank_weighted AS DOUBLE)
+                  - (CAST(n AS DOUBLE) + 1) * total_fp)
+                 / (CAST(n AS DOUBLE) * total_fp), 6) AS gini,
+           ROUND(CAST(top_dec_fp AS DOUBLE) / total_fp, 6)
+             AS top_decile_share
+    FROM agg
+    """,
+    doc="Gini coefficient and Lorenz top-decile share of per-customer "
+    "revenue: revenues reduced to exact integer cents by one customer-"
+    "keyed groupBy, ranked by the bucket+offset distributed ranking "
+    "(deterministic custkey tiebreak, no single-partition sort), then "
+    "G = (2*sum(i*x_i) - (n+1)*sum(x))/(n*sum(x)) entirely in BIGINT "
+    "until the final division — the inequality/concentration readout "
+    "beside the HHI.",
+)
+def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .alias("rev_fp")
+    )
+    return gini_concentration(rev, "rev_fp", "o_custkey")

@@ -128,11 +128,10 @@ PRIORITY = (
     # for events_drift_js (same family; JS stays gate-checked in full)
     "events_ks_drift",
     "robust_price_outliers",
-    # plus the two corpus audits (source-pair overlap, first-seen novelty);
-    # data_mixture_plan and pii_scrub_events rotate out but stay
-    # gate-checked in full — LLM-prep keeps benchmark_contamination and
-    # corpus_curation_yield in the head
-    "ngram_novelty_profile",
+    # round-9 survival analytics: the Kaplan-Meier lifetime curve rotates
+    # in for the first-seen novelty audit (text keeps keyness and zipf in
+    # the head; ngram_novelty_profile stays gate-checked in full)
+    "customer_lifetime_km",
     # and the streaming-adjacent lateness profile (watermark sizing);
     # events_asof_click_before_purchase rotates out but stays gate-checked
     # in full — the temporal family keeps events_interval_coverage,
@@ -172,10 +171,11 @@ PRIORITY = (
     # exact_price_quantiles, the robust fence, and the calibration in the
     # head; session_duration_quantiles stays gate-checked in full)
     "events_acf_daily",
-    # and the HHI concentration audit; nation_market_share rotates out
-    # but stays gate-checked in full (the share/ratio family keeps
-    # revenue_by_nation and the HHI here)
-    "supplier_concentration_hhi",
+    # round-9 concentration swap: the Gini/Lorenz readout (bucket+offset
+    # ranked, BIGINT throughout) rotates in for the HHI (same
+    # concentration family; supplier_concentration_hhi stays gate-checked
+    # in full)
+    "customer_revenue_gini",
     # and the per-dim quantile calibration (64 parallel histogram
     # refines); incremental_retention_manifest_stored rotates out but
     # stays gate-checked in full — the incremental family is also
@@ -191,11 +191,11 @@ PRIORITY = (
     # audit (same information-theoretic family; source_token_entropy
     # stays gate-checked in full, and text keeps keyness/zipf/novelty)
     "order_status_priority_independence",
-    # and Spearman over the bucket+offset ranking (the distributed-rank
-    # family's capstone); bm25_retrieval rotates out but stays
-    # gate-checked in full — retrieval keeps its pytest scorecard and
-    # benchmark_contamination covers the text-join family in the head
-    "price_quantity_spearman",
+    # round-9 rank-statistics swap: the Mann-Whitney AUC (exact average-
+    # rank ties over the bucket+offset ranking) rotates in for Spearman
+    # (same distributed-rank family; price_quantity_spearman stays
+    # gate-checked in full)
+    "events_value_auc",
     # and the Zipf naturalness audit; benchmark_contamination rotates out
     # but stays gate-checked in full — LLM-prep keeps the keyness /
     # overlap / novelty / entropy audits in the head
@@ -318,6 +318,7 @@ def _ensure_loaded() -> None:
     import covid_19_data_engineering_spark.operators.drift  # noqa: F401
     import covid_19_data_engineering_spark.operators.cohort  # noqa: F401
     import covid_19_data_engineering_spark.operators.contingency  # noqa: F401
+    import covid_19_data_engineering_spark.operators.survival  # noqa: F401
     import covid_19_data_engineering_spark.operators.gram  # noqa: F401
     import covid_19_data_engineering_spark.functions.udfs  # noqa: F401
     import covid_19_data_engineering_spark.streaming.events  # noqa: F401

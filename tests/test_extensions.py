@@ -2778,3 +2778,131 @@ def test_contingency_independence_extremes(spark):
     assert row["cramers_v"] == 1.0
     assert abs(row["mi_nats"] - math.log(2)) < 1e-6
     assert row["chi_square"] == 40.0
+
+
+def test_mannwhitney_auc_extremes_and_ties(spark):
+    """Perfect score separation reads AUC 1.0; identical score
+    distributions read exactly 0.5 through the average-rank tie path."""
+    from covid_19_data_engineering_spark.operators.distrank import (
+        mannwhitney_auc,
+    )
+
+    perfect = spark.createDataFrame(
+        [(i, float(i), False) for i in range(50)]
+        + [(100 + i, 100.0 + i, True) for i in range(50)],
+        "event_id long, value double, pos boolean")
+    r = mannwhitney_auc(perfect, "value", "pos", "event_id").collect()[0]
+    assert (r["auc"], r["rank_biserial"]) == (1.0, 1.0)
+    assert (r["n_pos"], r["n_neg"]) == (50, 50)
+
+    # every row ties on one of two values, half positive each -> 0.5 only
+    # if tied ranks are averaged exactly
+    tied = spark.createDataFrame(
+        [(i, float(i % 2), i % 4 < 2) for i in range(100)],
+        "event_id long, value double, pos boolean")
+    r = mannwhitney_auc(tied, "value", "pos", "event_id").collect()[0]
+    assert r["auc"] == 0.5 and r["rank_biserial"] == 0.0
+
+
+def test_gini_uniform_zero_and_monopoly_high(spark):
+    """Equal values read Gini 0; one unit holding everything reads
+    (n-1)/n; the top-decile share reads exactly off the construction."""
+    from covid_19_data_engineering_spark.operators.distrank import (
+        gini_concentration,
+    )
+
+    equal = spark.createDataFrame(
+        [(i, 1000) for i in range(20)], "k long, x long")
+    r = gini_concentration(equal, "x", "k").collect()[0]
+    assert r["gini"] == 0.0
+    assert r["top_decile_share"] == 0.1  # 2 of 20 units, equal shares
+
+    monopoly = spark.createDataFrame(
+        [(i, 0) for i in range(19)] + [(19, 1000)], "k long, x long")
+    r = gini_concentration(monopoly, "x", "k").collect()[0]
+    assert r["gini"] == 0.95  # (n-1)/n for a single holder
+    assert r["top_decile_share"] == 1.0
+
+
+def test_kaplan_meier_textbook_curve(spark):
+    """A hand-built cohort replays the textbook KM product: customers
+    churning at months 1 and 2 with one censored lifetime in between."""
+    from datetime import datetime
+
+    from covid_19_data_engineering_spark.operators.survival import (
+        kaplan_meier_lifetimes,
+    )
+
+    def orders_for(cust, first_m, last_m):
+        return [(cust * 100, cust, "O", 10.0, datetime(2020, 1, 1).replace(
+                    year=2020 + (first_m - 1) // 12,
+                    month=(first_m - 1) % 12 + 1), "1-URGENT"),
+                (cust * 100 + 1, cust, "O", 10.0, datetime(2020, 1, 1).replace(
+                    year=2020 + (last_m - 1) // 12,
+                    month=(last_m - 1) % 12 + 1), "1-URGENT")]
+
+    # horizon anchor: customer 9 active through month 40 (censored, dur 39)
+    rows = (orders_for(1, 1, 2)      # duration 1, churned
+            + orders_for(2, 1, 2)    # duration 1, churned
+            + orders_for(3, 1, 3)    # duration 2, churned
+            + orders_for(4, 1, 35)   # duration 34, censored (within 12mo)
+            + orders_for(9, 1, 40))  # duration 39, censored
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string, "
+              "o_totalprice double, o_orderdate timestamp, "
+              "o_orderpriority string")
+    out = {r["duration_months"]: r
+           for r in kaplan_meier_lifetimes(orders).collect()}
+    # at t=1: 5 at risk, 2 churn -> S = 3/5; at t=2: 3 at risk, 1 churns
+    # -> S = 3/5 * 2/3 = 2/5; censored tails keep S constant
+    assert out[1]["n_risk"] == 5 and out[1]["n_churned"] == 2
+    assert abs(out[1]["survival"] - 0.6) < 1e-6
+    assert out[2]["n_risk"] == 3 and out[2]["n_churned"] == 1
+    assert abs(out[2]["survival"] - 0.4) < 1e-6
+    assert out[34]["n_censored"] == 1 and abs(out[34]["survival"] - 0.4) < 1e-6
+    assert out[39]["n_censored"] == 1
+
+
+def test_kaplan_meier_everyone_dies_boundary(spark):
+    """When the largest duration's at-risk set all churn, survival hits
+    exactly 0.0 (the ln boundary handled by the flag, not -inf)."""
+    from datetime import datetime
+
+    from covid_19_data_engineering_spark.operators.survival import (
+        kaplan_meier_lifetimes,
+    )
+
+    rows = [(1, 1, "O", 10.0, datetime(2020, 1, 5), "1-URGENT"),
+            (2, 1, "O", 10.0, datetime(2020, 3, 5), "1-URGENT"),
+            (3, 2, "O", 10.0, datetime(2020, 1, 5), "1-URGENT"),
+            # customer 3 anchors the horizon far out so 1 and 2 churn
+            (4, 3, "O", 10.0, datetime(2020, 1, 5), "1-URGENT"),
+            (5, 3, "O", 10.0, datetime(2023, 1, 5), "1-URGENT")]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string, "
+              "o_totalprice double, o_orderdate timestamp, "
+              "o_orderpriority string")
+    out = {r["duration_months"]: r
+           for r in kaplan_meier_lifetimes(orders).collect()}
+    # duration 36 (customer 3) is censored; durations 0 and 2 churn; at
+    # t=2 the risk set after the censored tail excludes customer 3? No:
+    # risk is duration >= t, so t=2 has {2, 3} at risk, one churns; the
+    # zero boundary needs the LAST churner to empty the risk set — which
+    # does not happen here; assert the curve instead stays positive
+    assert all(r["survival"] > 0 for r in out.values())
+    # now an actual boundary: only churners, horizon anchored by orders
+    # far in the past relative to a synthetic late horizon row
+    rows2 = [(1, 1, "O", 10.0, datetime(2020, 1, 5), "1-URGENT"),
+             (2, 1, "O", 10.0, datetime(2020, 2, 5), "1-URGENT"),
+             (3, 2, "O", 10.0, datetime(2020, 1, 5), "1-URGENT"),
+             (4, 9, "O", 10.0, datetime(2024, 1, 5), "1-URGENT")]
+    orders2 = spark.createDataFrame(
+        rows2, "o_orderkey long, o_custkey long, o_orderstatus string, "
+               "o_totalprice double, o_orderdate timestamp, "
+               "o_orderpriority string")
+    out2 = {r["duration_months"]: r
+            for r in kaplan_meier_lifetimes(orders2).collect()}
+    # customer 9 churns at duration 0 alongside customer 2; customer 1 at
+    # duration 1 is the final, fully-churning risk set -> S(1) = 0.0
+    assert out2[1]["n_risk"] == 1 and out2[1]["n_churned"] == 1
+    assert out2[1]["survival"] == 0.0

@@ -116,6 +116,12 @@ FAMILY = [
     # pair groupBy; both should track the orders scan linearly)
     "cohort_retention_matrix",
     "order_status_priority_independence",
+    # round-9 rank/survival statistics (events + orders backed; the AUC
+    # and Gini ride the bucket+offset ranking — candidate volumes should
+    # stay proportional to the scan)
+    "events_value_auc",
+    "customer_revenue_gini",
+    "customer_lifetime_km",
 ]
 
 ID_OFFSET = 1_000_000
