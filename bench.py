@@ -161,6 +161,7 @@ EXTRA = [
     "events_value_auc",
     "customer_revenue_gini",
     "customer_lifetime_km",
+    "contrastive_pair_mining",
 ]
 
 

@@ -1136,3 +1136,124 @@ def ann_projected_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding")
     return projected_recall(corpus, default_queries(corpus)).orderBy(
         "query_id")
+
+
+# --- contrastive pair mining (hard negatives + in-class positives) -----------
+
+N_ANCHORS = 8       # deterministic anchor set: the lowest vec_ids
+K_CONTRAST = 4      # pairs mined per anchor per side
+
+
+def contrastive_pairs(corpus: DataFrame, n_anchors: int = N_ANCHORS,
+                      k: int = K_CONTRAST) -> DataFrame:
+    """Contrastive training-pair manifest: for each anchor vector, the k
+    most-similar vectors of a DIFFERENT label (hard negatives — the pairs
+    that teach a metric model the most) and the k most-similar of the
+    SAME label (positives), exact-cosine ranked.
+
+    (anchor_id, pair_type 'pos'|'neg', rank, vec_id, label, cosine).
+
+    100 TB shape: anchors broadcast (O(n_anchors) rows), the corpus
+    scanned ONCE with per-(anchor, side) top-k pushed map-side by
+    Spark's WindowGroupLimit — no corpus shuffle carries more than
+    (anchors * 2k) rows per partition pre-merge. Swapping the brute scan
+    for the LSH/IVF bucketed candidate generators above changes recall,
+    not this operator's contract.
+    """
+    # arrays cast to double BEFORE the fold: float*float products round
+    # differently from double*double at ROUND(x, 6) boundaries, and the
+    # oracle replays the double left-fold explicitly
+    corpus = corpus.withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    anchors = (
+        corpus.orderBy("vec_id").limit(n_anchors)
+        .select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("embedding").alias("a_embedding"),
+            F.col("label").alias("a_label"),
+        )
+    )
+    pairs = corpus.crossJoin(F.broadcast(anchors)).where(
+        F.col("vec_id") != F.col("anchor_id")
+    )
+    scored = pairs.select(
+        "anchor_id",
+        F.when(F.col("label") == F.col("a_label"), F.lit("pos"))
+        .otherwise(F.lit("neg")).alias("pair_type"),
+        "vec_id",
+        "label",
+        F.round(cosine_sim(F.col("a_embedding"), F.col("embedding")), 6)
+        .alias("cosine"),
+    )
+    w = Window.partitionBy("anchor_id", "pair_type").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("anchor_id", "pair_type", "rank", "vec_id", "label",
+                "cosine")
+        .orderBy("anchor_id", "pair_type", "rank")
+    )
+
+
+@register(
+    "contrastive_pair_mining",
+    oracle=f"""
+    WITH anchors AS (
+      SELECT vec_id AS anchor_id, embedding AS a_embedding,
+             label AS a_label
+      FROM embeddings ORDER BY vec_id LIMIT {N_ANCHORS}
+    ),
+    cast_pairs AS (
+      SELECT a.anchor_id, a.a_label, e.vec_id, e.label,
+             CAST(a.a_embedding AS DOUBLE[]) AS av,
+             CAST(e.embedding AS DOUBLE[]) AS ev
+      FROM embeddings e CROSS JOIN anchors a
+      WHERE e.vec_id != a.anchor_id
+    ),
+    scored AS (
+      -- explicit left fold (0.0 + x == x, then index order) == Spark's
+      -- aggregate(zip_with(...)); list_cosine_similarity folds in a
+      -- different association order and flips ROUND(x, 6) boundaries
+      SELECT anchor_id,
+             CASE WHEN label = a_label THEN 'pos' ELSE 'neg' END
+               AS pair_type,
+             vec_id, label,
+             ROUND(
+               list_reduce(list_transform(range(1, 65),
+                                          i -> av[i] * ev[i]),
+                           (x, y) -> x + y)
+               / (sqrt(list_reduce(list_transform(range(1, 65),
+                                                  i -> av[i] * av[i]),
+                                   (x, y) -> x + y))
+                  * sqrt(list_reduce(list_transform(range(1, 65),
+                                                    i -> ev[i] * ev[i]),
+                                     (x, y) -> x + y))), 6) AS cosine
+      FROM cast_pairs
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY anchor_id, pair_type
+                                ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT anchor_id, pair_type, CAST(rank AS BIGINT) AS rank, vec_id,
+           label, cosine
+    FROM ranked WHERE rank <= {K_CONTRAST}
+    ORDER BY anchor_id, pair_type, rank
+    """,
+    doc=f"Contrastive training-pair mining over the labeled embeddings: "
+    f"for each of the {N_ANCHORS} lowest-id anchors, the {K_CONTRAST} "
+    "most-similar different-label vectors (hard negatives) and the "
+    f"{K_CONTRAST} most-similar same-label vectors (positives), exact-"
+    "cosine ranked with a deterministic vec_id tiebreak. Anchors "
+    "broadcast, corpus scanned once, per-(anchor, side) top-k pushed "
+    "map-side via WindowGroupLimit; the LSH/IVF candidate generators in "
+    "this module are the drop-in scale path for larger anchor sets.",
+)
+def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "embedding", "label")
+    return contrastive_pairs(corpus)

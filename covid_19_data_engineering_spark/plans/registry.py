@@ -248,8 +248,11 @@ PRIORITY = (
     # stay gate-checked in full)
     "dedup_exact",
     "dedup_cluster_components",
-    # similarity search
-    "ann_cosine_topk",
+    # similarity search (round 9 rotates contrastive pair mining in for
+    # ann_cosine_topk — the same broadcast-anchor brute-scan plan shape
+    # plus the label split; the ANN top-k stays gate-checked in full and
+    # the family keeps ann_projected_recall above)
+    "contrastive_pair_mining",
     # text analysis + retrieval
     # LLM-prep pipeline + embedding clustering
     # multimodal plumbing (round 9 rotates the video seam in —

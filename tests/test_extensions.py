@@ -2906,3 +2906,40 @@ def test_kaplan_meier_everyone_dies_boundary(spark):
     # duration 1 is the final, fully-churning risk set -> S(1) = 0.0
     assert out2[1]["n_risk"] == 1 and out2[1]["n_churned"] == 1
     assert out2[1]["survival"] == 0.0
+
+
+def test_contrastive_pairs_planted_geometry(spark):
+    """Anchor at e1 with same-label e1-ish vectors and a different-label
+    vector sitting closest: the nearest hard negative must be that
+    intruder, and pos/neg sides split exactly on the label."""
+    from covid_19_data_engineering_spark.operators.similarity import (
+        contrastive_pairs,
+    )
+
+    d = 64
+
+    def vec(main_axis, eps_axis=None, eps=0.0):
+        v = [0.0] * d
+        v[main_axis] = 1.0
+        if eps_axis is not None:
+            v[eps_axis] = eps
+        return v
+
+    rows = [
+        (0, vec(0), 1),             # anchor, label 1
+        (1, vec(0, 1, 0.05), 2),    # DIFFERENT label, nearly parallel
+        (2, vec(0, 1, 0.3), 1),     # same label, close
+        (3, vec(1), 1),             # same label, orthogonal
+        (4, vec(2), 2),             # different label, orthogonal
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    out = contrastive_pairs(corpus, n_anchors=1, k=2).collect()
+    by = {(r["pair_type"], r["rank"]): r for r in out}
+    assert by[("neg", 1)]["vec_id"] == 1      # the near-parallel intruder
+    assert by[("neg", 1)]["cosine"] > 0.99
+    assert by[("neg", 2)]["vec_id"] == 4
+    assert by[("pos", 1)]["vec_id"] == 2
+    assert by[("pos", 2)]["vec_id"] == 3
+    assert all(r["label"] == 1 for k, r in by.items() if k[0] == "pos")
+    assert all(r["label"] == 2 for k, r in by.items() if k[0] == "neg")

@@ -122,6 +122,7 @@ FAMILY = [
     "events_value_auc",
     "customer_revenue_gini",
     "customer_lifetime_km",
+    "contrastive_pair_mining",
 ]
 
 ID_OFFSET = 1_000_000
