@@ -162,6 +162,7 @@ EXTRA = [
     "customer_revenue_gini",
     "customer_lifetime_km",
     "contrastive_pair_mining",
+    "kcore_copurchase",
 ]
 
 

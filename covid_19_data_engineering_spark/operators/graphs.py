@@ -323,3 +323,119 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
 def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
     return triangle_stats(support_pairs(li))
+
+
+# --------------------------------------------------------------------------
+# K-core peeling over the co-purchase graph.
+# --------------------------------------------------------------------------
+
+KCORE_K = 3       # minimum in-core degree
+KCORE_ROUNDS = 4  # unrolled peel rounds (fixed on both engines)
+
+
+def kcore_trajectory(edges: DataFrame, k: int = KCORE_K,
+                     rounds: int = KCORE_ROUNDS) -> DataFrame:
+    """K-core peeling trajectory: repeatedly delete nodes of degree < k
+    and report (round, n_nodes, n_edges, min_degree) after each of
+    ``rounds`` fixed peel rounds (round 0 = the input graph) — the
+    dense-subgraph extraction a recommender or fraud pipeline runs on the
+    co-occurrence graph. A fixed round budget replays exactly on both
+    engines (the oracle unrolls the same rounds CTE-for-CTE); a graph
+    that stabilizes earlier just repeats its fixed point, so an engine
+    early-break would be equivalent by induction.
+
+    100 TB shape: each round is two node-keyed semi joins (surviving
+    edges) + one map-side-combined degree groupBy — the same
+    exchange-reuse family as PageRank's contribution join; the edge list
+    checkpoints per round so lineage stays O(1) and the per-round stat
+    aggregates don't re-execute the whole peel chain. Counts are exact
+    integers throughout (n_edges = sum(deg) div 2 on the symmetric
+    list), so the trajectory is engine-identical.
+    """
+    edges = edges.localCheckpoint(eager=True)
+    stats = []
+    for r in range(rounds + 1):
+        deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+        stats.append(
+            deg.agg(
+                F.lit(r).cast("int").alias("round"),
+                F.count("*").alias("n_nodes"),
+                F.coalesce(F.expr("sum(deg) div 2"), F.lit(0))
+                .alias("n_edges"),
+                F.min("deg").alias("min_degree"),
+            )
+        )
+        if r == rounds:
+            break
+        keep = deg.filter(F.col("deg") >= k).select("src")
+        edges = (
+            edges.join(keep, "src", "left_semi")
+            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("round")
+
+
+def _kcore_oracle_sql() -> str:
+    # AS MATERIALIZED: each round's edge list is referenced by the next
+    # round AND its stat row — without it DuckDB inlines multi-referenced
+    # CTEs and the peel chain expands exponentially
+    rnd = """
+    k{p} AS MATERIALIZED (SELECT src FROM d{p} WHERE deg >= {K}),
+    e{i} AS MATERIALIZED (
+      SELECT e.src, e.dst FROM e{p} e
+      JOIN k{p} a ON e.src = a.src
+      JOIN k{p} b ON e.dst = b.src
+    ),
+    d{i} AS MATERIALIZED (
+      SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e{i} GROUP BY src
+    )"""
+    chain = ",".join(
+        rnd.format(i=i, p=i - 1, K=KCORE_K)
+        for i in range(1, KCORE_ROUNDS + 1)
+    )
+    stat = ("SELECT CAST({i} AS INTEGER) AS round, "
+            "CAST(COUNT(*) AS BIGINT) AS n_nodes, "
+            "CAST(COALESCE(SUM(deg) // 2, 0) AS BIGINT) AS n_edges, "
+            "CAST(MIN(deg) AS BIGINT) AS min_degree FROM d{i}")
+    stats = " UNION ALL ".join(
+        stat.format(i=i) for i in range(KCORE_ROUNDS + 1)
+    )
+    return f"""
+    WITH lines AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lines a JOIN lines b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    e0 AS MATERIALIZED (
+      SELECT pa AS src, pb AS dst FROM pairs
+      UNION ALL
+      SELECT pb AS src, pa AS dst FROM pairs
+    ),
+    d0 AS MATERIALIZED (
+      SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e0 GROUP BY src
+    ),
+    {chain}
+    SELECT * FROM ({stats}) ORDER BY round
+    """
+
+
+@register(
+    "kcore_copurchase",
+    oracle=_kcore_oracle_sql(),
+    doc=f"{KCORE_ROUNDS}-round {KCORE_K}-core peeling trajectory over the "
+    "symmetric part co-purchase graph: per round, nodes of degree < "
+    f"{KCORE_K} are deleted and (n_nodes, n_edges, min_degree) reported — "
+    "the dense-subgraph extraction beside PageRank and the triangle "
+    "count. Two node-keyed semi joins + one degree groupBy per round, "
+    "edge list checkpointed per round, exact integer counts; the oracle "
+    "unrolls the identical rounds with materialized CTEs.",
+)
+def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return kcore_trajectory(copurchase_edges(li))

@@ -234,9 +234,12 @@ PRIORITY = (
     # iteration); bloom_semi_join_stats rotates out but stays gate-
     # checked in full — join pruning keeps its pytest plan gates
     "embedding_pca_power",
-    # TPC-H decorrelation shapes + iterative graph
+    # TPC-H decorrelation shapes + iterative graph (round 9 rotates the
+    # k-core peeling trajectory in for PageRank — same fixed-round
+    # iterative-graph family over the same co-purchase edges;
+    # pagerank_copurchase stays gate-checked in full)
     "tpch_q2_min_cost_supplier",
-    "pagerank_copurchase",
+    "kcore_copurchase",
     # events: temporal analytics, gap repair, substring dedup, keyless
     # interval join (hourly_active_users rotates out; the temporal family
     # keeps three other head representatives)

@@ -2943,3 +2943,26 @@ def test_contrastive_pairs_planted_geometry(spark):
     assert by[("pos", 2)]["vec_id"] == 3
     assert all(r["label"] == 1 for k, r in by.items() if k[0] == "pos")
     assert all(r["label"] == 2 for k, r in by.items() if k[0] == "neg")
+
+
+def test_kcore_peels_pendants_keeps_clique(spark):
+    """A 4-clique with pendant chains: 3-core peeling strips every
+    pendant (and a node that only seemed dense through them) and the
+    trajectory stabilizes on the clique."""
+    from covid_19_data_engineering_spark.operators.graphs import (
+        kcore_trajectory,
+    )
+
+    clique = [(a, b) for a in range(1, 5) for b in range(1, 5) if a != b]
+    # pendants: 5 hangs off 1; 6-7-8 a chain off 2
+    extra = [(1, 5), (5, 1), (2, 6), (6, 2), (6, 7), (7, 6), (7, 8), (8, 7)]
+    edges = spark.createDataFrame(clique + extra, "src long, dst long")
+    rows = {r["round"]: r for r in kcore_trajectory(edges, k=3).collect()}
+    assert rows[0]["n_nodes"] == 8 and rows[0]["n_edges"] == 10
+    assert rows[0]["min_degree"] == 1
+    # after one round only the clique (each degree 3) remains; later
+    # rounds repeat the fixed point
+    for r in range(1, 5):
+        assert rows[r]["n_nodes"] == 4
+        assert rows[r]["n_edges"] == 6
+        assert rows[r]["min_degree"] == 3

@@ -123,6 +123,7 @@ FAMILY = [
     "customer_revenue_gini",
     "customer_lifetime_km",
     "contrastive_pair_mining",
+    "kcore_copurchase",
 ]
 
 ID_OFFSET = 1_000_000
