@@ -163,6 +163,7 @@ EXTRA = [
     "customer_lifetime_km",
     "contrastive_pair_mining",
     "kcore_copurchase",
+    "tfidf_doc_neighbors",
 ]
 
 

@@ -25,7 +25,7 @@ to 6.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from covid_19_data_engineering_spark.plans.registry import register
 from covid_19_data_engineering_spark.sources.tables import load_table
@@ -418,3 +418,170 @@ def _retrieval_eval_oracle_sql() -> str:
 def retrieval_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return retrieval_quality(docs)
+
+
+# --------------------------------------------------------------------------
+# TF-IDF sparse cosine document similarity (anchor-blocked, no self-join).
+# --------------------------------------------------------------------------
+
+TFIDF_N_ANCHORS = 8
+TFIDF_TOP = 5
+# fixed-point scale for tf-idf weights: tf * ln(N) stays < ~1e3 at any
+# realistic document, so 1e3 units keep products of shared-term weight
+# pairs (and their per-pair BIGINT sums) far inside range
+_W_FX = 1_000
+
+
+def tfidf_doc_neighbors(docs: DataFrame, n_anchors: int = TFIDF_N_ANCHORS,
+                        k: int = TFIDF_TOP) -> DataFrame:
+    """For each anchor document (the lowest doc_ids), the k most similar
+    documents by TF-IDF-weighted sparse cosine — the "more like this"
+    retrieval a curation pipeline runs off the inverted index.
+
+    (anchor_id, rank, doc_id, tfidf_cosine).
+
+    Determinism: weights are fixed-point BIGINTs — w = round(tf *
+    ln((N+1)/(df+1)) * 1e3) off exact integer (tf, df, N) — so per-pair
+    dot products and per-doc norms are association-order-independent
+    integer sums, and the cosine is one fixed-order double expression
+    over exact integers.
+
+    100 TB shape: this is the sparse analog of the broadcast-anchor ANN
+    scan — the anchors' sparse vectors (a few hundred terms) broadcast
+    into a term-keyed join against the corpus postings, so NO document
+    self-join and no term-block explosion exists; per-(anchor, doc)
+    dots come from one map-side-combinable groupBy and the top-k is
+    per-anchor WindowGroupLimit. Corpus df/tf stats are the same one
+    token-keyed shuffle textstats already pays.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    weights = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "term",
+            F.expr(
+                f"CAST(round(tf * ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1))"
+                f" * {_W_FX}) AS BIGINT)"
+            ).alias("w_fx"),
+        )
+    )
+    norms = weights.groupBy("doc_id").agg(
+        F.sum(F.expr("w_fx * w_fx")).alias("norm_fx")
+    )
+    anchors = (
+        docs.orderBy("doc_id").limit(n_anchors)
+        .select(F.col("doc_id").alias("anchor_id"))
+    )
+    a_weights = weights.join(
+        F.broadcast(anchors), weights.doc_id == anchors.anchor_id
+    ).select("anchor_id", "term", F.col("w_fx").alias("a_w_fx"))
+    dots = (
+        weights.join(F.broadcast(a_weights), "term")
+        .where(F.col("doc_id") != F.col("anchor_id"))
+        .groupBy("anchor_id", "doc_id")
+        .agg(F.sum(F.expr("w_fx * a_w_fx")).alias("dot_fx"))
+    )
+    scored = (
+        dots.join(norms, "doc_id")
+        .join(
+            F.broadcast(
+                norms.select(F.col("doc_id").alias("anchor_id"),
+                             F.col("norm_fx").alias("a_norm_fx"))
+            ),
+            "anchor_id",
+        )
+        .select(
+            "anchor_id", "doc_id",
+            F.expr("CAST(dot_fx AS DOUBLE) / (sqrt(CAST(norm_fx AS DOUBLE))"
+                   " * sqrt(CAST(a_norm_fx AS DOUBLE)))").alias("cos"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("anchor_id", "rank", "doc_id",
+                F.round(F.col("cos"), 6).alias("tfidf_cosine"))
+        .orderBy("anchor_id", "rank")
+    )
+
+
+@register(
+    "tfidf_doc_neighbors",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    weights AS (
+      SELECT doc_id, tf.term,
+             CAST(round(tf * ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1))
+                        * {_W_FX}) AS BIGINT) AS w_fx
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    ),
+    norms AS (
+      SELECT doc_id, CAST(SUM(w_fx * w_fx) AS BIGINT) AS norm_fx
+      FROM weights GROUP BY doc_id
+    ),
+    anchors AS (
+      SELECT doc_id AS anchor_id FROM documents
+      ORDER BY doc_id LIMIT {TFIDF_N_ANCHORS}
+    ),
+    a_weights AS (
+      SELECT a.anchor_id, w.term, w.w_fx AS a_w_fx
+      FROM weights w JOIN anchors a ON w.doc_id = a.anchor_id
+    ),
+    dots AS (
+      SELECT aw.anchor_id, w.doc_id,
+             CAST(SUM(w.w_fx * aw.a_w_fx) AS BIGINT) AS dot_fx
+      FROM weights w JOIN a_weights aw ON w.term = aw.term
+      WHERE w.doc_id != aw.anchor_id
+      GROUP BY aw.anchor_id, w.doc_id
+    ),
+    scored AS (
+      SELECT d.anchor_id, d.doc_id,
+             CAST(d.dot_fx AS DOUBLE) /
+               (sqrt(CAST(nd.norm_fx AS DOUBLE))
+                * sqrt(CAST(na.norm_fx AS DOUBLE))) AS cos
+      FROM dots d
+      JOIN norms nd ON nd.doc_id = d.doc_id
+      JOIN norms na ON na.doc_id = d.anchor_id
+    ),
+    ranked AS (
+      SELECT anchor_id, doc_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                ORDER BY cos DESC, doc_id) AS rank
+      FROM scored
+    )
+    SELECT anchor_id, CAST(rank AS BIGINT) AS rank, doc_id,
+           ROUND(cos, 6) AS tfidf_cosine
+    FROM ranked WHERE rank <= {TFIDF_TOP}
+    ORDER BY anchor_id, rank
+    """,
+    doc=f"TF-IDF sparse-cosine document neighbors: for each of the "
+    f"{TFIDF_N_ANCHORS} lowest-id documents, the {TFIDF_TOP} most similar "
+    "docs, weights as fixed-point BIGINTs (round(tf * ln((N+1)/(df+1)) * "
+    "1e3)) so dots and norms are order-independent integer sums. The "
+    "sparse analog of the broadcast-anchor ANN scan: anchor postings "
+    "broadcast into a term-keyed join — no document self-join, no "
+    "term-block explosion; one corpus token shuffle + per-anchor "
+    "WindowGroupLimit top-k.",
+)
+def tfidf_doc_neighbors_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_doc_neighbors(load_table(spark, "documents", sf_dir))

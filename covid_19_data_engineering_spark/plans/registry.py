@@ -111,7 +111,12 @@ PRIORITY = (
     # temporal reps cover events; BPE keeps bpe_merge_induction_batched;
     # LLM-prep keeps corpus_curation_yield/benchmark_contamination; TPC-H
     # keeps q2 + pagerank).
-    "minhash_lsh_accuracy",
+    # round-9 retrieval swap: the TF-IDF sparse-cosine neighbor scan
+    # (broadcast anchor postings, fixed-point weights) rotates in for the
+    # LSH accuracy audit (dedup keeps dedup_exact, cluster components,
+    # and the semantic reps in the head; minhash_lsh_accuracy stays
+    # gate-checked in full and its banded operator is pytest-pinned)
+    "tfidf_doc_neighbors",
     # round-8 continuation 2: five new operator families (source keyness,
     # skyline, distribution drift, rolling anomalies, robust MAD fences).
     # text_quality_profile, dedup_ngram_jaccard, events_value_interpolation,

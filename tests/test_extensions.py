@@ -2966,3 +2966,32 @@ def test_kcore_peels_pendants_keeps_clique(spark):
         assert rows[r]["n_nodes"] == 4
         assert rows[r]["n_edges"] == 6
         assert rows[r]["min_degree"] == 3
+
+
+def test_tfidf_neighbors_planted_similarity(spark):
+    """Documents sharing a rare term rank each other first; a document
+    made only of corpus-ubiquitous terms scores near zero against it."""
+    from covid_19_data_engineering_spark.operators.retrieval import (
+        tfidf_doc_neighbors,
+    )
+
+    common = "the and of to " * 5
+    rows = [
+        (0, common + "zebra quark", "en", "s", 1),
+        (1, common + "zebra quark", "en", "s", 1),   # same rare terms as 0
+        (2, common + "zebra", "en", "s", 1),          # half the rare terms
+        (3, common.strip(), "en", "s", 1),            # only common terms
+        (4, "totally disjoint words here", "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    out = {(r["anchor_id"], r["rank"]): r
+           for r in tfidf_doc_neighbors(docs, n_anchors=1, k=4).collect()}
+    assert out[(0, 1)]["doc_id"] == 1              # rare-term twin first
+    assert out[(0, 1)]["tfidf_cosine"] > 0.99
+    assert out[(0, 2)]["doc_id"] == 2
+    ranked_ids = [out[k]["doc_id"] for k in sorted(out)]
+    assert ranked_ids == [1, 2, 3]  # rare-term overlap orders the list
+    # the disjoint doc shares no term -> no dot row at all
+    assert 4 not in ranked_ids

@@ -124,6 +124,7 @@ FAMILY = [
     "customer_lifetime_km",
     "contrastive_pair_mining",
     "kcore_copurchase",
+    "tfidf_doc_neighbors",
 ]
 
 ID_OFFSET = 1_000_000
