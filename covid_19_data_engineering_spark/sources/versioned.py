@@ -52,10 +52,21 @@ Delta/Iceberg pay for data skipping), checkpoints aggregate the map,
 and ``read_versioned(prune={col: (lo, hi)})`` drops non-overlapping
 files from the plan before Spark ever opens them — the skipped-I/O
 payoff that makes ``zorder_file_layout``'s per-file footprints real.
-What this deliberately does NOT implement (and where the real formats
-earn their size): schema evolution beyond exact-match appends and
-multi-table transactions — on a deployment with Delta/Iceberg
-installed, the same call sites swap to the real format.
+Round 9 adds ADDITIVE SCHEMA EVOLUTION: ``write_versioned(...,
+mode="append", merge_schema=True)`` accepts appends that ADD trailing
+nullable columns (common columns must keep their exact types; every
+base column must still be present — the same contract as Delta's
+mergeSchema for the additive case), the commit records the union
+schema, reads apply the version's recorded schema so pre-evolution
+files surface NULL for later columns (time travel keeps each
+version's own schema), the change feed aligns commits by name with
+missing-column fill, and ``alter_versioned_column_type`` does the
+cast-and-rewrite widening (the versioned twin of the reference's
+ALTER COLUMN TYPE, load_tables_daily.py's retype-and-reload) as a
+compare-and-swap overwrite. What this deliberately does NOT implement
+(and where the real formats earn their size): column renames/drops by
+field id and multi-table transactions — on a deployment with
+Delta/Iceberg installed, the same call sites swap to the real format.
 
 No reference analogue (the reference's history mechanism is an
 INSERT-SELECT append into a *_hist warehouse table —
@@ -299,10 +310,43 @@ def _snapshot_files(path: str, version: int) -> list[str]:
     return _snapshot(path, version)[0]
 
 
+def _merge_schemas(base_json: str, new_json: str) -> str:
+    """Additive schema union for ``merge_schema`` appends: every base
+    column must be present in the incoming schema with the exact same
+    type (no renames, no drops, no widening here — widening is
+    ``alter_versioned_column_type``'s cast-and-rewrite); columns the
+    incoming frame ADDS are appended after the base columns, forced
+    nullable (pre-evolution files have no values for them, so reads
+    must be able to surface NULL). Raises ValueError on any conflict."""
+    base = json.loads(base_json)
+    new = json.loads(new_json)
+    new_by_name = {f["name"]: f for f in new["fields"]}
+    merged = []
+    for bf in base["fields"]:
+        nf = new_by_name.get(bf["name"])
+        if nf is None:
+            raise ValueError(
+                f"merge_schema append drops column {bf['name']!r}: "
+                "additive evolution only — every base column must be "
+                "present")
+        if nf["type"] != bf["type"]:
+            raise ValueError(
+                f"merge_schema append changes column {bf['name']!r} from "
+                f"{bf['type']!r} to {nf['type']!r}: types must match "
+                "exactly (use alter_versioned_column_type to widen)")
+        merged.append(bf | {"nullable": bf["nullable"] or nf["nullable"]})
+    base_names = {f["name"] for f in base["fields"]}
+    for nf in new["fields"]:
+        if nf["name"] not in base_names:
+            merged.append(nf | {"nullable": True})
+    return json.dumps(base | {"fields": merged})
+
+
 def write_versioned(df: DataFrame, path: str, mode: str = "overwrite",
                     max_retries: int = 10,
                     expect_base: int | None = None,
-                    meta: dict | None = None) -> int:
+                    meta: dict | None = None,
+                    merge_schema: bool = False) -> int:
     """Commit ``df`` as the table's next version; returns the version.
 
     ``mode="overwrite"`` starts a new snapshot; ``mode="append"`` extends
@@ -379,19 +423,26 @@ def write_versioned(df: DataFrame, path: str, mode: str = "overwrite",
             raise CommitConflict(
                 f"{path}: expected base version {expect_base}, found {base} "
                 "(a concurrent writer committed; re-derive and retry)")
+        commit_schema = schema_json
         if mode == "append" and base > 0:
             base_schema = _read_commit(path, base)["schema"]
             if base_schema != schema_json:
-                raise ValueError(
-                    "append schema mismatch: versioned tables take "
-                    "exact-match appends only")
+                if not merge_schema:
+                    raise ValueError(
+                        "append schema mismatch: versioned tables take "
+                        "exact-match appends only (pass merge_schema=True "
+                        "for additive evolution)")
+                # additive evolution: the commit carries the UNION schema
+                # (re-derived per retry — a racing writer may have
+                # evolved the base further)
+                commit_schema = _merge_schemas(base_schema, schema_json)
         version = base + 1
         record = {
             "version": version,
             "action": mode if base > 0 else "overwrite",
             "files": new_files,
             "stats": new_stats,
-            "schema": schema_json,
+            "schema": commit_schema,
             "ts": time.time(),
             "commit_id": commit_id,
         }
@@ -477,15 +528,20 @@ def read_versioned(spark: SparkSession, path: str,
         rel_files = [f for f in rel_files
                      if _range_overlaps(stats.get(f, {}), prune)]
     files = [os.path.join(path, f) for f in rel_files]
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(
+        json.loads(_read_commit(path, version)["schema"]))
     if not files:
         # an empty frame still commits (schema-only snapshot), and a
         # prune can legitimately drop every file — rebuild from schema
-        from pyspark.sql.types import StructType
-
-        schema = StructType.fromJson(
-            json.loads(_read_commit(path, version)["schema"]))
         return spark.createDataFrame([], schema)
-    return spark.read.parquet(*files)
+    # the version's RECORDED schema drives the scan: after an additive
+    # merge_schema append the snapshot's files disagree on columns, and
+    # the explicit schema makes pre-evolution files surface NULL for the
+    # later columns (by-name parquet resolution); time travel to an old
+    # version reads that version's own narrower schema the same way
+    return spark.read.schema(schema).parquet(*files)
 
 
 def table_history(path: str) -> list[dict]:
@@ -628,12 +684,18 @@ def read_change_feed(spark: SparkSession, path: str, from_version: int,
             f"{to_version}] were vacuumed — the feed cannot replay them; "
             "fall back to a full recompute from the current snapshot")
     pieces = []
+    from pyspark.sql.types import StructType
 
-    def _files_df(rel_files, version):
+    def _files_df(rel_files, schema_version):
+        """Plan over files under the RECORDED schema of the commit that
+        defines them — a snapshot evolved by merge_schema appends mixes
+        file schemas, and the explicit schema null-fills the gap."""
         full = [os.path.join(path, f) for f in rel_files]
         if not full:
             return None
-        return spark.read.parquet(*full)
+        schema = StructType.fromJson(
+            json.loads(_read_commit(path, schema_version)["schema"]))
+        return spark.read.schema(schema).parquet(*full)
 
     for v in versions:
         if not (from_version < v <= to_version):
@@ -658,7 +720,7 @@ def read_change_feed(spark: SparkSession, path: str, from_version: int,
                     f"{path}: overwrite at version {v} needs the prior "
                     f"snapshot v{v - 1} for its delete half, but it was "
                     "vacuumed; fall back to a full recompute")
-            old = _files_df(_snapshot_files(path, v - 1), v)
+            old = _files_df(_snapshot_files(path, v - 1), v - 1)
             if old is not None:
                 pieces.append(old.select(
                     "*", F.lit("delete").alias("_change_type"),
@@ -679,5 +741,38 @@ def read_change_feed(spark: SparkSession, path: str, from_version: int,
             F.lit(0).alias("_commit_version")).limit(0)
     out = pieces[0]
     for p in pieces[1:]:
-        out = out.unionByName(p)
+        # allowMissingColumns: commits before an additive schema
+        # evolution are narrower than commits after it — their rows
+        # surface NULL for the later columns, same as the snapshot read
+        out = out.unionByName(p, allowMissingColumns=True)
     return out
+
+
+def alter_versioned_column_type(spark: SparkSession, path: str,
+                                column: str, new_type: str) -> int:
+    """Cast-and-rewrite type change for a versioned table column — the
+    versioned twin of the reference's ALTER COLUMN TYPE workflow
+    (load_tables_daily.py re-types by rebuild + reload; lifecycle.py's
+    ``apply_inferred_schema`` does the unversioned rewrite here): read
+    the latest snapshot, cast the column, and commit the result as a
+    compare-and-swap overwrite — a racing writer raises CommitConflict
+    instead of having its rows silently re-typed away. The commit record
+    carries a ``schema_change`` marker, and the change feed naturally
+    replays the rewrite as delete-snapshot + insert-snapshot (it IS a
+    full-data change — every row's bytes differ).
+
+    Returns the new version. Raises ValueError if the column is absent.
+    Lossy casts follow Spark cast semantics (ANSI mode surfaces errors);
+    the intended use is WIDENING (int -> bigint, float -> double), which
+    is always exact.
+    """
+    base = current_version(path)
+    snap = read_versioned(spark, path, version=base)
+    if column not in snap.columns:
+        raise ValueError(f"{path}: no column {column!r} to alter "
+                         f"(have {snap.columns})")
+    cast = snap.withColumn(column, F.col(column).cast(new_type))
+    return write_versioned(
+        cast, path, mode="overwrite", expect_base=base,
+        meta={"schema_change": {"column": column, "to": new_type}},
+    )

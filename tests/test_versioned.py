@@ -1267,3 +1267,107 @@ def test_incremental_folds_treat_null_key_as_a_real_group(spark, tmp_path):
                     for r in read_versioned(spark, aggm).collect()),
                    key=lambda t: (t[0] is not None, t[0] or ""))
     assert got_m == [(None, 30, 30), ("a", 5, 5)]
+
+
+# --------------------------------------------------------------------------
+# Round 9: additive schema evolution + cast-and-rewrite type widening.
+# --------------------------------------------------------------------------
+
+
+def test_merge_schema_append_adds_nullable_column(spark, tbl):
+    write_versioned(_df(spark, [(1, "a")]), tbl)
+    wide = spark.createDataFrame([(2, "b", 9.5)],
+                                 "id long, v string, score double")
+    assert write_versioned(wide, tbl, mode="append", merge_schema=True) == 2
+    out = {r["id"]: r for r in read_versioned(spark, tbl).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["score"] is None          # pre-evolution file null-fills
+    assert out[2]["score"] == 9.5
+    # union schema: base columns first, new column appended and nullable
+    schema = read_versioned(spark, tbl).schema
+    assert [f.name for f in schema.fields] == ["id", "v", "score"]
+    assert schema["score"].nullable
+
+
+def test_merge_schema_time_travel_keeps_old_schema(spark, tbl):
+    write_versioned(_df(spark, [(1, "a")]), tbl)
+    wide = spark.createDataFrame([(2, "b", 9.5)],
+                                 "id long, v string, score double")
+    write_versioned(wide, tbl, mode="append", merge_schema=True)
+    v1 = read_versioned(spark, tbl, version=1)
+    assert [f.name for f in v1.schema.fields] == ["id", "v"]
+    assert v1.count() == 1
+
+
+def test_append_without_merge_schema_still_rejects(spark, tbl):
+    write_versioned(_df(spark, [(1, "a")]), tbl)
+    wide = spark.createDataFrame([(2, "b", 9.5)],
+                                 "id long, v string, score double")
+    with pytest.raises(ValueError, match="exact-match"):
+        write_versioned(wide, tbl, mode="append")
+
+
+def test_merge_schema_rejects_drops_and_type_changes(spark, tbl):
+    write_versioned(_df(spark, [(1, "a")]), tbl)
+    dropped = spark.createDataFrame([(2,)], "id long")
+    with pytest.raises(ValueError, match="drops column"):
+        write_versioned(dropped, tbl, mode="append", merge_schema=True)
+    retyped = spark.createDataFrame([(2, 7)], "id long, v long")
+    with pytest.raises(ValueError, match="changes column"):
+        write_versioned(retyped, tbl, mode="append", merge_schema=True)
+
+
+def test_merge_schema_chain_and_second_evolution(spark, tbl):
+    """Two successive evolutions stack; appends after them may carry the
+    full union schema exactly."""
+    write_versioned(_df(spark, [(1, "a")]), tbl)
+    w1 = spark.createDataFrame([(2, "b", 9.5)],
+                               "id long, v string, score double")
+    write_versioned(w1, tbl, mode="append", merge_schema=True)
+    w2 = spark.createDataFrame([(3, "c", 1.5, "x")],
+                               "id long, v string, score double, tag string")
+    write_versioned(w2, tbl, mode="append", merge_schema=True)
+    out = {r["id"]: r for r in read_versioned(spark, tbl).collect()}
+    assert [f.name for f in read_versioned(spark, tbl).schema.fields] == [
+        "id", "v", "score", "tag"]
+    assert out[1]["score"] is None and out[1]["tag"] is None
+    assert out[2]["score"] == 9.5 and out[2]["tag"] is None
+    assert out[3]["tag"] == "x"
+
+
+def test_change_feed_across_schema_evolution(spark, tbl):
+    from covid_19_data_engineering_spark.sources.versioned import (
+        read_change_feed,
+    )
+
+    write_versioned(_df(spark, [(1, "a")]), tbl)
+    wide = spark.createDataFrame([(2, "b", 9.5)],
+                                 "id long, v string, score double")
+    write_versioned(wide, tbl, mode="append", merge_schema=True)
+    feed = read_change_feed(spark, tbl, from_version=0).collect()
+    by_id = {r["id"]: r for r in feed}
+    assert by_id[1]["_change_type"] == "insert"
+    assert by_id[1]["score"] is None        # pre-evolution commit aligned
+    assert by_id[2]["score"] == 9.5
+
+
+def test_alter_versioned_column_type_widens(spark, tbl):
+    from covid_19_data_engineering_spark.sources.versioned import (
+        alter_versioned_column_type,
+    )
+
+    narrow = spark.createDataFrame([(1, 10), (2, 20)], "id long, n int")
+    write_versioned(narrow, tbl)
+    v = alter_versioned_column_type(spark, tbl, "n", "bigint")
+    assert v == 2
+    out = read_versioned(spark, tbl)
+    assert dict(out.dtypes)["n"] == "bigint"
+    assert sorted(r["n"] for r in out.collect()) == [10, 20]
+    # the rewrite is an overwrite commit carrying the schema_change marker
+    assert table_history(tbl)[0]["action"] == "overwrite"
+    rec = json.load(open(os.path.join(tbl, "_log", "00000002.json")))
+    assert rec["schema_change"] == {"column": "n", "to": "bigint"}
+    # time travel still reads the pre-widening schema
+    assert dict(read_versioned(spark, tbl, version=1).dtypes)["n"] == "int"
+    with pytest.raises(ValueError, match="no column"):
+        alter_versioned_column_type(spark, tbl, "missing", "bigint")
