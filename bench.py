@@ -164,6 +164,8 @@ EXTRA = [
     "contrastive_pair_mining",
     "kcore_copurchase",
     "tfidf_doc_neighbors",
+    "price_quantity_ols",
+    "events_daily_trend",
 ]
 
 

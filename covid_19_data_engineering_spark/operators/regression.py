@@ -1,0 +1,246 @@
+"""Closed-form least-squares regression operators — the "fit a line/plane
+through 100 TB" workload, done the way distributed OLS should be: the
+corpus reduces to its sufficient statistics (the moment sums behind
+X'X and X'y) in ONE map-side-combined aggregate, and the solve is a
+fixed-order arithmetic expression over that single row. No iteration, no
+driver-side math, no second pass (R^2 comes from the same moments via
+SSE = Syy - b.X'y).
+
+Float-parity strategy (drift.py's rule): every moment that crosses the
+aggregation is an exact BIGINT — predictors and responses are scaled to
+integer units first (cents, discount basis points), products of two
+scaled integers are exact BIGINTs, and only the one-row solve touches
+doubles (identically parenthesized in the DuckDB twin). Cramer's rule on
+the 3x3 normal equations is deterministic because every input is an
+exact integer-derived double and the expression tree is shared verbatim.
+
+No reference analogue (tdiprima/covid-19-data-engineering delegates all
+analytics to its warehouses); SURVEY §2 C-extensions.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from covid_19_data_engineering_spark.plans.registry import register
+from covid_19_data_engineering_spark.sources.tables import load_table
+
+# moment sums over exact integer units: q = quantity (integral in the
+# data, kept raw), d = discount in basis points (1e4), y = price cents.
+# Each PRODUCT fits BIGINT comfortably (q*y <= 5e8, y*y <= 1e14); the
+# SUMS go through exact DECIMAL(38,0) — sum(y^2) alone passes 6e19 at
+# sf0.1, past BIGINT — which both engines then convert to double with
+# one correctly-rounded cast
+_MOMS = (
+    ("n", "COUNT(*)"),
+    ("sq", "SUM(CAST(q AS DECIMAL(38,0)))"),
+    ("sd", "SUM(CAST(d AS DECIMAL(38,0)))"),
+    ("sy", "SUM(CAST(y AS DECIMAL(38,0)))"),
+    ("sqq", "SUM(CAST(q * q AS DECIMAL(38,0)))"),
+    ("sqd", "SUM(CAST(q * d AS DECIMAL(38,0)))"),
+    ("sdd", "SUM(CAST(d * d AS DECIMAL(38,0)))"),
+    ("sqy", "SUM(CAST(q * y AS DECIMAL(38,0)))"),
+    ("sdy", "SUM(CAST(d * y AS DECIMAL(38,0)))"),
+    ("syy", "SUM(CAST(y * y AS DECIMAL(38,0)))"),
+)
+
+# the shared solve, written once against the (unscaled-back) double
+# moments mq.., produced identically by both engines. Cramer's rule on
+#   [ n   Sq   Sd ] [b0]   [ Sy  ]
+#   [ Sq  Sqq  Sqd ] [b1] = [ Sqy ]
+#   [ Sd  Sqd  Sdd ] [b2]   [ Sdy ]
+_DET = ("(n * (sqq * sdd - sqd * sqd) - sq * (sq * sdd - sqd * sd) "
+        "+ sd * (sq * sqd - sqq * sd))")
+_B0 = ("(sy * (sqq * sdd - sqd * sqd) - sq * (sqy * sdd - sqd * sdy) "
+       "+ sd * (sqy * sqd - sqq * sdy))")
+_B1 = ("(n * (sqy * sdd - sqd * sdy) - sy * (sq * sdd - sqd * sd) "
+       "+ sd * (sq * sdy - sqy * sd))")
+_B2 = ("(n * (sqq * sdy - sqy * sqd) - sq * (sq * sdy - sqy * sd) "
+       "+ sy * (sq * sqd - sqq * sd))")
+
+
+def _solve_list() -> list[str]:
+    """Aliased SELECT expressions (shared Spark/DuckDB SQL) solving the
+    normal equations from the double-cast moment row and deriving R^2."""
+    det = f"NULLIF({_DET}, 0)"
+    b0 = f"({_B0} / {det})"
+    b1 = f"({_B1} / {det})"
+    b2 = f"({_B2} / {det})"
+    sse = f"(syy - {b0} * sy - {b1} * sqy - {b2} * sdy)"
+    sst = "NULLIF(syy - sy * sy / n, 0)"
+    return [
+        "CAST(n AS BIGINT) AS n_rows",
+        f"ROUND({b0}, 6) AS intercept",
+        f"ROUND({b1}, 6) AS coef_quantity",
+        f"ROUND({b2}, 6) AS coef_discount",
+        f"ROUND(1 - {sse} / {sst}, 6) AS r2",
+    ]
+
+
+# double-cast view of the BIGINT moments with units scaled back to the
+# natural ones (y dollars, d fractional discount) so the reported
+# coefficients are human-readable; scaling is exact powers-of-ten
+# division applied identically on both engines
+_UNSCALE_LIST = [
+    "CAST(n AS DOUBLE) AS n",
+    "CAST(sq AS DOUBLE) AS sq",
+    "CAST(sd AS DOUBLE) / 1e4 AS sd",
+    "CAST(sy AS DOUBLE) / 1e2 AS sy",
+    "CAST(sqq AS DOUBLE) AS sqq",
+    "CAST(sqd AS DOUBLE) / 1e4 AS sqd",
+    "CAST(sdd AS DOUBLE) / 1e8 AS sdd",
+    "CAST(sqy AS DOUBLE) / 1e2 AS sqy",
+    "CAST(sdy AS DOUBLE) / 1e6 AS sdy",
+    "CAST(syy AS DOUBLE) / 1e4 AS syy",
+]
+
+
+def ols_price_model(lineitem: DataFrame) -> DataFrame:
+    """One-row OLS fit of extendedprice ~ quantity + discount with R^2:
+    10 exact-BIGINT moment sums in one map-side-combined aggregate, then
+    Cramer's rule on the single moment row."""
+    units = lineitem.select(
+        F.expr("CAST(round(l_quantity) AS BIGINT)").alias("q"),
+        F.expr("CAST(round(l_discount * 10000) AS BIGINT)").alias("d"),
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("y"),
+    )
+    moms = units.agg(*[F.expr(sql).alias(name) for name, sql in _MOMS])
+    return moms.selectExpr(*_UNSCALE_LIST).selectExpr(*_solve_list())
+
+
+@register(
+    "price_quantity_ols",
+    oracle=f"""
+    WITH units AS (
+      SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+             CAST(round(l_discount * 10000) AS BIGINT) AS d,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    moms AS (
+      SELECT {", ".join(f"{sql} AS {name}" for name, sql in _MOMS)}
+      FROM units
+    ),
+    unscaled AS (
+      SELECT {", ".join(_UNSCALE_LIST)} FROM moms
+    )
+    SELECT {", ".join(_solve_list())} FROM unscaled
+    """,
+    doc="Closed-form OLS of l_extendedprice ~ l_quantity + l_discount "
+    "with R^2: the corpus reduces to 10 exact-BIGINT moment sums "
+    "(integer cents/basis points, so the X'X sufficient statistics are "
+    "association-order-independent) in ONE map-side-combined aggregate; "
+    "Cramer's rule then solves the 3x3 normal equations as a fixed-order "
+    "double expression over the single moment row — distributed "
+    "regression with no iteration and no second pass (SSE folds from "
+    "the same moments).",
+)
+def price_quantity_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ols_price_model(load_table(spark, "lineitem", sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Grouped linear trend: slope of the daily value series per event type.
+# --------------------------------------------------------------------------
+
+def daily_trend_by_type(events: DataFrame) -> DataFrame:
+    """Per event_type: the least-squares linear trend of daily value
+    totals over the day index — (event_type, n_days, slope_cents_per_day,
+    intercept_cents, r2). The grouped twin of the OLS above: per-group
+    sufficient statistics via one (type, day) rollup + one type rollup,
+    simple-regression closed form per group.
+
+    Exactness: x is the day index from an epoch-day expression (exact
+    integer), y is the daily total in BIGINT cents; the five per-group
+    moments are exact integer sums, the per-group solve is fixed-order
+    doubles. 100 TB shape: one (type, day) map-side-combined groupBy —
+    the only corpus-wide work — then O(types * days) rows.
+    """
+    daily = (
+        events.groupBy(
+            "event_type",
+            F.expr("CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') "
+                   "AS BIGINT)").alias("x"),
+        )
+        .agg(F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("y"))
+    )
+    moms = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("y * y")).alias("syy"),
+    )
+    slope = ("((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) "
+             "/ NULLIF(CAST(n AS DOUBLE) * sxx "
+             "- CAST(sx AS DOUBLE) * sx, 0))")
+    intercept = f"((sy - {slope} * sx) / CAST(n AS DOUBLE))"
+    # r2 via the correlation form: cov^2 / (var_x * var_y), all off the
+    # same integer moments
+    # NULLIF: a constant series (var_y = 0, e.g. a flat planted type)
+    # has undefined r2 — NULL on both engines instead of an ANSI
+    # divide-by-zero
+    r2 = ("(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) "
+          "* (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)) "
+          "/ NULLIF((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) "
+          "* (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy), 0))")
+    return (
+        moms.selectExpr(
+            "event_type",
+            "CAST(n AS BIGINT) AS n_days",
+            f"ROUND({slope}, 6) AS slope_cents_per_day",
+            f"ROUND({intercept}, 4) AS intercept_cents",
+            f"ROUND({r2}, 6) AS r2",
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_daily_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS x,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    moms AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type,
+           n AS n_days,
+           ROUND(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                  / NULLIF(CAST(n AS DOUBLE) * sxx
+                           - CAST(sx AS DOUBLE) * sx, 0)), 6)
+             AS slope_cents_per_day,
+           ROUND(((sy - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                  / NULLIF(CAST(n AS DOUBLE) * sxx
+                           - CAST(sx AS DOUBLE) * sx, 0)) * sx)
+                  / CAST(n AS DOUBLE)), 4) AS intercept_cents,
+           ROUND((((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                   * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
+                  / NULLIF((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                     * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy),
+                     0)), 6) AS r2
+    FROM moms
+    ORDER BY event_type
+    """,
+    doc="Per-event-type least-squares linear trend of daily value totals "
+    "(slope, intercept, r2) — the grouped closed-form regression: one "
+    "(type, day) map-side-combined groupBy reduces the corpus to exact "
+    "BIGINT moments (epoch-day x, integer-cent y), then the per-group "
+    "solve is fixed-order double arithmetic on O(types) rows.",
+)
+def events_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return daily_trend_by_type(load_table(spark, "events", sf_dir))

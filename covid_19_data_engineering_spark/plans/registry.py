@@ -137,11 +137,11 @@ PRIORITY = (
     # in for the first-seen novelty audit (text keeps keyness and zipf in
     # the head; ngram_novelty_profile stays gate-checked in full)
     "customer_lifetime_km",
-    # and the streaming-adjacent lateness profile (watermark sizing);
-    # events_asof_click_before_purchase rotates out but stays gate-checked
-    # in full — the temporal family keeps events_interval_coverage,
-    # dup_span_profile, and the two drift reps in the head
-    "events_lateness_profile",
+    # round-9 grouped-regression swap: the per-type daily linear trend
+    # rotates in for the lateness profile (temporal keeps the drift,
+    # CUSUM, ACF, and interval-coverage reps in the head;
+    # events_lateness_profile stays gate-checked in full)
+    "events_daily_trend",
     # plus the SPC control chart and the functional-dependency audit;
     # column_sample and customer_scd2_merge rotate out but stay
     # gate-checked in full (profiling keeps count_validation and
@@ -166,11 +166,11 @@ PRIORITY = (
     # (the skew family keeps shuffle_skew_report there; salting is also
     # pytest-pinned)
     "copurchase_association_rules",
-    # and the sweep-line backlog curve (interval counting with no
-    # interval x date explosion); dedup_embedding_cosine rotates out but
-    # stays gate-checked in full — the embedding-dedup family keeps
-    # semantic_dedup/semantic_dedup_ivf in the head
-    "orders_open_backlog_curve",
+    # round-9 regression family: the closed-form OLS (normal equations
+    # off one exact-moment aggregate) rotates in for the sweep-line
+    # backlog curve (intervals keep events_interval_coverage in the
+    # head; orders_open_backlog_curve stays gate-checked in full)
+    "price_quantity_ols",
     # round-9 time-series swap: the daily autocorrelation profile rotates
     # in for the sessionize->quantile composition (quantiles keep
     # exact_price_quantiles, the robust fence, and the calibration in the
@@ -330,6 +330,7 @@ def _ensure_loaded() -> None:
     import covid_19_data_engineering_spark.operators.cohort  # noqa: F401
     import covid_19_data_engineering_spark.operators.contingency  # noqa: F401
     import covid_19_data_engineering_spark.operators.survival  # noqa: F401
+    import covid_19_data_engineering_spark.operators.regression  # noqa: F401
     import covid_19_data_engineering_spark.operators.gram  # noqa: F401
     import covid_19_data_engineering_spark.functions.udfs  # noqa: F401
     import covid_19_data_engineering_spark.streaming.events  # noqa: F401

@@ -2995,3 +2995,52 @@ def test_tfidf_neighbors_planted_similarity(spark):
     assert ranked_ids == [1, 2, 3]  # rare-term overlap orders the list
     # the disjoint doc shares no term -> no dot row at all
     assert 4 not in ranked_ids
+
+
+def test_ols_recovers_planted_plane(spark):
+    """Noise-free y = 100 + 5q - 200d recovers the exact coefficients
+    with r2 = 1."""
+    from covid_19_data_engineering_spark.operators.regression import (
+        ols_price_model,
+    )
+
+    rows = []
+    for q in range(1, 21):
+        for dbp in (0, 250, 500, 1000):   # discount basis points
+            d = dbp / 10000.0
+            y = 100.0 + 5.0 * q - 200.0 * d
+            rows.append((q * 1.0, d, y))
+    li = spark.createDataFrame(
+        rows, "l_quantity double, l_discount double, l_extendedprice double")
+    r = ols_price_model(li).collect()[0]
+    assert r["n_rows"] == 80
+    assert abs(r["intercept"] - 100.0) < 1e-4
+    assert abs(r["coef_quantity"] - 5.0) < 1e-6
+    assert abs(r["coef_discount"] + 200.0) < 1e-3
+    assert r["r2"] == 1.0
+
+
+def test_daily_trend_recovers_planted_slope(spark):
+    """A type whose daily total climbs exactly 300 cents/day reads slope
+    300 with r2 = 1; a flat type reads slope 0."""
+    from datetime import datetime, timedelta
+
+    from covid_19_data_engineering_spark.operators.regression import (
+        daily_trend_by_type,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    for d in range(20):
+        rows.append((d, base + timedelta(days=d), 1, "up",
+                     10.0 + 3.0 * d, "{}"))
+        rows.append((1000 + d, base + timedelta(days=d), 1, "flat",
+                     42.0, "{}"))
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    out = {r["event_type"]: r for r in daily_trend_by_type(events).collect()}
+    assert out["up"]["slope_cents_per_day"] == 300.0
+    assert out["up"]["r2"] == 1.0
+    assert out["flat"]["slope_cents_per_day"] == 0.0
+    assert out["up"]["n_days"] == 20

@@ -125,6 +125,8 @@ FAMILY = [
     "contrastive_pair_mining",
     "kcore_copurchase",
     "tfidf_doc_neighbors",
+    "price_quantity_ols",
+    "events_daily_trend",
 ]
 
 ID_OFFSET = 1_000_000
