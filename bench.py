@@ -166,6 +166,8 @@ EXTRA = [
     "tfidf_doc_neighbors",
     "price_quantity_ols",
     "events_daily_trend",
+    "purchase_attribution_linear",
+    "error_value_split_gain",
 ]
 
 

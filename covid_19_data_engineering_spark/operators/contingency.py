@@ -146,3 +146,158 @@ def order_status_priority_independence(spark: SparkSession,
     orders = load_table(spark, "orders", sf_dir)
     return contingency_independence(orders, "o_orderstatus",
                                     "o_orderpriority")
+
+
+# --------------------------------------------------------------------------
+# Best binary split of a numeric feature by information gain.
+# --------------------------------------------------------------------------
+
+IG_BINS = 64
+_IG_FX = 1_000_000_000
+
+# weighted entropy in nat-counts: n*H(S) = T(n) - T(p) - T(n-p) with
+# T(x) = x*ln(x) (0 for x = 0), each T fixed-pointed BEFORE any sum so
+# the candidate scores are exact integer arithmetic over six terms
+_T = ("(CASE WHEN {x} > 0 THEN CAST(round(CAST({x} AS DOUBLE) * "
+      f"ln(CAST({{x}} AS DOUBLE)) * {_IG_FX}) AS BIGINT) ELSE 0 END)")
+
+
+def _w(n: str, p: str) -> str:
+    return (f"({_T.format(x=n)} - {_T.format(x=p)} "
+            f"- {_T.format(x=f'({n} - {p})')})")
+
+
+def best_split_information_gain(df: DataFrame, value_col: str,
+                                label_col: str,
+                                bins: int = IG_BINS) -> DataFrame:
+    """One-row decision-stump search: the binary split of ``value_col``
+    (over a shared equal-width integer-cent grid) that maximizes
+    information gain against the boolean ``label_col`` — the
+    feature-quality probe a quality-classifier pipeline runs before
+    training anything.
+
+    (split_cents, n_left, pos_left, n_right, pos_right, info_gain).
+
+    Exactness: candidate scores are n*IG in fixed-point nat-counts —
+    every x*ln(x) term is individually rounded to 1e-9 units off exact
+    BIGINT counts, so the argmax (min-boundary tiebreak) and the gain
+    are engine-identical. 100 TB shape: one map-side-combined bin
+    groupBy is the only corpus-wide work; the 63-candidate scan is a
+    window over <= bins rows.
+    """
+    lim = df.agg(
+        F.min(F.expr(f"CAST(round({value_col} * 100) AS BIGINT)"))
+        .alias("lo"),
+        F.max(F.expr(f"CAST(round({value_col} * 100) AS BIGINT)"))
+        .alias("hi"),
+    )
+    binned = df.crossJoin(F.broadcast(lim)).select(
+        F.expr(f"CAST((CAST(round({value_col} * 100) AS BIGINT) - lo) "
+               f"* {bins} DIV (hi - lo + 1) AS BIGINT)").alias("b"),
+        F.col(label_col).cast("long").alias("pos"),
+        "lo", "hi",
+    )
+    cnt = binned.groupBy("b", "lo", "hi").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("pos").alias("p")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("b")  # O(bins) rows — harmless
+    tot = cnt.agg(F.sum("n").alias("nt"), F.sum("p").alias("pt"))
+    cum = (
+        cnt.withColumn("nl", F.sum("n").over(w))
+        .withColumn("pl", F.sum("p").over(w))
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("nl") < F.col("nt"))  # a split must leave a right side
+        .select(
+            "b", "lo", "hi", "nl", "pl",
+            (F.col("nt") - F.col("nl")).alias("nr"),
+            (F.col("pt") - F.col("pl")).alias("pr"),
+            "nt", "pt",
+            F.expr(f"{_w('nt', 'pt')} - {_w('nl', 'pl')} "
+                   f"- {_w('(nt - nl)', '(pt - pl)')}").alias("score_fx"),
+        )
+    )
+    mx = cum.agg(F.max("score_fx").alias("best_fx"))
+    return (
+        cum.crossJoin(F.broadcast(mx))
+        .where(F.col("score_fx") == F.col("best_fx"))
+        .groupBy()
+        .agg(
+            F.min("b").alias("_b"),
+            F.min(F.expr("lo + ((b + 1) * (hi - lo + 1)) div "
+                         f"{bins}")).alias("split_cents"),
+            F.min("nl").alias("n_left"),
+            F.min("pl").alias("pos_left"),
+            F.min("nr").alias("n_right"),
+            F.min("pr").alias("pos_right"),
+            F.min(F.expr(
+                f"round(CAST(score_fx AS DOUBLE) / {_IG_FX} / nt, 6)"
+            )).alias("info_gain"),
+        )
+        .drop("_b")
+        .select("split_cents", "n_left", "pos_left", "n_right",
+                "pos_right", "info_gain")
+    )
+
+
+@register(
+    "error_value_split_gain",
+    oracle=f"""
+    WITH lim AS (
+      SELECT MIN(CAST(round(value * 100) AS BIGINT)) AS lo,
+             MAX(CAST(round(value * 100) AS BIGINT)) AS hi
+      FROM events
+    ),
+    binned AS (
+      SELECT CAST((CAST(round(value * 100) AS BIGINT) - lo) * {IG_BINS}
+                  // (hi - lo + 1) AS BIGINT) AS b,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS pos,
+             lo, hi
+      FROM events, lim
+    ),
+    cnt AS (
+      SELECT b, lo, hi, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(pos) AS BIGINT) AS p
+      FROM binned GROUP BY b, lo, hi
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(p) AS BIGINT) AS pt
+      FROM cnt
+    ),
+    cum AS (
+      SELECT b, lo, hi,
+             CAST(SUM(n) OVER (ORDER BY b) AS BIGINT) AS nl,
+             CAST(SUM(p) OVER (ORDER BY b) AS BIGINT) AS pl,
+             nt, pt
+      FROM cnt, tot
+    ),
+    scored AS (
+      SELECT b, lo, hi, nl, pl, nt - nl AS nr, pt - pl AS pr, nt, pt,
+             {_w('nt', 'pt')} - {_w('nl', 'pl')}
+               - {_w('(nt - nl)', '(pt - pl)')} AS score_fx
+      FROM cum WHERE nl < nt
+    )
+    SELECT MIN(lo + ((b + 1) * (hi - lo + 1)) // {IG_BINS})
+             AS split_cents,
+           MIN(nl) AS n_left, MIN(pl) AS pos_left,
+           MIN(nr) AS n_right, MIN(pr) AS pos_right,
+           MIN(round(CAST(score_fx AS DOUBLE) / {_IG_FX} / nt, 6))
+             AS info_gain
+    FROM scored
+    WHERE score_fx = (SELECT MAX(score_fx) FROM scored)
+    """,
+    doc=f"Decision-stump feature probe: the binary split of the value "
+    f"column (over {IG_BINS} shared integer-cent bins) that maximizes "
+    "information gain against the error label. Candidate scores are n*IG "
+    "in fixed-point nat-counts (every x*ln(x) term individually rounded "
+    "off exact BIGINT counts), so the argmax and the gain are engine-"
+    "identical; one bin groupBy is the only corpus-wide work and the "
+    "candidate scan is a window over <= bins rows.",
+)
+def error_value_split_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    return best_split_information_gain(
+        events.select("value", (F.col("event_type") == "error")
+                      .alias("is_error")),
+        "value", "is_error")

@@ -132,7 +132,11 @@ PRIORITY = (
     # round-9 drift swap: the binned two-sample KS statistic rotates in
     # for events_drift_js (same family; JS stays gate-checked in full)
     "events_ks_drift",
-    "robust_price_outliers",
+    # round-9 supervised-probe swap: the information-gain decision stump
+    # rotates in for the MAD fence (both decide from exact integer
+    # counts; robust_price_outliers stays gate-checked in full and the
+    # quantile family keeps exact_price_quantiles + the calibration)
+    "error_value_split_gain",
     # round-9 survival analytics: the Kaplan-Meier lifetime curve rotates
     # in for the first-seen novelty audit (text keeps keyness and zipf in
     # the head; ngram_novelty_profile stays gate-checked in full)
@@ -246,9 +250,12 @@ PRIORITY = (
     "tpch_q2_min_cost_supplier",
     "kcore_copurchase",
     # events: temporal analytics, gap repair, substring dedup, keyless
-    # interval join (hourly_active_users rotates out; the temporal family
-    # keeps three other head representatives)
-    "events_interval_coverage",
+    # interval join (hourly_active_users rotated out round 8; round 9
+    # rotates the linear multi-touch attribution in for the interval-
+    # coverage rep — attribution IS a user-keyed temporal range join, so
+    # the family keeps the plan shape; events_interval_coverage stays
+    # gate-checked in full)
+    "purchase_attribution_linear",
     # deduplication families
     # (dedup_simhash rotated out for the round-8 prefix-filter family
     # above; dedup_minhash_lsh rotated out round 9 for the IVM family —
@@ -331,6 +338,7 @@ def _ensure_loaded() -> None:
     import covid_19_data_engineering_spark.operators.contingency  # noqa: F401
     import covid_19_data_engineering_spark.operators.survival  # noqa: F401
     import covid_19_data_engineering_spark.operators.regression  # noqa: F401
+    import covid_19_data_engineering_spark.operators.attribution  # noqa: F401
     import covid_19_data_engineering_spark.operators.gram  # noqa: F401
     import covid_19_data_engineering_spark.functions.udfs  # noqa: F401
     import covid_19_data_engineering_spark.streaming.events  # noqa: F401

@@ -3044,3 +3044,51 @@ def test_daily_trend_recovers_planted_slope(spark):
     assert out["up"]["r2"] == 1.0
     assert out["flat"]["slope_cents_per_day"] == 0.0
     assert out["up"]["n_days"] == 20
+
+
+def test_linear_attribution_splits_credit_exactly(spark):
+    """A purchase preceded by one view and one click splits 50/50; a
+    touch outside the window is ignored; an untouched purchase lands in
+    'direct' with full value."""
+    from datetime import datetime, timedelta
+
+    from covid_19_data_engineering_spark.operators.attribution import (
+        linear_attribution,
+    )
+
+    t0 = datetime(2024, 1, 10, 12, 0)
+    rows = [
+        (1, t0 - timedelta(hours=2), 1, "view", 1.0, "{}"),
+        (2, t0 - timedelta(hours=1), 1, "click", 1.0, "{}"),
+        (3, t0 - timedelta(hours=100), 1, "view", 1.0, "{}"),  # too old
+        (4, t0, 1, "purchase", 10.0, "{}"),
+        (5, t0, 2, "purchase", 7.0, "{}"),                     # untouched
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    out = {r["touch_type"]: r for r in linear_attribution(events).collect()}
+    assert out["view"]["attributed_cents"] == 500
+    assert out["click"]["attributed_cents"] == 500
+    assert out["view"]["n_touches"] == 1      # the 100h-old view excluded
+    assert out["direct"]["attributed_cents"] == 700
+    assert out["direct"]["n_conversions"] == 1
+
+
+def test_split_gain_finds_planted_boundary(spark):
+    """Labels perfectly separated at value 50 give info_gain = full label
+    entropy and the split boundary lands between the clusters."""
+    import math
+
+    from covid_19_data_engineering_spark.operators.contingency import (
+        best_split_information_gain,
+    )
+
+    rows = ([(float(v), False) for v in range(0, 40)]
+            + [(float(v), True) for v in range(60, 100)])
+    df = spark.createDataFrame(rows, "value double, is_err boolean")
+    r = best_split_information_gain(df, "value", "is_err").collect()[0]
+    assert r["pos_left"] == 0 and r["pos_right"] == 40
+    assert r["n_left"] == 40 and r["n_right"] == 40
+    assert 3900 <= r["split_cents"] <= 6000   # between the clusters
+    assert abs(r["info_gain"] - math.log(2)) < 1e-6  # full entropy of 50/50

@@ -127,6 +127,8 @@ FAMILY = [
     "tfidf_doc_neighbors",
     "price_quantity_ols",
     "events_daily_trend",
+    "purchase_attribution_linear",
+    "error_value_split_gain",
 ]
 
 ID_OFFSET = 1_000_000
