@@ -775,3 +775,68 @@ def test_continuation2_operator_plans(spark):
     # self-join and both support joins must be hash joins
     assert rules.count("BroadcastNestedLoopJoin") <= 1
     assert "TakeOrderedAndProject" in rules
+
+
+def test_round9_operator_plans(spark):
+    """Plan pins for the round-9 continuation-2 operators: single
+    map-side-combined corpus shuffles for the monitoring/stat families,
+    broadcast anchors (never a corpus-side SortMergeJoin) for the
+    similarity-shaped scans, partitioned rank windows for the
+    rank-statistics ops, and zero row-at-a-time Python anywhere."""
+    sf = SF_SMOKE
+
+    cusum = _executed_plan(REGISTRY["events_cusum_changepoint"].builder(spark, sf))
+    assert "BatchEvalPython" not in cusum
+    # the only fact-size shuffle keys on the day expression (compiled to
+    # _groupingexpression); the scan is pruned to (ts, value) and the
+    # ordered window runs on the tiny aggregated day table
+    assert "hashpartitioning(_groupingexpression" in cusum
+    assert "ReadSchema: struct<ts:timestamp_ntz,value:double>" in cusum
+
+    ks = _executed_plan(REGISTRY["events_ks_drift"].builder(spark, sf))
+    assert "hashpartitioning(b" in ks          # bin-keyed corpus shuffle
+    assert "CartesianProduct" not in ks
+
+    cohort = _executed_plan(REGISTRY["cohort_retention_matrix"].builder(spark, sf))
+    # cohort month comes from a window over the SAME custkey partitioning
+    # as the distinct — no corpus join-back, no SortMergeJoin
+    assert "hashpartitioning(o_custkey" in cohort
+    assert "SortMergeJoin" not in cohort       # sizes join is broadcast
+    assert "BroadcastHashJoin" in cohort
+
+    auc = _executed_plan(REGISTRY["events_value_auc"].builder(spark, sf))
+    rn = [l for l in auc.splitlines() if "row_number()" in l]
+    assert rn and all("_bkt" in l for l in rn)  # rank windows per bucket
+
+    gini = _executed_plan(REGISTRY["customer_revenue_gini"].builder(spark, sf))
+    rn = [l for l in gini.splitlines() if "row_number()" in l]
+    assert rn and all("_bkt" in l for l in rn)
+
+    pairs = _executed_plan(REGISTRY["contrastive_pair_mining"].builder(spark, sf))
+    assert "BroadcastNestedLoopJoin" in pairs or "BroadcastHashJoin" in pairs
+    assert "SortMergeJoin" not in pairs        # anchors broadcast
+    assert "WindowGroupLimit" in pairs         # per-(anchor,side) top-k map-side
+    assert "BatchEvalPython" not in pairs
+
+    tfidf = _executed_plan(REGISTRY["tfidf_doc_neighbors"].builder(spark, sf))
+    assert "WindowGroupLimit" in tfidf
+    assert "CartesianProduct" not in tfidf
+
+    ols = _executed_plan(REGISTRY["price_quantity_ols"].builder(spark, sf))
+    # the whole corpus reduces through ONE partial+final aggregate pair:
+    # no join, no window, no Python
+    assert "SortMergeJoin" not in ols and "Window" not in ols
+    assert ols.count("HashAggregate") >= 2     # partial + final
+    assert "BatchEvalPython" not in ols
+
+    attr = _executed_plan(REGISTRY["purchase_attribution_linear"].builder(spark, sf))
+    assert "CartesianProduct" not in attr      # user-keyed equi-join
+    assert "BatchEvalPython" not in attr
+
+    gain = _executed_plan(REGISTRY["error_value_split_gain"].builder(spark, sf))
+    assert "hashpartitioning(b" in gain        # bin-keyed corpus shuffle
+    assert "BatchEvalPython" not in gain
+
+    video = _executed_plan(REGISTRY["multimodal_video_features"].builder(spark, sf))
+    assert "MapInPandas" in video              # the one Arrow stage
+    assert "BatchEvalPython" not in video
