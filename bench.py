@@ -168,6 +168,8 @@ EXTRA = [
     "events_daily_trend",
     "purchase_attribution_linear",
     "error_value_split_gain",
+    "events_dow_seasonality",
+    "revenue_weighted_price_quantiles",
 ]
 
 

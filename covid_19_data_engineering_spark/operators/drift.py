@@ -676,3 +676,78 @@ def acf_daily_profile(events: DataFrame,
 )
 def events_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return acf_daily_profile(load_table(spark, "events", sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Day-of-week seasonality profile of the daily value series.
+# --------------------------------------------------------------------------
+
+def dow_seasonality_profile(events: DataFrame) -> DataFrame:
+    """Per day-of-week (1 = Sunday .. 7 = Saturday, Spark's dayofweek
+    convention): days observed, total value, and the seasonal index —
+    that weekday's mean daily total over the all-days mean. The
+    deseasonalization factor a forecast or anomaly pipeline divides by
+    before comparing days; index > 1 = structurally busy weekday.
+
+    Exactness: index = (sum_dow * N) / (n_dow * S) — one fixed-order
+    double off four exact BIGINTs per row. 100 TB shape: one day-keyed
+    map-side-combined groupBy, then O(7) rows.
+    """
+    daily = (
+        events.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("x_fp"))
+    )
+    per_dow = daily.groupBy(F.dayofweek("day").alias("dow")).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x_fp").alias("total_cents"),
+    )
+    tot = per_dow.agg(
+        F.sum("n_days").alias("n_all"), F.sum("total_cents").alias("s_all")
+    )
+    return (
+        per_dow.crossJoin(F.broadcast(tot))
+        .select(
+            "dow", "n_days", "total_cents",
+            F.round(
+                F.expr("(CAST(total_cents AS DOUBLE) * n_all) "
+                       "/ (CAST(n_days AS DOUBLE) * s_all)"), 6
+            ).alias("seasonal_index"),
+        )
+        .orderBy("dow")
+    )
+
+
+@register(
+    "events_dow_seasonality",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x_fp
+      FROM events GROUP BY 1
+    ),
+    per_dow AS (
+      -- +1: DuckDB dayofweek is 0=Sunday..6, Spark's is 1=Sunday..7
+      SELECT CAST(dayofweek(day) + 1 AS INTEGER) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(x_fp) AS BIGINT) AS total_cents
+      FROM daily GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_days) AS BIGINT) AS n_all,
+             CAST(SUM(total_cents) AS BIGINT) AS s_all
+      FROM per_dow
+    )
+    SELECT dow, n_days, total_cents,
+           ROUND((CAST(total_cents AS DOUBLE) * n_all)
+                 / (CAST(n_days AS DOUBLE) * s_all), 6) AS seasonal_index
+    FROM per_dow, tot
+    ORDER BY dow
+    """,
+    doc="Day-of-week seasonality profile of daily value totals: per "
+    "weekday, the mean-daily-total ratio vs the all-days mean (the "
+    "deseasonalization factor), computed as (sum_dow * N)/(n_dow * S) "
+    "off exact BIGINTs. One day-keyed map-side-combined groupBy, then "
+    "O(7) rows — the calendar twin of the ACF profile above.",
+)
+def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dow_seasonality_profile(load_table(spark, "events", sf_dir))

@@ -237,3 +237,127 @@ def robust_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir) \
         .select("l_returnflag", "l_extendedprice")
     return mad_outlier_report(li, "l_extendedprice", "l_returnflag")
+
+
+# --------------------------------------------------------------------------
+# Weighted quantiles: the price below which a fraction of REVENUE sits.
+# --------------------------------------------------------------------------
+
+W_QUANTILES = (0.25, 0.5, 0.75, 0.9)
+
+
+def weighted_quantiles_histogram(df: DataFrame, col: str, weight_expr: str,
+                                 quantiles: tuple[float, ...] = W_QUANTILES,
+                                 bins: int = BINS,
+                                 bin_target: int = BIN_TARGET) -> DataFrame:
+    """(quantile, weight_rank, value) — exact WEIGHTED order statistics:
+    the smallest ``col`` value at which the running total of
+    ``weight_expr`` (an integer-unit SQL expression) reaches the target
+    weight rank kw = floor((W-1)*p) + 1 under the (value, input-order-
+    free) total order. Same two bounded passes as the count version
+    above: per-bin weight sums + a cumsum over <= bins rows locate each
+    target's bucket; a weight-cumulative window over candidate buckets
+    only finds the crossing row. Weights are exact BIGINTs, so the
+    crossing test (cumw - w < kw_in <= cumw) never touches a float.
+    """
+    lo, hi, w_tot, n = df.selectExpr(
+        f"min({col}) AS lo", f"max({col}) AS hi",
+        f"CAST(sum({weight_expr}) AS BIGINT) AS w",
+        "COUNT(*) AS n",
+    ).first()
+    if not w_tot:
+        raise ValueError("weighted_quantiles_histogram: zero total weight")
+    # bins derive from the ROW count (pass-2 work is rows ranked, not
+    # weight mass) — same n // bin_target rule as the count version
+    n_bins = _derive_bins(int(n), bins, bin_target)
+    lo_u = int(round(float(lo) * VAL_UNIT))
+    hi_u = int(round(float(hi) * VAL_UNIT))
+    width = max(1, (hi_u - lo_u) // n_bins + 1)
+    binned = df.selectExpr(
+        f"{col} AS v",
+        f"CAST({weight_expr} AS BIGINT) AS w",
+        f"(CAST(round({col} * {VAL_UNIT}) AS BIGINT) - {lo_u}) "
+        f"div {width} AS b",
+    )
+    counts = binned.groupBy("b").agg(F.sum("w").alias("wcnt"))
+    cum_w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    cum = counts.withColumn(
+        "below", F.coalesce(F.sum("wcnt").over(cum_w), F.lit(0)))
+    targets = [(p, int((int(w_tot) - 1) * p) + 1) for p in quantiles]
+    tdf = df.sparkSession.createDataFrame(
+        targets, "quantile double, weight_rank long")
+    located = (
+        tdf.join(F.broadcast(cum),
+                 (F.col("below") < F.col("weight_rank"))
+                 & (F.col("weight_rank") <= F.col("below") + F.col("wcnt")))
+        .select("quantile", "weight_rank", "b",
+                (F.col("weight_rank") - F.col("below")).alias("kw_in"))
+    )
+    cand_bins = [r["b"] for r in located.select("b").distinct().collect()]
+    in_w = Window.partitionBy("b").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0)
+    ranked = (
+        binned.where(F.col("b").isin(cand_bins))
+        .withColumn("cumw", F.sum("w").over(in_w))
+    )
+    # the crossing VALUE is unique (ties on v accumulate together under
+    # the value ordering, and any row of the crossing value works), so
+    # pick the minimal crossing row per target
+    return (
+        located.join(ranked, (located["b"] == ranked["b"])
+                     & (F.col("cumw") >= F.col("kw_in"))
+                     & (F.col("cumw") - F.col("w") < F.col("kw_in")))
+        .groupBy("quantile", "weight_rank")
+        .agg(F.min("v").alias("value"))
+        .orderBy("quantile")
+    )
+
+
+def _wq_oracle_sql() -> str:
+    qlist = ", ".join(str(p) for p in W_QUANTILES)
+    return f"""
+    WITH w_all AS (
+      SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS w
+      FROM lineitem
+    ),
+    targets AS (
+      SELECT CAST(q AS DOUBLE) AS quantile,
+             CAST(floor(((SELECT w FROM w_all) - 1) * q) AS BIGINT) + 1
+               AS weight_rank
+      FROM (SELECT unnest([{qlist}]) AS q)
+    ),
+    ranked AS (
+      SELECT l_extendedprice AS v,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS w,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  OVER (ORDER BY l_extendedprice
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cumw
+      FROM lineitem
+    )
+    SELECT t.quantile, t.weight_rank, MIN(r.v) AS value
+    FROM targets t JOIN ranked r
+      ON r.cumw >= t.weight_rank AND r.cumw - r.w < t.weight_rank
+    GROUP BY t.quantile, t.weight_rank
+    ORDER BY t.quantile
+    """
+
+
+@register(
+    "revenue_weighted_price_quantiles",
+    oracle=_wq_oracle_sql(),
+    doc="Exact revenue-weighted price quantiles: the price below which "
+    "25/50/75/90% of total revenue (integer cents) sits — weighted order "
+    "statistics with the same two bounded histogram-refine passes as the "
+    "count version (per-bin BIGINT weight sums + a <= bins cumsum locate "
+    "each target's bucket; a weight-cumulative window over candidate "
+    "buckets finds the crossing row, decided entirely in integers). The "
+    "'what price band carries the business' readout, with no global sort "
+    "and no sketch error.",
+)
+def revenue_weighted_price_quantiles(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return weighted_quantiles_histogram(
+        li, "l_extendedprice", "round(l_extendedprice * 100)")

@@ -84,9 +84,15 @@ PRIORITY = (
     "dsir_importance_selection",
     # round-6 families, rotated in the round they shipped so the driver's
     # CORRECTNESS sample never lags the engine (round-5 verdict #2 rule)
-    "sequence_packing_manifest",
+    # round 9 rotates the dow-seasonality profile in for the packing
+    # manifest (the packing/layout family keeps zorder_file_layout
+    # below; sequence_packing_manifest stays gate-checked in full) and
+    # the revenue-WEIGHTED quantiles in for the count version (same
+    # histogram-refine machinery; exact_price_quantiles stays
+    # gate-checked in full)
+    "events_dow_seasonality",
     "zorder_file_layout",
-    "exact_price_quantiles",
+    "revenue_weighted_price_quantiles",
     # round-8 rotations: the two queries whose semantics/partition
     # strategy changed this round (batched BPE keep rule; the size-
     # derived flat/IVF switch shares its tail with the ivf-pinned twin);

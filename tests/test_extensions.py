@@ -3092,3 +3092,51 @@ def test_split_gain_finds_planted_boundary(spark):
     assert r["n_left"] == 40 and r["n_right"] == 40
     assert 3900 <= r["split_cents"] <= 6000   # between the clusters
     assert abs(r["info_gain"] - math.log(2)) < 1e-6  # full entropy of 50/50
+
+
+def test_dow_seasonality_planted_weekend_spike(spark):
+    """Saturdays carrying 3x the weekday total read seasonal_index 3x
+    the weekday index, and indices average to 1 weighted by days."""
+    from datetime import datetime, timedelta
+
+    from covid_19_data_engineering_spark.operators.drift import (
+        dow_seasonality_profile,
+    )
+
+    base = datetime(2024, 1, 1)  # a Monday
+    rows = []
+    for d in range(28):
+        day = base + timedelta(days=d)
+        val = 300.0 if day.weekday() == 5 else 100.0   # Saturday spike
+        rows.append((d, day, 1, "view", val, "{}"))
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    out = {r["dow"]: r for r in dow_seasonality_profile(events).collect()}
+    # Spark dayofweek: Saturday = 7; mean = (6*100 + 300)/7 per week
+    sat, mon = out[7]["seasonal_index"], out[2]["seasonal_index"]
+    assert abs(sat / mon - 3.0) < 1e-4   # indices pre-rounded to 6 dp
+    assert out[7]["n_days"] == 4 and out[7]["total_cents"] == 4 * 300_00
+
+
+def test_weighted_quantiles_planted_mass(spark):
+    """One expensive row carrying 90% of the revenue pulls the weighted
+    median to it, while the count median stays at the cheap rows."""
+    from covid_19_data_engineering_spark.operators.quantiles import (
+        exact_quantiles_histogram,
+        weighted_quantiles_histogram,
+    )
+
+    # 9 rows at price 10 (revenue 90), one row at price 910 (revenue 910)
+    rows = [(float(10),) for _ in range(9)] + [(910.0,)]
+    df = spark.createDataFrame(rows, "l_extendedprice double")
+    wq = {r["quantile"]: r["value"]
+          for r in weighted_quantiles_histogram(
+              df, "l_extendedprice",
+              "round(l_extendedprice * 100)").collect()}
+    # total 1000: ranks .25/.5/.75 land inside the big row's 910-mass
+    assert wq[0.25] == 910.0 and wq[0.5] == 910.0 and wq[0.75] == 910.0
+    cq = {r["quantile"]: r["value"]
+          for r in exact_quantiles_histogram(
+              df, "l_extendedprice").collect()}
+    assert cq[0.5] == 10.0   # count median: the cheap rows

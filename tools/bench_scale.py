@@ -129,6 +129,8 @@ FAMILY = [
     "events_daily_trend",
     "purchase_attribution_linear",
     "error_value_split_gain",
+    "events_dow_seasonality",
+    "revenue_weighted_price_quantiles",
 ]
 
 ID_OFFSET = 1_000_000
