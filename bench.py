@@ -170,6 +170,8 @@ EXTRA = [
     "error_value_split_gain",
     "events_dow_seasonality",
     "revenue_weighted_price_quantiles",
+    "orders_benford_audit",
+    "token_pmi_collocations",
 ]
 
 

@@ -751,3 +751,95 @@ def dow_seasonality_profile(events: DataFrame) -> DataFrame:
 )
 def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dow_seasonality_profile(load_table(spark, "events", sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit of order totals.
+# --------------------------------------------------------------------------
+
+_BENFORD_FX = 1_000_000
+
+
+def benford_first_digit(df: DataFrame, amount_col: str) -> DataFrame:
+    """First-significant-digit distribution of ``amount_col`` vs
+    Benford's law, with the chi-square fit — the classic fabricated-
+    numbers audit (real multiplicative amounts follow
+    P(d) = log10(1 + 1/d); injected or invented ones usually don't).
+
+    (digit, n_obs, observed_share, benford_share, chi_square) — one row
+    per digit 1..9, the corpus-level chi-square repeated per row.
+
+    Exactness: the digit is the first character of the integer-cent
+    STRING (no float log in the extraction); expected shares are the 9
+    fixed literals ln(1+1/d)/ln(10) evaluated identically; chi-square
+    terms are fixed-pointed before the 9-term sum. One digit-keyed
+    map-side-combined groupBy is the only corpus-wide work.
+    """
+    digits = df.select(
+        F.expr(f"CAST(substring(CAST(CAST(round({amount_col} * 100) AS "
+               "BIGINT) AS STRING), 1, 1) AS INT)").alias("digit")
+    ).where(F.col("digit") >= 1)
+    cnt = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    tot = cnt.agg(F.sum("n_obs").alias("n"))
+    share = "(ln(1.0 + 1.0 / digit) / ln(10.0))"
+    term = (f"CAST(round((CAST(n_obs AS DOUBLE) - n * {share}) * "
+            f"(CAST(n_obs AS DOUBLE) - n * {share}) / (n * {share}) "
+            f"* {_BENFORD_FX}) AS BIGINT)")
+    terms = cnt.crossJoin(F.broadcast(tot)).withColumn(
+        "term_fx", F.expr(term))
+    chi = terms.agg(F.sum("term_fx").alias("chi_fx"))
+    return (
+        terms.crossJoin(F.broadcast(chi))
+        .select(
+            "digit", "n_obs",
+            F.round(F.expr("CAST(n_obs AS DOUBLE) / n"), 6)
+            .alias("observed_share"),
+            F.round(F.expr(share), 6).alias("benford_share"),
+            F.round(F.expr(f"CAST(chi_fx AS DOUBLE) / {_BENFORD_FX}"), 4)
+            .alias("chi_square"),
+        )
+        .orderBy("digit")
+    )
+
+
+@register(
+    "orders_benford_audit",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                 AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM orders
+    ),
+    cnt AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM digits WHERE digit >= 1 GROUP BY digit
+    ),
+    tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM cnt),
+    terms AS (
+      SELECT digit, n_obs, n,
+             CAST(round((CAST(n_obs AS DOUBLE)
+                         - n * (ln(1.0 + 1.0 / digit) / ln(10.0)))
+                        * (CAST(n_obs AS DOUBLE)
+                           - n * (ln(1.0 + 1.0 / digit) / ln(10.0)))
+                        / (n * (ln(1.0 + 1.0 / digit) / ln(10.0)))
+                        * {_BENFORD_FX}) AS BIGINT) AS term_fx
+      FROM cnt, tot
+    ),
+    chi AS (SELECT CAST(SUM(term_fx) AS BIGINT) AS chi_fx FROM terms)
+    SELECT digit, n_obs,
+           ROUND(CAST(n_obs AS DOUBLE) / n, 6) AS observed_share,
+           ROUND(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS benford_share,
+           ROUND(CAST(chi_fx AS DOUBLE) / {_BENFORD_FX}, 4) AS chi_square
+    FROM terms, chi
+    ORDER BY digit
+    """,
+    doc="Benford first-digit audit of o_totalprice: observed vs "
+    "log10(1+1/d) shares per digit with the chi-square fit — the "
+    "fabricated-numbers screen. Digits extract from the integer-cent "
+    "STRING (no float log in the hot path); chi-square terms are "
+    "fixed-pointed before the 9-term sum; one digit-keyed map-side-"
+    "combined groupBy is the only corpus-wide work.",
+)
+def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return benford_first_digit(load_table(spark, "orders", sf_dir),
+                               "o_totalprice")

@@ -677,3 +677,108 @@ def source_zipf_fit(docs: DataFrame) -> DataFrame:
 )
 def source_zipf_fit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_zipf_fit(load_table(spark, "documents", sf_dir))
+
+
+# --------------------------------------------------------------------------
+# PMI collocations: token pairs that co-occur in documents far more than
+# their marginal document frequencies predict.
+# --------------------------------------------------------------------------
+
+PMI_MIN_SUPPORT = 5
+PMI_TOP = 20
+
+
+def pmi_collocations(docs: DataFrame, min_support: int = PMI_MIN_SUPPORT,
+                     top: int = PMI_TOP) -> DataFrame:
+    """(token_a, token_b, df_pair, df_a, df_b, pmi) — the ``top`` token
+    pairs by document-level pointwise mutual information,
+    PMI = ln(N * df_ab / (df_a * df_b)), with a minimum pair support —
+    the collocation mining a phrase-/stopword-discovery pass runs.
+
+    Exactness: PMI is one ln over exact integer counts per surviving
+    pair. 100 TB shape: the pair space is the doc-blocked distinct-token
+    self-join (the part_copurchase_pairs shape — O(docs * tokens^2-
+    per-doc), never O(vocab^2) over the corpus), marginal frequencies
+    broadcast back, and the top-k is a TakeOrderedAndProject. Ranking
+    ties break on (token_a, token_b) deterministically; the rank key is
+    the exact integer triple comparison (df_pair-scaled PMI monotone),
+    expressed as the rounded pmi + name tiebreak on both engines.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).where(F.col("tok") != "").distinct()
+    df_tok = toks.groupBy("tok").agg(F.count("*").alias("df_tok"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    a = toks.select("doc_id", F.col("tok").alias("token_a"))
+    b = toks.select(F.col("doc_id").alias("doc_b"),
+                    F.col("tok").alias("token_b"))
+    pairs = (
+        a.join(b, (F.col("doc_id") == F.col("doc_b"))
+               & (F.col("token_a") < F.col("token_b")))
+        .groupBy("token_a", "token_b")
+        .agg(F.count("*").alias("df_pair"))
+        .where(F.col("df_pair") >= min_support)
+    )
+    scored = (
+        pairs.join(F.broadcast(df_tok.select(
+            F.col("tok").alias("token_a"), F.col("df_tok").alias("df_a"))),
+            "token_a")
+        .join(F.broadcast(df_tok.select(
+            F.col("tok").alias("token_b"), F.col("df_tok").alias("df_b"))),
+            "token_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "token_a", "token_b", "df_pair", "df_a", "df_b",
+            F.round(F.expr(
+                "ln(CAST(n_docs AS DOUBLE) * df_pair "
+                "/ (CAST(df_a AS DOUBLE) * df_b))"), 6).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), "token_a", "token_b").limit(top)
+
+
+@register(
+    "token_pmi_collocations",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id,
+               unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents
+      ) WHERE tok != ''
+    ),
+    df_tok AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS df_tok
+      FROM toks GROUP BY tok
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    pairs AS (
+      SELECT a.tok AS token_a, b.tok AS token_b,
+             CAST(COUNT(*) AS BIGINT) AS df_pair
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY a.tok, b.tok
+      HAVING COUNT(*) >= {PMI_MIN_SUPPORT}
+    )
+    SELECT p.token_a, p.token_b, p.df_pair,
+           da.df_tok AS df_a, db.df_tok AS df_b,
+           ROUND(ln(CAST(n.n_docs AS DOUBLE) * p.df_pair
+                    / (CAST(da.df_tok AS DOUBLE) * db.df_tok)), 6) AS pmi
+    FROM pairs p
+    JOIN df_tok da ON da.tok = p.token_a
+    JOIN df_tok db ON db.tok = p.token_b
+    CROSS JOIN n
+    ORDER BY pmi DESC, token_a, token_b
+    LIMIT {PMI_TOP}
+    """,
+    doc=f"Top-{PMI_TOP} document-level PMI collocations (min pair "
+    f"support {PMI_MIN_SUPPORT}): PMI = ln(N*df_ab/(df_a*df_b)) over "
+    "exact integer document frequencies. The pair space is the "
+    "doc-blocked distinct-token self-join (never O(vocab^2) over the "
+    "corpus), marginals broadcast back, top-k via "
+    "TakeOrderedAndProject — phrase/stopword discovery for the text "
+    "pipeline.",
+)
+def token_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pmi_collocations(load_table(spark, "documents", sf_dir))

@@ -171,11 +171,11 @@ PRIORITY = (
     # gate-checked in full — extensibility keeps the pandas kernel here
     # plus the UDTF battery in the full gate
     "embedding_covariance_profile",
-    # and the association-rules readout on the blocked pair-mining shape;
-    # salted_lineitem_revenue rotates out but stays gate-checked in full
-    # (the skew family keeps shuffle_skew_report there; salting is also
-    # pytest-pinned)
-    "copurchase_association_rules",
+    # round-9 audit swap: the Benford first-digit screen rotates in for
+    # the association-rules readout (the pair-mining family keeps
+    # kcore_copurchase and the attribution join in the head;
+    # copurchase_association_rules stays gate-checked in full)
+    "orders_benford_audit",
     # round-9 regression family: the closed-form OLS (normal equations
     # off one exact-moment aggregate) rotates in for the sweep-line
     # backlog curve (intervals keep events_interval_coverage in the
@@ -211,10 +211,10 @@ PRIORITY = (
     # (same distributed-rank family; price_quantity_spearman stays
     # gate-checked in full)
     "events_value_auc",
-    # and the Zipf naturalness audit; benchmark_contamination rotates out
-    # but stays gate-checked in full — LLM-prep keeps the keyness /
-    # overlap / novelty / entropy audits in the head
-    "source_zipf_fit",
+    # round-9 collocation swap: document-level PMI pairs rotate in for
+    # the Zipf naturalness audit (text keeps keyness + the PMI miner in
+    # the head; source_zipf_fit stays gate-checked in full)
+    "token_pmi_collocations",
     # round-9: the CDC -> IVM loop as oracle-checked queries (maintained
     # SUM/AVG and MIN/MAX vs a fresh recompute of the final snapshot);
     # embedding_random_projection and dedup_minhash_lsh rotate out but

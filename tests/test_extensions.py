@@ -3140,3 +3140,58 @@ def test_weighted_quantiles_planted_mass(spark):
           for r in exact_quantiles_histogram(
               df, "l_extendedprice").collect()}
     assert cq[0.5] == 10.0   # count median: the cheap rows
+
+
+def test_benford_flags_uniform_but_passes_benford(spark):
+    """Amounts drawn exactly Benford-shaped read chi2 ~ 0; uniform
+    first digits read a large chi2 — and digit extraction is exact off
+    the cents string."""
+    from covid_19_data_engineering_spark.operators.drift import (
+        benford_first_digit,
+    )
+
+    # Benford-shaped: digit d appears round(1000*log10(1+1/d)) times
+    import math
+    rows = []
+    oid = 0
+    for d in range(1, 10):
+        for _ in range(round(1000 * math.log10(1 + 1 / d))):
+            rows.append((float(d * 100),))   # d00.00 -> first digit d
+            oid += 1
+    benford = spark.createDataFrame(rows, "o_totalprice double")
+    out = benford_first_digit(benford, "o_totalprice").collect()
+    assert out[0]["chi_square"] < 1.0
+    assert {r["digit"] for r in out} == set(range(1, 10))
+    d1 = next(r for r in out if r["digit"] == 1)
+    assert abs(d1["observed_share"] - 0.301) < 0.001
+
+    uniform = spark.createDataFrame(
+        [(float(d * 100),) for d in range(1, 10) for _ in range(100)],
+        "o_totalprice double")
+    out_u = benford_first_digit(uniform, "o_totalprice").collect()
+    assert out_u[0]["chi_square"] > 100.0    # grossly non-Benford
+
+
+def test_pmi_top_pair_is_planted_collocation(spark):
+    """Two tokens that always co-occur (and rarely appear alone) out-PMI
+    a frequent-but-independent pair."""
+    from covid_19_data_engineering_spark.operators.textstats import (
+        pmi_collocations,
+    )
+
+    rows = []
+    for i in range(10):
+        rows.append((i, "alpha beta filler%d" % i, "en", "s", 1))
+    for i in range(10, 40):
+        rows.append((i, "common other%d" % i, "en", "s", 1))
+    for i in range(40, 70):
+        rows.append((i, "common another%d" % i, "en", "s", 1))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    out = pmi_collocations(docs, min_support=5, top=5).collect()
+    assert (out[0]["token_a"], out[0]["token_b"]) == ("alpha", "beta")
+    assert out[0]["df_pair"] == 10 and out[0]["df_a"] == 10
+    # PMI of a perfect 10-of-70 collocation: ln(70*10/(10*10)) = ln 7
+    import math
+    assert abs(out[0]["pmi"] - math.log(7)) < 1e-6

@@ -131,6 +131,8 @@ FAMILY = [
     "error_value_split_gain",
     "events_dow_seasonality",
     "revenue_weighted_price_quantiles",
+    "orders_benford_audit",
+    "token_pmi_collocations",
 ]
 
 ID_OFFSET = 1_000_000
