@@ -172,6 +172,7 @@ EXTRA = [
     "revenue_weighted_price_quantiles",
     "orders_benford_audit",
     "token_pmi_collocations",
+    "rfm_customer_segments",
 ]
 
 

@@ -80,7 +80,11 @@ PRIORITY = (
     # relational shapes — grouping sets, set ops, outer fill, pivot,
     # decorrelated-subquery and anti-join variants, gapfill — keep other
     # representatives above/below and stay gate-checked in full)
-    "semantic_dedup",
+    # round 9 rotates the RFM segmentation census in for semantic_dedup
+    # (the embedding-dedup family keeps semantic_dedup_ivf below, which
+    # shares the flat variant's tail; semantic_dedup stays gate-checked
+    # in full)
+    "rfm_customer_segments",
     "dsir_importance_selection",
     # round-6 families, rotated in the round they shipped so the driver's
     # CORRECTNESS sample never lags the engine (round-5 verdict #2 rule)
@@ -345,6 +349,7 @@ def _ensure_loaded() -> None:
     import covid_19_data_engineering_spark.operators.survival  # noqa: F401
     import covid_19_data_engineering_spark.operators.regression  # noqa: F401
     import covid_19_data_engineering_spark.operators.attribution  # noqa: F401
+    import covid_19_data_engineering_spark.operators.rfm  # noqa: F401
     import covid_19_data_engineering_spark.operators.gram  # noqa: F401
     import covid_19_data_engineering_spark.functions.udfs  # noqa: F401
     import covid_19_data_engineering_spark.streaming.events  # noqa: F401

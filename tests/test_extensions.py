@@ -3195,3 +3195,35 @@ def test_pmi_top_pair_is_planted_collocation(spark):
     # PMI of a perfect 10-of-70 collocation: ln(70*10/(10*10)) = ln 7
     import math
     assert abs(out[0]["pmi"] - math.log(7)) < 1e-6
+
+
+def test_rfm_planted_extremes_land_in_corner_segments(spark):
+    """A recent/frequent/big spender lands in (4,4,4); a stale one-time
+    tiny spender lands in (1,1,1); quartile sizes follow NTILE."""
+    from datetime import datetime, timedelta
+
+    from covid_19_data_engineering_spark.operators.rfm import rfm_segments
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # 8 users: user u buys u times, value 10*u each, last purchase
+    # u days before the horizon anchor (user 8 = best on all three)
+    for u in range(1, 9):
+        for k in range(u):
+            rows.append((eid, base + timedelta(days=u * 3 + k), u,
+                         "purchase", 10.0 * u, "{}"))
+            eid += 1
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    segs = rfm_segments(events).collect()
+    by_seg = {(r["r_quartile"], r["f_quartile"], r["m_quartile"]): r
+              for r in segs}
+    assert sum(r["n_users"] for r in segs) == 8
+    # user 8: most recent (latest ts), most frequent, highest spend
+    assert (4, 4, 4) in by_seg and by_seg[(4, 4, 4)]["n_users"] == 2
+    # its average spend: users 7 and 8 -> (7*7000 + 8*8000) cents / 2... 
+    # user 7: 7 purchases x 70.00 = 49000c; user 8: 8 x 80.00 = 64000c
+    assert by_seg[(4, 4, 4)]["avg_monetary_cents"] == (49000 + 64000) // 2
+    assert (1, 1, 1) in by_seg and by_seg[(1, 1, 1)]["n_users"] == 2

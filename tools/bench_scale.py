@@ -133,6 +133,7 @@ FAMILY = [
     "revenue_weighted_price_quantiles",
     "orders_benford_audit",
     "token_pmi_collocations",
+    "rfm_customer_segments",
 ]
 
 ID_OFFSET = 1_000_000
