@@ -173,6 +173,7 @@ EXTRA = [
     "orders_benford_audit",
     "token_pmi_collocations",
     "rfm_customer_segments",
+    "event_markov_stationary",
 ]
 
 

@@ -37,7 +37,7 @@ and a human-readable double derived from them by one exact division.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from covid_19_data_engineering_spark.plans.registry import register
 from covid_19_data_engineering_spark.sources.tables import load_table
@@ -439,3 +439,119 @@ def _kcore_oracle_sql() -> str:
 def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
     return kcore_trajectory(copurchase_edges(li))
+
+
+# --------------------------------------------------------------------------
+# Stationary distribution of the event-type Markov chain.
+# --------------------------------------------------------------------------
+
+MC_ROUNDS = 12
+MC_UNIT = 1_000_000_000_000
+
+
+def markov_stationary(events: DataFrame, rounds: int = MC_ROUNDS) -> DataFrame:
+    """(event_type, pi_units, pi) — the stationary distribution of the
+    per-user event-type Markov chain (the long-run share of time a user
+    path spends in each state), by ``rounds`` unrolled power-iteration
+    steps on the transition-count matrix. The analytical capstone of the
+    transition matrix: where the chain settles, not just where it steps.
+
+    Exactness: the chain reduces to exact BIGINT transition counts with
+    ONE user-keyed window shuffle; every iteration step is integer
+    arithmetic —  contribution = (pi_i * n_ij) div r_i  in 1e-12 units —
+    so all rounds are engine-identical (the oracle unrolls them
+    CTE-for-CTE). The sub-unit mass DIV truncation drops per round is
+    identical on both engines and bounded by types*rounds units (~1e-11).
+
+    100 TB shape: the corpus-wide work is the lag window + pair groupBy
+    (same as event_transition_matrix); the iteration then runs on the
+    O(types^2) count table — sketch-sized regardless of corpus.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            "user_id", "event_type",
+            F.lag("event_type").over(w).alias("prev_type"))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("curr_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)   # every round re-reads this tiny table
+    )
+    row_tot = pairs.groupBy("prev_type").agg(F.sum("n").alias("r"))
+    trans = pairs.join(row_tot, "prev_type")
+    states = row_tot.select(F.col("prev_type").alias("event_type"))
+    n_states = states.agg(F.count(F.lit(1)).alias("k"))
+    pi = states.crossJoin(F.broadcast(n_states)).select(
+        "event_type", F.expr(f"{MC_UNIT} div k").alias("units"))
+    for _ in range(rounds):
+        pi = (
+            pi.join(trans, pi.event_type == trans.prev_type)
+            .select(
+                F.col("curr_type").alias("event_type"),
+                F.expr("(units * n) div r").alias("c"),
+            )
+            .groupBy("event_type")
+            .agg(F.sum("c").alias("units"))
+        )
+    return pi.select(
+        "event_type", F.col("units").alias("pi_units"),
+        F.round(F.expr(f"CAST(units AS DOUBLE) / {MC_UNIT}"), 6).alias("pi"),
+    ).orderBy("event_type")
+
+
+def _markov_oracle_sql() -> str:
+    it = """
+    it{i} AS MATERIALIZED (
+      SELECT t.curr_type AS event_type,
+             CAST(SUM((p.units * t.n) // t.r) AS BIGINT) AS units
+      FROM it{p} p JOIN trans t ON t.prev_type = p.event_type
+      GROUP BY t.curr_type
+    )"""
+    chain = ",".join(it.format(i=i, p=i - 1)
+                     for i in range(1, MC_ROUNDS + 1))
+    return f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    pairs AS MATERIALIZED (
+      SELECT prev_type, event_type AS curr_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    row_tot AS MATERIALIZED (
+      SELECT prev_type, CAST(SUM(n) AS BIGINT) AS r
+      FROM pairs GROUP BY prev_type
+    ),
+    trans AS MATERIALIZED (
+      SELECT p.prev_type, p.curr_type, p.n, rt.r
+      FROM pairs p JOIN row_tot rt ON rt.prev_type = p.prev_type
+    ),
+    it0 AS MATERIALIZED (
+      SELECT prev_type AS event_type,
+             {MC_UNIT} // (SELECT COUNT(*) FROM row_tot) AS units
+      FROM row_tot
+    ),
+    {chain}
+    SELECT event_type, units AS pi_units,
+           ROUND(CAST(units AS DOUBLE) / {MC_UNIT}, 6) AS pi
+    FROM it{MC_ROUNDS}
+    ORDER BY event_type
+    """
+
+
+@register(
+    "event_markov_stationary",
+    oracle=_markov_oracle_sql(),
+    doc=f"{MC_ROUNDS}-step fixed-point power iteration to the stationary "
+    "distribution of the per-user event-type Markov chain: one user-keyed "
+    "lag window + pair groupBy reduces the corpus to BIGINT transition "
+    "counts; every iteration step is (pi*n) div r integer arithmetic on "
+    "the O(types^2) table (oracle unrolled CTE-for-CTE, materialized) — "
+    "the long-run state share behind the transition matrix.",
+)
+def event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return markov_stationary(load_table(spark, "events", sf_dir))

@@ -85,7 +85,6 @@ PRIORITY = (
     # shares the flat variant's tail; semantic_dedup stays gate-checked
     # in full)
     "rfm_customer_segments",
-    "dsir_importance_selection",
     # round-6 families, rotated in the round they shipped so the driver's
     # CORRECTNESS sample never lags the engine (round-5 verdict #2 rule)
     # round 9 rotates the dow-seasonality profile in for the packing
@@ -259,6 +258,12 @@ PRIORITY = (
     # pagerank_copurchase stays gate-checked in full)
     "tpch_q2_min_cost_supplier",
     "kcore_copurchase",
+    # plus the Markov stationary distribution (the second round-9
+    # iterative arrival; the chain reduces to the O(types^2) table so
+    # the iteration is sketch-sized) — dsir_importance_selection rotates
+    # out but stays gate-checked in full (selection keeps the
+    # curation/quality reps in the full gate and its pytest battery)
+    "event_markov_stationary",
     # events: temporal analytics, gap repair, substring dedup, keyless
     # interval join (hourly_active_users rotated out round 8; round 9
     # rotates the linear multi-touch attribution in for the interval-

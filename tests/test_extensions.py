@@ -3227,3 +3227,43 @@ def test_rfm_planted_extremes_land_in_corner_segments(spark):
     # user 7: 7 purchases x 70.00 = 49000c; user 8: 8 x 80.00 = 64000c
     assert by_seg[(4, 4, 4)]["avg_monetary_cents"] == (49000 + 64000) // 2
     assert (1, 1, 1) in by_seg and by_seg[(1, 1, 1)]["n_users"] == 2
+
+
+def test_markov_stationary_matches_pure_python_iteration(spark):
+    """The engine's fixed-point power iteration equals a pure-Python
+    replay of the same integer recurrence on the same counts, and
+    approaches the analytic stationary distribution."""
+    from datetime import datetime, timedelta
+
+    from covid_19_data_engineering_spark.operators.graphs import (
+        MC_ROUNDS,
+        MC_UNIT,
+        markov_stationary,
+    )
+
+    base = datetime(2024, 1, 1)
+    # one user walking "A B B" twelve times: counts A->B=12, B->B=12,
+    # B->A=11 (no transition after the final B B ... trailing block)
+    seq = (["view", "click", "click"] * 12)
+    rows = [(i, base + timedelta(minutes=i), 1, t, 1.0, "{}")
+            for i, t in enumerate(seq)]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    got = {r["event_type"]: r["pi_units"]
+           for r in markov_stationary(events).collect()}
+
+    # pure-Python replay of the identical integer recurrence
+    counts = {("view", "click"): 12, ("click", "click"): 12,
+              ("click", "view"): 11}
+    r = {"view": 12, "click": 23}
+    pi = {s: MC_UNIT // 2 for s in ("view", "click")}
+    for _ in range(MC_ROUNDS):
+        nxt = {s: 0 for s in pi}
+        for (a, b), n in counts.items():
+            nxt[b] += (pi[a] * n) // r[a]
+        pi = nxt
+    assert got == pi
+    # analytic stationary of [[0,1],[11/23,12/23]] is (11/34, 23/34)
+    assert abs(got["view"] / MC_UNIT - 11 / 34) < 1e-3
+    assert abs(got["click"] / MC_UNIT - 23 / 34) < 1e-3

@@ -134,6 +134,7 @@ FAMILY = [
     "orders_benford_audit",
     "token_pmi_collocations",
     "rfm_customer_segments",
+    "event_markov_stationary",
 ]
 
 ID_OFFSET = 1_000_000
