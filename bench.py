@@ -174,6 +174,7 @@ EXTRA = [
     "token_pmi_collocations",
     "rfm_customer_segments",
     "event_markov_stationary",
+    "events_sprt_conversion",
 ]
 
 

@@ -30,7 +30,7 @@ O(1) aggregate — embarrassingly parallel at 100 TB.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from covid_19_data_engineering_spark.plans.registry import register
 from covid_19_data_engineering_spark.sources.tables import load_table
@@ -122,3 +122,143 @@ def ab_conversion_ztest(events: DataFrame,
 def ab_conversion_ztest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, "events", sf_dir)
     return ab_conversion_ztest(events)
+
+
+# --------------------------------------------------------------------------
+# SPRT: sequential monitoring of the purchase-conversion rate.
+# --------------------------------------------------------------------------
+
+SPRT_BASELINE_DAYS = 7
+SPRT_LIFT = 1.5           # H1: rate = LIFT * baseline rate
+SPRT_ALPHA = 0.05         # = beta; boundaries ±ln((1-a)/a)
+_SPRT_FX = 1_000_000_000
+
+
+def sprt_conversion_monitor(events: DataFrame,
+                            baseline_days: int = SPRT_BASELINE_DAYS,
+                            lift: float = SPRT_LIFT) -> DataFrame:
+    """Wald's sequential probability ratio test on the daily purchase
+    conversion rate: the first ``baseline_days`` days fix the H0 rate
+    p0 (and H1 = ``lift`` * p0); every later day adds its exact
+    log-likelihood-ratio increment, and the cumulative LLR is compared
+    against the ±ln((1-alpha)/alpha) boundaries — the always-valid
+    sequential monitor that replaces peeking at a fixed-horizon z-test.
+
+    (day, n_trials, n_conversions, llr, decision) for the monitored
+    days, decision in 'accept_h1' | 'accept_h0' | 'continue' — the
+    state AT that day (first boundary crossing latches via a cumulative
+    extremum).
+
+    Exactness: daily (trials, conversions) are exact BIGINTs off one
+    day-keyed groupBy; p0 is one exact division of two corpus integers;
+    each day's LLR increment is ONE fixed-order double expression
+    rounded to 1e-9 units, so the cumulative sum and both boundary
+    compares are integer arithmetic. 100 TB shape: one corpus shuffle,
+    then O(days) windows.
+    """
+    daily = (
+        events.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("event_type") == "purchase").cast("long"))
+            .alias("x"),
+        )
+    )
+    w_all = Window.orderBy("day")  # O(days) rows — harmless
+    seq = daily.withColumn("k", F.row_number().over(w_all))
+    base = seq.where(F.col("k") <= baseline_days).agg(
+        F.sum("n").alias("n0"), F.sum("x").alias("x0")
+    )
+    # L1 = ln(p1/p0) = ln(lift); L0 = ln((1-p1)/(1-p0)) with p0 = x0/n0
+    l0 = (f"ln((1.0 - {lift} * (CAST(x0 AS DOUBLE) / n0)) "
+          "/ (1.0 - CAST(x0 AS DOUBLE) / n0))")
+    term = (f"CAST(round((x * ln({lift}) + (n - x) * {l0}) * {_SPRT_FX}) "
+            "AS BIGINT)")
+    import math
+    bound_fx = round(math.log((1 - SPRT_ALPHA) / SPRT_ALPHA) * _SPRT_FX)
+    monitored = (
+        seq.where(F.col("k") > baseline_days)
+        .crossJoin(F.broadcast(base))
+        .withColumn("term_fx", F.expr(term))
+    )
+    w = Window.orderBy("day")
+    cum = (
+        monitored.withColumn("cum_fx", F.sum("term_fx").over(w))
+        .withColumn("hi", F.max("cum_fx").over(w))
+        .withColumn("lo", F.min("cum_fx").over(w))
+    )
+    decision = (
+        F.when(F.col("hi") >= bound_fx, F.lit("accept_h1"))
+        .when(F.col("lo") <= -bound_fx, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+    )
+    return cum.select(
+        "day",
+        F.col("n").alias("n_trials"),
+        F.col("x").alias("n_conversions"),
+        F.round(F.expr(f"CAST(cum_fx AS DOUBLE) / {_SPRT_FX}"), 6)
+        .alias("llr"),
+        decision.alias("decision"),
+    ).orderBy("day")
+
+
+def _sprt_oracle_sql() -> str:
+    import math
+    bound_fx = round(math.log((1 - SPRT_ALPHA) / SPRT_ALPHA) * _SPRT_FX)
+    l0 = (f"ln((1.0 - {SPRT_LIFT} * (CAST(x0 AS DOUBLE) / n0)) "
+          "/ (1.0 - CAST(x0 AS DOUBLE) / n0))")
+    return f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    seq AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY day) AS k FROM daily
+    ),
+    base AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n0, CAST(SUM(x) AS BIGINT) AS x0
+      FROM seq WHERE k <= {SPRT_BASELINE_DAYS}
+    ),
+    terms AS (
+      SELECT day, n, x,
+             CAST(round((x * ln({SPRT_LIFT}) + (n - x) * {l0})
+                        * {_SPRT_FX}) AS BIGINT) AS term_fx
+      FROM seq, base WHERE k > {SPRT_BASELINE_DAYS}
+    ),
+    cum1 AS (
+      SELECT day, n, x,
+             CAST(SUM(term_fx) OVER (ORDER BY day) AS BIGINT) AS cum_fx
+      FROM terms
+    ),
+    cum AS (
+      SELECT day, n, x, cum_fx,
+             CAST(MAX(cum_fx) OVER (ORDER BY day) AS BIGINT) AS hi,
+             CAST(MIN(cum_fx) OVER (ORDER BY day) AS BIGINT) AS lo
+      FROM cum1
+    )
+    SELECT day, n AS n_trials, x AS n_conversions,
+           ROUND(CAST(cum_fx AS DOUBLE) / {_SPRT_FX}, 6) AS llr,
+           CASE WHEN hi >= {bound_fx} THEN 'accept_h1'
+                WHEN lo <= -{bound_fx} THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM cum
+    ORDER BY day
+    """
+
+
+@register(
+    "events_sprt_conversion",
+    oracle=_sprt_oracle_sql(),
+    doc=f"Wald SPRT on the daily purchase-conversion rate: the first "
+    f"{SPRT_BASELINE_DAYS} days fix p0 (H1 = {SPRT_LIFT}x), each later "
+    "day adds one fixed-order LLR increment rounded to 1e-9 units, and "
+    "the cumulative integer sum latches against the +/-ln(19) "
+    "boundaries via cumulative extrema — the always-valid sequential "
+    "monitor that replaces peeking at a fixed-horizon z-test. One "
+    "day-keyed corpus shuffle, then O(days) windows.",
+)
+def events_sprt_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sprt_conversion_monitor(load_table(spark, "events", sf_dir))

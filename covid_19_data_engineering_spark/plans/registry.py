@@ -101,7 +101,10 @@ PRIORITY = (
     # derived flat/IVF switch shares its tail with the ivf-pinned twin);
     # bpe_merge_induction and orders_column_profile rotate out but stay
     # gate-checked in full
-    "bpe_merge_induction_batched",
+    # round 9 rotates the SPRT sequential conversion monitor in for the
+    # batched BPE rep (the tokenizer family is pytest-pinned end-to-end
+    # and bpe_merge_induction_batched stays gate-checked in full)
+    "events_sprt_conversion",
     "semantic_dedup_ivf",
     # round-8 new operators (JL projection family); ann_ivf_topk and
     # lang_id_confusion rotate out but stay gate-checked in full, with

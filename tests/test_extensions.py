@@ -3267,3 +3267,46 @@ def test_markov_stationary_matches_pure_python_iteration(spark):
     # analytic stationary of [[0,1],[11/23,12/23]] is (11/34, 23/34)
     assert abs(got["view"] / MC_UNIT - 11 / 34) < 1e-3
     assert abs(got["click"] / MC_UNIT - 23 / 34) < 1e-3
+
+
+def test_sprt_latches_h1_on_planted_lift(spark):
+    """A conversion rate that doubles after the baseline week drives the
+    cumulative LLR over the upper boundary and the decision latches at
+    accept_h1; a flat rate stays 'continue' near zero."""
+    from datetime import datetime, timedelta
+
+    from covid_19_data_engineering_spark.operators.abtest import (
+        sprt_conversion_monitor,
+    )
+
+    base = datetime(2024, 1, 1)
+
+    def mk(rates):
+        rows, eid = [], 0
+        for d, rate in enumerate(rates):
+            for i in range(100):
+                t = "purchase" if i < rate else "view"
+                rows.append((eid, base + timedelta(days=d, minutes=i), 1,
+                             t, 1.0, "{}"))
+                eid += 1
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double, props string")
+
+    lifted = mk([20] * 7 + [40] * 14)   # 20% baseline, 40% after
+    out = sprt_conversion_monitor(lifted).collect()
+    assert len(out) == 14
+    assert out[-1]["decision"] == "accept_h1"
+    # the latch is monotone: once h1, always h1
+    states = [r["decision"] for r in out]
+    assert states[states.index("accept_h1"):] == \
+        ["accept_h1"] * (len(states) - states.index("accept_h1"))
+    assert out[-1]["llr"] > 0
+
+    # a flat rate has a NEGATIVE expected increment under H0 (that is
+    # the point of the SPRT), so it crosses the lower boundary and
+    # accepts H0 with a negative LLR
+    flat = mk([20] * 21)
+    out_f = sprt_conversion_monitor(flat).collect()
+    assert out_f[-1]["decision"] == "accept_h0"
+    assert out_f[-1]["llr"] < 0

@@ -135,6 +135,7 @@ FAMILY = [
     "token_pmi_collocations",
     "rfm_customer_segments",
     "event_markov_stationary",
+    "events_sprt_conversion",
 ]
 
 ID_OFFSET = 1_000_000
