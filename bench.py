@@ -175,6 +175,7 @@ EXTRA = [
     "rfm_customer_segments",
     "event_markov_stationary",
     "events_sprt_conversion",
+    "event_top_paths",
 ]
 
 

@@ -518,3 +518,88 @@ def ewma_by_user(events: DataFrame) -> DataFrame:
 )
 def events_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ewma_by_user(load_table(spark, "events", sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Path mining: the most common 3-step event sequences.
+# --------------------------------------------------------------------------
+
+PATH_TOP = 20
+
+
+def top_event_paths(events: DataFrame, top: int = PATH_TOP) -> DataFrame:
+    """(step1, step2, step3, n_paths, n_users, support) — the ``top``
+    most-traveled 3-step event-type paths across per-user timelines,
+    with how many distinct users walk each. The path-analysis readout
+    behind funnel DISCOVERY (the funnel query checks a known path; this
+    finds the paths worth checking).
+
+    100 TB shape: ONE user-keyed window shuffle produces both lags
+    map-side; the path groupBy runs on O(types^3) keys (map-side
+    combined), and the top-k is a TakeOrderedAndProject. Counts are
+    exact integers; support is one fixed-order division rounded
+    identically on both engines. Ties rank deterministically by the
+    path triple.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        events.select(
+            "user_id",
+            F.lag("event_type", 2).over(w).alias("step1"),
+            F.lag("event_type", 1).over(w).alias("step2"),
+            F.col("event_type").alias("step3"),
+        )
+        .where(F.col("step1").isNotNull())
+    )
+    paths = tri.groupBy("step1", "step2", "step3").agg(
+        F.count(F.lit(1)).alias("n_paths"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    tot = paths.agg(F.sum("n_paths").alias("n_all"))
+    return (
+        paths.crossJoin(F.broadcast(tot))
+        .select(
+            "step1", "step2", "step3", "n_paths", "n_users",
+            F.round(F.expr("CAST(n_paths AS DOUBLE) / n_all"), 6)
+            .alias("support"),
+        )
+        .orderBy(F.col("n_paths").desc(), "step1", "step2", "step3")
+        .limit(top)
+    )
+
+
+@register(
+    "event_top_paths",
+    oracle=f"""
+    WITH tri AS (
+      SELECT user_id,
+             LAG(event_type, 2) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS step1,
+             LAG(event_type, 1) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS step2,
+             event_type AS step3
+      FROM events
+    ),
+    paths AS (
+      SELECT step1, step2, step3,
+             CAST(COUNT(*) AS BIGINT) AS n_paths,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM tri WHERE step1 IS NOT NULL
+      GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT CAST(SUM(n_paths) AS BIGINT) AS n_all FROM paths)
+    SELECT step1, step2, step3, n_paths, n_users,
+           ROUND(CAST(n_paths AS DOUBLE) / n_all, 6) AS support
+    FROM paths, tot
+    ORDER BY n_paths DESC, step1, step2, step3
+    LIMIT {PATH_TOP}
+    """,
+    doc=f"Top-{PATH_TOP} 3-step event paths across per-user timelines "
+    "(counts, distinct walkers, support) — funnel DISCOVERY beside the "
+    "known-path funnel query and the transition matrix. One user-keyed "
+    "window shuffle computes both lags map-side; the path groupBy runs "
+    "on O(types^3) map-side-combined keys and the top-k is a "
+    "TakeOrderedAndProject with a deterministic path tiebreak.",
+)
+def event_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return top_event_paths(load_table(spark, "events", sf_dir))

@@ -201,7 +201,11 @@ PRIORITY = (
     # refines); incremental_retention_manifest_stored rotates out but
     # stays gate-checked in full — the incremental family is also
     # pytest-pinned and keeps the recompute twin in the full gate
-    "embedding_quantile_calibration",
+    # (round 9 rotates the 3-step path miner in for the per-dim
+    # calibration — the Arrow/Gram family keeps embedding_covariance_
+    # profile above; embedding_quantile_calibration stays gate-checked
+    # in full)
+    "event_top_paths",
     # and the grouped-map EWMA recurrence (the second Arrow seam in the
     # head, sequential-state class); corpus_curation_yield rotates out
     # but stays gate-checked in full — LLM-prep keeps

@@ -3310,3 +3310,36 @@ def test_sprt_latches_h1_on_planted_lift(spark):
     out_f = sprt_conversion_monitor(flat).collect()
     assert out_f[-1]["decision"] == "accept_h0"
     assert out_f[-1]["llr"] < 0
+
+
+def test_top_paths_counts_planted_sequences(spark):
+    """Two users walking view->click->purchase twice each, one user
+    walking an unrelated path once: the planted path tops the list with
+    the exact triple counts and distinct-walker count."""
+    from datetime import datetime, timedelta
+
+    from covid_19_data_engineering_spark.operators.temporal import (
+        top_event_paths,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for u in (1, 2):
+        for rep in range(2):
+            for t in ("view", "click", "purchase"):
+                rows.append((eid, base + timedelta(minutes=eid), u, t,
+                             1.0, "{}"))
+                eid += 1
+    for t in ("signup", "error", "view"):
+        rows.append((eid, base + timedelta(minutes=eid), 3, t, 1.0, "{}"))
+        eid += 1
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    out = top_event_paths(events, top=3).collect()
+    first = out[0]
+    assert (first["step1"], first["step2"], first["step3"]) == (
+        "view", "click", "purchase")
+    assert first["n_paths"] == 4 and first["n_users"] == 2
+    # each 6-event user timeline has 4 windows; user 3 has 1 -> 9 total
+    assert abs(first["support"] - 4 / 9) < 1e-6

@@ -136,6 +136,7 @@ FAMILY = [
     "rfm_customer_segments",
     "event_markov_stationary",
     "events_sprt_conversion",
+    "event_top_paths",
 ]
 
 ID_OFFSET = 1_000_000
