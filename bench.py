@@ -176,6 +176,7 @@ EXTRA = [
     "event_markov_stationary",
     "events_sprt_conversion",
     "event_top_paths",
+    "embedding_prototype_accuracy",
 ]
 
 

