@@ -177,6 +177,7 @@ EXTRA = [
     "events_sprt_conversion",
     "event_top_paths",
     "embedding_prototype_accuracy",
+    "conversion_latency_quantiles",
 ]
 
 

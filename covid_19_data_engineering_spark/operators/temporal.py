@@ -603,3 +603,103 @@ def top_event_paths(events: DataFrame, top: int = PATH_TOP) -> DataFrame:
 )
 def event_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_event_paths(load_table(spark, "events", sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Conversion latency quantiles: click -> purchase, exact order statistics.
+# --------------------------------------------------------------------------
+
+LATENCY_QUANTILES = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def conversion_latency_quantiles(events: DataFrame) -> DataFrame:
+    """(quantile, rank, latency_min) — exact order statistics of the
+    minutes between each purchase and the same user's most recent prior
+    click (the as-of pairing), via the histogram-refine quantile
+    machinery. The p50/p99 "how long does conversion take" SLA readout,
+    with no global sort and no sketch error.
+
+    100 TB shape: one user-keyed window shuffle produces the as-of
+    pairing map-side; latencies are exact integer minutes, and the
+    quantile machinery adds one bin-keyed map-side-combined shuffle plus
+    a bounded candidate-bucket window (operators/quantiles.py).
+    """
+    from covid_19_data_engineering_spark.operators.quantiles import (
+        exact_quantiles_histogram,
+    )
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lat = (
+        events.withColumn(
+            "last_click_ts",
+            F.last(
+                F.when(F.col("event_type") == "click", F.col("ts")),
+                ignorenulls=True,
+            ).over(w),
+        )
+        .where(
+            (F.col("event_type") == "purchase")
+            & F.col("last_click_ts").isNotNull()
+        )
+        .select(
+            F.expr(
+                "CAST(floor((unix_timestamp(ts) "
+                "- unix_timestamp(last_click_ts)) / 60) AS BIGINT)"
+            ).alias("latency_min")
+        )
+    )
+    out = exact_quantiles_histogram(lat, "latency_min",
+                                    quantiles=LATENCY_QUANTILES)
+    return out.select(
+        "quantile", "rank", F.col("value").alias("latency_min")
+    ).orderBy("quantile")
+
+
+@register(
+    "conversion_latency_quantiles",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, ts, event_type,
+             MAX(CASE WHEN event_type = 'click' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_click_ts
+      FROM events
+    ),
+    lat AS (
+      SELECT CAST(floor(epoch(ts - last_click_ts) / 60) AS BIGINT)
+               AS latency_min
+      FROM seq
+      WHERE event_type = 'purchase' AND last_click_ts IS NOT NULL
+    ),
+    n_all AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lat),
+    targets AS (
+      SELECT CAST(q AS DOUBLE) AS quantile,
+             CAST(floor(((SELECT n FROM n_all) - 1) * q) AS BIGINT) + 1
+               AS rank
+      FROM (SELECT unnest([{", ".join(str(p) for p in LATENCY_QUANTILES)}])
+            AS q)
+    ),
+    ranked AS (
+      SELECT latency_min,
+             ROW_NUMBER() OVER (ORDER BY latency_min) AS rn
+      FROM lat
+    )
+    SELECT t.quantile, t.rank, r.latency_min
+    FROM targets t JOIN ranked r ON r.rn = t.rank
+    ORDER BY t.quantile
+    """,
+    doc="Exact click->purchase conversion-latency quantiles "
+    "(p25/p50/p75/p90/p99 in whole minutes): the as-of pairing comes "
+    "from one user-keyed window (most recent prior click, map-side "
+    "after the partition), latencies are exact integer minutes, and the "
+    "order statistics ride the histogram-refine machinery — the SLA "
+    "readout with no global sort and no sketch error.",
+)
+def conversion_latency_quantiles_query(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    return conversion_latency_quantiles(load_table(spark, "events", sf_dir))

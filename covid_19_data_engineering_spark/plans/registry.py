@@ -257,7 +257,11 @@ PRIORITY = (
     # max-merge + inclusion-exclusion); weighted_sample_wor rotates out
     # but stays gate-checked in full — sampling keeps leakage_safe_split
     # in the head and the A-ES battery in pytest
-    "events_hll_overlap",
+    # (round 9 rotates the conversion-latency quantile composition in
+    # for the HLL set-algebra twin — the sketch family keeps
+    # events_user_hll above; events_hll_overlap stays gate-checked in
+    # full)
+    "conversion_latency_quantiles",
     # and the power-iteration PCA (distributed Gram pass -> sketch-sized
     # iteration); bloom_semi_join_stats rotates out but stays gate-
     # checked in full — join pruning keeps its pytest plan gates

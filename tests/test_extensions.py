@@ -3386,3 +3386,32 @@ def test_prototype_classifier_planted_clusters(spark):
     # the midpoint is NOT exactly equidistant after the planted bumps,
     # but it must land in exactly one cell and totals must hold
     assert sum(out2.values()) == 11
+
+
+def test_conversion_latency_quantiles_planted(spark):
+    """Hand-built click->purchase latencies of 10/20/.../100 minutes:
+    the exact order statistics land on the constructed values, and a
+    purchase with no prior click contributes nothing."""
+    from datetime import datetime, timedelta
+
+    from covid_19_data_engineering_spark.operators.temporal import (
+        conversion_latency_quantiles,
+    )
+
+    base = datetime(2024, 1, 1, 12, 0)
+    rows, eid = [], 0
+    for u in range(1, 11):
+        rows.append((eid, base, u, "click", 1.0, "{}")); eid += 1
+        rows.append((eid, base + timedelta(minutes=10 * u), u, "purchase",
+                     1.0, "{}")); eid += 1
+    rows.append((eid, base, 99, "purchase", 1.0, "{}"))  # no prior click
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    out = {r["quantile"]: (r["rank"], r["latency_min"])
+           for r in conversion_latency_quantiles(events).collect()}
+    # n=10 latencies 10..100; k = floor(9p)+1
+    assert out[0.25] == (3, 30)
+    assert out[0.5] == (5, 50)
+    assert out[0.9] == (9, 90)
+    assert out[0.99] == (9, 90)

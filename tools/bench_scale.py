@@ -138,6 +138,7 @@ FAMILY = [
     "events_sprt_conversion",
     "event_top_paths",
     "embedding_prototype_accuracy",
+    "conversion_latency_quantiles",
 ]
 
 ID_OFFSET = 1_000_000
