@@ -178,6 +178,7 @@ EXTRA = [
     "event_top_paths",
     "embedding_prototype_accuracy",
     "conversion_latency_quantiles",
+    "monthly_revenue_growth",
 ]
 
 

@@ -703,3 +703,74 @@ def conversion_latency_quantiles(events: DataFrame) -> DataFrame:
 def conversion_latency_quantiles_query(spark: SparkSession,
                                        sf_dir: str) -> DataFrame:
     return conversion_latency_quantiles(load_table(spark, "events", sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Month-over-month revenue growth (period-over-period readout).
+# --------------------------------------------------------------------------
+
+def monthly_revenue_growth(orders: DataFrame) -> DataFrame:
+    """(month, revenue_cents, prev_cents, mom_growth) — monthly order
+    revenue with the month-over-month growth rate; the first month (and
+    any month following a calendar gap's missing neighbor) reads NULL
+    growth rather than bridging the gap silently.
+
+    Exactness: revenue is exact BIGINT cents off one month-keyed
+    map-side-combined groupBy; growth is one fixed-order division of
+    two integers per row. The lag runs over O(calendar-months) rows and
+    is gap-aware: prev is taken by month arithmetic (join on
+    month - 1 month), not by row adjacency, so a missing month yields
+    NULL instead of comparing across the hole.
+    """
+    monthly = (
+        orders.groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+        .agg(F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+             .alias("revenue_cents"))
+    )
+    prev = monthly.select(
+        F.add_months(F.col("month"), 1).alias("month"),
+        F.col("revenue_cents").alias("prev_cents"),
+    )
+    return (
+        monthly.join(prev, "month", "left")
+        .select(
+            "month", "revenue_cents", "prev_cents",
+            F.round(
+                F.expr("(CAST(revenue_cents AS DOUBLE) - prev_cents) "
+                       "/ prev_cents"), 6).alias("mom_growth"),
+        )
+        .orderBy("month")
+    )
+
+
+@register(
+    "monthly_revenue_growth",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+      FROM orders GROUP BY 1
+    ),
+    prev AS (
+      SELECT month + INTERVAL 1 MONTH AS pm, revenue_cents AS prev_cents
+      FROM monthly
+    )
+    SELECT m.month, m.revenue_cents, p.prev_cents,
+           ROUND((CAST(m.revenue_cents AS DOUBLE) - p.prev_cents)
+                 / p.prev_cents, 6) AS mom_growth
+    FROM monthly m LEFT JOIN prev p ON CAST(p.pm AS DATE) = m.month
+    ORDER BY m.month
+    """,
+    doc="Month-over-month revenue growth: exact BIGINT monthly cents off "
+    "one month-keyed map-side-combined groupBy, growth as one fixed-order "
+    "division per row. GAP-AWARE: the previous month comes from month "
+    "arithmetic (a self-join on month - 1), not row adjacency, so a "
+    "missing calendar month reads NULL instead of silently comparing "
+    "across the hole — the period-over-period readout every revenue "
+    "dashboard opens with.",
+)
+def monthly_revenue_growth_query(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    return monthly_revenue_growth(load_table(spark, "orders", sf_dir))

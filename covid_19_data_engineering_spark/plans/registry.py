@@ -252,7 +252,10 @@ PRIORITY = (
     # and the Poisson-bootstrap CI (distributed uncertainty); cdc_chunk_
     # stats rotates out but stays gate-checked in full — the chunking
     # family is pytest-pinned and keeps its full-gate row
-    "events_value_bootstrap_ci",
+    # (round 9 rotates the gap-aware MoM growth readout in for the
+    # bootstrap CI — the uncertainty family keeps its CI-brackets-truth
+    # pytest pin; events_value_bootstrap_ci stays gate-checked in full)
+    "monthly_revenue_growth",
     # and the HLL set-algebra overlap (sketch union via register
     # max-merge + inclusion-exclusion); weighted_sample_wor rotates out
     # but stays gate-checked in full — sampling keeps leakage_safe_split

@@ -3415,3 +3415,29 @@ def test_conversion_latency_quantiles_planted(spark):
     assert out[0.5] == (5, 50)
     assert out[0.9] == (9, 90)
     assert out[0.99] == (9, 90)
+
+
+def test_monthly_growth_is_gap_aware(spark):
+    """A missing calendar month yields NULL growth on the month after the
+    gap instead of silently comparing across the hole."""
+    from datetime import datetime
+
+    from covid_19_data_engineering_spark.operators.temporal import (
+        monthly_revenue_growth,
+    )
+
+    rows = [
+        (1, 1, "O", 100.0, datetime(2024, 1, 5), "1-URGENT"),
+        (2, 1, "O", 150.0, datetime(2024, 2, 5), "1-URGENT"),
+        # March missing entirely
+        (3, 1, "O", 300.0, datetime(2024, 4, 5), "1-URGENT"),
+    ]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string, "
+              "o_totalprice double, o_orderdate timestamp, "
+              "o_orderpriority string")
+    out = {str(r["month"]): r for r in monthly_revenue_growth(orders).collect()}
+    assert out["2024-01-01"]["mom_growth"] is None       # no prior month
+    assert out["2024-02-01"]["mom_growth"] == 0.5        # 100 -> 150
+    assert out["2024-04-01"]["mom_growth"] is None       # March gap
+    assert out["2024-04-01"]["prev_cents"] is None

@@ -139,6 +139,7 @@ FAMILY = [
     "event_top_paths",
     "embedding_prototype_accuracy",
     "conversion_latency_quantiles",
+    "monthly_revenue_growth",
 ]
 
 ID_OFFSET = 1_000_000
