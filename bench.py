@@ -45,9 +45,22 @@ HEADLINE = [
     "events_asof_click_before_purchase",
 ]
 
-# round-2 additions, timed and reported under "queries_extra" so the
-# headline total stays comparable round-over-round (PERF.md tracks both)
-EXTRA = [
+# Queries deliberately NOT timed, each with a reason. This list must stay
+# short and every entry must carry a reason string — round-9 verdict #1:
+# the pinned EXTRA list had silently drifted to cover only 136 of 221
+# registered queries (the whole TPC-H battery among the untimed), so a perf
+# regression there was invisible to BENCH_r{N}. The extras list is now
+# DERIVED from the registry (all_queries() - HEADLINE - EXCLUDED) so every
+# new registered query is timed by construction.
+EXCLUDED: dict[str, str] = {
+    # (none currently: every registered query is a batch DataFrame build
+    #  that .collect()s at sf0.1 — streaming semantics are benched through
+    #  their batch twins, which ARE registered queries and hence timed)
+}
+
+# Former pinned extras list (rounds 2-9), kept for reference in git history;
+# the derived list below supersedes it.
+_LEGACY_EXTRA = [
     "order_price_ranks_scalable",
     "dedup_minhash_lsh",
     "cross_snapshot_dedup",
@@ -190,7 +203,19 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
     names = [n for n in HEADLINE if n in queries]
-    extra_names = [n for n in EXTRA if n in queries]
+    # extras DERIVED from the registry: every registered query outside the
+    # headline is timed unless explicitly excluded with a logged reason.
+    # _LEGACY_EXTRA's round order is kept as a stable prefix (round-over-
+    # round per-query comparability); queries never before timed append in
+    # sorted order after it.
+    legacy = [n for n in _LEGACY_EXTRA
+              if n in queries and n not in HEADLINE and n not in EXCLUDED]
+    newly = sorted(n for n in queries
+                   if n not in HEADLINE and n not in EXCLUDED
+                   and n not in legacy)
+    extra_names = legacy + newly
+    for name, reason in EXCLUDED.items():
+        print(f"# bench: excluded {name}: {reason}", file=sys.stderr)
     override = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     if override:
         names = [n for n in override.split(",") if n in queries]
@@ -251,6 +276,11 @@ def main() -> None:
         "queries_extra_spread": extra_spreads,
         "passes": n_passes,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # bench-coverage accounting (round-9 verdict #1: no silent caps) —
+        # timed must equal registered minus named exclusions
+        "queries_registered": len(queries),
+        "queries_timed": len(names) + len(extra_names),
+        "excluded": sorted(EXCLUDED),
     }
     print(json.dumps(out))
     # the full record above can exceed the driver's captured stdout tail
