@@ -165,13 +165,21 @@ def daily_trend_by_type(events: DataFrame) -> DataFrame:
         )
         .agg(F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("y"))
     )
+    # sxy/syy route through DECIMAL(38,0) then ONE correctly-rounded
+    # double cast (the OLS _MOMS pattern): y is a daily total in cents,
+    # so SUM(y*y) approaches BIGINT range around sf30 where Spark would
+    # wrap silently while DuckDB raises — a latent engine divergence
+    # beyond the tested SFs. x and sxx stay BIGINT (epoch-day products
+    # are bounded ~4e8 per row).
     moms = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
         F.sum(F.expr("x * x")).alias("sxx"),
-        F.sum(F.expr("x * y")).alias("sxy"),
-        F.sum(F.expr("y * y")).alias("syy"),
+        F.expr("CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE)")
+        .alias("sxy"),
+        F.expr("CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE)")
+        .alias("syy"),
     )
     slope = ("((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) "
              "/ NULLIF(CAST(n AS DOUBLE) * sxx "
@@ -214,8 +222,8 @@ def daily_trend_by_type(events: DataFrame) -> DataFrame:
              CAST(SUM(x) AS BIGINT) AS sx,
              CAST(SUM(y) AS BIGINT) AS sy,
              CAST(SUM(x * x) AS BIGINT) AS sxx,
-             CAST(SUM(x * y) AS BIGINT) AS sxy,
-             CAST(SUM(y * y) AS BIGINT) AS syy
+             CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy
       FROM daily GROUP BY event_type
     )
     SELECT event_type,

@@ -454,16 +454,19 @@ def ewma_by_user(events: DataFrame) -> DataFrame:
     import pandas as pd
 
     def run(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(["user_id", "ts", "event_id"])
+        pdf = pdf.sort_values(["uid_key", "ts", "event_id"])
         # dropna=False: a NULL user_id is a real group (the Spark
-        # groupBy the old per-user kernel rode treated it as one);
-        # Arrow hands nullable int64 to pandas as float64-with-NaN, so
-        # the output key goes back through nullable Int64
-        g = pdf.groupby("user_id", sort=True, dropna=False)
+        # groupBy the old per-user kernel rode treated it as one).
+        # The key travels as a STRING: with NULLs present Arrow hands a
+        # nullable int64 column to pandas as float64-with-NaN, which
+        # silently loses precision for key magnitudes above 2^53 and
+        # could merge distinct users — a string key round-trips any
+        # BIGINT exactly and Spark casts it back after the kernel.
+        g = pdf.groupby("uid_key", sort=True, dropna=False)
         last = (g["value"].ewm(alpha=0.5, adjust=False).mean()
                 .groupby(level=0, dropna=False).last())
         return pd.DataFrame({
-            "user_id": pd.array(last.index.to_numpy(), dtype="Int64"),
+            "uid_key": last.index.to_numpy(dtype=object),
             "n_events": g.size().to_numpy(),
             "ewma": [round(v, 6) for v in last.to_numpy()],
         })
@@ -479,9 +482,16 @@ def ewma_by_user(events: DataFrame) -> DataFrame:
                 yield run(pdf)
 
     return (
-        events.select("user_id", "ts", "event_id", "value")
-        .repartition("user_id")
-        .mapInPandas(gen, "user_id long, n_events long, ewma double")
+        events.select(
+            F.col("user_id").cast("string").alias("uid_key"),
+            "ts", "event_id", "value",
+        )
+        .repartition("uid_key")
+        .mapInPandas(gen, "uid_key string, n_events long, ewma double")
+        .select(
+            F.col("uid_key").cast("long").alias("user_id"),
+            "n_events", "ewma",
+        )
         .orderBy("user_id")
     )
 

@@ -2483,6 +2483,34 @@ def test_ewma_keeps_the_null_user_group():
     assert sorted(out["n_events"]) == [1, 2]
 
 
+def test_ewma_big_keys_survive_null_partitions(spark):
+    """Round-9 ADVICE: with NULL user_ids in a partition, Arrow used to
+    hand the int64 key to pandas as float64-with-NaN, so keys above 2^53
+    silently lost precision and could merge distinct users. The kernel
+    now ships the key as a string (exact for any BIGINT); two adjacent
+    >2^53 keys plus a NULL must come back distinct and intact."""
+    import pyspark.sql.functions as F
+
+    from covid_19_data_engineering_spark.operators.temporal import (
+        ewma_by_user,
+    )
+
+    k = (1 << 53) + 1  # not representable in float64 (rounds to 2^53)
+    rows = [(k, 1, 1, 10.0), (k + 1, 2, 2, 20.0), (None, 3, 3, 7.0)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts long, event_id long, value double",
+    ).select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        "event_id", "value",
+    )
+    out = {r["user_id"]: (r["n_events"], r["ewma"])
+           for r in ewma_by_user(ev).collect()}
+    assert set(out) == {k, k + 1, None}
+    assert out[k] == (1, 10.0)
+    assert out[k + 1] == (1, 20.0)
+    assert out[None] == (1, 7.0)
+
+
 def test_hll_registers_merge_and_estimate_accuracy(spark):
     """The HLL register table must be MERGEABLE (max over (group, idx)
     of two shards' registers == registers of the union — the property
