@@ -9,7 +9,11 @@ One read/write seam covering the formats Spark ships natively:
 - ``orc`` (same columnar posture, ships in Spark core);
 - ``json`` (JSON-lines interchange; schema enforced on read — never
   inferSchema over 100 TB of JSON);
-- ``csv`` (the reference's interchange format, header on).
+- ``csv`` (the reference's interchange format, header on);
+- ``avro`` (row-oriented interchange; the spark-avro module doesn't ship
+  in Spark core, so the container format is implemented from the public
+  spec in sources/avrofmt.py — pure stdlib codec behind the Arrow seam,
+  interop-pinned against the JVM Apache Avro reference implementation).
 
 Scale posture baked in:
 - writes accept ``partition_by`` (e.g. load_date) so downstream reads get
@@ -27,9 +31,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-FORMATS = ("parquet", "orc", "json", "csv")
+FORMATS = ("parquet", "orc", "json", "csv", "avro")
 # formats that carry their own schema in file metadata
-_SELF_DESCRIBING = ("parquet", "orc")
+_SELF_DESCRIBING = ("parquet", "orc", "avro")
 
 
 def write_table(df: DataFrame, path: str, fmt: str = "parquet",
@@ -39,6 +43,19 @@ def write_table(df: DataFrame, path: str, fmt: str = "parquet",
     a directory layout that downstream scans partition-prune."""
     if fmt not in FORMATS:
         raise ValueError(f"unknown format {fmt!r}; supported: {FORMATS}")
+    if fmt == "avro":
+        if partition_by:
+            raise ValueError(
+                "avro sink does not support partition_by yet: use parquet "
+                "for partition-pruned history layouts (SURVEY §3)")
+        from covid_19_data_engineering_spark.sources.avrofmt import write_avro
+        if max_records_per_file is not None:
+            # honor the balanced-files contract with an explicit row-capped
+            # repartition (the codec writes one container file per partition)
+            n = max(1, -(-df.count() // max_records_per_file))
+            df = df.repartition(n)
+        write_avro(df, path, mode=mode)
+        return
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -55,6 +72,11 @@ def read_table(spark: SparkSession, path: str, fmt: str = "parquet",
     json/csv require one explicitly (no inference scans at scale)."""
     if fmt not in FORMATS:
         raise ValueError(f"unknown format {fmt!r}; supported: {FORMATS}")
+    if fmt == "avro":
+        from covid_19_data_engineering_spark.sources.avrofmt import read_avro
+        if isinstance(schema, str):
+            schema = T.StructType.fromDDL(schema)
+        return read_avro(spark, path, schema)
     reader = spark.read
     if fmt in _SELF_DESCRIBING:
         if schema is not None:
