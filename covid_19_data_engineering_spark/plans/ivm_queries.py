@@ -54,6 +54,7 @@ from covid_19_data_engineering_spark.sources.incremental import (
     refresh_join_view,
     refresh_minmax_aggregate,
     refresh_sum_aggregate,
+    refresh_topk_view,
 )
 from covid_19_data_engineering_spark.sources.tables import load_table
 from covid_19_data_engineering_spark.sources.versioned import (
@@ -63,7 +64,8 @@ from covid_19_data_engineering_spark.sources.versioned import (
 
 # bump to invalidate previously built histories when the build script or
 # the fold logic changes
-_IVM_STATE_VERSION = "ivm2"
+_IVM_STATE_VERSION = "ivm3"  # ivm3: + maintained top-k view
+_TOPK_K = 3
 
 # the deterministic final snapshot: orders with o_orderkey % 8 in 1..6
 # (residue 0 is dropped by the closing overwrite, residue 7 never lands)
@@ -89,7 +91,7 @@ def _ivm_state_dir(sf_dir: str) -> str:
 def _paths(base: str) -> dict[str, str]:
     return {n: os.path.join(base, n)
             for n in ("src", "agg_sum", "agg_minmax", "agg_distinct",
-                      "jleft", "jright", "jview")}
+                      "agg_topk", "jleft", "jright", "jview")}
 
 
 def _refresh_aggs(spark: SparkSession, p: dict[str, str]) -> None:
@@ -99,6 +101,8 @@ def _refresh_aggs(spark: SparkSession, p: dict[str, str]) -> None:
                              "price_cents")
     refresh_distinct_aggregate(spark, p["src"], p["agg_distinct"],
                                "o_custkey", "o_orderpriority")
+    refresh_topk_view(spark, p["src"], p["agg_topk"], "o_custkey",
+                      "price_cents", "o_orderkey", k=_TOPK_K)
 
 
 def _ensure_state(spark: SparkSession, sf_dir: str) -> dict[str, str]:
@@ -329,4 +333,55 @@ def incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("qty_cents").alias("qty_cents_sum"),
         )
         .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "incremental_topk_view",
+    oracle=f"""
+    WITH src AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+      FROM orders
+      WHERE o_orderkey % 8 BETWEEN {_FINAL_LO} AND {_FINAL_HI}
+    ),
+    ranked AS (
+      SELECT o_custkey, o_orderkey, price_cents,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY price_cents DESC, o_orderkey) AS BIGINT) AS rnk
+      FROM src
+    )
+    SELECT o_custkey, rnk, o_orderkey,
+           ROUND(CAST(price_cents AS DOUBLE) / 100.0, 2) AS price
+    FROM ranked WHERE rnk <= {_TOPK_K}
+    ORDER BY o_custkey, rnk
+    """,
+    doc="CDC -> IVM, TOP-K (round-9 verdict task #8): the same maintained "
+    "5-commit history, with the per-customer top-3 orders by price kept "
+    "as a materialized view. Inserts fold by the top-k MONOID property "
+    "(topk(S ∪ dS) = topk(topk(S) ∪ dS) — re-rank old state ∪ inserts "
+    "for touched keys only); the closing overwrite's deletes trigger the "
+    "semi-join-restricted per-key recompute (a deleted top row's "
+    "replacement is unknowable from state). Untouched keys carry state "
+    "verbatim. The oracle recomputes the window fresh over the final "
+    "snapshot, so a hash match proves maintained == ROW_NUMBER()<=k with "
+    "identical DESC/tiebreak semantics. State is groups x k rows; "
+    "refresh cost is O(changed keys), never a full-source window.",
+)
+def incremental_topk_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    p = _ensure_state(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("price_cents").desc_nulls_last(), F.col("o_orderkey").asc())
+    return (
+        read_versioned(spark, p["agg_topk"])
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .select(
+            "o_custkey", "rnk", "o_orderkey",
+            F.round(F.col("price_cents").cast("double") / 100.0, 2)
+            .alias("price"),
+        )
+        .orderBy("o_custkey", "rnk")
     )

@@ -93,7 +93,12 @@ PRIORITY = (
     # the revenue-WEIGHTED quantiles in for the count version (same
     # histogram-refine machinery; exact_price_quantiles stays
     # gate-checked in full)
-    "events_dow_seasonality",
+    # round 10 rotates the Avro round-trip profile in for the dow-
+    # seasonality readout (events_dow_seasonality stays gate-checked in
+    # full; the temporal family keeps its other head reps) — the format
+    # codec becomes an oracle-checked head entry: every driver sample
+    # exercises write-once + parallel decode of the container format
+    "avro_roundtrip_events",
     "zorder_file_layout",
     "revenue_weighted_price_quantiles",
     # round-8 rotations: the two queries whose semantics/partition
@@ -190,11 +195,14 @@ PRIORITY = (
     # backlog curve (intervals keep events_interval_coverage in the
     # head; orders_open_backlog_curve stays gate-checked in full)
     "price_quantity_ols",
-    # round-9 time-series swap: the daily autocorrelation profile rotates
-    # in for the sessionize->quantile composition (quantiles keep
-    # exact_price_quantiles, the robust fence, and the calibration in the
-    # head; session_duration_quantiles stays gate-checked in full)
-    "events_acf_daily",
+    # round-9 time-series swap: the daily autocorrelation profile rotated
+    # in for the sessionize->quantile composition; round 10 rotates the
+    # STREAMING-NATIVE tumbling oracle in for it (events_acf_daily stays
+    # gate-checked in full; temporal keeps CUSUM/KS/daily-trend/EWMA in
+    # the head) — the head now contains a query whose Spark side executes
+    # the actual streaming engine end-to-end (readStream -> watermark ->
+    # availableNow -> sink), closing SURVEY §7 risk 5 inside the gate
+    "events_tumbling_1h_streamed",
     # round-9 concentration swap: the Gini/Lorenz readout (bucket+offset
     # ranked, BIGINT throughout) rotates in for the HHI (same
     # concentration family; supplier_concentration_hhi stays gate-checked
@@ -242,7 +250,11 @@ PRIORITY = (
     # stay gate-checked in full (text keeps keyness/entropy/zipf/novelty
     # in the head; temporal keeps drift, the control chart, lateness,
     # and interval coverage)
-    "incremental_distinct_aggregate",
+    # (round 10 rotates the maintained TOP-K view in for the COUNT(
+    # DISTINCT) support-table twin — the IVM family keeps sum/minmax/join
+    # reps here plus the new top-k; incremental_distinct_aggregate stays
+    # gate-checked in full and its fold matrix is pytest-pinned)
+    "incremental_topk_view",
     "incremental_join_view",
     # and the deterministic HLL sketch (mergeable-sketch family gains an
     # oracle-checked head rep); setsim_prefix_join rotates out but stays
@@ -375,6 +387,7 @@ def _ensure_loaded() -> None:
     import covid_19_data_engineering_spark.operators.prototype  # noqa: F401
     import covid_19_data_engineering_spark.operators.gram  # noqa: F401
     import covid_19_data_engineering_spark.functions.udfs  # noqa: F401
+    import covid_19_data_engineering_spark.sources.avrofmt  # noqa: F401
     import covid_19_data_engineering_spark.streaming.events  # noqa: F401
     _reorder_registry()
     _LOADED = True

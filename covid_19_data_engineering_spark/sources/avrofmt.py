@@ -454,3 +454,76 @@ def read_avro(spark: SparkSession, path: str,
         .select("content")
     )
     return binary.mapInPandas(gen, schema)
+
+
+# --------------------------------------------------------------------------
+# oracle-checked registered query: the codec inside the correctness gate
+# --------------------------------------------------------------------------
+
+_AVRO_RT_VERSION = "avrort1"
+
+
+def _avro_rt_dir(sf_dir: str) -> str:
+    """Round-trip cache dir keyed on the events corpus fingerprint
+    (regeneration invalidates; the WRITE runs once per corpus, every gate
+    run exercises the distributed READ + decode)."""
+    import re
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    slug = re.sub(r"[^A-Za-z0-9_.-]+", "_", sf_dir.strip("/"))
+    root = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".state_cache")
+    return os.path.join(root, _AVRO_RT_VERSION, slug,
+                        f"{st.st_size}-{st.st_mtime_ns}", "events_avro")
+
+
+def _register_roundtrip() -> None:
+    from covid_19_data_engineering_spark.plans.registry import register
+    from covid_19_data_engineering_spark.sources.tables import load_table
+
+    @register(
+        "avro_roundtrip_events",
+        oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS value_cents,
+               CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+               CAST(MAX(event_id) AS BIGINT) AS max_event_id,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(MIN(CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS first_ts,
+               CAST(MAX(CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS last_ts
+        FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        doc="Events profiled AFTER a full Avro container round-trip: the "
+        "table is written once per corpus fingerprint with the stdlib OCF "
+        "codec (distributed one-file-per-partition write), then every gate "
+        "run reads it back through the parallel binaryFile decode and "
+        "aggregates — so every column class the codec carries (long, "
+        "double, string, nullable long, timestamp) must survive the bytes "
+        "bit-exactly for the hash to match the oracle computed on the "
+        "ORIGINAL parquet.",
+    )
+    def avro_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import pyspark.sql.functions as F
+
+        path = _avro_rt_dir(sf_dir)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            write_avro(load_table(spark, "events", sf_dir), path)
+        back = read_avro(spark, path)
+        return (
+            back.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+                .alias("value_cents"),
+                F.min("event_id").alias("min_event_id"),
+                F.max("event_id").alias("max_event_id"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.min("ts").alias("first_ts"),
+                F.max("ts").alias("last_ts"),
+            )
+            .orderBy("event_type")
+        )
+
+
+_register_roundtrip()

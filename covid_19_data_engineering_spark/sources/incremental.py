@@ -385,6 +385,85 @@ def refresh_distinct_aggregate(spark: SparkSession, table_path: str,
     return _commit_refresh(new, agg_path, src_version)
 
 
+def refresh_topk_view(spark: SparkSession, table_path: str,
+                      agg_path: str, key_col: str, value_col: str,
+                      id_col: str, k: int = 3) -> int:
+    """Maintain the per-``key_col`` TOP-K rows (largest ``value_col``,
+    ties broken by ascending ``id_col``) at ``agg_path``; returns the
+    source version now reflected. NULL values are excluded (a NULL can
+    never be a top value under DESC NULLS LAST semantics — stated
+    explicitly because Spark and SQL engines disagree on the default).
+
+    Top-k is a MONOID under inserts — topk(S ∪ dS) = topk(topk(S) ∪ dS),
+    since adding rows can never promote a row the old state already
+    discarded — so insert-only keys fold by re-ranking old-state ∪
+    inserted rows, O(k + inserted) per touched key, source never read.
+    Deletes are not invertible (dropping a top row says nothing about
+    the (k+1)-th), so keys that saw ANY delete re-aggregate from the
+    pinned snapshot restricted by a semi join — the same delete-triggered
+    per-key recompute strategy as ``refresh_minmax_aggregate``. Untouched
+    keys carry their state rows forward verbatim (no re-ranking work).
+
+    View schema: (key_col, value_col, id_col). Cursor, idempotence, and
+    the ChangeFeedTruncated -> full-recompute fallback match the other
+    refreshes. At scale the state is groups x k rows — a top-k dashboard
+    maintained at O(changed keys) per refresh instead of a window over
+    the full source.
+    """
+    from pyspark.sql import Window
+
+    src_version = current_version(table_path)
+    last = _resume_cursor(agg_path)
+    if last is not None and last >= src_version:
+        return last
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(value_col).desc_nulls_last(), F.col(id_col).asc())
+
+    def topk(df: DataFrame) -> DataFrame:
+        return (
+            df.where(F.col(value_col).isNotNull())
+            .select(key_col, value_col, id_col)
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+
+    def recompute() -> DataFrame:
+        return topk(read_versioned(spark, table_path, version=src_version))
+
+    if last is None:
+        return _commit_refresh(recompute(), agg_path, src_version)
+    try:
+        feed = read_change_feed(spark, table_path, last, src_version)
+    except ChangeFeedTruncated:
+        return _commit_refresh(recompute(), agg_path, src_version)
+    old = read_versioned(spark, agg_path)
+    del_keys = (
+        feed.where(F.col("_change_type") == "delete")
+        .select(key_col).distinct()
+    )
+    ins = _null_safe_key_filter(
+        feed.where(F.col("_change_type") == "insert"),
+        del_keys, key_col, "left_anti",
+    ).where(F.col(value_col).isNotNull())
+    ins_keys = ins.select(key_col).distinct()
+    # delete-affected keys: per-key recompute from the pinned snapshot
+    recomputed = topk(_null_safe_key_filter(
+        read_versioned(spark, table_path, version=src_version),
+        del_keys, key_col, "left_semi"))
+    # insert-only keys: monoid fold (old top-k rows ∪ inserts, re-ranked)
+    folded = topk(
+        _null_safe_key_filter(old, ins_keys, key_col, "left_semi")
+        .unionByName(ins.select(key_col, value_col, id_col))
+    )
+    untouched = _null_safe_key_filter(
+        _null_safe_key_filter(old, del_keys, key_col, "left_anti"),
+        ins_keys, key_col, "left_anti")
+    new = untouched.unionByName(folded).unionByName(recomputed)
+    return _commit_refresh(new, agg_path, src_version)
+
+
 def read_distinct_counts(spark: SparkSession, agg_path: str,
                          key_col: str) -> DataFrame:
     """The COUNT(DISTINCT) readout over a maintained support table:

@@ -880,6 +880,77 @@ def test_incremental_minmax_aggregate_tracks_the_source(spark, tmp_path):
     check()
 
 
+def test_incremental_topk_view_tracks_the_source(spark, tmp_path):
+    """TOP-K IVM matrix (round-9 verdict task #8): bootstrap, monoid
+    insert folding (a new row entering AND missing the top-k), the
+    delete-triggered per-key recompute (an overwrite deleting a top row
+    must surface the (k+1)-th, which no state fold can know), key
+    drop-out, idempotence, multi-commit catch-up, and the truncated-feed
+    full-recompute fallback — the invariant is maintained == fresh
+    ROW_NUMBER()<=k at every step."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from covid_19_data_engineering_spark.sources.incremental import (
+        refresh_topk_view,
+    )
+
+    tbl, agg = str(tmp_path / "src"), str(tmp_path / "agg")
+    K = 2
+
+    def check():
+        got = sorted((r["k"], r["x"], r["id"])
+                     for r in read_versioned(spark, agg).collect())
+        w = Window.partitionBy("k").orderBy(
+            F.col("x").desc_nulls_last(), F.col("id").asc())
+        want = sorted(
+            (r["k"], r["x"], r["id"])
+            for r in read_versioned(spark, tbl)
+            .where(F.col("x").isNotNull())
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= K).collect())
+        assert got == want
+
+    write_versioned(
+        _ndf(spark, [(1, "a", 10), (2, "a", 20), (3, "a", 5), (4, "b", 7)]),
+        tbl)
+    assert refresh_topk_view(spark, tbl, agg, "k", "x", "id", k=K) == 1
+    check()  # bootstrap: a -> {20, 10}, b -> {7}
+
+    # append: 30 enters a's top-2 (evicting 10); 1 misses it entirely
+    write_versioned(_ndf(spark, [(5, "a", 30), (6, "a", 1), (7, "b", 2)]),
+                    tbl, mode="append")
+    refresh_topk_view(spark, tbl, agg, "k", "x", "id", k=K)
+    check()
+    rows = {(r["k"], r["x"]) for r in read_versioned(spark, agg).collect()}
+    assert rows == {("a", 30), ("a", 20), ("b", 7), ("b", 2)}
+
+    # overwrite deletes a's best two: the recompute must surface the
+    # survivors, and fully-vanished keys must drop out
+    write_versioned(
+        _ndf(spark, [(8, "a", 10), (9, "a", 5), (10, "c", 99)]), tbl)
+    refresh_topk_view(spark, tbl, agg, "k", "x", "id", k=K)
+    check()
+    rows = {(r["k"], r["x"]) for r in read_versioned(spark, agg).collect()}
+    assert rows == {("a", 10), ("a", 5), ("c", 99)}
+
+    # idempotent + multi-commit catch-up
+    before = current_version(agg)
+    assert refresh_topk_view(spark, tbl, agg, "k", "x", "id", k=K) == 3
+    assert current_version(agg) == before
+    write_versioned(_ndf(spark, [(11, "c", 50)]), tbl, mode="append")
+    write_versioned(_ndf(spark, [(12, "a", 100)]), tbl, mode="append")
+    refresh_topk_view(spark, tbl, agg, "k", "x", "id", k=K)
+    check()
+
+    # vacuumed feed: cursor predates the horizon -> full recompute
+    write_versioned(_ndf(spark, [(13, "d", 4)]), tbl)
+    vacuum_versioned(tbl, keep_versions=1, retention_s=0.0)
+    refresh_topk_view(spark, tbl, agg, "k", "x", "id", k=K)
+    rows = {(r["k"], r["x"]) for r in read_versioned(spark, agg).collect()}
+    assert rows == {("d", 4)}
+
+
 def test_change_feed_raises_on_vacuumed_history(spark, tbl):
     """Round-8 ADVICE medium: a feed range whose commit records were
     vacuumed must raise ChangeFeedTruncated, not silently emit a partial

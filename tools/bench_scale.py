@@ -150,6 +150,14 @@ FAMILY = [
     "incremental_minmax_aggregate",
     "incremental_distinct_aggregate",
     "incremental_join_view",
+    # round 10: maintained top-k view (orders-backed), the streaming-
+    # native tumbling oracle (events-backed; the stream drains the scaled
+    # file with availableNow so wall tracks the scan), and the Avro
+    # round-trip profile (events-backed; write once per corpus, the timed
+    # steady state is the parallel decode)
+    "incremental_topk_view",
+    "events_tumbling_1h_streamed",
+    "avro_roundtrip_events",
 ]
 
 ID_OFFSET = 1_000_000
