@@ -262,3 +262,124 @@ def _sprt_oracle_sql() -> str:
 )
 def events_sprt_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sprt_conversion_monitor(load_table(spark, "events", sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Welch's unequal-variance t-test on a continuous measure — the companion
+# inference readout to the proportion z-test above: "did the mean move?"
+# for experiment metrics that are amounts, not conversions. Welch (not
+# pooled Student) because real experiment arms rarely share a variance.
+# --------------------------------------------------------------------------
+
+_TT_A, _TT_B = "R", "N"
+T_CRIT = 1.96  # two-sided 5% (normal approx; df here is in the thousands)
+
+
+def welch_ttest_price(lineitem: DataFrame) -> DataFrame:
+    """One-row Welch t-test of mean l_extendedprice between returnflag
+    groups 'R' and 'N': (n_a, n_b, mean_a, mean_b, t_stat, df,
+    significant).
+
+    The whole test reduces to SIX exact integers in ONE map-side-combined
+    aggregate — per group: row count, sum of integer cents, sum of
+    squared cents (squares pass BIGINT range near sf0.1, so the sums
+    route through DECIMAL(38,0) then one correctly-rounded double cast,
+    the OLS moment pattern). The t statistic, Welch-Satterthwaite df, and
+    the decision are fixed-order double expressions over that single row,
+    shared verbatim with the oracle. Means use the shared half-up
+    rounding (floor(x*1e4+0.5)/1e4 — ROUND's half-tie handling differs
+    between engines on exact decimal halves, which integer-cent means can
+    hit); t and df round plainly (sqrt outputs never land on decimal
+    halves). significant compares the ROUNDED t so both engines decide
+    from the same value.
+
+    100 TB shape: one aggregate, no shuffle wider than the partial rows.
+    """
+    cents = "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)"
+    moms = lineitem.where(
+        F.col("l_returnflag").isin(_TT_A, _TT_B)
+    ).agg(
+        *[F.expr(e).alias(a) for e, a in (
+            (f"SUM(CASE WHEN l_returnflag = '{_TT_A}' THEN 1 ELSE 0 END)",
+             "n_a"),
+            (f"SUM(CASE WHEN l_returnflag = '{_TT_B}' THEN 1 ELSE 0 END)",
+             "n_b"),
+            (f"CAST(SUM(CASE WHEN l_returnflag = '{_TT_A}' THEN "
+             f"CAST({cents} AS DECIMAL(38,0)) ELSE 0 END) AS DOUBLE)",
+             "s_a"),
+            (f"CAST(SUM(CASE WHEN l_returnflag = '{_TT_B}' THEN "
+             f"CAST({cents} AS DECIMAL(38,0)) ELSE 0 END) AS DOUBLE)",
+             "s_b"),
+            (f"CAST(SUM(CASE WHEN l_returnflag = '{_TT_A}' THEN "
+             f"CAST({cents} * {cents} AS DECIMAL(38,0)) ELSE 0 END) "
+             "AS DOUBLE)", "q_a"),
+            (f"CAST(SUM(CASE WHEN l_returnflag = '{_TT_B}' THEN "
+             f"CAST({cents} * {cents} AS DECIMAL(38,0)) ELSE 0 END) "
+             "AS DOUBLE)", "q_b"),
+        )]
+    )
+    return moms.selectExpr(*_welch_select())
+
+
+def _welch_select() -> list[str]:
+    """The shared (Spark == DuckDB) solve over the one moment row."""
+    na, nb = "CAST(n_a AS DOUBLE)", "CAST(n_b AS DOUBLE)"
+    ma, mb = f"(s_a / {na})", f"(s_b / {nb})"
+    va = f"((q_a - s_a * s_a / {na}) / ({na} - 1))"
+    vb = f"((q_b - s_b * s_b / {nb}) / ({nb} - 1))"
+    se2 = f"({va} / {na} + {vb} / {nb})"
+    t = f"(({ma} - {mb}) / sqrt({se2}))"
+    df = (f"({se2} * {se2} / (({va} / {na}) * ({va} / {na}) / ({na} - 1)"
+          f" + ({vb} / {nb}) * ({vb} / {nb}) / ({nb} - 1)))")
+    return [
+        "CAST(n_a AS BIGINT) AS n_a",
+        "CAST(n_b AS BIGINT) AS n_b",
+        # CAST before the divide: Spark parses the 10000.0 literal as
+        # DECIMAL, so FLOOR(...)/10000.0 would return Decimal (DuckDB's
+        # FLOOR stays DOUBLE) — the driver canon tolerates it but the
+        # schema contract shouldn't depend on that
+        f"CAST(FLOOR({ma} / 100.0 * 10000.0 + 0.5) AS DOUBLE) / 10000.0"
+        " AS mean_a",
+        f"CAST(FLOOR({mb} / 100.0 * 10000.0 + 0.5) AS DOUBLE) / 10000.0"
+        " AS mean_b",
+        f"ROUND({t}, 4) AS t_stat",
+        f"ROUND({df}, 1) AS df",
+        f"(abs(ROUND({t}, 4)) > {T_CRIT}) AS significant",
+    ]
+
+
+@register(
+    "price_welch_ttest",
+    oracle=f"""
+    WITH moms AS (
+      SELECT
+        SUM(CASE WHEN l_returnflag = '{_TT_A}' THEN 1 ELSE 0 END) AS n_a,
+        SUM(CASE WHEN l_returnflag = '{_TT_B}' THEN 1 ELSE 0 END) AS n_b,
+        CAST(SUM(CASE WHEN l_returnflag = '{_TT_A}' THEN
+          CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+               AS DECIMAL(38,0)) ELSE 0 END) AS DOUBLE) AS s_a,
+        CAST(SUM(CASE WHEN l_returnflag = '{_TT_B}' THEN
+          CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+               AS DECIMAL(38,0)) ELSE 0 END) AS DOUBLE) AS s_b,
+        CAST(SUM(CASE WHEN l_returnflag = '{_TT_A}' THEN
+          CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+               * CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+               AS DECIMAL(38,0)) ELSE 0 END) AS DOUBLE) AS q_a,
+        CAST(SUM(CASE WHEN l_returnflag = '{_TT_B}' THEN
+          CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+               * CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+               AS DECIMAL(38,0)) ELSE 0 END) AS DOUBLE) AS q_b
+      FROM lineitem WHERE l_returnflag IN ('{_TT_A}', '{_TT_B}')
+    )
+    SELECT {", ".join(_welch_select())} FROM moms
+    """,
+    doc="Welch's unequal-variance t-test of mean extendedprice between "
+    "returnflag groups: six exact integer moments (squared-cents sums "
+    "through DECIMAL(38,0)) in ONE map-side-combined aggregate, then the "
+    "t statistic, Welch-Satterthwaite df, and the 5% decision as "
+    "fixed-order double expressions over the single moment row — the "
+    "continuous-metric companion to the proportion z-test, with no "
+    "second pass and no shuffle wider than the partial-agg rows.",
+)
+def price_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return welch_ttest_price(load_table(spark, "lineitem", sf_dir))

@@ -383,3 +383,131 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rev_fp")
     )
     return gini_concentration(rev, "rev_fp", "o_custkey")
+
+
+# --------------------------------------------------------------------------
+# ABC inventory classification — bucket the catalog into A/B/C classes by
+# cumulative revenue share (A: first 80% of revenue, B: to 95%, C: tail).
+# The classic "needs a global ORDER BY rev DESC + running total"
+# operator, done with the same bucket+offset decomposition as the global
+# rank: a DISTRIBUTED prefix sum (within-bucket cumsum windows + one
+# O(buckets) offset table), no single-partition window over the catalog.
+# --------------------------------------------------------------------------
+
+_ABC_A_PCT, _ABC_B_PCT = 80, 95
+
+
+def abc_classification(lineitem: DataFrame,
+                       n_buckets: int = N_RANK_BUCKETS) -> DataFrame:
+    """(abc_class, n_parts, revenue, revenue_share) — parts classed by
+    cumulative share of discounted revenue in descending-revenue order.
+
+    Exactness: per-part revenue is an exact BIGINT cents sum (the
+    double product l_extendedprice*(1-l_discount) is computed by the
+    identical expression on both engines before the one half-up floor);
+    the prefix sums and both class thresholds are pure integer
+    arithmetic (cum*100 <= 80*total), so the classing is engine-exact —
+    no float boundary anywhere. Ties in revenue break by p_partkey, so
+    the cumulative order is total.
+
+    100 TB shape: one part-keyed rollup (map-side combined), then the
+    two-level prefix sum — within-bucket windows partitioned by revenue
+    bucket + a broadcast O(buckets) offset table. The catalog never
+    passes through one partition.
+    """
+    rev = (
+        lineitem.groupBy("l_partkey")
+        .agg(F.sum(F.expr(
+            "CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) "
+            "AS BIGINT)")).alias("rev"))
+    )
+    stats = rev.agg(
+        F.min(F.col("rev")).cast("double").alias("_mn"),
+        F.max(F.col("rev")).cast("double").alias("_mx"),
+        F.sum("rev").alias("_total"),
+    )
+    # bucket on NEGATED revenue so bucket order == descending revenue
+    bucketed = rev.crossJoin(F.broadcast(stats)).withColumn(
+        "_bkt",
+        F.width_bucket(-F.col("rev").cast("double"),
+                       -F.col("_mx"), -F.col("_mn") + 1, n_buckets),
+    )
+    local_w = Window.partitionBy("_bkt").orderBy(
+        F.col("rev").desc(), F.col("l_partkey").asc())
+    cumd = bucketed.withColumn(
+        "_local_cum",
+        F.sum("rev").over(local_w.rowsBetween(Window.unboundedPreceding,
+                                              Window.currentRow)))
+    btotals = cumd.groupBy("_bkt").agg(F.sum("rev").alias("_bsum"))
+    tiny_w = Window.orderBy("_bkt")
+    offsets = btotals.select(
+        "_bkt", (F.sum("_bsum").over(tiny_w) - F.col("_bsum"))
+        .alias("_offset"))
+    classed = (
+        cumd.join(F.broadcast(offsets), "_bkt")
+        .withColumn("_cum", F.col("_local_cum") + F.col("_offset"))
+        .withColumn(
+            "abc_class",
+            F.when(F.col("_cum") * 100 <= _ABC_A_PCT * F.col("_total"), "A")
+            .when(F.col("_cum") * 100 <= _ABC_B_PCT * F.col("_total"), "B")
+            .otherwise("C"),
+        )
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.sum("rev").cast("double") / 100.0, 2).alias("revenue"),
+            F.round(F.sum("rev").cast("double")
+                    / F.max("_total").cast("double"), 6)
+            .alias("revenue_share"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+@register(
+    "parts_abc_classification",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100
+                                 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT CAST(SUM(rev) AS BIGINT) AS total FROM rev),
+    cum AS (
+      SELECT rev,
+             CAST(SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS c,
+             total
+      FROM rev, tot
+    ),
+    classed AS (
+      SELECT rev, total,
+             CASE WHEN c * 100 <= {_ABC_A_PCT} * total THEN 'A'
+                  WHEN c * 100 <= {_ABC_B_PCT} * total THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM cum
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(CAST(CAST(SUM(rev) AS BIGINT) AS DOUBLE) / 100.0, 2)
+             AS revenue,
+           ROUND(CAST(CAST(SUM(rev) AS BIGINT) AS DOUBLE)
+                 / CAST(MAX(total) AS DOUBLE), 6) AS revenue_share
+    FROM classed GROUP BY abc_class ORDER BY abc_class
+    """,
+    doc=f"ABC classification of parts by cumulative discounted-revenue "
+    f"share (A <= {_ABC_A_PCT}%, B <= {_ABC_B_PCT}%, C tail): the global "
+    "descending-revenue running total is a DISTRIBUTED two-level prefix "
+    "sum (within-bucket cumsum windows over the width_bucket revenue "
+    "partitioning + one broadcast O(buckets) offset table) and both "
+    "thresholds are exact integer comparisons (cum*100 <= pct*total) — "
+    "the inventory-policy classing with no single-partition window and "
+    "no float boundary; the oracle states the same semantics as one "
+    "flat window.",
+)
+def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return abc_classification(load_table(spark, "lineitem", sf_dir))

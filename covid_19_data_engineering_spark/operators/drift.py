@@ -843,3 +843,117 @@ def benford_first_digit(df: DataFrame, amount_col: str) -> DataFrame:
 def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_first_digit(load_table(spark, "orders", sf_dir),
                                "o_totalprice")
+
+
+# --------------------------------------------------------------------------
+# Lagged cross-correlation between two event-type daily series — the
+# lead-lag discovery readout ("do clicks today predict purchases in k
+# days?") behind attribution windows and forecasting features.
+# --------------------------------------------------------------------------
+
+XCORR_X, XCORR_Y = "click", "purchase"
+XCORR_MAX_LAG = 7
+
+
+def daily_xcorr(events: DataFrame, x_type: str = XCORR_X,
+                y_type: str = XCORR_Y,
+                max_lag: int = XCORR_MAX_LAG) -> DataFrame:
+    """(lag, n_days, r) — Pearson correlation between the x-series daily
+    count on day d and the y-series daily count on day d+lag, for lags
+    0..max_lag, over days where BOTH series observed data (inner join:
+    an absent day is missing data, not an implicit zero — stated because
+    the two conventions genuinely differ and the oracle must share one).
+
+    Exactness: the corpus reduces to per-(day, type) BIGINT counts in one
+    map-side-combined groupBy; each lag's five moments are exact integer
+    sums over the tiny joined day table, and r is one fixed-order double
+    expression (NULL when either series is constant — zero variance has
+    no defined correlation). 100 TB shape: the only corpus-wide work is
+    the one (day, type) rollup; the lag join runs on O(days) rows, which
+    grows with calendar time, never event volume.
+    """
+    daily = (
+        events.where(F.col("event_type").isin(x_type, y_type))
+        .groupBy(
+            F.expr("CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') "
+                   "AS BIGINT)").alias("d"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    x = daily.where(F.col("event_type") == x_type).select(
+        F.col("d").alias("xd"), F.col("n").alias("x"))
+    y = daily.where(F.col("event_type") == y_type).select(
+        F.col("d").alias("yd"), F.col("n").alias("y"))
+    lags = F.explode(
+        F.sequence(F.lit(0), F.lit(max_lag))).alias("lag")
+    pairs = (
+        x.select(lags, "xd", "x")
+        .join(y, F.col("yd") == F.col("xd") + F.col("lag"))
+    )
+    moms = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("y * y")).alias("syy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+    )
+    r = ("((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) "
+         "/ sqrt(NULLIF((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+         " * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy), 0)))")
+    return (
+        moms.selectExpr(
+            "CAST(lag AS INT) AS lag",
+            "CAST(n AS BIGINT) AS n_days",
+            f"ROUND({r}, 6) AS r",
+        )
+        .orderBy("lag")
+    )
+
+
+@register(
+    "events_xcorr_daily",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS d,
+             event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE event_type IN ('{XCORR_X}', '{XCORR_Y}')
+      GROUP BY 1, 2
+    ),
+    x AS (SELECT d AS xd, n AS x FROM daily
+          WHERE event_type = '{XCORR_X}'),
+    y AS (SELECT d AS yd, n AS y FROM daily
+          WHERE event_type = '{XCORR_Y}'),
+    lags AS (SELECT UNNEST(range(0, {XCORR_MAX_LAG + 1})) AS lag),
+    pairs AS (
+      SELECT lag, x.x, y.y FROM x CROSS JOIN lags
+      JOIN y ON y.yd = x.xd + lag
+    ),
+    moms AS (
+      SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS INTEGER) AS lag, n AS n_days,
+           ROUND(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                  / sqrt(NULLIF((CAST(n AS DOUBLE) * sxx
+                                 - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy
+                       - CAST(sy AS DOUBLE) * sy), 0))), 6) AS r
+    FROM moms ORDER BY lag
+    """,
+    doc=f"Lagged cross-correlation (lags 0..{XCORR_MAX_LAG}) between the "
+    f"'{XCORR_X}' and '{XCORR_Y}' daily count series: one (day, type) "
+    "map-side-combined rollup reduces the corpus to O(days) BIGINT "
+    "counts; each lag's Pearson r comes from exact integer moments over "
+    "the inner-joined day pairs with a fixed-order double solve — the "
+    "lead-lag discovery behind attribution windows, at a tail cost that "
+    "grows with calendar time, never event volume.",
+)
+def events_xcorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return daily_xcorr(load_table(spark, "events", sf_dir))

@@ -590,3 +590,123 @@ def _markov_oracle_sql() -> str:
 )
 def event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return markov_stationary(load_table(spark, "events", sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Neighborhood Jaccard similarity — "parts bought in the same contexts":
+# the graph-structural notion of substitutability (two parts are similar
+# when their co-purchase NEIGHBORHOODS overlap, whether or not they ever
+# share an order themselves). The link-prediction / recommendation
+# primitive beside PageRank (importance), triangles (cohesion), and
+# k-core (density).
+# --------------------------------------------------------------------------
+
+JAC_MAX_DEG = 64   # hub cap: see docstring
+JAC_TOP = 20
+JAC_FX = 1_000_000
+
+
+def jaccard_neighbors(pairs: DataFrame, max_deg: int = JAC_MAX_DEG,
+                      top: int = JAC_TOP) -> DataFrame:
+    """Top ``top`` part pairs by neighborhood Jaccard
+    |N(a) ∩ N(b)| / |N(a) ∪ N(b)| over the support-filtered co-purchase
+    graph: (part_a, part_b, common, deg_a, deg_b, jaccard).
+
+    Skew cap: common-neighbor enumeration is a wedge join — Σ C(deg, 2)
+    work, quadratic in hub degrees — so nodes with degree > ``max_deg``
+    are dropped from the graph FIRST (both as centers and as endpoints).
+    This is principled, not just cheap: a hub co-occurs with everything,
+    so it carries no substitutability signal and only inflates every
+    pair's union term; capped-degree wedge space is bounded by
+    n * max_deg^2 at any corpus size. Degrees are recomputed on the
+    capped graph so the ratio is self-consistent. Jaccard compares as
+    exact integer fixed-point (common * 1e6 div union) with (a, b)
+    tiebreak, so top-k is engine-deterministic.
+    """
+    sym = pairs.select(F.col("pa").alias("p"), F.col("pb").alias("q")) \
+        .unionAll(pairs.select(F.col("pb").alias("p"),
+                               F.col("pa").alias("q")))
+    deg0 = sym.groupBy("p").agg(F.count("*").alias("d"))
+    keep = deg0.where(F.col("d") <= max_deg).select("p")
+    capped = (
+        sym.join(keep, "p", "left_semi")
+        .join(keep.select(F.col("p").alias("q")), "q", "left_semi")
+        .localCheckpoint(eager=False)  # feeds degrees + both wedge sides
+    )
+    deg = capped.groupBy("p").agg(F.count("*").alias("d"))
+    e1 = capped.select(F.col("p").alias("u"), F.col("q").alias("a"))
+    e2 = capped.select(F.col("p").alias("u2"), F.col("q").alias("b"))
+    common = (
+        e1.join(e2, (F.col("u") == F.col("u2")) & (F.col("a") < F.col("b")))
+        .groupBy("a", "b").agg(F.count(F.lit(1)).alias("common"))
+    )
+    scored = (
+        common
+        .join(deg.select(F.col("p").alias("a"), F.col("d").alias("deg_a")),
+              "a")
+        .join(deg.select(F.col("p").alias("b"), F.col("d").alias("deg_b")),
+              "b")
+        .withColumn("jac_fx", F.expr(
+            f"(common * {JAC_FX}) div (deg_a + deg_b - common)"))
+    )
+    return (
+        scored.select(
+            F.col("a").alias("part_a"), F.col("b").alias("part_b"),
+            "common", "deg_a", "deg_b",
+            (F.col("jac_fx").cast("double") / JAC_FX).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "part_a", "part_b")
+        .limit(top)
+    )
+
+
+@register(
+    "copurchase_jaccard_neighbors",
+    oracle=f"""
+    WITH lines AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lines a JOIN lines b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY pa, pb HAVING COUNT(*) >= {TRI_MIN_SUPPORT}
+    ),
+    sym AS (
+      SELECT pa AS p, pb AS q FROM pairs
+      UNION ALL SELECT pb AS p, pa AS q FROM pairs
+    ),
+    deg0 AS (SELECT p, COUNT(*) AS d FROM sym GROUP BY p),
+    keep AS (SELECT p FROM deg0 WHERE d <= {JAC_MAX_DEG}),
+    capped AS (
+      SELECT s.p, s.q FROM sym s
+      JOIN keep k1 ON s.p = k1.p JOIN keep k2 ON s.q = k2.p
+    ),
+    deg AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS d
+            FROM capped GROUP BY p),
+    common AS (
+      SELECT e1.q AS a, e2.q AS b, CAST(COUNT(*) AS BIGINT) AS common
+      FROM capped e1 JOIN capped e2
+        ON e1.p = e2.p AND e1.q < e2.q
+      GROUP BY a, b
+    )
+    SELECT c.a AS part_a, c.b AS part_b, c.common,
+           da.d AS deg_a, db.d AS deg_b,
+           CAST((c.common * {JAC_FX}) // (da.d + db.d - c.common)
+                AS DOUBLE) / {JAC_FX} AS jaccard
+    FROM common c
+    JOIN deg da ON da.p = c.a JOIN deg db ON db.p = c.b
+    ORDER BY jaccard DESC, part_a, part_b
+    LIMIT {JAC_TOP}
+    """,
+    doc=f"Top-{JAC_TOP} co-purchase part pairs by neighborhood Jaccard "
+    "(common co-purchase contexts / union) over the support-filtered "
+    f"graph with a degree-{JAC_MAX_DEG} hub cap — hubs carry no "
+    "substitutability signal and their wedges are the one quadratic "
+    "term, so capping bounds the wedge join at n*cap^2 at any corpus "
+    "size. Exact fixed-point comparison + (a,b) tiebreak makes the "
+    "top-k engine-deterministic. The link-prediction primitive of the "
+    "graph family.",
+)
+def copurchase_jaccard_neighbors(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return jaccard_neighbors(support_pairs(li))

@@ -252,3 +252,141 @@ def daily_trend_by_type(events: DataFrame) -> DataFrame:
 )
 def events_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily_trend_by_type(load_table(spark, "events", sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Theil-Sen robust trend — the median-of-pairwise-slopes estimator, immune
+# to the outlier days that drag least-squares around (29% breakdown point
+# vs OLS's zero). The classic robust-statistics companion to the closed-
+# form OLS above.
+# --------------------------------------------------------------------------
+
+_TS_YEAR = 1995
+
+
+def theil_sen_daily(orders: DataFrame, year: int = _TS_YEAR) -> DataFrame:
+    """One-row Theil-Sen fit of daily revenue (cents) over day index for
+    one calendar year: (n_days, n_pairs, sen_slope, sen_intercept).
+
+    The corpus reduces to O(days) exact-BIGINT daily totals in one
+    map-side-combined rollup; the estimator then works on the O(days^2)
+    pair table — bounded by CALENDAR TIME squared (366 days -> ~67k
+    pairs), never by event volume, which is why the pair join is safe at
+    any corpus size. Slopes are identical fixed-order doubles on both
+    engines ((yj-yi)/(xj-xi) over exact integers); the median is the
+    average of the two middle ORDER STATISTICS — deterministic as values
+    even when ties make row order arbitrary — and the intercept is the
+    median of (y_i - slope*x_i) residual anchors, per Sen (1968).
+    """
+    daily = (
+        orders.where(F.expr(f"year(CAST(o_orderdate AS DATE)) = {year}"))
+        .groupBy(
+            F.expr("CAST(datediff(CAST(o_orderdate AS DATE), "
+                   "DATE '1970-01-01') AS BIGINT)").alias("x"))
+        .agg(F.sum(F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"))
+             .alias("y"))
+        .localCheckpoint(eager=False)  # feeds the pair join twice + counts
+    )
+    a = daily.select(F.col("x").alias("xi"), F.col("y").alias("yi"))
+    b = daily.select(F.col("x").alias("xj"), F.col("y").alias("yj"))
+    slopes = (
+        a.join(b, F.col("xi") < F.col("xj"))
+        .select(F.expr("CAST(yj - yi AS DOUBLE) / CAST(xj - xi AS DOUBLE)")
+                .alias("slope"))
+    )
+
+    def median_of(df: DataFrame, col: str) -> DataFrame:
+        """(m, med) — the average of the two middle order statistics of
+        ``col`` (equal for odd m). Values at ranks are deterministic
+        under ties; the tiny rank window runs over O(days^2) rows."""
+        from pyspark.sql import Window
+
+        n = df.agg(F.count(F.lit(1)).alias("m"))
+        w = Window.orderBy(col)
+        ranked = df.withColumn("_rn", F.row_number().over(w)) \
+            .crossJoin(F.broadcast(n))
+        # floor both rank targets: Spark's `/` on BIGINTs yields DOUBLE
+        # ((m+1)/2 = 33215.5 matches no row on even m), DuckDB's // is
+        # integer — floor() states the integer semantics on both engines
+        mid = ranked.where(
+            (F.col("_rn") == F.floor((F.col("m") + 1) / 2))
+            | (F.col("_rn") == F.floor(F.col("m") / 2) + 1)
+        )
+        return mid.groupBy("m").agg(
+            ((F.min(col) + F.max(col)) / 2.0).alias("med"))
+
+    slope_med = median_of(slopes, "slope") \
+        .select(F.col("m").alias("n_pairs"), F.col("med").alias("sen_slope"))
+    anchors = daily.crossJoin(F.broadcast(slope_med)).select(
+        "n_pairs", "sen_slope",
+        F.expr("CAST(y AS DOUBLE) - sen_slope * CAST(x AS DOUBLE)")
+        .alias("anchor"),
+    )
+    icept = median_of(anchors.select("anchor"), "anchor") \
+        .select(F.col("med").alias("sen_intercept"))
+    n_days = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    return (
+        n_days.crossJoin(F.broadcast(slope_med))
+        .crossJoin(F.broadcast(icept))
+        .selectExpr(
+            "CAST(n_days AS BIGINT) AS n_days",
+            "CAST(n_pairs AS BIGINT) AS n_pairs",
+            "ROUND(sen_slope, 4) AS sen_slope",
+            "ROUND(sen_intercept, 2) AS sen_intercept",
+        )
+    )
+
+
+@register(
+    "orders_theil_sen_trend",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(datediff('day', DATE '1970-01-01',
+                           CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders WHERE year(CAST(o_orderdate AS DATE)) = {_TS_YEAR}
+      GROUP BY 1
+    ),
+    slopes AS (
+      SELECT CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+      FROM daily a JOIN daily b ON a.x < b.x
+    ),
+    sm AS (
+      SELECT m, (MIN(slope) + MAX(slope)) / 2.0 AS sen_slope
+      FROM (
+        SELECT slope, ROW_NUMBER() OVER (ORDER BY slope) AS rn,
+               COUNT(*) OVER () AS m
+        FROM slopes
+      ) WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1
+      GROUP BY m
+    ),
+    anchors AS (
+      SELECT CAST(d.y AS DOUBLE) - sm.sen_slope * CAST(d.x AS DOUBLE)
+               AS anchor
+      FROM daily d, sm
+    ),
+    im AS (
+      SELECT (MIN(anchor) + MAX(anchor)) / 2.0 AS sen_intercept
+      FROM (
+        SELECT anchor, ROW_NUMBER() OVER (ORDER BY anchor) AS rn,
+               COUNT(*) OVER () AS m
+        FROM anchors
+      ) WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1
+    )
+    SELECT CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n_days,
+           CAST(sm.m AS BIGINT) AS n_pairs,
+           ROUND(sm.sen_slope, 4) AS sen_slope,
+           ROUND(im.sen_intercept, 2) AS sen_intercept
+    FROM sm, im
+    """,
+    doc=f"Theil-Sen robust trend of {_TS_YEAR} daily order revenue: "
+    "median of pairwise slopes over the O(days^2) pair table (bounded by "
+    "calendar time squared, never event volume), intercept per Sen 1968 "
+    "as the median residual anchor. Slopes are identical fixed-order "
+    "doubles from exact BIGINT daily totals; medians are order "
+    "statistics (deterministic as VALUES under ties) — the 29%-breakdown "
+    "robust companion to the closed-form OLS.",
+)
+def orders_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return theil_sen_daily(load_table(spark, "orders", sf_dir))

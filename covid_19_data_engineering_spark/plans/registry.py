@@ -109,7 +109,10 @@ PRIORITY = (
     # round 9 rotates the SPRT sequential conversion monitor in for the
     # batched BPE rep (the tokenizer family is pytest-pinned end-to-end
     # and bpe_merge_induction_batched stays gate-checked in full)
-    "events_sprt_conversion",
+    # round 10 rotates the Welch t-test in for the SPRT monitor (both
+    # are the inference family; events_sprt_conversion stays gate-
+    # checked in full with its latch pytest pins)
+    "price_welch_ttest",
     "semantic_dedup_ivf",
     # round-8 new operators (JL projection family); ann_ivf_topk and
     # lang_id_confusion rotate out but stay gate-checked in full, with
@@ -165,7 +168,10 @@ PRIORITY = (
     # rotates in for the lateness profile (temporal keeps the drift,
     # CUSUM, ACF, and interval-coverage reps in the head;
     # events_lateness_profile stays gate-checked in full)
-    "events_daily_trend",
+    # round 10 rotates the Theil-Sen robust trend in for the grouped
+    # OLS daily trend (regression keeps price_quantity_ols in the
+    # head; events_daily_trend stays gate-checked in full)
+    "orders_theil_sen_trend",
     # plus the SPC control chart and the functional-dependency audit;
     # column_sample and customer_scd2_merge rotate out but stay
     # gate-checked in full (profiling keeps count_validation and
@@ -174,7 +180,10 @@ PRIORITY = (
     # round-9 SPC swap: the CUSUM changepoint scan rotates in for the
     # hourly p-chart (same monitoring family; the control chart stays
     # gate-checked in full)
-    "events_cusum_changepoint",
+    # round 10 rotates the lagged cross-correlation in for the CUSUM
+    # scan (monitoring keeps events_ks_drift in the head;
+    # events_cusum_changepoint stays gate-checked in full)
+    "events_xcorr_daily",
     # round-9 cohort analytics: the month-cohort retention matrix rotates
     # in for the functional-dependency audit (profiling keeps
     # count_validation and schema_profile in the head; the FD audit stays
@@ -207,7 +216,11 @@ PRIORITY = (
     # ranked, BIGINT throughout) rotates in for the HHI (same
     # concentration family; supplier_concentration_hhi stays gate-checked
     # in full)
-    "customer_revenue_gini",
+    # round 10 rotates the ABC classification in for the Gini/Lorenz
+    # readout (same concentration/rank family over the same
+    # bucket+offset machinery; customer_revenue_gini stays
+    # gate-checked in full)
+    "parts_abc_classification",
     # and the per-dim quantile calibration (64 parallel histogram
     # refines); incremental_retention_manifest_stored rotates out but
     # stays gate-checked in full — the incremental family is also
@@ -216,7 +229,10 @@ PRIORITY = (
     # calibration — the Arrow/Gram family keeps embedding_covariance_
     # profile above; embedding_quantile_calibration stays gate-checked
     # in full)
-    "event_top_paths",
+    # round 10 rotates the neighborhood-Jaccard link predictor in for
+    # the 3-step path miner (paths keep event_markov_stationary in
+    # the head; event_top_paths stays gate-checked in full)
+    "copurchase_jaccard_neighbors",
     # and the grouped-map EWMA recurrence (the second Arrow seam in the
     # head, sequential-state class); corpus_curation_yield rotates out
     # but stays gate-checked in full — LLM-prep keeps
@@ -235,7 +251,10 @@ PRIORITY = (
     # round-9 collocation swap: document-level PMI pairs rotate in for
     # the Zipf naturalness audit (text keeps keyness + the PMI miner in
     # the head; source_zipf_fit stays gate-checked in full)
-    "token_pmi_collocations",
+    # round 10 rotates TextRank keywords in for the PMI collocations
+    # (text keeps keyness in the head; token_pmi_collocations stays
+    # gate-checked in full)
+    "textrank_keywords",
     # round-9: the CDC -> IVM loop as oracle-checked queries (maintained
     # SUM/AVG and MIN/MAX vs a fresh recompute of the final snapshot);
     # embedding_random_projection and dedup_minhash_lsh rotate out but
@@ -386,6 +405,7 @@ def _ensure_loaded() -> None:
     import covid_19_data_engineering_spark.operators.rfm  # noqa: F401
     import covid_19_data_engineering_spark.operators.prototype  # noqa: F401
     import covid_19_data_engineering_spark.operators.gram  # noqa: F401
+    import covid_19_data_engineering_spark.operators.textrank  # noqa: F401
     import covid_19_data_engineering_spark.functions.udfs  # noqa: F401
     import covid_19_data_engineering_spark.sources.avrofmt  # noqa: F401
     import covid_19_data_engineering_spark.streaming.events  # noqa: F401

@@ -158,6 +158,18 @@ FAMILY = [
     "incremental_topk_view",
     "events_tumbling_1h_streamed",
     "avro_roundtrip_events",
+    # round-10 operator families: inference (one aggregate), lead-lag
+    # (day-table tail), robust trend (calendar-bounded pair table), ABC
+    # prefix-sum classing, the capped wedge join, and the token-graph
+    # PageRank — each should track its scan linearly; the wedge join and
+    # TextRank rows are the interesting asymptotes (hub cap / vocab
+    # growth bound the pair space)
+    "price_welch_ttest",
+    "events_xcorr_daily",
+    "orders_theil_sen_trend",
+    "parts_abc_classification",
+    "copurchase_jaccard_neighbors",
+    "textrank_keywords",
 ]
 
 ID_OFFSET = 1_000_000
