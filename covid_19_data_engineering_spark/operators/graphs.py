@@ -710,3 +710,106 @@ def copurchase_jaccard_neighbors(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
     return jaccard_neighbors(support_pairs(li))
+
+
+# --------------------------------------------------------------------------
+# BFS reachability profile — how far the co-purchase neighborhood of the
+# busiest part spreads, in unrolled breadth-first rounds. The reachability
+# / ego-network primitive beside importance (PageRank), cohesion
+# (triangles), density (k-core), and similarity (Jaccard).
+# --------------------------------------------------------------------------
+
+BFS_ROUNDS = 4
+
+
+def bfs_depths(edges: DataFrame, rounds: int = BFS_ROUNDS) -> DataFrame:
+    """(depth, n_nodes) — nodes first reached at each BFS depth 0..rounds
+    from the deterministic seed (max degree, ties to the smallest part
+    id) over the symmetric edge list.
+
+    Unrolled rounds in one plan: frontier -> neighbor join -> anti-join
+    against the visited set, each round one edge-keyed equi-join + one
+    distinct — the iterative-reachability shape; per-round frontiers are
+    checkpointed lazily so lineage stays O(1) and the final union runs
+    as one job (the k-core pattern). Counts are exact integers, so the
+    profile is engine-identical.
+    """
+    edges = edges.localCheckpoint(eager=False)
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    seed = (
+        deg.orderBy(F.col("d").desc(), F.col("src").asc()).limit(1)
+        .select(F.col("src").alias("node"))
+        .localCheckpoint(eager=False)
+    )
+    frontier = seed
+    visited = seed
+    stats = [frontier.agg(F.lit(0).cast("int").alias("depth"),
+                          F.count(F.lit(1)).alias("n_nodes"))]
+    for r in range(1, rounds + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node")).distinct()
+            .join(visited, "node", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        stats.append(nxt.agg(F.lit(r).cast("int").alias("depth"),
+                             F.count(F.lit(1)).alias("n_nodes")))
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("depth")
+
+
+def _bfs_oracle_sql() -> str:
+    rnd = """
+    f{i} AS MATERIALIZED (
+      SELECT DISTINCT e.dst AS node
+      FROM f{p} f JOIN edges e ON e.src = f.node
+      WHERE e.dst NOT IN (SELECT node FROM v{p})
+    ),
+    v{i} AS MATERIALIZED (
+      SELECT node FROM v{p} UNION SELECT node FROM f{i}
+    )"""
+    chain = ",".join(rnd.format(i=i, p=i - 1)
+                     for i in range(1, BFS_ROUNDS + 1))
+    stats = " UNION ALL ".join(
+        f"SELECT CAST({i} AS INTEGER) AS depth, "
+        f"CAST(COUNT(*) AS BIGINT) AS n_nodes FROM f{i}"
+        for i in range(BFS_ROUNDS + 1)
+    )
+    return f"""
+    WITH lines AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lines a JOIN lines b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    edges AS MATERIALIZED (
+      SELECT pa AS src, pb AS dst FROM pairs
+      UNION ALL SELECT pb AS src, pa AS dst FROM pairs
+    ),
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    f0 AS MATERIALIZED (
+      SELECT src AS node FROM deg ORDER BY d DESC, src LIMIT 1
+    ),
+    v0 AS MATERIALIZED (SELECT node FROM f0),
+    {chain}
+    SELECT * FROM ({stats}) ORDER BY depth
+    """
+
+
+@register(
+    "copurchase_bfs_depths",
+    oracle=_bfs_oracle_sql(),
+    doc=f"{BFS_ROUNDS}-round BFS reachability profile from the busiest "
+    "part (max degree, deterministic tiebreak) over the symmetric "
+    "co-purchase graph: per depth, the count of nodes FIRST reached "
+    "there. Each round is one edge-keyed equi-join + distinct + "
+    "anti-join against the visited set, frontiers lazily checkpointed "
+    "so the whole walk runs as one job — the ego-network / 'how "
+    "connected is the catalog' readout, exact integers throughout.",
+)
+def copurchase_bfs_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bfs_depths(shared_copurchase_edges(spark, sf_dir))

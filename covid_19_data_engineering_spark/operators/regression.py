@@ -390,3 +390,123 @@ def theil_sen_daily(orders: DataFrame, year: int = _TS_YEAR) -> DataFrame:
 )
 def orders_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return theil_sen_daily(load_table(spark, "orders", sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Holt linear (double-exponential) smoothing + h-step forecast — the
+# trend-aware sequential smoother one step up from the EWMA: level AND
+# trend states, each output depending on the previous OUTPUTS, the class
+# SQL windows cannot express (temporal.py's EWMA note). alpha = beta =
+# 1/2: every smoothing step is (a + b) / 2 — one rounded add and an
+# exact halving — so the pandas kernel and the DuckDB recursive CTE
+# produce bit-identical doubles at every step (the proven EWMA parity
+# argument, applied twice per step).
+# --------------------------------------------------------------------------
+
+HOLT_YEAR = 1995
+HOLT_HORIZONS = 7
+
+
+def holt_forecast_daily(orders: DataFrame, year: int = HOLT_YEAR,
+                        horizons: int = HOLT_HORIZONS) -> DataFrame:
+    """(h, n_days, forecast) — Holt linear forecast of daily revenue
+    (dollars) h = 1..horizons days past the last observed day of
+    ``year``. l_1 = y_1, b_1 = 0; then
+        l_t = (y_t + (l + b)) / 2,   b_t = (l_t - l + b) / 2.
+
+    100 TB shape: the corpus-wide work is ONE (day) map-side-combined
+    rollup; the sequential kernel then runs over the O(calendar-days)
+    table in a single Arrow batch — bounded by the calendar (<= 366
+    rows), the same deployment-time-not-volume argument as the lateness
+    profile's watermark series. Forecast cents are half-up floored so
+    the 2-decimal readout has no ROUND tie exposure.
+    """
+    import pandas as pd
+
+    daily = (
+        orders.where(F.expr(f"year(CAST(o_orderdate AS DATE)) = {year}"))
+        .groupBy(
+            F.expr("CAST(datediff(CAST(o_orderdate AS DATE), "
+                   "DATE '1970-01-01') AS BIGINT)").alias("x"))
+        .agg(F.sum(F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"))
+             .alias("y"))
+    )
+
+    def gen(batches):
+        parts = [b for b in batches if len(b)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True).sort_values("x")
+        ys = [float(v) for v in pdf["y"]]
+        level, trend = ys[0], 0.0
+        for y in ys[1:]:
+            new_level = (y + (level + trend)) / 2
+            trend = (new_level - level + trend) / 2
+            level = new_level
+        yield pd.DataFrame({"n_days": [len(ys)],
+                            "level": [level], "trend": [trend]})
+
+    state = daily.coalesce(1).mapInPandas(
+        gen, "n_days long, level double, trend double")
+    return (
+        state.select(
+            F.explode(F.sequence(F.lit(1), F.lit(horizons))).alias("h"),
+            "n_days", "level", "trend",
+        )
+        .selectExpr(
+            "CAST(h AS INTEGER) AS h",
+            "n_days",
+            # CAST to DOUBLE before the divide: Spark's 100.0 literal is
+            # DECIMAL and BIGINT/DECIMAL would come back as Decimal
+            "CAST(CAST(FLOOR(level + h * trend + 0.5) AS BIGINT) AS DOUBLE)"
+            " / 100.0 AS forecast",
+        )
+        .orderBy("h")
+    )
+
+
+@register(
+    "orders_holt_forecast",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT CAST(datediff('day', DATE '1970-01-01',
+                           CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders WHERE year(CAST(o_orderdate AS DATE)) = {HOLT_YEAR}
+      GROUP BY 1
+    ),
+    seq AS (
+      SELECT y, ROW_NUMBER() OVER (ORDER BY x) AS rn,
+             COUNT(*) OVER () AS n
+      FROM daily
+    ),
+    r AS (
+      SELECT rn, n, CAST(y AS DOUBLE) AS level, CAST(0 AS DOUBLE) AS trend
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT seq.rn, seq.n,
+             (CAST(seq.y AS DOUBLE) + (r.level + r.trend)) / 2,
+             ((CAST(seq.y AS DOUBLE) + (r.level + r.trend)) / 2
+              - r.level + r.trend) / 2
+      FROM r JOIN seq ON seq.rn = r.rn + 1
+    ),
+    fin AS (SELECT n, level, trend FROM r WHERE rn = n),
+    hs AS (SELECT UNNEST(range(1, {HOLT_HORIZONS + 1})) AS h)
+    SELECT CAST(h AS INTEGER) AS h,
+           CAST(n AS BIGINT) AS n_days,
+           CAST(CAST(FLOOR(level + h * trend + 0.5) AS BIGINT) AS DOUBLE)
+             / 100.0 AS forecast
+    FROM fin, hs ORDER BY h
+    """,
+    doc=f"Holt linear (double-exponential, alpha=beta=1/2) forecast of "
+    f"{HOLT_YEAR} daily revenue, horizons 1..{HOLT_HORIZONS}: one day "
+    "rollup reduces the corpus to the O(calendar) series; the level+"
+    "trend recurrence runs as a single bounded Arrow-batch kernel whose "
+    "(a+b)/2 steps are bit-identical to the DuckDB recursive CTE (the "
+    "EWMA halving-parity argument applied to both states) — the "
+    "trend-aware smoother SQL windows cannot express, with a tie-free "
+    "half-up-cents readout.",
+)
+def orders_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return holt_forecast_daily(load_table(spark, "orders", sf_dir))

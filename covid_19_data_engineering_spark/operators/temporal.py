@@ -784,3 +784,101 @@ def monthly_revenue_growth(orders: DataFrame) -> DataFrame:
 def monthly_revenue_growth_query(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     return monthly_revenue_growth(load_table(spark, "orders", sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Time-weighted average value (TWAP) — the mean that weights each
+# observation by how long it was the CURRENT one, the correct daily
+# average for irregularly-sampled series (a plain AVG over-counts bursts
+# of rapid updates and under-counts long-held values).
+# --------------------------------------------------------------------------
+
+
+def twap_daily(events: DataFrame, event_type: str = "view") -> DataFrame:
+    """(day, n_obs, held_seconds, twap) — per day, the time-weighted
+    average of ``value`` for one event type, each observation weighted by
+    the micros until the next same-day observation (the last observation
+    of a day holds until midnight).
+
+    Exactness: weights are exact integer microseconds from one day-keyed
+    lead() window; the weighted sum folds value CENTS x weight-micros as
+    exact integers through DECIMAL(38,0) (cents x micros x rows passes
+    BIGINT comfortably below sf1 but not at the 100 TB target), and the
+    one division is a shared fixed-order double. 100 TB shape: one
+    (day)-keyed window shuffle — the partition key is the day, so state
+    is bounded by a day's traffic, and days parallelize.
+    """
+    from pyspark.sql import Window
+
+    obs = (
+        events.where(F.col("event_type") == event_type)
+        .select(
+            F.expr("CAST(ts AS DATE)").alias("day"),
+            F.expr("CAST(ts AS TIMESTAMP)").alias("tts"),
+            "event_id",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+    )
+    w = Window.partitionBy("day").orderBy("tts", "event_id")
+    weighted = obs.select(
+        "day", "cents",
+        F.expr(
+            "CAST((unix_micros(COALESCE("
+            "  lead(tts) OVER (PARTITION BY day ORDER BY tts, event_id),"
+            "  CAST(day + INTERVAL 1 DAY AS TIMESTAMP)))"
+            "  - unix_micros(tts)) AS BIGINT)"
+        ).alias("held_us"),
+    )
+    return (
+        weighted.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.expr("CAST(SUM(held_us) AS BIGINT) div 1000000")
+            .alias("held_seconds"),
+            F.expr(
+                "ROUND(CAST(SUM(CAST(cents * held_us AS DECIMAL(38,0))) "
+                "AS DOUBLE) / CAST(SUM(held_us) AS DOUBLE) / 100.0, 6)"
+            ).alias("twap"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "events_twap_daily",
+    oracle="""
+    WITH obs AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(ts AS TIMESTAMP) AS tts,
+             event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'view'
+    ),
+    weighted AS (
+      SELECT day, cents,
+             CAST(epoch_us(COALESCE(
+                    LEAD(tts) OVER (PARTITION BY day
+                                    ORDER BY tts, event_id),
+                    CAST(day + INTERVAL 1 DAY AS TIMESTAMP)))
+                  - epoch_us(tts) AS BIGINT) AS held_us
+      FROM obs
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           CAST(CAST(SUM(held_us) AS BIGINT) // 1000000 AS BIGINT)
+             AS held_seconds,
+           ROUND(CAST(SUM(CAST(cents * held_us AS DECIMAL(38,0)))
+                      AS DOUBLE)
+                 / CAST(CAST(SUM(held_us) AS BIGINT) AS DOUBLE) / 100.0, 6)
+             AS twap
+    FROM weighted GROUP BY day ORDER BY day
+    """,
+    doc="Daily time-weighted average of 'view' values: each observation "
+    "weighted by exact integer microseconds until the next same-day "
+    "observation (last holds to midnight) via ONE day-keyed lead() "
+    "window; cents x micros products fold through DECIMAL(38,0) and the "
+    "single division is a shared fixed-order double — the "
+    "irregular-sampling-correct mean a plain AVG gets wrong, at one "
+    "bounded-state window shuffle.",
+)
+def events_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return twap_daily(load_table(spark, "events", sf_dir))

@@ -123,7 +123,10 @@ PRIORITY = (
     # (round 9 rotates the prototype-classifier census in for the JL
     # recall audit — the projection family keeps its pytest plan gates
     # and ann_projected_recall stays gate-checked in full)
-    "embedding_prototype_accuracy",
+    # round 10 rotates the Naive Bayes confusion census in for the
+    # nearest-prototype one (same in-engine-classifier family;
+    # embedding_prototype_accuracy stays gate-checked in full)
+    "nb_lang_confusion",
     "leakage_safe_split",
     # round-8 continuation: the four new operator families added after the
     # first round-8 rotation (weighted sampling, Bloom semi-join pruning,
@@ -237,7 +240,11 @@ PRIORITY = (
     # head, sequential-state class); corpus_curation_yield rotates out
     # but stays gate-checked in full — LLM-prep keeps
     # benchmark_contamination plus the keyness/overlap/novelty audits
-    "events_ewma_smoothing",
+    # round 10 rotates the Holt level+trend forecast in for the EWMA
+    # (same sequential-recurrence Arrow-seam class, one state richer;
+    # events_ewma_smoothing stays gate-checked in full with its
+    # bit-parity pytest pins)
+    "orders_holt_forecast",
     # round-9 info-theory swap: the contingency independence profile
     # (chi-square + MI + Cramer's V) rotates in for the diversity entropy
     # audit (same information-theoretic family; source_token_entropy
@@ -295,7 +302,10 @@ PRIORITY = (
     # for the HLL set-algebra twin — the sketch family keeps
     # events_user_hll above; events_hll_overlap stays gate-checked in
     # full)
-    "conversion_latency_quantiles",
+    # round 10 rotates the time-weighted daily average in for the
+    # latency-quantile composition (temporal keeps the asof/window
+    # reps; conversion_latency_quantiles stays gate-checked in full)
+    "events_twap_daily",
     # and the power-iteration PCA (distributed Gram pass -> sketch-sized
     # iteration); bloom_semi_join_stats rotates out but stays gate-
     # checked in full — join pruning keeps its pytest plan gates
@@ -311,7 +321,10 @@ PRIORITY = (
     # the iteration is sketch-sized) — dsir_importance_selection rotates
     # out but stays gate-checked in full (selection keeps the
     # curation/quality reps in the full gate and its pytest battery)
-    "event_markov_stationary",
+    # round 10 rotates the BFS reachability profile in for the Markov
+    # stationary distribution (same unrolled-iteration family;
+    # event_markov_stationary stays gate-checked in full)
+    "copurchase_bfs_depths",
     # events: temporal analytics, gap repair, substring dedup, keyless
     # interval join (hourly_active_users rotated out round 8; round 9
     # rotates the linear multi-touch attribution in for the interval-
@@ -406,6 +419,7 @@ def _ensure_loaded() -> None:
     import covid_19_data_engineering_spark.operators.prototype  # noqa: F401
     import covid_19_data_engineering_spark.operators.gram  # noqa: F401
     import covid_19_data_engineering_spark.operators.textrank  # noqa: F401
+    import covid_19_data_engineering_spark.operators.nbayes  # noqa: F401
     import covid_19_data_engineering_spark.functions.udfs  # noqa: F401
     import covid_19_data_engineering_spark.sources.avrofmt  # noqa: F401
     import covid_19_data_engineering_spark.streaming.events  # noqa: F401

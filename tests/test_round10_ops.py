@@ -144,3 +144,73 @@ def test_textrank_planted_central_token(spark):
     out = textrank(token_adjacency(d)).collect()
     assert out[0]["token"] == "hub"
     assert out[0]["rank_units"] > out[1]["rank_units"]
+
+
+def test_twap_weights_by_holding_time(spark):
+    """Two observations on one day: 10.0 held one hour, then 20.0 held
+    the remaining 23 -> TWAP = (10*1 + 20*23)/24, while a plain AVG
+    would say 15. The last observation must hold until midnight."""
+    from covid_19_data_engineering_spark.operators.temporal import (
+        twap_daily,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, 1, "view", "2024-01-01 00:00:00", 10.0),
+         (2, 1, "view", "2024-01-01 01:00:00", 20.0),
+         (3, 1, "click", "2024-01-01 02:00:00", 99.0)],
+        "event_id long, user_id long, event_type string, ts string, "
+        "value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = twap_daily(ev).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_obs"] == 2 and r["held_seconds"] == 86400
+    assert r["twap"] == round((10 * 1 + 20 * 23) / 24, 6)
+
+
+def test_bfs_depths_planted_star_chain(spark):
+    """Star 1-{2,3,4} plus tail 4-5: seed is the max-degree node (1),
+    depths read 1/3/1/0/0 — and the never-reached depths report zero,
+    not a missing row."""
+    from covid_19_data_engineering_spark.operators.graphs import bfs_depths
+
+    und = [(1, 2), (1, 3), (1, 4), (4, 5)]
+    rows = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    out = {r["depth"]: r["n_nodes"] for r in bfs_depths(edges).collect()}
+    assert out == {0: 1, 1: 3, 2: 1, 3: 0, 4: 0}
+
+
+def test_nb_separable_corpus_classifies_diagonally(spark):
+    """Two languages with disjoint vocabularies: the confusion census
+    must be exactly diagonal (add-1 smoothing cannot flip a doc whose
+    every token is unseen in the other class)."""
+    from covid_19_data_engineering_spark.operators.nbayes import (
+        nb_confusion,
+    )
+
+    docs = ([(i, "xx yy xx", "aa", "s", 8) for i in range(4)]
+            + [(10 + i, "pp qq pp", "bb", "s", 8) for i in range(3)])
+    d = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    out = {(r["label"], r["predicted"]): r["n_docs"]
+           for r in nb_confusion(d).collect()}
+    assert out == {("aa", "aa"): 4, ("bb", "bb"): 3}
+
+
+def test_holt_constant_series_forecasts_the_constant(spark):
+    """A flat daily series is a fixed point of the Holt recurrence
+    (level stays, trend stays 0), so every horizon forecasts the
+    constant exactly."""
+    from covid_19_data_engineering_spark.operators.regression import (
+        holt_forecast_daily,
+    )
+
+    rows = [(i, 123.45, f"1995-02-{i + 1:02d}") for i in range(10)]
+    o = spark.createDataFrame(
+        rows, "o_orderkey long, o_totalprice double, o_orderdate string"
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("date"))
+    out = holt_forecast_daily(o).collect()
+    assert [r["h"] for r in out] == list(range(1, 8))
+    assert all(r["n_days"] == 10 and r["forecast"] == 123.45 for r in out)

@@ -170,6 +170,14 @@ FAMILY = [
     "parts_abc_classification",
     "copurchase_jaccard_neighbors",
     "textrank_keywords",
+    # round-10 continuation: time-weighted mean (one day-keyed window),
+    # BFS over the shared edge list, the NB classifier (token-keyed join
+    # against a broadcast model — vocab growth is the axis to watch),
+    # and the Holt kernel (calendar-bounded, should be scale-flat)
+    "events_twap_daily",
+    "copurchase_bfs_depths",
+    "nb_lang_confusion",
+    "orders_holt_forecast",
 ]
 
 ID_OFFSET = 1_000_000
