@@ -813,3 +813,122 @@ def _bfs_oracle_sql() -> str:
 )
 def copurchase_bfs_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_depths(shared_copurchase_edges(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Adamic-Adar link prediction — the degree-discounted common-neighbor
+# score: a shared RARE neighbor is strong evidence two parts belong
+# together, a shared popular one is weak. The standard upgrade over raw
+# common-neighbor counts and the Jaccard ratio above.
+# --------------------------------------------------------------------------
+
+
+def adamic_adar_neighbors(pairs: DataFrame, max_deg: int = JAC_MAX_DEG,
+                          top: int = JAC_TOP) -> DataFrame:
+    """Top ``top`` part pairs by Adamic-Adar score
+    sum over common neighbors u of 1/ln(deg(u)) —
+    (part_a, part_b, common, aa_score).
+
+    Same hub-capped wedge enumeration as the Jaccard operator (degree >
+    ``max_deg`` nodes dropped, wedge space bounded by n*cap^2); the
+    per-CENTER weight 1/ln(deg(u)) attaches BEFORE the wedge join (one
+    broadcast-sized degree table), is fixed-pointed to exact 1e-9 BIGINT
+    (ln is correctly rounded on both engines, drift.py's rule), and the
+    per-pair score is an exact integer SUM — association-order-free, so
+    the top-k ordering with (a, b) tiebreak is engine-deterministic.
+    Degree-1 centers are excluded from the weight table before the
+    expression evaluates (they generate no wedge, and ln(1) = 0 would
+    raise under ANSI).
+    """
+    sym = pairs.select(F.col("pa").alias("p"), F.col("pb").alias("q")) \
+        .unionAll(pairs.select(F.col("pb").alias("p"),
+                               F.col("pa").alias("q")))
+    deg0 = sym.groupBy("p").agg(F.count("*").alias("d"))
+    keep = deg0.where(F.col("d") <= max_deg).select("p")
+    capped = (
+        sym.join(keep, "p", "left_semi")
+        .join(keep.select(F.col("p").alias("q")), "q", "left_semi")
+        .localCheckpoint(eager=False)
+    )
+    deg = capped.groupBy("p").agg(F.count("*").alias("d"))
+    # center weight: 1/ln(d) in 1e-9 fixed point, attached pre-wedge.
+    # deg-1 nodes are excluded BEFORE the expression evaluates: they
+    # generate no wedge anyway, but ln(1) = 0 would raise under ANSI
+    # the moment the weight column is computed for them
+    wdeg = deg.where(F.col("d") >= 2).selectExpr(
+        "p",
+        "CAST(FLOOR(1.0 / ln(CAST(d AS DOUBLE)) * 1000000000 + 0.5) "
+        "AS BIGINT) AS w_fx")
+    e1 = capped.join(wdeg, "p").select(
+        F.col("p").alias("u"), F.col("q").alias("a"), "w_fx")
+    e2 = capped.select(F.col("p").alias("u2"), F.col("q").alias("b"))
+    scored = (
+        e1.join(e2, (F.col("u") == F.col("u2")) & (F.col("a") < F.col("b")))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"),
+             F.sum("w_fx").alias("aa_fx"))
+    )
+    return (
+        scored.select(
+            F.col("a").alias("part_a"), F.col("b").alias("part_b"),
+            "common",
+            F.round(F.col("aa_fx").cast("double") / 1e9, 6)
+            .alias("aa_score"),
+        )
+        .orderBy(F.col("aa_fx").desc(), "part_a", "part_b")
+        .limit(top)
+    )
+
+
+@register(
+    "copurchase_adamic_adar",
+    oracle=f"""
+    WITH lines AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lines a JOIN lines b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY pa, pb HAVING COUNT(*) >= {TRI_MIN_SUPPORT}
+    ),
+    sym AS (
+      SELECT pa AS p, pb AS q FROM pairs
+      UNION ALL SELECT pb AS p, pa AS q FROM pairs
+    ),
+    deg0 AS (SELECT p, COUNT(*) AS d FROM sym GROUP BY p),
+    keep AS (SELECT p FROM deg0 WHERE d <= {JAC_MAX_DEG}),
+    capped AS (
+      SELECT s.p, s.q FROM sym s
+      JOIN keep k1 ON s.p = k1.p JOIN keep k2 ON s.q = k2.p
+    ),
+    deg AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS d
+            FROM capped GROUP BY p),
+    wdeg AS (
+      SELECT p, CAST(FLOOR(1.0 / ln(CAST(d AS DOUBLE)) * 1000000000 + 0.5)
+                     AS BIGINT) AS w_fx
+      FROM deg WHERE d >= 2
+    ),
+    scored AS (
+      SELECT e1.q AS a, e2.q AS b,
+             CAST(COUNT(*) AS BIGINT) AS common,
+             CAST(SUM(w.w_fx) AS BIGINT) AS aa_fx
+      FROM capped e1
+      JOIN wdeg w ON w.p = e1.p
+      JOIN capped e2 ON e2.p = e1.p AND e1.q < e2.q
+      GROUP BY a, b
+    )
+    SELECT a AS part_a, b AS part_b, common,
+           ROUND(CAST(aa_fx AS DOUBLE) / 1e9, 6) AS aa_score
+    FROM scored
+    ORDER BY aa_fx DESC, part_a, part_b
+    LIMIT {JAC_TOP}
+    """,
+    doc=f"Top-{JAC_TOP} Adamic-Adar link predictions over the hub-capped "
+    "co-purchase graph: common neighbors weighted 1/ln(degree) — rare "
+    "shared contexts count, popular ones barely — with the weight "
+    "fixed-pointed per CENTER before the wedge join so the per-pair "
+    "score is an exact integer sum (order-free, deterministic top-k). "
+    "Same n*cap^2 wedge bound as the Jaccard twin.",
+)
+def copurchase_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return adamic_adar_neighbors(support_pairs(li))

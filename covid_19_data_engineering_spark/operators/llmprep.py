@@ -882,3 +882,122 @@ def ngram_novelty_profile(docs: DataFrame, k: int = 5) -> DataFrame:
 )
 def ngram_novelty_profile_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_novelty_profile(load_table(spark, "documents", sf_dir))
+
+
+# --- interpolated trigram LM perplexity ---------------------------------------
+
+
+def lm_trigram_scores(docs: DataFrame, text_col: str = "text",
+                      key_col: str = "doc_id") -> DataFrame:
+    """Per-document mean negative log-likelihood under an interpolated
+    TRIGRAM model (0.6 p3 + 0.3 p2 + 0.1 p1) trained on the corpus —
+    the next rung of the CCNet-style statistical quality ladder above
+    the bigram filter: templated text that repeats 3-token patterns
+    scores lower than the bigram model can detect.
+
+    Model convention: all counts derive from the TRIGRAM occurrence
+    table (c123 keyed (w1,w2,w3), contexts by marginalization — c12,
+    c23, c2, c3, N), so every observed trigram has strictly positive
+    counts at every order and the MLE mixture needs no smoothing for
+    self-scoring; interpolation carries the generalization weight. The
+    oracle states the identical convention.
+
+    100 TB posture mirrors the bigram operator: tokenize ONCE into
+    per-doc trigram counts (checkpointed working set), all model tables
+    marginalize from it map-side-combined, the scoring join is
+    equi-keyed on (w1,w2,w3), and the rollup shuffles once on doc_id.
+    Determinism: each -ln p is rounded to 6 before the weighted mean
+    (rounded to 4); the mixture weights are DOUBLE literals on both
+    engines (0.6e0 — a bare 0.6 parses as DECIMAL in each).
+    """
+    toks = docs.select(F.col(key_col).alias("doc_id"),
+                       F.split(F.col(text_col), " ").alias("t"))
+    doctri = (
+        toks.where(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(F.expr(
+                "transform(sequence(0, size(t) - 3), i -> "
+                "struct(t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3))"
+            )).alias("g"),
+        )
+        .groupBy("doc_id", "g.w1", "g.w2", "g.w3")
+        .agg(F.count(F.lit(1)).alias("c_doc"))
+        .localCheckpoint(eager=True)
+    )
+    c123 = doctri.groupBy("w1", "w2", "w3").agg(F.sum("c_doc").alias("c123"))
+    c12 = c123.groupBy("w1", "w2").agg(F.sum("c123").alias("c12"))
+    c23 = c123.groupBy("w2", "w3").agg(F.sum("c123").alias("c23"))
+    c2 = c123.groupBy("w2").agg(F.sum("c123").alias("c2"))
+    c3 = c123.groupBy("w3").agg(F.sum("c123").alias("c3"))
+    total = c123.agg(F.sum("c123").alias("n_total"))
+    probs = (
+        c123.join(c12, ["w1", "w2"])
+        .join(c23, ["w2", "w3"])
+        .join(c2, "w2")
+        .join(c3, "w3")
+        .crossJoin(F.broadcast(total))
+        .selectExpr(
+            "w1", "w2", "w3",
+            "ROUND(-ln(0.6e0 * (c123 / c12) + 0.3e0 * (c23 / c2) "
+            "+ 0.1e0 * (c3 / n_total)), 6) AS nll",
+        )
+    )
+    return (
+        doctri.join(probs, ["w1", "w2", "w3"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c_doc").alias("n_trigrams"),
+            F.round(F.sum(F.col("nll") * F.col("c_doc"))
+                    / F.sum("c_doc"), 4).alias("avg_nll"),
+        )
+    )
+
+
+@register(
+    "lm_trigram_interp_perplexity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    tri AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t) - 1),
+                    i -> {'w1': t[i], 'w2': t[i + 1], 'w3': t[i + 2]}),
+                    recursive := true)
+      FROM toks WHERE len(t) >= 3
+    ),
+    doctri AS (SELECT doc_id, w1, w2, w3, COUNT(*) AS c_doc
+               FROM tri GROUP BY 1, 2, 3, 4),
+    c123 AS (SELECT w1, w2, w3, SUM(c_doc) AS c123
+             FROM doctri GROUP BY 1, 2, 3),
+    c12 AS (SELECT w1, w2, SUM(c123) AS c12 FROM c123 GROUP BY 1, 2),
+    c23 AS (SELECT w2, w3, SUM(c123) AS c23 FROM c123 GROUP BY 1, 2),
+    c2 AS (SELECT w2, SUM(c123) AS c2 FROM c123 GROUP BY 1),
+    c3 AS (SELECT w3, SUM(c123) AS c3 FROM c123 GROUP BY 1),
+    total AS (SELECT SUM(c123) AS n_total FROM c123),
+    probs AS (
+      SELECT w1, w2, w3,
+             ROUND(-ln(0.6e0 * (c123 / c12) + 0.3e0 * (c23 / c2)
+                       + 0.1e0 * (c3 / n_total)), 6) AS nll
+      FROM c123 JOIN c12 USING (w1, w2) JOIN c23 USING (w2, w3)
+      JOIN c2 USING (w2) JOIN c3 USING (w3) CROSS JOIN total
+    )
+    SELECT doc_id,
+           CAST(SUM(c_doc) AS BIGINT) AS n_trigrams,
+           ROUND(SUM(nll * c_doc) / SUM(c_doc), 4) AS avg_nll
+    FROM doctri JOIN probs USING (w1, w2, w3)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="Interpolated trigram-LM perplexity scoring (0.6 p3 + 0.3 p2 + "
+    "0.1 p1, counts marginalized from one per-doc trigram table): the "
+    "statistical quality filter one order above the bigram model — "
+    "tokenize once into a checkpointed working set, model tables "
+    "map-side-combined, scoring join equi-keyed on the trigram, one "
+    "doc_id rollup shuffle.",
+)
+def lm_trigram_interp_perplexity(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return lm_trigram_scores(docs).orderBy("doc_id")

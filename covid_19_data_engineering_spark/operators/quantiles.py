@@ -361,3 +361,104 @@ def revenue_weighted_price_quantiles(spark: SparkSession,
     li = load_table(spark, "lineitem", sf_dir)
     return weighted_quantiles_histogram(
         li, "l_extendedprice", "round(l_extendedprice * 100)")
+
+
+# --------------------------------------------------------------------------
+# Winsorized mean — the robust location estimate that CLIPS the tails at
+# exact order statistics instead of dropping them (trimming loses the
+# tail mass entirely; winsorizing keeps it at the fence). Composes the
+# histogram-refine exact quantiles with one clipped aggregate.
+# --------------------------------------------------------------------------
+
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+def winsorized_mean(df: DataFrame, col: str,
+                    lo_p: float = WINSOR_LO,
+                    hi_p: float = WINSOR_HI) -> DataFrame:
+    """One row: (n_rows, p_lo, p_hi, raw_mean, winsorized_mean) for
+    ``df[col]`` clipped at the exact lo_p/hi_p order statistics.
+
+    The fences come from the two-pass histogram refine (no global sort,
+    no sketch error); clipping and the mean run as ONE exact-integer
+    aggregate over cents — least/greatest against the two broadcast
+    fence scalars — so the estimate is association-order-free. Means use
+    the shared half-up rounding (floor(x*1e4+0.5)/1e4; a clipped-cents
+    mean CAN land on an exact decimal half where engine ROUNDs split).
+    """
+    fences = exact_quantiles_histogram(df, col, quantiles=(lo_p, hi_p))
+    lo_hi = fences.groupBy().agg(
+        F.min(F.when(F.col("quantile") == lo_p, F.col("value")))
+        .alias("p_lo"),
+        F.min(F.when(F.col("quantile") == hi_p, F.col("value")))
+        .alias("p_hi"),
+    )
+    cents = f"CAST(round({col} * {VAL_UNIT}) AS BIGINT)"
+    clipped = df.crossJoin(F.broadcast(lo_hi)).selectExpr(
+        f"{cents} AS c",
+        f"CAST(round(p_lo * {VAL_UNIT}) AS BIGINT) AS lo_c",
+        f"CAST(round(p_hi * {VAL_UNIT}) AS BIGINT) AS hi_c",
+        "p_lo", "p_hi",
+    )
+    mean4 = ("CAST(FLOOR(CAST(SUM({v}) AS DOUBLE) / COUNT(*) "
+             f"/ {VAL_UNIT}.0 * 10000.0 + 0.5) AS DOUBLE) / 10000.0")
+    return clipped.groupBy().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("p_lo").alias("p_lo"),
+        F.min("p_hi").alias("p_hi"),
+        F.expr(mean4.format(v="c")).alias("raw_mean"),
+        F.expr(mean4.format(v="least(greatest(c, lo_c), hi_c)"))
+        .alias("winsorized_mean"),
+    )
+
+
+@register(
+    "winsorized_price_mean",
+    oracle=f"""
+    WITH n_all AS (SELECT COUNT(*) AS n FROM lineitem),
+    ranked AS (
+      SELECT l_extendedprice AS v,
+             ROW_NUMBER() OVER (ORDER BY l_extendedprice) AS rn
+      FROM lineitem
+    ),
+    fences AS (
+      SELECT
+        MIN(CASE WHEN rn = CAST(floor(((SELECT n FROM n_all) - 1)
+                                      * {WINSOR_LO}) AS BIGINT) + 1
+                 THEN v END) AS p_lo,
+        MIN(CASE WHEN rn = CAST(floor(((SELECT n FROM n_all) - 1)
+                                      * {WINSOR_HI}) AS BIGINT) + 1
+                 THEN v END) AS p_hi
+      FROM ranked
+    ),
+    clipped AS (
+      SELECT CAST(round(l_extendedprice * {VAL_UNIT}) AS BIGINT) AS c,
+             CAST(round(p_lo * {VAL_UNIT}) AS BIGINT) AS lo_c,
+             CAST(round(p_hi * {VAL_UNIT}) AS BIGINT) AS hi_c,
+             p_lo, p_hi
+      FROM lineitem, fences
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(p_lo) AS p_lo, MIN(p_hi) AS p_hi,
+           CAST(FLOOR(CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) / COUNT(*)
+                      / {VAL_UNIT}.0 * 10000.0 + 0.5) AS DOUBLE) / 10000.0
+             AS raw_mean,
+           CAST(FLOOR(CAST(CAST(SUM(least(greatest(c, lo_c), hi_c))
+                                AS BIGINT) AS DOUBLE) / COUNT(*)
+                      / {VAL_UNIT}.0 * 10000.0 + 0.5) AS DOUBLE) / 10000.0
+             AS winsorized_mean
+    FROM clipped
+    """,
+    doc=f"Winsorized mean of l_extendedprice (tails clipped at the exact "
+    f"p{int(WINSOR_LO * 100)}/p{int(WINSOR_HI * 100)} order statistics "
+    "from the histogram-refine quantile pass, no global sort): clipping "
+    "and both means are one exact-integer-cents aggregate against two "
+    "broadcast fence scalars, with shared half-up rounding — the robust "
+    "location estimate that keeps tail mass at the fence instead of "
+    "discarding it.",
+)
+def winsorized_price_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from covid_19_data_engineering_spark.sources.tables import load_table
+
+    return winsorized_mean(
+        load_table(spark, "lineitem", sf_dir), "l_extendedprice")

@@ -1257,3 +1257,122 @@ def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", "embedding", "label")
     return contrastive_pairs(corpus)
+
+
+# --------------------------------------------------------------------------
+# Diagonal-Mahalanobis embedding outliers — per-dimension standardized
+# distance from the corpus centroid, the embedding-space anomaly screen
+# a curation stack runs to surface corrupted / out-of-distribution
+# vectors before they poison dedup clusters or ANN recall. Diagonal
+# covariance (per-dim variance) keeps the statistic a two-aggregate
+# composition; the FULL covariance lives in the Gram/PCA family.
+# --------------------------------------------------------------------------
+
+MAHA_TOP = 20
+MAHA_FX = 1_000_000
+
+
+def embedding_diag_outliers(emb: DataFrame, top: int = MAHA_TOP) -> DataFrame:
+    """Top ``top`` vectors by the diagonal Mahalanobis score
+    sum_d ((x_d - mu_d) / sigma_d)^2 — (vec_id, score).
+
+    Exactness: per-dim means/variances fold through fixed-point 1e-9
+    components (exact BIGINT sums; squares through DECIMAL(38,0)), so
+    the 64-row stats table is engine-identical; each per-(vector, dim)
+    standardized square is then fixed-pointed to 1e-6 and the per-vector
+    score is an exact integer SUM over dims — association-order-free, so
+    the top-k with vec_id tiebreak is deterministic.
+
+    100 TB shape: one posexplode scan (n x d rows, map-side combined to
+    the d-row stats), one broadcast join of the d-row table back, one
+    vec_id-keyed combine. No pairwise anything.
+    """
+    comps = emb.select(
+        "vec_id", F.posexplode("embedding").alias("d", "x"))
+    stats = (
+        comps.groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("CAST(round(x * 1e9) AS BIGINT)")).alias("s_fx"),
+            # DECIMAL BEFORE the multiply: two 1e-9-fx components of a
+            # |x| > 3 vector overflow BIGINT at the product
+            F.sum(F.expr(
+                "CAST(round(x * 1e9) AS DECIMAL(38,0)) "
+                "* CAST(round(x * 1e9) AS DECIMAL(38,0))"))
+            .alias("q_fx"),
+        )
+        .selectExpr(
+            "d",
+            "CAST(s_fx AS DOUBLE) / 1e9 / n AS mu",
+            "(CAST(q_fx AS DOUBLE) / 1e18 - (CAST(s_fx AS DOUBLE) / 1e9) "
+            "* (CAST(s_fx AS DOUBLE) / 1e9) / n) / (n - 1) AS var",
+        )
+    )
+    scored = (
+        comps.join(F.broadcast(stats), "d")
+        .selectExpr(
+            "vec_id",
+            f"CAST(FLOOR((x - mu) * (x - mu) / var * {MAHA_FX} + 0.5) "
+            "AS BIGINT) AS z2_fx",
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("z2_fx").alias("score_fx"))
+    )
+    return (
+        scored.select(
+            "vec_id",
+            F.round(F.col("score_fx").cast("double") / MAHA_FX, 4)
+            .alias("score"),
+        )
+        .orderBy(F.col("score_fx").desc(), "vec_id")
+        .limit(top)
+    )
+
+
+@register(
+    "embedding_diag_outliers",
+    oracle=f"""
+    WITH comps AS (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) - 1 AS d,
+             UNNEST(embedding) AS x
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT d,
+             CAST(SUM(CAST(round(x * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
+               / COUNT(*) AS mu,
+             (CAST(SUM(CAST(round(x * 1e9) AS DECIMAL(38,0))
+                            * CAST(round(x * 1e9) AS DECIMAL(38,0)))
+                   AS DOUBLE) / 1e18
+              - (CAST(SUM(CAST(round(x * 1e9) AS BIGINT)) AS DOUBLE) / 1e9)
+                * (CAST(SUM(CAST(round(x * 1e9) AS BIGINT)) AS DOUBLE)
+                   / 1e9) / COUNT(*)) / (COUNT(*) - 1) AS var
+      FROM comps GROUP BY d
+    ),
+    scored AS (
+      SELECT c.vec_id,
+             CAST(SUM(CAST(FLOOR((c.x - s.mu) * (c.x - s.mu) / s.var
+                                 * {MAHA_FX} + 0.5) AS BIGINT)) AS BIGINT)
+               AS score_fx
+      FROM comps c JOIN stats s ON s.d = c.d
+      GROUP BY c.vec_id
+    )
+    SELECT vec_id,
+           ROUND(CAST(score_fx AS DOUBLE) / {MAHA_FX}, 4) AS score
+    FROM scored
+    ORDER BY score_fx DESC, vec_id
+    LIMIT {MAHA_TOP}
+    """,
+    doc=f"Top-{MAHA_TOP} embedding outliers by DIAGONAL Mahalanobis "
+    "distance from the corpus centroid: per-dim means/variances fold "
+    "through exact fixed-point components (one posexplode scan, d-row "
+    "stats table), each standardized square fixed-pointed before the "
+    "per-vector integer sum — the out-of-distribution screen before "
+    "vectors poison dedup/ANN, with no pairwise stage anywhere.",
+)
+def embedding_diag_outliers_query(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    return embedding_diag_outliers(
+        load_table(spark, "embeddings", sf_dir).select(
+            "vec_id", "embedding"))

@@ -293,7 +293,15 @@ PRIORITY = (
     # (round 9 rotates the gap-aware MoM growth readout in for the
     # bootstrap CI — the uncertainty family keeps its CI-brackets-truth
     # pytest pin; events_value_bootstrap_ci stays gate-checked in full)
-    "monthly_revenue_growth",
+    # round 10 rotates the diagonal-Mahalanobis embedding outlier
+    # screen in for the MoM growth readout (monthly_revenue_growth
+    # stays gate-checked in full) — the embedding-anomaly family's
+    # first head rep. The round-10 Adamic-Adar and winsorized-mean
+    # arrivals stay out of the head by the family rule: link
+    # prediction is repped by copurchase_jaccard_neighbors and the
+    # histogram-refine machinery by revenue_weighted_price_quantiles;
+    # both are full-gate-checked with planted pytest pins
+    "embedding_diag_outliers",
     # and the HLL set-algebra overlap (sketch union via register
     # max-merge + inclusion-exclusion); weighted_sample_wor rotates out
     # but stays gate-checked in full — sampling keeps leakage_safe_split
@@ -331,7 +339,12 @@ PRIORITY = (
     # coverage rep — attribution IS a user-keyed temporal range join, so
     # the family keeps the plan shape; events_interval_coverage stays
     # gate-checked in full)
-    "purchase_attribution_linear",
+    # round 10 rotates the interpolated trigram LM scorer in for the
+    # linear attribution readout (purchase_attribution_linear stays
+    # gate-checked in full; the as-of/temporal-join family keeps the
+    # streamed tumbling + TWAP reps above) — the LM-quality-filter
+    # family gains its first head rep (bigram twin in the full gate)
+    "lm_trigram_interp_perplexity",
     # deduplication families
     # (dedup_simhash rotated out for the round-8 prefix-filter family
     # above; dedup_minhash_lsh rotated out round 9 for the IVM family —

@@ -214,3 +214,80 @@ def test_holt_constant_series_forecasts_the_constant(spark):
     out = holt_forecast_daily(o).collect()
     assert [r["h"] for r in out] == list(range(1, 8))
     assert all(r["n_days"] == 10 and r["forecast"] == 123.45 for r in out)
+
+
+def test_adamic_adar_weights_rare_neighbors(spark):
+    """Twins sharing three degree-2 neighbors score exactly
+    3 * fx(1/ln 2) — and a shared POPULAR neighbor is worth less than a
+    rare one by construction of the weight."""
+    import math
+
+    from covid_19_data_engineering_spark.operators.graphs import (
+        adamic_adar_neighbors,
+        support_pairs,
+    )
+
+    rows = []
+    ok = 0
+    for a, b in [(1, 3), (1, 4), (1, 5), (2, 3), (2, 4), (2, 5)]:
+        for _ in range(2):  # support >= 2
+            ok += 1
+            rows += [(ok, a), (ok, b)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = adamic_adar_neighbors(support_pairs(li)).collect()
+    top = out[0]
+    w_fx = math.floor(1.0 / math.log(2.0) * 1e9 + 0.5)
+    assert (top["part_a"], top["part_b"], top["common"]) == (1, 2, 3)
+    assert top["aa_score"] == round(3 * w_fx / 1e9, 6)
+
+
+def test_trigram_lm_certain_corpus_scores_zero(spark):
+    """A corpus whose every trigram is fully determined by its context
+    (one repeated token) has p3 = p2 = p1 = 1 -> nll exactly 0."""
+    from covid_19_data_engineering_spark.operators.llmprep import (
+        lm_trigram_scores,
+    )
+
+    docs = [(i, "a a a a a", "en", "s", 9) for i in range(3)]
+    d = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    out = lm_trigram_scores(d).collect()
+    assert all(r["n_trigrams"] == 3 and r["avg_nll"] == 0.0 for r in out)
+    assert len(out) == 3
+
+
+def test_winsorized_mean_clips_at_exact_fences(spark):
+    """n=5 with one wild tail value: p05 is the min (rank 1), p95 is
+    rank 4, so the 100 clips to 10 -> winsorized 8.0 vs raw 26.0."""
+    from covid_19_data_engineering_spark.operators.quantiles import (
+        winsorized_mean,
+    )
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in (0, 10, 10, 10, 100)], "v double")
+    out = winsorized_mean(df, "v").collect()[0]
+    assert out["n_rows"] == 5
+    assert (out["p_lo"], out["p_hi"]) == (0.0, 10.0)
+    assert out["raw_mean"] == 26.0
+    assert out["winsorized_mean"] == 8.0
+
+
+def test_diag_outliers_surface_the_planted_vector(spark):
+    """One vector displaced far along one dimension must take the top
+    Mahalanobis slot; the inliers' scores stay near the dimension
+    count (the expectation of a sum of squared z-scores)."""
+    from covid_19_data_engineering_spark.operators.similarity import (
+        embedding_diag_outliers,
+    )
+
+    rows = [(1, [0.1, 0.2]), (2, [-0.1, 0.1]), (3, [0.0, -0.2]),
+            (4, [0.05, 0.0]), (5, [10.0, 0.1])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = embedding_diag_outliers(emb, top=5).collect()
+    assert out[0]["vec_id"] == 5
+    # the outlier inflates the variance it is standardized by, so its
+    # z^2 is bounded near (n-1)^2/n at small n — assert the ordering
+    # and a real gap, not an unbounded ratio
+    assert out[0]["score"] > out[1]["score"]
+    assert out[0]["score"] > 3.0

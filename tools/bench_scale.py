@@ -178,6 +178,10 @@ FAMILY = [
     "copurchase_bfs_depths",
     "nb_lang_confusion",
     "orders_holt_forecast",
+    "copurchase_adamic_adar",
+    "lm_trigram_interp_perplexity",
+    "winsorized_price_mean",
+    "embedding_diag_outliers",
 ]
 
 ID_OFFSET = 1_000_000
