@@ -932,3 +932,285 @@ def adamic_adar_neighbors(pairs: DataFrame, max_deg: int = JAC_MAX_DEG,
 def copurchase_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
     return adamic_adar_neighbors(support_pairs(li))
+
+
+# --------------------------------------------------------------------------
+# Entropy rate of the event-type Markov chain — how predictable user
+# behavior is, in nats per step: H = -sum_i pi_i sum_j p_ij ln p_ij.
+# Composes the stationary distribution (power iteration above the
+# transition table) with one entropy fold — all on the O(types^2) table.
+# --------------------------------------------------------------------------
+
+ER_FX = 1_000_000_000
+
+
+def entropy_rate(events: DataFrame) -> DataFrame:
+    """One row: (n_states, n_transitions, entropy_rate, uniform_bound) —
+    the chain's entropy rate in nats/step next to its ln(k) ceiling.
+
+    Every per-(i, j) term pi_i * p_ij * (-ln p_ij) is ONE shared
+    fixed-order double expression over exact integers (pi in 1e-12 units
+    from the unrolled power iteration, counts and row totals BIGINT),
+    fixed-pointed to 1e-9 before the sum — association-order-free, so
+    the scalar matches bit-for-bit. 100 TB shape: identical to the
+    stationary distribution — one user-keyed lag window reduces the
+    corpus; everything after is sketch-sized.
+    """
+    pi = markov_stationary(events).select("event_type", "pi_units")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            "user_id", "event_type",
+            F.lag("event_type").over(w).alias("prev_type"))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("curr_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    row_tot = pairs.groupBy("prev_type").agg(F.sum("n").alias("r"))
+    terms = (
+        pairs.join(row_tot, "prev_type")
+        .join(F.broadcast(pi),
+              F.col("prev_type") == F.col("event_type"))
+        .selectExpr(
+            "CAST(FLOOR((CAST(pi_units AS DOUBLE) / 1e12) "
+            "* (CAST(n AS DOUBLE) / r) "
+            f"* (-ln(CAST(n AS DOUBLE) / r)) * {ER_FX} + 0.5) AS BIGINT)"
+            " AS h_fx",
+            "n",
+        )
+    )
+    k = row_tot.agg(F.count(F.lit(1)).alias("n_states"))
+    return (
+        terms.agg(F.sum("h_fx").alias("h_fx"),
+                  F.sum("n").alias("n_transitions"))
+        .crossJoin(F.broadcast(k))
+        .selectExpr(
+            "CAST(n_states AS BIGINT) AS n_states",
+            "CAST(n_transitions AS BIGINT) AS n_transitions",
+            f"ROUND(CAST(h_fx AS DOUBLE) / {ER_FX}, 6) AS entropy_rate",
+            "ROUND(ln(CAST(n_states AS DOUBLE)), 6) AS uniform_bound",
+        )
+    )
+
+
+def _entropy_rate_oracle_sql() -> str:
+    it = """
+    it{i} AS MATERIALIZED (
+      SELECT t.curr_type AS event_type,
+             CAST(SUM((p.units * t.n) // t.r) AS BIGINT) AS units
+      FROM it{p} p JOIN trans t ON t.prev_type = p.event_type
+      GROUP BY t.curr_type
+    )"""
+    chain = ",".join(it.format(i=i, p=i - 1)
+                     for i in range(1, MC_ROUNDS + 1))
+    return f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    pairs AS MATERIALIZED (
+      SELECT prev_type, event_type AS curr_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    row_tot AS MATERIALIZED (
+      SELECT prev_type, CAST(SUM(n) AS BIGINT) AS r
+      FROM pairs GROUP BY prev_type
+    ),
+    trans AS MATERIALIZED (
+      SELECT p.prev_type, p.curr_type, p.n, rt.r
+      FROM pairs p JOIN row_tot rt ON rt.prev_type = p.prev_type
+    ),
+    it0 AS MATERIALIZED (
+      SELECT prev_type AS event_type,
+             {MC_UNIT} // (SELECT COUNT(*) FROM row_tot) AS units
+      FROM row_tot
+    ),
+    {chain},
+    terms AS (
+      SELECT CAST(FLOOR((CAST(pi.units AS DOUBLE) / 1e12)
+                        * (CAST(t.n AS DOUBLE) / t.r)
+                        * (-ln(CAST(t.n AS DOUBLE) / t.r)) * {ER_FX} + 0.5)
+                  AS BIGINT) AS h_fx,
+             t.n
+      FROM trans t JOIN it{MC_ROUNDS} pi ON pi.event_type = t.prev_type
+    ),
+    k AS (SELECT COUNT(*) AS n_states FROM row_tot)
+    SELECT CAST(n_states AS BIGINT) AS n_states,
+           CAST((SELECT SUM(n) FROM terms) AS BIGINT) AS n_transitions,
+           ROUND(CAST((SELECT SUM(h_fx) FROM terms) AS DOUBLE) / {ER_FX}, 6)
+             AS entropy_rate,
+           ROUND(ln(CAST(n_states AS DOUBLE)), 6) AS uniform_bound
+    FROM k
+    """
+
+
+@register(
+    "event_entropy_rate",
+    oracle=_entropy_rate_oracle_sql(),
+    doc="Entropy rate of the user event-type Markov chain (nats/step, "
+    "next to its ln(k) uniform ceiling): the stationary distribution "
+    "from the unrolled integer power iteration weighted into one "
+    "fixed-point entropy fold over the O(types^2) transition table — "
+    "how PREDICTABLE behavior is, the information-theoretic capstone of "
+    "the transition/stationary/paths family, at one corpus-wide lag "
+    "window of cost.",
+)
+def event_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return entropy_rate(load_table(spark, "events", sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Densest-subgraph extraction (Charikar's greedy peel, parallel
+# variant): repeatedly remove every node whose degree is <= (1+eps) x
+# the current average, tracking density per round — the max-density
+# round is a 2(1+eps)-approximation of the densest subgraph
+# (Bahmani-Kumar-Vassilvitskii 2012), in O(log n / eps) rounds for ANY
+# graph. The community-core extraction beside the k-core's fixed
+# threshold.
+# --------------------------------------------------------------------------
+
+DS_ROUNDS = 6
+DS_FX = 1_000_000  # density fixed-point (edges per node, 1e-6 units)
+
+
+def densest_subgraph_trajectory(edges: DataFrame,
+                                rounds: int = DS_ROUNDS) -> DataFrame:
+    """(round, n_nodes, n_edges, density, is_best) — the peel
+    trajectory: per round, the surviving graph's stats, density in
+    exact 1e-6 fixed point (undirected edges per node), and whether
+    this round attains the running maximum (ties to the EARLIEST
+    round). Removal rule: drop v when 10 * deg(v) * n <= 11 * sum_deg
+    — an exact-integer statement of deg <= 1.1 x average, so rounds
+    are engine-identical.
+
+    100 TB shape: per round one degree groupBy + a broadcast one-row
+    stats table + two node-keyed semi joins (the k-core exchange
+    family); frontiers checkpoint lazily so the whole peel is one job.
+    """
+    edges = edges.localCheckpoint(eager=False)
+    stats = []
+    for r in range(rounds + 1):
+        deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+        gstat = deg.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("deg"), F.lit(0)).alias("sumdeg"))
+        stats.append(gstat.select(
+            F.lit(r).cast("int").alias("round"),
+            F.col("n").cast("long").alias("n_nodes"),
+            F.expr("sumdeg div 2").alias("n_edges"),
+            F.expr(f"CAST((sumdeg div 2) * {DS_FX} AS BIGINT) "
+                   "div greatest(n, 1)").alias("density_fx"),
+        ))
+        if r == rounds:
+            break
+        keep = (
+            deg.crossJoin(F.broadcast(gstat))
+            .where(F.expr("10 * deg * n > 11 * sumdeg"))
+            .select("src")
+        )
+        edges = (
+            edges.join(keep, "src", "left_semi")
+            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=False)
+        )
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
+    w = Window.orderBy(F.lit(1)).rowsBetween(  # <= rounds+1 rows: harmless
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        out.withColumn("_best", F.max("density_fx").over(w))
+        .withColumn(
+            "is_best",
+            (F.col("density_fx") == F.col("_best"))
+            & (F.col("round") == F.min(F.when(
+                F.col("density_fx") == F.col("_best"), F.col("round")))
+               .over(w)),
+        )
+        .select(
+            "round", "n_nodes", "n_edges",
+            (F.col("density_fx").cast("double") / DS_FX).alias("density"),
+            "is_best",
+        )
+        .orderBy("round")
+    )
+
+
+def _densest_oracle_sql() -> str:
+    rnd = """
+    s{p} AS (SELECT COUNT(*) AS n, COALESCE(SUM(deg), 0) AS sumdeg
+             FROM d{p}),
+    k{p} AS MATERIALIZED (
+      SELECT d.src FROM d{p} d, s{p} s
+      WHERE 10 * d.deg * s.n > 11 * s.sumdeg
+    ),
+    e{i} AS MATERIALIZED (
+      SELECT e.src, e.dst FROM e{p} e
+      JOIN k{p} a ON e.src = a.src
+      JOIN k{p} b ON e.dst = b.src
+    ),
+    d{i} AS MATERIALIZED (
+      SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e{i} GROUP BY src
+    )"""
+    chain = ",".join(rnd.format(i=i, p=i - 1)
+                     for i in range(1, DS_ROUNDS + 1))
+    stat = ("SELECT CAST({i} AS INTEGER) AS round, "
+            "CAST(COUNT(*) AS BIGINT) AS n_nodes, "
+            "CAST(COALESCE(SUM(deg), 0) // 2 AS BIGINT) AS n_edges, "
+            f"CAST(((COALESCE(SUM(deg), 0) // 2) * {DS_FX}) "
+            "// greatest(COUNT(*), 1) AS BIGINT) AS density_fx "
+            "FROM d{i}")
+    stats = " UNION ALL ".join(
+        stat.format(i=i) for i in range(DS_ROUNDS + 1))
+    return f"""
+    WITH lines AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lines a JOIN lines b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY pa, pb HAVING COUNT(*) >= {TRI_MIN_SUPPORT}
+    ),
+    e0 AS MATERIALIZED (
+      SELECT pa AS src, pb AS dst FROM pairs
+      UNION ALL SELECT pb AS src, pa AS dst FROM pairs
+    ),
+    d0 AS MATERIALIZED (
+      SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e0 GROUP BY src
+    ),
+    {chain},
+    traj AS ({stats}),
+    best AS (SELECT MAX(density_fx) AS b FROM traj),
+    first_best AS (
+      SELECT MIN(round) AS br FROM traj, best WHERE density_fx = b
+    )
+    SELECT round, n_nodes, n_edges,
+           CAST(density_fx AS DOUBLE) / {DS_FX} AS density,
+           (round = (SELECT br FROM first_best)) AS is_best
+    FROM traj ORDER BY round
+    """
+
+
+@register(
+    "densest_copurchase_subgraph",
+    oracle=_densest_oracle_sql(),
+    doc=f"Charikar greedy densest-subgraph peel ({DS_ROUNDS} parallel "
+    "rounds, remove deg <= 1.1x average as the exact integer comparison "
+    "10*deg*n <= 11*sumdeg) over the support-filtered co-purchase "
+    "graph: per-round stats + 1e-6 fixed-point density with the "
+    "earliest max-density round flagged — a 2(1+eps)-approximation in "
+    "O(log n) rounds (Bahmani et al. 2012), one degree groupBy + two "
+    "semi joins per round, lazily checkpointed into one job.",
+)
+def densest_copurchase_subgraph(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    pairs = support_pairs(li)
+    sym = pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst")) \
+        .unionAll(pairs.select(F.col("pb").alias("src"),
+                               F.col("pa").alias("dst")))
+    return densest_subgraph_trajectory(sym)

@@ -249,7 +249,12 @@ PRIORITY = (
     # (chi-square + MI + Cramer's V) rotates in for the diversity entropy
     # audit (same information-theoretic family; source_token_entropy
     # stays gate-checked in full, and text keeps keyness/zipf/novelty)
-    "order_status_priority_independence",
+    # round 10 rotates the Markov entropy rate in for the chi2/MI
+    # contingency profile (same information-theory family;
+    # order_status_priority_independence stays gate-checked in
+    # full). densest_copurchase_subgraph stays out of the head by
+    # the family rule (iterative peel repped by kcore_copurchase).
+    "event_entropy_rate",
     # round-9 rank-statistics swap: the Mann-Whitney AUC (exact average-
     # rank ties over the bucket+offset ranking) rotates in for Spearman
     # (same distributed-rank family; price_quantity_spearman stays

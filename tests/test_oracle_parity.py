@@ -97,10 +97,12 @@ def test_registry_has_no_rows_only_entries():
 
 
 def test_bench_and_scale_lists_cover_only_registered_queries():
-    """bench.py EXTRA and tools/bench_scale.py FAMILY are pinned lists: a
-    name that drifts from the registry is silently untimed (EXTRA) or
-    crashes the scale run (FAMILY). Pin membership so the drift is a test
-    failure instead."""
+    """bench.py derives its extras from the registry (round-9 verdict #1),
+    so the invariant to pin flipped from list membership to COVERAGE:
+    every registered query must be timed (headline + derived extras)
+    unless named in EXCLUDED with a reason string. bench_scale.py FAMILY
+    stays a pinned list — a name that drifts from the registry crashes
+    the scale run, so membership is still the pin there."""
     import importlib.util
     import os
 
@@ -116,9 +118,25 @@ def test_bench_and_scale_lists_cover_only_registered_queries():
     bench = _load("bench.py", "bench_mod")
     scale = _load("tools/bench_scale.py", "bench_scale_mod")
     names = set(REGISTRY)
-    missing_extra = [n for n in bench.EXTRA if n not in names]
-    missing_family = [n for n in scale.FAMILY if n not in names]
-    assert not missing_extra, f"bench EXTRA not registered: {missing_extra}"
-    assert not missing_family, f"scale FAMILY not registered: {missing_family}"
     missing_headline = [n for n in bench.HEADLINE if n not in names]
-    assert not missing_headline, f"bench HEADLINE not registered: {missing_headline}"
+    assert not missing_headline, \
+        f"bench HEADLINE not registered: {missing_headline}"
+    missing_legacy = [n for n in bench._LEGACY_EXTRA if n not in names]
+    assert not missing_legacy, \
+        f"bench legacy extras not registered: {missing_legacy}"
+    # the no-silent-caps invariant: headline + derived extras = registry
+    legacy = [n for n in bench._LEGACY_EXTRA
+              if n in names and n not in bench.HEADLINE
+              and n not in bench.EXCLUDED]
+    newly = sorted(n for n in names
+                   if n not in bench.HEADLINE and n not in bench.EXCLUDED
+                   and n not in legacy)
+    timed = set(bench.HEADLINE) | set(legacy) | set(newly)
+    untimed = names - timed - set(bench.EXCLUDED)
+    assert not untimed, f"registered but silently untimed: {sorted(untimed)}"
+    for name, reason in bench.EXCLUDED.items():
+        assert isinstance(reason, str) and reason.strip(), \
+            f"EXCLUDED entry {name} has no reason"
+    missing_family = [n for n in scale.FAMILY if n not in names]
+    assert not missing_family, \
+        f"scale FAMILY not registered: {missing_family}"

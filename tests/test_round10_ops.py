@@ -291,3 +291,42 @@ def test_diag_outliers_surface_the_planted_vector(spark):
     # and a real gap, not an unbounded ratio
     assert out[0]["score"] > out[1]["score"]
     assert out[0]["score"] > 3.0
+
+
+def test_entropy_rate_deterministic_chain_is_zero(spark):
+    """A strictly alternating a->b->a->b chain has p=1 transitions:
+    entropy rate exactly 0 nats/step, against a ln(2) uniform ceiling."""
+    from covid_19_data_engineering_spark.operators.graphs import (
+        entropy_rate,
+    )
+
+    rows = [(i, 1, "a" if i % 2 == 0 else "b",
+             f"2024-01-01 00:{i:02d}:00", 1.0) for i in range(20)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, "
+              "ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = entropy_rate(ev).collect()[0]
+    assert out["n_states"] == 2 and out["n_transitions"] == 19
+    assert out["entropy_rate"] == 0.0
+    import math
+    assert out["uniform_bound"] == round(math.log(2.0), 6)
+
+
+def test_densest_subgraph_peel_finds_the_clique(spark):
+    """K4 plus a pendant path: the peel strips the low-degree tail and
+    the clique round (density 6/4 = 1.5) is flagged best."""
+    from covid_19_data_engineering_spark.operators.graphs import (
+        densest_subgraph_trajectory,
+    )
+
+    und = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # K4
+           (1, 5), (5, 6)]                                  # pendant tail
+    rows = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    out = {r["round"]: (r["n_nodes"], r["n_edges"], r["density"],
+                        r["is_best"]) for r in
+           densest_subgraph_trajectory(edges).collect()}
+    assert out[0][:2] == (6, 8)
+    assert out[1] == (4, 6, 1.5, True)          # the clique, flagged
+    assert sum(1 for v in out.values() if v[3]) == 1  # exactly one best

@@ -182,6 +182,8 @@ FAMILY = [
     "lm_trigram_interp_perplexity",
     "winsorized_price_mean",
     "embedding_diag_outliers",
+    "event_entropy_rate",
+    "densest_copurchase_subgraph",
 ]
 
 ID_OFFSET = 1_000_000
