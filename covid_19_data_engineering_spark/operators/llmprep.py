@@ -177,16 +177,36 @@ _REP_DISTINCT = 0.45     # fewer than 45% of tokens are distinct
 def repetition_profile(docs: DataFrame) -> DataFrame:
     """Gopher-style repetition signals, computed entirely inside one row:
     distinct-token ratio and the mass of the single most frequent bigram.
-    Nested higher-order functions keep it a narrow map (docs are bounded
-    length; the d*n scan per row is cheap and shuffle-free)."""
+    Row-local higher-order functions keep it a narrow map — no shuffle.
+
+    The top-bigram count is a SORT + one run-length fold, O(B log B) per
+    row. The original distinct x filter formulation — count each
+    distinct bigram by rescanning the whole list — is O(D*B) of
+    interpreted lambda evals per row and cost 304 SECONDS at sf0.1; it
+    was invisible while this query sat in the untimed set (round-9
+    verdict #1's exact scenario, caught by the first derived-extras
+    bench run)."""
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
     bg = F.transform(
         F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
         lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
     )
-    top_count = F.array_max(
-        F.transform(F.array_distinct(bg), lambda g: F.size(F.filter(bg, lambda x: x == g)))
+    # longest equal-run of the sorted bigram list == max multiplicity
+    top_count = F.aggregate(
+        F.array_sort(bg),
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                 F.lit(0).alias("best")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
     distinct_ratio = F.round(F.size(F.array_distinct(toks)) / n, 4)
     top_frac = F.round(top_count / F.size(bg), 4)

@@ -840,3 +840,74 @@ def test_round9_operator_plans(spark):
     video = _executed_plan(REGISTRY["multimodal_video_features"].builder(spark, sf))
     assert "MapInPandas" in video              # the one Arrow stage
     assert "BatchEvalPython" not in video
+
+
+def test_round10_operator_plans(spark):
+    """Plan pins for the round-10 operators: one-aggregate inference,
+    bounded-tail time series, distributed prefix sums, capped wedge
+    joins, broadcast models, and exactly one Arrow stage where a
+    sequential kernel is the point — zero row-at-a-time Python
+    anywhere."""
+    sf = SF_SMOKE
+
+    welch = _executed_plan(REGISTRY["price_welch_ttest"].builder(spark, sf))
+    # the whole corpus reduces through ONE partial+final aggregate pair
+    assert "SortMergeJoin" not in welch and "Window" not in welch
+    assert welch.count("HashAggregate") >= 2
+    assert "BatchEvalPython" not in welch
+    # the scan is pruned to the two columns the test reads
+    assert "ReadSchema: struct<l_extendedprice:double,l_returnflag:string>" \
+        in welch
+
+    xcorr = _executed_plan(REGISTRY["events_xcorr_daily"].builder(spark, sf))
+    # the only corpus-wide shuffle keys on the (day, type) rollup; the
+    # lag join runs on the tiny day table (broadcast, never SMJ)
+    assert "SortMergeJoin" not in xcorr
+    assert "CartesianProduct" not in xcorr
+    assert "BatchEvalPython" not in xcorr
+
+    abc = _executed_plan(
+        REGISTRY["parts_abc_classification"].builder(spark, sf))
+    # two-level prefix sum: every rank/cumsum window is per-bucket
+    win = [l for l in abc.splitlines()
+           if "windowspecdefinition" in l.lower()]
+    assert win and all("_bkt" in l for l in win)
+    assert "BatchEvalPython" not in abc
+
+    jac = _executed_plan(
+        REGISTRY["copurchase_jaccard_neighbors"].builder(spark, sf))
+    assert "CartesianProduct" not in jac       # wedge join is equi-keyed
+    assert "TakeOrderedAndProject" in jac      # top-k returns O(k)
+    assert "BatchEvalPython" not in jac
+
+    tr = _executed_plan(REGISTRY["textrank_keywords"].builder(spark, sf))
+    assert "CartesianProduct" not in tr
+    assert "TakeOrderedAndProject" in tr
+    assert "BatchEvalPython" not in tr
+
+    nb = _executed_plan(REGISTRY["nb_lang_confusion"].builder(spark, sf))
+    # the model joins back BROADCAST (vocab x labels bounded), never a
+    # corpus-side SortMergeJoin
+    assert "BroadcastHashJoin" in nb
+    assert "BatchEvalPython" not in nb
+
+    holt = _executed_plan(REGISTRY["orders_holt_forecast"].builder(spark, sf))
+    assert "MapInPandas" in holt               # the one Arrow stage
+    assert "BatchEvalPython" not in holt
+
+    twap = _executed_plan(REGISTRY["events_twap_daily"].builder(spark, sf))
+    # day-keyed window: state bounded by a day's traffic
+    assert "hashpartitioning(day" in twap
+    assert "BatchEvalPython" not in twap
+
+    out = _executed_plan(
+        REGISTRY["embedding_diag_outliers"].builder(spark, sf))
+    assert "BroadcastHashJoin" in out          # d-row stats broadcast
+    assert "SortMergeJoin" not in out
+    assert "TakeOrderedAndProject" in out
+    assert "BatchEvalPython" not in out
+
+    avro = _executed_plan(
+        REGISTRY["avro_roundtrip_events"].builder(spark, sf))
+    assert "MapInPandas" in avro               # the parallel decode stage
+    assert "BatchEvalPython" not in avro
