@@ -271,15 +271,22 @@ def events_stream(spark: SparkSession, sf_dir: str, source: str = "files") -> Da
         raise ValueError(f"unknown stream source {source!r}")
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    # FileStreamSource requires a directory; pathGlobFilter narrows the
-    # listing to the events file (at scale: the arrival directory itself)
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
+    table_path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(table_path).schema
+    # FileStreamSource requires a directory. The table ships as either a
+    # single FILE events.parquet (the testdata layout) or a DIRECTORY of
+    # part files (any Spark-written corpus — the 3x scale dirs). The glob
+    # trick only matched the single-file shape: against a directory
+    # layout it listed NOTHING and the stream silently drained zero rows
+    # (caught by the round-10 scale bench, x3_rows = 0 — not by the
+    # gate, whose testdata is all single files).
+    if os.path.isdir(table_path):
+        reader = (spark.readStream.schema(raw_schema).format("parquet")
+                  .load(table_path))
+    else:
+        reader = (spark.readStream.schema(raw_schema).format("parquet")
+                  .option("pathGlobFilter", "events.parquet").load(sf_dir))
+    stream = reader
     ts_type = dict(stream.dtypes).get("ts")
     if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

