@@ -113,3 +113,101 @@ def cohort_retention_matrix(orders: DataFrame) -> DataFrame:
 def cohort_retention_matrix_query(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
     return cohort_retention_matrix(load_table(spark, "orders", sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Inter-purchase gap profile — the repeat-purchase cadence behind every
+# retention/LTV model: per customer, the gaps between consecutive
+# orders; reported as an exact day-bucket histogram plus exact integer
+# summary moments.
+# --------------------------------------------------------------------------
+
+_GAP_BUCKETS = ((0, 7), (8, 30), (31, 90), (91, 365), (366, 10**9))
+_GAP_LABELS = ("0-7d", "8-30d", "31-90d", "91-365d", "365d+")
+
+
+def interpurchase_gaps(orders: DataFrame) -> DataFrame:
+    """(bucket, n_gaps, share, mean_gap_days) — consecutive-order gap
+    histogram over fixed day buckets, with each bucket's exact mean gap.
+
+    One customer-keyed lag window produces the gaps (exact integer
+    days); the rollup is map-side combined over 5 bucket keys; shares
+    and means are fixed-order doubles over exact BIGINTs. 100 TB shape:
+    the window partitions by customer (state = one prior row), the tail
+    is O(buckets).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.select(
+            "o_custkey", "o_orderkey",
+            F.expr("CAST(o_orderdate AS DATE)").alias("d"),
+        )
+        .withColumn("gap", F.expr(
+            "datediff(d, lag(d) OVER (PARTITION BY o_custkey "
+            "ORDER BY d, o_orderkey))"))
+        .where(F.col("gap").isNotNull())
+    )
+    bucket = F.when(F.col("gap") <= 7, _GAP_LABELS[0])
+    for (lo, hi), lab in zip(_GAP_BUCKETS[1:], _GAP_LABELS[1:]):
+        bucket = bucket.when((F.col("gap") >= lo) & (F.col("gap") <= hi),
+                             lab)
+    hist = (
+        gaps.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_gaps"),
+             F.sum("gap").alias("gap_days"))
+    )
+    total = hist.agg(F.sum("n_gaps").alias("n_total"))
+    return (
+        hist.crossJoin(F.broadcast(total))
+        .selectExpr(
+            "bucket",
+            "CAST(n_gaps AS BIGINT) AS n_gaps",
+            "ROUND(CAST(n_gaps AS DOUBLE) / n_total, 6) AS share",
+            "ROUND(CAST(gap_days AS DOUBLE) / n_gaps, 4) AS mean_gap_days",
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "customer_interpurchase_gaps",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT datediff('day',
+               LAG(CAST(o_orderdate AS DATE)) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+               CAST(o_orderdate AS DATE)) AS gap
+      FROM orders
+    ),
+    labeled AS (
+      SELECT CASE
+        WHEN gap <= 7 THEN '{_GAP_LABELS[0]}'
+        WHEN gap <= 30 THEN '{_GAP_LABELS[1]}'
+        WHEN gap <= 90 THEN '{_GAP_LABELS[2]}'
+        WHEN gap <= 365 THEN '{_GAP_LABELS[3]}'
+        ELSE '{_GAP_LABELS[4]}' END AS bucket, gap
+      FROM gaps WHERE gap IS NOT NULL
+    ),
+    hist AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+             CAST(SUM(gap) AS BIGINT) AS gap_days
+      FROM labeled GROUP BY bucket
+    )
+    SELECT bucket, n_gaps,
+           ROUND(CAST(n_gaps AS DOUBLE)
+                 / (SELECT SUM(n_gaps) FROM hist), 6) AS share,
+           ROUND(CAST(gap_days AS DOUBLE) / n_gaps, 4) AS mean_gap_days
+    FROM hist ORDER BY bucket
+    """,
+    doc="Repeat-purchase cadence: consecutive-order gaps per customer "
+    "(one customer-keyed lag window, exact integer days) rolled into a "
+    "fixed day-bucket histogram with per-bucket shares and exact mean "
+    "gaps — the retention/LTV input, O(buckets) tail after one "
+    "bounded-state window.",
+)
+def customer_interpurchase_gaps(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    return interpurchase_gaps(load_table(spark, "orders", sf_dir))

@@ -957,3 +957,97 @@ def daily_xcorr(events: DataFrame, x_type: str = XCORR_X,
 )
 def events_xcorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily_xcorr(load_table(spark, "events", sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Burstiness coefficient of inter-event times — B = (sigma - mu) /
+# (sigma + mu) per event type (Goh & Barabasi 2008): -1 for a periodic
+# process, ~0 for Poisson, -> +1 for heavy-tailed bursts. The one-number
+# answer to "is this traffic human-bursty or machine-regular?" that
+# sizes rate limits and anomaly baselines.
+# --------------------------------------------------------------------------
+
+
+def burstiness_by_type(events: DataFrame) -> DataFrame:
+    """(event_type, n_gaps, mean_gap_s, burstiness) — per type, the
+    burstiness of per-user inter-event times.
+
+    Gaps are exact integer microseconds from one (user, type)-keyed lag
+    window; the three moments are exact (the squared-micros sums route
+    through DECIMAL(38,0) — a 30-day gap squares to ~7e24); sigma is the
+    POPULATION deviation (stated; both engines share the expression) and
+    B is one fixed-order double readout. 100 TB shape: one window
+    shuffle keyed (user, type) with O(1) state, then an O(types) tail.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id")
+    gaps = (
+        events.select(
+            "user_id", "event_type", "event_id",
+            F.expr("CAST(ts AS TIMESTAMP)").alias("tts"),
+        )
+        .withColumn("gap_us", F.expr(
+            "unix_micros(tts) - unix_micros(lag(tts) OVER ("
+            "PARTITION BY user_id, event_type ORDER BY tts, event_id))"))
+        .where(F.col("gap_us").isNotNull())
+    )
+    moms = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("gap_us").alias("s"),
+        F.sum(F.expr("CAST(gap_us AS DECIMAL(38,0)) "
+                     "* CAST(gap_us AS DECIMAL(38,0))")).alias("q"),
+    )
+    mu = "(CAST(s AS DOUBLE) / n)"
+    sigma = (f"sqrt((CAST(q AS DOUBLE) - {mu} * {mu} * n) / n)")
+    return (
+        moms.selectExpr(
+            "event_type",
+            "CAST(n AS BIGINT) AS n_gaps",
+            f"ROUND({mu} / 1e6, 4) AS mean_gap_s",
+            f"ROUND(({sigma} - {mu}) / ({sigma} + {mu}), 6) AS burstiness",
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_burstiness",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               - epoch_us(LAG(CAST(ts AS TIMESTAMP)) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id)) AS gap_us
+      FROM events
+    ),
+    moms AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(gap_us) AS BIGINT) AS s,
+             SUM(CAST(gap_us AS DECIMAL(38,0))
+                 * CAST(gap_us AS DECIMAL(38,0))) AS q
+      FROM gaps WHERE gap_us IS NOT NULL
+      GROUP BY event_type
+    )
+    SELECT event_type, n AS n_gaps,
+           ROUND((CAST(s AS DOUBLE) / n) / 1e6, 4) AS mean_gap_s,
+           ROUND((sqrt((CAST(q AS DOUBLE) - (CAST(s AS DOUBLE) / n)
+                        * (CAST(s AS DOUBLE) / n) * n) / n)
+                  - (CAST(s AS DOUBLE) / n))
+                 / (sqrt((CAST(q AS DOUBLE) - (CAST(s AS DOUBLE) / n)
+                          * (CAST(s AS DOUBLE) / n) * n) / n)
+                    + (CAST(s AS DOUBLE) / n)), 6) AS burstiness
+    FROM moms ORDER BY event_type
+    """,
+    doc="Burstiness B = (sigma - mu)/(sigma + mu) of per-user inter-event "
+    "times per type (Goh-Barabasi): -1 periodic, ~0 Poisson, +1 bursty. "
+    "Exact integer-microsecond gaps from one (user, type) window, "
+    "squared sums through DECIMAL(38,0), population sigma stated "
+    "identically on both engines — the traffic-shape diagnostic that "
+    "sizes rate limits, at one bounded-state window.",
+)
+def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return burstiness_by_type(load_table(spark, "events", sf_dir))

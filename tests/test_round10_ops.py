@@ -330,3 +330,44 @@ def test_densest_subgraph_peel_finds_the_clique(spark):
     assert out[0][:2] == (6, 8)
     assert out[1] == (4, 6, 1.5, True)          # the clique, flagged
     assert sum(1 for v in out.values() if v[3]) == 1  # exactly one best
+
+
+def test_interpurchase_gaps_planted_buckets(spark):
+    """One customer with orders at day 0, 5, 40: gaps 5 (0-7d bucket)
+    and 35 (31-90d), shares 0.5 each, means exact."""
+    from covid_19_data_engineering_spark.operators.cohort import (
+        interpurchase_gaps,
+    )
+
+    o = spark.createDataFrame(
+        [(1, 7, "2024-01-01"), (2, 7, "2024-01-06"), (3, 7, "2024-02-10")],
+        "o_orderkey long, o_custkey long, o_orderdate string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("date"))
+    out = {r["bucket"]: (r["n_gaps"], r["share"], r["mean_gap_days"])
+           for r in interpurchase_gaps(o).collect()}
+    assert out == {"0-7d": (1, 0.5, 5.0), "31-90d": (1, 0.5, 35.0)}
+
+
+def test_burstiness_periodic_reads_minus_one(spark):
+    """A perfectly periodic per-user stream has sigma = 0 ->
+    B = (0 - mu)/(0 + mu) = -1 exactly; a two-gap bursty plant
+    (1s and 59s) reads the hand-computed positive value."""
+    from covid_19_data_engineering_spark.operators.drift import (
+        burstiness_by_type,
+    )
+
+    rows = [(i, 1, "tick", f"2024-01-01 00:{i:02d}:00", 1.0)
+            for i in range(10)]
+    rows += [(100, 2, "spike", "2024-01-01 00:00:00", 1.0),
+             (101, 2, "spike", "2024-01-01 00:00:01", 1.0),
+             (102, 2, "spike", "2024-01-01 00:01:00", 1.0)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, "
+              "ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["event_type"]: (r["n_gaps"], r["mean_gap_s"], r["burstiness"])
+           for r in burstiness_by_type(ev).collect()}
+    assert out["tick"] == (9, 60.0, -1.0)
+    mu, = [30.0]
+    sigma = 29.0  # population sd of {1, 59} seconds
+    assert out["spike"] == (2, 30.0, round((sigma - mu) / (sigma + mu), 6))

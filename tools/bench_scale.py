@@ -184,6 +184,8 @@ FAMILY = [
     "embedding_diag_outliers",
     "event_entropy_rate",
     "densest_copurchase_subgraph",
+    "customer_interpurchase_gaps",
+    "events_burstiness",
 ]
 
 ID_OFFSET = 1_000_000
