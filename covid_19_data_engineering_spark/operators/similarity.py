@@ -201,13 +201,14 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = TOP_K,
     )
 
 
-def _ivf_oracle_sql() -> str:
-    """DuckDB twin of the full IVF path. Everything is deterministic — seeds
-    are the k lowest-id vectors, cid order is the lexicographic array order,
-    one Lloyd step is plain AVG per component, and every argmax tie-breaks
-    on cid — so SQL replays it stage by stage. Engine float low-bit
-    differences only matter at argmax ties between two centroids, which the
-    near-orthogonal data keeps far apart."""
+def _ivf_ctes() -> str:
+    """The deterministic IVF pipeline as a reusable DuckDB CTE chain
+    (emb -> seeds -> one Lloyd step -> inverted lists -> probes ->
+    candidates -> exact-rescored pairs) — shared by the top-k oracle and
+    the recall audit. Everything is deterministic — seeds are the k
+    lowest-id vectors, cid order is the lexicographic array order, one
+    Lloyd step is plain AVG per component, and every argmax tie-breaks
+    on cid — so SQL replays it stage by stage."""
     def cos(a: str, b: str) -> str:
         dot = (f"list_reduce(list_transform(range(1, {_IVF_DIM} + 1), "
                f"i -> {a}[i] * {b}[i]), (x, y) -> x + y)")
@@ -219,7 +220,7 @@ def _ivf_oracle_sql() -> str:
 
     avgs = ", ".join(f"AVG(e[{i + 1}])" for i in range(_IVF_DIM))
     return f"""
-    WITH emb AS (
+    emb AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
     ),
     seeds AS (
@@ -267,6 +268,12 @@ def _ivf_oracle_sql() -> str:
       JOIN emb qe ON qe.vec_id = cd.query_id
       JOIN emb ce ON ce.vec_id = cd.vec_id
     )
+    """
+
+
+def _ivf_oracle_sql() -> str:
+    return f"""
+    WITH {_ivf_ctes()}
     SELECT query_id, rank, vec_id, cosine FROM (
       SELECT query_id, vec_id, cosine,
              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
@@ -1376,3 +1383,86 @@ def embedding_diag_outliers_query(spark: SparkSession,
     return embedding_diag_outliers(
         load_table(spark, "embeddings", sf_dir).select(
             "vec_id", "embedding"))
+
+
+# --- IVF recall audit ---------------------------------------------------------
+
+
+def ivf_recall(corpus: DataFrame, queries: DataFrame,
+               k: int = TOP_K) -> DataFrame:
+    """(query_id, n_overlap, recall) — recall@k of the IVF search against
+    the exact brute-force top-k, per query: the nprobe/cell accuracy
+    trade as a MEASURED number (the companion audit to
+    ann_projected_recall for the OTHER approximate index). Both
+    pipelines are deterministic, so the readout is exact and
+    oracle-replayable; at scale the audit runs on a query SAMPLE while
+    the index serves everything."""
+    brute = brute_force_topk(corpus, queries, k).select(
+        "query_id", "vec_id")
+    ivf = ivf_topk(corpus, queries, k).select("query_id", "vec_id")
+    hits = (
+        brute.join(ivf, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        queries.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.round(F.coalesce("n_overlap", F.lit(0)) / F.lit(float(k)), 4)
+            .alias("recall"),
+        )
+    )
+
+
+def _ivf_recall_oracle_sql() -> str:
+    return f"""
+    WITH {_ivf_ctes()},
+    ivf AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS rank
+        FROM scored
+      ) WHERE rank <= {TOP_K}
+    ),
+    brute AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, ce.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY ROUND(list_cosine_similarity(q.qe, ce.e), 6)
+                            DESC, ce.vec_id) AS rank
+        FROM emb ce CROSS JOIN qs q
+        WHERE ce.vec_id != q.query_id
+      ) WHERE rank <= {TOP_K}
+    ),
+    hits AS (
+      SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+      FROM brute b JOIN ivf i
+        ON i.query_id = b.query_id AND i.vec_id = b.vec_id
+      GROUP BY b.query_id
+    )
+    SELECT q.query_id,
+           COALESCE(h.n_overlap, 0) AS n_overlap,
+           ROUND(COALESCE(h.n_overlap, 0) / {TOP_K}.0, 4) AS recall
+    FROM qs q LEFT JOIN hits h ON h.query_id = q.query_id
+    ORDER BY q.query_id
+    """
+
+
+@register(
+    "ann_ivf_recall",
+    oracle=_ivf_recall_oracle_sql(),
+    doc=f"Recall@{TOP_K} of the IVF search (16 cells, 4 probed) against "
+    "the exact brute-force ranking, per query — the inverted-file "
+    "accuracy trade as a measured, oracle-replayed number beside the "
+    "JL-projection audit: together they close the 'how approximate ARE "
+    "the approximate indexes' question for both index families.",
+)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "embedding")
+    return ivf_recall(corpus, default_queries(corpus)).orderBy("query_id")

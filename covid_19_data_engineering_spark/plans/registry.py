@@ -361,7 +361,12 @@ PRIORITY = (
     # ann_cosine_topk — the same broadcast-anchor brute-scan plan shape
     # plus the label split; the ANN top-k stays gate-checked in full and
     # the family keeps ann_projected_recall above)
-    "contrastive_pair_mining",
+    # round 10 rotates the IVF recall audit in for contrastive pair
+    # mining (similarity keeps an accuracy-audit head rep — recall
+    # audits now cover BOTH approximate index families;
+    # contrastive_pair_mining stays gate-checked in full with its
+    # WindowGroupLimit plan gate)
+    "ann_ivf_recall",
     # text analysis + retrieval
     # LLM-prep pipeline + embedding clustering
     # multimodal plumbing (round 9 rotates the video seam in —

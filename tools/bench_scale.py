@@ -186,6 +186,7 @@ FAMILY = [
     "densest_copurchase_subgraph",
     "customer_interpurchase_gaps",
     "events_burstiness",
+    "ann_ivf_recall",
 ]
 
 ID_OFFSET = 1_000_000
