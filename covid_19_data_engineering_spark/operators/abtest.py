@@ -383,3 +383,93 @@ def _welch_select() -> list[str]:
 )
 def price_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return welch_ttest_price(load_table(spark, "lineitem", sf_dir))
+
+
+# --------------------------------------------------------------------------
+# One-way ANOVA across event types — does the group explain the value?
+# eta^2 (variance explained) + the F statistic from exact per-group
+# moments: the k-group generalization of the Welch test above.
+# --------------------------------------------------------------------------
+
+
+def value_anova_by_type(events: DataFrame) -> DataFrame:
+    """One row: (n_groups, n_rows, eta_sq, f_stat) — one-way ANOVA of
+    ``value`` across event types.
+
+    The corpus reduces to THREE exact integers per group (count, sum of
+    cents, sum of squared cents through DECIMAL(38,0)) in one
+    map-side-combined aggregate; SS_between / SS_within / eta^2 / F are
+    fixed-order double expressions over the O(groups) table, shared
+    verbatim with the oracle. 100 TB shape: one aggregate, O(groups)
+    tail — the 'is this dimension worth segmenting on' screen.
+    """
+    cents = "CAST(round(value * 100) AS BIGINT)"
+    g = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"SUM({cents})").alias("s"),
+        F.expr(f"SUM(CAST({cents} AS DECIMAL(38,0)) "
+               f"* CAST({cents} AS DECIMAL(38,0)))").alias("q"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("n_tot"),
+        F.sum("s").alias("s_tot"),
+        F.expr("CAST(SUM(q) AS DOUBLE)").alias("q_tot"),
+        # SS_between pieces: sum over groups of s_g^2/n_g (double; each
+        # term is a fixed-order expression over exact integers)
+        F.sum(F.expr("CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n"))
+        .alias("sb_raw"),
+    )
+    grand = "(CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE) / n_tot)"
+    ss_b = f"(sb_raw - {grand})"
+    ss_w = f"(q_tot - sb_raw)"
+    ss_t = f"(q_tot - {grand})"
+    fstat = (f"(({ss_b} / (k - 1)) / NULLIF({ss_w} / (n_tot - k), 0))")
+    return tot.selectExpr(
+        "CAST(k AS BIGINT) AS n_groups",
+        "CAST(n_tot AS BIGINT) AS n_rows",
+        f"ROUND({ss_b} / NULLIF({ss_t}, 0), 6) AS eta_sq",
+        f"ROUND({fstat}, 4) AS f_stat",
+    )
+
+
+@register(
+    "events_value_anova",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+             SUM(CAST(CAST(round(value * 100) AS BIGINT) AS DECIMAL(38,0))
+                 * CAST(CAST(round(value * 100) AS BIGINT)
+                        AS DECIMAL(38,0))) AS q
+      FROM events GROUP BY event_type
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS n_tot,
+             CAST(SUM(s) AS BIGINT) AS s_tot,
+             CAST(SUM(q) AS DOUBLE) AS q_tot,
+             SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) AS sb_raw
+      FROM g
+    )
+    SELECT k AS n_groups, n_tot AS n_rows,
+           ROUND((sb_raw - (CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE)
+                            / n_tot))
+                 / NULLIF(q_tot - (CAST(s_tot AS DOUBLE)
+                                   * CAST(s_tot AS DOUBLE) / n_tot), 0), 6)
+             AS eta_sq,
+           ROUND(((sb_raw - (CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE)
+                             / n_tot)) / (k - 1))
+                 / NULLIF((q_tot - sb_raw) / (n_tot - k), 0), 4) AS f_stat
+    FROM tot
+    """,
+    doc="One-way ANOVA of value across event types: three exact integer "
+    "moments per group (squared cents through DECIMAL(38,0)) in ONE "
+    "map-side-combined aggregate, then eta^2 (variance explained) and F "
+    "as fixed-order double expressions over the O(groups) row — the "
+    "k-group generalization of the Welch test, the 'worth segmenting?' "
+    "screen with no second pass.",
+)
+def events_value_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return value_anova_by_type(load_table(spark, "events", sf_dir))

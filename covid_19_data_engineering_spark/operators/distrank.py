@@ -511,3 +511,105 @@ def abc_classification(lineitem: DataFrame,
 )
 def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     return abc_classification(load_table(spark, "lineitem", sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Hill tail-index estimator — how heavy is the revenue distribution's
+# tail? alpha = k / sum_{i<=k} ln(x_(i) / x_(k+1)) over the top-k order
+# statistics: alpha < 2 means infinite variance (whale-dominated
+# revenue), the diagnostic behind the Gini/Lorenz and ABC readouts.
+# --------------------------------------------------------------------------
+
+HILL_K = 100
+_HILL_FX = 1_000_000_000
+
+
+def hill_tail_index(df: DataFrame, value_cents_expr: str,
+                    key_col: str, k: int = HILL_K) -> DataFrame:
+    """One row: (k, x_min, alpha, alpha_se) — the Hill estimator over
+    the top-k per-``key_col`` totals of ``value_cents_expr``.
+
+    The corpus reduces to per-key exact BIGINT cents (one rollup); the
+    top k+1 rows return via TakeOrderedAndProject (O(k) per partition,
+    never a global sort); each ln(x_i / x_(k+1)) term is one shared
+    double expression over two exact integers, fixed-pointed to 1e-9
+    before the k-term sum, so alpha is engine-exact. se = alpha/sqrt(k)
+    (the estimator's asymptotic standard error).
+    """
+    from pyspark.sql import Window
+
+    per_key = df.groupBy(key_col).agg(
+        F.expr(f"SUM({value_cents_expr})").alias("cents"))
+    topk1 = (
+        per_key.orderBy(F.col("cents").desc(), F.col(key_col).asc())
+        .limit(k + 1)
+        .withColumn("rnk", F.row_number().over(
+            Window.orderBy(F.col("cents").desc(), F.col(key_col).asc())))
+    )
+    xmin = topk1.where(F.col("rnk") == k + 1).select(
+        F.col("cents").alias("xmin_cents"))
+    terms = (
+        topk1.where(F.col("rnk") <= k)
+        .crossJoin(F.broadcast(xmin))
+        .selectExpr(
+            "xmin_cents",
+            "CAST(FLOOR(ln(CAST(cents AS DOUBLE) "
+            f"/ CAST(xmin_cents AS DOUBLE)) * {_HILL_FX} + 0.5) AS BIGINT)"
+            " AS t_fx",
+        )
+    )
+    return terms.groupBy().agg(
+        F.lit(k).cast("long").alias("k"),
+        F.round(F.max("xmin_cents").cast("double") / 100.0, 2)
+        .alias("x_min"),
+        F.expr(f"ROUND({k} / (CAST(SUM(t_fx) AS DOUBLE) / {_HILL_FX}), 4)")
+        .alias("alpha"),
+        F.expr(f"ROUND({k} / (CAST(SUM(t_fx) AS DOUBLE) / {_HILL_FX}) "
+               f"/ sqrt({k}.0), 4)").alias("alpha_se"),
+    )
+
+
+@register(
+    "customer_revenue_hill_tail",
+    oracle=f"""
+    WITH per_key AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    topk1 AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey) AS rnk
+      FROM per_key
+      ORDER BY cents DESC, o_custkey LIMIT {HILL_K + 1}
+    ),
+    xmin AS (SELECT cents AS xmin_cents FROM topk1
+             WHERE rnk = {HILL_K + 1}),
+    terms AS (
+      SELECT xmin_cents,
+             CAST(FLOOR(ln(CAST(t.cents AS DOUBLE)
+                           / CAST(x.xmin_cents AS DOUBLE))
+                        * {_HILL_FX} + 0.5) AS BIGINT) AS t_fx
+      FROM topk1 t, xmin x WHERE t.rnk <= {HILL_K}
+    )
+    SELECT CAST({HILL_K} AS BIGINT) AS k,
+           ROUND(CAST(MAX(xmin_cents) AS DOUBLE) / 100.0, 2) AS x_min,
+           ROUND({HILL_K} / (CAST(SUM(t_fx) AS DOUBLE) / {_HILL_FX}), 4)
+             AS alpha,
+           ROUND({HILL_K} / (CAST(SUM(t_fx) AS DOUBLE) / {_HILL_FX})
+                 / sqrt({HILL_K}.0), 4) AS alpha_se
+    FROM terms
+    """,
+    doc=f"Hill tail-index of per-customer revenue over the top-{HILL_K} "
+    "order statistics (alpha < 2 = infinite-variance whale dominance): "
+    "one customer rollup, TakeOrderedAndProject top-(k+1) — never a "
+    "global sort — and fixed-point ln-ratio terms summed as exact "
+    "integers; the heavy-tail diagnostic behind the Gini/ABC readouts "
+    "with its asymptotic standard error.",
+)
+def customer_revenue_hill_tail(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    return hill_tail_index(
+        load_table(spark, "orders", sf_dir),
+        "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)", "o_custkey")

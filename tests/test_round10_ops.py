@@ -371,3 +371,56 @@ def test_burstiness_periodic_reads_minus_one(spark):
     mu, = [30.0]
     sigma = 29.0  # population sd of {1, 59} seconds
     assert out["spike"] == (2, 30.0, round((sigma - mu) / (sigma + mu), 6))
+
+
+def test_anova_separated_and_identical_groups(spark):
+    """Two groups with zero within-group variance: eta^2 = 1.0 and F is
+    NULL (0/0 denominator pinned by NULLIF). Identical group means:
+    eta^2 = 0 and F = 0."""
+    from covid_19_data_engineering_spark.operators.abtest import (
+        value_anova_by_type,
+    )
+
+    def ev(rows):
+        return spark.createDataFrame(
+            [(i, 1, t, "2024-01-01 00:00:00", v)
+             for i, (t, v) in enumerate(rows)],
+            "event_id long, user_id long, event_type string, ts string, "
+            "value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    sep = value_anova_by_type(
+        ev([("a", 10.0), ("a", 10.0), ("b", 20.0), ("b", 20.0)])
+    ).collect()[0]
+    assert sep["eta_sq"] == 1.0 and sep["f_stat"] is None
+
+    same = value_anova_by_type(
+        ev([("a", 10.0), ("a", 20.0), ("b", 10.0), ("b", 20.0)])
+    ).collect()[0]
+    assert same["eta_sq"] == 0.0 and same["f_stat"] == 0.0
+
+
+def test_hill_tail_planted_exponential_spacings(spark):
+    """k=2 over revenues (100*e^2, 100*e, 100) dollars: the ln-ratio
+    terms are ~2 and ~1, so alpha ~ 2/3 — computed expected through the
+    SAME fixed-point pipeline so the pin is exact."""
+    import math
+
+    from covid_19_data_engineering_spark.operators.distrank import (
+        hill_tail_index,
+    )
+
+    vals = [100.0 * math.e ** 2, 100.0 * math.e, 100.0]
+    o = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)],
+        "o_custkey long, o_totalprice double")
+    out = hill_tail_index(
+        o, "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)",
+        "o_custkey", k=2).collect()[0]
+    cents = [math.floor(v * 100 + 0.5) for v in vals]
+    t = sum(math.floor(math.log(c / cents[-1]) * 1e9 + 0.5)
+            for c in cents[:2])
+    want_alpha = round(2 / (t / 1e9), 4)
+    assert out["k"] == 2 and out["x_min"] == 100.0
+    assert out["alpha"] == want_alpha
+    assert out["alpha_se"] == round(want_alpha / math.sqrt(2.0), 4)

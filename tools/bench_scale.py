@@ -187,6 +187,8 @@ FAMILY = [
     "customer_interpurchase_gaps",
     "events_burstiness",
     "ann_ivf_recall",
+    "events_value_anova",
+    "customer_revenue_hill_tail",
 ]
 
 ID_OFFSET = 1_000_000
