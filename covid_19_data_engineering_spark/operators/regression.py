@@ -169,16 +169,21 @@ def daily_trend_by_type(events: DataFrame) -> DataFrame:
     # double cast (the OLS _MOMS pattern): y is a daily total in cents,
     # so SUM(y*y) approaches BIGINT range around sf30 where Spark would
     # wrap silently while DuckDB raises — a latent engine divergence
-    # beyond the tested SFs. x and sxx stay BIGINT (epoch-day products
-    # are bounded ~4e8 per row).
+    # beyond the tested SFs. Each OPERAND is cast before the multiply
+    # (the burstiness_by_type pattern): y*y evaluated in BIGINT already
+    # wraps per-row once a daily cents total exceeds ~3.0e9, so casting
+    # only the product would protect the SUM but not the product itself.
+    # x and sxx stay BIGINT (epoch-day products are bounded ~4e8 per row).
     moms = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
         F.sum(F.expr("x * x")).alias("sxx"),
-        F.expr("CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE)")
+        F.expr("CAST(SUM(CAST(x AS DECIMAL(38,0)) "
+               "* CAST(y AS DECIMAL(38,0))) AS DOUBLE)")
         .alias("sxy"),
-        F.expr("CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE)")
+        F.expr("CAST(SUM(CAST(y AS DECIMAL(38,0)) "
+               "* CAST(y AS DECIMAL(38,0))) AS DOUBLE)")
         .alias("syy"),
     )
     slope = ("((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) "
@@ -222,8 +227,10 @@ def daily_trend_by_type(events: DataFrame) -> DataFrame:
              CAST(SUM(x) AS BIGINT) AS sx,
              CAST(SUM(y) AS BIGINT) AS sy,
              CAST(SUM(x * x) AS BIGINT) AS sxx,
-             CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
-             CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy
+             CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                  AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                  AS DOUBLE) AS syy
       FROM daily GROUP BY event_type
     )
     SELECT event_type,

@@ -155,9 +155,9 @@ def avro_to_schema(avro_schema: dict) -> T.StructType:
     rev = {v: k for k, v in _PRIM.items()}
 
     def one(t) -> tuple[T.DataType, bool]:
-        if isinstance(t, list):  # ["null", T]
+        if isinstance(t, list):  # two-branch null union, either order
             inner = [x for x in t if x != "null"]
-            if len(inner) != 1:
+            if len(t) != 2 or len(inner) != 1:
                 raise ValueError(f"unsupported union: {t}")
             dt, _ = one(inner[0])
             return dt, True
@@ -346,12 +346,34 @@ def read_header(raw: io.BufferedReader) -> tuple[dict, str, bytes]:
 
 
 def decode_container(data: bytes, schema: T.StructType | None = None):
-    """List of row dicts (+ the Spark schema) from OCF bytes."""
+    """List of row dicts (+ the Spark schema) from OCF bytes.
+
+    Union handling is driven by the FILE's own schema, not the caller's:
+    a spec-legal writer may emit ``[T, "null"]`` (null = branch index 1),
+    so the per-field null branch index is recorded during header parse and
+    the row decoder branches on it — assuming index 0 is always null would
+    silently misdecode such files (every value -> None, stream desync).
+    """
     raw = io.BufferedReader(io.BytesIO(data))
     avro_schema, codec, sync = read_header(raw)
     if schema is None:
         schema = avro_to_schema(avro_schema)
-    decs = [(f.name, f.nullable, _decoder(f.dataType)) for f in schema.fields]
+
+    def null_branch(t) -> int | None:
+        """Index of "null" in a two-branch union, None for non-unions."""
+        if not isinstance(t, list):
+            return None
+        if len(t) != 2 or "null" not in t:
+            raise ValueError(f"unsupported union: {t}")
+        return t.index("null")
+
+    file_fields = {f["name"]: f["type"] for f in avro_schema["fields"]}
+    decs = []
+    for f in schema.fields:
+        # fall back to the Spark schema's ["null", T] convention only if
+        # the file header somehow lacks the field (explicit-schema reads)
+        t = file_fields.get(f.name, ["null", None] if f.nullable else None)
+        decs.append((f.name, null_branch(t), _decoder(f.dataType)))
     rows: list[dict] = []
     while True:
         try:
@@ -367,9 +389,9 @@ def decode_container(data: bytes, schema: T.StructType | None = None):
         block = io.BufferedReader(io.BytesIO(payload))
         for _ in range(count):
             row = {}
-            for name, nullable, dec in decs:
-                if nullable:
-                    if _r_long(block) == 0:
+            for name, null_idx, dec in decs:
+                if null_idx is not None:
+                    if _r_long(block) == null_idx:
                         row[name] = None
                         continue
                 row[name] = dec(block)
@@ -389,15 +411,24 @@ def write_avro(df: DataFrame, path: str, mode: str = "overwrite",
     """Distributed Avro sink: one container file per partition, written in
     ONE job through the Arrow seam; sync markers are deterministic
     (md5 of path + partition id). `mode` mirrors the DataFrame writer:
-    overwrite replaces the directory, error refuses a non-empty one."""
+    overwrite replaces the directory, error refuses an existing one,
+    ignore skips the write if the directory exists. append is REJECTED:
+    the deterministic part-{pid:05d}.avro names would silently replace
+    the previous run's files (data loss) rather than add to them."""
     import pandas as pd
     from pyspark import TaskContext
 
+    if mode not in ("overwrite", "error", "errorifexists", "ignore"):
+        raise ValueError(
+            f"write_avro mode {mode!r} not supported "
+            "(overwrite/error/errorifexists/ignore)")
     if os.path.exists(path):
         if mode == "overwrite":
             import shutil
             shutil.rmtree(path)
-        elif mode in ("error", "errorifexists"):
+        elif mode == "ignore":
+            return
+        else:  # error / errorifexists
             raise ValueError(f"path exists: {path}")
     os.makedirs(path, exist_ok=True)
     schema = df.schema
@@ -416,6 +447,15 @@ def write_avro(df: DataFrame, path: str, mode: str = "overwrite",
 
     manifest = df.mapInPandas(gen, "path string, n_rows long")
     total = manifest.agg({"n_rows": "sum"}).first()[0] or 0
+    if total == 0:
+        # empty frame: no partition yields a file, but the directory must
+        # still round-trip — write one schema-only container (header, zero
+        # blocks) so a schemaless read_avro recovers the schema instead of
+        # failing on an .avro-less directory
+        empty = pd.DataFrame({f.name: [] for f in schema.fields})
+        sync = md5(f"{path}:0".encode()).digest()
+        with open(os.path.join(path, "part-00000.avro"), "wb") as fh:
+            fh.write(encode_container(empty, schema, sync, codec=codec))
     with open(os.path.join(path, "_SUCCESS"), "w") as fh:
         fh.write(str(total))
 

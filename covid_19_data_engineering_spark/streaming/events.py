@@ -507,7 +507,18 @@ def events_tumbling_1h_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    try:
+        # awaitTermination returns False on timeout — in that case the
+        # memory sink is only PARTIALLY filled and reading it would
+        # surface as an opaque hash mismatch; fail loudly instead
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                f"streaming drain {name} did not finish within 300s; "
+                "refusing to read a partially-filled memory sink")
+    finally:
+        import shutil
+        shutil.rmtree(ckpt, ignore_errors=True)
     return (
         spark.table(name)
         # the stream casts ts NTZ->TIMESTAMP for the watermark; cast the

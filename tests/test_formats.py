@@ -183,3 +183,55 @@ def test_avro_write_modes(spark, sample, tmp_path):
     write_table(sample, path, fmt="avro", mode="overwrite")
     back = read_table(spark, path, fmt="avro")
     assert back.count() == 4
+    # append would silently REPLACE files under the deterministic
+    # part-{pid:05d} naming — it must be rejected, not fall through
+    with pytest.raises(ValueError, match="append.*not supported|mode 'append'"):
+        write_table(sample, path, fmt="avro", mode="append")
+    # ignore skips the write entirely when the directory exists
+    write_table(sample.limit(1), path, fmt="avro", mode="ignore")
+    assert read_table(spark, path, fmt="avro").count() == 4
+
+
+def test_avro_union_value_first_branch_order(spark, tmp_path):
+    """A spec-legal [T, "null"] union (value = branch 0, null = branch 1)
+    must decode by the FILE's branch order — assuming index 0 is null
+    would turn every value into None and desync the block stream."""
+    from covid_19_data_engineering_spark.sources.avrofmt import read_avro
+
+    jvm = spark._jvm
+    schema_json = (
+        '{"type":"record","name":"r","fields":['
+        '{"name":"k","type":"long"},'
+        '{"name":"name","type":["string","null"]}]}'
+    )
+    avro_schema = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+    path = str(tmp_path / "value_first_union")
+    os.makedirs(path)
+    writer = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(avro_schema))
+    writer.create(avro_schema,
+                  jvm.java.io.File(os.path.join(path, "jvm.avro")))
+    for i in range(10):
+        rec = jvm.org.apache.avro.generic.GenericData.Record(avro_schema)
+        rec.put("k", i)
+        rec.put("name", None if i % 3 == 0 else f"row{i}")
+        writer.append(rec)
+    writer.close()
+
+    back = read_avro(spark, path)
+    rows = sorted((r["k"], r["name"]) for r in back.collect())
+    assert rows == [(i, None if i % 3 == 0 else f"row{i}")
+                    for i in range(10)]
+
+
+def test_avro_empty_frame_roundtrip(spark, sample, tmp_path):
+    """An empty frame still writes a schema-only container so a
+    schemaless read recovers the schema instead of failing on an
+    .avro-less directory."""
+    path = str(tmp_path / "empty_rt")
+    empty = sample.limit(0)
+    write_table(empty, path, fmt="avro")
+    back = read_table(spark, path, fmt="avro")
+    assert back.count() == 0
+    assert [f.name for f in back.schema.fields] == \
+        [f.name for f in sample.schema.fields]
