@@ -560,7 +560,8 @@ def main() -> None:
     # corpus and report under "natural:<name>"
     nat_base, nat_x3 = _natural_dirs()
     for name in NATURAL_FAMILY:
-        if name not in queries:
+        if name not in queries or (only is not None
+                                   and name not in only.split(",")):
             continue
         queries[name](spark, nat_base).limit(1).collect()  # codegen warmup
         rec = {}
