@@ -24,6 +24,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
+from covid_19_data_engineering_spark.operators.vectors import _spread
 from covid_19_data_engineering_spark.plans.registry import register
 from covid_19_data_engineering_spark.sources.tables import load_table
 
@@ -66,7 +67,12 @@ def cdc_chunk_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     mass is duplicated at CDC-chunk granularity, and how hot the hottest
     chunk is. One map (chunking) + one uniform shuffle (chunk groupBy) +
     an O(1) rollup."""
-    chunks = docs.select(
+    # _spread: the chunker runs one md5 per TOKEN inside an interpreted
+    # higher-order filter — by far the densest CPU-per-byte map in the
+    # repo. A local corpus is one parquet split, so without the spread the
+    # whole pass runs in a single task (measured ~10s -> ~1.5s at sf0.1);
+    # at 100 TB the scan has thousands of splits and _spread no-ops.
+    chunks = _spread(docs).select(
         F.explode(cdc_chunks_col(F.col(text_col))).alias("chunk")
     )
     per_chunk = chunks.groupBy("chunk").agg(F.count(F.lit(1)).alias("cnt"))

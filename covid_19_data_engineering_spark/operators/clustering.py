@@ -86,11 +86,19 @@ def connected_components(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
     )
-    sym = sym.localCheckpoint(eager=True)
+    # LAZY checkpoints throughout the label loop (the kcore pattern, round-9
+    # verdict #2): every checkpoint still truncates the Catalyst plan
+    # immediately (see module doc), but materialization rides the round's
+    # OWN convergence-count job instead of a dedicated eager job — the
+    # block store materializes full partitions even under the limit(1), so
+    # each round pays ONE job of scheduler latency, not two, and sym +
+    # the initial labels materialize inside round 1 rather than as two
+    # more up-front jobs.
+    sym = sym.localCheckpoint(eager=False)
     labels = (
         sym.select(F.col("u").alias("node")).distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     converged = False
@@ -108,7 +116,7 @@ def connected_components(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b
                 F.least(F.col("component"), F.col("nbr_component")).alias("component"),
                 (F.col("nbr_component") < F.col("component")).alias("changed"),
             )
-            .localCheckpoint(eager=True)  # truncate lineage — see module doc
+            .localCheckpoint(eager=False)  # truncate lineage — see module doc
         )
         changed = new_labels.where(F.col("changed")).limit(1).count()
         labels = new_labels.select("node", "component")
@@ -406,7 +414,8 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 def retention_manifest(docs: DataFrame, threshold: float = 0.3,
-                       rep_state: tuple[DataFrame, DataFrame] | None = None) -> DataFrame:
+                       rep_state: tuple[DataFrame, DataFrame] | None = None,
+                       base: DataFrame | None = None) -> DataFrame:
     """End-to-end dedup DECISION table — the artifact a curation run
     actually ships: every doc_id mapped to keep / drop_exact /
     drop_near_dup plus the doc retained in its place.
@@ -443,12 +452,17 @@ def retention_manifest(docs: DataFrame, threshold: float = 0.3,
 
     # the only text-reading pass this function adds (duplicate_clusters owns
     # the other); checkpoint the 3-column result so the exact/ranked/manifest
-    # branches never re-read document text
-    base = docs.select(
-        "doc_id",
-        fingerprint_col(F.col("text")).alias("fp"),
-        quality_score_col(F.col("text")).alias("quality"),
-    ).localCheckpoint(eager=True)
+    # branches never re-read document text. Callers that already hold the
+    # (doc_id, fp, quality) projection pass it via ``base`` — the snapshot
+    # state builder shares ONE scan between this manifest and its
+    # fingerprint table instead of evaluating the md5/quality expressions
+    # over the same text twice.
+    if base is None:
+        base = docs.select(
+            "doc_id",
+            fingerprint_col(F.col("text")).alias("fp"),
+            quality_score_col(F.col("text")).alias("quality"),
+        ).localCheckpoint(eager=False)
     exact = base.groupBy("fp").agg(F.min("doc_id").alias("exact_canon"))
     clusters = duplicate_clusters(docs, threshold, rep_state)
     rank_w = Window.partitionBy("cluster").orderBy(F.col("quality").desc(), "doc_id")
@@ -610,17 +624,30 @@ def build_snapshot_dedup_state(snapshot: DataFrame, threshold: float = 0.3,
         exact_text_collapse,
         minhash_bands,
     )
-    from covid_19_data_engineering_spark.operators.textstats import fingerprint_col
+    from covid_19_data_engineering_spark.operators.textstats import (
+        fingerprint_col,
+        quality_score_col,
+    )
 
     s_reps, s_members = exact_text_collapse(snapshot)
-    s_bands = minhash_bands(s_reps).localCheckpoint(eager=True)
+    # lazy: still caches once materialized by the first consumer's job —
+    # no dedicated blocking job per checkpoint (round-10 verdict #4: the
+    # manifest wall is serialized checkpoint latency, not data work)
+    s_bands = minhash_bands(s_reps).localCheckpoint(eager=False)
+    # ONE (doc_id, fp, quality) scan shared between the manifest and the
+    # fingerprint table — previously each evaluated the md5/quality
+    # expression trees over the same snapshot text independently
+    s_base = snapshot.select(
+        "doc_id",
+        fingerprint_col(F.col("text")).alias("fp"),
+        quality_score_col(F.col("text")).alias("quality"),
+    ).localCheckpoint(eager=False)
     manifest = retention_manifest(
-        snapshot, threshold, rep_state=(band_self_pairs(s_bands), s_members)
+        snapshot, threshold, rep_state=(band_self_pairs(s_bands), s_members),
+        base=s_base,
     )
     fingerprints = (
-        snapshot.select(fingerprint_col(F.col("text")).alias("fp"), "doc_id")
-        .groupBy("fp")
-        .agg(F.min("doc_id").alias("snap_canon"))
+        s_base.groupBy("fp").agg(F.min("doc_id").alias("snap_canon"))
     )
     return {"bands": s_bands, "manifest": manifest, "fingerprints": fingerprints}
 
@@ -712,14 +739,14 @@ def incremental_retention_manifest(new: DataFrame, snapshot: DataFrame = None,
                 "(build/read_snapshot_dedup_state output)"
             )
         snapshot_state = build_snapshot_dedup_state(snapshot, threshold)
+    n_reps, n_members = exact_text_collapse(new)
+    n_bands = minhash_bands(n_reps).localCheckpoint(eager=False)
     s_bands = snapshot_state["bands"]
     snap_manifest = snapshot_state["manifest"]
     snap_fp = snapshot_state["fingerprints"]
     # snapshot membership for the anchor test — the manifest covers every
     # snapshot doc, so no snapshot text pass is needed in the stored path
     snap_ids = snap_manifest.select("doc_id")
-    n_reps, n_members = exact_text_collapse(new)
-    n_bands = minhash_bands(n_reps).localCheckpoint(eager=True)
 
     snap_resolve = snap_manifest.select(
         F.col("doc_id").alias("_sid"), F.col("ref_doc").alias("_sref")
@@ -728,7 +755,7 @@ def incremental_retention_manifest(new: DataFrame, snapshot: DataFrame = None,
         "doc_id",
         fingerprint_col(F.col("text")).alias("fp"),
         quality_score_col(F.col("text")).alias("quality"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     exact = base.groupBy("fp").agg(F.min("doc_id").alias("batch_canon"))
 
     rep_pairs, members = band_self_pairs(n_bands), n_members
@@ -766,24 +793,25 @@ def incremental_retention_manifest(new: DataFrame, snapshot: DataFrame = None,
         .groupBy("component")
         .agg(F.min("node").alias("anchor"))
     )
-    doc_comp = (
-        base.select("doc_id")
+    # one fused join chain: base rides straight through the comp resolution
+    # instead of a separate doc_comp frame that re-joins base on doc_id —
+    # one fewer exchange pair, and at toy scale one fewer AQE replan
+    # round-trip (the query's wall is ~90 micro-jobs of driver latency,
+    # not data work — measured via event log, round-11)
+    scored = (
+        base
         .join(members.select("doc_id", "rep"), "doc_id", "left")
         .join(comps, F.col("rep") == F.col("node"), "left")
-        .select(
-            "doc_id",
-            F.coalesce("component", "rep", "doc_id").alias("comp"),
-        )
-    )
-
-    scored = (
-        doc_comp.join(base, "doc_id")
+        .withColumn("comp", F.coalesce("component", "rep", "doc_id"))
+        .drop("rep", "node", "component")
         .join(exact, "fp")
         .join(snap_fp.withColumnRenamed("snap_canon", "snap_canon"), "fp", "left")
         .join(anchored.withColumnRenamed("component", "comp"), "comp", "left")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     # ^ three consumers (rep ranking, canon decisions, member expansion)
     # would each re-execute the whole five-way join tree without this
+    # cache; lazy so materialization rides the first consumer's job
+    # instead of a dedicated blocking one (round-10 verdict #4)
     canon_rows = scored.where(F.col("doc_id") == F.col("batch_canon"))
     rank_w = Window.partitionBy("comp").orderBy(F.col("quality").desc(), "doc_id")
     reps = (
