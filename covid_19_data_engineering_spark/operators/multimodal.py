@@ -534,6 +534,100 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("doc_id", "media_type", "payload_bytes", "width", "height").orderBy("doc_id")
 
 
+# --- planted real-JPEG corpus: decode="real" under the oracle gate ----------
+# Round-10 verdict #5: every registered multimodal query pinned the
+# deterministic fake path, so the real ITU-T.81 decoder (operators/jpeg.py)
+# was pytest-only. This query runs the REAL decoder inside the driver's
+# correctness gate. The trick that makes a lossy codec oracle-expressible:
+# solid-gray images whose luma DC survives quantization EXACTLY. At
+# quality 90 the scaled luminance DC step is floor((16*20+50)/100) = 3,
+# and a constant block's only nonzero coefficient is DC = 8*(v-128), so
+# planting v ≡ 128 (mod 3) makes round(DC/3)*3 == DC — decode returns
+# literally the planted pixels (asserted over the whole plant range in
+# tests/test_extensions.py), and the oracle reduces to doc_id arithmetic.
+# A fake-path run CANNOT fake this: its width/height/channel_mean are
+# byte-length-derived and hash-mismatch immediately.
+
+_JPEG_PLANT_LIMIT = 40  # doc_ids 0..39 exist at every SF
+_JPEG_PLANT_QUALITY = 90
+
+_JPEG_PLANT_SCHEMA = "doc_id bigint, payload binary, media_type string"
+
+
+def attach_real_jpeg_payload(docs: DataFrame,
+                             limit: int = _JPEG_PLANT_LIMIT) -> DataFrame:
+    """Planted corpus of REAL baseline-JPEG payloads: doc_id < ``limit``
+    rows each carry a solid-gray 4:4:4 JPEG encoded by
+    ``operators/jpeg.encode_jpeg`` — gray value 68 + 3*doc_id (≡ 128 mod 3,
+    the exact-roundtrip family), dimensions (16 + 8*(doc_id%3)) x
+    (16 + 8*(doc_id%2)). Encoding runs worker-side in one Arrow-batched
+    ``mapInPandas`` pass — payloads never touch the driver, the same seam
+    a real binaryFile scan would feed."""
+
+    def encode_batch(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from covid_19_data_engineering_spark.operators.jpeg import encode_jpeg
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                px = np.full(
+                    (16 + 8 * (d % 2), 16 + 8 * (d % 3), 3),
+                    68 + 3 * d,
+                    dtype=np.uint8,
+                )
+                payloads.append(encode_jpeg(px, quality=_JPEG_PLANT_QUALITY))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "media_type": "image/jpeg",
+                }
+            )
+
+    planted = docs.where(F.col("doc_id") < limit).select("doc_id")
+    encoded = planted.mapInPandas(encode_batch, _JPEG_PLANT_SCHEMA)
+    return encoded.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.col("media_type").alias("media_type"),
+            F.length("payload").alias("content_length"),
+            F.lit("planted").alias("origin"),
+        ).alias("media_meta"),
+    )
+
+
+@register(
+    "multimodal_real_jpeg_features",
+    oracle="""
+    SELECT doc_id,
+           'image/jpeg' AS media_type,
+           CAST(16 + 8 * (doc_id % 3) AS INTEGER) AS width,
+           CAST(16 + 8 * (doc_id % 2) AS INTEGER) AS height,
+           CAST(68 + 3 * doc_id AS DOUBLE) AS channel_mean
+    FROM documents WHERE doc_id < 40 ORDER BY doc_id
+    """,
+    doc="REAL baseline-JPEG decode under the oracle gate (round-10 verdict "
+    "#5): a planted corpus of solid-gray JPEGs (exact-DC-roundtrip family, "
+    "encoded worker-side by operators/jpeg.encode_jpeg) flows through the "
+    "production extract_media_features(decode='real') seam — SOF dimension "
+    "parse, Huffman+IDCT pixel decode, fixed-point luminance — and the "
+    "result is checked against the planted doc_id arithmetic. payload_bytes "
+    "is excluded (entropy-coded size is encoder-internal); width/height/"
+    "channel_mean can only match by actually decoding the bytes.",
+)
+def multimodal_real_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    feats = extract_media_features(attach_real_jpeg_payload(docs), decode="real")
+    return feats.select(
+        "doc_id", "media_type", "width", "height", "channel_mean"
+    ).orderBy("doc_id")
+
+
 # --- audio: pure-stdlib WAV codec + Arrow-batched feature extraction --------
 # The audio analog of the image seam above (module docstring: "remaining
 # media kinds would slot into the same seam"): RIFF/WAVE PCM is fully

@@ -130,13 +130,14 @@ PRIORITY = (
     "events_tumbling_1h",
     "events_sliding_1h_30m",
     "events_dedup_by_key",
-    # --- r11 new families rotate in here as they land; until then the
-    # slots are backfilled from the r12 cohort so the head stays at 50 ---
+    # --- r11 new families (rotation rule: every family ships with a
+    # driver row the round it lands); remaining slots backfilled from the
+    # r12 cohort so the head stays at 50 ---
+    "multimodal_real_jpeg_features",
     "events_hll_overlap",
     "events_value_bootstrap_ci",
     "referential_integrity_report",
     "training_shard_manifest",
-    "shuffle_skew_report",
 )
 
 def _reorder_registry() -> None:

@@ -665,6 +665,48 @@ def test_multimodal_real_decode_jpeg_features(spark):
     assert feats[2]["width"] == 6 % 640 + 1  # fallback row
 
 
+def test_real_jpeg_plant_exact_roundtrip(spark):
+    """multimodal_real_jpeg_features (the registered decode="real" oracle
+    query, round-10 verdict #5) leans on the exact-DC-roundtrip property:
+    a solid gray v ≡ 128 (mod 3) survives quality-90 quantization bit-for-
+    bit (luma DC step 3 divides 8*(v-128)), so decode returns literally
+    the planted pixels. Pin the property across the plant range, pin the
+    planted-corpus feature rows, and pin that the FAKE path differs — the
+    oracle can only go green by actually decoding the JPEG bytes."""
+    import numpy as np
+
+    from covid_19_data_engineering_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from covid_19_data_engineering_spark.operators.multimodal import (
+        attach_real_jpeg_payload,
+    )
+
+    for d in (0, 1, 2, 3, 19, 38, 39):  # plant-range corners + interior
+        v, w, h = 68 + 3 * d, 16 + 8 * (d % 3), 16 + 8 * (d % 2)
+        dw, dh, px = decode_jpeg(
+            encode_jpeg(np.full((h, w, 3), v, dtype=np.uint8), quality=90)
+        )
+        assert (dw, dh) == (w, h)
+        assert (np.asarray(px) == v).all()
+
+    docs = spark.range(12).withColumnRenamed("id", "doc_id")
+    planted = attach_real_jpeg_payload(docs, limit=12)
+    real = extract_media_features(planted, decode="real").orderBy("doc_id").collect()
+    fake = extract_media_features(planted, decode="fake").orderBy("doc_id").collect()
+    assert len(real) == 12
+    for r in real:
+        d = r["doc_id"]
+        assert (r["width"], r["height"]) == (16 + 8 * (d % 3), 16 + 8 * (d % 2))
+        assert r["channel_mean"] == float(68 + 3 * d)
+    assert any(
+        (a["width"], a["height"], a["channel_mean"])
+        != (b["width"], b["height"], b["channel_mean"])
+        for a, b in zip(real, fake)
+    )
+
+
 def test_multimodal_real_decode_png_features(spark):
     """The PNG codec plugs into the same decode="real" kernel: true
     dimensions + luminance mean for a PNG payload in a mixed-media frame,
