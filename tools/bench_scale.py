@@ -426,6 +426,62 @@ NATURAL_FAMILY = [
 ]
 
 
+def _add_work_ratio(rec: dict) -> None:
+    """Wall ratio normalized by output-row growth (round-10 verdict #6):
+    a query whose ANSWER grows 3x at 3x data is doing 3x the emit work, so
+    its honest asymptote is wall-growth / row-growth. Equal-row queries
+    (fixed top-k, O(1) stats rows) read work_ratio == ratio."""
+    if rec.get("base") and rec.get("base_rows") and rec.get("x3_rows"):
+        row_growth = rec["x3_rows"] / rec["base_rows"]
+        rec["work_ratio"] = round(rec["ratio"] / row_growth, 2)
+
+
+# skewed co-purchase graph (round-10 verdict #7): the sf0.1 graph is
+# degree-benign, so the iterative family's skew resilience was asserted,
+# not measured. One dedicated HUB part is appended to 30% of orders —
+# the hub's degree becomes O(parts it ever co-occurs with) while every
+# per-round shuffle stays keyed on node id, so the claim under test is
+# that one power-law node costs at most a hot-but-bounded groupBy key,
+# never an O(hub_degree^2) pair stage.
+SKEW_FAMILY = [
+    "kcore_copurchase",
+    "copurchase_bfs_depths",
+    "densest_copurchase_subgraph",
+]
+
+
+def _skew_dirs() -> tuple[str, str]:
+    root = os.path.join(REPO, ".state_cache", "scale")
+    tag = "skewgraph_v1_hub30"
+    return os.path.join(root, tag), os.path.join(root, tag + "_x3")
+
+
+def materialize_skewed(spark) -> None:
+    """Derive hub-skewed lineitem twins of the base and 3x corpora: one
+    synthetic part (max partkey + 1) added as an extra line to every order
+    with l_orderkey % 10 < 3. Only lineitem is written — the graph family
+    reads nothing else."""
+    import pyspark.sql.functions as F
+
+    from covid_19_data_engineering_spark.sources.tables import load_table
+
+    skew_base, skew_x3 = _skew_dirs()
+    if all(os.path.exists(os.path.join(d, "lineitem.parquet", "_SUCCESS"))
+           for d in (skew_base, skew_x3)):
+        return
+    for src_dir, out_dir in ((BASE_SF, skew_base), (SCALE_DIR, skew_x3)):
+        li = load_table(spark, "lineitem", src_dir)
+        hub_id = li.agg(F.max("l_partkey")).collect()[0][0] + 1
+        pk_type = dict(li.dtypes)["l_partkey"]
+        hub_rows = (
+            li.where(F.col("l_orderkey") % 10 < 3)
+            .dropDuplicates(["l_orderkey"])
+            .withColumn("l_partkey", F.lit(hub_id).cast(pk_type))
+        )
+        li.unionByName(hub_rows).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "lineitem.parquet"))
+
+
 def _natural_dirs() -> tuple[str, str]:
     root = os.path.join(REPO, ".state_cache", "scale")
     tag = f"natural_v1_{NATURAL_VOCAB}w_{NATURAL_DOCS}d_s{NATURAL_SEED}"
@@ -517,6 +573,7 @@ def main() -> None:
     materialize_scaled(spark)
     materialize_dense(spark)
     materialize_natural(spark)
+    materialize_skewed(spark)
 
     # Stateful queries build a one-time working set under .state_cache on
     # FIRST touch of a corpus (the IVM versioned histories; the Avro
@@ -551,6 +608,7 @@ def main() -> None:
             rec[label] = round(time.time() - t0, 2)
             rec[f"{label}_rows"] = n
         rec["ratio"] = round(rec["x3"] / rec["base"], 2) if rec["base"] else -1
+        _add_work_ratio(rec)
         out[name] = rec
         print(json.dumps({name: rec}), file=sys.stderr)
 
@@ -571,8 +629,29 @@ def main() -> None:
             rec[label] = round(time.time() - t0, 2)
             rec[f"{label}_rows"] = n
         rec["ratio"] = round(rec["x3"] / rec["base"], 2) if rec["base"] else -1
+        _add_work_ratio(rec)
         out[f"natural:{name}"] = rec
         print(json.dumps({f"natural:{name}": rec}), file=sys.stderr)
+
+    # skewed-graph scale point (round-10 verdict #7): the same iterative
+    # queries timed on the hub-skewed twins; compare each "skew:<name>"
+    # row to its uniform twin above — the pin is skew <= ~2x uniform
+    skew_base, skew_x3 = _skew_dirs()
+    for name in SKEW_FAMILY:
+        if name not in queries or (only is not None
+                                   and name not in only.split(",")):
+            continue
+        queries[name](spark, "/root/testdata/sf0.001").collect()  # codegen
+        rec = {}
+        for label, sf_dir in (("base", skew_base), ("x3", skew_x3)):
+            t0 = time.time()
+            n = len(queries[name](spark, sf_dir).collect())
+            rec[label] = round(time.time() - t0, 2)
+            rec[f"{label}_rows"] = n
+        rec["ratio"] = round(rec["x3"] / rec["base"], 2) if rec["base"] else -1
+        _add_work_ratio(rec)
+        out[f"skew:{name}"] = rec
+        print(json.dumps({f"skew:{name}": rec}), file=sys.stderr)
 
     # planted dense-mode scale point: semantic_dedup under 25% duplicated
     # embeddings at base and 3x scale (round-5 verdict #3 deliverable).
