@@ -1214,3 +1214,190 @@ def densest_copurchase_subgraph(spark: SparkSession,
         .unionAll(pairs.select(F.col("pb").alias("src"),
                                F.col("pa").alias("dst")))
     return densest_subgraph_trajectory(sym)
+
+
+# --- label-propagation communities + modularity ------------------------------
+# Community detection — the partition the component family cannot see
+# (connected components merge everything reachable; communities split a
+# connected graph along its density structure). Synchronous LPA
+# (Raghavan et al. 2007) with a deterministic tie-break: each round every
+# node adopts the most frequent label among its neighbors' PREVIOUS
+# labels, ties broken toward the smaller label, for a FIXED round budget
+# (the pagerank/kcore precedent: a fixed iteration count is the contract,
+# and the DuckDB oracle replays every round CTE-for-CTE — no convergence
+# probe, no randomness). Modularity is read off the final partition from
+# exact integer counts.
+#
+# 100 TB shape: each round is one groupBy((node, lbl)) count + one
+# per-node top-1 window — the same node-keyed exchange family as
+# PageRank's contribution join; labels checkpoint LAZILY per round so
+# the whole fixed-budget chain materializes in the single final job
+# (the kcore lazy pattern). The modularity readout is two more
+# node/community-keyed rollups.
+
+LPA_ROUNDS = 4
+LPA_TOP = 20
+
+
+def label_communities(sym: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
+    """(node, lbl) after ``rounds`` synchronous LPA rounds over the
+    symmetric edge list ``sym`` (src, dst). Label init = own id."""
+    labels = (
+        sym.select(F.col("src").alias("node")).distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(rounds):
+        nbr = sym.join(labels, sym["dst"] == labels["node"]).select(
+            sym["src"].alias("node"), "lbl"
+        )
+        cnt = nbr.groupBy("node", "lbl").agg(F.count(F.lit(1)).alias("cnt"))
+        w = Window.partitionBy("node").orderBy(
+            F.col("cnt").desc(), F.col("lbl").asc()
+        )
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "lbl")
+            .localCheckpoint(eager=False)  # lineage O(1); kcore lazy pattern
+        )
+    return labels
+
+
+# per-community modularity term in 1e-6 fixed point; the expression STRING
+# is shared verbatim with the oracle (identical association order and
+# int->double promotions => bit-identical doubles; floor(x*1e6 + 0.5) is
+# the repo-wide tie-free rounding)
+_Q_TERM_SQL = (
+    "CAST(FLOOR((CAST(lc AS DOUBLE) / m"
+    " - (CAST(dc AS DOUBLE) / (2 * m)) * (CAST(dc AS DOUBLE) / (2 * m)))"
+    " * 1000000 + 0.5) AS BIGINT)"
+)
+
+
+def community_modularity(sym: DataFrame, labels: DataFrame,
+                         top: int = LPA_TOP) -> DataFrame:
+    """Top-``top`` communities by size with their exact-integer modularity
+    ingredients and the per-community Newman Q term
+    (L_c/m - (d_c/2m)^2) in 1e-6 fixed point."""
+    lu = labels.select(F.col("node").alias("src"), F.col("lbl").alias("cu"))
+    lv = labels.select(F.col("node").alias("dst"), F.col("lbl").alias("cv"))
+    tagged = sym.join(lu, "src").join(lv, "dst")
+    internal = (
+        tagged.where(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("community"))
+        .agg(F.expr("COUNT(*) div 2").alias("lc"))
+    )
+    degsum = (
+        sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        .join(lu, "src")
+        .groupBy(F.col("cu").alias("community"))
+        .agg(F.sum("d").alias("dc"))
+    )
+    size = labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count(F.lit(1)).alias("size")
+    )
+    totals = sym.agg(F.expr("COUNT(*) div 2").alias("m"))
+    return (
+        size.join(internal, "community", "left")
+        .join(degsum, "community")
+        .crossJoin(F.broadcast(totals))
+        .selectExpr(
+            "community",
+            "size",
+            "CAST(COALESCE(lc, 0) AS BIGINT) AS internal_edges",
+            "dc AS degree_sum",
+            f"{_Q_TERM_SQL.replace('lc', 'COALESCE(lc, 0)')} AS q_term_1e6",
+        )
+        .orderBy(F.col("size").desc(), "community")
+        .limit(top)
+    )
+
+
+def _lpa_oracle_sql() -> str:
+    rnd = """
+    n{i} AS (
+      SELECT s.src AS node, l.lbl AS lbl
+      FROM sym s JOIN l{p} l ON s.dst = l.node
+    ),
+    c{i} AS (
+      SELECT node, lbl, COUNT(*) AS cnt FROM n{i} GROUP BY node, lbl
+    ),
+    l{i} AS MATERIALIZED (
+      SELECT node, lbl FROM (
+        SELECT node, lbl,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, lbl) AS rn
+        FROM c{i}
+      ) WHERE rn = 1
+    )"""
+    chain = ",".join(rnd.format(i=i, p=i - 1)
+                     for i in range(1, LPA_ROUNDS + 1))
+    q_term = _Q_TERM_SQL.replace("lc", "COALESCE(lc, 0)")
+    return f"""
+    WITH lines AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    spairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lines a JOIN lines b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY pa, pb HAVING COUNT(*) >= {TRI_MIN_SUPPORT}
+    ),
+    sym AS MATERIALIZED (
+      SELECT pa AS src, pb AS dst FROM spairs
+      UNION ALL SELECT pb AS src, pa AS dst FROM spairs
+    ),
+    l0 AS MATERIALIZED (
+      SELECT DISTINCT src AS node, src AS lbl FROM sym
+    ),
+    {chain},
+    internal AS (
+      SELECT lu.lbl AS community, COUNT(*) // 2 AS lc
+      FROM sym s
+      JOIN l{LPA_ROUNDS} lu ON s.src = lu.node
+      JOIN l{LPA_ROUNDS} lv ON s.dst = lv.node
+      WHERE lu.lbl = lv.lbl GROUP BY lu.lbl
+    ),
+    degsum AS (
+      SELECT lu.lbl AS community, CAST(SUM(d.d) AS BIGINT) AS dc
+      FROM (SELECT src, COUNT(*) AS d FROM sym GROUP BY src) d
+      JOIN l{LPA_ROUNDS} lu ON d.src = lu.node
+      GROUP BY lu.lbl
+    ),
+    sizes AS (
+      SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS size
+      FROM l{LPA_ROUNDS} GROUP BY lbl
+    ),
+    tot AS (SELECT COUNT(*) // 2 AS m FROM sym)
+    SELECT s.community, s.size,
+           CAST(COALESCE(i.lc, 0) AS BIGINT) AS internal_edges,
+           g.dc AS degree_sum,
+           {q_term} AS q_term_1e6
+    FROM sizes s
+    LEFT JOIN internal i ON i.community = s.community
+    JOIN degsum g ON g.community = s.community
+    CROSS JOIN tot
+    ORDER BY s.size DESC, s.community LIMIT {LPA_TOP}
+    """
+
+
+@register(
+    "copurchase_label_communities",
+    oracle=_lpa_oracle_sql(),
+    doc=f"Community detection over the support>={TRI_MIN_SUPPORT} "
+    f"co-purchase graph: {LPA_ROUNDS} synchronous label-propagation "
+    "rounds (most-frequent neighbor label, min-label ties — fully "
+    "deterministic, oracle replays every round CTE-for-CTE), then the "
+    f"top-{LPA_TOP} communities by size with exact integer modularity "
+    "ingredients and the Newman Q term per community in tie-free 1e-6 "
+    "fixed point. The density partition the connected-component family "
+    "cannot express; each round is one node-keyed count + one top-1 "
+    "window, the PageRank exchange family.",
+)
+def copurchase_label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    pairs = support_pairs(li)
+    sym = pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst")) \
+        .unionAll(pairs.select(F.col("pb").alias("src"),
+                               F.col("pa").alias("dst")))
+    sym = sym.localCheckpoint(eager=False)  # rounds + 3 readouts reuse it
+    return community_modularity(sym, label_communities(sym))

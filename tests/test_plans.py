@@ -911,3 +911,38 @@ def test_round10_operator_plans(spark):
         REGISTRY["avro_roundtrip_events"].builder(spark, sf))
     assert "MapInPandas" in avro               # the parallel decode stage
     assert "BatchEvalPython" not in avro
+
+
+def test_bucketed_join_consumes_write_time_partitioning(spark):
+    """bucketed_colocated_join's deliverable is the PLAN: both sides were
+    written bucketBy(8, orderkey), so the SortMergeJoin reads write-time
+    partitioning and needs no exchange on either input, while the
+    plain-parquet twin shuffles both facts. Broadcast is disabled for the
+    probe — at gate scale AQE would broadcast the whole join and hide the
+    property this layout exists to prove."""
+    from covid_19_data_engineering_spark.operators.layout import (
+        bucketed_priority_revenue,
+    )
+    from covid_19_data_engineering_spark.sources.tables import load_table
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bucketed = bucketed_priority_revenue(spark, SF_SMOKE)
+        p_b = _executed_plan(bucketed)
+        o = load_table(spark, "orders", SF_SMOKE)
+        li = load_table(spark, "lineitem", SF_SMOKE)
+        twin = (
+            o.join(li, o["o_orderkey"] == li["l_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_lines"))
+            .orderBy("o_orderpriority")
+        )
+        p_u = _executed_plan(twin)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in p_b and "SelectedBucketsCount" in p_b
+    assert "SortMergeJoin" in p_u
+    # the bucketed plan drops exactly the two join-input exchanges; the
+    # agg + sort exchanges remain in both
+    assert p_b.count("Exchange") == p_u.count("Exchange") - 2
