@@ -517,3 +517,163 @@ def holt_forecast_daily(orders: DataFrame, year: int = HOLT_YEAR,
 )
 def orders_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holt_forecast_daily(load_table(spark, "orders", sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Holt-Winters additive seasonal (triple-exponential) smoothing — the
+# seasonality-aware step up from Holt: level, trend AND a rotating 7-slot
+# weekly seasonal state, every update an (a + b) / 2 halving so the Arrow
+# kernel and the DuckDB recursive CTE stay bit-identical (the proven
+# Holt/EWMA parity argument, applied three times per step). The daily
+# series is GAP-FILLED to the full calendar span (missing days are real
+# zero-revenue days — position-indexed seasonality would drift phase on
+# sparse corpora).
+# --------------------------------------------------------------------------
+
+HW_YEAR = 1995
+HW_SEASON = 7
+HW_HORIZONS = 7
+
+
+def holt_winters_weekly(orders: DataFrame, year: int = HW_YEAR,
+                        horizons: int = HW_HORIZONS) -> DataFrame:
+    """(h, n_days, forecast) — additive Holt-Winters forecast of daily
+    revenue h = 1..horizons days past the last day of ``year``, weekly
+    season. Init over the first week: l = mean(y_1..y_7), b = 0,
+    s_i = y_i - l; then for t > 7 with phase head s[0]:
+        l' = ((y_t - s[0]) + (l + b)) / 2
+        b' = ((l' - l) + b) / 2
+        s_new = ((y_t - l') + s[0]) / 2      (rotates to the tail)
+    After the last day the head applies to day n+1, so f_h = l + h*b +
+    s[h-1]. Corpus-wide work is ONE day rollup + a sequence spine; the
+    recurrence runs over the O(calendar) table in a single Arrow batch.
+    """
+    import pandas as pd
+
+    daily = (
+        orders.where(F.expr(f"year(CAST(o_orderdate AS DATE)) = {year}"))
+        .groupBy(
+            F.expr("CAST(datediff(CAST(o_orderdate AS DATE), "
+                   "DATE '1970-01-01') AS BIGINT)").alias("x"))
+        .agg(F.sum(F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"))
+             .alias("y"))
+    )
+    bounds = daily.agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("x"))
+    filled = (
+        spine.join(daily, "x", "left")
+        .select("x", F.coalesce("y", F.lit(0)).alias("y"))
+    )
+
+    def gen(batches):
+        parts = [b for b in batches if len(b)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True).sort_values("x")
+        ys = [float(v) for v in pdf["y"]]
+        level = sum(ys[:HW_SEASON]) / HW_SEASON
+        trend = 0.0
+        season = [y - level for y in ys[:HW_SEASON]]
+        for y in ys[HW_SEASON:]:
+            head = season.pop(0)
+            new_level = ((y - head) + (level + trend)) / 2
+            trend = ((new_level - level) + trend) / 2
+            season.append(((y - new_level) + head) / 2)
+            level = new_level
+        yield pd.DataFrame({
+            "n_days": [len(ys)], "level": [level], "trend": [trend],
+            **{f"s{i + 1}": [season[i]] for i in range(HW_SEASON)},
+        })
+
+    schema = ("n_days long, level double, trend double, "
+              + ", ".join(f"s{i + 1} double" for i in range(HW_SEASON)))
+    state = filled.coalesce(1).mapInPandas(gen, schema)
+    return (
+        state.select(
+            F.explode(F.sequence(F.lit(1), F.lit(horizons))).alias("h"),
+            "*",
+        )
+        .selectExpr(
+            "CAST(h AS INTEGER) AS h",
+            "n_days",
+            "CAST(CAST(FLOOR(level + h * trend + "
+            + "CASE " + " ".join(
+                f"WHEN h = {i + 1} THEN s{i + 1}" for i in range(HW_SEASON))
+            + " END + 0.5) AS BIGINT) AS DOUBLE) / 100.0 AS forecast",
+        )
+        .orderBy("h")
+    )
+
+
+def _hw_oracle_sql() -> str:
+    shift = ", ".join(f"r.s{i + 1} AS s{i}" for i in range(1, HW_SEASON))
+    init_s = ", ".join(
+        f"(SELECT CAST(y AS DOUBLE) FROM seq WHERE rn = {i}) - l0 AS s{i}"
+        for i in range(1, HW_SEASON + 1)
+    )
+    fcase = " ".join(
+        f"WHEN h = {i} THEN s{i}" for i in range(1, HW_SEASON + 1))
+    nl = "((CAST(seq.y AS DOUBLE) - r.s1) + (r.l + r.b)) / 2"
+    return f"""
+    WITH RECURSIVE agg AS (
+      SELECT CAST(datediff('day', DATE '1970-01-01',
+                           CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders WHERE year(CAST(o_orderdate AS DATE)) = {HW_YEAR}
+      GROUP BY 1
+    ),
+    spine AS (
+      SELECT UNNEST(range((SELECT MIN(x) FROM agg),
+                          (SELECT MAX(x) FROM agg) + 1)) AS x
+    ),
+    seq AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY s.x) AS rn,
+             COALESCE(a.y, 0) AS y,
+             COUNT(*) OVER () AS n
+      FROM spine s LEFT JOIN agg a ON a.x = s.x
+    ),
+    init AS (
+      SELECT CAST(SUM(y) AS DOUBLE) / {HW_SEASON} AS l0
+      FROM seq WHERE rn <= {HW_SEASON}
+    ),
+    r AS (
+      SELECT {HW_SEASON} AS rn, (SELECT n FROM seq LIMIT 1) AS n,
+             l0 AS l, CAST(0 AS DOUBLE) AS b, {init_s}
+      FROM init
+      UNION ALL
+      -- nl = ((y - s1) + (l + b)) / 2, inlined (DuckDB's recursive member
+      -- cannot wrap r in a subquery); textual inlining evaluates the
+      -- identical IEEE expression tree, so parity with the kernel holds
+      SELECT seq.rn, r.n,
+             {nl} AS l,
+             (({nl} - r.l) + r.b) / 2 AS b,
+             {shift},
+             ((CAST(seq.y AS DOUBLE) - {nl}) + r.s1) / 2 AS s{HW_SEASON}
+      FROM r JOIN seq ON seq.rn = r.rn + 1
+    ),
+    fin AS (SELECT * FROM r WHERE rn = n),
+    hs AS (SELECT UNNEST(range(1, {HW_HORIZONS + 1})) AS h)
+    SELECT CAST(h AS INTEGER) AS h,
+           CAST(n AS BIGINT) AS n_days,
+           CAST(CAST(FLOOR(l + h * b + CASE {fcase} END + 0.5) AS BIGINT)
+                AS DOUBLE) / 100.0 AS forecast
+    FROM fin, hs ORDER BY h
+    """
+
+
+@register(
+    "orders_holt_winters_weekly",
+    oracle=_hw_oracle_sql(),
+    doc=f"Additive Holt-Winters (alpha=beta=gamma=1/2, weekly season) "
+    f"forecast of {HW_YEAR} daily revenue, horizons 1..{HW_HORIZONS}: the "
+    "day rollup gap-fills to the calendar spine (zero-revenue days are "
+    "real observations — position-indexed seasonality would drift phase), "
+    "then the level/trend/7-slot rotating seasonal recurrence runs as one "
+    "bounded Arrow-batch kernel whose halving steps are bit-identical to "
+    "the DuckDB recursive CTE (the Holt parity argument x3 states). The "
+    "seasonality-aware forecast SQL windows cannot express.",
+)
+def orders_holt_winters_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return holt_winters_weekly(load_table(spark, "orders", sf_dir))

@@ -183,6 +183,8 @@ def _ensure_loaded() -> None:
     import covid_19_data_engineering_spark.operators.bpe  # noqa: F401
     import covid_19_data_engineering_spark.operators.dsir  # noqa: F401
     import covid_19_data_engineering_spark.operators.retrieval  # noqa: F401
+    import covid_19_data_engineering_spark.operators.privacy  # noqa: F401
+    import covid_19_data_engineering_spark.operators.conformal  # noqa: F401
     import covid_19_data_engineering_spark.operators.interpolate  # noqa: F401
     import covid_19_data_engineering_spark.operators.fuzzy  # noqa: F401
     import covid_19_data_engineering_spark.operators.abtest  # noqa: F401

@@ -71,3 +71,77 @@ def test_bucketed_join_values_equal_plain_join(spark):
         ).collect()
     }
     assert bucketed == twin
+
+
+def test_k_anonymity_planted_classes(spark):
+    """Hand-sized QI table: class A x3, class B x1, class C x2 -> at k=2
+    exactly class B is unsafe (1 exposed row); at k=5 every class is
+    unsafe (6 exposed rows). Bands chosen away from the $2,500 edges."""
+    from covid_19_data_engineering_spark.operators.privacy import (
+        k_anonymity_report,
+    )
+
+    rows = (
+        [(0, "BUILDING", 100.0)] * 3      # class A
+        + [(1, "MACHINERY", 100.0)]       # class B
+        + [(0, "BUILDING", 3000.0)] * 2   # class C (band 1, not 0)
+    )
+    df = spark.createDataFrame(
+        rows, "c_nationkey int, c_mktsegment string, c_acctbal double"
+    )
+    out = {r["k"]: r for r in k_anonymity_report(df, ks=(2, 5)).collect()}
+    assert out[2]["n_rows"] == 6 and out[2]["n_classes"] == 3
+    assert out[2]["unsafe_classes"] == 1 and out[2]["exposed_rows"] == 1
+    assert out[2]["exposed_share_1e6"] == 166667
+    assert out[5]["unsafe_classes"] == 3 and out[5]["exposed_rows"] == 6
+    assert out[5]["exposed_share_1e6"] == 1000000
+
+
+def test_holt_winters_exact_on_planted_periodic_series(spark):
+    """A strictly weekly-periodic series is a fixed point of the HW
+    recurrence: after init, y_t - s[head] == level every step, so level
+    stays put, trend stays 0, and the h-step forecast reproduces the next
+    week's pattern EXACTLY (no tolerance)."""
+    import datetime
+
+    from covid_19_data_engineering_spark.operators.regression import (
+        holt_winters_weekly,
+    )
+
+    pattern = [100.0, 220.0, 150.0, 90.0, 310.0, 260.0, 130.0]
+    rows = []
+    start = datetime.date(1995, 3, 6)
+    for t in range(21):  # three full weeks
+        rows.append(
+            (start + datetime.timedelta(days=t), pattern[t % 7])
+        )
+    orders = spark.createDataFrame(
+        rows, "o_orderdate date, o_totalprice double"
+    )
+    out = holt_winters_weekly(orders)
+    got = {r["h"]: r["forecast"] for r in out.collect()}
+    assert all(r["n_days"] == 21 for r in out.collect())
+    for h in range(1, 8):
+        assert got[h] == pattern[(h - 1) % 7], (h, got[h])
+
+
+def test_conformal_intervals_cover_on_exchangeable_data(spark):
+    """On the real (exchangeable-split) events corpus the conformal
+    guarantee must hold up to finite-sample noise: measured coverage
+    >= ~87% for a 90% target, and never vacuous (q > 0, both halves
+    populated)."""
+    from covid_19_data_engineering_spark.operators.conformal import (
+        conformal_value_intervals_query,
+    )
+
+    # sf0.01: ~1000 test rows per type, binomial std ~1% — the 87% floor
+    # is a >3-sigma margin there (at the smoke SF n_test ~ 90 and the
+    # same floor is within one sigma of noise, so it would flake)
+    rows = conformal_value_intervals_query(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert len(rows) >= 3
+    for r in rows:
+        assert r["n_cal"] >= 20 and r["n_test"] >= 20
+        assert r["q_cents"] > 0
+        assert r["coverage_1e6"] >= 870000, tuple(r)
