@@ -124,20 +124,21 @@ PRIORITY = (
     # retrieval / matching debt
     "hybrid_rrf_retrieval",
     "fuzzy_part_name_matches",
-    # relational / temporal debt (incl. the streaming batch twins)
+    # relational / temporal debt (the remaining streaming batch twins
+    # moved to the r12 cohort: the family's r11 row is the streamed
+    # sessionization below, and events_tumbling_1h keeps the batch slot)
     "event_transition_matrix",
     "sql_entry_orders_by_year",
     "events_tumbling_1h",
-    "events_sliding_1h_30m",
-    "events_dedup_by_key",
     # --- r11 new families (rotation rule: every family ships with a
-    # driver row the round it lands); remaining slots backfilled from the
-    # r12 cohort so the head stays at 50 ---
+    # driver row the round it lands) ---
     "multimodal_real_jpeg_features",
-    "events_hll_overlap",
-    "events_value_bootstrap_ci",
-    "referential_integrity_report",
-    "training_shard_manifest",
+    "bucketed_colocated_join",
+    "copurchase_label_communities",
+    "k_anonymity_audit",
+    "orders_holt_winters_weekly",
+    "conformal_value_intervals",
+    "events_sessionization_streamed",
 )
 
 def _reorder_registry() -> None:

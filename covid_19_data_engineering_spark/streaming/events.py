@@ -611,3 +611,79 @@ def session_duration_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_quantiles_histogram(durations, "duration_ms")
         .orderBy("quantile")
     )
+
+
+@register(
+    "events_sessionization_streamed",
+    # the oracle replays NATIVE session_window semantics: an event at t
+    # opens [t, t+gap] and sessions merge while intervals TOUCH, so a gap
+    # of exactly 300s still MERGES (strict >, the same rule as the batch
+    # twin — measured against the real operator, and pinned by a planted
+    # exactly-300s pytest case). session_end is last event + gap.
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             CASE WHEN epoch(CAST(ts AS TIMESTAMP))
+                       - epoch(lag(CAST(ts AS TIMESTAMP)) OVER w) > 300
+                  OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_no
+      FROM marked
+    )
+    SELECT CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts) + INTERVAL 300 SECONDS AS TIMESTAMP) AS session_end,
+           user_id,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS session_value
+    FROM sessions
+    GROUP BY user_id, session_no
+    ORDER BY user_id, session_start
+    """,
+    doc="Per-user 5-minute session windows computed by the ACTUAL "
+    "streaming engine's native session_window operator: readStream file "
+    "source -> watermarked session aggregation (merge-on-overlap state) "
+    "-> memory sink, drained with availableNow; the returned table must "
+    "hash-match the lag+cumsum relational derivation in DuckDB — "
+    "including the boundary rule that an exactly-gap-sized pause starts "
+    "a NEW session (intervals merge only when they overlap). The second "
+    "streaming-native oracle query beside the tumbling one: it gates the "
+    "session-state machinery (merge, not just bucket-assign) end-to-end.",
+)
+def events_sessionization_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    agg = stream_session_windows(events_stream(spark, sf_dir, source="files"))
+    name = f"sessionization_streamed_{next(_STREAM_ORACLE_SEQ)}"
+    ckpt = tempfile.mkdtemp(prefix="stream_oracle_ckpt_")
+    q = (
+        agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                f"streaming drain {name} did not finish within 300s; "
+                "refusing to read a partially-filled memory sink")
+    finally:
+        import shutil
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return (
+        spark.table(name)
+        .select(
+            F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+            F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+            "user_id", "n_events", "session_value",
+        )
+        .orderBy("user_id", "session_start")
+    )

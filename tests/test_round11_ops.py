@@ -145,3 +145,45 @@ def test_conformal_intervals_cover_on_exchangeable_data(spark):
         assert r["n_cal"] >= 20 and r["n_test"] >= 20
         assert r["q_cents"] > 0
         assert r["coverage_1e6"] >= 870000, tuple(r)
+
+
+def test_streamed_sessionization_boundary_semantics(spark, tmp_path):
+    """Native session_window chains sessions while intervals TOUCH: a
+    pause of exactly the 300s gap still MERGES (measured against the real
+    operator — the naive interval-overlap reading predicts a split), and
+    a longer pause splits. The planted corpus pins the boundary the
+    streamed oracle's lag+cumsum twin (strict > 300) depends on."""
+    import datetime
+
+    from covid_19_data_engineering_spark.streaming.events import (
+        events_sessionization_streamed,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, uid, seconds):
+        return (eid, t0 + datetime.timedelta(seconds=seconds), uid,
+                "view", 1.0, "{}")
+
+    rows = [
+        ev(1, 1, 0), ev(2, 1, 300),   # exactly the gap -> still MERGES
+        ev(3, 2, 0), ev(4, 2, 301),   # one past the gap -> TWO sessions
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    sf_dir = str(tmp_path / "planted")
+    df.coalesce(1).write.parquet(f"{sf_dir}/events.parquet")
+
+    out = events_sessionization_streamed(spark, sf_dir).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert len(by_user[1]) == 1, by_user
+    assert len(by_user[2]) == 2, by_user
+    # end = last event + gap
+    assert by_user[1][0]["session_end"] == t0 + datetime.timedelta(seconds=300 + 300)
+    assert by_user[2][0]["session_end"] == t0 + datetime.timedelta(seconds=300)
+    assert by_user[2][1]["session_end"] == t0 + datetime.timedelta(seconds=301 + 300)
