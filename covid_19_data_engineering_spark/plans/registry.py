@@ -129,7 +129,6 @@ PRIORITY = (
     # sessionization below, and events_tumbling_1h keeps the batch slot)
     "event_transition_matrix",
     "sql_entry_orders_by_year",
-    "events_tumbling_1h",
     # --- r11 new families (rotation rule: every family ships with a
     # driver row the round it lands) ---
     "multimodal_real_jpeg_features",
@@ -139,6 +138,7 @@ PRIORITY = (
     "orders_holt_winters_weekly",
     "conformal_value_intervals",
     "events_sessionization_streamed",
+    "join_size_estimate_cms",
 )
 
 def _reorder_registry() -> None:

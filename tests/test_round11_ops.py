@@ -187,3 +187,32 @@ def test_streamed_sessionization_boundary_semantics(spark, tmp_path):
     assert by_user[1][0]["session_end"] == t0 + datetime.timedelta(seconds=300 + 300)
     assert by_user[2][0]["session_end"] == t0 + datetime.timedelta(seconds=300)
     assert by_user[2][1]["session_end"] == t0 + datetime.timedelta(seconds=301 + 300)
+
+
+def test_cms_join_size_estimate_planted(spark):
+    """Planted frequency vectors: keys {1: 3x, 2: 2x} on the left and
+    {1: 4x, 3: 5x} on the right -> exact inner join cardinality 3*4 = 12.
+    The CMS estimate must never undercount, and with 4096 buckets on a
+    two-key domain collisions are (md5-verifiably) absent, so the
+    estimate is EXACT; disjoint inputs read exact 0 with NULL relative
+    overcount instead of a divide-by-zero."""
+    import pyspark.sql.functions as F
+
+    from covid_19_data_engineering_spark.operators.sketches import (
+        cms_join_size_estimate,
+    )
+
+    left = spark.createDataFrame([(1,)] * 3 + [(2,)] * 2, "k long")
+    right = spark.createDataFrame([(1,)] * 4 + [(3,)] * 5, "k long")
+    r = cms_join_size_estimate(left, F.col("k"), right, F.col("k")).collect()[0]
+    assert r["exact_pairs"] == 12
+    assert r["never_undercounts"]
+    assert r["est_pairs"] == 12
+    assert r["overcount_1e6"] == 0
+
+    disjoint = cms_join_size_estimate(
+        left, F.col("k"),
+        spark.createDataFrame([(9,)], "k long"), F.col("k"),
+    ).collect()[0]
+    assert disjoint["exact_pairs"] == 0
+    assert disjoint["overcount_1e6"] is None
