@@ -164,6 +164,15 @@ def bpe_train(docs: DataFrame, n_merges: int = N_MERGES,
             .limit(1)
             .localCheckpoint(eager=True)
         )
+        # merge exhaustion (every word fully merged / single-symbol): an
+        # empty best crossJoined below would DELETE the whole vocabulary.
+        # Real corpora never exhaust inside the 8-round budget (the
+        # registered oracles replay all rounds, and on such corpora the
+        # two behaviors are identical); the break makes the library safe
+        # on tiny inputs. Probe cost: one count on a checkpointed <=1-row
+        # frame.
+        if best.count() == 0:
+            break
         merges.append(
             best.select(
                 F.lit(rank).alias("merge_rank"),
@@ -474,3 +483,102 @@ def bpe_merge_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bpe_merge_induction_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return bpe_merge_table_batched(docs).orderBy("merge_rank")
+
+
+# ------------------------------------------------- tokenizer fertility audit
+
+def tokenizer_fertility(docs: DataFrame, n_merges: int = N_MERGES,
+                        text_col: str = "text") -> DataFrame:
+    """Per-source tokenizer-quality readout under the LEARNED vocabulary:
+    fertility (subword tokens per word) and compression (characters per
+    token) — the numbers a tokenizer evaluation reports per language /
+    source before a training run commits to a vocab (high fertility on a
+    source means its text fragments into many subwords and eats sequence
+    length).
+
+    The corpus is tokenized at ZERO extra merge cost: ``bpe_train``'s
+    final word table already carries every distinct word's merged symbol
+    split, so per-source numbers are one (source, word) count join-back —
+    the vocabulary table is O(distinct words), broadcastable at corpus
+    scale."""
+    _, words = bpe_train(docs, n_merges, text_col)
+    sym = F.split(F.col("ws"), SEP)
+    vocab = words.select(
+        F.translate(F.col("ws"), SEP, "").alias("w"),
+        F.size(sym).alias("n_tok"),
+    )
+    src_words = (
+        docs.select("source",
+                    F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .where((F.length("w") > 0) & ~F.col("w").contains(SEP)
+               & ~F.col("w").contains(RS))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        src_words.join(vocab, "w")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.expr("cnt * n_tok")).alias("n_tokens"),
+            F.sum(F.expr("cnt * length(w)")).alias("n_chars"),
+        )
+        .selectExpr(
+            "source", "n_words", "n_tokens", "n_chars",
+            "CAST(FLOOR(CAST(n_tokens AS DOUBLE) / n_words * 1000000 + 0.5)"
+            " AS BIGINT) AS fertility_1e6",
+            "CAST(FLOOR(CAST(n_chars AS DOUBLE) / n_tokens * 1000000 + 0.5)"
+            " AS BIGINT) AS chars_per_token_1e6",
+        )
+        .orderBy("source")
+    )
+
+
+def _fertility_oracle_sql(n_merges: int = N_MERGES) -> str:
+    """Reuses the unrolled training chain (words{n} is the tokenized
+    vocabulary), then one per-source count join-back."""
+    base = _bpe_oracle_sql(n_merges)
+    chain_end = base.index("SELECT * FROM (")
+    return base[:chain_end] + f"""SELECT source, n_words, n_tokens, n_chars,
+           CAST(FLOOR(CAST(n_tokens AS DOUBLE) / n_words * 1000000 + 0.5)
+                AS BIGINT) AS fertility_1e6,
+           CAST(FLOOR(CAST(n_chars AS DOUBLE) / n_tokens * 1000000 + 0.5)
+                AS BIGINT) AS chars_per_token_1e6
+    FROM (
+      SELECT sw.source,
+             CAST(SUM(sw.cnt) AS BIGINT) AS n_words,
+             CAST(SUM(sw.cnt * v.n_tok) AS BIGINT) AS n_tokens,
+             CAST(SUM(sw.cnt * len(v.w)) AS BIGINT) AS n_chars
+      FROM (
+        SELECT source, w, COUNT(*) AS cnt FROM (
+          SELECT source, unnest(string_split(text, ' ')) AS w
+          FROM documents
+        ) WHERE len(w) > 0 AND NOT contains(w, chr(31))
+              AND NOT contains(w, chr(30))
+        GROUP BY source, w
+      ) sw
+      JOIN (
+        SELECT replace(ws, chr(31), '') AS w,
+               len(string_split(ws, chr(31))) AS n_tok
+        FROM words{n_merges}
+      ) v USING (w)
+      GROUP BY sw.source
+    ) ORDER BY source
+    """
+
+
+@register(
+    "tokenizer_fertility_by_source",
+    oracle=_fertility_oracle_sql(),
+    doc=f"Tokenizer fertility audit under the {N_MERGES}-merge learned BPE "
+    "vocabulary: per source, words / subword tokens / characters plus "
+    "fertility (tokens per word) and compression (chars per token) in "
+    "tie-free 1e-6 fixed point — the per-language sequence-length-cost "
+    "readout a tokenizer evaluation ships. Tokenization is free: the "
+    "training loop's final word table already holds every distinct "
+    "word's merged split, so the audit is one (source, word) count "
+    "join-back against an O(vocabulary) broadcastable table.",
+)
+def tokenizer_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return tokenizer_fertility(docs)

@@ -128,7 +128,6 @@ PRIORITY = (
     # moved to the r12 cohort: the family's r11 row is the streamed
     # sessionization below, and events_tumbling_1h keeps the batch slot)
     "event_transition_matrix",
-    "sql_entry_orders_by_year",
     # --- r11 new families (rotation rule: every family ships with a
     # driver row the round it lands) ---
     "multimodal_real_jpeg_features",
@@ -139,6 +138,7 @@ PRIORITY = (
     "conformal_value_intervals",
     "events_sessionization_streamed",
     "join_size_estimate_cms",
+    "tokenizer_fertility_by_source",
 )
 
 def _reorder_registry() -> None:

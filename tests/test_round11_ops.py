@@ -216,3 +216,31 @@ def test_cms_join_size_estimate_planted(spark):
     ).collect()[0]
     assert disjoint["exact_pairs"] == 0
     assert disjoint["overcount_1e6"] is None
+
+
+def test_tokenizer_fertility_planted(spark):
+    """Planted two-source corpus: srcA is all single-char words (one
+    symbol each — fertility exactly 1.0, one char per token); srcB is one
+    3-char word repeated, which the greedy merges collapse fully within
+    the round budget (fertility 1.0, three chars per token). Pins the
+    join-back arithmetic AND that tokenization reflects the LEARNED
+    merges, not the char seed."""
+    from covid_19_data_engineering_spark.operators.bpe import (
+        tokenizer_fertility,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b c a b c", "srcA"), (1, "abcdefghij abcdefghij", "srcB")],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in tokenizer_fertility(docs).collect()}
+    # srcA: single-char words are one symbol each, untouched by merges
+    assert out["srcA"]["n_words"] == 6 and out["srcA"]["n_tokens"] == 6
+    assert out["srcA"]["fertility_1e6"] == 1000000
+    assert out["srcA"]["chars_per_token_1e6"] == 1000000
+    # srcB: a 10-char word with 9 distinct adjacent pairs loses one symbol
+    # per merge round -> 10 - 8 = 2 tokens after the 8-round budget
+    assert out["srcB"]["n_words"] == 2
+    assert out["srcB"]["n_tokens"] == 4
+    assert out["srcB"]["fertility_1e6"] == 2000000
+    assert out["srcB"]["chars_per_token_1e6"] == 5000000
