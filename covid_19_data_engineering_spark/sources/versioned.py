@@ -260,14 +260,136 @@ def _file_column_stats(full_path: str) -> dict[str, list]:
     return stats
 
 
+
+# --- file-level Bloom index (point-lookup data skipping) ---------------------
+# min/max stats prune RANGE predicates; they are useless for a point
+# lookup on a high-cardinality key whose values interleave across files
+# (every file's [min, max] straddles the probe). The Bloom index is the
+# standard answer (Delta's bloom filter index, Parquet's optional bloom
+# pages): per file, a bits_per_key*n-bit filter over a chosen column's
+# values, stored in the commit record; a point read tests k md5 probes
+# per file driver-side and drops files that provably lack the value.
+# False positives only cost unnecessary reads (the row filter still
+# applies); false negatives cannot happen for committed values.
+
+_BLOOM_BITS_PER_KEY = 16
+_BLOOM_K = 4
+
+
+def _bloom_positions_py(value, m: int) -> list[int]:
+    """Driver-side probe positions — byte-identical to the build side's
+    Spark expression md5(concat('{j}:', CAST(value AS STRING)))."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{j}:{value}".encode()).hexdigest()[:8], 16) % m
+        for j in range(_BLOOM_K)
+    ]
+
+
+def _bloom_maybe_contains(entry: dict, value) -> bool:
+    import base64
+
+    m = entry["m"]
+    words = base64.b64decode(entry["b64"])
+    for pos in _bloom_positions_py(value, m):
+        byte, bit = pos // 8, pos % 8
+        if not (words[byte] >> bit) & 1:
+            return False
+    return True
+
+
+def _build_bloom_index(spark, path: str, rel_files: list[str],
+                       cols: list[str]) -> dict:
+    """{rel_file: {col: {"m": bits, "b64": packed bitmap}}} over the NEW
+    files of a commit — one distributed pass per column: per-file row
+    counts size each filter (bits_per_key * n, rounded to whole bytes),
+    then k md5 probes per row fold into the bitmap via a bit_or
+    aggregate on (file, word). Write-side cost is a scan of the data
+    just written (the price Delta's bloom index pays); the index itself
+    is m/8 bytes per file per column."""
+    import base64
+    import pyspark.sql.functions as F
+
+    full = {os.path.join(path, f): f for f in rel_files}
+    if not full or not cols:
+        return {}
+
+    def norm(uri: str) -> str:
+        # input_file_name() yields file:///abs/path URIs; the commit's
+        # file list is plain paths
+        return uri[7:] if uri.startswith("file://") else uri
+
+    out: dict[str, dict] = {}
+    for col in cols:
+        df = (
+            spark.read.parquet(*full)
+            .select(
+                F.input_file_name().alias("_f"),
+                F.col(col).cast("string").alias("_v"),
+            )
+            .where(F.col("_v").isNotNull())
+        )
+        counts = {norm(r["_f"]): r["n"] for r in
+                  df.groupBy("_f").agg(F.count(F.lit(1)).alias("n")).collect()}
+        # m MUST be a whole number of 64-bit words: packing truncates at
+        # m // 64 words, so a ragged m would let probe positions fall
+        # past the packed bytes (driver-side IndexError on lookup)
+        m_by_file = {
+            f: max(64, ((_BLOOM_BITS_PER_KEY * n + 63) // 64) * 64)
+            for f, n in counts.items()
+        }
+        # the join key must match input_file_name's URI form exactly
+        uri_m = {u: m_by_file[norm(u)] for u in
+                 (r["_f"] for r in df.select("_f").distinct().collect())}
+        m_df = spark.createDataFrame(
+            [(f, m) for f, m in uri_m.items()], "_f string, _m long")
+        probes = df.join(F.broadcast(m_df), "_f").select(
+            "_f",
+            F.explode(F.array(*[
+                (F.conv(F.substring(
+                    F.md5(F.concat(F.lit(f"{j}:"), F.col("_v"))), 1, 8),
+                    16, 10).cast("long") % F.col("_m")).alias(f"p{j}")
+                for j in range(_BLOOM_K)
+            ])).alias("pos"),
+        )
+        words = (
+            probes.select(
+                "_f",
+                F.expr("pos div 64").alias("w"),
+                # shiftleft's python wrapper takes only a literal count —
+                # the SQL form accepts a column
+                F.expr("shiftleft(CAST(1 AS BIGINT), "
+                       "CAST(pos % 64 AS INT))").alias("bit"),
+            )
+            .groupBy("_f", "w")
+            .agg(F.expr("bit_or(bit)").alias("word"))
+            .collect()
+        )
+        by_file: dict[str, dict[int, int]] = {}
+        for r in words:
+            by_file.setdefault(norm(r["_f"]), {})[r["w"]] = r["word"]
+        for fpath, m in m_by_file.items():
+            n_words = m // 64
+            packed = b"".join(
+                int(by_file.get(fpath, {}).get(i, 0) & (2**64 - 1))
+                .to_bytes(8, "little")
+                for i in range(n_words)
+            )
+            rel = full[fpath]
+            out.setdefault(rel, {})[col] = {
+                "m": m, "b64": base64.b64encode(packed).decode()}
+    return out
+
+
 def _write_checkpoint(path: str, version: int) -> None:
     """Materialize ``version``'s full file list (plus per-file stats and
     the aggregated per-writer txn map) as an atomic, idempotent log
     checkpoint. Losing the link race (another writer checkpointed the
     same version) is fine — the contents are identical by construction."""
-    files, stats = _snapshot(path, version)
+    files, stats, bloom = _snapshot(path, version)
     record = {"version": version, "files": files, "stats": stats,
-              "txns": _checkpoint_txns(path, version)}
+              "bloom": bloom, "txns": _checkpoint_txns(path, version)}
     tmp = os.path.join(_log_dir(path), f".tmpcp-{uuid.uuid4().hex}")
     with open(tmp, "w") as f:
         json.dump(record, f)
@@ -279,21 +401,24 @@ def _write_checkpoint(path: str, version: int) -> None:
         os.unlink(tmp)
 
 
-def _snapshot(path: str, version: int) -> tuple[list[str], dict]:
-    """Resolve a version to its full data-file list AND the per-file
-    column stats map {file: {col: [min, max]}} by walking commits
-    backward to the nearest CHECKPOINT or overwrite (the snapshot
-    boundary) — O(CHECKPOINT_INTERVAL) log reads on any append chain.
-    Commits written before stats existed contribute files with no stats
-    entry (never pruned)."""
+def _snapshot(path: str, version: int) -> tuple[list[str], dict, dict]:
+    """Resolve a version to its full data-file list, the per-file column
+    stats map {file: {col: [min, max]}}, AND the per-file bloom index
+    {file: {col: {"m", "b64"}}} by walking commits backward to the
+    nearest CHECKPOINT or overwrite (the snapshot boundary) —
+    O(CHECKPOINT_INTERVAL) log reads on any append chain. Commits
+    written before stats/bloom existed contribute files with no entry
+    (never pruned)."""
     chain = []
     base_files: list[str] = []
     stats: dict[str, list] = {}
+    bloom: dict[str, dict] = {}
     for v in range(version, 0, -1):
         cp = _read_checkpoint(path, v)
         if cp is not None:
             base_files = list(cp["files"])
             stats.update(cp.get("stats", {}))
+            bloom.update(cp.get("bloom", {}))
             break
         c = _read_commit(path, v)
         chain.append(c)
@@ -303,7 +428,8 @@ def _snapshot(path: str, version: int) -> tuple[list[str], dict]:
     for c in reversed(chain):
         files.extend(c["files"])
         stats.update(c.get("stats", {}))
-    return files, stats
+        bloom.update(c.get("bloom", {}))
+    return files, stats, bloom
 
 
 def _snapshot_files(path: str, version: int) -> list[str]:
@@ -346,7 +472,8 @@ def write_versioned(df: DataFrame, path: str, mode: str = "overwrite",
                     max_retries: int = 10,
                     expect_base: int | None = None,
                     meta: dict | None = None,
-                    merge_schema: bool = False) -> int:
+                    merge_schema: bool = False,
+                    bloom_cols: list[str] | None = None) -> int:
     """Commit ``df`` as the table's next version; returns the version.
 
     ``mode="overwrite"`` starts a new snapshot; ``mode="append"`` extends
@@ -408,6 +535,11 @@ def write_versioned(df: DataFrame, path: str, mode: str = "overwrite",
         f: s for f in new_files
         if (s := _file_column_stats(os.path.join(path, f)))
     }
+    # optional point-lookup index over the new files (int/string columns;
+    # the probe stringifies with CAST semantics, so float keys are the
+    # caller's own risk and documented out of the contract)
+    new_bloom = _build_bloom_index(
+        df.sparkSession, path, new_files, bloom_cols or [])
     schema_json = df.schema.json()
 
     for _ in range(max_retries):
@@ -442,6 +574,7 @@ def write_versioned(df: DataFrame, path: str, mode: str = "overwrite",
             "action": mode if base > 0 else "overwrite",
             "files": new_files,
             "stats": new_stats,
+            "bloom": new_bloom,
             "schema": commit_schema,
             "ts": time.time(),
             "commit_id": commit_id,
@@ -497,7 +630,8 @@ def _range_overlaps(stats: dict[str, list],
 def read_versioned(spark: SparkSession, path: str,
                    version: int | None = None,
                    as_of_ts: float | None = None,
-                   prune: dict[str, tuple] | None = None) -> DataFrame:
+                   prune: dict[str, tuple] | None = None,
+                   point: dict | None = None) -> DataFrame:
     """Read a committed snapshot: latest by default, a pinned ``version``,
     or the newest version committed at or before ``as_of_ts`` (time
     travel). Plans directly over the snapshot's parquet files, so
@@ -509,7 +643,14 @@ def read_versioned(spark: SparkSession, path: str,
     I/O, the payoff of z-ordered layout. The contract is the standard
     one: the result contains AT LEAST every matching row (a kept file
     may carry non-matching rows too — callers still apply the real
-    row-level filter, which Spark then pushes into the parquet scan)."""
+    row-level filter, which Spark then pushes into the parquet scan).
+
+    ``point`` is the Bloom twin for EQUALITY probes {col: value}: files
+    whose commit-recorded Bloom filter (written via
+    ``write_versioned(bloom_cols=[...])``) provably lacks the value are
+    dropped; files without a filter for the column are kept (same
+    at-least-every-matching-row contract — false positives read extra
+    files, false negatives cannot happen for committed values)."""
     versions = table_versions(path)
     if not versions:
         raise FileNotFoundError(f"no committed versions at {path}")
@@ -523,10 +664,21 @@ def read_versioned(spark: SparkSession, path: str,
         version = versions[-1]
     if version not in versions:
         raise ValueError(f"version {version} not committed (have {versions})")
-    rel_files, stats = _snapshot(path, version)
+    rel_files, stats, bloom = _snapshot(path, version)
     if prune:
         rel_files = [f for f in rel_files
                      if _range_overlaps(stats.get(f, {}), prune)]
+    if point:
+        kept = []
+        for f in rel_files:
+            entries = bloom.get(f, {})
+            if all(
+                col not in entries
+                or _bloom_maybe_contains(entries[col], val)
+                for col, val in point.items()
+            ):
+                kept.append(f)
+        rel_files = kept
     files = [os.path.join(path, f) for f in rel_files]
     from pyspark.sql.types import StructType
 

@@ -1442,3 +1442,97 @@ def test_alter_versioned_column_type_widens(spark, tbl):
     assert dict(read_versioned(spark, tbl, version=1).dtypes)["n"] == "int"
     with pytest.raises(ValueError, match="no column"):
         alter_versioned_column_type(spark, tbl, "missing", "bigint")
+
+
+def test_bloom_point_lookup_prunes_files(spark, tmp_path):
+    """write_versioned(bloom_cols=['k']) records a per-file Bloom filter;
+    read_versioned(point={'k': v}) must (a) never lose a committed value
+    (no false negatives: every present key's rows come back complete) and
+    (b) actually skip files for absent keys (the point of the index —
+    with 40 files and 16 bits/key the expected false-positive rate per
+    file is ~0.24%, so an absent probe should plan ~0 files)."""
+    import pyspark.sql.functions as F
+
+    from covid_19_data_engineering_spark.sources.versioned import (
+        read_versioned,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "bloomed")
+    # 40 files, disjoint key ranges per file, interleaved enough that
+    # min/max stats alone could never isolate a point
+    df = (
+        spark.range(4000)
+        .select((F.col("id") * 7919 % 4000).alias("k"),
+                F.col("id").alias("payload"))
+        .repartition(40)
+    )
+    write_versioned(df, path, bloom_cols=["k"])
+
+    # no false negatives, exact rows back
+    for probe in (0, 1234, 3999):
+        got = (read_versioned(spark, path, point={"k": probe})
+               .where(F.col("k") == probe).collect())
+        assert len(got) == 1, probe
+
+    # absent keys prune (count planned files via inputFiles)
+    full = len(read_versioned(spark, path).inputFiles())
+    assert full == 40
+    pruned_counts = [
+        len(read_versioned(spark, path, point={"k": absent}).inputFiles())
+        for absent in (4001, 99999, 123456)
+    ]
+    assert max(pruned_counts) <= 4, pruned_counts  # ~0 expected, 4 = slack
+
+    # rows stay correct THROUGH the pruned plan (empty result, no error)
+    assert (read_versioned(spark, path, point={"k": 99999})
+            .where(F.col("k") == 99999).count()) == 0
+
+
+def test_bloom_survives_append_and_unbloomd_files_are_kept(spark, tmp_path):
+    """Appends without bloom_cols contribute files with NO filter — those
+    files must always be kept by a point read (conservative contract),
+    while the bloomed base files still prune."""
+    import pyspark.sql.functions as F
+
+    from covid_19_data_engineering_spark.sources.versioned import (
+        read_versioned,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "mixed")
+    base = spark.range(1000).select(F.col("id").alias("k")).repartition(10)
+    write_versioned(base, path, bloom_cols=["k"])
+    extra = (spark.range(1000, 1100).select(F.col("id").alias("k"))
+             .repartition(2))
+    write_versioned(extra, path, mode="append")  # no bloom on this commit
+
+    # absent key: the 10 bloomed files prune, the 2 unbloomed stay
+    files = read_versioned(spark, path, point={"k": 999999}).inputFiles()
+    assert len(files) <= 2 + 1  # unbloomed appends + FP slack
+    # a value that lives in the UNBLOOMED append is always found
+    assert (read_versioned(spark, path, point={"k": 1050})
+            .where(F.col("k") == 1050).count()) == 1
+
+
+def test_bloom_ragged_file_sizes(spark, tmp_path):
+    """Files whose row counts don't divide into whole 64-bit words (e.g.
+    n=5 -> 80 raw bits) must still round the filter to word granularity —
+    a ragged bitmap would drop high positions at pack time and crash the
+    driver-side probe with an out-of-range byte index."""
+    import pyspark.sql.functions as F
+
+    from covid_19_data_engineering_spark.sources.versioned import (
+        read_versioned,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "ragged")
+    df = spark.range(11).select(F.col("id").alias("k")).repartition(2)
+    write_versioned(df, path, bloom_cols=["k"])
+    for probe in range(11):  # every committed key found
+        assert (read_versioned(spark, path, point={"k": probe})
+                .where(F.col("k") == probe).count()) == 1
+    # absent probes never crash (and usually prune both tiny files)
+    assert (read_versioned(spark, path, point={"k": 777})
+            .where(F.col("k") == 777).count()) == 0
