@@ -189,6 +189,10 @@ FAMILY = [
     "ann_ivf_recall",
     "events_value_anova",
     "customer_revenue_hill_tail",
+    # round-11 arrivals that read only the scale dir's tables (lineitem /
+    # documents / embeddings — events and orders are not materialized)
+    "copurchase_label_communities",
+    "tokenizer_fertility_by_source",
 ]
 
 ID_OFFSET = 1_000_000
