@@ -1401,3 +1401,140 @@ def copurchase_label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
                                F.col("pa").alias("dst")))
     sym = sym.localCheckpoint(eager=False)  # rounds + 3 readouts reuse it
     return community_modularity(sym, label_communities(sym))
+
+
+# --- temporal graph: densification curve -------------------------------------
+# Graphs over time densify: e(t) ~ n(t)^alpha with alpha in (1, 2)
+# (Leskovec, Kleinberg & Faloutsos, KDD 2005). The curve of cumulative
+# nodes/edges per month — each edge and node dated by its FIRST
+# appearance — plus the fitted log-log slope is the one-look readout of
+# how a relationship graph is growing (alpha near 1: sparse/linear;
+# near 2: clique-like). Shape: first-appearance via min-aggregations
+# (the vocab_growth first-seen trick on pairs), cumulative sums over the
+# O(calendar-months) table, and the OLS slope as one fixed-order fold —
+# nothing scales with edge count except the two first-seen shuffles.
+
+def densification_curve(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """(month, cum_nodes, cum_edges, alpha_1e6): cumulative co-purchase
+    graph size at each month end, with the densification exponent fitted
+    over ALL months repeated per row (ln-ln OLS slope, tie-free 1e-6
+    fixed point)."""
+    dated = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .join(orders.selectExpr(
+            "o_orderkey AS l_orderkey",
+            "CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)"
+            " AS month"), "l_orderkey")
+    )
+    lines = dated.select("l_orderkey", "l_partkey", "month").distinct()
+    a = lines.selectExpr("l_orderkey AS ok", "l_partkey AS pa", "month")
+    b = lines.selectExpr("l_orderkey AS ok2", "l_partkey AS pb",
+                         "month AS m2")
+    pair_first = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("pa") < F.col("pb")))
+        .groupBy("pa", "pb")
+        .agg(F.min("month").alias("month"))
+        .groupBy("month").agg(F.count(F.lit(1)).alias("new_edges"))
+    )
+    node_first = (
+        lines.groupBy("l_partkey").agg(F.min("month").alias("month"))
+        .groupBy("month").agg(F.count(F.lit(1)).alias("new_nodes"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        node_first.join(pair_first, "month", "outer")
+        .select(
+            "month",
+            F.coalesce("new_nodes", F.lit(0)).alias("new_nodes"),
+            F.coalesce("new_edges", F.lit(0)).alias("new_edges"),
+        )
+        .withColumn("cum_nodes", F.sum("new_nodes").over(w))
+        .withColumn("cum_edges", F.sum("new_edges").over(w))
+        .where(F.col("cum_edges") > 0)
+    )
+    # ln-ln OLS over the O(months) curve: slope = (n*Sxy - Sx*Sy) /
+    # (n*Sxx - Sx^2), every moment an order-independent SUM of identical
+    # doubles (ln of exact BIGINTs)
+    fit = curve.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("ln(CAST(cum_nodes AS DOUBLE))")).alias("sx"),
+        F.sum(F.expr("ln(CAST(cum_edges AS DOUBLE))")).alias("sy"),
+        F.sum(F.expr("ln(CAST(cum_nodes AS DOUBLE))"
+                     " * ln(CAST(cum_nodes AS DOUBLE))")).alias("sxx"),
+        F.sum(F.expr("ln(CAST(cum_nodes AS DOUBLE))"
+                     " * ln(CAST(cum_edges AS DOUBLE))")).alias("sxy"),
+    ).selectExpr(
+        "CAST(FLOOR((CAST(n AS DOUBLE) * sxy - sx * sy)"
+        " / NULLIF(CAST(n AS DOUBLE) * sxx - sx * sx, 0)"
+        " * 1000000 + 0.5) AS BIGINT) AS alpha_1e6"
+    )
+    return (
+        curve.select("month", "cum_nodes", "cum_edges")
+        .crossJoin(F.broadcast(fit))
+        .orderBy("month")
+    )
+
+
+@register(
+    "copurchase_densification_curve",
+    oracle="""
+    WITH dated AS (
+      SELECT DISTINCT l.l_orderkey, l.l_partkey,
+             CAST(date_trunc('month', CAST(o.o_orderdate AS DATE)) AS DATE)
+               AS month
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    pair_first AS (
+      SELECT month, COUNT(*) AS new_edges FROM (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, MIN(a.month) AS month
+        FROM dated a JOIN dated b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY pa, pb
+      ) GROUP BY month
+    ),
+    node_first AS (
+      SELECT month, COUNT(*) AS new_nodes FROM (
+        SELECT l_partkey, MIN(month) AS month FROM dated GROUP BY l_partkey
+      ) GROUP BY month
+    ),
+    curve AS (
+      SELECT month,
+             CAST(SUM(COALESCE(new_nodes, 0)) OVER (ORDER BY month
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_nodes,
+             CAST(SUM(COALESCE(new_edges, 0)) OVER (ORDER BY month
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_edges
+      FROM node_first FULL OUTER JOIN pair_first USING (month)
+    ),
+    pos AS (SELECT * FROM curve WHERE cum_edges > 0),
+    fit AS (
+      SELECT CAST(FLOOR((CAST(COUNT(*) AS DOUBLE)
+                         * SUM(ln(CAST(cum_nodes AS DOUBLE))
+                               * ln(CAST(cum_edges AS DOUBLE)))
+                         - SUM(ln(CAST(cum_nodes AS DOUBLE)))
+                           * SUM(ln(CAST(cum_edges AS DOUBLE))))
+                        / NULLIF(CAST(COUNT(*) AS DOUBLE)
+                                 * SUM(ln(CAST(cum_nodes AS DOUBLE))
+                                       * ln(CAST(cum_nodes AS DOUBLE)))
+                                 - SUM(ln(CAST(cum_nodes AS DOUBLE)))
+                                   * SUM(ln(CAST(cum_nodes AS DOUBLE))), 0)
+                        * 1000000 + 0.5) AS BIGINT) AS alpha_1e6
+      FROM pos
+    )
+    SELECT month, cum_nodes, cum_edges, alpha_1e6
+    FROM pos, fit ORDER BY month
+    """,
+    doc="Temporal-graph densification curve (Leskovec et al. 2005): "
+    "cumulative co-purchase nodes/edges at each month end (edges and "
+    "nodes dated by FIRST appearance — the first-seen min-aggregation "
+    "trick, so the cumulative-distinct never re-scans history) plus the "
+    "fitted log-log densification exponent alpha (e ~ n^alpha) in "
+    "tie-free 1e-6 fixed point. The growth readout that tells a graph "
+    "deployment whether edge storage is heading linear or quadratic.",
+)
+def copurchase_densification_curve(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    return densification_curve(li, o)

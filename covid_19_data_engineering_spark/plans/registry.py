@@ -124,10 +124,6 @@ PRIORITY = (
     # retrieval / matching debt
     "hybrid_rrf_retrieval",
     "fuzzy_part_name_matches",
-    # relational / temporal debt (the remaining streaming batch twins
-    # moved to the r12 cohort: the family's r11 row is the streamed
-    # sessionization below, and events_tumbling_1h keeps the batch slot)
-    "event_transition_matrix",
     # --- r11 new families (rotation rule: every family ships with a
     # driver row the round it lands) ---
     "multimodal_real_jpeg_features",
@@ -139,6 +135,7 @@ PRIORITY = (
     "events_sessionization_streamed",
     "join_size_estimate_cms",
     "tokenizer_fertility_by_source",
+    "copurchase_densification_curve",
 )
 
 def _reorder_registry() -> None:

@@ -244,3 +244,36 @@ def test_tokenizer_fertility_planted(spark):
     assert out["srcB"]["n_tokens"] == 4
     assert out["srcB"]["fertility_1e6"] == 2000000
     assert out["srcB"]["chars_per_token_1e6"] == 5000000
+
+
+def test_densification_curve_planted_two_months(spark):
+    """Jan: one order {1,2} -> (2 nodes, 1 edge). Feb: one order {1,2,3}
+    -> node 3 and edges (1,3),(2,3) are NEW, (1,2) keeps its January
+    first-appearance -> (3 nodes, 3 edges). Alpha through the two log-log
+    points is exactly ln(3)/ln(3/2); the test recomputes the engine's
+    fixed-point formula bit-for-bit."""
+    import datetime
+    import math
+
+    from covid_19_data_engineering_spark.operators.graphs import (
+        densification_curve,
+    )
+
+    li = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 1), (2, 2), (2, 3)],
+        "l_orderkey long, l_partkey long",
+    )
+    orders = spark.createDataFrame(
+        [(1, datetime.date(1995, 1, 15)), (2, datetime.date(1995, 2, 20))],
+        "o_orderkey long, o_orderdate date",
+    )
+    rows = densification_curve(li, orders).collect()
+    assert [(r["cum_nodes"], r["cum_edges"]) for r in rows] == [(2, 1), (3, 3)]
+    xs = [math.log(2.0), math.log(3.0)]
+    ys = [math.log(1.0), math.log(3.0)]
+    n, sx, sy = 2.0, sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    expect = math.floor((n * sxy - sx * sy) / (n * sxx - sx * sx)
+                        * 1000000 + 0.5)
+    assert all(r["alpha_1e6"] == expect for r in rows)
