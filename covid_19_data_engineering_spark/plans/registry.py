@@ -123,7 +123,6 @@ PRIORITY = (
     "densest_copurchase_subgraph",
     # retrieval / matching debt
     "hybrid_rrf_retrieval",
-    "fuzzy_part_name_matches",
     # --- r11 new families (rotation rule: every family ships with a
     # driver row the round it lands) ---
     "multimodal_real_jpeg_features",
@@ -136,6 +135,7 @@ PRIORITY = (
     "join_size_estimate_cms",
     "tokenizer_fertility_by_source",
     "copurchase_densification_curve",
+    "events_click_attribution_streamed",
 )
 
 def _reorder_registry() -> None:

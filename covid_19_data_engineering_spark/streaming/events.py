@@ -687,3 +687,69 @@ def events_sessionization_streamed(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@register(
+    "events_click_attribution_streamed",
+    # per-row passthrough values (no aggregation), so no rounding is
+    # needed: both engines read the identical doubles out of the parquet
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+           p.user_id AS p_user,
+           c.event_id AS click_id,
+           CAST(c.ts AS TIMESTAMP) AS click_ts,
+           p.value
+    FROM events p JOIN events c
+      ON p.event_type = 'purchase' AND c.event_type = 'click'
+     AND p.user_id = c.user_id
+     AND CAST(c.ts AS TIMESTAMP) < CAST(p.ts AS TIMESTAMP)
+     AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP)
+         - INTERVAL 30 MINUTES
+    ORDER BY purchase_id, click_id
+    """,
+    doc="Purchase-to-click attribution computed by the ACTUAL streaming "
+    "engine's stream-stream inner join: both sides watermarked, the "
+    "event-time band bounds each side's state buffer to ~30 minutes of "
+    "traffic, append-mode memory sink drained with availableNow; the "
+    "emitted pairs must hash-match the batch interval join in DuckDB. "
+    "The third streaming-native oracle query: after bucket-assign "
+    "(tumbling) and merge state (session_window), this gates the "
+    "dual-buffer join state machinery end-to-end.",
+)
+def events_click_attribution_streamed(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    import tempfile
+
+    joined = stream_click_purchase_join(
+        events_stream(spark, sf_dir, source="files"))
+    name = f"click_attr_streamed_{next(_STREAM_ORACLE_SEQ)}"
+    ckpt = tempfile.mkdtemp(prefix="stream_oracle_ckpt_")
+    q = (
+        joined.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                f"streaming drain {name} did not finish within 300s; "
+                "refusing to read a partially-filled memory sink")
+    finally:
+        import shutil
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return (
+        spark.table(name)
+        .select(
+            "purchase_id",
+            F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+            "p_user",
+            "click_id",
+            F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+            "value",
+        )
+        .orderBy("purchase_id", "click_id")
+    )
