@@ -762,7 +762,8 @@ def vacuum_versioned(path: str, keep_versions: int = 2,
 
 
 def compact_versioned(spark: SparkSession, path: str,
-                      target_files: int = 1) -> int:
+                      target_files: int = 1,
+                      zorder: tuple[str, str] | None = None) -> int:
     """Rewrite the CURRENT snapshot's (possibly many, small) data files
     into ``target_files`` files as a new overwrite version — the OPTIMIZE
     step an append-heavy table needs so reads stop paying per-file open
@@ -772,16 +773,105 @@ def compact_versioned(spark: SparkSession, path: str,
     Safe under concurrency via compare-and-swap: the commit carries
     ``expect_base`` = the version the rewrite was derived from, so an
     append landing mid-compaction raises CommitConflict instead of being
-    silently erased by the blind overwrite — callers re-read and retry."""
+    silently erased by the blind overwrite — callers re-read and retry.
+
+    ``zorder=(col_a, col_b)`` makes this OPTIMIZE ZORDER BY: the rewrite
+    lays rows along the Morton curve (operators/layout.py) so every
+    compacted file's footer min/max is tight on BOTH columns and the
+    commit-recorded stats let ``read_versioned(prune=...)`` skip files
+    on either dimension."""
     versions = table_versions(path)
     if not versions:
         raise FileNotFoundError(f"no committed versions at {path}")
     base = versions[-1]
     df = read_versioned(spark, path, version=base)
+    if zorder is not None:
+        from covid_19_data_engineering_spark.operators.layout import (
+            zorder_repartition,
+        )
+        out = zorder_repartition(df, zorder[0], zorder[1], target_files)
+    else:
+        out = df.coalesce(target_files)
     return write_versioned(
-        df.coalesce(target_files), path, mode="overwrite",
+        out, path, mode="overwrite",
         expect_base=base, meta={"compacted_from": base},
     )
+
+
+def merge_versioned(spark: SparkSession, path: str, updates: DataFrame,
+                    key: str, max_retries: int = 3) -> int:
+    """Delta-style MERGE (whole-row upsert): every current row whose
+    ``key`` appears in ``updates`` is REPLACED by the update row(s); keys
+    absent from the table INSERT. Commits as a new overwrite version, so
+    time travel still reaches the pre-merge snapshot and the change feed
+    reports the rewrite as delete+insert (the coarse-but-honest contract
+    read_change_feed documents for overwrites).
+
+    Concurrency: read-modify-write under compare-and-swap — the commit
+    carries ``expect_base`` = the version the merge was derived from; a
+    racing append/merge raises CommitConflict inside write_versioned and
+    the merge RE-DERIVES from the new current version and retries, so no
+    concurrent commit is ever silently erased.
+
+    Scale note: like every log-structured format without deletion
+    vectors, MERGE rewrites the table's live rows; the at-scale shape
+    partitions the table and merges only touched partitions. The anti-
+    join side is the updates' key set — broadcastable for typical upsert
+    batches."""
+    from pyspark.sql import functions as F
+
+    if key not in updates.columns:
+        raise ValueError(f"updates is missing merge key column {key!r}")
+    last_err = None
+    for _ in range(max_retries):
+        versions = table_versions(path)
+        if not versions:
+            raise FileNotFoundError(f"no committed versions at {path}")
+        base = versions[-1]
+        cur = read_versioned(spark, path, version=base)
+        if set(cur.columns) != set(updates.columns):
+            raise ValueError(
+                "merge schema mismatch: updates columns "
+                f"{sorted(updates.columns)} vs table {sorted(cur.columns)}")
+        merged = cur.join(
+            F.broadcast(updates.select(key).distinct()), key, "left_anti"
+        ).unionByName(updates.select(*cur.columns))
+        try:
+            return write_versioned(
+                merged, path, mode="overwrite", expect_base=base,
+                meta={"merge_key": key},
+            )
+        except CommitConflict as exc:  # racing writer: re-derive, retry
+            last_err = exc
+            continue
+    raise last_err
+
+
+def delete_versioned(spark: SparkSession, path: str, predicate: str,
+                     max_retries: int = 3) -> int:
+    """Row-level DELETE: commit a new overwrite version holding every
+    current row NOT matching ``predicate`` (a SQL boolean expression over
+    the table's columns). Same CAS retry loop and change-feed contract as
+    merge_versioned; history keeps the deleted rows until vacuumed —
+    which is exactly the GDPR-deletion caveat real lakehouse formats
+    carry (vacuum past the retention window makes the delete physical)."""
+    last_err = None
+    for _ in range(max_retries):
+        versions = table_versions(path)
+        if not versions:
+            raise FileNotFoundError(f"no committed versions at {path}")
+        base = versions[-1]
+        cur = read_versioned(spark, path, version=base)
+        kept = cur.where(f"NOT ({predicate})")
+        try:
+            return write_versioned(
+                kept, path, mode="overwrite", expect_base=base,
+                meta={"deleted_where": predicate},
+            )
+        except CommitConflict as exc:
+            last_err = exc
+            continue
+    raise last_err
 
 
 def read_change_feed(spark: SparkSession, path: str, from_version: int,

@@ -1536,3 +1536,99 @@ def test_bloom_ragged_file_sizes(spark, tmp_path):
     # absent probes never crash (and usually prune both tiny files)
     assert (read_versioned(spark, path, point={"k": 777})
             .where(F.col("k") == 777).count()) == 0
+
+
+def test_merge_versioned_upserts_by_key(spark, tmp_path):
+    """MERGE semantics: matched keys are wholly replaced (both update
+    rows of a doubled key survive), unmatched keys insert, untouched rows
+    ride through; the pre-merge snapshot still time-travels, and the
+    change feed reports the rewrite as delete+insert."""
+    import pyspark.sql.functions as F
+
+    from covid_19_data_engineering_spark.sources.versioned import (
+        merge_versioned,
+        read_change_feed,
+        read_versioned,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "merged")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    v1 = write_versioned(base, path)
+    updates = spark.createDataFrame(
+        [(2, "B1"), (2, "B2"), (4, "d")], "k long, v string")
+    v2 = merge_versioned(spark, path, updates, key="k")
+
+    got = {(r["k"], r["v"]) for r in read_versioned(spark, path).collect()}
+    assert got == {(1, "a"), (3, "c"), (2, "B1"), (2, "B2"), (4, "d")}
+    # time travel still reaches the pre-merge snapshot
+    old = {(r["k"], r["v"])
+           for r in read_versioned(spark, path, version=v1).collect()}
+    assert old == {(1, "a"), (2, "b"), (3, "c")}
+    # change feed: the overwrite surfaces as delete(old snapshot) +
+    # insert(new snapshot)
+    feed = read_change_feed(spark, path, from_version=v1, to_version=v2)
+    kinds = {r["_change_type"] for r in feed.collect()}
+    assert kinds == {"insert", "delete"}
+
+    # schema / key guards
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        merge_versioned(spark, path,
+                        spark.createDataFrame([(1,)], "k long"), key="k")
+    with _pytest.raises(ValueError):
+        merge_versioned(spark, path, updates, key="missing")
+
+
+def test_delete_versioned_predicate_and_history(spark, tmp_path):
+    """DELETE removes exactly the matching rows from the new snapshot;
+    history retains them until vacuum (the documented GDPR caveat)."""
+    from covid_19_data_engineering_spark.sources.versioned import (
+        delete_versioned,
+        read_versioned,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "deleted")
+    v1 = write_versioned(
+        spark.createDataFrame([(i, i % 3) for i in range(30)],
+                              "k long, grp long"), path)
+    delete_versioned(spark, path, "grp = 1")
+    now = read_versioned(spark, path)
+    assert now.where("grp = 1").count() == 0
+    assert now.count() == 20
+    assert read_versioned(spark, path, version=v1).count() == 30
+
+
+def test_zorder_compaction_enables_two_dimensional_pruning(spark, tmp_path):
+    """compact_versioned(zorder=...) is OPTIMIZE ZORDER BY: after the
+    rewrite, a narrow range predicate on EITHER key column prunes most
+    files via the commit-recorded min/max stats, where the hash-shuffled
+    pre-compaction layout prunes nothing."""
+    import pyspark.sql.functions as F
+
+    from covid_19_data_engineering_spark.sources.versioned import (
+        compact_versioned,
+        read_versioned,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "zordered")
+    df = (
+        spark.range(8000)
+        .select((F.col("id") * 7919 % 8000).alias("a"),
+                (F.col("id") * 104729 % 8000).alias("b"))
+        .repartition(16)  # hash layout: every file spans both full ranges
+    )
+    write_versioned(df, path)
+    full = len(read_versioned(spark, path,
+                              prune={"a": (0, 200)}).inputFiles())
+    assert full == 16  # interleaved ranges: min/max prunes nothing
+    compact_versioned(spark, path, target_files=16, zorder=("a", "b"))
+    for col in ("a", "b"):
+        pruned = len(read_versioned(spark, path,
+                                    prune={col: (0, 200)}).inputFiles())
+        assert pruned <= 8, (col, pruned)
+    # content unchanged
+    assert read_versioned(spark, path).count() == 8000
