@@ -53,9 +53,15 @@ def poisson_bootstrap_means(df: DataFrame, group_col: str, id_col: str,
     deterministic Poisson(1) resampling. Values fold as exact cents;
     replicas whose total count drew zero (vanishing probability past
     tiny groups) drop out deterministically on both engines."""
+    from covid_19_data_engineering_spark.operators.vectors import _spread
+
     xc = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
-    base = df.where(F.col(value_col).isNotNull()).select(
-        F.col(group_col), F.col(id_col).alias("_rid"), xc.alias("xc"))
+    # _spread: the B-fold explode + per-(row, replica) md5 is the hot map
+    # and a local table is ONE parquet split — without the spread the
+    # whole 6.4M-md5 fan-out (sf0.1) runs in a single task (measured
+    # ~6s -> ~1.5s); no-ops at scale where the scan has many splits
+    base = _spread(df.where(F.col(value_col).isNotNull()).select(
+        F.col(group_col), F.col(id_col).alias("_rid"), xc.alias("xc")))
     drawn = base.withColumn(
         "b", F.explode(F.sequence(F.lit(1), F.lit(b))))
     u = (

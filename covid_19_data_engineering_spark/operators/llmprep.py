@@ -22,6 +22,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
 from covid_19_data_engineering_spark.operators.dedup import (
+    _spread,
     exact_text_collapse,
     minhash_agree_sql,
     minhash_agreement,
@@ -352,9 +353,14 @@ def boilerplate_profile(docs: DataFrame, k: int = _BOILER_K,
     join back is the same equi-key, and the final per-doc rollup shuffles on
     doc_id. Never a doc-doc self-join: cost is O(total distinct grams), not
     O(docs^2)."""
-    grams = docs.select(
+    # _spread + checkpoint: the per-row shingle explode is the CPU-dense
+    # map (split -> k-gram transform -> array_distinct) and a local corpus
+    # is ONE parquet split; both the DF aggregate and the join side read
+    # the gram table, so materialize it once (lazy — the first consumer's
+    # job pays it) instead of running the explode twice in one task
+    grams = _spread(docs).select(
         "doc_id", F.explode(_ngrams_distinct(F.col("text"), k)).alias("gram")
-    )
+    ).localCheckpoint(eager=False)
     gram_df = grams.groupBy("gram").agg(F.count("*").alias("df"))
     per_doc = (
         grams.join(gram_df, "gram")
@@ -847,10 +853,13 @@ def ngram_novelty_profile(docs: DataFrame, k: int = 5) -> DataFrame:
     identical on both engines) — never an average of per-doc doubles,
     whose summation order would be engine-dependent.
     """
-    dg = docs.select(
+    # same _spread + single-materialization rationale as
+    # boilerplate_profile above (dg feeds the first-seen aggregate AND
+    # the join-back)
+    dg = _spread(docs).select(
         "doc_id", "source",
         F.explode(_ngrams_distinct(F.col("text"), k)).alias("gram"),
-    )
+    ).localCheckpoint(eager=False)
     first = dg.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
     per_src = (
         dg.join(first, "gram")

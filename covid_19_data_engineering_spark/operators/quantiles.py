@@ -171,6 +171,12 @@ def mad_outlier_report(df: DataFrame, col: str, group: str,
     cents (round(|x - med| * 100) > z * round(mad * 100)) so Spark and
     the oracle decide identically with no float boundary.
     """
+    # (a _spread + checkpoint of the projection was tried here in
+    # round 11 and MEASURED SLOWER — 3.6s -> 6.3s at sf0.1: the repeated
+    # scans are cheap integer binning over a small file, and the
+    # repartition shuffle + cache materialization cost more than the
+    # single-task scans they replace. The fan-out rule only pays for
+    # CPU-dense maps like md5 pipelines.)
     med = float(exact_quantiles_histogram(
         df.select(col), col, (0.5,)).first()["value"])
     dev = df.select(F.abs(F.col(col) - F.lit(med)).alias("dev"))
