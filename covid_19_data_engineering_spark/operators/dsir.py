@@ -70,7 +70,12 @@ def doc_gram_buckets(docs: DataFrame, text_col: str = "text",
             ),
         ).otherwise(F.array().cast("array<string>")),
     )
-    return docs.select(
+    # _spread: the explode + per-gram md5 bucket is the CPU-dense map and
+    # a local corpus is one parquet split (single-task otherwise; no-op
+    # at scale) — the same starvation class fixed repo-wide in round 11
+    from covid_19_data_engineering_spark.operators.vectors import _spread
+
+    return _spread(docs).select(
         "doc_id", F.explode(grams).alias("g")
     ).select("doc_id", _bucket(F.col("g"), n_buckets).alias("b"))
 

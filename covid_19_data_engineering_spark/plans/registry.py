@@ -66,8 +66,9 @@ _LOADED = False
 # TPC-H battery among them), the 3 queries whose only driver rows were
 # r01/r02 errors on a since-fixed fixture-vintage loader, and this round's
 # new families (rotation rule: every family ships with a driver row the
-# round it lands). The 26 remaining never-sampled queries are scheduled as
-# the r12 cohort — see COVERAGE.md for the full ledger. Everything not
+# round it lands). The remaining never-sampled queries (plus the entries this
+# round's new families displaced) are scheduled as the r12 cohort —
+# COVERAGE.md keeps the authoritative ledger and count. Everything not
 # listed keeps its import order after the pinned head and is still checked
 # by tools/driver_gate.py over all entries.
 PRIORITY = (
