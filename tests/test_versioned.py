@@ -1632,3 +1632,61 @@ def test_zorder_compaction_enables_two_dimensional_pruning(spark, tmp_path):
         assert pruned <= 8, (col, pruned)
     # content unchanged
     assert read_versioned(spark, path).count() == 8000
+
+
+def test_merge_versioned_matches_dict_model_seeded(spark, tmp_path):
+    """Randomized (seeded) model check: MERGE against the obvious python
+    dict model — for single-row-per-key updates, merged table ==
+    {**base_by_key, **updates_by_key} — across three seeds of random
+    bases/updates with overlapping and fresh keys."""
+    import random
+
+    from covid_19_data_engineering_spark.sources.versioned import (
+        merge_versioned,
+        read_versioned,
+        write_versioned,
+    )
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        base = {k: rng.randint(0, 10**6) for k in rng.sample(range(50), 20)}
+        upd = {k: rng.randint(0, 10**6)
+               for k in rng.sample(range(60), 15)}  # overlaps + fresh keys
+        path = str(tmp_path / f"model_{seed}")
+        write_versioned(
+            spark.createDataFrame(list(base.items()), "k long, v long"),
+            path)
+        merge_versioned(
+            spark,
+            path,
+            spark.createDataFrame(list(upd.items()), "k long, v long"),
+            key="k",
+        )
+        got = {r["k"]: r["v"] for r in read_versioned(spark, path).collect()}
+        assert got == {**base, **upd}, seed
+
+
+def test_bloom_no_false_negatives_seeded(spark, tmp_path):
+    """Randomized (seeded) probe sweep: every committed key must survive
+    the point prune (no false negatives, the bloom contract's hard half),
+    across random key sets including negatives and large magnitudes."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from covid_19_data_engineering_spark.sources.versioned import (
+        read_versioned,
+        write_versioned,
+    )
+
+    rng = random.Random(1234)
+    keys = list({rng.randint(-10**9, 10**9) for _ in range(60)})
+    path = str(tmp_path / "fnsweep")
+    write_versioned(
+        spark.createDataFrame([(k,) for k in keys], "k long")
+        .repartition(6),
+        path, bloom_cols=["k"])
+    for probe in rng.sample(keys, 25):
+        n = (read_versioned(spark, path, point={"k": probe})
+             .where(F.col("k") == probe).count())
+        assert n == 1, probe
