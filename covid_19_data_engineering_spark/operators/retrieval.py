@@ -585,3 +585,121 @@ def tfidf_doc_neighbors(docs: DataFrame, n_anchors: int = TFIDF_N_ANCHORS,
 )
 def tfidf_doc_neighbors_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_doc_neighbors(load_table(spark, "documents", sf_dir))
+
+
+# --- MMR: maximal-marginal-relevance diverse retrieval -----------------------
+# Top-k by cosine returns near-duplicates of each other when the corpus
+# is redundant; MMR (Carbonell & Goldstein, SIGIR 1998) greedily picks
+# argmax of lambda*relevance - (1-lambda)*max_sim_to_already_selected —
+# the standard redundancy-aware selection for eval-set mining, few-shot
+# exemplar picking, and diverse negative sampling. lambda = 1/2 keeps
+# every arithmetic step an exact halving.
+#
+# Shape: K driver rounds (the fixed-iteration contract — BPE/PageRank
+# precedent, oracle replays every round CTE-for-CTE). Per round the
+# corpus-wide work is ONE map (cosine to the single newly selected
+# vector, broadcast as a literal) updating a running max, plus a
+# TakeOrderedAndProject argmax — no pairwise stage ever materializes;
+# at 100 TB each round is a scan, and K is the product knob.
+
+MMR_K = 10
+MMR_QUERY_ID = 0  # vec_id whose embedding plays the query
+
+
+def mmr_select(emb: DataFrame, query_vec: list, k: int = MMR_K) -> DataFrame:
+    """(rank, vec_id, relevance, mmr_score) — greedy MMR over
+    ``emb(vec_id, e)`` against ``query_vec``, lambda = 1/2, cosine scores
+    rounded to 6 (the similarity-family idiom both engines share)."""
+    from covid_19_data_engineering_spark.operators.vectors import cosine_sim
+
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    cands = emb.select(
+        "vec_id", "e",
+        F.round(cosine_sim(F.col("e"), qlit), 6).alias("rel"),
+    ).withColumn("runmax", F.lit(0.0)).localCheckpoint(eager=False)
+    picked_rows = []
+    for rank in range(1, k + 1):
+        score = F.round(
+            F.lit(0.5) * F.col("rel") - F.lit(0.5) * F.col("runmax"), 6)
+        top = (
+            cands.withColumn("mmr", score)
+            .orderBy(F.col("mmr").desc(), "vec_id")
+            .limit(1)
+            .collect()[0]
+        )
+        picked_rows.append(
+            (rank, top["vec_id"], top["rel"], top["mmr"]))
+        plit = F.array(*[F.lit(float(x)) for x in top["e"]])
+        cands = (
+            cands.where(F.col("vec_id") != top["vec_id"])
+            .withColumn(
+                "runmax",
+                F.greatest(
+                    F.col("runmax"),
+                    F.round(cosine_sim(F.col("e"), plit), 6),
+                ),
+            )
+            .localCheckpoint(eager=False)  # O(1) plan per round
+        )
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        picked_rows, "rank int, vec_id long, relevance double, "
+                     "mmr_score double")
+
+
+def _mmr_oracle_sql(k: int = MMR_K) -> str:
+    ctes = [f"""q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+      WHERE vec_id = {MMR_QUERY_ID}
+    ),
+    c0 AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                          (SELECT qe FROM q)), 6) AS rel,
+             CAST(0 AS DOUBLE) AS runmax
+      FROM embeddings WHERE vec_id != {MMR_QUERY_ID}
+    )"""]
+    for r in range(1, k + 1):
+        p = r - 1
+        ctes.append(f"""p{r} AS MATERIALIZED (
+      SELECT {r} AS rank, vec_id, e, rel,
+             ROUND(0.5 * rel - 0.5 * runmax, 6) AS mmr
+      FROM c{p}
+      ORDER BY ROUND(0.5 * rel - 0.5 * runmax, 6) DESC, vec_id LIMIT 1
+    )""")
+        if r < k:
+            ctes.append(f"""c{r} AS MATERIALIZED (
+      SELECT c.vec_id, c.e, c.rel,
+             GREATEST(c.runmax,
+                      ROUND(list_cosine_similarity(c.e,
+                            (SELECT e FROM p{r})), 6)) AS runmax
+      FROM c{p} c WHERE c.vec_id != (SELECT vec_id FROM p{r})
+    )""")
+    union = "\n      UNION ALL\n      ".join(
+        f"SELECT rank, vec_id, rel, mmr FROM p{r}" for r in range(1, k + 1))
+    return "\n    WITH " + ",\n    ".join(ctes) + f"""
+    SELECT CAST(rank AS INTEGER) AS rank, vec_id,
+           rel AS relevance, mmr AS mmr_score
+    FROM ({union}) ORDER BY rank
+    """
+
+
+@register(
+    "mmr_diverse_retrieval",
+    oracle=_mmr_oracle_sql(),
+    doc=f"Maximal-marginal-relevance selection (Carbonell & Goldstein "
+    f"1998): top-{MMR_K} diverse neighbors of vec_id {MMR_QUERY_ID}'s "
+    "embedding, greedy argmax of rel/2 - max_sim_to_selected/2 with "
+    "min-id ties — the redundancy-aware retrieval a plain cosine top-k "
+    "can't express (it returns near-duplicates of each other on a "
+    "redundant corpus). Fixed K driver rounds, each ONE corpus map "
+    "(cosine to the newly selected vector, broadcast literal) + a "
+    "TakeOrdered argmax — no pairwise stage; the oracle replays every "
+    "round CTE-for-CTE.",
+)
+def mmr_diverse_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").alias("e"))
+    qvec = [float(x) for x in
+            emb.where(F.col("vec_id") == MMR_QUERY_ID).collect()[0]["e"]]
+    return mmr_select(emb.where(F.col("vec_id") != MMR_QUERY_ID), qvec)

@@ -120,7 +120,6 @@ PRIORITY = (
     "events_value_anova",
     "customer_revenue_hill_tail",
     # graph debt
-    "copurchase_adamic_adar",
     "densest_copurchase_subgraph",
     # retrieval / matching debt
     "hybrid_rrf_retrieval",
@@ -137,6 +136,7 @@ PRIORITY = (
     "tokenizer_fertility_by_source",
     "copurchase_densification_curve",
     "events_click_attribution_streamed",
+    "mmr_diverse_retrieval",
 )
 
 def _reorder_registry() -> None:

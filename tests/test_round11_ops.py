@@ -277,3 +277,34 @@ def test_densification_curve_planted_two_months(spark):
     expect = math.floor((n * sxy - sx * sy) / (n * sxx - sx * sx)
                         * 1000000 + 0.5)
     assert all(r["alpha_1e6"] == expect for r in rows)
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    """Planted redundancy: two near-identical vectors A1/A2 both almost
+    parallel to the query, one orthogonal-ish vector B at moderate
+    relevance. Plain cosine top-2 returns {A1, A2}; MMR must pick A1
+    first (pure relevance) and then B — A2's marginal score collapses to
+    ~0 because its similarity to the already-selected A1 is ~1."""
+    from covid_19_data_engineering_spark.operators.retrieval import (
+        mmr_select,
+    )
+
+    def vec(x, y):
+        return [x, y] + [0.0] * 6
+
+    # A1/A2 sit ~26 degrees OFF the query (if the first pick were ~equal
+    # to the query itself, every candidate's marginal would collapse to
+    # rel - rel = 0 and the test would be vacuous); B mirrors them on the
+    # other side: same relevance, but only ~0.62 similarity to A1
+    q = vec(1.0, 0.0)
+    rows = [
+        (1, vec(0.9, 0.435)),    # A1: rel ~0.90 (tiny bit higher than A2)
+        (2, vec(0.9, 0.436)),    # A2: rel ~0.90, near-duplicate of A1
+        (3, vec(0.9, -0.436)),   # B: rel ~0.90, diverse (mirror side)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, e array<double>")
+    out = mmr_select(emb, q, k=3).collect()
+    assert [r["vec_id"] for r in out] == [1, 3, 2]
+    assert out[0]["rank"] == 1 and out[0]["relevance"] > 0.89
+    # the diverse pick beats the redundant one on marginal score
+    assert out[1]["mmr_score"] > out[2]["mmr_score"]
