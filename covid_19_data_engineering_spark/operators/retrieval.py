@@ -621,12 +621,15 @@ def mmr_select(emb: DataFrame, query_vec: list, k: int = MMR_K) -> DataFrame:
     for rank in range(1, k + 1):
         score = F.round(
             F.lit(0.5) * F.col("rel") - F.lit(0.5) * F.col("runmax"), 6)
-        top = (
+        rows = (
             cands.withColumn("mmr", score)
             .orderBy(F.col("mmr").desc(), "vec_id")
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not rows:
+            break  # corpus smaller than k: return the shorter selection
+        top = rows[0]
         picked_rows.append(
             (rank, top["vec_id"], top["rel"], top["mmr"]))
         plit = F.array(*[F.lit(float(x)) for x in top["e"]])
@@ -700,6 +703,10 @@ def _mmr_oracle_sql(k: int = MMR_K) -> str:
 def mmr_diverse_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", F.col("embedding").alias("e"))
-    qvec = [float(x) for x in
-            emb.where(F.col("vec_id") == MMR_QUERY_ID).collect()[0]["e"]]
+    qrows = emb.where(F.col("vec_id") == MMR_QUERY_ID).collect()
+    if not qrows:
+        raise ValueError(
+            f"mmr_diverse_retrieval: query vec_id {MMR_QUERY_ID} is absent "
+            f"from the embeddings table at {sf_dir!r}")
+    qvec = [float(x) for x in qrows[0]["e"]]
     return mmr_select(emb.where(F.col("vec_id") != MMR_QUERY_ID), qvec)

@@ -75,6 +75,7 @@ vertica_upload.py:209-230 — with no versioning or isolation).
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import time
@@ -224,6 +225,29 @@ def last_txn_epoch(path: str, app: str) -> int | None:
     return None
 
 
+def table_bloom_cols(path: str, version: int | None = None) -> list[str]:
+    """The table's Bloom-indexed columns as of ``version`` (default
+    current): the NEWEST commit carrying a ``bloom_cols`` key wins, with
+    log checkpoints answering for vacuumed-away history — O(interval)
+    reads. Returns [] for tables that never declared an index. This is
+    the table property the rewrite paths (merge/delete/compact) consult
+    so a Bloom-indexed table keeps point-lookup pruning across rewrites
+    instead of silently losing the index (round-11 ADVICE low)."""
+    if version is None:
+        version = current_version(path)
+    for v in range(version, 0, -1):
+        c = _read_commit_or_none(path, v)
+        if c is None:
+            break
+        if "bloom_cols" in c:
+            return list(c["bloom_cols"])
+        cp = _read_checkpoint(path, v)
+        if cp is not None and "bloom_cols" in cp:
+            # legacy checkpoints (pre-property) lack the key: keep walking
+            return list(cp["bloom_cols"])
+    return []
+
+
 def _file_column_stats(full_path: str) -> dict[str, list]:
     """Per-column [min, max] of one parquet file, read from its FOOTER —
     O(KB) metadata, never the data. Only scalar stats that survive JSON
@@ -276,22 +300,34 @@ _BLOOM_BITS_PER_KEY = 16
 _BLOOM_K = 4
 
 
+@functools.lru_cache(maxsize=1 << 16)
+def _bloom_hashes(value_str: str) -> tuple[int, ...]:
+    """The k m-independent 32-bit hash ints for one stringified value —
+    cached so a multi-key probe over many files pays the md5s once per
+    value, not once per (file, value)."""
+    import hashlib
+
+    return tuple(
+        int(hashlib.md5(f"{j}:{value_str}".encode()).hexdigest()[:8], 16)
+        for j in range(_BLOOM_K)
+    )
+
+
 def _bloom_positions_py(value, m: int) -> list[int]:
     """Driver-side probe positions — byte-identical to the build side's
     Spark expression md5(concat('{j}:', CAST(value AS STRING)))."""
-    import hashlib
-
-    return [
-        int(hashlib.md5(f"{j}:{value}".encode()).hexdigest()[:8], 16) % m
-        for j in range(_BLOOM_K)
-    ]
+    return [h % m for h in _bloom_hashes(str(value))]
 
 
 def _bloom_maybe_contains(entry: dict, value) -> bool:
     import base64
 
     m = entry["m"]
-    words = base64.b64decode(entry["b64"])
+    # decode once per entry: the packed bitmap is immutable, and a
+    # multi-key probe would otherwise re-decode it per value
+    words = entry.get("_bytes")
+    if words is None:
+        words = entry["_bytes"] = base64.b64decode(entry["b64"])
     for pos in _bloom_positions_py(value, m):
         byte, bit = pos // 8, pos % 8
         if not (words[byte] >> bit) & 1:
@@ -389,7 +425,8 @@ def _write_checkpoint(path: str, version: int) -> None:
     same version) is fine — the contents are identical by construction."""
     files, stats, bloom = _snapshot(path, version)
     record = {"version": version, "files": files, "stats": stats,
-              "bloom": bloom, "txns": _checkpoint_txns(path, version)}
+              "bloom": bloom, "txns": _checkpoint_txns(path, version),
+              "bloom_cols": table_bloom_cols(path, version)}
     tmp = os.path.join(_log_dir(path), f".tmpcp-{uuid.uuid4().hex}")
     with open(tmp, "w") as f:
         json.dump(record, f)
@@ -426,6 +463,14 @@ def _snapshot(path: str, version: int) -> tuple[list[str], dict, dict]:
             break
     files = base_files
     for c in reversed(chain):
+        # a "replace" commit (partition-pruned MERGE/DELETE) swaps a
+        # subset of the prior snapshot's files for rewritten ones; every
+        # other file is carried BY REFERENCE — the at-scale contract that
+        # makes a 10-row upsert cost O(touched files), not a table rewrite
+        removed = c.get("removed")
+        if removed:
+            rm = set(removed)
+            files = [f for f in files if f not in rm]
         files.extend(c["files"])
         stats.update(c.get("stats", {}))
         bloom.update(c.get("bloom", {}))
@@ -468,12 +513,30 @@ def _merge_schemas(base_json: str, new_json: str) -> str:
     return json.dumps(base | {"fields": merged})
 
 
+def _union_nullability(base_json: str, new_json: str) -> str | None:
+    """The two schemas' nullable-OR union when they agree on column
+    names, types, and order; None when they differ structurally. The
+    replace commit's schema check: a snapshot-derived rewrite may relax
+    NOT NULL (anti-join + union does), never change shape."""
+    base = json.loads(base_json)
+    new = json.loads(new_json)
+    if len(base["fields"]) != len(new["fields"]):
+        return None
+    merged = []
+    for bf, nf in zip(base["fields"], new["fields"]):
+        if bf["name"] != nf["name"] or bf["type"] != nf["type"]:
+            return None
+        merged.append(bf | {"nullable": bf["nullable"] or nf["nullable"]})
+    return json.dumps(base | {"fields": merged})
+
+
 def write_versioned(df: DataFrame, path: str, mode: str = "overwrite",
                     max_retries: int = 10,
                     expect_base: int | None = None,
                     meta: dict | None = None,
                     merge_schema: bool = False,
-                    bloom_cols: list[str] | None = None) -> int:
+                    bloom_cols: list[str] | None = None,
+                    remove_files: list[str] | None = None) -> int:
     """Commit ``df`` as the table's next version; returns the version.
 
     ``mode="overwrite"`` starts a new snapshot; ``mode="append"`` extends
@@ -493,9 +556,39 @@ def write_versioned(df: DataFrame, path: str, mode: str = "overwrite",
     TxnAlreadyApplied instead of committing, and the check is re-run
     inside every claim-loop iteration so racing same-writer replays
     serialize through the atomic version claim (no check-then-act
-    window, round-7 ADVICE low)."""
-    if mode not in ("overwrite", "append"):
+    window, round-7 ADVICE low).
+
+    ``mode="replace"`` is the file-level rewrite commit (the seam
+    partition-pruned MERGE/DELETE and targeted compaction commit
+    through): the new version's snapshot = prior snapshot minus
+    ``remove_files`` plus this commit's files — untouched files are
+    carried BY REFERENCE, never rewritten. It REQUIRES ``expect_base``
+    (the removal set is only meaningful against the exact snapshot it
+    was derived from — a racing commit invalidates it, so replace is
+    CAS-only) and every removed file must belong to that snapshot.
+
+    ``bloom_cols`` is recorded in the commit when passed, making it a
+    durable table property ``table_bloom_cols`` resolves — the rewrite
+    paths (merge/delete/compact) re-pass it so a Bloom-indexed table
+    keeps its point-lookup pruning across rewrites (round-11 ADVICE)."""
+    if mode not in ("overwrite", "append", "replace"):
         raise ValueError(f"unknown mode {mode!r}")
+    if mode == "replace":
+        if expect_base is None:
+            raise ValueError(
+                "mode='replace' requires expect_base: a file-removal set "
+                "is only valid against the snapshot it was derived from")
+        if remove_files is None:
+            raise ValueError("mode='replace' requires remove_files "
+                             "(may be empty for pure inserts)")
+        base_snapshot = set(_snapshot_files(path, expect_base))
+        stray = sorted(set(remove_files) - base_snapshot)
+        if stray:
+            raise ValueError(
+                f"replace removes files not in snapshot v{expect_base}: "
+                f"{stray[:5]}{'...' if len(stray) > 5 else ''}")
+    elif remove_files is not None:
+        raise ValueError("remove_files is only valid with mode='replace'")
     txn = (meta or {}).get("txn")
 
     def _replayed() -> bool:
@@ -556,7 +649,22 @@ def write_versioned(df: DataFrame, path: str, mode: str = "overwrite",
                 f"{path}: expected base version {expect_base}, found {base} "
                 "(a concurrent writer committed; re-derive and retry)")
         commit_schema = schema_json
-        if mode == "append" and base > 0:
+        if mode == "replace" and base > 0:
+            base_schema = _read_commit(path, base)["schema"]
+            if base_schema != schema_json:
+                # a rewrite derived from the snapshot legitimately loses
+                # NOT NULL markers (anti-join + union relaxes them);
+                # names/types/order must still match exactly, and the
+                # commit carries the nullable-OR union so carried files
+                # and rewritten files read under one schema
+                relaxed = _union_nullability(base_schema, schema_json)
+                if relaxed is None:
+                    raise ValueError(
+                        "replace schema mismatch: a replace commit must "
+                        "keep the table's column names, types, and order "
+                        "exactly (only nullability may relax)")
+                commit_schema = relaxed
+        elif mode == "append" and base > 0:
             base_schema = _read_commit(path, base)["schema"]
             if base_schema != schema_json:
                 if not merge_schema:
@@ -579,6 +687,13 @@ def write_versioned(df: DataFrame, path: str, mode: str = "overwrite",
             "ts": time.time(),
             "commit_id": commit_id,
         }
+        if mode == "replace" and base > 0:
+            record["removed"] = sorted(remove_files)
+        if bloom_cols is not None:
+            # durable table property: the newest commit carrying the key
+            # wins (table_bloom_cols), so rewrite paths can re-arm the
+            # index without the caller restating the columns
+            record["bloom_cols"] = sorted(bloom_cols)
         if meta:
             record.update(meta)
         tmp = os.path.join(_log_dir(path), f".tmp-{commit_id}-{version}")
@@ -604,16 +719,20 @@ def write_versioned(df: DataFrame, path: str, mode: str = "overwrite",
     raise CommitConflict(f"lost {max_retries} commit races on {path}")
 
 
+def _stats_comparable(a, b) -> bool:
+    """Two stat values safely order-comparable for pruning decisions."""
+    num = (int, float)
+    return (isinstance(a, num) and isinstance(b, num)) or (
+        isinstance(a, str) and isinstance(b, str))
+
+
 def _range_overlaps(stats: dict[str, list],
                     prune: dict[str, tuple]) -> bool:
     """True unless some pruned column's [min, max] provably misses its
     requested (lo, hi) range. Missing stats, missing columns, and
     type-incomparable bounds all KEEP the file — pruning is an
     optimization that may only ever skip files that cannot match."""
-    def comparable(a, b) -> bool:
-        num = (int, float)
-        return (isinstance(a, num) and isinstance(b, num)) or (
-            isinstance(a, str) and isinstance(b, str))
+    comparable = _stats_comparable
 
     for col, (lo, hi) in prune.items():
         rng = stats.get(col)
@@ -625,6 +744,41 @@ def _range_overlaps(stats: dict[str, list],
         if hi is not None and comparable(mn, hi) and mn > hi:
             return False
     return True
+
+
+def snapshot_pruned_files(path: str, version: int,
+                          prune: dict[str, tuple] | None = None,
+                          point: dict | None = None) -> list[str]:
+    """The data files (table-relative paths) a versioned read of
+    ``version`` plans over AFTER stats/Bloom skipping — the manifest-level
+    answer a plan gate asserts on ("this point lookup opened 2 of 64
+    files"). Same contract as ``read_versioned``: a kept file may hold no
+    matching rows (false positives read extra files), but every matching
+    row is in some kept file. ``point`` values may be a single value or a
+    list/tuple/set of values — a file survives if ANY probe value may be
+    present (the multi-key point-lookup a pruned MERGE does)."""
+    rel_files, stats, bloom = _snapshot(path, version)
+    if prune:
+        rel_files = [f for f in rel_files
+                     if _range_overlaps(stats.get(f, {}), prune)]
+    if point:
+        probes = {
+            col: vals if isinstance(vals, (list, tuple, set, frozenset))
+            else [vals]
+            for col, vals in point.items()
+        }
+        kept = []
+        for f in rel_files:
+            entries = bloom.get(f, {})
+            if all(
+                col not in entries
+                or any(_bloom_maybe_contains(entries[col], v)
+                       for v in vals)
+                for col, vals in probes.items()
+            ):
+                kept.append(f)
+        rel_files = kept
+    return rel_files
 
 
 def read_versioned(spark: SparkSession, path: str,
@@ -645,12 +799,13 @@ def read_versioned(spark: SparkSession, path: str,
     may carry non-matching rows too — callers still apply the real
     row-level filter, which Spark then pushes into the parquet scan).
 
-    ``point`` is the Bloom twin for EQUALITY probes {col: value}: files
-    whose commit-recorded Bloom filter (written via
-    ``write_versioned(bloom_cols=[...])``) provably lacks the value are
-    dropped; files without a filter for the column are kept (same
-    at-least-every-matching-row contract — false positives read extra
-    files, false negatives cannot happen for committed values)."""
+    ``point`` is the Bloom twin for EQUALITY probes {col: value} (or
+    {col: [v1, v2, ...]} for a multi-key lookup): files whose
+    commit-recorded Bloom filter (written via
+    ``write_versioned(bloom_cols=[...])``) provably lacks every probed
+    value are dropped; files without a filter for the column are kept
+    (same at-least-every-matching-row contract — false positives read
+    extra files, false negatives cannot happen for committed values)."""
     versions = table_versions(path)
     if not versions:
         raise FileNotFoundError(f"no committed versions at {path}")
@@ -664,21 +819,7 @@ def read_versioned(spark: SparkSession, path: str,
         version = versions[-1]
     if version not in versions:
         raise ValueError(f"version {version} not committed (have {versions})")
-    rel_files, stats, bloom = _snapshot(path, version)
-    if prune:
-        rel_files = [f for f in rel_files
-                     if _range_overlaps(stats.get(f, {}), prune)]
-    if point:
-        kept = []
-        for f in rel_files:
-            entries = bloom.get(f, {})
-            if all(
-                col not in entries
-                or _bloom_maybe_contains(entries[col], val)
-                for col, val in point.items()
-            ):
-                kept.append(f)
-        rel_files = kept
+    rel_files = snapshot_pruned_files(path, version, prune=prune, point=point)
     files = [os.path.join(path, f) for f in rel_files]
     from pyspark.sql.types import StructType
 
@@ -699,7 +840,9 @@ def read_versioned(spark: SparkSession, path: str,
 def table_history(path: str) -> list[dict]:
     """Commit metadata, newest first (version, action, ts, n_files)."""
     return [
-        {k: c[k] for k in ("version", "action", "ts")} | {"n_files": len(c["files"])}
+        {k: c[k] for k in ("version", "action", "ts")}
+        | {"n_files": len(c["files"]),
+           "n_removed": len(c.get("removed", []))}
         for v in reversed(table_versions(path))
         for c in [_read_commit(path, v)]
     ]
@@ -763,7 +906,8 @@ def vacuum_versioned(path: str, keep_versions: int = 2,
 
 def compact_versioned(spark: SparkSession, path: str,
                       target_files: int = 1,
-                      zorder: tuple[str, str] | None = None) -> int:
+                      zorder: tuple[str, str] | None = None,
+                      bloom_cols: list[str] | None = None) -> int:
     """Rewrite the CURRENT snapshot's (possibly many, small) data files
     into ``target_files`` files as a new overwrite version — the OPTIMIZE
     step an append-heavy table needs so reads stop paying per-file open
@@ -792,20 +936,41 @@ def compact_versioned(spark: SparkSession, path: str,
         out = zorder_repartition(df, zorder[0], zorder[1], target_files)
     else:
         out = df.coalesce(target_files)
+    # re-arm the table's Bloom index on the compacted files (round-11
+    # ADVICE low: OPTIMIZE previously dropped it silently)
+    cols = table_bloom_cols(path, base) if bloom_cols is None else bloom_cols
     return write_versioned(
         out, path, mode="overwrite",
         expect_base=base, meta={"compacted_from": base},
+        bloom_cols=cols or None,
     )
 
 
+# bloom-probing the updates' key set against every file's filter is
+# driver-side work (O(files x keys) bit tests after the per-key md5s are
+# cached); past this many distinct keys the merge skips the bloom pass
+# and relies on min/max range pruning alone — a batch that big is
+# rewriting much of the table anyway
+MERGE_BLOOM_PROBE_MAX_KEYS = 4096
+
+
 def merge_versioned(spark: SparkSession, path: str, updates: DataFrame,
-                    key: str, max_retries: int = 3) -> int:
+                    key: str, max_retries: int = 3,
+                    bloom_cols: list[str] | None = None) -> int:
     """Delta-style MERGE (whole-row upsert): every current row whose
     ``key`` appears in ``updates`` is REPLACED by the update row(s); keys
-    absent from the table INSERT. Commits as a new overwrite version, so
-    time travel still reaches the pre-merge snapshot and the change feed
-    reports the rewrite as delete+insert (the coarse-but-honest contract
-    read_change_feed documents for overwrites).
+    absent from the table INSERT. Commits as a FILE-PRUNED "replace"
+    version (round-11 verdict #2): the commit-recorded per-file [min,
+    max] stats and Bloom filters identify the files that can possibly
+    hold an update key; only those are rewritten (anti-join + union of
+    the update rows), and every other file is carried into the new
+    snapshot BY REFERENCE — a 10-row upsert on a 1000-file table
+    rewrites the 1-2 files the keys land in, byte-identical everywhere
+    else. Pruning has no false negatives for committed values, so no
+    matching row can hide in a carried file. Time travel still reaches
+    the pre-merge snapshot, and the change feed reports the touched
+    files' rows as delete + insert (scoped to files actually rewritten,
+    not the whole table).
 
     Concurrency: read-modify-write under compare-and-swap — the commit
     carries ``expect_base`` = the version the merge was derived from; a
@@ -813,33 +978,92 @@ def merge_versioned(spark: SparkSession, path: str, updates: DataFrame,
     the merge RE-DERIVES from the new current version and retries, so no
     concurrent commit is ever silently erased.
 
-    Scale note: like every log-structured format without deletion
-    vectors, MERGE rewrites the table's live rows; the at-scale shape
-    partitions the table and merges only touched partitions. The anti-
-    join side is the updates' key set — broadcastable for typical upsert
-    batches."""
+    ``bloom_cols`` defaults to the table's recorded property
+    (``table_bloom_cols``), so a Bloom-indexed table keeps point-lookup
+    pruning on the rewritten files instead of silently losing the index.
+
+    Scale note: the anti-join side is the updates' key set —
+    broadcastable for typical upsert batches; the rewrite cost is
+    O(touched files), and clustering the table on the merge key
+    (z-order compaction) is what keeps touched-file counts small."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    import bisect
 
     if key not in updates.columns:
         raise ValueError(f"updates is missing merge key column {key!r}")
+    # derived once — the updates frame does not change across CAS retries
+    krow = updates.agg(F.min(key).alias("lo"),
+                       F.max(key).alias("hi")).collect()[0]
+    key_lo, key_hi = krow["lo"], krow["hi"]
+    probe_keys: list | None = None
+    distinct_keys = (updates.select(key).where(F.col(key).isNotNull())
+                     .distinct())
+    sample = [r[0] for r in
+              distinct_keys.limit(MERGE_BLOOM_PROBE_MAX_KEYS + 1).collect()]
+    if len(sample) <= MERGE_BLOOM_PROBE_MAX_KEYS:
+        probe_keys = sample
+    # per-file range test probes INDIVIDUAL keys (bisect against the
+    # file's [min, max]) — the batch's global (lo, hi) interval spans
+    # nearly the whole table for scattered keys and would prune nothing
+    sorted_keys: list | None = None
+    if probe_keys is not None:
+        try:
+            sorted_keys = sorted(probe_keys)
+        except TypeError:  # mixed-type keys: fall back to interval test
+            sorted_keys = None
+
+    def _file_may_hold_a_key(stats_entry: dict) -> bool:
+        rng = stats_entry.get(key)
+        if rng is not None and sorted_keys is not None:
+            if not sorted_keys:
+                return False  # no non-null update keys exist
+            mn, mx = rng
+            if _stats_comparable(mn, sorted_keys[0]):
+                i = bisect.bisect_left(sorted_keys, mn)
+                return i < len(sorted_keys) and sorted_keys[i] <= mx
+        return _range_overlaps(stats_entry, {key: (key_lo, key_hi)})
     last_err = None
     for _ in range(max_retries):
         versions = table_versions(path)
         if not versions:
             raise FileNotFoundError(f"no committed versions at {path}")
         base = versions[-1]
-        cur = read_versioned(spark, path, version=base)
-        if set(cur.columns) != set(updates.columns):
+        commit = _read_commit(path, base)
+        schema = StructType.fromJson(json.loads(commit["schema"]))
+        table_cols = [f.name for f in schema.fields]
+        if set(table_cols) != set(updates.columns):
             raise ValueError(
                 "merge schema mismatch: updates columns "
-                f"{sorted(updates.columns)} vs table {sorted(cur.columns)}")
-        merged = cur.join(
-            F.broadcast(updates.select(key).distinct()), key, "left_anti"
-        ).unionByName(updates.select(*cur.columns))
+                f"{sorted(updates.columns)} vs table {sorted(table_cols)}")
+        all_files, stats, bloom = _snapshot(path, base)
+        touched: list[str] = []
+        for f in all_files:
+            if not _file_may_hold_a_key(stats.get(f, {})):
+                continue
+            entry = bloom.get(f, {}).get(key)
+            if (entry is not None and probe_keys is not None
+                    and not any(_bloom_maybe_contains(entry, v)
+                                for v in probe_keys)):
+                continue
+            touched.append(f)
+        if touched:
+            cur = spark.read.schema(schema).parquet(
+                *[os.path.join(path, f) for f in touched])
+            merged = cur.join(
+                F.broadcast(updates.select(key).distinct()), key, "left_anti"
+            ).unionByName(updates.select(*table_cols))
+        else:
+            merged = updates.select(*table_cols)
+        cols = table_bloom_cols(path, base) if bloom_cols is None \
+            else bloom_cols
         try:
             return write_versioned(
-                merged, path, mode="overwrite", expect_base=base,
-                meta={"merge_key": key},
+                merged, path, mode="replace", expect_base=base,
+                remove_files=touched, bloom_cols=cols or None,
+                meta={"merge_key": key,
+                      "files_carried": len(all_files) - len(touched)},
             )
         except CommitConflict as exc:  # racing writer: re-derive, retry
             last_err = exc
@@ -848,13 +1072,27 @@ def merge_versioned(spark: SparkSession, path: str, updates: DataFrame,
 
 
 def delete_versioned(spark: SparkSession, path: str, predicate: str,
-                     max_retries: int = 3) -> int:
-    """Row-level DELETE: commit a new overwrite version holding every
-    current row NOT matching ``predicate`` (a SQL boolean expression over
-    the table's columns). Same CAS retry loop and change-feed contract as
-    merge_versioned; history keeps the deleted rows until vacuumed —
-    which is exactly the GDPR-deletion caveat real lakehouse formats
-    carry (vacuum past the retention window makes the delete physical)."""
+                     max_retries: int = 3,
+                     bloom_cols: list[str] | None = None) -> int:
+    """Row-level DELETE: commit a new version holding every current row
+    whose ``predicate`` (a SQL boolean expression over the table's
+    columns) does NOT evaluate to TRUE. Standard SQL / Delta semantics:
+    rows where the predicate is NULL (e.g. a NULL column under ``v =
+    'x'``) SURVIVE — only provably-matching rows are removed (round-11
+    ADVICE medium; the previous ``NOT (pred)`` form silently deleted
+    NULL-evaluating rows).
+
+    File-pruned rewrite (round-11 verdict #2): one discovery scan finds
+    the files that actually CONTAIN a matching row (the predicate pushes
+    into the parquet scan, so footer stats skip row groups); only those
+    files are rewritten without their matching rows, and every other
+    file is carried into the new "replace" version BY REFERENCE. Same
+    CAS retry loop as merge_versioned; history keeps the deleted rows
+    until vacuumed — the GDPR-deletion caveat real lakehouse formats
+    carry (vacuum past the retention window makes the delete physical).
+    ``bloom_cols`` defaults to the table's recorded property so the
+    rewritten files keep their Bloom index."""
+    pred_true = f"coalesce(({predicate}), false)"
     last_err = None
     for _ in range(max_retries):
         versions = table_versions(path)
@@ -862,11 +1100,32 @@ def delete_versioned(spark: SparkSession, path: str, predicate: str,
             raise FileNotFoundError(f"no committed versions at {path}")
         base = versions[-1]
         cur = read_versioned(spark, path, version=base)
-        kept = cur.where(f"NOT ({predicate})")
+        touched_uris = {
+            os.path.abspath(r[0][7:] if r[0].startswith("file://") else r[0])
+            for r in cur.where(pred_true)
+            .select(F.input_file_name()).distinct().collect()
+        }
+        all_files, _, _ = _snapshot(path, base)
+        touched = [f for f in all_files
+                   if os.path.abspath(os.path.join(path, f)) in touched_uris]
+        if touched:
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(
+                json.loads(_read_commit(path, base)["schema"]))
+            kept = spark.read.schema(schema).parquet(
+                *[os.path.join(path, f) for f in touched]
+            ).where(f"NOT {pred_true}")
+        else:
+            kept = cur.limit(0)
+        cols = table_bloom_cols(path, base) if bloom_cols is None \
+            else bloom_cols
         try:
             return write_versioned(
-                kept, path, mode="overwrite", expect_base=base,
-                meta={"deleted_where": predicate},
+                kept, path, mode="replace", expect_base=base,
+                remove_files=touched, bloom_cols=cols or None,
+                meta={"deleted_where": predicate,
+                      "files_carried": len(all_files) - len(touched)},
             )
         except CommitConflict as exc:
             last_err = exc
@@ -886,6 +1145,10 @@ def read_change_feed(spark: SparkSession, path: str, from_version: int,
 
     - append commit: the commit's own files as 'insert' at v (file-local —
       never touches the rest of the snapshot);
+    - replace commit (file-pruned MERGE/DELETE): the REMOVED files' rows
+      as 'delete' at v plus the commit's own files as 'insert' at v —
+      cost proportional to the files actually rewritten, never the
+      carried-by-reference remainder;
     - overwrite commit: the PRIOR snapshot's rows as 'delete' at v plus
       the new snapshot's rows as 'insert' at v. Coarse but honest without
       a declared primary key; callers with a key can reconcile the pair
@@ -946,6 +1209,30 @@ def read_change_feed(spark: SparkSession, path: str, from_version: int,
         if "compacted_from" in c:
             continue
         if c["action"] == "append":
+            ins = _files_df(c["files"], v)
+            if ins is not None:
+                pieces.append(ins.select(
+                    "*", F.lit("insert").alias("_change_type"),
+                    F.lit(v).alias("_commit_version")))
+            continue
+        if c["action"] == "replace":
+            removed = c.get("removed", [])
+            # the removed files belong to snapshot v-1 only; once vacuum
+            # drops that version their bytes are gone and the delete half
+            # cannot be replayed (record-presence is vacuum's keep proxy)
+            if removed and (v - 1) not in vset:
+                raise ChangeFeedTruncated(
+                    f"{path}: replace at version {v} needs its removed "
+                    f"files from snapshot v{v - 1} for the delete half, "
+                    "but that version was vacuumed; fall back to a full "
+                    "recompute")
+            # replace requires exact schema match with its base, so
+            # version v's recorded schema reads both halves correctly
+            old = _files_df(removed, v)
+            if old is not None:
+                pieces.append(old.select(
+                    "*", F.lit("delete").alias("_change_type"),
+                    F.lit(v).alias("_commit_version")))
             ins = _files_df(c["files"], v)
             if ins is not None:
                 pieces.append(ins.select(

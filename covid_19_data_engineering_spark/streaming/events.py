@@ -99,7 +99,7 @@ def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_sessionization",
     oracle=f"""
     WITH marked AS (
-      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
              CASE WHEN epoch(CAST(ts AS TIMESTAMP))
                        - epoch(lag(CAST(ts AS TIMESTAMP)) OVER w) > 300
                   OR lag(ts) OVER w IS NULL
@@ -110,7 +110,8 @@ def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions AS (
       SELECT user_id, ts, value,
              -- CAST: windowed SUM(INT) is HUGEINT in DuckDB -> pandas float
-             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
                                          ROWS UNBOUNDED PRECEDING) AS BIGINT)
                AS session_no
       FROM marked
@@ -545,7 +546,8 @@ def events_tumbling_1h_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessions AS (
       SELECT user_id, ts,
-             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
                                          ROWS UNBOUNDED PRECEDING) AS BIGINT)
                AS session_no
       FROM marked
@@ -622,7 +624,7 @@ def session_duration_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exactly-300s pytest case). session_end is last event + gap.
     oracle="""
     WITH marked AS (
-      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
              CASE WHEN epoch(CAST(ts AS TIMESTAMP))
                        - epoch(lag(CAST(ts AS TIMESTAMP)) OVER w) > 300
                   OR lag(ts) OVER w IS NULL
@@ -632,7 +634,8 @@ def session_duration_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessions AS (
       SELECT user_id, ts, value,
-             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
                                          ROWS UNBOUNDED PRECEDING) AS BIGINT)
                AS session_no
       FROM marked
