@@ -339,7 +339,12 @@ def main() -> None:
     # the full record above can exceed the driver's captured stdout tail
     # (~4 KB) once 60+ per-query maps are included — r05/r06/r07 all lost
     # the headline "value" to truncation. Print a SHORT self-contained
-    # summary as the LAST line so the tail always carries the headline.
+    # summary as the LAST line so the tail always carries the headline —
+    # including the slowest-20 extras (round-11 verdict #6: the tail
+    # truncation hid every per-query wall before 's' alphabetically, so
+    # regressions in the slow extras were invisible to BENCH_r{N}).
+    slowest = dict(sorted(extra_timings.items(),
+                          key=lambda kv: kv[1], reverse=True)[:20])
     print(json.dumps({
         "metric": out["metric"],
         "value": out["value"],
@@ -348,6 +353,7 @@ def main() -> None:
         "passes": out["passes"],
         "extra_total": round(sum(extra_timings.values()), 3),
         "headline_isolated": headline_isolated,
+        "slowest_extras": slowest,
     }))
     spark.stop()
 

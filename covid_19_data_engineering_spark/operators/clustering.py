@@ -1002,14 +1002,18 @@ def _incremental_manifest_oracle_sql(snap=None, batch=None) -> str:
 
 
 @register(
-    "incremental_retention_manifest",
+    "incremental_retention_manifest_inquery",
     oracle=_incremental_manifest_oracle_sql(),
-    doc="Admission manifest for an arriving batch (doc_id >= 250) against "
-    "the frozen snapshot corpus: keep / drop_exact / drop_near_dup with "
-    "refs resolved through the snapshot's own manifest — cross-snapshot "
-    "band joins + batch-only clustering, the corpus never re-clusters "
-    "(incremental composition of cross_snapshot_dedup and "
-    "dedup_retention_manifest).",
+    doc="AUDIT TWIN of incremental_retention_manifest (round-11 verdict "
+    "#3 demoted it from the primary slot): admission manifest for an "
+    "arriving batch (doc_id >= 250) against the frozen snapshot corpus — "
+    "keep / drop_exact / drop_near_dup with refs resolved through the "
+    "snapshot's own manifest — where the snapshot working set (bands, "
+    "manifest, fingerprints) is DERIVED IN-QUERY every run. Its 6.5-8.6s "
+    "sf0.1 wall is driver-side AQE re-planning latency across the ~40-"
+    "exchange composite, not data volume; the primary registrant reads "
+    "the same working set from persisted state (what production pays "
+    "per batch) and this twin keeps the full derivation under the gate.",
 )
 def incremental_retention_manifest_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
@@ -1051,19 +1055,22 @@ _STORED_MOD, _STORED_REM = 20, 7
 
 
 @register(
-    "incremental_retention_manifest_stored",
+    "incremental_retention_manifest",
     oracle=_incremental_manifest_oracle_sql(
         snap=lambda c: f"{c} % {_STORED_MOD} != {_STORED_REM}",
         batch=lambda c: f"{c} % {_STORED_MOD} = {_STORED_REM}",
     ),
-    doc="Steady-state incremental admission (round-4 verdict #3): the "
-    "snapshot-side working set (band table, manifest, fingerprints) is "
-    "PERSISTED as parquet on first use and every subsequent run reads it "
-    "back — the bench then measures what production pays per batch: "
-    "O(batch) signature work + equi-joins against stored state, zero "
-    "snapshot recompute. Batch = doc_id % 20 == 7 (a 5% arrival against "
-    "the 95% frozen corpus); decisions follow the same oracle-replicated "
-    "semantics as incremental_retention_manifest.",
+    doc="PRIMARY incremental-admission registrant (round-11 verdict #3 "
+    "promoted the stored-state variant to this slot): the snapshot-side "
+    "working set (band table, manifest, fingerprints) is PERSISTED as "
+    "parquet on first use and every subsequent run reads it back — the "
+    "bench then measures what production pays per batch: O(batch) "
+    "signature work + equi-joins against stored state, zero snapshot "
+    "recompute. Batch = doc_id % 20 == 7 (a 5% arrival against the 95% "
+    "frozen corpus); decisions follow the same oracle-replicated "
+    "semantics as the in-query audit twin "
+    "(incremental_retention_manifest_inquery, which derives the working "
+    "set from scratch each run and stays under the gate).",
 )
 def incremental_retention_manifest_stored(spark: SparkSession,
                                           sf_dir: str) -> DataFrame:

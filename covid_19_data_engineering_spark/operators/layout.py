@@ -276,3 +276,102 @@ def bucketed_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucketed_priority_revenue(spark, sf_dir)
+
+
+# --- versioned point lookup: Bloom + z-order pruning under the gate ----------
+# The versioned format's file-skipping (commit-recorded min/max stats +
+# per-file Bloom filters over a z-ordered layout, sources/versioned.py)
+# was pytest-only until round 12; this query puts it inside the driver's
+# oracle gate. The deliverable is both the VALUES (must hash-match a
+# plain filter over the raw parquet) and the PLAN-LEVEL pruning: the
+# point read opens a strict subset of the snapshot's files, asserted
+# against the snapshot manifest by ensure_versioned_orders' pytest
+# (tests/test_round12_ops.py) and measured via snapshot_pruned_files.
+
+POINT_LOOKUP_FILES = 16
+_VTABLE_STATE_VERSION = "v1"
+
+
+def _versioned_orders_dir(sf_dir: str) -> str:
+    """Per-corpus cache location for the versioned orders table, keyed by
+    the source parquet's size+mtime fingerprint (a regenerated corpus at
+    the same path invalidates the cache) and a layout version (logic
+    bumps invalidate old caches instead of silently serving them)."""
+    import os
+    import re
+
+    slug = re.sub(r"[^A-Za-z0-9_.-]+", "_", sf_dir.strip("/"))
+    st = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    fp = f"{st.st_size}-{st.st_mtime_ns}"
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    return os.path.join(repo, ".state_cache", "versioned_orders",
+                        _VTABLE_STATE_VERSION, slug, fp)
+
+
+def ensure_versioned_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per corpus) the versioned orders table the point
+    lookup reads: hash-spread initial write with a Bloom index on
+    o_orderkey, then OPTIMIZE ZORDER BY (o_custkey, o_orderkey) — the
+    compaction re-arms the Bloom index on the rewritten files (the
+    table-property contract), and the z-order makes the per-file min/max
+    tight on both columns. Returns the table path."""
+    from covid_19_data_engineering_spark.sources.versioned import (
+        compact_versioned,
+        table_versions,
+        write_versioned,
+    )
+
+    path = _versioned_orders_dir(sf_dir)
+    versions = table_versions(path)
+    if not versions:
+        write_versioned(
+            load_table(spark, "orders", sf_dir)
+            .repartition(POINT_LOOKUP_FILES),
+            path, bloom_cols=["o_orderkey"])
+        versions = [1]
+    if len(versions) == 1:
+        # a crash between write and compact leaves v1 only; finishing
+        # the build here makes the cache self-healing
+        compact_versioned(spark, path, target_files=POINT_LOOKUP_FILES,
+                          zorder=("o_custkey", "o_orderkey"))
+    return path
+
+
+@register(
+    "versioned_pruned_point_lookup",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey % 9973 = 1
+    ORDER BY o_orderkey
+    """,
+    doc="Multi-key point lookup on the versioned z-ordered orders table "
+    "with file-level Bloom pruning under the oracle gate (round-11 "
+    "verdict #5): the probe keys (o_orderkey % 9973 = 1 — data-"
+    "independent rule, 1-16 keys across gate SFs) are resolved "
+    "driver-side, read_versioned(point=...) drops every file whose "
+    "commit-recorded Bloom filter provably lacks all of them BEFORE "
+    "Spark opens a single footer, and the row-level filter still "
+    "applies (kept files may carry non-matching rows). Values must "
+    "hash-match the plain filter over the raw parquet; the files-read "
+    "subset is pinned by pytest against the snapshot manifest.",
+)
+def versioned_pruned_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from covid_19_data_engineering_spark.sources.versioned import (
+        read_versioned,
+    )
+
+    path = ensure_versioned_orders(spark, sf_dir)
+    keys = [
+        int(r[0]) for r in
+        load_table(spark, "orders", sf_dir)
+        .where("o_orderkey % 9973 = 1")
+        .select("o_orderkey").collect()
+    ]
+    snap = read_versioned(spark, path, point={"o_orderkey": keys})
+    return (
+        snap.where(F.col("o_orderkey").isin(keys))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    )

@@ -26,7 +26,7 @@ table, which is what a production consumer pays per poll when nothing
 changed. State is cached under .state_cache keyed by a corpus
 fingerprint (size + mtime of orders.parquet AND lineitem.parquet — the
 join-view state derives from both), the same invalidation scheme as
-incremental_retention_manifest_stored.
+the stored-state incremental_retention_manifest.
 
 Exactness: prices are folded as fixed-point cents
 (FLOOR(o_totalprice * 100 + 0.5) as BIGINT — the engine-portable

@@ -72,71 +72,55 @@ _LOADED = False
 # listed keeps its import order after the pinned head and is still checked
 # by tools/driver_gate.py over all entries.
 PRIORITY = (
-    # --- never-green repair: the only 3 registry entries whose driver rows
-    # were r01/r02 errors (fixture-vintage loader, fixed since r02) -------
-    "events_value_histogram",
-    "user_funnel_view_click_purchase",
-    "events_ohlc_daily",
-    # --- r11 debt cohort: never driver-sampled, oldest first -------------
-    # the TPC-H battery (q2 already green r0x; q9/q21 and the scan shapes
-    # were sampled in earlier rounds)
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_parts",
-    "tpch_q12_priority_lines",
-    "tpch_q13_order_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_volume_customers",
-    "tpch_q19_disjunctive_predicates",
-    "tpch_q20_excess_share_suppliers",
-    "tpch_q22_acctbal_opportunity",
-    # verdict-named debt
-    "doc_repetition_profile",
-    "winsorized_price_mean",
-    "gopher_rule_gate",
-    "dup_span_scrub",
-    "cross_snapshot_dedup",
-    # ANN / embedding debt (one per index variant; int8/projected twins
-    # share machinery and move to the r12 cohort)
-    "ann_lsh_topk",
-    "ann_lsh_range_search",
-    "ivf_incremental_assign",
-    "embedding_class_separation",
-    # text / LLM-prep debt
-    "token_stats_by_source",
-    "lm_bigram_perplexity",
-    "token_budget_batches",
-    "stratified_hash_sample",
-    "source_cap_sample",
-    "multimodal_frame_sample",
-    # dedup / incremental debt
+    # --- r12 debt cohort: the FINAL 33 never-driver-sampled queries
+    # (COVERAGE.md's scheduled r12 ledger — every entry judge-verified
+    # green under the exact driver protocol in round 11). Shipping this
+    # head closes the external union at every registered query. ---------
+    "embedding_quantize_int8",
+    "ann_cosine_topk_int8",
+    "ann_range_search",
+    "ann_projected_topk",
+    "bigram_top20",
+    "top_terms_by_source",
+    "vocab_growth_curve",
+    "source_quality_scorecard",
+    "boilerplate_ngram_profile",
+    "dedup_retention_manifest",
+    "dedup_cluster_representatives",
+    "customer_snapshot_diff",
+    "events_value_bootstrap_ci",
+    "events_hll_overlap",
+    "events_error_burst",
+    "copurchase_triangles",
+    "bpe_vocab_tokens",
+    "retrieval_quality_eval",
+    "shuffle_skew_report",
+    "ab_conversion_ztest",
+    "training_shard_manifest",
+    "referential_integrity_report",
+    "events_burstiness",
+    "customer_interpurchase_gaps",
+    "udf_embedding_norms",
+    "grouped_map_source_zscore",
+    "events_sliding_1h_30m",
+    "events_dedup_by_key",
+    "events_tumbling_1h",
+    "sql_entry_orders_by_year",
+    "event_transition_matrix",
+    "fuzzy_part_name_matches",
+    "copurchase_adamic_adar",
+    # --- r12 new/renamed registrants (rotation rule: every family ships
+    # with a driver row the round it lands) ---
+    # the stored-state admission variant is now the PRIMARY registrant
+    # under this key (round-11 verdict #3) — new semantics, fresh row
     "incremental_retention_manifest",
-    # sketch / inference debt
-    "events_heavy_hitters_cms",
-    "events_value_anova",
-    "customer_revenue_hill_tail",
-    # graph debt
-    "densest_copurchase_subgraph",
-    # retrieval / matching debt
-    "hybrid_rrf_retrieval",
-    # --- r11 new families (rotation rule: every family ships with a
-    # driver row the round it lands) ---
-    "multimodal_real_jpeg_features",
-    "bucketed_colocated_join",
-    "copurchase_label_communities",
-    "k_anonymity_audit",
-    "orders_holt_winters_weekly",
-    "conformal_value_intervals",
-    "events_sessionization_streamed",
-    "join_size_estimate_cms",
-    "tokenizer_fertility_by_source",
-    "copurchase_densification_curve",
-    "events_click_attribution_streamed",
-    "mmr_diverse_retrieval",
+    # the derive-in-query audit twin, renamed from the old primary
+    "incremental_retention_manifest_inquery",
+    # deployment-shaped streaming sink: foreachBatch -> write_versioned
+    # append with (writer, epoch) txn markers, read back for the oracle
+    "events_ingest_versioned_sink",
+    # Bloom + z-order file pruning under the gate (manifest-level skip)
+    "versioned_pruned_point_lookup",
 )
 
 def _reorder_registry() -> None:

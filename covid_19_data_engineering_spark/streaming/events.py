@@ -756,3 +756,80 @@ def events_click_attribution_streamed(spark: SparkSession,
         )
         .orderBy("purchase_id", "click_id")
     )
+
+
+@register(
+    "events_ingest_versioned_sink",
+    oracle="""
+    SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+             AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+    doc="The DEPLOYMENT-SHAPED streaming sink under the oracle gate "
+    "(round-11 verdict #4): readStream file source -> foreachBatch -> "
+    "write_versioned append with a (writer, epoch) txn marker per "
+    "micro-batch (start_versioned_append_stream — exactly-once across "
+    "batch replays, CAS-committed), then the registered result is a "
+    "tumbling-1h rollup READ BACK FROM THE COMMITTED VERSIONED TABLE, "
+    "which must hash-match the batch oracle over the raw events. Unlike "
+    "the memory-sink streamed twins (gate harnesses), every row here "
+    "traveled through the production commit path: snapshot staging, "
+    "atomic version claim, txn idempotence guard. The crash-replay "
+    "pytest (tests/test_round12_ops.py) re-invokes the same epoch and "
+    "pins that no duplicate batch lands.",
+)
+def events_ingest_versioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from covid_19_data_engineering_spark.sources.versioned import (
+        read_versioned,
+        table_history,
+    )
+    from covid_19_data_engineering_spark.streaming.stateful import (
+        start_versioned_append_stream,
+    )
+
+    root = tempfile.mkdtemp(prefix="versioned_sink_")
+    tbl = os.path.join(root, "events_tbl")
+    ckpt = os.path.join(root, "ckpt")
+    try:
+        q = start_versioned_append_stream(
+            events_stream(spark, sf_dir, source="files"), tbl, ckpt,
+            writer_id="events_ingest_oracle")
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "versioned-sink drain did not finish within 300s; "
+                "refusing to read a partially-committed table")
+        if not table_history(tbl):
+            raise RuntimeError("versioned sink committed no versions")
+        committed = read_versioned(spark, tbl)
+        rows = (
+            committed
+            .groupBy(
+                F.date_trunc("hour", F.col("ts"))
+                .cast("timestamp_ntz").alias("window_start"),
+                "event_type",
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("total_value"))
+            .orderBy("window_start", "event_type")
+            .collect()
+        )
+    finally:
+        # the result is materialized above, so the temp table and
+        # checkpoint can go — repeated gate/bench invocations must not
+        # accumulate table copies in /tmp
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "window_start timestamp_ntz, event_type string, "
+        "n_events bigint, total_value double",
+    )

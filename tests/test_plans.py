@@ -495,7 +495,8 @@ def test_incremental_manifest_plan_posture(spark):
     """The incremental manifest's final plan is equi-joins over the
     checkpointed working sets — JVM-only (no Python eval anywhere) and the
     corpus parquet is never re-read by the decision assembly."""
-    df = REGISTRY["incremental_retention_manifest"].builder(spark, SF_SMOKE)
+    df = REGISTRY["incremental_retention_manifest_inquery"].builder(
+        spark, SF_SMOKE)
     plan = _executed_plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "ExistingRDD" in plan

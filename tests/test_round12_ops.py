@@ -293,3 +293,82 @@ def test_mmr_diverse_retrieval_missing_query_id_raises(spark, tmp_path):
         .parquet(os.path.join(sf_dir, "embeddings.parquet")))
     with pytest.raises(ValueError, match="vec_id 0 is absent"):
         mmr_diverse_retrieval(spark, sf_dir)
+
+
+def test_versioned_sink_crash_replay_no_duplicate_batch(spark, tmp_path):
+    """Round-11 verdict #4's crash half: a stream drains into the
+    versioned sink; then the WORST restart (checkpoint lost, epochs
+    restart at 0) replays every batch with the same writer_id — the
+    (writer, epoch) txn guard must swallow all of them, leaving row
+    count and version history unchanged."""
+    from covid_19_data_engineering_spark.sources.versioned import (
+        read_versioned,
+        table_versions,
+    )
+    from covid_19_data_engineering_spark.streaming.stateful import (
+        start_versioned_append_stream,
+    )
+
+    src = str(tmp_path / "src")
+    # two source files + maxFilesPerTrigger=1 -> two distinct epochs
+    for i in (0, 1):
+        (spark.range(i * 100, i * 100 + 100)
+         .select(F.col("id").alias("k"))
+         .coalesce(1).write.mode("append").parquet(src))
+    tbl = str(tmp_path / "tbl")
+
+    def drain(ckpt_name: str) -> None:
+        stream = (spark.readStream.schema("k long")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = start_versioned_append_stream(
+            stream, tbl, str(tmp_path / ckpt_name), writer_id="ingest-w")
+        assert q.awaitTermination(120), "drain timed out"
+
+    drain("ckpt1")
+    n1 = read_versioned(spark, tbl).count()
+    v1 = table_versions(tbl)
+    assert n1 == 200
+    assert len(v1) == 2  # one commit per micro-batch
+
+    # crash-replay: fresh checkpoint, same writer — every epoch replays
+    drain("ckpt2")
+    assert read_versioned(spark, tbl).count() == n1
+    assert table_versions(tbl) == v1
+
+
+def test_point_lookup_plan_gate_files_read(spark, tmp_path):
+    """The registered point-lookup's pruning contract against the
+    snapshot manifest: on a z-ordered Bloom-indexed table, a single-key
+    point read opens a strict subset of files (most are provably
+    key-free), and the kept set still contains the key's row."""
+    from covid_19_data_engineering_spark.sources.versioned import (
+        compact_versioned,
+        current_version,
+        _snapshot_files,
+        read_versioned,
+        snapshot_pruned_files,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "ptable")
+    df = (
+        spark.range(16_000)
+        .select((F.col("id") * 7919 % 16_000).alias("k"),
+                (F.col("id") * 104729 % 16_000).alias("c"))
+        .repartition(16)
+    )
+    write_versioned(df, path, bloom_cols=["k"])
+    compact_versioned(spark, path, target_files=16, zorder=("c", "k"))
+    v = current_version(path)
+    total = len(_snapshot_files(path, v))
+    assert total == 16
+    kept = snapshot_pruned_files(path, v, point={"k": 4242})
+    assert len(kept) < total
+    got = (read_versioned(spark, path, point={"k": 4242})
+           .where("k = 4242").count())
+    assert got == 1
+    # multi-key probe form: union of the per-key kept sets
+    kept3 = snapshot_pruned_files(
+        path, v, point={"k": [1, 4242, 15_999]})
+    assert set(kept) <= set(kept3)
+    assert len(kept3) < total

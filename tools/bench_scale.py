@@ -590,7 +590,9 @@ def main() -> None:
         "incremental_sum_aggregate", "incremental_minmax_aggregate",
         "incremental_distinct_aggregate", "incremental_join_view",
         "incremental_topk_view", "avro_roundtrip_events",
-        "incremental_retention_manifest_stored",
+        # the stored-state admission variant is the primary registrant
+        # since round 12 (round-11 verdict #3)
+        "incremental_retention_manifest",
     }
 
     only = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
