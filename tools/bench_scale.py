@@ -193,6 +193,13 @@ FAMILY = [
     # documents / embeddings — events and orders are not materialized)
     "copurchase_label_communities",
     "tokenizer_fertility_by_source",
+    # round-12 arrivals: the versioned-sink ingest (events-backed — the
+    # stream drains the scaled file and every batch pays the production
+    # commit path, so wall should track the scan) and the Bloom/z-order
+    # point lookup (orders-backed; the probe-key count grows with the
+    # corpus while per-key cost stays O(files) metadata + pruned scan)
+    "events_ingest_versioned_sink",
+    "versioned_pruned_point_lookup",
 ]
 
 ID_OFFSET = 1_000_000
@@ -593,6 +600,8 @@ def main() -> None:
         # the stored-state admission variant is the primary registrant
         # since round 12 (round-11 verdict #3)
         "incremental_retention_manifest",
+        # builds its z-ordered Bloom-indexed table on first corpus touch
+        "versioned_pruned_point_lookup",
     }
 
     only = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
