@@ -108,7 +108,10 @@ _LEGACY_EXTRA = [
     "gopher_rule_gate",
     # round-5 additions
     "dedup_embedding_cosine",
-    "incremental_retention_manifest_stored",
+    # renamed in round 12 (the stored-state variant became the primary
+    # incremental_retention_manifest; the old in-query primary became
+    # _inquery) — keep the slot so round-over-round ordering is stable
+    "incremental_retention_manifest_inquery",
     "semantic_dedup",
     "bpe_merge_induction",
     "bpe_vocab_tokens",

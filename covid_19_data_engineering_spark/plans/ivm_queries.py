@@ -385,3 +385,66 @@ def incremental_topk_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "rnk")
     )
+
+
+@register(
+    "orders_merge_change_feed",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(0 AS BIGINT) AS n_delta,
+           CAST(-2 * o_custkey AS BIGINT) AS custkey_delta
+    FROM orders
+    WHERE o_orderkey % 9973 = 1
+    ORDER BY o_orderkey
+    """,
+    doc="File-pruned MERGE + change-feed reconciliation under the oracle "
+    "gate (round 12): orders commits as a range-clustered versioned "
+    "table, a deterministic upsert (o_orderkey % 9973 = 1, o_custkey "
+    "negated) lands as a 'replace' commit that rewrites only the files "
+    "whose min/max can hold the keys, and read_change_feed(v1 -> v2) is "
+    "folded into per-key NET deltas (insert minus delete, signed sums). "
+    "Rewritten-but-unchanged rows cancel to zero and are filtered, "
+    "carried files never appear, so the net feed equals exactly the "
+    "updated keys with custkey_delta = -2 * o_custkey — a LAYOUT-"
+    "INDEPENDENT invariant DuckDB verifies from the raw table. This is "
+    "the CDC contract an incremental downstream consumer relies on, "
+    "now driven through the production merge path end-to-end.",
+)
+def orders_merge_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from covid_19_data_engineering_spark.sources.versioned import (
+        merge_versioned,
+        read_change_feed,
+    )
+
+    root = tempfile.mkdtemp(prefix="merge_feed_")
+    path = os.path.join(root, "orders_tbl")
+    try:
+        orders = load_table(spark, "orders", sf_dir)
+        v1 = write_versioned(
+            orders.repartitionByRange(16, "o_orderkey"), path)
+        updates = (
+            orders.where("o_orderkey % 9973 = 1")
+            .withColumn("o_custkey", -F.col("o_custkey"))
+        )
+        v2 = merge_versioned(spark, path, updates, key="o_orderkey")
+        feed = read_change_feed(spark, path, from_version=v1,
+                                to_version=v2)
+        sign = F.when(F.col("_change_type") == "insert",
+                      F.lit(1)).otherwise(F.lit(-1))
+        rows = (
+            feed.groupBy("o_orderkey")
+            .agg(
+                F.sum(sign).cast("long").alias("n_delta"),
+                F.sum(sign * F.col("o_custkey")).cast("long")
+                .alias("custkey_delta"),
+            )
+            .where((F.col("n_delta") != 0) | (F.col("custkey_delta") != 0))
+            .orderBy("o_orderkey")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "o_orderkey long, n_delta long, custkey_delta long")

@@ -121,6 +121,23 @@ PRIORITY = (
     "events_ingest_versioned_sink",
     # Bloom + z-order file pruning under the gate (manifest-level skip)
     "versioned_pruned_point_lookup",
+    # file-pruned MERGE + change-feed net-delta reconciliation
+    "orders_merge_change_feed",
+    # --- filler to the driver's 50-row sample boundary: already-green
+    # entries pinned EXPLICITLY so module import order can never evict a
+    # cohort member from the head (the covering-set pytest pins len==50)
+    "late_shipment_orders",
+    "inactive_f_customers",
+    "promo_revenue_share",
+    "shipping_priority_topk",
+    "nation_market_share",
+    "grouping_sets_status_priority",
+    "segment_intersect_all",
+    "array_funcs_battery",
+    "date_funcs_battery",
+    "regexp_battery",
+    "lag_lead_battery",
+    "events_value_histogram",
 )
 
 def _reorder_registry() -> None:

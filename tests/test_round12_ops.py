@@ -372,3 +372,39 @@ def test_point_lookup_plan_gate_files_read(spark, tmp_path):
         path, v, point={"k": [1, 4242, 15_999]})
     assert set(kept) <= set(kept3)
     assert len(kept3) < total
+
+
+def test_change_feed_replace_truncated_after_vacuum(
+        spark, tmp_path, monkeypatch):
+    """A replace commit's delete half needs its removed files (reachable
+    only from the PRIOR snapshot); once vacuum drops that version —
+    possible only past a log checkpoint, since replace/append commits
+    never anchor the kept range — the feed must raise
+    ChangeFeedTruncated instead of emitting a silent partial feed."""
+    from covid_19_data_engineering_spark.sources import versioned as V
+
+    monkeypatch.setattr(V, "CHECKPOINT_INTERVAL", 4)
+    path = str(tmp_path / "truncfeed")
+    V.write_versioned(
+        spark.createDataFrame([(i, i % 5) for i in range(100)],
+                              "k long, v long")
+        .repartitionByRange(5, "k"),
+        path)
+    for i in (2, 3):
+        V.write_versioned(
+            spark.createDataFrame([(1000 + i, 0)], "k long, v long"),
+            path, mode="append")
+    v4 = V.merge_versioned(  # lands at version 4 = the checkpoint slot
+        spark, path,
+        spark.createDataFrame([(7, -1)], "k long, v long"), key="k")
+    assert v4 == 4 and V._read_commit(path, 4)["action"] == "replace"
+    v5 = V.write_versioned(
+        spark.createDataFrame([(2000, 0)], "k long, v long"),
+        path, mode="append")
+    # anchor resolves to the v4 checkpoint: v1-v3 (and the files only
+    # they reference — including v4's removed set) are vacuumed
+    V.vacuum_versioned(path, keep_versions=1, retention_s=0.0)
+    assert V.table_versions(path) == [4, 5]
+    with pytest.raises(V.ChangeFeedTruncated):
+        V.read_change_feed(spark, path, from_version=3,
+                           to_version=v5).collect()
