@@ -1,0 +1,291 @@
+"""Product quantization (PQ) for approximate nearest neighbor search.
+
+Jegou, Douze & Schmid, "Product Quantization for Nearest Neighbor
+Search" (TPAMI 2011): split each d-dim vector into M subvectors, learn a
+small k-means codebook per subspace, store each vector as M small codes,
+and answer queries with ASYMMETRIC DISTANCE COMPUTATION (ADC) — one
+M x K table of exact query-to-centroid distances, then each corpus
+vector's approximate distance is M table lookups summed. This is the
+compression layer under billion-vector indexes (FAISS IVF-PQ): the
+corpus shrinks from d floats to M bytes per vector and the scan does no
+floating-point vector math at all.
+
+Engine mapping (everything deterministic, oracle-replayable):
+
+- codebooks reuse the deterministic Lloyd machinery from
+  operators/kmeans.py VERBATIM per 16-dim subspace (lowest-vec_id init,
+  exact left-fold squared-L2, fixed-point integer centroid update,
+  min-cid ties) — the same cross-engine determinism argument;
+- encoding + ADC run in ONE map-only projection: the M codebooks (each
+  centroid carrying its PRECOMPUTED query distance) broadcast as M
+  array-of-struct rows; per corpus vector, argmin per subspace yields
+  the code AND its table distance in the same expression — no
+  per-subspace join, no shuffle, one corpus scan;
+- the approximate distance d0+d1+d2+d3 sums in fixed subspace order
+  (left-associative in both engines), floored to 1e-9 integer units for
+  hash stability; the TRUE squared-L2 is emitted beside it so the
+  result doubles as a quantization-error audit;
+- top-k is orderBy+limit (TakeOrderedAndProject — never a global sort),
+  with rank attached on the k-row result.
+
+Scale shape: codebook training is M small (cid, pos)-keyed aggregates
+(<= K x SUBDIM groups, map-side combined); encoding/ADC is map-only
+against M broadcast codebooks, so a 100 TB corpus pays exactly one scan
+and no shuffle — the property that makes PQ the standard billion-scale
+layout. At deployment the codes persist as the index (M tinyint columns)
+and ADC reads codes only; here the encode+query run fused for the gate.
+
+No reference analogue (SURVEY §2 C-extensions; the similarity family's
+scale path beside IVF and LSH).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+
+from covid_19_data_engineering_spark.operators.kmeans import (
+    COORD_UNIT,
+    DIST_UNIT,
+    _assign,
+    _sqdist,
+)
+from covid_19_data_engineering_spark.plans.registry import register
+from covid_19_data_engineering_spark.sources.tables import load_table
+
+PQ_M = 4          # subspaces
+PQ_SUBDIM = 16    # dims per subspace (4 x 16 = the corpus's 64)
+PQ_K = 16         # centroids per subspace codebook
+PQ_QUERY_ID = 0   # vec_id whose embedding plays the query (MMR precedent)
+PQ_TOPK = 10
+
+
+def _sub_slice(col: Column, s: int) -> Column:
+    return F.slice(col, s * PQ_SUBDIM + 1, PQ_SUBDIM)
+
+
+def _codebook(corpus_sub: DataFrame, k: int = PQ_K) -> DataFrame:
+    """One-update Lloyd codebook over a 16-dim subspace — the exact
+    cent0 -> assign -> integer-exact update chain kmeans_assignments
+    runs, returning the UPDATED centroids (cid, c) for the ADC table."""
+    cent0 = (
+        corpus_sub.orderBy("vec_id").limit(k)
+        .select(F.col("vec_id").alias("cid"), F.col("e").alias("c"))
+    )
+    a1 = _assign(corpus_sub, cent0)
+    upd = (
+        a1.select("cid", F.posexplode("e").alias("pos", "val"))
+        .groupBy("cid", "pos")
+        .agg(
+            F.sum(F.floor(F.col("val") * COORD_UNIT)).alias("su"),
+            F.count("*").alias("cnt"),
+        )
+        .select(
+            "cid", "pos",
+            (F.col("su").cast("double") / F.col("cnt") / COORD_UNIT)
+            .alias("coord"),
+        )
+    )
+    return upd.groupBy("cid").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "coord"))),
+            lambda x: x["coord"],
+        ).alias("c")
+    )
+
+
+def pq_adc_topk(emb: DataFrame, query_vec: list,
+                k: int = PQ_TOPK) -> DataFrame:
+    """(rank, vec_id, approx_dist_units, true_dist_units) — PQ-ADC
+    top-k of ``emb(vec_id, embedding)`` against ``query_vec``, plus the
+    true squared-L2 in the same 1e-9 units as the audit column."""
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    q = [float(x) for x in query_vec]
+
+    tables = []
+    for s in range(PQ_M):
+        sub = corpus.select("vec_id", _sub_slice(F.col("e"), s).alias("e"))
+        cent1 = _codebook(sub)
+        qlit = F.array(*[F.lit(q[i]) for i in
+                         range(s * PQ_SUBDIM, (s + 1) * PQ_SUBDIM)])
+        # each centroid carries its query distance: the ADC table entry
+        tab = cent1.select(
+            "cid", "c", _sqdist(qlit, F.col("c")).alias("dq"))
+        tables.append(
+            tab.agg(F.collect_list(
+                F.struct("cid", "c", "dq")).alias(f"cs{s}")))
+
+    df = corpus
+    for s in range(PQ_M):
+        df = df.crossJoin(F.broadcast(tables[s]))
+
+    def best(s: int) -> Column:
+        # argmin over the subspace codebook: (dist-to-centroid, cid, dq)
+        # struct min gives the CODE and its table distance in one shot
+        return F.array_min(F.transform(
+            F.col(f"cs{s}"),
+            lambda c: F.struct(
+                _sqdist(_sub_slice(F.col("e"), s), c["c"]).alias("dist"),
+                c["cid"].alias("cid"),
+                c["dq"].alias("dq"),
+            ),
+        ))
+
+    qfull = F.array(*[F.lit(x) for x in q])
+    approx = sum((F.col(f"b{s}.dq") for s in range(1, PQ_M)),
+                 F.col("b0.dq"))  # d0+d1+d2+d3, fixed left-assoc order
+    scored = (
+        df.select("vec_id", "e",
+                  *[best(s).alias(f"b{s}") for s in range(PQ_M)])
+        .select(
+            "vec_id",
+            F.floor(approx * DIST_UNIT).cast("long")
+            .alias("approx_dist_units"),
+            F.floor(_sqdist(F.col("e"), qfull) * DIST_UNIT).cast("long")
+            .alias("true_dist_units"),
+        )
+        .orderBy("approx_dist_units", "vec_id")
+        .limit(k)
+    )
+    w = Window.orderBy("approx_dist_units", "vec_id")
+    # rank attaches on the k-row TakeOrdered result, never the corpus
+    return scored.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "vec_id", "approx_dist_units", "true_dist_units")
+
+
+def _pq_chain_sql(s: int) -> str:
+    """DuckDB CTE chain for subspace ``s``: slice -> cent0 -> a1 ->
+    integer-exact update -> cent1 + the per-centroid query-distance
+    table — the kmeans_cte_chain pattern at dim 16 with prefixed names."""
+    lo, hi = s * PQ_SUBDIM + 1, (s + 1) * PQ_SUBDIM
+
+    def sqd(v: str, c: str) -> str:
+        return (f"list_reduce(list_transform(range(1, {PQ_SUBDIM} + 1), "
+                f"i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])), "
+                "(a, b) -> a + b)")
+
+    return f"""s{s}_emb AS (
+      SELECT vec_id, list_slice(e, {lo}, {hi}) AS e FROM corpus
+    ),
+    s{s}_cent0 AS (
+      SELECT vec_id AS cid, e AS c FROM (
+        SELECT vec_id, e, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+        FROM s{s}_emb
+      ) WHERE rn <= {PQ_K}
+    ),
+    s{s}_a1 AS (
+      SELECT vec_id, e, cid FROM (
+        SELECT v.vec_id, v.e, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {sqd('v.e', 'c.c')}, c.cid) AS rn
+        FROM s{s}_emb v CROSS JOIN s{s}_cent0 c
+      ) WHERE rn = 1
+    ),
+    s{s}_upd AS (
+      SELECT cid, pos,
+             CAST(SUM(CAST(floor(val * {COORD_UNIT}) AS BIGINT)) AS BIGINT)
+               AS su,
+             COUNT(*) AS cnt
+      FROM (SELECT cid, unnest(range(1, {PQ_SUBDIM} + 1)) AS pos,
+                   unnest(e) AS val
+            FROM s{s}_a1)
+      GROUP BY cid, pos
+    ),
+    s{s}_cent1 AS (
+      SELECT cid,
+             list(CAST(su AS DOUBLE) / cnt / {COORD_UNIT} ORDER BY pos) AS c
+      FROM s{s}_upd GROUP BY cid
+    ),
+    s{s}_code AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {sqd('v.e', 'c.c')}, c.cid) AS rn
+        FROM s{s}_emb v CROSS JOIN s{s}_cent1 c
+      ) WHERE rn = 1
+    ),
+    s{s}_tab AS (
+      -- the query row CROSS JOINs in: DuckDB forbids subqueries inside
+      -- lambda expressions, so the query subvector must be a plain column
+      SELECT c.cid, {sqd('qv.qs', 'c.c')} AS dq
+      FROM s{s}_cent1 c CROSS JOIN q{s} qv
+    )"""
+
+
+def _pq_oracle_sql() -> str:
+    full_sqd = (f"list_reduce(list_transform(range(1, "
+                f"{PQ_M * PQ_SUBDIM} + 1), "
+                "i -> (v.e[i] - qf.qe[i]) * (v.e[i] - qf.qe[i])), "
+                "(a, b) -> a + b)")
+    chains = ",\n    ".join(_pq_chain_sql(s) for s in range(PQ_M))
+    qsubs = ",\n    ".join(
+        f"q{s} AS (SELECT list_slice(qe, {s * PQ_SUBDIM + 1}, "
+        f"{(s + 1) * PQ_SUBDIM}) AS qs FROM qfull)"
+        for s in range(PQ_M))
+    code_joins = "\n        ".join(
+        f"JOIN s{s}_code c{s} USING (vec_id) "
+        f"JOIN s{s}_tab t{s} ON t{s}.cid = c{s}.cid"
+        for s in range(PQ_M))
+    approx = " + ".join(f"t{s}.dq" for s in range(PQ_M))
+    return f"""
+    WITH qfull AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+      WHERE vec_id = {PQ_QUERY_ID}
+    ),
+    {qsubs},
+    corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      WHERE vec_id != {PQ_QUERY_ID}
+    ),
+    {chains},
+    scored AS (
+      SELECT v.vec_id,
+             CAST(floor(({approx}) * {DIST_UNIT}) AS BIGINT)
+               AS approx_dist_units,
+             CAST(floor(({full_sqd}) * {DIST_UNIT}) AS BIGINT)
+               AS true_dist_units
+      FROM corpus v CROSS JOIN qfull qf
+        {code_joins}
+    )
+    SELECT CAST(rank AS INTEGER) AS rank, vec_id,
+           approx_dist_units, true_dist_units
+    FROM (
+      SELECT vec_id, approx_dist_units, true_dist_units,
+             ROW_NUMBER() OVER (ORDER BY approx_dist_units, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= {PQ_TOPK}
+    ORDER BY rank
+    """
+
+
+@register(
+    "ann_pq_adc_topk",
+    oracle=_pq_oracle_sql(),
+    doc=f"Product-quantization ANN (Jegou et al. 2011): {PQ_M} subspaces "
+    f"x {PQ_SUBDIM} dims, a {PQ_K}-centroid deterministic Lloyd codebook "
+    "per subspace (lowest-id init, integer-exact update — the kmeans "
+    f"machinery verbatim), asymmetric-distance top-{PQ_TOPK} for vec_id "
+    f"{PQ_QUERY_ID}'s embedding with the TRUE squared-L2 beside the "
+    "table-lookup approximation (the quantization-error audit). Encoding "
+    "+ ADC is ONE map-only projection against the broadcast codebooks — "
+    "at 100 TB the corpus pays one scan, no shuffle, no per-vector "
+    "float math; the oracle replays every chain CTE-for-CTE. Honesty "
+    "note: on the UNSTRUCTURED synthetic corpus recall@10 vs exact L2 "
+    "is near zero (quantization error dominates when neighbor distances "
+    "are undifferentiated — the true_dist_units column shows it); the "
+    "planted-cluster pytest pins where ADC earns its keep: coarse "
+    "structure is preserved exactly (top-k all from the query's "
+    "cluster, the query's own cell attains the global minimum).",
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "embedding")
+    qrows = emb.where(F.col("vec_id") == PQ_QUERY_ID).collect()
+    if not qrows:
+        raise ValueError(
+            f"ann_pq_adc_topk: query vec_id {PQ_QUERY_ID} is absent "
+            f"from the embeddings table at {sf_dir!r}")
+    qvec = [float(x) for x in qrows[0]["embedding"]]
+    return pq_adc_topk(
+        emb.where(F.col("vec_id") != PQ_QUERY_ID), qvec).orderBy("rank")

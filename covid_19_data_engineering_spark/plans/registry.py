@@ -123,6 +123,8 @@ PRIORITY = (
     "versioned_pruned_point_lookup",
     # file-pruned MERGE + change-feed net-delta reconciliation
     "orders_merge_change_feed",
+    # product-quantization ANN (ADC top-k + quantization-error audit)
+    "ann_pq_adc_topk",
     # --- filler to the driver's 50-row sample boundary: already-green
     # entries pinned EXPLICITLY so module import order can never evict a
     # cohort member from the head (the covering-set pytest pins len==50)
@@ -137,7 +139,6 @@ PRIORITY = (
     "date_funcs_battery",
     "regexp_battery",
     "lag_lead_battery",
-    "events_value_histogram",
 )
 
 def _reorder_registry() -> None:
@@ -208,6 +209,7 @@ def _ensure_loaded() -> None:
     import covid_19_data_engineering_spark.operators.gram  # noqa: F401
     import covid_19_data_engineering_spark.operators.textrank  # noqa: F401
     import covid_19_data_engineering_spark.operators.nbayes  # noqa: F401
+    import covid_19_data_engineering_spark.operators.pq  # noqa: F401
     import covid_19_data_engineering_spark.functions.udfs  # noqa: F401
     import covid_19_data_engineering_spark.sources.avrofmt  # noqa: F401
     import covid_19_data_engineering_spark.streaming.events  # noqa: F401

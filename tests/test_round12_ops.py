@@ -408,3 +408,52 @@ def test_change_feed_replace_truncated_after_vacuum(
     with pytest.raises(V.ChangeFeedTruncated):
         V.read_change_feed(spark, path, from_version=3,
                            to_version=v5).collect()
+
+
+def test_pq_adc_recovers_planted_cluster_structure(spark):
+    """PQ's contract is preserving COARSE structure: on a corpus drawn
+    from well-separated cluster centers, ADC top-k must come from the
+    query's own cluster, and an exact copy of the query must rank 1
+    with true distance 0. (On the unstructured synthetic embeddings
+    recall@10 is near zero — quantization error dominates when true
+    neighbor distances are undifferentiated; that audit lives in the
+    true_dist_units column the query emits.)"""
+    import random
+
+    from covid_19_data_engineering_spark.operators.pq import pq_adc_topk
+
+    rng = random.Random(42)
+    dim, n_clusters, n = 64, 8, 200
+    centers = [[rng.choice((-4.0, 4.0)) for _ in range(dim)]
+               for _ in range(n_clusters)]
+    # clusters INTERLEAVE by id so the lowest-id codebook init covers
+    # every cluster (ids 1..16 hit all 8 centers twice)
+    rows = []
+    for vid in range(1, n + 1):
+        ci = (vid - 1) % n_clusters
+        rows.append(
+            (vid, ci, [x + rng.uniform(-0.3, 0.3) for x in centers[ci]]))
+    query = [x + rng.uniform(-0.3, 0.3) for x in centers[3]]
+    copy_id = n + 1
+    rows.append((copy_id, 3, [float(x) for x in query]))  # exact copy
+    emb = spark.createDataFrame(
+        [(v, e) for v, _, e in rows],
+        "vec_id long, embedding array<double>")
+    got = pq_adc_topk(emb, query, k=30).collect()
+    assert len(got) == 30
+    # coarse-structure recall: the top-10 all come from the query's
+    # cluster (25 same-cluster members exist)
+    cluster_of = {v: c for v, c, _ in rows}
+    assert all(cluster_of[r["vec_id"]] == 3 for r in got[:10]), \
+        [(r["vec_id"], cluster_of[r["vec_id"]]) for r in got[:10]]
+    # the exact copy shares the query's own quantization cell, so its
+    # ADC distance IS the global minimum (ADC cannot rank within a
+    # cell — ties go to lower vec_ids — but the cell itself must win)
+    by_id = {r["vec_id"]: r for r in got}
+    assert copy_id in by_id
+    assert by_id[copy_id]["true_dist_units"] == 0
+    assert by_id[copy_id]["approx_dist_units"] == \
+        got[0]["approx_dist_units"]
+    # approx distances are monotone with rank (the ADC ordering)
+    dists = [r["approx_dist_units"] for r in got]
+    assert dists == sorted(dists)
