@@ -381,7 +381,7 @@ def _build_bloom_index(spark, path: str, rel_files: list[str],
         m_df = spark.createDataFrame(
             [(f, m) for f, m in uri_m.items()], "_f string, _m long")
         probes = df.join(F.broadcast(m_df), "_f").select(
-            "_f",
+            "_f", "_m",
             F.explode(F.array(*[
                 (F.conv(F.substring(
                     F.md5(F.concat(F.lit(f"{j}:"), F.col("_v"))), 1, 8),
@@ -391,30 +391,50 @@ def _build_bloom_index(spark, path: str, rel_files: list[str],
         )
         words = (
             probes.select(
-                "_f",
+                "_f", "_m",
                 F.expr("pos div 64").alias("w"),
                 # shiftleft's python wrapper takes only a literal count —
                 # the SQL form accepts a column
                 F.expr("shiftleft(CAST(1 AS BIGINT), "
                        "CAST(pos % 64 AS INT))").alias("bit"),
             )
-            .groupBy("_f", "w")
+            .groupBy("_f", "_m", "w")
             .agg(F.expr("bit_or(bit)").alias("word"))
+        )
+
+        # pack each file's bitmap EXECUTOR-side and collect ONE row per
+        # file (the index payload itself) — collecting the raw (file,
+        # word) rows grows with total corpus bits and was the module's
+        # one data-proportional driver transfer
+        def _pack(pdf):
+            import pandas as pd
+
+            m = int(pdf["_m"].iloc[0])
+            got = {int(w): int(word)
+                   for w, word in zip(pdf["w"], pdf["word"])}
+            packed = b"".join(
+                (got.get(i, 0) & (2**64 - 1)).to_bytes(8, "little")
+                for i in range(m // 64)
+            )
+            return pd.DataFrame({
+                "_f": [pdf["_f"].iloc[0]],
+                "b64": [base64.b64encode(packed).decode()],
+            })
+
+        packed_rows = (
+            words.groupBy("_f", "_m")
+            .applyInPandas(_pack, "_f string, b64 string")
             .collect()
         )
-        by_file: dict[str, dict[int, int]] = {}
-        for r in words:
-            by_file.setdefault(norm(r["_f"]), {})[r["w"]] = r["word"]
+        b64_by_file = {norm(r["_f"]): r["b64"] for r in packed_rows}
         for fpath, m in m_by_file.items():
-            n_words = m // 64
-            packed = b"".join(
-                int(by_file.get(fpath, {}).get(i, 0) & (2**64 - 1))
-                .to_bytes(8, "little")
-                for i in range(n_words)
-            )
+            b64 = b64_by_file.get(fpath)
+            if b64 is None:
+                # no probe rows survived for this file (all-null column):
+                # an all-zero filter — every probe provably misses
+                b64 = base64.b64encode(bytes(m // 64 * 8)).decode()
             rel = full[fpath]
-            out.setdefault(rel, {})[col] = {
-                "m": m, "b64": base64.b64encode(packed).decode()}
+            out.setdefault(rel, {})[col] = {"m": m, "b64": b64}
     return out
 
 
