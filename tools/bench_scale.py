@@ -200,6 +200,12 @@ FAMILY = [
     # corpus while per-key cost stays O(files) metadata + pruned scan)
     "events_ingest_versioned_sink",
     "versioned_pruned_point_lookup",
+    # PQ-ADC (embeddings-backed): codebooks are fixed-size aggregates,
+    # encode+query is one map-only scan — wall should track the scan
+    "ann_pq_adc_topk",
+    # orders-backed: versioned write + pruned merge + scoped feed fold —
+    # wall should track the orders scan (the rewrite is O(touched files))
+    "orders_merge_change_feed",
 ]
 
 ID_OFFSET = 1_000_000
