@@ -125,6 +125,10 @@ PRIORITY = (
     "orders_merge_change_feed",
     # product-quantization ANN (ADC top-k + quantization-error audit)
     "ann_pq_adc_topk",
+    # tolerance-band repair (round-12 audit: the old purely-relative 2%
+    # flag was latently red at sf0.1) — fresh driver row for the new
+    # flag semantics
+    "hourly_active_users",
     # --- filler to the driver's 50-row sample boundary: already-green
     # entries pinned EXPLICITLY so module import order can never evict a
     # cohort member from the head (the covering-set pytest pins len==50)
@@ -138,7 +142,6 @@ PRIORITY = (
     "array_funcs_battery",
     "date_funcs_battery",
     "regexp_battery",
-    "lag_lead_battery",
 )
 
 def _reorder_registry() -> None:

@@ -457,3 +457,18 @@ def test_pq_adc_recovers_planted_cluster_structure(spark):
     # approx distances are monotone with rank (the ADC ordering)
     dists = [r["approx_dist_units"] for r in got]
     assert dists == sorted(dists)
+
+
+def test_hourly_active_users_flag_holds_at_every_sf(spark):
+    """Round-12 audit: the HLL-vs-exact flag was a purely RELATIVE 2%
+    band, which silently broke at sf0.1 (an off-by-3 on a ~120-user hour
+    is 2.5%) while the sf0.01-only driver gate stayed green. The band is
+    now |err| <= max(5, 2% of exact); pin it TRUE at ALL THREE gate SFs
+    so a future sketch change cannot re-introduce an off-SF red flag."""
+    from covid_19_data_engineering_spark.plans.registry import all_queries
+
+    q = all_queries()["hourly_active_users"]
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+               "/root/testdata/sf0.1"):
+        rows = q(spark, sf).collect()
+        assert rows and all(r["hll_within_tolerance"] for r in rows), sf
