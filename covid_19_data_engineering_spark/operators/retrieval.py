@@ -27,6 +27,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 
+from covid_19_data_engineering_spark.operators.vectors import fold_cosine_sql
 from covid_19_data_engineering_spark.plans.registry import register
 from covid_19_data_engineering_spark.sources.tables import load_table
 
@@ -185,8 +186,7 @@ def _rrf_oracle_sql() -> str:
     ),
     fscored AS (
       SELECT q.query_id, e.vec_id,
-             ROUND(list_cosine_similarity(CAST(q.q_embedding AS DOUBLE[]),
-                                          CAST(e.embedding AS DOUBLE[])), 6) AS cosine
+             ROUND({fold_cosine_sql('CAST(q.q_embedding AS DOUBLE[])', 'CAST(e.embedding AS DOUBLE[])')}, 6) AS cosine
       FROM embeddings e CROSS JOIN fqueries q
       WHERE e.vec_id != q.query_id
     ),
@@ -656,11 +656,14 @@ def _mmr_oracle_sql(k: int = MMR_K) -> str:
       WHERE vec_id = {MMR_QUERY_ID}
     ),
     c0 AS MATERIALIZED (
+      -- the query row CROSS JOINs in: DuckDB forbids subqueries inside
+      -- lambdas, and the explicit fold (vs list_cosine_similarity)
+      -- replays cosine_sim bit-identically (round-12 ULP sweep)
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
-             ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
-                                          (SELECT qe FROM q)), 6) AS rel,
+             ROUND({fold_cosine_sql("CAST(embedding AS DOUBLE[])",
+                                    "qr.qe")}, 6) AS rel,
              CAST(0 AS DOUBLE) AS runmax
-      FROM embeddings WHERE vec_id != {MMR_QUERY_ID}
+      FROM embeddings CROSS JOIN q qr WHERE vec_id != {MMR_QUERY_ID}
     )"""]
     for r in range(1, k + 1):
         p = r - 1
@@ -674,9 +677,8 @@ def _mmr_oracle_sql(k: int = MMR_K) -> str:
             ctes.append(f"""c{r} AS MATERIALIZED (
       SELECT c.vec_id, c.e, c.rel,
              GREATEST(c.runmax,
-                      ROUND(list_cosine_similarity(c.e,
-                            (SELECT e FROM p{r})), 6)) AS runmax
-      FROM c{p} c WHERE c.vec_id != (SELECT vec_id FROM p{r})
+                      ROUND({fold_cosine_sql("c.e", "pr.e")}, 6)) AS runmax
+      FROM c{p} c CROSS JOIN p{r} pr WHERE c.vec_id != pr.vec_id
     )""")
     union = "\n      UNION ALL\n      ".join(
         f"SELECT rank, vec_id, rel, mmr FROM p{r}" for r in range(1, k + 1))

@@ -105,7 +105,10 @@ from covid_19_data_engineering_spark.operators.kmeans import (
     kmeans_assignments,
     kmeans_cte_chain,
 )
-from covid_19_data_engineering_spark.operators.vectors import _planes_lit
+from covid_19_data_engineering_spark.operators.vectors import (
+    _planes_lit,
+    fold_cosine_sql,
+)
 from covid_19_data_engineering_spark.plans.registry import register
 from covid_19_data_engineering_spark.sources.tables import load_table
 
@@ -553,10 +556,10 @@ def _sem_tail_sql() -> str:
     ),
     pairs AS (
       SELECT b.vec_id AS vid, a.vec_id AS dom, a.rk AS rk_a,
-             ROUND(list_cosine_similarity(a.e, b.e), 4) AS cosine
+             ROUND({fold_cosine_sql('a.e', 'b.e')}, 4) AS cosine
       FROM ranked a JOIN ranked b
         ON a.cell = b.cell AND a.sub = b.sub AND a.rk < b.rk
-      WHERE ROUND(list_cosine_similarity(a.e, b.e), 4) >= {SEM_THRESHOLD}
+      WHERE ROUND({fold_cosine_sql('a.e', 'b.e')}, 4) >= {SEM_THRESHOLD}
     ),
     dom2 AS (
       SELECT vid,

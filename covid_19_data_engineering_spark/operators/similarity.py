@@ -21,6 +21,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from covid_19_data_engineering_spark.operators.vectors import (
+    fold_cosine_sql,
     DIM as _VEC_DIM,
     PLANES,
     cosine_sim,
@@ -71,8 +72,7 @@ def default_queries(corpus: DataFrame, n: int = N_QUERY_VECTORS) -> DataFrame:
     ),
     scored AS (
       SELECT q.query_id, e.vec_id,
-             ROUND(list_cosine_similarity(CAST(q.q_embedding AS DOUBLE[]),
-                                          CAST(e.embedding AS DOUBLE[])), 6) AS cosine
+             ROUND({fold_cosine_sql('CAST(q.q_embedding AS DOUBLE[])', 'CAST(e.embedding AS DOUBLE[])')}, 6) AS cosine
       FROM embeddings e CROSS JOIN queries q
       WHERE e.vec_id != q.query_id
     )
@@ -263,7 +263,7 @@ def _ivf_ctes() -> str:
     ),
     scored AS (
       SELECT cd.query_id, cd.vec_id,
-             ROUND(list_cosine_similarity(qe.e, ce.e), 6) AS cosine
+             ROUND({fold_cosine_sql('qe.e', 'ce.e')}, 6) AS cosine
       FROM cands cd
       JOIN emb qe ON qe.vec_id = cd.query_id
       JOIN emb ce ON ce.vec_id = cd.vec_id
@@ -317,7 +317,7 @@ def _lsh_topk_oracle_sql() -> str:
     ),
     scored AS (
       SELECT cd.query_id, cd.vec_id,
-             ROUND(list_cosine_similarity(qe.e, ce.e), 6) AS cosine
+             ROUND({fold_cosine_sql('qe.e', 'ce.e')}, 6) AS cosine
       FROM cands cd
       JOIN emb qe ON qe.vec_id = cd.query_id
       JOIN emb ce ON ce.vec_id = cd.vec_id
@@ -579,12 +579,10 @@ def range_search(corpus: DataFrame, queries: DataFrame,
       FROM embeddings ORDER BY vec_id LIMIT {N_QUERY_VECTORS}
     )
     SELECT q.query_id, e.vec_id,
-           ROUND(list_cosine_similarity(CAST(q.q_embedding AS DOUBLE[]),
-                                        CAST(e.embedding AS DOUBLE[])), 6) AS cosine
+           ROUND({fold_cosine_sql('CAST(q.q_embedding AS DOUBLE[])', 'CAST(e.embedding AS DOUBLE[])')}, 6) AS cosine
     FROM embeddings e CROSS JOIN queries q
     WHERE e.vec_id != q.query_id
-      AND ROUND(list_cosine_similarity(CAST(q.q_embedding AS DOUBLE[]),
-                                       CAST(e.embedding AS DOUBLE[])), 6)
+      AND ROUND({fold_cosine_sql('CAST(q.q_embedding AS DOUBLE[])', 'CAST(e.embedding AS DOUBLE[])')}, 6)
           >= {RANGE_THRESHOLD}
     ORDER BY query_id, cosine DESC, vec_id
     """,
@@ -761,11 +759,11 @@ def _lsh_range_oracle_sql() -> str:
       WHERE c.vec_id != qb.query_id
     )
     SELECT cd.query_id, cd.vec_id,
-           ROUND(list_cosine_similarity(qe.e, ce.e), 6) AS cosine
+           ROUND({fold_cosine_sql('qe.e', 'ce.e')}, 6) AS cosine
     FROM cands cd
     JOIN emb qe ON qe.vec_id = cd.query_id
     JOIN emb ce ON ce.vec_id = cd.vec_id
-    WHERE ROUND(list_cosine_similarity(qe.e, ce.e), 6) >= {RANGE_THRESHOLD}
+    WHERE ROUND({fold_cosine_sql('qe.e', 'ce.e')}, 6) >= {RANGE_THRESHOLD}
     ORDER BY cd.query_id, cosine DESC, cd.vec_id
     """
 
@@ -956,17 +954,9 @@ def projected_topk(corpus: DataFrame, queries: DataFrame, k: int = TOP_K,
 
 
 def _fold_cos_sql(a: str, b: str, dim: int) -> str:
-    """Cosine as the engine's EXACT fold arithmetic: left-fold dot and
-    norms, then dot / (na * nb) — bit-identical to cosine_sim before
-    rounding, where DuckDB's list_cosine_similarity can differ by an ULP
-    and flip a ROUND(x, 6) boundary (observed at sf0.1)."""
-    dot = (f"list_reduce(list_transform(range(1, {dim} + 1), "
-           f"i -> {a}[i] * {b}[i]), (x, y) -> x + y)")
-    na = (f"sqrt(list_reduce(list_transform(range(1, {dim} + 1), "
-          f"i -> {a}[i] * {a}[i]), (x, y) -> x + y))")
-    nb = (f"sqrt(list_reduce(list_transform(range(1, {dim} + 1), "
-          f"i -> {b}[i] * {b}[i]), (x, y) -> x + y))")
-    return f"({dot} / ({na} * {nb}))"
+    """Back-compat alias of vectors.fold_cosine_sql (the canonical
+    bit-identical cosine replay — see its docstring)."""
+    return fold_cosine_sql(a, b, dim)
 
 
 def _projected_topk_oracle_sql() -> str:
@@ -1433,7 +1423,7 @@ def _ivf_recall_oracle_sql() -> str:
         SELECT q.query_id, ce.vec_id,
                ROW_NUMBER() OVER (
                  PARTITION BY q.query_id
-                 ORDER BY ROUND(list_cosine_similarity(q.qe, ce.e), 6)
+                 ORDER BY ROUND({fold_cosine_sql('q.qe', 'ce.e')}, 6)
                             DESC, ce.vec_id) AS rank
         FROM emb ce CROSS JOIN qs q
         WHERE ce.vec_id != q.query_id

@@ -39,13 +39,39 @@ def _spread(df: DataFrame) -> DataFrame:
 
 
 def cosine_sim(a: Column, b: Column) -> Column:
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+    """Cosine as an explicit left-fold over DOUBLE elements in index
+    order — the one arithmetic both engines can replay bit-identically.
+    Inputs are cast to array<double> FIRST (round-12 sweep finding: a
+    float x float Spark multiply ran in FLOAT before the cast while the
+    DuckDB oracle multiplied the exactly-widened doubles, and the ULP
+    difference flipped a ROUND(x, 6) boundary row at sf0.1 — the oracle
+    twin of this expression is ``fold_cosine_sql``)."""
+    a = a.cast("array<double>")
+    b = b.cast("array<double>")
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                       F.lit(0.0), lambda acc, v: acc + v)
-    na = F.sqrt(F.aggregate(F.transform(a, lambda x: (x * x).cast("double")),
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
                             F.lit(0.0), lambda acc, v: acc + v))
-    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: (x * x).cast("double")),
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x),
                             F.lit(0.0), lambda acc, v: acc + v))
     return dot / (na * nb)
+
+
+def fold_cosine_sql(a: str, b: str, dim: int = 64) -> str:
+    """DuckDB expression replaying ``cosine_sim`` bit-identically:
+    left-fold dot and norms over DOUBLE elements in index order
+    (list_reduce with no init == 0.0 + x exactly), then dot / (na * nb).
+    DuckDB's builtin list_cosine_similarity folds in a different
+    association order and can differ by an ULP — enough to flip a
+    ROUND(x, 6) boundary (observed: one row at sf0.1 and one at
+    sf0.001 across the ANN family in the round-12 three-SF sweep)."""
+    dot = (f"list_reduce(list_transform(range(1, {dim} + 1), "
+           f"i -> {a}[i] * {b}[i]), (x, y) -> x + y)")
+    na = (f"sqrt(list_reduce(list_transform(range(1, {dim} + 1), "
+          f"i -> {a}[i] * {a}[i]), (x, y) -> x + y))")
+    nb = (f"sqrt(list_reduce(list_transform(range(1, {dim} + 1), "
+          f"i -> {b}[i] * {b}[i]), (x, y) -> x + y))")
+    return f"({dot} / ({na} * {nb}))"
 
 
 # Default 16 tables x 4 bits: per-table collision prob for angle θ is

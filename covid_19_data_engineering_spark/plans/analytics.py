@@ -161,12 +161,19 @@ def monthly_order_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
                  * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy
       FROM lineitem
     )
+    -- CAST AS DOUBLE, never "* 1.0": a bare 1.0 is DECIMAL in DuckDB, so
+    -- sy * 1.0 * sy ran the multiply in DECIMAL(38) — which OVERFLOWS at
+    -- sf0.1's magnitudes (syy ~ 3e25) where smaller SFs squeaked through
+    -- (round-12 three-SF sweep finding); Spark's 1.0 is DOUBLE, so the
+    -- double tree below is what the Spark side always computed
     SELECT n,
-           ROUND((sx * 1.0) / n, 4) AS mean_qty,
-           ROUND(SQRT((sxx - (sx * 1.0) * sx / n) / (n - 1)), 4) AS stddev_qty,
-           ROUND((n * (sxy * 1.0) - (sx * 1.0) * sy)
-                 / SQRT((n * (sxx * 1.0) - (sx * 1.0) * sx)
-                        * (n * (syy * 1.0) - (sy * 1.0) * sy)), 6) AS corr_qty_price
+           ROUND(CAST(sx AS DOUBLE) / n, 4) AS mean_qty,
+           ROUND(SQRT((sxx - CAST(sx AS DOUBLE) * sx / n) / (n - 1)), 4)
+             AS stddev_qty,
+           ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                 / SQRT((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                        * (n * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * sy)), 6) AS corr_qty_price
     FROM s
     """,
     doc="Mean / stddev / correlation from exact integer sums (deterministic "
