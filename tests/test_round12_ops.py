@@ -472,3 +472,57 @@ def test_hourly_active_users_flag_holds_at_every_sf(spark):
                "/root/testdata/sf0.1"):
         rows = q(spark, sf).collect()
         assert rows and all(r["hll_within_tolerance"] for r in rows), sf
+
+
+def test_versioned_mutation_sequence_matches_dict_model(spark, tmp_path):
+    """Stateful model check over the REPLACE machinery's composition:
+    random interleavings of MERGE / DELETE / append / OPTIMIZE applied
+    to both the table and the obvious python dict model, verified after
+    every step — pruned rewrites must compose exactly like full
+    rewrites did (seeded, deterministic)."""
+    import random
+
+    from covid_19_data_engineering_spark.sources.versioned import (
+        compact_versioned,
+    )
+
+    def snapshot(path) -> dict:
+        return {r["k"]: r["v"]
+                for r in read_versioned(spark, path).collect()}
+
+    for seed in (11, 37):
+        rng = random.Random(seed)
+        model = {k: rng.randint(0, 99) for k in range(40)}
+        path = str(tmp_path / f"seq_{seed}")
+        write_versioned(
+            spark.createDataFrame(list(model.items()), "k long, v long")
+            .repartitionByRange(8, "k"),
+            path, bloom_cols=["k"])
+        fresh_key = 1000
+        for step in range(6):
+            op = rng.choice(("merge", "delete", "append", "compact"))
+            if op == "merge":
+                upd = {k: rng.randint(0, 99)
+                       for k in rng.sample(sorted(model), 3)}
+                upd[fresh_key] = rng.randint(0, 99)  # one insert
+                fresh_key += 1
+                merge_versioned(
+                    spark, path,
+                    spark.createDataFrame(list(upd.items()),
+                                          "k long, v long"), key="k")
+                model.update(upd)
+            elif op == "delete":
+                r = rng.randrange(5)
+                delete_versioned(spark, path, f"v % 5 = {r}")
+                model = {k: v for k, v in model.items() if v % 5 != r}
+            elif op == "append":
+                rows = {fresh_key + i: rng.randint(0, 99) for i in range(4)}
+                fresh_key += 10
+                write_versioned(
+                    spark.createDataFrame(list(rows.items()),
+                                          "k long, v long"),
+                    path, mode="append")
+                model.update(rows)
+            else:
+                compact_versioned(spark, path, target_files=4)
+            assert snapshot(path) == model, (seed, step, op)
