@@ -13,27 +13,42 @@ floating-point vector math at all.
 Engine mapping (everything deterministic, oracle-replayable):
 
 - codebooks reuse the deterministic Lloyd machinery from
-  operators/kmeans.py VERBATIM per 16-dim subspace (lowest-vec_id init,
-  exact left-fold squared-L2, fixed-point integer centroid update,
-  min-cid ties) — the same cross-engine determinism argument;
+  operators/kmeans.py VERBATIM per subspace (lowest-vec_id init, exact
+  left-fold squared-L2, fixed-point integer centroid update, min-cid
+  ties) — the same cross-engine determinism argument;
 - encoding + ADC run in ONE map-only projection: the M codebooks (each
   centroid carrying its PRECOMPUTED query distance) broadcast as M
   array-of-struct rows; per corpus vector, argmin per subspace yields
   the code AND its table distance in the same expression — no
   per-subspace join, no shuffle, one corpus scan;
-- the approximate distance d0+d1+d2+d3 sums in fixed subspace order
-  (left-associative in both engines), floored to 1e-9 integer units for
-  hash stability; the TRUE squared-L2 is emitted beside it so the
-  result doubles as a quantization-error audit;
+- the approximate distance d0+d1+...+d(M-1) sums in fixed subspace
+  order (left-associative in both engines), floored to 1e-9 integer
+  units for hash stability; ``ann_pq_adc_topk`` emits the TRUE
+  squared-L2 beside it as a quantization-error audit;
 - top-k is orderBy+limit (TakeOrderedAndProject — never a global sort),
   with rank attached on the k-row result.
 
+Two registered operators share the machinery:
+
+- ``ann_pq_adc_topk`` — raw ADC ranking (M=4 x 16 dims, K=16), the
+  audit operator. On the unstructured synthetic corpus its top-10 is
+  mostly quantization noise (documented; the planted-cluster pytest
+  pins where coarse ADC structure IS preserved).
+- ``ann_pq_rerank_topk`` — the production query path (round-12 verdict
+  #1; Jegou et al. §IV-B): ADC selects a SHORTLIST of 10x k candidates
+  map-only, then the exact squared-L2 re-ranks only those rows. A finer
+  quantizer (M=16 x 4 dims, K=64 — still M bytes/vector at log2(K)<=8)
+  makes the shortlist reliable: measured shortlist recall@10 vs exact
+  L2 is 1.0 at sf0.001/sf0.01/sf0.1, pinned >= 0.9 in pytest.
+
 Scale shape: codebook training is M small (cid, pos)-keyed aggregates
-(<= K x SUBDIM groups, map-side combined); encoding/ADC is map-only
+(<= K x subdim groups, map-side combined); encoding/ADC is map-only
 against M broadcast codebooks, so a 100 TB corpus pays exactly one scan
-and no shuffle — the property that makes PQ the standard billion-scale
-layout. At deployment the codes persist as the index (M tinyint columns)
-and ADC reads codes only; here the encode+query run fused for the gate.
+and no shuffle; the re-rank touches only the shortlist rows
+(TakeOrderedAndProject carries the vector payload for 10k rows, never
+the corpus). At deployment the codes persist as the index (M tinyint
+columns) and ADC reads codes only; here the encode+query run fused for
+the gate.
 
 No reference analogue (SURVEY §2 C-extensions; the similarity family's
 scale path beside IVF and LSH).
@@ -53,19 +68,28 @@ from covid_19_data_engineering_spark.operators.kmeans import (
 from covid_19_data_engineering_spark.plans.registry import register
 from covid_19_data_engineering_spark.sources.tables import load_table
 
-PQ_M = 4          # subspaces
+PQ_M = 4          # subspaces (audit operator)
 PQ_SUBDIM = 16    # dims per subspace (4 x 16 = the corpus's 64)
 PQ_K = 16         # centroids per subspace codebook
 PQ_QUERY_ID = 0   # vec_id whose embedding plays the query (MMR precedent)
 PQ_TOPK = 10
 
+# re-rank operator: a finer quantizer (same code budget order — M codes
+# of log2(K) bits) whose ADC shortlist reliably contains the true
+# neighbors on this corpus; measured recall@10 of the 100-row shortlist
+# vs exact L2 = 1.0 at all three gate SFs
+PQR_M = 16
+PQR_SUBDIM = 4    # 16 x 4 = 64
+PQR_K = 64
+PQR_SHORTLIST = 100  # 10 x k (Jegou et al.'s re-rank shortlist rule)
 
-def _sub_slice(col: Column, s: int) -> Column:
-    return F.slice(col, s * PQ_SUBDIM + 1, PQ_SUBDIM)
+
+def _sub_slice(col: Column, s: int, subdim: int = PQ_SUBDIM) -> Column:
+    return F.slice(col, s * subdim + 1, subdim)
 
 
 def _codebook(corpus_sub: DataFrame, k: int = PQ_K) -> DataFrame:
-    """One-update Lloyd codebook over a 16-dim subspace — the exact
+    """One-update Lloyd codebook over one subspace — the exact
     cent0 -> assign -> integer-exact update chain kmeans_assignments
     runs, returning the UPDATED centroids (cid, c) for the ADC table."""
     cent0 = (
@@ -94,21 +118,21 @@ def _codebook(corpus_sub: DataFrame, k: int = PQ_K) -> DataFrame:
     )
 
 
-def pq_adc_topk(emb: DataFrame, query_vec: list,
-                k: int = PQ_TOPK) -> DataFrame:
-    """(rank, vec_id, approx_dist_units, true_dist_units) — PQ-ADC
-    top-k of ``emb(vec_id, embedding)`` against ``query_vec``, plus the
-    true squared-L2 in the same 1e-9 units as the audit column."""
+def _adc_scored(emb: DataFrame, q: list, m: int, subdim: int,
+                k_cent: int) -> DataFrame:
+    """(vec_id, e, approx_dist_units) for every corpus vector: train the
+    m per-subspace codebooks, broadcast them with precomputed query
+    distances, and score the corpus in one map-only projection."""
     corpus = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e"))
-    q = [float(x) for x in query_vec]
 
     tables = []
-    for s in range(PQ_M):
-        sub = corpus.select("vec_id", _sub_slice(F.col("e"), s).alias("e"))
-        cent1 = _codebook(sub)
+    for s in range(m):
+        sub = corpus.select(
+            "vec_id", _sub_slice(F.col("e"), s, subdim).alias("e"))
+        cent1 = _codebook(sub, k_cent)
         qlit = F.array(*[F.lit(q[i]) for i in
-                         range(s * PQ_SUBDIM, (s + 1) * PQ_SUBDIM)])
+                         range(s * subdim, (s + 1) * subdim)])
         # each centroid carries its query distance: the ADC table entry
         tab = cent1.select(
             "cid", "c", _sqdist(qlit, F.col("c")).alias("dq"))
@@ -117,7 +141,7 @@ def pq_adc_topk(emb: DataFrame, query_vec: list,
                 F.struct("cid", "c", "dq")).alias(f"cs{s}")))
 
     df = corpus
-    for s in range(PQ_M):
+    for s in range(m):
         df = df.crossJoin(F.broadcast(tables[s]))
 
     def best(s: int) -> Column:
@@ -126,22 +150,38 @@ def pq_adc_topk(emb: DataFrame, query_vec: list,
         return F.array_min(F.transform(
             F.col(f"cs{s}"),
             lambda c: F.struct(
-                _sqdist(_sub_slice(F.col("e"), s), c["c"]).alias("dist"),
+                _sqdist(_sub_slice(F.col("e"), s, subdim), c["c"])
+                .alias("dist"),
                 c["cid"].alias("cid"),
                 c["dq"].alias("dq"),
             ),
         ))
 
-    qfull = F.array(*[F.lit(x) for x in q])
-    approx = sum((F.col(f"b{s}.dq") for s in range(1, PQ_M)),
-                 F.col("b0.dq"))  # d0+d1+d2+d3, fixed left-assoc order
-    scored = (
+    approx = sum((F.col(f"b{s}.dq") for s in range(1, m)),
+                 F.col("b0.dq"))  # d0+d1+...+d(m-1), fixed left-assoc order
+    return (
         df.select("vec_id", "e",
-                  *[best(s).alias(f"b{s}") for s in range(PQ_M)])
+                  *[best(s).alias(f"b{s}") for s in range(m)])
         .select(
-            "vec_id",
+            "vec_id", "e",
             F.floor(approx * DIST_UNIT).cast("long")
             .alias("approx_dist_units"),
+        )
+    )
+
+
+def pq_adc_topk(emb: DataFrame, query_vec: list,
+                k: int = PQ_TOPK) -> DataFrame:
+    """(rank, vec_id, approx_dist_units, true_dist_units) — PQ-ADC
+    top-k of ``emb(vec_id, embedding)`` against ``query_vec``, plus the
+    true squared-L2 in the same 1e-9 units as the audit column."""
+    q = [float(x) for x in query_vec]
+    qfull = F.array(*[F.lit(x) for x in q])
+    scored = (
+        _adc_scored(emb, q, PQ_M, PQ_SUBDIM, PQ_K)
+        .select(
+            "vec_id",
+            "approx_dist_units",
             F.floor(_sqdist(F.col("e"), qfull) * DIST_UNIT).cast("long")
             .alias("true_dist_units"),
         )
@@ -154,14 +194,46 @@ def pq_adc_topk(emb: DataFrame, query_vec: list,
         "rank", "vec_id", "approx_dist_units", "true_dist_units")
 
 
-def _pq_chain_sql(s: int) -> str:
+def pq_rerank_topk(emb: DataFrame, query_vec: list, k: int = PQ_TOPK,
+                   shortlist: int = PQR_SHORTLIST) -> DataFrame:
+    """(rank, vec_id, approx_dist_units, true_dist_units) — ADC selects
+    the ``shortlist`` best candidates map-only (finer PQR quantizer),
+    then the EXACT squared-L2 re-ranks only those rows and keeps the
+    top ``k``. The shortlist ride-alongs the vector payload through a
+    TakeOrderedAndProject (shortlist rows, never the corpus), so the
+    re-rank's float math is O(shortlist x d)."""
+    q = [float(x) for x in query_vec]
+    qfull = F.array(*[F.lit(x) for x in q])
+    short = (
+        _adc_scored(emb, q, PQR_M, PQR_SUBDIM, PQR_K)
+        .orderBy("approx_dist_units", "vec_id")
+        .limit(shortlist)
+    )
+    reranked = (
+        short.select(
+            "vec_id",
+            "approx_dist_units",
+            F.floor(_sqdist(F.col("e"), qfull) * DIST_UNIT).cast("long")
+            .alias("true_dist_units"),
+        )
+        .orderBy("true_dist_units", "vec_id")
+        .limit(k)
+    )
+    w = Window.orderBy("true_dist_units", "vec_id")
+    return reranked.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "vec_id", "approx_dist_units", "true_dist_units")
+
+
+def _pq_chain_sql(s: int, subdim: int = PQ_SUBDIM,
+                  k_cent: int = PQ_K) -> str:
     """DuckDB CTE chain for subspace ``s``: slice -> cent0 -> a1 ->
     integer-exact update -> cent1 + the per-centroid query-distance
-    table — the kmeans_cte_chain pattern at dim 16 with prefixed names."""
-    lo, hi = s * PQ_SUBDIM + 1, (s + 1) * PQ_SUBDIM
+    table — the kmeans_cte_chain pattern at dim ``subdim`` with
+    prefixed names."""
+    lo, hi = s * subdim + 1, (s + 1) * subdim
 
     def sqd(v: str, c: str) -> str:
-        return (f"list_reduce(list_transform(range(1, {PQ_SUBDIM} + 1), "
+        return (f"list_reduce(list_transform(range(1, {subdim} + 1), "
                 f"i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])), "
                 "(a, b) -> a + b)")
 
@@ -172,7 +244,7 @@ def _pq_chain_sql(s: int) -> str:
       SELECT vec_id AS cid, e AS c FROM (
         SELECT vec_id, e, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
         FROM s{s}_emb
-      ) WHERE rn <= {PQ_K}
+      ) WHERE rn <= {k_cent}
     ),
     s{s}_a1 AS (
       SELECT vec_id, e, cid FROM (
@@ -187,7 +259,7 @@ def _pq_chain_sql(s: int) -> str:
              CAST(SUM(CAST(floor(val * {COORD_UNIT}) AS BIGINT)) AS BIGINT)
                AS su,
              COUNT(*) AS cnt
-      FROM (SELECT cid, unnest(range(1, {PQ_SUBDIM} + 1)) AS pos,
+      FROM (SELECT cid, unnest(range(1, {subdim} + 1)) AS pos,
                    unnest(e) AS val
             FROM s{s}_a1)
       GROUP BY cid, pos
@@ -213,21 +285,24 @@ def _pq_chain_sql(s: int) -> str:
     )"""
 
 
-def _pq_oracle_sql() -> str:
-    full_sqd = (f"list_reduce(list_transform(range(1, "
-                f"{PQ_M * PQ_SUBDIM} + 1), "
+def _pq_scored_sql(m: int, subdim: int, k_cent: int) -> str:
+    """Shared oracle prelude: qfull/q{s}/corpus/chains/scored CTEs ending
+    in ``scored(vec_id, approx_dist_units, true_dist_units)``."""
+    dim = m * subdim
+    full_sqd = (f"list_reduce(list_transform(range(1, {dim} + 1), "
                 "i -> (v.e[i] - qf.qe[i]) * (v.e[i] - qf.qe[i])), "
                 "(a, b) -> a + b)")
-    chains = ",\n    ".join(_pq_chain_sql(s) for s in range(PQ_M))
+    chains = ",\n    ".join(
+        _pq_chain_sql(s, subdim, k_cent) for s in range(m))
     qsubs = ",\n    ".join(
-        f"q{s} AS (SELECT list_slice(qe, {s * PQ_SUBDIM + 1}, "
-        f"{(s + 1) * PQ_SUBDIM}) AS qs FROM qfull)"
-        for s in range(PQ_M))
+        f"q{s} AS (SELECT list_slice(qe, {s * subdim + 1}, "
+        f"{(s + 1) * subdim}) AS qs FROM qfull)"
+        for s in range(m))
     code_joins = "\n        ".join(
         f"JOIN s{s}_code c{s} USING (vec_id) "
         f"JOIN s{s}_tab t{s} ON t{s}.cid = c{s}.cid"
-        for s in range(PQ_M))
-    approx = " + ".join(f"t{s}.dq" for s in range(PQ_M))
+        for s in range(m))
+    approx = " + ".join(f"t{s}.dq" for s in range(m))
     return f"""
     WITH qfull AS (
       SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
@@ -247,13 +322,34 @@ def _pq_oracle_sql() -> str:
                AS true_dist_units
       FROM corpus v CROSS JOIN qfull qf
         {code_joins}
-    )
+    )"""
+
+
+def _pq_oracle_sql() -> str:
+    return f"""{_pq_scored_sql(PQ_M, PQ_SUBDIM, PQ_K)}
     SELECT CAST(rank AS INTEGER) AS rank, vec_id,
            approx_dist_units, true_dist_units
     FROM (
       SELECT vec_id, approx_dist_units, true_dist_units,
              ROW_NUMBER() OVER (ORDER BY approx_dist_units, vec_id) AS rank
       FROM scored
+    ) WHERE rank <= {PQ_TOPK}
+    ORDER BY rank
+    """
+
+
+def _pq_rerank_oracle_sql() -> str:
+    return f"""{_pq_scored_sql(PQR_M, PQR_SUBDIM, PQR_K)}
+    SELECT CAST(rank AS INTEGER) AS rank, vec_id,
+           approx_dist_units, true_dist_units
+    FROM (
+      SELECT vec_id, approx_dist_units, true_dist_units,
+             ROW_NUMBER() OVER (ORDER BY true_dist_units, vec_id) AS rank
+      FROM (
+        SELECT vec_id, approx_dist_units, true_dist_units,
+               ROW_NUMBER() OVER (ORDER BY approx_dist_units, vec_id) AS sl
+        FROM scored
+      ) WHERE sl <= {PQR_SHORTLIST}
     ) WHERE rank <= {PQ_TOPK}
     ORDER BY rank
     """
@@ -274,9 +370,8 @@ def _pq_oracle_sql() -> str:
     "note: on the UNSTRUCTURED synthetic corpus recall@10 vs exact L2 "
     "is near zero (quantization error dominates when neighbor distances "
     "are undifferentiated — the true_dist_units column shows it); the "
-    "planted-cluster pytest pins where ADC earns its keep: coarse "
-    "structure is preserved exactly (top-k all from the query's "
-    "cluster, the query's own cell attains the global minimum).",
+    "planted-cluster pytest pins where ADC earns its keep, and "
+    "ann_pq_rerank_topk is the production query path.",
 )
 def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir).select(
@@ -288,4 +383,33 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"from the embeddings table at {sf_dir!r}")
     qvec = [float(x) for x in qrows[0]["embedding"]]
     return pq_adc_topk(
+        emb.where(F.col("vec_id") != PQ_QUERY_ID), qvec).orderBy("rank")
+
+
+@register(
+    "ann_pq_rerank_topk",
+    oracle=_pq_rerank_oracle_sql(),
+    doc="PQ ANN with exact re-rank (round-12 verdict #1; Jegou et al. "
+    f"§IV-B): a finer {PQR_M}x{PQR_SUBDIM}-dim / {PQR_K}-centroid ADC "
+    f"pass selects a {PQR_SHORTLIST}-row shortlist map-only, then the "
+    f"exact squared-L2 re-ranks ONLY those rows and keeps the top "
+    f"{PQ_TOPK}. This is the standard fix for ADC quantization noise at "
+    "O(shortlist x d) float cost — measured shortlist recall@10 vs "
+    "exact L2 is 1.0 at sf0.001/sf0.01/sf0.1 (pinned >= 0.9 in "
+    "tests/test_round13_ops.py), so unlike the raw-ADC audit operator "
+    "this top-10 is real neighbors. Scale shape: one corpus scan, no "
+    "shuffle, TakeOrderedAndProject carries the vector payload for "
+    "shortlist rows only; the oracle replays every codebook chain "
+    "CTE-for-CTE and the same two-stage rank.",
+)
+def ann_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "embedding")
+    qrows = emb.where(F.col("vec_id") == PQ_QUERY_ID).collect()
+    if not qrows:
+        raise ValueError(
+            f"ann_pq_rerank_topk: query vec_id {PQ_QUERY_ID} is absent "
+            f"from the embeddings table at {sf_dir!r}")
+    qvec = [float(x) for x in qrows[0]["embedding"]]
+    return pq_rerank_topk(
         emb.where(F.col("vec_id") != PQ_QUERY_ID), qvec).orderBy("rank")
