@@ -493,7 +493,11 @@ def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
             (
                 F.abs(F.col("approx") - F.col("exact_customers"))
-                <= 0.02 * F.col("exact_customers")
+                # |err| <= max(5, 2% of exact): the absolute floor is the
+                # small-cardinality accommodation (round-12 ADVICE low —
+                # a purely relative band reads one register collision on
+                # a tiny group as a red flag)
+                <= F.greatest(F.lit(5.0), 0.02 * F.col("exact_customers"))
             ).alias("hll_within_2pct"),
         )
         .orderBy("o_orderpriority")

@@ -160,6 +160,55 @@ def test_bloom_index_builds_on_path_with_spaces(spark, tmp_path):
 # --------------------------------------------------------------------------
 
 # --------------------------------------------------------------------------
+# Round-12 verdict #3: the sketch-only production path must actually be
+# sketch-only — no exact-distinct expand anywhere in its physical plan.
+# --------------------------------------------------------------------------
+
+def test_hourly_sketch_plan_has_no_exact_distinct(spark):
+    import pyspark.sql.functions as F
+
+    from covid_19_data_engineering_spark.plans.advanced import (
+        hourly_user_sketches,
+    )
+
+    e = spark.range(0, 10_000).select(
+        (F.col("id") % 97).alias("user_id"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")).alias("ts"),
+    )
+    plan = (hourly_user_sketches(e)
+            ._jdf.queryExecution().executedPlan().toString())
+    # countDistinct compiles to an Expand node (or a `distinct` marker in
+    # the aggregate expressions); the sketch path must carry neither
+    assert "Expand" not in plan, plan
+    assert "distinct" not in plan.lower().replace("hll_sketch", ""), plan
+    assert "hll_sketch_agg" in plan
+
+
+def test_hourly_sketch_estimates_track_exact(spark):
+    import pyspark.sql.functions as F
+
+    from covid_19_data_engineering_spark.plans.advanced import (
+        hourly_user_sketches,
+    )
+
+    e = spark.range(0, 20_000).select(
+        (F.col("id") % 1013).alias("user_id"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") % 7200)
+        .alias("ts"),
+    )
+    est = {r["window_start"]: r["approx"] for r in
+           hourly_user_sketches(e).select(
+               "window_start",
+               F.hll_sketch_estimate("sketch").alias("approx")).collect()}
+    exact = {r["w"]["start"]: r["x"] for r in
+             e.groupBy(F.window("ts", "1 hour").alias("w"))
+             .agg(F.countDistinct("user_id").alias("x")).collect()}
+    assert est.keys() == exact.keys() and len(est) >= 2
+    for w, x in exact.items():
+        assert abs(est[w] - x) <= max(5.0, 0.02 * x)
+
+
+# --------------------------------------------------------------------------
 # Round-12 verdict #1: PQ shortlist + exact re-rank must return REAL
 # neighbors (the raw-ADC audit operator's top-10 is quantization noise).
 # --------------------------------------------------------------------------
