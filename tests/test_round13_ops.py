@@ -155,9 +155,77 @@ def test_bloom_index_builds_on_path_with_spaces(spark, tmp_path):
 
 
 # --------------------------------------------------------------------------
-# ADVICE low: vacuum must not strand the bloom_cols property behind a
-# legacy checkpoint (one written without the key).
+# Round-12 verdict #2: the optimistic-commit protocol across REAL process
+# boundaries — two subprocess appenders racing a subprocess pruned MERGE,
+# and a subprocess reader racing vacuum. The threaded races in
+# test_versioned.py share one JVM; the deployment shape is separate jobs.
 # --------------------------------------------------------------------------
+
+_WORKER = os.path.join(os.path.dirname(__file__), "race_worker.py")
+
+
+def _spawn(*args):
+    import subprocess
+    import sys as _sys
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(_WORKER))
+    return subprocess.Popen(
+        [_sys.executable, _WORKER, *[str(a) for a in args]],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True)
+
+
+
+def test_cross_process_appends_race_pruned_merge(spark, tmp_path):
+    path = str(tmp_path / "t")
+    seed = spark.createDataFrame(
+        [(k, "base") for k in range(10)], "k long, v string")
+    write_versioned(seed.repartition(4), path)
+
+    n_appends = 6
+    procs = [
+        _spawn("append", path, "A", n_appends, 100),
+        _spawn("append", path, "B", n_appends, 200),
+        _spawn("merge", path, 5),
+    ]
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err[-2000:]}"
+
+    # no lost update: every commit from every process landed exactly once
+    rows = {(r["k"], r["v"])
+            for r in read_versioned(spark, path).collect()}
+    expect = (
+        {(k, "merged") for k in range(5)}
+        | {(k, "base") for k in range(5, 10)}
+        | {(100 + i, f"A:{i}") for i in range(n_appends)}
+        | {(200 + i, f"B:{i}") for i in range(n_appends)}
+    )
+    assert rows == expect
+    # exactly seed + 12 appends + 1 merge commits — a lost race retries
+    # into a NEW slot, never double-commits or erases a slot
+    assert len(table_versions(path)) == 1 + 2 * n_appends + 1
+
+
+
+def test_cross_process_reader_never_sees_torn_snapshot_under_vacuum(
+        spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_versioned(_kv(spark, [(0, "seed")]), path)
+    reader = _spawn("read", path, 25)
+    # appends + repeated vacuums racing the reader; default retention
+    # spares young unreferenced files, so a reader planning the latest
+    # snapshot must never hit a deleted file or a shrinking table
+    for i in range(1, 13):
+        write_versioned(_kv(spark, [(i, "x")]), path, mode="append")
+        if i % 3 == 0:
+            vacuum_versioned(path, keep_versions=2)
+    out, err = reader.communicate(timeout=600)
+    assert reader.returncode == 0, f"reader failed:\n{out}\n{err[-2000:]}"
+    counts = [int(line.split("=")[1]) for line in out.splitlines()
+              if line.startswith("count=")]
+    assert len(counts) == 25 and counts == sorted(counts)
+
 
 # --------------------------------------------------------------------------
 # Round-12 verdict #3: the sketch-only production path must actually be
@@ -243,6 +311,11 @@ def test_pq_rerank_recall_at_10_vs_exact_l2(spark, sf_dir):
     # measured 1.0 at sf0.001/sf0.01/sf0.1; pinned with margin
     assert recall >= 0.9, f"PQ re-rank recall@10 degraded: {recall}"
 
+
+# --------------------------------------------------------------------------
+# ADVICE low: vacuum must not strand the bloom_cols property behind a
+# legacy checkpoint (one written without the key).
+# --------------------------------------------------------------------------
 
 def test_vacuum_upgrades_legacy_checkpoint_preserving_bloom_cols(
         spark, tmp_path):
