@@ -22,12 +22,14 @@ tests run both on the same graphs.
 - each round is one shuffle keyed on node id (groupBy min) plus one broadcast-
   or shuffle-join of the label table against edges; edge and label tables are
   O(dup pairs) and O(docs) — tiny next to the corpus;
-- the label table is eagerly localCheckpoint()ed every round. This is load-
-  bearing, not a nicety: each round's plan references the previous labels
-  twice (the neighborhood join and the outer merge), so without truncation
-  the logical plan doubles per round — Catalyst analysis goes exponential
-  long before the data does. On a cluster with executor loss concerns, swap
-  for reliable checkpoint(): same truncation, HDFS-backed;
+- the label table's lineage is truncated every round (operators/lineage.py:
+  localCheckpoint by default, RELIABLE checkpoint() when
+  set_reliable_checkpoint_dir is configured — the executor-loss-safe
+  cluster posture, pytest-driven in tests/test_round13_ops.py). This is
+  load-bearing, not a nicety: each round's plan references the previous
+  labels twice (the neighborhood join and the outer merge), so without
+  truncation the logical plan doubles per round — Catalyst analysis goes
+  exponential long before the data does;
 - convergence is checked with a cheap count of changed labels (an agg, not a
   collect of the table).
 """
@@ -41,6 +43,10 @@ from covid_19_data_engineering_spark.operators.dedup import (
     _minhash_rep_pairs,
     minhash_agree_sql,
     minhash_pipeline_ctes,
+)
+from covid_19_data_engineering_spark.operators.lineage import (
+    truncate as _truncate,
+    truncate_eager as _truncate_eager,
 )
 from covid_19_data_engineering_spark.plans.registry import register
 from covid_19_data_engineering_spark.sources.tables import load_table
@@ -94,11 +100,11 @@ def connected_components(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b
     # each round pays ONE job of scheduler latency, not two, and sym +
     # the initial labels materialize inside round 1 rather than as two
     # more up-front jobs.
-    sym = sym.localCheckpoint(eager=False)
+    sym = sym.transform(_truncate)
     labels = (
         sym.select(F.col("u").alias("node")).distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=False)
+        .transform(_truncate)
     )
 
     converged = False
@@ -116,7 +122,7 @@ def connected_components(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b
                 F.least(F.col("component"), F.col("nbr_component")).alias("component"),
                 (F.col("nbr_component") < F.col("component")).alias("changed"),
             )
-            .localCheckpoint(eager=False)  # truncate lineage — see module doc
+            .transform(_truncate)  # truncate lineage — see module doc
         )
         changed = new_labels.where(F.col("changed")).limit(1).count()
         labels = new_labels.select("node", "component")
@@ -186,7 +192,7 @@ def star_components_with_rounds(edges: DataFrame, src: str = "doc_a",
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(_truncate_eager)
     )
     rounds = 0
     for _ in range(max_iter):
@@ -204,7 +210,7 @@ def star_components_with_rounds(edges: DataFrame, src: str = "doc_a",
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(_truncate_eager)
         )
         # small-star over the oriented view (u > v invariant holds: the
         # large-star emission links v to m <= u < v)
@@ -216,7 +222,7 @@ def star_components_with_rounds(edges: DataFrame, src: str = "doc_a",
             .union(mins2.select(F.col("u").alias("a"), F.col("m").alias("b")))
             .select(F.col("a").alias("u"), F.col("b").alias("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(_truncate_eager)
         )
         converged = (
             ss.count() == e.count()
@@ -462,7 +468,7 @@ def retention_manifest(docs: DataFrame, threshold: float = 0.3,
             "doc_id",
             fingerprint_col(F.col("text")).alias("fp"),
             quality_score_col(F.col("text")).alias("quality"),
-        ).localCheckpoint(eager=False)
+        ).transform(_truncate)
     exact = base.groupBy("fp").agg(F.min("doc_id").alias("exact_canon"))
     clusters = duplicate_clusters(docs, threshold, rep_state)
     rank_w = Window.partitionBy("cluster").orderBy(F.col("quality").desc(), "doc_id")
@@ -633,7 +639,7 @@ def build_snapshot_dedup_state(snapshot: DataFrame, threshold: float = 0.3,
     # lazy: still caches once materialized by the first consumer's job —
     # no dedicated blocking job per checkpoint (round-10 verdict #4: the
     # manifest wall is serialized checkpoint latency, not data work)
-    s_bands = minhash_bands(s_reps).localCheckpoint(eager=False)
+    s_bands = minhash_bands(s_reps).transform(_truncate)
     # ONE (doc_id, fp, quality) scan shared between the manifest and the
     # fingerprint table — previously each evaluated the md5/quality
     # expression trees over the same snapshot text independently
@@ -641,7 +647,7 @@ def build_snapshot_dedup_state(snapshot: DataFrame, threshold: float = 0.3,
         "doc_id",
         fingerprint_col(F.col("text")).alias("fp"),
         quality_score_col(F.col("text")).alias("quality"),
-    ).localCheckpoint(eager=False)
+    ).transform(_truncate)
     manifest = retention_manifest(
         snapshot, threshold, rep_state=(band_self_pairs(s_bands), s_members),
         base=s_base,
@@ -740,7 +746,7 @@ def incremental_retention_manifest(new: DataFrame, snapshot: DataFrame = None,
             )
         snapshot_state = build_snapshot_dedup_state(snapshot, threshold)
     n_reps, n_members = exact_text_collapse(new)
-    n_bands = minhash_bands(n_reps).localCheckpoint(eager=False)
+    n_bands = minhash_bands(n_reps).transform(_truncate)
     s_bands = snapshot_state["bands"]
     snap_manifest = snapshot_state["manifest"]
     snap_fp = snapshot_state["fingerprints"]
@@ -755,7 +761,7 @@ def incremental_retention_manifest(new: DataFrame, snapshot: DataFrame = None,
         "doc_id",
         fingerprint_col(F.col("text")).alias("fp"),
         quality_score_col(F.col("text")).alias("quality"),
-    ).localCheckpoint(eager=False)
+    ).transform(_truncate)
     exact = base.groupBy("fp").agg(F.min("doc_id").alias("batch_canon"))
 
     rep_pairs, members = band_self_pairs(n_bands), n_members
@@ -807,7 +813,7 @@ def incremental_retention_manifest(new: DataFrame, snapshot: DataFrame = None,
         .join(exact, "fp")
         .join(snap_fp.withColumnRenamed("snap_canon", "snap_canon"), "fp", "left")
         .join(anchored.withColumnRenamed("component", "comp"), "comp", "left")
-    ).localCheckpoint(eager=False)
+    ).transform(_truncate)
     # ^ three consumers (rep ranking, canon decisions, member expansion)
     # would each re-execute the whole five-way join tree without this
     # cache; lazy so materialization rides the first consumer's job

@@ -39,6 +39,10 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from covid_19_data_engineering_spark.operators.lineage import (
+    truncate as _truncate,
+    truncate_eager as _truncate_eager,
+)
 from covid_19_data_engineering_spark.plans.registry import register
 from covid_19_data_engineering_spark.sources.tables import load_table
 
@@ -77,7 +81,7 @@ def shared_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _EDGE_CACHE.get(key)
     if cached is None:
         li = load_table(spark, "lineitem", sf_dir)
-        cached = copurchase_edges(li).localCheckpoint(eager=True)
+        cached = copurchase_edges(li).transform(_truncate_eager)
         _EDGE_CACHE.clear()  # one live entry: drop stale sf_dirs' blocks
         _EDGE_CACHE[key] = cached
     return cached
@@ -93,7 +97,7 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS,
     # pass an already-checkpointed list (shared_copurchase_edges) skip the
     # redundant re-copy.
     if not materialized:
-        edges = edges.localCheckpoint(eager=True)
+        edges = edges.transform(_truncate_eager)
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     nodes = deg.select(F.col("src").alias("part"), "deg")
     n = nodes.groupBy().agg(F.count("*").alias("n"))
@@ -278,7 +282,7 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
     # the support-filtered pair build (distinct + order-blocked self-join +
     # groupBy) feeds FOUR branches (sym x2, the orientation joins, edge
     # count) — materialize it once
-    pairs = pairs.localCheckpoint(eager=True)
+    pairs = pairs.transform(_truncate_eager)
     sym = pairs.select(F.col("pa").alias("p"), F.col("pb").alias("q")).unionAll(
         pairs.select(F.col("pb").alias("p"), F.col("pa").alias("q"))
     )
@@ -287,7 +291,7 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
         F.count("*").alias("n_nodes"),
         (F.sum(F.expr("d * (d - 1) div 2"))).alias("n_wedges"),
     )
-    oriented = degree_oriented_edges(pairs).localCheckpoint(eager=True)
+    oriented = degree_oriented_edges(pairs).transform(_truncate_eager)
     closed = oriented_wedge_candidates(oriented).join(
         oriented.select(F.col("src").alias("v"), F.col("dst").alias("w")),
         ["v", "w"],
@@ -387,7 +391,7 @@ def kcore_trajectory(edges: DataFrame, k: int = KCORE_K,
     runs in ONE job instead of 1 + 2*rounds.
     """
     if not materialized:
-        edges = edges.localCheckpoint(eager=True)
+        edges = edges.transform(_truncate_eager)
     stats = []
     for r in range(rounds + 1):
         deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
@@ -407,7 +411,7 @@ def kcore_trajectory(edges: DataFrame, k: int = KCORE_K,
             edges.join(keep, "src", "left_semi")
             .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
             .select("src", "dst")
-            .localCheckpoint(eager=False)
+            .transform(_truncate)
         )
     out = stats[0]
     for s in stats[1:]:
@@ -510,7 +514,7 @@ def markov_stationary(events: DataFrame, rounds: int = MC_ROUNDS) -> DataFrame:
         .where(F.col("prev_type").isNotNull())
         .groupBy("prev_type", F.col("event_type").alias("curr_type"))
         .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=True)   # every round re-reads this tiny table
+        .transform(_truncate_eager)   # every round re-reads this tiny table
     )
     row_tot = pairs.groupBy("prev_type").agg(F.sum("n").alias("r"))
     trans = pairs.join(row_tot, "prev_type")
@@ -631,7 +635,7 @@ def jaccard_neighbors(pairs: DataFrame, max_deg: int = JAC_MAX_DEG,
     capped = (
         sym.join(keep, "p", "left_semi")
         .join(keep.select(F.col("p").alias("q")), "q", "left_semi")
-        .localCheckpoint(eager=False)  # feeds degrees + both wedge sides
+        .transform(_truncate)  # feeds degrees + both wedge sides
     )
     deg = capped.groupBy("p").agg(F.count("*").alias("d"))
     e1 = capped.select(F.col("p").alias("u"), F.col("q").alias("a"))
@@ -734,12 +738,12 @@ def bfs_depths(edges: DataFrame, rounds: int = BFS_ROUNDS) -> DataFrame:
     as one job (the k-core pattern). Counts are exact integers, so the
     profile is engine-identical.
     """
-    edges = edges.localCheckpoint(eager=False)
+    edges = edges.transform(_truncate)
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
     seed = (
         deg.orderBy(F.col("d").desc(), F.col("src").asc()).limit(1)
         .select(F.col("src").alias("node"))
-        .localCheckpoint(eager=False)
+        .transform(_truncate)
     )
     frontier = seed
     visited = seed
@@ -750,11 +754,11 @@ def bfs_depths(edges: DataFrame, rounds: int = BFS_ROUNDS) -> DataFrame:
             frontier.join(edges, frontier.node == edges.src)
             .select(F.col("dst").alias("node")).distinct()
             .join(visited, "node", "left_anti")
-            .localCheckpoint(eager=False)
+            .transform(_truncate)
         )
         stats.append(nxt.agg(F.lit(r).cast("int").alias("depth"),
                              F.count(F.lit(1)).alias("n_nodes")))
-        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+        visited = visited.unionByName(nxt).transform(_truncate)
         frontier = nxt
     out = stats[0]
     for s in stats[1:]:
@@ -848,7 +852,7 @@ def adamic_adar_neighbors(pairs: DataFrame, max_deg: int = JAC_MAX_DEG,
     capped = (
         sym.join(keep, "p", "left_semi")
         .join(keep.select(F.col("p").alias("q")), "q", "left_semi")
-        .localCheckpoint(eager=False)
+        .transform(_truncate)
     )
     deg = capped.groupBy("p").agg(F.count("*").alias("d"))
     # center weight: 1/ln(d) in 1e-9 fixed point, attached pre-wedge.
@@ -1091,7 +1095,7 @@ def densest_subgraph_trajectory(edges: DataFrame,
     stats table + two node-keyed semi joins (the k-core exchange
     family); frontiers checkpoint lazily so the whole peel is one job.
     """
-    edges = edges.localCheckpoint(eager=False)
+    edges = edges.transform(_truncate)
     stats = []
     for r in range(rounds + 1):
         deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
@@ -1116,7 +1120,7 @@ def densest_subgraph_trajectory(edges: DataFrame,
             edges.join(keep, "src", "left_semi")
             .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
             .select("src", "dst")
-            .localCheckpoint(eager=False)
+            .transform(_truncate)
         )
     out = stats[0]
     for s in stats[1:]:
@@ -1245,7 +1249,7 @@ def label_communities(sym: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
     labels = (
         sym.select(F.col("src").alias("node")).distinct()
         .withColumn("lbl", F.col("node"))
-        .localCheckpoint(eager=False)
+        .transform(_truncate)
     )
     for _ in range(rounds):
         nbr = sym.join(labels, sym["dst"] == labels["node"]).select(
@@ -1259,7 +1263,7 @@ def label_communities(sym: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
             cnt.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
             .select("node", "lbl")
-            .localCheckpoint(eager=False)  # lineage O(1); kcore lazy pattern
+            .transform(_truncate)  # lineage O(1); kcore lazy pattern
         )
     return labels
 
@@ -1399,7 +1403,7 @@ def copurchase_label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst")) \
         .unionAll(pairs.select(F.col("pb").alias("src"),
                                F.col("pa").alias("dst")))
-    sym = sym.localCheckpoint(eager=False)  # rounds + 3 readouts reuse it
+    sym = sym.transform(_truncate)  # rounds + 3 readouts reuse it
     return community_modularity(sym, label_communities(sym))
 
 

@@ -228,6 +228,45 @@ def test_cross_process_reader_never_sees_torn_snapshot_under_vacuum(
 
 
 # --------------------------------------------------------------------------
+# Round-12 verdict #5: the documented executor-loss-safe cluster posture
+# (reliable checkpoint() instead of localCheckpoint) must actually run.
+# --------------------------------------------------------------------------
+
+@pytest.mark.parametrize("algorithm", ["star", "label", "auto"])
+def test_connected_components_through_reliable_checkpoint(
+        spark, tmp_path, algorithm):
+    from covid_19_data_engineering_spark.operators.clustering import (
+        connected_components,
+    )
+    from covid_19_data_engineering_spark.operators.lineage import (
+        reliable_checkpoint_dir,
+        set_reliable_checkpoint_dir,
+    )
+
+    # a chain (forces multiple rounds) plus a triangle and a singleton edge
+    pairs = [(i, i + 1) for i in range(30)] + [(100, 101), (101, 102),
+                                               (100, 102), (200, 200)]
+    edges = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    expected = sorted(
+        (r["node"], r["component"])
+        for r in connected_components(edges, algorithm=algorithm).collect())
+    ckpt = str(tmp_path / "ckpt")
+    set_reliable_checkpoint_dir(spark, ckpt)
+    try:
+        got = sorted(
+            (r["node"], r["component"])
+            for r in connected_components(edges,
+                                          algorithm=algorithm).collect())
+        # the run actually wrote DFS-backed checkpoint data
+        wrote = any(files for _, _, files in os.walk(ckpt))
+        assert wrote, "reliable checkpoint dir stayed empty"
+    finally:
+        set_reliable_checkpoint_dir(spark, None)
+    assert got == expected
+    assert reliable_checkpoint_dir() is None
+
+
+# --------------------------------------------------------------------------
 # Round-12 verdict #3: the sketch-only production path must actually be
 # sketch-only — no exact-distinct expand anywhere in its physical plan.
 # --------------------------------------------------------------------------
