@@ -72,76 +72,71 @@ _LOADED = False
 # listed keeps its import order after the pinned head and is still checked
 # by tools/driver_gate.py over all entries.
 PRIORITY = (
-    # --- r12 debt cohort: the FINAL 33 never-driver-sampled queries
-    # (COVERAGE.md's scheduled r12 ledger — every entry judge-verified
-    # green under the exact driver protocol in round 11). Shipping this
-    # head closes the external union at every registered query. ---------
-    "embedding_quantize_int8",
-    "ann_cosine_topk_int8",
-    "ann_range_search",
-    "ann_projected_topk",
-    "bigram_top20",
-    "top_terms_by_source",
-    "vocab_growth_curve",
-    "source_quality_scorecard",
-    "boilerplate_ngram_profile",
-    "dedup_retention_manifest",
-    "dedup_cluster_representatives",
-    "customer_snapshot_diff",
-    "events_value_bootstrap_ci",
-    "events_hll_overlap",
-    "events_error_burst",
-    "copurchase_triangles",
-    "bpe_vocab_tokens",
-    "retrieval_quality_eval",
-    "shuffle_skew_report",
-    "ab_conversion_ztest",
-    "training_shard_manifest",
-    "referential_integrity_report",
-    "events_burstiness",
-    "customer_interpurchase_gaps",
-    "udf_embedding_norms",
-    "grouped_map_source_zscore",
-    "events_sliding_1h_30m",
-    "events_dedup_by_key",
-    "events_tumbling_1h",
-    "sql_entry_orders_by_year",
-    "event_transition_matrix",
-    "fuzzy_part_name_matches",
-    "copurchase_adamic_adar",
-    # --- r12 new/renamed registrants (rotation rule: every family ships
-    # with a driver row the round it lands) ---
-    # the stored-state admission variant is now the PRIMARY registrant
-    # under this key (round-11 verdict #3) — new semantics, fresh row
-    "incremental_retention_manifest",
-    # the derive-in-query audit twin, renamed from the old primary
-    "incremental_retention_manifest_inquery",
-    # deployment-shaped streaming sink: foreachBatch -> write_versioned
-    # append with (writer, epoch) txn markers, read back for the oracle
-    "events_ingest_versioned_sink",
-    # Bloom + z-order file pruning under the gate (manifest-level skip)
-    "versioned_pruned_point_lookup",
-    # file-pruned MERGE + change-feed net-delta reconciliation
-    "orders_merge_change_feed",
-    # product-quantization ANN (ADC top-k + quantization-error audit)
-    "ann_pq_adc_topk",
-    # tolerance-band repair (round-12 audit: the old purely-relative 2%
-    # flag was latently red at sf0.1) — fresh driver row for the new
-    # flag semantics
-    "hourly_active_users",
-    # --- filler to the driver's 50-row sample boundary: already-green
-    # entries pinned EXPLICITLY so module import order can never evict a
-    # cohort member from the head (the covering-set pytest pins len==50)
-    "late_shipment_orders",
-    "inactive_f_customers",
-    "promo_revenue_share",
-    "shipping_priority_topk",
-    "nation_market_share",
-    "grouping_sets_status_priority",
-    "segment_intersect_all",
-    "array_funcs_battery",
-    "date_funcs_battery",
-    "regexp_battery",
+    # Round-13 head. The never-sampled ledger CLOSED in r12 (union of
+    # CORRECTNESS_r01-r12 green keys == every registered query), so the
+    # post-closure composition rule applies (round-12 verdict #9):
+    # new/changed registrants first, then the LEAST-RECENTLY-driver-
+    # sampled fillers (tools/staleness.py emits the ranking; COVERAGE.md
+    # carries the report).
+    # --- r13 new registrants ---
+    # PQ shortlist + exact re-rank: the production ANN path (recall@10
+    # pinned >= 0.9 vs exact L2)
+    "ann_pq_rerank_topk",
+    # sketch-ONLY hourly actives (no exact countDistinct in the core)
+    "hourly_active_users_sketch",
+    # daily actives derived by unioning the hourly sketches
+    "daily_actives_from_hourly_sketches",
+    # --- r13 changed semantics (fresh rows for the new flag band /
+    # refactored machinery) ---
+    "rolling_7d_active_users",       # band -> |err| <= max(5, 2%)
+    "approx_distinct_customers",     # band -> |err| <= max(5, 2%)
+    "ann_pq_adc_topk",               # machinery parameterized (pq.py)
+    # --- staleness fillers: the 44 least-recently-driver-green queries
+    # as of r12 (staleness 5-11 rounds), most stale first ---
+    "embedding_component_profile",
+    "trailing_30d_spend",
+    "status_priority_pivot",
+    "segment_price_rank",
+    "segment_except_all",
+    "rollup_returns",
+    "referential_integrity_check",
+    "price_quantiles_by_segment",
+    "part_string_funcs",
+    "part_name_fuzzy_pairs",
+    "part_copurchase_pairs",
+    "order_price_distribution_ranks",
+    "null_semantics_battery",
+    "nation_top_customers",
+    "monthly_order_stats",
+    "math_funcs",
+    "lineitem_moment_stats",
+    "lag_lead_battery",
+    "embedding_array_stats",
+    "distinct_counts",
+    "customers_with_orders",
+    "cube_order_status",
+    "user_retention_cohorts",
+    "tpch_q9_product_profit",
+    "quality_quantile_filter",
+    "doc_fingerprints",
+    "segment_set_ops",
+    "orders_above_customer_avg",
+    "order_fill_outer",
+    "monthly_order_gapfill",
+    "customers_without_orders",
+    "conditional_agg_pivot",
+    "udtf_sentence_stats",
+    "udaf_geometric_mean_price",
+    "tpch_q21_waiting_suppliers",
+    "token_count_bpe",
+    "text_quality_profile",
+    "salted_lineitem_revenue",
+    "pii_scrub_events",
+    "orders_column_profile",
+    "order_price_ranks_scalable",
+    "multimodal_features",
+    "lang_id_confusion",
+    "kmeans_embedding_clusters",
 )
 
 def _reorder_registry() -> None:

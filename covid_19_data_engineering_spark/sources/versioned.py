@@ -728,13 +728,21 @@ def write_versioned(df: DataFrame, path: str, mode: str = "overwrite",
                 # NOT NULL markers (anti-join + union relaxes them);
                 # names/types/order must still match exactly, and the
                 # commit carries the nullable-OR union so carried files
-                # and rewritten files read under one schema
+                # and rewritten files read under one schema. With
+                # merge_schema=True the replace may additionally ADD
+                # trailing nullable columns (round-12 verdict #7: the
+                # additive-evolution contract extended through the
+                # file-pruned MERGE path) — carried pre-evolution files
+                # surface NULL for them via the recorded union schema.
                 relaxed = _union_nullability(base_schema, schema_json)
+                if relaxed is None and merge_schema:
+                    relaxed = _merge_schemas(base_schema, schema_json)
                 if relaxed is None:
                     raise ValueError(
                         "replace schema mismatch: a replace commit must "
                         "keep the table's column names, types, and order "
-                        "exactly (only nullability may relax)")
+                        "exactly (only nullability may relax; pass "
+                        "merge_schema=True for additive evolution)")
                 commit_schema = relaxed
         elif mode == "append" and base > 0:
             base_schema = _read_commit(path, base)["schema"]
@@ -1039,7 +1047,8 @@ MERGE_BLOOM_PROBE_MAX_KEYS = 4096
 
 def merge_versioned(spark: SparkSession, path: str, updates: DataFrame,
                     key: str, max_retries: int = 3,
-                    bloom_cols: list[str] | None = None) -> int:
+                    bloom_cols: list[str] | None = None,
+                    merge_schema: bool = False) -> int:
     """Delta-style MERGE (whole-row upsert): every current row whose
     ``key`` appears in ``updates`` is REPLACED by the update row(s); keys
     absent from the table INSERT. Commits as a FILE-PRUNED "replace"
@@ -1064,6 +1073,13 @@ def merge_versioned(spark: SparkSession, path: str, updates: DataFrame,
     ``bloom_cols`` defaults to the table's recorded property
     (``table_bloom_cols``), so a Bloom-indexed table keeps point-lookup
     pruning on the rewritten files instead of silently losing the index.
+
+    ``merge_schema=True`` extends the additive-evolution contract through
+    the merge (round-12 verdict #7): updates may ADD trailing nullable
+    columns — the replace commit records the union schema, carried and
+    anti-joined pre-evolution rows surface NULL for the new columns, and
+    the change feed aligns across the boundary by name. Dropping or
+    re-typing a base column is still rejected.
 
     Scale note: the anti-join side is the updates' key set —
     broadcastable for typical upsert batches; the rewrite cost is
@@ -1116,10 +1132,22 @@ def merge_versioned(spark: SparkSession, path: str, updates: DataFrame,
         commit = _read_commit(path, base)
         schema = StructType.fromJson(json.loads(commit["schema"]))
         table_cols = [f.name for f in schema.fields]
-        if set(table_cols) != set(updates.columns):
+        if merge_schema:
+            # additive evolution through the MERGE (round-12 verdict #7):
+            # updates may CARRY NEW columns — the commit records the union
+            # schema and carried files null-fill them on read; dropping a
+            # base column is still rejected (write_versioned re-checks
+            # types via _merge_schemas)
+            missing = sorted(set(table_cols) - set(updates.columns))
+            if missing:
+                raise ValueError(
+                    f"merge_schema merge drops base columns {missing}: "
+                    "additive evolution only")
+        elif set(table_cols) != set(updates.columns):
             raise ValueError(
                 "merge schema mismatch: updates columns "
-                f"{sorted(updates.columns)} vs table {sorted(table_cols)}")
+                f"{sorted(updates.columns)} vs table {sorted(table_cols)} "
+                "(pass merge_schema=True for additive evolution)")
         # the Bloom probe replays the build side's CAST(col AS STRING)
         # hashing with Python str(); the representations agree for ints
         # and strings ONLY (str(True)='True' vs Spark 'true', str(1e20)=
@@ -1145,17 +1173,24 @@ def merge_versioned(spark: SparkSession, path: str, updates: DataFrame,
         if touched:
             cur = spark.read.schema(schema).parquet(
                 *[os.path.join(path, f) for f in touched])
-            merged = cur.join(
-                F.broadcast(updates.select(key).distinct()), key, "left_anti"
-            ).unionByName(updates.select(*table_cols))
+            kept = cur.join(
+                F.broadcast(updates.select(key).distinct()), key, "left_anti")
+            if merge_schema:
+                # kept rows (old schema) null-fill the columns updates
+                # added; column order = base columns + additions, which
+                # is exactly the order _merge_schemas records
+                merged = kept.unionByName(updates, allowMissingColumns=True)
+            else:
+                merged = kept.unionByName(updates.select(*table_cols))
         else:
-            merged = updates.select(*table_cols)
+            merged = updates if merge_schema else updates.select(*table_cols)
         cols = table_bloom_cols(path, base) if bloom_cols is None \
             else bloom_cols
         try:
             return write_versioned(
                 merged, path, mode="replace", expect_base=base,
                 remove_files=touched, bloom_cols=cols or None,
+                merge_schema=merge_schema,
                 meta={"merge_key": key,
                       "files_carried": len(all_files) - len(touched)},
             )

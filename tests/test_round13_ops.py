@@ -228,6 +228,68 @@ def test_cross_process_reader_never_sees_torn_snapshot_under_vacuum(
 
 
 # --------------------------------------------------------------------------
+# Round-12 verdict #7: additive schema evolution THROUGH the file-pruned
+# MERGE path (it was append-only before) and through the change feed
+# across the evolution boundary.
+# --------------------------------------------------------------------------
+
+def test_merge_schema_evolution_through_merge(spark, tmp_path):
+    from covid_19_data_engineering_spark.sources.versioned import (
+        _read_commit,
+        read_change_feed,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.range(0, 1000).selectExpr(
+        "id AS k", "CAST(id AS STRING) AS v")
+    write_versioned(base.repartition(8), path)
+    updates = spark.createDataFrame(
+        [(3, "X", 1.5), (2000, "new", 2.5)], "k long, v string, score double")
+    v2 = merge_versioned(spark, path, updates, key="k", merge_schema=True)
+
+    snap = read_versioned(spark, path)
+    assert snap.columns == ["k", "v", "score"]
+    rows = {r["k"]: (r["v"], r["score"]) for r in snap.collect()}
+    assert len(rows) == 1001
+    assert rows[3] == ("X", 1.5) and rows[2000] == ("new", 2.5)
+    assert rows[7] == ("7", None)  # pre-evolution row null-fills
+    # file pruning survived the evolution: untouched files carried
+    assert _read_commit(path, v2)["files_carried"] >= 1
+    # time travel keeps the pre-evolution schema
+    assert read_versioned(spark, path, version=1).columns == ["k", "v"]
+    # the change feed aligns by name across the boundary: deletes from
+    # the rewritten pre-evolution files null-fill the new column
+    feed = read_change_feed(spark, path, from_version=1).collect()
+    dels = [r for r in feed if r["_change_type"] == "delete"]
+    ins = [r for r in feed if r["_change_type"] == "insert"]
+    assert all(r["score"] is None for r in dels)
+    assert {r["k"] for r in ins} >= {3, 2000}
+    assert {(r["k"], r["score"]) for r in ins
+            if r["k"] in (3, 2000)} == {(3, 1.5), (2000, 2.5)}
+
+
+def test_merge_schema_merge_rejects_drops_and_retypes(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_versioned(_kv(spark, [(1, "a")]), path)
+    with pytest.raises(ValueError, match="drops base columns"):
+        merge_versioned(
+            spark, path,
+            spark.createDataFrame([(1,)], "k long"), key="k",
+            merge_schema=True)
+    with pytest.raises(ValueError, match="types must match"):
+        merge_versioned(
+            spark, path,
+            spark.createDataFrame([(1, 2)], "k long, v int"), key="k",
+            merge_schema=True)
+    # without the flag, extra columns are still rejected loudly
+    with pytest.raises(ValueError, match="merge schema mismatch"):
+        merge_versioned(
+            spark, path,
+            spark.createDataFrame([(1, "a", 0.5)],
+                                  "k long, v string, s double"), key="k")
+
+
+# --------------------------------------------------------------------------
 # Round-12 verdict #6: the JDBC warehouse sink seam — contract-pinned
 # like the Kafka connector (no driver jar / warehouse in this container;
 # SPARK_GRAFT_JDBC_URL drives the live path end-to-end elsewhere).

@@ -7,7 +7,17 @@ name, rows sorted by all columns, values string-rendered WITH their dtype
 visible (so long 2 vs double 2.0 mismatches, and an unhashable list cell
 fails loudly). Prints one line per query and a failing-count exit code.
 
-Usage: python tools/driver_gate.py [sf_dir] [query ...]
+Usage: python tools/driver_gate.py [sf_dir] [--rotate i/n] [query ...]
+
+``--rotate i/n`` runs slice ``i`` of the registry (queries whose index
+in sorted-name order is congruent to i mod n) — the INCREMENTAL gate
+mode (round-12 verdict #8): the full three-SF registry sweep costs ~3x
+a full gate per round and grows with the registry, so the per-round
+standard is (a) every NEW or CHANGED query explicitly at all three SFs,
+plus (b) one rotating 1/n slice of the stable set (i = round mod n,
+n=3), so every stable query re-verifies at least every n rounds.
+Explicit query names compose with --rotate: named queries run even if
+outside the slice.
 """
 
 from __future__ import annotations
@@ -75,8 +85,15 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    rotate = None
+    if "--rotate" in args:
+        i = args.index("--rotate")
+        num, den = args[i + 1].split("/")
+        rotate = (int(num), int(den))
+        args = args[:i] + args[i + 2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     from pyspark.sql import SparkSession
 
@@ -104,9 +121,12 @@ def main() -> int:
         )
 
     n_fail = 0
-    for name in sorted(qs):
-        if only and name not in only:
-            continue
+    names = sorted(qs)
+    for idx, name in enumerate(names):
+        in_slice = rotate is not None and idx % rotate[1] == rotate[0]
+        if rotate is not None or only:
+            if not in_slice and name not in only:
+                continue
         try:
             sdf = qs[name](spark, sf_dir)
             spark_pd = norm(sdf.toPandas())
