@@ -62,7 +62,6 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from covid_19_data_engineering_spark.operators.kmeans import (
     COORD_UNIT,
     DIST_UNIT,
-    _assign,
     _sqdist,
 )
 from covid_19_data_engineering_spark.plans.registry import register
@@ -88,80 +87,108 @@ def _sub_slice(col: Column, s: int, subdim: int = PQ_SUBDIM) -> Column:
     return F.slice(col, s * subdim + 1, subdim)
 
 
-def _codebook(corpus_sub: DataFrame, k: int = PQ_K) -> DataFrame:
-    """One-update Lloyd codebook over one subspace — the exact
-    cent0 -> assign -> integer-exact update chain kmeans_assignments
-    runs, returning the UPDATED centroids (cid, c) for the ADC table."""
+def _adc_scored(emb: DataFrame, q: list, m: int, subdim: int,
+                k_cent: int) -> DataFrame:
+    """(vec_id, e, approx_dist_units) for every corpus vector.
+
+    All m per-subspace codebooks train in ONE exploded pass (a row per
+    (vector, subspace)), so the whole training phase is a constant
+    number of small (s, cid, pos)-keyed shuffles REGARDLESS of m — the
+    original per-subspace chain paid 2 shuffles x m subspaces, and at
+    m=16 the ~32 AQE'd micro-stages were pure plan latency (~10s wall
+    on kilobyte data). Arithmetic is bit-identical to the chain form
+    the oracle replays: same lowest-vec_id init, same (dist, cid)
+    struct-min assignment, same integer-exact centroid update, and the
+    final ADC sum folds d0+d1+...+d(m-1) left-associatively in subspace
+    order (F.aggregate from 0.0; 0.0 + d0 == d0 exactly for the
+    non-negative distances)."""
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
+
+    def slices(col: Column) -> Column:
+        return F.array(*[_sub_slice(col, s, subdim) for s in range(m)])
+
+    # (vec_id, s, es): one row per (vector, subspace)
+    sub = corpus.select(
+        "vec_id", F.posexplode(slices(F.col("e"))).alias("s", "es"))
+    # cent0 per subspace = the k_cent lowest vec_ids' slices (the same
+    # vector set for every s, exactly as the per-subspace chains chose)
     cent0 = (
-        corpus_sub.orderBy("vec_id").limit(k)
-        .select(F.col("vec_id").alias("cid"), F.col("e").alias("c"))
+        corpus.orderBy("vec_id").limit(k_cent)
+        .select(F.col("vec_id").alias("cid"),
+                F.posexplode(slices(F.col("e"))).alias("s", "c"))
+        .groupBy("s")
+        .agg(F.collect_list(F.struct("cid", "c")).alias("cs"))
     )
-    a1 = _assign(corpus_sub, cent0)
-    upd = (
-        a1.select("cid", F.posexplode("e").alias("pos", "val"))
-        .groupBy("cid", "pos")
+    assigned = (
+        sub.join(F.broadcast(cent0), "s")
+        .select(
+            "s", "es",
+            F.array_min(F.transform(
+                F.col("cs"),
+                lambda c: F.struct(
+                    _sqdist(F.col("es"), c["c"]).alias("dist"),
+                    c["cid"].alias("cid"),
+                ),
+            ))["cid"].alias("cid"),
+        )
+    )
+    # integer-exact centroid update, keyed (s, cid, pos): one shuffle
+    # covers every subspace's codebook
+    cent1 = (
+        assigned.select("s", "cid", F.posexplode("es").alias("pos", "val"))
+        .groupBy("s", "cid", "pos")
         .agg(
             F.sum(F.floor(F.col("val") * COORD_UNIT)).alias("su"),
             F.count("*").alias("cnt"),
         )
         .select(
-            "cid", "pos",
+            "s", "cid", "pos",
             (F.col("su").cast("double") / F.col("cnt") / COORD_UNIT)
             .alias("coord"),
         )
-    )
-    return upd.groupBy("cid").agg(
-        F.transform(
+        .groupBy("s", "cid")
+        .agg(F.transform(
             F.sort_array(F.collect_list(F.struct("pos", "coord"))),
             lambda x: x["coord"],
-        ).alias("c")
+        ).alias("c"))
     )
-
-
-def _adc_scored(emb: DataFrame, q: list, m: int, subdim: int,
-                k_cent: int) -> DataFrame:
-    """(vec_id, e, approx_dist_units) for every corpus vector: train the
-    m per-subspace codebooks, broadcast them with precomputed query
-    distances, and score the corpus in one map-only projection."""
-    corpus = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
-
-    tables = []
-    for s in range(m):
-        sub = corpus.select(
-            "vec_id", _sub_slice(F.col("e"), s, subdim).alias("e"))
-        cent1 = _codebook(sub, k_cent)
-        qlit = F.array(*[F.lit(q[i]) for i in
-                         range(s * subdim, (s + 1) * subdim)])
-        # each centroid carries its query distance: the ADC table entry
-        tab = cent1.select(
-            "cid", "c", _sqdist(qlit, F.col("c")).alias("dq"))
-        tables.append(
-            tab.agg(F.collect_list(
-                F.struct("cid", "c", "dq")).alias(f"cs{s}")))
-
-    df = corpus
-    for s in range(m):
-        df = df.crossJoin(F.broadcast(tables[s]))
-
-    def best(s: int) -> Column:
-        # argmin over the subspace codebook: (dist-to-centroid, cid, dq)
-        # struct min gives the CODE and its table distance in one shot
-        return F.array_min(F.transform(
-            F.col(f"cs{s}"),
+    # each centroid carries its query distance (the ADC table entry);
+    # the m codebooks collapse into ONE broadcast row, sorted by s
+    qslices = F.array(*[
+        F.array(*[F.lit(q[i]) for i in
+                  range(s * subdim, (s + 1) * subdim)])
+        for s in range(m)
+    ])
+    books = (
+        cent1.select(
+            "s", "cid", "c",
+            _sqdist(F.element_at(qslices, F.col("s") + 1),
+                    F.col("c")).alias("dq"),
+        )
+        .groupBy("s")
+        .agg(F.collect_list(F.struct("cid", "c", "dq")).alias("cs"))
+        .agg(F.sort_array(F.collect_list(F.struct("s", "cs")))
+             .alias("books"))
+    )
+    # encode + ADC: one map-only projection against the broadcast books;
+    # per subspace the (dist, cid, dq) struct-min yields the code's table
+    # distance, and the outer fold sums them in fixed subspace order
+    dq_per_s = F.transform(
+        F.col("books"),
+        lambda b: F.array_min(F.transform(
+            b["cs"],
             lambda c: F.struct(
-                _sqdist(_sub_slice(F.col("e"), s, subdim), c["c"])
-                .alias("dist"),
+                _sqdist(F.slice(F.col("e"), b["s"] * subdim + 1, subdim),
+                        c["c"]).alias("dist"),
                 c["cid"].alias("cid"),
                 c["dq"].alias("dq"),
             ),
-        ))
-
-    approx = sum((F.col(f"b{s}.dq") for s in range(1, m)),
-                 F.col("b0.dq"))  # d0+d1+...+d(m-1), fixed left-assoc order
+        ))["dq"],
+    )
+    approx = F.aggregate(dq_per_s, F.lit(0.0), lambda acc, v: acc + v)
     return (
-        df.select("vec_id", "e",
-                  *[best(s).alias(f"b{s}") for s in range(m)])
+        corpus.crossJoin(F.broadcast(books))
         .select(
             "vec_id", "e",
             F.floor(approx * DIST_UNIT).cast("long")
