@@ -448,3 +448,68 @@ def orders_merge_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
         rows, "o_orderkey long, n_delta long, custkey_delta long")
+
+
+@register(
+    "orders_merge_schema_evolution",
+    oracle="""
+    SELECT o_orderkey,
+           'm' || CAST(o_orderkey AS VARCHAR) AS audit_tag,
+           CAST((SELECT COUNT(*) FROM orders)
+                - (SELECT COUNT(*) FROM orders WHERE o_orderkey % 9973 = 1)
+             AS BIGINT) AS n_untagged
+    FROM orders
+    WHERE o_orderkey % 9973 = 1
+    ORDER BY o_orderkey
+    """,
+    doc="Additive schema evolution THROUGH the file-pruned MERGE under "
+    "the oracle gate (round-12 verdict #7): orders commits as a range-"
+    "clustered versioned table, then a deterministic upsert batch "
+    "(o_orderkey % 9973 = 1) arrives CARRYING A NEW COLUMN (audit_tag = "
+    "'m' || key) via merge_versioned(merge_schema=True). The replace "
+    "commit records the union schema; carried files and anti-joined "
+    "pre-evolution rows surface NULL for the new column on read. The "
+    "gate output is layout-independent: the tagged rows must be exactly "
+    "the update keys with their tags, and n_untagged (the NULL-filled "
+    "remainder, counted from the committed snapshot) must equal total "
+    "minus updated — DuckDB verifies both from the raw table without "
+    "ever seeing the storage layout. Pytest additionally pins time "
+    "travel, the change feed across the boundary, and files_carried "
+    ">= 1 (pruning survives evolution).",
+)
+def orders_merge_schema_evolution(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from covid_19_data_engineering_spark.sources.versioned import (
+        merge_versioned,
+    )
+
+    root = tempfile.mkdtemp(prefix="merge_evo_")
+    path = os.path.join(root, "orders_tbl")
+    try:
+        orders = load_table(spark, "orders", sf_dir)
+        write_versioned(orders.repartitionByRange(16, "o_orderkey"), path)
+        updates = (
+            orders.where("o_orderkey % 9973 = 1")
+            .withColumn("audit_tag",
+                        F.concat(F.lit("m"),
+                                 F.col("o_orderkey").cast("string")))
+        )
+        merge_versioned(spark, path, updates, key="o_orderkey",
+                        merge_schema=True)
+        snap = read_versioned(spark, path)
+        untagged = snap.agg(
+            F.sum(F.when(F.col("audit_tag").isNull(), 1).otherwise(0))
+            .cast("long").alias("n_untagged"))
+        rows = (
+            snap.where(F.col("audit_tag").isNotNull())
+            .select("o_orderkey", "audit_tag")
+            .crossJoin(F.broadcast(untagged))
+            .orderBy("o_orderkey")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "o_orderkey long, audit_tag string, n_untagged long")

@@ -84,6 +84,8 @@ PRIORITY = (
     "ann_pq_rerank_topk",
     # sketch-ONLY hourly actives (no exact countDistinct in the core)
     "hourly_active_users_sketch",
+    # additive evolution through the file-pruned MERGE, oracle-gated
+    "orders_merge_schema_evolution",
     # daily actives derived by unioning the hourly sketches
     "daily_actives_from_hourly_sketches",
     # --- r13 changed semantics (fresh rows for the new flag band /
@@ -136,7 +138,6 @@ PRIORITY = (
     "order_price_ranks_scalable",
     "multimodal_features",
     "lang_id_confusion",
-    "kmeans_embedding_clusters",
 )
 
 def _reorder_registry() -> None:
