@@ -228,6 +228,76 @@ def test_cross_process_reader_never_sees_torn_snapshot_under_vacuum(
 
 
 # --------------------------------------------------------------------------
+# Seeded model check over the round-13 semantics: vacuum interleaved with
+# the rewrite ops, and the bloom_cols property's full transition system
+# (restated by managed rewrites, reset by plain overwrite, preserved by
+# vacuum through the anchor checkpoint).
+# --------------------------------------------------------------------------
+
+def test_mutation_sequence_with_vacuum_and_property_model(spark, tmp_path):
+    import random
+
+    def snapshot(path) -> dict:
+        return {r["k"]: r["v"]
+                for r in read_versioned(spark, path).collect()}
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        model = {k: rng.randint(0, 99) for k in range(30)}
+        prop = ["k"]
+        path = str(tmp_path / f"seq_{seed}")
+        write_versioned(
+            spark.createDataFrame(list(model.items()), "k long, v long")
+            .repartitionByRange(6, "k"),
+            path, bloom_cols=prop)
+        fresh = 1000
+        for step in range(8):
+            op = rng.choice(("merge", "delete", "append", "compact",
+                             "vacuum", "overwrite"))
+            if op == "merge":
+                upd = {k: rng.randint(0, 99)
+                       for k in rng.sample(sorted(model), min(3, len(model)))}
+                upd[fresh] = rng.randint(0, 99)
+                fresh += 1
+                merge_versioned(
+                    spark, path,
+                    spark.createDataFrame(list(upd.items()),
+                                          "k long, v long"), key="k")
+                model.update(upd)  # managed rewrite restates the property
+            elif op == "delete":
+                r = rng.randrange(5)
+                delete_versioned(spark, path, f"v % 5 = {r}")
+                model = {k: v for k, v in model.items() if v % 5 != r}
+            elif op == "append":
+                rows = {fresh + i: rng.randint(0, 99) for i in range(3)}
+                fresh += 10
+                write_versioned(
+                    spark.createDataFrame(list(rows.items()),
+                                          "k long, v long"),
+                    path, mode="append")
+                model.update(rows)
+            elif op == "compact":
+                compact_versioned(spark, path, target_files=3)
+            elif op == "vacuum":
+                # data and the bloom property must both survive history
+                # truncation (the anchor checkpoint carries the property)
+                vacuum_versioned(path, keep_versions=2, retention_s=0.0)
+            else:  # plain overwrite: fresh snapshot, random property fate
+                model = {fresh + i: rng.randint(0, 99) for i in range(10)}
+                fresh += 20
+                restate = rng.random() < 0.5
+                write_versioned(
+                    spark.createDataFrame(list(model.items()),
+                                          "k long, v long")
+                    .repartitionByRange(4, "k"),
+                    path, mode="overwrite",
+                    bloom_cols=["k"] if restate else None)
+                prop = ["k"] if restate else []
+            assert snapshot(path) == model, (seed, step, op)
+            assert table_bloom_cols(path) == prop, (seed, step, op)
+
+
+# --------------------------------------------------------------------------
 # Round-12 verdict #7: additive schema evolution THROUGH the file-pruned
 # MERGE path (it was append-only before) and through the change feed
 # across the evolution boundary.
