@@ -513,3 +513,56 @@ def orders_merge_schema_evolution(spark: SparkSession,
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
         rows, "o_orderkey long, audit_tag string, n_untagged long")
+
+
+@register(
+    "versioned_metadata_count",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_orderkey,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_orderkey
+    FROM orders
+    """,
+    doc="METADATA-ONLY aggregates on a versioned table — the "
+    "Delta/Iceberg optimization where SELECT COUNT(*) / MIN / MAX is "
+    "answered from commit-recorded parquet-footer metadata without "
+    "opening one data file. The gate builds the table as a REAL "
+    "multi-commit composition (a range-clustered base commit plus an "
+    "append carrying the remaining rows), then "
+    "snapshot_metadata_aggregates sums per-file exact row counts and "
+    "folds per-file [min, max] — O(log records) driver work; DuckDB "
+    "verifies count and extrema from the raw table. At 100 TB this is "
+    "the difference between a free freshness/rowcount probe and a full "
+    "scan; files without recorded metadata (legacy commits) make the "
+    "answer None and callers fall back to a scan, never a wrong "
+    "number (pytest pins the fallback and the post-MERGE/DELETE/"
+    "OPTIMIZE recomposition).",
+)
+def versioned_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from covid_19_data_engineering_spark.sources.versioned import (
+        snapshot_metadata_aggregates,
+    )
+
+    root = tempfile.mkdtemp(prefix="meta_count_")
+    path = os.path.join(root, "orders_tbl")
+    try:
+        orders = load_table(spark, "orders", sf_dir)
+        write_versioned(
+            orders.where("o_orderkey % 3 != 0")
+            .repartitionByRange(8, "o_orderkey"), path)
+        write_versioned(
+            orders.where("o_orderkey % 3 = 0")
+            .repartitionByRange(4, "o_orderkey"), path, mode="append")
+        agg = snapshot_metadata_aggregates(path, cols=("o_orderkey",))
+        if agg["n_rows"] is None or agg["min_max"]["o_orderkey"] is None:
+            raise RuntimeError(
+                "metadata-only aggregates unavailable on a freshly "
+                f"written table: {agg}")
+        lo, hi = agg["min_max"]["o_orderkey"]
+        row = (int(agg["n_rows"]), int(lo), int(hi))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [row], "n_rows long, min_orderkey long, max_orderkey long")

@@ -86,6 +86,8 @@ PRIORITY = (
     "hourly_active_users_sketch",
     # additive evolution through the file-pruned MERGE, oracle-gated
     "orders_merge_schema_evolution",
+    # metadata-only COUNT/MIN/MAX from commit-recorded footer stats
+    "versioned_metadata_count",
     # daily actives derived by unioning the hourly sketches
     "daily_actives_from_hourly_sketches",
     # --- r13 changed semantics (fresh rows for the new flag band /
@@ -137,7 +139,6 @@ PRIORITY = (
     "orders_column_profile",
     "order_price_ranks_scalable",
     "multimodal_features",
-    "lang_id_confusion",
 )
 
 def _reorder_registry() -> None:

@@ -360,6 +360,83 @@ def test_merge_schema_merge_rejects_drops_and_retypes(spark, tmp_path):
 
 
 # --------------------------------------------------------------------------
+# Metadata-only aggregates: COUNT/MIN/MAX answered from commit-recorded
+# footer metadata, surviving the whole mutation surface, with a loud
+# None fallback wherever metadata is missing.
+# --------------------------------------------------------------------------
+
+def test_metadata_aggregates_track_mutations(spark, tmp_path):
+    from covid_19_data_engineering_spark.sources.versioned import (
+        snapshot_metadata_aggregates,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(k, k * 2) for k in range(500)], "k long, v long")
+    write_versioned(base.repartitionByRange(6, "k"), path)
+
+    def check():
+        agg = snapshot_metadata_aggregates(path, cols=("k", "v"))
+        snap = read_versioned(spark, path)
+        exact = snap.selectExpr(
+            "count(*) AS n", "min(k) AS klo", "max(k) AS khi",
+            "min(v) AS vlo", "max(v) AS vhi").collect()[0]
+        assert agg["n_rows"] == exact["n"]
+        assert agg["min_max"]["k"] == [exact["klo"], exact["khi"]]
+        assert agg["min_max"]["v"] == [exact["vlo"], exact["vhi"]]
+
+    check()
+    write_versioned(
+        spark.createDataFrame([(1000, 7)], "k long, v long"),
+        path, mode="append")
+    check()
+    merge_versioned(
+        spark, path,
+        spark.createDataFrame([(3, -50), (2000, 9)], "k long, v long"),
+        key="k")
+    check()  # replace commits: carried rows + rewritten rows recompose
+    delete_versioned(spark, path, "k >= 1000")
+    check()
+    compact_versioned(spark, path, target_files=2)
+    check()
+
+
+def test_metadata_aggregates_none_on_missing_metadata(spark, tmp_path):
+    import covid_19_data_engineering_spark.sources.versioned as V
+
+    path = str(tmp_path / "t")
+    write_versioned(_kv(spark, [(1, "a"), (2, "b")]), path)
+    # simulate a legacy commit (written before rows/stats were recorded)
+    cpath = V._commit_path(path, 1)
+    with open(cpath) as f:
+        c = json.load(f)
+    c.pop("rows", None)
+    c.pop("stats", None)
+    tmp = cpath + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(c, f)
+    os.replace(tmp, cpath)
+    agg = V.snapshot_metadata_aggregates(path, cols=("k",))
+    assert agg["n_rows"] is None          # fall back to a scan, loudly
+    assert agg["min_max"]["k"] is None
+    assert agg["n_files"] >= 1
+
+
+def test_metadata_aggregates_skip_empty_files(spark, tmp_path):
+    from covid_19_data_engineering_spark.sources.versioned import (
+        snapshot_metadata_aggregates,
+    )
+
+    path = str(tmp_path / "t")
+    # force empty partition files beside populated ones
+    df = spark.createDataFrame([(5, "x"), (9, "y")], "k long, v string")
+    write_versioned(df.repartition(6), path)
+    agg = snapshot_metadata_aggregates(path, cols=("k",))
+    assert agg["n_rows"] == 2
+    assert agg["min_max"]["k"] == [5, 9]
+
+
+# --------------------------------------------------------------------------
 # Round-12 verdict #6: the JDBC warehouse sink seam — contract-pinned
 # like the Kafka connector (no driver jar / warehouse in this container;
 # SPARK_GRAFT_JDBC_URL drives the live path end-to-end elsewhere).
