@@ -88,6 +88,8 @@ PRIORITY = (
     "orders_merge_schema_evolution",
     # metadata-only COUNT/MIN/MAX from commit-recorded footer stats
     "versioned_metadata_count",
+    # mergeable percentile sketch beside the exact median (HLL pattern)
+    "order_price_percentile_sketch",
     # daily actives derived by unioning the hourly sketches
     "daily_actives_from_hourly_sketches",
     # --- r13 changed semantics (fresh rows for the new flag band /
@@ -138,7 +140,6 @@ PRIORITY = (
     "pii_scrub_events",
     "orders_column_profile",
     "order_price_ranks_scalable",
-    "multimodal_features",
 )
 
 def _reorder_registry() -> None:

@@ -789,6 +789,59 @@ def price_quantiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "order_price_percentile_sketch",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5)
+             / 100.0 AS exact_p50,
+           COUNT(*) AS n_orders,
+           TRUE AS sketch_within_band
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="Mergeable percentile SKETCH beside the exact median — the same "
+    "production-vs-audit split the HLL family uses (round-13; the "
+    "approx path previously existed only in prose on "
+    "price_quantiles_by_segment). percentile_approx is Spark's "
+    "QuantileSummaries sketch: single pass, mergeable partials, fixed "
+    "memory — at 100 TB it replaces the sort-based exact percentile "
+    "the same way HLL replaces countDistinct. The sketch guarantees "
+    "rank error <= n/accuracy (= n/10000), so the gate renders it as a "
+    "deterministic flag: the sketch median must land between the exact "
+    "p45 and p55 values (a +/-5%-rank band, ~500x the guarantee) — "
+    "stable regardless of partition merge order, pinned TRUE by the "
+    "oracle. Exact columns are the audit; the production query keeps "
+    "only the sketch.",
+)
+def order_price_percentile_sketch(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        o.select("o_orderpriority", cents.alias("cents"))
+        .groupBy("o_orderpriority")
+        .agg(
+            (F.percentile("cents", F.lit(0.5)) / 100.0).alias("exact_p50"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.percentile_approx("cents", F.lit(0.5), F.lit(10000))
+            .alias("approx_cents"),
+            F.percentile("cents", F.lit(0.45)).alias("lo_cents"),
+            F.percentile("cents", F.lit(0.55)).alias("hi_cents"),
+        )
+        .select(
+            "o_orderpriority",
+            "exact_p50",
+            "n_orders",
+            ((F.col("approx_cents") >= F.col("lo_cents"))
+             & (F.col("approx_cents") <= F.col("hi_cents")))
+            .alias("sketch_within_band"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
     "embedding_component_profile",
     oracle="""
     SELECT pos,
