@@ -90,6 +90,8 @@ PRIORITY = (
     "versioned_metadata_count",
     # mergeable percentile sketch beside the exact median (HLL pattern)
     "order_price_percentile_sketch",
+    # unigram-style tokenizer: Viterbi DP segmentation, oracle-replayed
+    "unigram_viterbi_tokens",
     # daily actives derived by unioning the hourly sketches
     "daily_actives_from_hourly_sketches",
     # --- r13 changed semantics (fresh rows for the new flag band /
@@ -139,7 +141,6 @@ PRIORITY = (
     "salted_lineitem_revenue",
     "pii_scrub_events",
     "orders_column_profile",
-    "order_price_ranks_scalable",
 )
 
 def _reorder_registry() -> None:
@@ -211,6 +212,7 @@ def _ensure_loaded() -> None:
     import covid_19_data_engineering_spark.operators.textrank  # noqa: F401
     import covid_19_data_engineering_spark.operators.nbayes  # noqa: F401
     import covid_19_data_engineering_spark.operators.pq  # noqa: F401
+    import covid_19_data_engineering_spark.operators.unigram  # noqa: F401
     import covid_19_data_engineering_spark.functions.udfs  # noqa: F401
     import covid_19_data_engineering_spark.sources.avrofmt  # noqa: F401
     import covid_19_data_engineering_spark.streaming.events  # noqa: F401

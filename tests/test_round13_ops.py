@@ -360,6 +360,56 @@ def test_merge_schema_merge_rejects_drops_and_retypes(spark, tmp_path):
 
 
 # --------------------------------------------------------------------------
+# Unigram-style tokenizer: Viterbi DP segmentation under the integer
+# surrogate objective (fewest pieces, then highest frequency, then
+# leftmost-longest) — planted corpus with hand-computed optimum.
+# --------------------------------------------------------------------------
+
+def test_unigram_viterbi_planted_optimum(spark):
+    from covid_19_data_engineering_spark.operators.unigram import (
+        unigram_piece_usage,
+    )
+
+    # words: banana x2, nab x1. Optimal segmentations under the
+    # objective: banana -> [bana, na] (2 pieces; weights bana=2 + na=5
+    # beat ban+ana=6 and ba+nana=4), nab -> [nab] (itself a candidate).
+    docs = spark.createDataFrame(
+        [(1, "banana banana nab")], "doc_id long, text string")
+    rows = {r["piece"]: r["used_total"]
+            for r in unigram_piece_usage(docs).collect()}
+    assert rows == {"bana": 2, "na": 2, "nab": 1}
+
+
+def test_unigram_viterbi_deterministic_and_jvm_only(spark):
+    from covid_19_data_engineering_spark.operators.unigram import (
+        unigram_viterbi_tokens,
+    )
+
+    a = [tuple(r) for r in
+         unigram_viterbi_tokens(spark, "/root/testdata/sf0.001").collect()]
+    b = [tuple(r) for r in
+         unigram_viterbi_tokens(spark, "/root/testdata/sf0.001").collect()]
+    assert a == b and len(a) == 30
+    plan = (unigram_viterbi_tokens(spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BatchEvalPython" not in plan  # the DP is a JVM fold
+
+
+def test_unigram_every_word_segmentable(spark):
+    from covid_19_data_engineering_spark.operators.unigram import (
+        unigram_piece_usage,
+    )
+
+    # rare characters only ever seen once: the single-char vocabulary
+    # floor must keep every word segmentable (no empty argmin)
+    docs = spark.createDataFrame(
+        [(1, "xyzzy qqq été")], "doc_id long, text string")
+    rows = {r["piece"]: r["used_total"]
+            for r in unigram_piece_usage(docs).collect()}
+    assert sum(rows.values()) >= 3  # every word produced >= 1 piece
+
+
+# --------------------------------------------------------------------------
 # Metadata-only aggregates: COUNT/MIN/MAX answered from commit-recorded
 # footer metadata, surviving the whole mutation surface, with a loud
 # None fallback wherever metadata is missing.
