@@ -1038,3 +1038,153 @@ def lm_trigram_interp_perplexity(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return lm_trigram_scores(docs).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram perplexity — the KenLM smoothing family
+# CCNet actually ships for corpus quality filtering (add-one and linear
+# interpolation above are the pedagogical baselines; KN is the production
+# standard because continuation counts model "how promiscuous is this word"
+# instead of raw frequency).
+# --------------------------------------------------------------------------
+
+
+def lm_kneser_ney_scores(docs: DataFrame, text_col: str = "text",
+                         key_col: str = "doc_id") -> DataFrame:
+    """Per-document mean negative log-likelihood under an interpolated
+    Kneser-Ney bigram model trained on the corpus itself.
+
+    P_KN(w2|w1) = (max(C(w1,w2) - D, 0) + D * N1+(w1,*) * Pcont(w2)) / C(w1)
+    Pcont(w2)   = N1+(*,w2) / N1+(*,*)
+    D           = n1 / (n1 + 2*n2)   (count-of-counts discount estimate,
+                                      Ney-Essen-Kneser; 0.5 if degenerate)
+
+    where N1+(w1,*) is the number of DISTINCT continuations of w1,
+    N1+(*,w2) the number of distinct left-contexts of w2, and N1+(*,*)
+    the number of distinct bigram types. Scores are over the document's
+    observed bigram occurrences (all present in the corpus model by
+    construction, so the backoff never bottoms out at zero).
+
+    100 TB posture — identical to lm_bigram_scores: the corpus is
+    tokenized ONCE into the checkpointed per-doc bigram working set;
+    every model table (type counts, forward/backward continuation
+    counts, the discount) derives from that working set through
+    map-side-combined aggregations; the discount and the bigram-type
+    total travel as a one-row broadcast; the scoring join is equi-keyed
+    on (w1, w2) and the rollup shuffles once on doc_id. Never a doc-doc
+    join, never a Python UDF.
+
+    Determinism across engines: the probability expression is written
+    with the same association on both sides, each -ln P rounds to 6
+    decimals before the multiplicity-weighted mean, the mean to 4 —
+    the lm_bigram_perplexity doctrine.
+    """
+    toks = docs.select(F.col(key_col).alias("doc_id"),
+                       F.split(F.col(text_col), " ").alias("t"))
+    docbi = (
+        toks.where(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(sequence(0, size(t) - 2), "
+                       "i -> struct(t[i] AS w1, t[i + 1] AS w2))")
+            ).alias("b"),
+        )
+        .groupBy("doc_id", "b.w1", "b.w2")
+        .agg(F.count(F.lit(1)).alias("c_doc"))
+        .localCheckpoint(eager=True)
+    )
+    cnt = docbi.groupBy("w1", "w2").agg(F.sum("c_doc").alias("c"))
+    ctx = cnt.groupBy("w1").agg(F.sum("c").alias("cw"),
+                                F.count(F.lit(1)).alias("n1fw"))
+    bw = cnt.groupBy("w2").agg(F.count(F.lit(1)).alias("n1bw"))
+    disc = cnt.agg(
+        F.count(F.lit(1)).alias("nbt"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).alias("n2"),
+    ).select(
+        "nbt",
+        F.when(F.col("n1") + 2 * F.col("n2") == 0, F.lit(0.5))
+        .otherwise(F.col("n1").cast("double")
+                   / (F.col("n1") + 2.0 * F.col("n2")))
+        .alias("d"),
+    )
+    probs = (
+        cnt.join(ctx, "w1")
+        .join(bw, "w2")
+        .crossJoin(F.broadcast(disc))
+        .select(
+            "w1", "w2",
+            F.round(
+                -F.log(
+                    (F.greatest(F.col("c") - F.col("d"), F.lit(0.0))
+                     + F.col("d") * F.col("n1fw") * F.col("n1bw")
+                     / F.col("nbt"))
+                    / F.col("cw")
+                ),
+                6,
+            ).alias("nll"),
+        )
+    )
+    return (
+        docbi.join(probs, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c_doc").alias("n_bigrams"),
+            F.round(F.sum(F.col("nll") * F.col("c_doc")) / F.sum("c_doc"), 4)
+            .alias("avg_nll"),
+        )
+    )
+
+
+@register(
+    "lm_kneser_ney_perplexity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    bi AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> {'w1': t[i], 'w2': t[i + 1]}),
+                    recursive := true)
+      FROM toks WHERE len(t) >= 2
+    ),
+    docbi AS (SELECT doc_id, w1, w2, COUNT(*) AS c_doc FROM bi GROUP BY 1, 2, 3),
+    cnt AS (SELECT w1, w2, SUM(c_doc) AS c FROM docbi GROUP BY 1, 2),
+    ctx AS (SELECT w1, SUM(c) AS cw, COUNT(*) AS n1fw FROM cnt GROUP BY 1),
+    bw AS (SELECT w2, COUNT(*) AS n1bw FROM cnt GROUP BY 1),
+    disc AS (
+      SELECT COUNT(*) AS nbt,
+             CASE WHEN SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                       + 2 * SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) = 0
+                  THEN 0.5e0
+                  ELSE CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                       / (SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                          + 2.0e0 * SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END))
+             END AS d
+      FROM cnt
+    ),
+    probs AS (
+      SELECT w1, w2,
+             ROUND(-ln((GREATEST(c - d, 0.0e0) + d * n1fw * n1bw / nbt) / cw),
+                   6) AS nll
+      FROM cnt JOIN ctx USING (w1) JOIN bw USING (w2) CROSS JOIN disc
+    )
+    SELECT doc_id,
+           CAST(SUM(c_doc) AS BIGINT) AS n_bigrams,
+           ROUND(SUM(nll * c_doc) / SUM(c_doc), 4) AS avg_nll
+    FROM docbi JOIN probs USING (w1, w2)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="Interpolated Kneser-Ney bigram perplexity (KenLM-family "
+    "smoothing, the CCNet production quality filter): continuation "
+    "counts N1+(w1,*)/N1+(*,w2), count-of-counts discount "
+    "D = n1/(n1+2*n2), all model tables derived from one checkpointed "
+    "per-doc bigram working set; discount broadcast as one row, scoring "
+    "join equi-keyed on the bigram, one doc_id rollup shuffle.",
+)
+def lm_kneser_ney_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return lm_kneser_ney_scores(docs).orderBy("doc_id")

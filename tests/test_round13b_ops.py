@@ -1,0 +1,78 @@
+"""Round-13 continuation session: Kneser-Ney LM, Fellegi-Sunter record
+linkage, Hilbert layout, sampled-aggregate estimation, frequent event
+sequences. Planted-case semantics pins; the cross-engine math is pinned by
+the DuckDB oracle gate (tools/driver_gate.py) at all three SFs."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def test_kneser_ney_continuation_counts_matter(spark):
+    """The KN signature property (the 'san francisco' effect): two bigrams
+    with IDENTICAL raw counts and identical contexts score differently when
+    the continuation word differs in how many distinct contexts it follows.
+    'glasses' follows five distinct words; 'francisco' only ever follows
+    'san' (and the probe context) — so P_KN(glasses | x) > P_KN(francisco | x)
+    even though C(x, glasses) == C(x, francisco) == 1."""
+    from covid_19_data_engineering_spark.operators.llmprep import (
+        lm_kneser_ney_scores,
+    )
+
+    rows = [
+        # glasses after 4 distinct contexts
+        (0, "red glasses", "en", "web"),
+        (1, "blue glasses", "en", "web"),
+        (2, "old glasses", "en", "web"),
+        (3, "new glasses", "en", "web"),
+        # francisco always after san, same total frequency as glasses
+        (4, "san francisco", "en", "web"),
+        (5, "san francisco", "en", "web"),
+        (6, "san francisco", "en", "web"),
+        (7, "san francisco", "en", "web"),
+        # probe docs: one unseen-context bigram each, identical counts
+        (100, "x glasses", "en", "web"),
+        (101, "x francisco", "en", "web"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = {r["doc_id"]: r for r in lm_kneser_ney_scores(df).collect()}
+    assert set(out) == {0, 1, 2, 3, 4, 5, 6, 7, 100, 101}
+    # the glasses probe must beat the francisco probe purely on
+    # continuation counts
+    assert out[100]["avg_nll"] < out[101]["avg_nll"]
+    # identical docs -> identical scores; all NLLs positive
+    assert out[4]["avg_nll"] == out[5]["avg_nll"] == out[6]["avg_nll"]
+    for r in out.values():
+        assert r["avg_nll"] > 0.0
+        assert r["n_bigrams"] == 1
+    # repeated corpus-common bigram scores better than a one-off
+    assert out[4]["avg_nll"] < out[100]["avg_nll"]
+
+
+def test_kneser_ney_discount_from_count_of_counts(spark):
+    """D = n1/(n1 + 2*n2) over bigram TYPE counts; verify end-to-end by
+    hand on a corpus small enough to enumerate. Corpus bigram types:
+    (a,b) with count 2 and (c,d) with count 1 -> n1=1, n2=1, D=1/3.
+    P_KN(b|a) = (2 - 1/3 + (1/3)*1*(1/2)) / 2 = (5/3 + 1/6)/2 = 11/12."""
+    import math
+
+    from covid_19_data_engineering_spark.operators.llmprep import (
+        lm_kneser_ney_scores,
+    )
+
+    rows = [
+        (0, "a b", "en", "web"),
+        (1, "a b", "en", "web"),
+        (2, "c d", "en", "web"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = {r["doc_id"]: r for r in lm_kneser_ney_scores(df).collect()}
+    expected = round(
+        round(-math.log((2 - 1 / 3 + (1 / 3) * 1 * (1 / 2)) / 2), 6), 4
+    )
+    assert out[0]["avg_nll"] == expected
+    assert out[1]["avg_nll"] == expected
