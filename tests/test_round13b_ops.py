@@ -76,3 +76,66 @@ def test_kneser_ney_discount_from_count_of_counts(spark):
     )
     assert out[0]["avg_nll"] == expected
     assert out[1]["avg_nll"] == expected
+
+
+def test_fs_linkage_planted_duplicate_outranks(spark):
+    """A planted true re-listing (full agreement) must get the maximum FS
+    weight in its block; a blocked pair disagreeing everywhere must score
+    the pattern minimum, and weights must be monotone in agreements."""
+    from covid_19_data_engineering_spark.operators.linkage import (
+        fs_candidate_pairs,
+    )
+
+    rows = [
+        # block (widget, Brand#1): a true duplicate pair + a far pair
+        (1, "cold widget", "Brand#1", "ECONOMY", 10, 1.0),
+        (2, "cold widget", "Brand#1", "ECONOMY", 11, 1.0),   # dup of 1
+        (3, "hot widget", "Brand#1", "PROMO", 40, 1.0),      # disagrees all
+        # block (bolt, Brand#2): partial agreement
+        (4, "small bolt", "Brand#2", "STANDARD", 20, 1.0),
+        (5, "small bolt", "Brand#2", "PROMO", 20, 1.0),      # name+size agree
+        # filler for u-statistics diversity
+        (6, "old gear", "Brand#3", "ECONOMY", 5, 1.0),
+        (7, "new gear", "Brand#4", "PROMO", 30, 1.0),
+    ]
+    parts = spark.createDataFrame(
+        rows,
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    )
+    out = {(r["a_key"], r["b_key"]): r for r in fs_candidate_pairs(parts).collect()}
+    # blocks: widget/Brand#1 -> pairs (1,2),(1,3),(2,3); bolt/Brand#2 -> (4,5)
+    assert set(out) == {(1, 2), (1, 3), (2, 3), (4, 5)}
+    dup = out[(1, 2)]
+    assert (dup["agree_name"], dup["agree_type"], dup["agree_size"]) == (1, 1, 1)
+    assert dup["fs_weight"] == max(r["fs_weight"] for r in out.values())
+    # full disagreement scores strictly below partial agreement
+    assert out[(1, 3)]["fs_weight"] < out[(4, 5)]["fs_weight"] < dup["fs_weight"]
+
+
+def test_fs_linkage_candidate_volume_bounded(spark):
+    """The blocking contract: candidate pair volume equals the sum of
+    C(block,2) over (noun, brand) blocks and no block exceeds the bound a
+    domain-limited key implies. A blocking-key regression that re-opens
+    the all-pairs blowup fails here before it ships."""
+    from covid_19_data_engineering_spark.operators.linkage import (
+        fs_candidate_pairs,
+    )
+    from covid_19_data_engineering_spark.sources.tables import load_table
+
+    parts = load_table(spark, "part", "/root/testdata/sf0.01")
+    blocks = (
+        parts.select(
+            F.split("p_name", " ").getItem(1).alias("t"),
+            F.col("p_brand").alias("b"),
+        )
+        .groupBy("t", "b")
+        .count()
+        .collect()
+    )
+    expected_pairs = sum(r["count"] * (r["count"] - 1) // 2 for r in blocks)
+    max_block = max(r["count"] for r in blocks)
+    got = fs_candidate_pairs(parts).count()
+    assert got == expected_pairs
+    n = parts.count()
+    assert max_block < n // 10  # blocks stay a small fraction of the table
