@@ -375,3 +375,146 @@ def versioned_pruned_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
         .orderBy("o_orderkey")
     )
+
+
+# --- Hilbert-curve layout: the locality-tighter sibling of z-order -----------
+# Morton interleave is cheap but takes long diagonal jumps between
+# quadrants; the Hilbert curve visits every cell of one quadrant before
+# leaving it, so consecutive curve positions are ALWAYS grid neighbors and
+# per-file bounding boxes come out tighter — which is why Delta Lake added
+# OPTIMIZE ... by Hilbert clustering (liquid clustering) over plain
+# z-order. The xy->d walk is inherently sequential across bit levels (each
+# level rotates/reflects the frame for the next), so it does NOT reduce to
+# one bit-interleave sum; it unrolls instead into H_BITS chained integer
+# projections — Catalyst collapses the chain into a single whole-stage-
+# codegen projection, and the oracle mirrors it as chained CTEs with the
+# SAME expression text (integer div/mod/CASE only, engine-exact).
+
+H_BITS = 8          # 8 bits per dimension -> 16-bit Hilbert index, 256x256
+H_FILE_BITS = 6     # top 6 bits -> 64 target files
+
+
+def _hilbert_level_exprs(s: int, div: str) -> tuple[str, str, str]:
+    """One level of the canonical xy2d walk (side ``s``), as pure-integer
+    expression text over current columns x, y, d:
+
+      rx = (x div s) % 2 ; ry = (y div s) % 2
+      d += s*s * ((3*rx) XOR ry)          [arithmetic: 3*rx + ry - 2*rx*ry]
+      if ry == 0:  (reflect when rx == 1, then swap)
+          x' = s-1-(y%s) if rx else y%s
+          y' = s-1-(x%s) if rx else x%s
+      else:        x' = x%s ; y' = y%s
+    """
+    rx = f"((x {div} {s}) % 2)"
+    ry = f"((y {div} {s}) % 2)"
+    nd = f"d + {s * s} * (3 * {rx} + {ry} - 2 * {rx} * {ry})"
+    nx = (f"CASE WHEN {ry} = 0 THEN "
+          f"(CASE WHEN {rx} = 1 THEN {s - 1} - (y % {s}) ELSE y % {s} END) "
+          f"ELSE x % {s} END")
+    ny = (f"CASE WHEN {ry} = 0 THEN "
+          f"(CASE WHEN {rx} = 1 THEN {s - 1} - (x % {s}) ELSE x % {s} END) "
+          f"ELSE y % {s} END")
+    return nx, ny, nd
+
+
+def hilbert_index(df: DataFrame, qx: str = "qx", qy: str = "qy",
+                  keep: tuple[str, ...] = ("a", "b")) -> DataFrame:
+    """Append Hilbert curve position ``d`` for quantized H_BITS-bit lanes
+    ``qx``/``qy``: H_BITS chained integer projections (one per bit level),
+    collapsed by Catalyst into one codegen stage — map-only, no shuffle."""
+    cols = list(keep)
+    out = df.selectExpr(*cols,
+                        f"CAST({qx} AS BIGINT) AS x",
+                        f"CAST({qy} AS BIGINT) AS y",
+                        "CAST(0 AS BIGINT) AS d")
+    for i in range(H_BITS):
+        s = 1 << (H_BITS - 1 - i)
+        nx, ny, nd = _hilbert_level_exprs(s, "div")
+        out = out.selectExpr(*cols, f"({nx}) AS x", f"({ny}) AS y",
+                             f"({nd}) AS d")
+    return out.selectExpr(*cols, "d")
+
+
+def hilbert_file_layout(df: DataFrame, col_a: str, col_b: str,
+                        file_bits: int = H_FILE_BITS) -> DataFrame:
+    """Per-file layout footprint after Hilbert-ordering ``df`` on
+    (col_a, col_b): (file_id, n_rows, min_a, max_a, min_b, max_b) — the
+    same readout as ``zorder_file_layout`` so the two curves compare
+    directly. Quantization reuses the range-normalized integer lanes
+    (H_BITS wide); file_id = top ``file_bits`` bits of the Hilbert index
+    (radix — embarrassingly parallel, no global sort)."""
+    stats = df.agg(
+        F.min(col_a).alias("la"), F.max(col_a).alias("ma"),
+        F.min(col_b).alias("lb"), F.max(col_b).alias("mb"),
+    ).first()
+    if stats["ma"] is None or stats["mb"] is None:
+        raise ValueError(f"hilbert: empty input or all-NULL {col_a}/{col_b}")
+    la, ma = int(stats["la"]), int(stats["ma"])
+    lb, mb = int(stats["lb"]), int(stats["mb"])
+    nq = 1 << H_BITS
+    base = df.selectExpr(
+        f"{col_a} AS a", f"{col_b} AS b",
+        f"((CAST({col_a} AS BIGINT) - {la}) * {nq}) div ({ma} - {la} + 1) AS qx",
+        f"((CAST({col_b} AS BIGINT) - {lb}) * {nq}) div ({mb} - {lb} + 1) AS qy",
+    )
+    shift = 1 << (2 * H_BITS - file_bits)
+    return (
+        hilbert_index(base)
+        .selectExpr("a", "b", f"d div {shift} AS file_id")
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("a").alias("min_a"), F.max("a").alias("max_a"),
+            F.min("b").alias("min_b"), F.max("b").alias("max_b"),
+        )
+    )
+
+
+def _hilbert_oracle_sql() -> str:
+    nq = 1 << H_BITS
+    shift = 1 << (2 * H_BITS - H_FILE_BITS)
+    ctes = [f"""
+    lvl0 AS (
+      SELECT l_orderkey AS a, l_partkey AS b,
+             ((CAST(l_orderkey AS BIGINT)
+                 - (SELECT MIN(l_orderkey) FROM lineitem)) * {nq})
+               // ((SELECT MAX(l_orderkey) FROM lineitem)
+                     - (SELECT MIN(l_orderkey) FROM lineitem) + 1) AS x,
+             ((CAST(l_partkey AS BIGINT)
+                 - (SELECT MIN(l_partkey) FROM lineitem)) * {nq})
+               // ((SELECT MAX(l_partkey) FROM lineitem)
+                     - (SELECT MIN(l_partkey) FROM lineitem) + 1) AS y,
+             CAST(0 AS BIGINT) AS d
+      FROM lineitem
+    )"""]
+    for i in range(H_BITS):
+        s = 1 << (H_BITS - 1 - i)
+        nx, ny, nd = _hilbert_level_exprs(s, "//")
+        ctes.append(f"""
+    lvl{i + 1} AS (
+      SELECT a, b, ({nx}) AS x, ({ny}) AS y, ({nd}) AS d FROM lvl{i}
+    )""")
+    return f"""
+    WITH {','.join(ctes)}
+    SELECT d // {shift} AS file_id, COUNT(*) AS n_rows,
+           MIN(a) AS min_a, MAX(a) AS max_a,
+           MIN(b) AS min_b, MAX(b) AS max_b
+    FROM lvl{H_BITS} GROUP BY 1 ORDER BY file_id
+    """
+
+
+@register(
+    "hilbert_file_layout",
+    oracle=_hilbert_oracle_sql(),
+    doc=f"Hilbert-curve layout plan for lineitem on (l_orderkey, "
+    f"l_partkey): {H_BITS}-bit range-normalized quantization, the "
+    "canonical xy2d walk unrolled into chained pure-integer projections "
+    "(one whole-stage-codegen stage; the oracle replays the identical "
+    f"expression text as chained CTEs), radix file assignment (top "
+    f"{H_FILE_BITS} bits). The locality-tighter OPTIMIZE clustering "
+    "beside zorder_file_layout — same readout schema, directly "
+    "comparable footprints.",
+)
+def hilbert_layout_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    return hilbert_file_layout(li, "l_orderkey", "l_partkey").orderBy("file_id")

@@ -139,3 +139,83 @@ def test_fs_linkage_candidate_volume_bounded(spark):
     assert got == expected_pairs
     n = parts.count()
     assert max_block < n // 10  # blocks stay a small fraction of the table
+
+
+def _xy2d(n_bits: int, x: int, y: int) -> int:
+    """Pure-python replica of the unrolled Hilbert walk (the canonical
+    xy2d), used to pin the generated Spark/DuckDB expression chain."""
+    d = 0
+    for i in range(n_bits):
+        s = 1 << (n_bits - 1 - i)
+        rx = (x // s) % 2
+        ry = (y // s) % 2
+        d += s * s * (3 * rx + ry - 2 * rx * ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - (y % s), s - 1 - (x % s)
+            else:
+                x, y = y % s, x % s
+        else:
+            x, y = x % s, y % s
+    return d
+
+
+def test_hilbert_walk_canonical_and_spark_matches_replica(spark):
+    """The order-2 walk must be the canonical Hilbert sequence; the Spark
+    expression chain must agree with the replica on planted 8-bit cells."""
+    from covid_19_data_engineering_spark.operators.layout import (
+        H_BITS,
+        hilbert_index,
+    )
+
+    seq = [(0, 0), (1, 0), (1, 1), (0, 1), (0, 2), (0, 3), (1, 3), (1, 2),
+           (2, 2), (2, 3), (3, 3), (3, 2), (3, 1), (2, 1), (2, 0), (3, 0)]
+    assert [_xy2d(2, x, y) for x, y in seq] == list(range(16))
+
+    cells = [(x, y) for x in range(0, 256, 13) for y in range(0, 256, 17)]
+    df = spark.createDataFrame(
+        [(x, y, x, y) for x, y in cells], "a long, b long, qx long, qy long"
+    )
+    got = {(r["a"], r["b"]): r["d"] for r in hilbert_index(df).collect()}
+    for x, y in cells:
+        assert got[(x, y)] == _xy2d(H_BITS, x, y)
+
+
+def test_hilbert_consecutive_files_are_adjacent_morton_jumps():
+    """The property that makes Hilbert the better clustering for range
+    scans: consecutive FILE ids cover edge-adjacent cells (a scan of files
+    [k, k+m] reads one connected region), while consecutive Morton files
+    take diagonal jumps across the grid. Verified on the exact 8x8 file
+    grid both curves induce at 6 file bits."""
+    # file cell centroid per curve over the full 64x64 coarse grid
+    import collections
+
+    hil = collections.defaultdict(list)
+    mor = collections.defaultdict(list)
+    for x in range(64):
+        for y in range(64):
+            hd = _xy2d(6, x, y) >> 6         # top 6 of 12 bits
+            md = 0
+            for i in range(6):
+                md += ((x >> i) & 1) << (2 * i + 1) | ((y >> i) & 1) << (2 * i)
+            mor[md >> 6].append((x, y))
+            hil[hd].append((x, y))
+    def steps(cells):
+        cen = {
+            f: (sum(p[0] for p in pts) / len(pts),
+                sum(p[1] for p in pts) / len(pts))
+            for f, pts in cells.items()
+        }
+        return [
+            max(abs(cen[f + 1][0] - cen[f][0]), abs(cen[f + 1][1] - cen[f][1]))
+            for f in range(63)
+        ]
+
+    hsteps, msteps = steps(hil), steps(mor)
+    assert len(hil) == len(mor) == 64
+    # every consecutive Hilbert file is edge-adjacent (one 8-cell width)
+    assert max(hsteps) <= 8.0
+    # Morton takes multi-cell diagonal jumps (7 of them at this order,
+    # the worst spanning 7 cell widths); Hilbert takes none
+    assert sum(1 for s in msteps if s > 8.0) >= 7
+    assert max(msteps) >= 56.0
