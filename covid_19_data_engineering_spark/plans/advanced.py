@@ -799,3 +799,86 @@ def daily_actives_from_hourly_sketches(spark: SparkSession,
         )
         .orderBy("day")
     )
+
+
+# --- approximate query processing over a deterministic sample ---------------
+# The BlinkDB/online-aggregation posture: at 100 TB you answer a GROUP BY
+# from a small pre-materialized sample with an error bar, and scan the
+# full fact only when the bar is too wide. The sample here is the repo's
+# standard md5-bucket hash sample (stable across repartitions, re-runs,
+# engines — rand()/TABLESAMPLE give none of that), the estimator is
+# Horvitz-Thompson (sum/f under Bernoulli-style inclusion), and the error
+# bar is the 3-sigma HT variance estimate 3*sqrt((1-f)/f^2 * sum x^2 over
+# the sample). The registered output renders correctness the way the HLL
+# family does: the estimate columns are deterministic and hash-compared,
+# and an exact AUDIT aggregate (clearly not part of the production path)
+# feeds a within-CI flag the oracle pins TRUE.
+
+SAMPLE_BUCKETS = 10  # keep bucket 0 -> f = 1/10
+
+
+@register(
+    "orders_sampled_revenue_estimate",
+    oracle=f"""
+    WITH s AS (
+      SELECT o_orderpriority, o_totalprice
+      FROM orders
+      WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+            % {SAMPLE_BUCKETS} = 0
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_sampled,
+           ROUND(SUM(o_totalprice) * {SAMPLE_BUCKETS}.0e0, 2) AS est_total,
+           ROUND(3.0e0 * sqrt({SAMPLE_BUCKETS * (SAMPLE_BUCKETS - 1)}.0e0
+                              * SUM(o_totalprice * o_totalprice)), 2)
+             AS ci3_halfwidth,
+           TRUE AS est_within_ci
+    FROM s
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="BlinkDB-style approximate GROUP BY: per-priority revenue total "
+    "estimated from the deterministic 10% md5-bucket sample via "
+    "Horvitz-Thompson (sum/f), with a 3-sigma HT variance error bar "
+    "(3*sqrt((1-f)/f^2 * sum x^2)). The production path scans ONLY the "
+    "sample (filter pushed to the scan); the exact full-fact aggregate "
+    "appears solely as the audit join feeding the within-CI flag the "
+    "oracle pins TRUE — at 100 TB you materialize the sample once and "
+    "drop the audit.",
+)
+def orders_sampled_revenue_estimate(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    f = 1.0 / SAMPLE_BUCKETS
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8),
+               16, 10).cast("long") % SAMPLE_BUCKETS
+    )
+    est = (
+        orders.where(bucket == 0)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.sum("o_totalprice") * F.lit(float(SAMPLE_BUCKETS)), 2)
+            .alias("est_total"),
+            F.round(
+                3.0 * F.sqrt(
+                    F.lit(float(SAMPLE_BUCKETS * (SAMPLE_BUCKETS - 1)))
+                    * F.sum(F.col("o_totalprice") * F.col("o_totalprice"))
+                ),
+                2,
+            ).alias("ci3_halfwidth"),
+        )
+    )
+    audit = orders.groupBy("o_orderpriority").agg(
+        F.sum("o_totalprice").alias("exact_total")
+    )
+    return (
+        est.join(audit, "o_orderpriority")
+        .select(
+            "o_orderpriority", "n_sampled", "est_total", "ci3_halfwidth",
+            (F.abs(F.col("est_total") - F.col("exact_total"))
+             <= F.col("ci3_halfwidth")).alias("est_within_ci"),
+        )
+        .orderBy("o_orderpriority")
+    )

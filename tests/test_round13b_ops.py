@@ -219,3 +219,30 @@ def test_hilbert_consecutive_files_are_adjacent_morton_jumps():
     # the worst spanning 7 cell widths); Hilbert takes none
     assert sum(1 for s in msteps if s > 8.0) >= 7
     assert max(msteps) >= 56.0
+
+
+def test_sampled_revenue_estimate_accuracy(spark):
+    """The HT estimator from the 10% hash sample lands within a few
+    percent of the exact per-priority totals at gate scale, the 3-sigma
+    CI flag holds, and the sample fraction is near f."""
+    import __spark_entry__ as e
+
+    sf_dir = "/root/testdata/sf0.01"
+    out = e.queries()["orders_sampled_revenue_estimate"](spark, sf_dir).collect()
+    from covid_19_data_engineering_spark.sources.tables import load_table
+
+    exact = {
+        r["o_orderpriority"]: (r["t"], r["n"])
+        for r in load_table(spark, "orders", sf_dir)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("o_totalprice").alias("t"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert len(out) == 5
+    for r in out:
+        t, n = exact[r["o_orderpriority"]]
+        assert r["est_within_ci"] is True
+        assert abs(r["est_total"] - t) / t < 0.15
+        # sample size within a loose binomial band around n/10
+        assert abs(r["n_sampled"] - n / 10) < 4 * (n * 0.1 * 0.9) ** 0.5
+        assert r["ci3_halfwidth"] > 0.0
