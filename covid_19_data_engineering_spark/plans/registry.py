@@ -214,6 +214,7 @@ def _ensure_loaded() -> None:
     import covid_19_data_engineering_spark.operators.pq  # noqa: F401
     import covid_19_data_engineering_spark.operators.unigram  # noqa: F401
     import covid_19_data_engineering_spark.operators.linkage  # noqa: F401
+    import covid_19_data_engineering_spark.operators.seqmine  # noqa: F401
     import covid_19_data_engineering_spark.functions.udfs  # noqa: F401
     import covid_19_data_engineering_spark.sources.avrofmt  # noqa: F401
     import covid_19_data_engineering_spark.streaming.events  # noqa: F401

@@ -246,3 +246,44 @@ def test_sampled_revenue_estimate_accuracy(spark):
         # sample size within a loose binomial band around n/10
         assert abs(r["n_sampled"] - n / 10) < 4 * (n * 0.1 * 0.9) ** 0.5
         assert r["ci3_halfwidth"] > 0.0
+
+
+def test_sequence_pattern_support_planted(spark):
+    """Hand-enumerable histories: support counts must match exact
+    subsequence containment, including the gap-insensitive case the
+    transition matrix misses and the b-inside-window rule for length 3."""
+    from covid_19_data_engineering_spark.operators.seqmine import (
+        sequence_pattern_support,
+    )
+
+    rows = [
+        # user 1: view -> click -> purchase (all patterns present)
+        (1, "2024-01-01 10:00:00", "view"),
+        (1, "2024-01-01 10:05:00", "click"),
+        (1, "2024-01-01 10:10:00", "purchase"),
+        # user 2: view -> purchase (click never between: no v,c,p)
+        (2, "2024-01-01 11:00:00", "view"),
+        (2, "2024-01-01 11:10:00", "purchase"),
+        # user 3: click BEFORE view, then purchase — (view, click) absent,
+        # (click, purchase) present, (view, purchase) present,
+        # (click, view, purchase)? needs a view between click and purchase: yes
+        (3, "2024-01-01 12:00:00", "click"),
+        (3, "2024-01-01 12:05:00", "view"),
+        (3, "2024-01-01 12:10:00", "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts string, event_type string") \
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type")
+    out = {}
+    for r in sequence_pattern_support(ev).collect():
+        out[(r["pattern_len"], r["a"], r["b"], r["c"])] = r["support"]
+
+    assert out[(2, "view", "click", None)] == 1          # only user 1
+    assert out[(2, "click", "purchase", None)] == 2      # users 1, 3
+    assert out[(2, "view", "purchase", None)] == 3       # all users
+    assert out[(3, "view", "click", "purchase")] == 1   # user 1 only
+    assert out[(3, "click", "view", "purchase")] == 1   # user 3 only
+    assert (3, "view", "click", "click") not in out     # no double click
+    # gap-insensitivity: user 2's view->purchase has no adjacency
+    assert out[(2, "view", "purchase", None)] >= out[(2, "view", "click", None)]
+    # single occurrence never supports (t, t)
+    assert (2, "purchase", "purchase", None) not in out
