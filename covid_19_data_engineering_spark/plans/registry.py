@@ -94,6 +94,18 @@ PRIORITY = (
     "unigram_viterbi_tokens",
     # daily actives derived by unioning the hourly sketches
     "daily_actives_from_hourly_sketches",
+    # --- r13 continuation-session registrants ---
+    # interpolated Kneser-Ney bigram LM (KenLM-family smoothing)
+    "lm_kneser_ney_perplexity",
+    # Fellegi-Sunter probabilistic record linkage + pattern histogram
+    "record_linkage_fs_topk",
+    "record_linkage_pattern_profile",
+    # Hilbert-curve layout beside z-order
+    "hilbert_file_layout",
+    # BlinkDB-style HT estimate from the 10% hash sample, CI-flagged
+    "orders_sampled_revenue_estimate",
+    # PrefixSpan-class sequential pattern support (lengths 2-3)
+    "event_sequence_patterns",
     # --- r13 changed semantics (fresh rows for the new flag band /
     # refactored machinery) ---
     "rolling_7d_active_users",       # band -> |err| <= max(5, 2%)
@@ -135,12 +147,6 @@ PRIORITY = (
     "conditional_agg_pivot",
     "udtf_sentence_stats",
     "udaf_geometric_mean_price",
-    "tpch_q21_waiting_suppliers",
-    "token_count_bpe",
-    "text_quality_profile",
-    "salted_lineitem_revenue",
-    "pii_scrub_events",
-    "orders_column_profile",
 )
 
 def _reorder_registry() -> None:
