@@ -145,3 +145,298 @@ def linear_attribution(events: DataFrame,
 def purchase_attribution_linear(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     return linear_attribution(load_table(spark, "events", sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Markov removal-effect attribution — the data-driven alternative to the
+# positional (linear/last-touch) rules above: model each user's
+# pre-conversion journey as a Markov chain over channels, compute the
+# chain's conversion (absorption) probability, then re-compute it with
+# each channel REMOVED (its incoming edges redirected to the NULL
+# absorber). A channel's credit is how much conversion probability
+# disappears without it (Anderl et al. 2014; every marketing-analytics
+# warehouse ships this as "Markov attribution").
+# --------------------------------------------------------------------------
+
+MRK_ROUNDS = 16
+MRK_UNIT = 1_000_000_000_000
+# removal ratios scale by 1e6 (not 1e12): p_removed * ratio-unit must fit
+# int64 (1e12 * 1e6 = 1e18 < 2^63), and 1e-6 matches the rounded output
+MRK_RATIO = 1_000_000
+_CONV, _NULL, _START = "CONV", "NULL_END", "START"
+
+
+def _journey_edges(events: DataFrame) -> DataFrame:
+    """(s, t, n) transition counts of the per-user journey chain.
+
+    Journey = the user's events strictly before their FIRST purchase,
+    ordered by (ts, event_id); outcome CONV if a purchase exists else
+    NULL_END. Edges: START -> first channel (or straight to CONV for a
+    zero-touch conversion), channel -> channel, last channel -> outcome.
+    One user-keyed window shuffle; reduces the corpus to an
+    O(channels^2) BIGINT count table.
+    """
+    from pyspark.sql import Window
+
+    fp = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy("user_id").agg(F.min("ts").alias("pts"))
+    )
+    path = (
+        events.join(fp, "user_id", "left")
+        .where((F.col("event_type") != "purchase")
+               & (F.col("pts").isNull() | (F.col("ts") < F.col("pts"))))
+        .select("user_id", "event_type", "ts", "event_id",
+                F.col("pts").isNotNull().alias("converts"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = path.select(
+        "user_id", "event_type", "converts",
+        F.lag("event_type").over(w).alias("prev"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n_path"),
+    )
+    internal = (
+        seq.where(F.col("prev").isNotNull())
+        .select(F.col("prev").alias("s"), F.col("event_type").alias("t"))
+    )
+    start = seq.where(F.col("rn") == 1).select(
+        F.lit(_START).alias("s"), F.col("event_type").alias("t"))
+    terminal = seq.where(F.col("rn") == F.col("n_path")).select(
+        F.col("event_type").alias("s"),
+        F.when(F.col("converts"), F.lit(_CONV)).otherwise(F.lit(_NULL))
+        .alias("t"),
+    )
+    # zero-touch conversions: users whose first purchase precedes any
+    # channel event (START -> CONV)
+    zero = (
+        fp.join(path.select("user_id").distinct(), "user_id", "left_anti")
+        .select(F.lit(_START).alias("s"), F.lit(_CONV).alias("t"))
+    )
+    return (
+        internal.unionByName(start).unionByName(terminal).unionByName(zero)
+        .groupBy("s", "t").agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def markov_removal_attribution(events: DataFrame,
+                               rounds: int = MRK_ROUNDS) -> DataFrame:
+    """(channel, p_full_units, p_removed_units, removal_units,
+    attribution_share) — absorption-probability removal effects.
+
+    p(s) = P(absorb at CONV from s), computed by ``rounds`` unrolled
+    Jacobi steps of p <- T p with p(CONV) pinned at MRK_UNIT — pure
+    (units * n) div r integer arithmetic, so every round is
+    engine-identical and the oracle replays it CTE-for-CTE. Removing
+    channel X = deleting edges into/out of X while keeping row totals
+    (the redirected mass absorbs at NULL_END). All scenarios (full +
+    one per channel) iterate TOGETHER as rows of one (scenario, state)
+    table: one tiny join-aggregate per round regardless of channel
+    count. Removal credit in MRK_RATIO millionths: MRK_RATIO -
+    (p_removed * MRK_RATIO) div p_full (fits int64 by construction),
+    normalized to shares at the end (one double division of exact
+    BIGINTs, rounded 6).
+    """
+    from covid_19_data_engineering_spark.operators.lineage import (
+        truncate_eager,
+    )
+
+    edges = truncate_eager(_journey_edges(events))
+    r = edges.groupBy("s").agg(F.sum("n").alias("r"))
+    channels = (
+        edges.select(F.col("s").alias("ch"))
+        .where(~F.col("ch").isin(_START, _CONV, _NULL))
+        .distinct()
+    )
+    scen = channels.select(F.col("ch").alias("removed")).unionByName(
+        channels.limit(0).select(F.lit(None).cast("string").alias("removed"))
+        .unionByName(
+            edges.agg(F.lit(None).cast("string").alias("removed")))
+    )
+    trans = truncate_eager(
+        scen.crossJoin(edges.join(r, "s"))
+        .where(
+            F.col("removed").isNull()
+            | ((F.col("s") != F.col("removed"))
+               & (F.col("t") != F.col("removed")))
+        )
+        .select(F.coalesce("removed", F.lit("__full__")).alias("scenario"),
+                "s", "t", "n", "r")
+    )
+    conv = (
+        trans.select("scenario").distinct()
+        .select("scenario", F.lit(_CONV).alias("state"),
+                F.lit(MRK_UNIT).alias("units"))
+    )
+    p = conv
+    for _ in range(rounds):
+        stepped = (
+            trans.alias("tr")
+            .join(p.alias("pv"),
+                  (F.col("tr.t") == F.col("pv.state"))
+                  & (F.col("tr.scenario") == F.col("pv.scenario")))
+            .select(F.col("tr.scenario").alias("sc"), F.col("tr.s").alias("s"),
+                    F.expr("(pv.units * tr.n) div tr.r").alias("c"))
+            .groupBy(F.col("sc").alias("scenario"),
+                     F.col("s").alias("state"))
+            .agg(F.sum("c").alias("units"))
+            .where(F.col("state") != _CONV)
+        )
+        p = stepped.unionByName(conv)
+    # a removal scenario can drive p(START) to EXACT zero, in which case
+    # the sparse iteration table simply has no START row — left-join the
+    # scenario list and coalesce, or the most effective channel vanishes
+    # from the output instead of getting full credit
+    starts = (
+        trans.select("scenario").distinct()
+        .join(
+            p.where(F.col("state") == _START)
+            .select("scenario", F.col("units").alias("pu")),
+            "scenario", "left")
+        .select("scenario", F.coalesce("pu", F.lit(0)).alias("pu"))
+    )
+    full = starts.where(F.col("scenario") == "__full__").select(
+        F.col("pu").alias("p_full_units"))
+    removed = starts.where(F.col("scenario") != "__full__").select(
+        F.col("scenario").alias("channel"),
+        F.col("pu").alias("p_removed_units"))
+    scored = (
+        removed.crossJoin(F.broadcast(full))
+        .select(
+            "channel", "p_full_units", "p_removed_units",
+            F.expr(f"CASE WHEN p_full_units = 0 THEN 0 ELSE "
+                   f"{MRK_RATIO} - (p_removed_units * {MRK_RATIO}) "
+                   "div p_full_units END").alias("removal_units"),
+        )
+    )
+    tot = scored.agg(F.sum("removal_units").alias("tot"))
+    return (
+        scored.crossJoin(F.broadcast(tot))
+        .select(
+            "channel", "p_full_units", "p_removed_units", "removal_units",
+            F.when(F.col("tot") == 0, F.lit(None).cast("double"))
+            .otherwise(
+                F.round(F.col("removal_units").cast("double")
+                        / F.col("tot"), 6))
+            .alias("attribution_share"),
+        )
+        .orderBy("channel")
+    )
+
+
+def _markov_removal_oracle_sql() -> str:
+    it = """
+    it{i} AS MATERIALIZED (
+      SELECT * FROM (
+        SELECT tr.scenario, tr.s AS state,
+               CAST(SUM((p.units * tr.n) // tr.r) AS BIGINT) AS units
+        FROM it{p} p JOIN trans tr
+          ON tr.t = p.state AND tr.scenario = p.scenario
+        GROUP BY tr.scenario, tr.s
+        HAVING tr.s <> 'CONV'
+      )
+      UNION ALL SELECT * FROM conv
+    )"""
+    chain = ",".join(it.format(i=i, p=i - 1)
+                     for i in range(1, MRK_ROUNDS + 1))
+    return f"""
+    WITH fp AS (
+      SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS pts
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    path AS (
+      SELECT e.user_id, e.event_type, CAST(e.ts AS TIMESTAMP) AS ts,
+             e.event_id, fp.pts IS NOT NULL AS converts
+      FROM events e LEFT JOIN fp USING (user_id)
+      WHERE e.event_type <> 'purchase'
+        AND (fp.pts IS NULL OR CAST(e.ts AS TIMESTAMP) < fp.pts)
+    ),
+    seq AS (
+      SELECT user_id, event_type, converts,
+             LAG(event_type) OVER w AS prev,
+             ROW_NUMBER() OVER w AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_path
+      FROM path
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    alledges AS (
+      SELECT prev AS s, event_type AS t FROM seq WHERE prev IS NOT NULL
+      UNION ALL
+      SELECT 'START', event_type FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT event_type,
+             CASE WHEN converts THEN 'CONV' ELSE 'NULL_END' END
+      FROM seq WHERE rn = n_path
+      UNION ALL
+      SELECT 'START', 'CONV'
+      FROM fp WHERE user_id NOT IN (SELECT DISTINCT user_id FROM path)
+    ),
+    edges AS MATERIALIZED (
+      SELECT s, t, CAST(COUNT(*) AS BIGINT) AS n FROM alledges GROUP BY 1, 2
+    ),
+    rt AS MATERIALIZED (SELECT s, CAST(SUM(n) AS BIGINT) AS r
+                        FROM edges GROUP BY s),
+    channels AS (
+      SELECT DISTINCT s AS ch FROM edges
+      WHERE s NOT IN ('START', 'CONV', 'NULL_END')
+    ),
+    scen AS (
+      SELECT ch AS removed FROM channels
+      UNION ALL SELECT NULL
+    ),
+    trans AS MATERIALIZED (
+      SELECT COALESCE(removed, '__full__') AS scenario,
+             e.s, e.t, e.n, rt.r
+      FROM scen CROSS JOIN edges e JOIN rt ON rt.s = e.s
+      WHERE removed IS NULL OR (e.s <> removed AND e.t <> removed)
+    ),
+    conv AS MATERIALIZED (
+      SELECT DISTINCT scenario, 'CONV' AS state,
+             CAST({MRK_UNIT} AS BIGINT) AS units
+      FROM trans
+    ),
+    it0 AS MATERIALIZED (SELECT * FROM conv),
+    {chain},
+    starts AS (
+      SELECT sl.scenario, COALESCE(iv.units, 0) AS pu
+      FROM (SELECT DISTINCT scenario FROM trans) sl
+      LEFT JOIN (SELECT scenario, units FROM it{MRK_ROUNDS}
+                 WHERE state = 'START') iv
+        ON iv.scenario = sl.scenario
+    ),
+    scored AS (
+      SELECT r.scenario AS channel,
+             f.pu AS p_full_units,
+             r.pu AS p_removed_units,
+             CASE WHEN f.pu = 0 THEN 0
+                  ELSE {MRK_RATIO} - (r.pu * {MRK_RATIO}) // f.pu
+             END AS removal_units
+      FROM starts r CROSS JOIN
+           (SELECT pu FROM starts WHERE scenario = '__full__') f
+      WHERE r.scenario <> '__full__'
+    )
+    SELECT channel, p_full_units, p_removed_units, removal_units,
+           CASE WHEN (SELECT SUM(removal_units) FROM scored) = 0
+                THEN CAST(NULL AS DOUBLE)
+                ELSE ROUND(CAST(removal_units AS DOUBLE)
+                           / (SELECT SUM(removal_units) FROM scored), 6)
+           END AS attribution_share
+    FROM scored
+    ORDER BY channel
+    """
+
+
+@register(
+    "attribution_markov_removal",
+    oracle=_markov_removal_oracle_sql(),
+    doc=f"Markov removal-effect attribution: per-user pre-first-purchase "
+    "journeys reduce (one window shuffle) to an O(channels^2) BIGINT "
+    f"transition table; {MRK_ROUNDS} unrolled integer Jacobi rounds "
+    "compute the chain's CONV-absorption probability for the full graph "
+    "and for each channel-removed graph SIMULTANEOUSLY (scenario-keyed "
+    "rows, one tiny join-aggregate per round, oracle unrolled "
+    "CTE-for-CTE); credit = lost conversion probability, normalized.",
+)
+def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    return markov_removal_attribution(events)

@@ -287,3 +287,64 @@ def test_sequence_pattern_support_planted(spark):
     assert out[(2, "view", "purchase", None)] >= out[(2, "view", "click", None)]
     # single occurrence never supports (t, t)
     assert (2, "purchase", "purchase", None) not in out
+
+
+def test_markov_removal_attribution_hand_computed(spark):
+    """Three planted journeys solvable by hand:
+      u1: view -> click -> [purchase]   u2: view -> (end)   u3: click -> [purchase]
+    p(click)=1, p(view)=1/2, p(START)=2/3. Remove view: p(START)=1/3 ->
+    effect 1/2. Remove click: p(START)=0 -> effect 1. Shares 1/3 : 2/3."""
+    from covid_19_data_engineering_spark.operators.attribution import (
+        markov_removal_attribution,
+    )
+
+    rows = [
+        (1, 1, "2024-01-01 10:00:00", "view", 1.0),
+        (2, 1, "2024-01-01 10:01:00", "click", 1.0),
+        (3, 1, "2024-01-01 10:02:00", "purchase", 5.0),
+        (4, 2, "2024-01-01 11:00:00", "view", 1.0),
+        (5, 3, "2024-01-01 12:00:00", "click", 1.0),
+        (6, 3, "2024-01-01 12:01:00", "purchase", 7.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string, value double"
+    ).select("event_id", "user_id",
+             F.col("ts").cast("timestamp").alias("ts"), "event_type", "value")
+    out = {r["channel"]: r for r in markov_removal_attribution(ev).collect()}
+    assert set(out) == {"view", "click"}
+    UNIT = 1_000_000_000_000
+    assert out["view"]["p_full_units"] == out["click"]["p_full_units"] == 666_666_666_666
+    assert out["view"]["p_removed_units"] == 333_333_333_333
+    assert out["click"]["p_removed_units"] == 0
+    assert out["view"]["removal_units"] == 500_000
+    assert out["click"]["removal_units"] == 1_000_000
+    assert out["view"]["attribution_share"] == 0.333333
+    assert out["click"]["attribution_share"] == 0.666667
+    assert UNIT  # document the fixed-point scale used above
+
+
+def test_markov_removal_zero_touch_and_share_sum(spark):
+    """A purchase with no preceding channel events contributes the
+    START->CONV edge (raising baseline conversion) without crediting any
+    channel; shares always normalize to ~1."""
+    from covid_19_data_engineering_spark.operators.attribution import (
+        markov_removal_attribution,
+    )
+
+    rows = [
+        (1, 1, "2024-01-01 10:00:00", "purchase", 3.0),   # zero-touch
+        (2, 2, "2024-01-01 11:00:00", "view", 1.0),
+        (3, 2, "2024-01-01 11:05:00", "purchase", 4.0),
+        (4, 3, "2024-01-01 12:00:00", "view", 1.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string, value double"
+    ).select("event_id", "user_id",
+             F.col("ts").cast("timestamp").alias("ts"), "event_type", "value")
+    out = {r["channel"]: r for r in markov_removal_attribution(ev).collect()}
+    assert set(out) == {"view"}
+    # full: START edges: ->CONV (u1), ->view (u2, u3); view->CONV, view->NULL
+    # p(view)=1/2, p(START)=(1 + 1/2 + 1/2)/3 = 2/3; removed view: 1/3
+    assert out["view"]["p_full_units"] == 666_666_666_666
+    assert out["view"]["p_removed_units"] == 333_333_333_333
+    assert out["view"]["attribution_share"] == 1.0
