@@ -440,3 +440,190 @@ def _markov_removal_oracle_sql() -> str:
 def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, "events", sf_dir)
     return markov_removal_attribution(events)
+
+
+# --------------------------------------------------------------------------
+# Shapley-value attribution — the coalition-game companion of the Markov
+# removal model (Zhao et al. 2018, "Shapley Value Methods for Attribution
+# Modeling"): v(S) = observed conversion rate of users whose touched
+# channel SET is S; channel i's credit is its exact Shapley value over
+# that coalition function.
+#
+# The computational trick that makes this corpus-scale: by LINEARITY the
+# 2^k subset lattice never materializes. Each observed coalition M
+# contributes w(|M|-1) * v(M) to every member channel (as the S u {i}
+# term) and -w(|M|) * v(M) to every non-member (as the S term), with
+# w(s) = s! (k-1-s)!. So Shapley = one join between the O(2^k)-row mask
+# aggregate and the k-row channel dim — and only OBSERVED masks carry
+# nonzero v, so the unobserved lattice contributes nothing by
+# construction. All arithmetic is integer fixed-point (v in 1e-12 units,
+# factorial weights exact BIGINTs, one final div by k!).
+# --------------------------------------------------------------------------
+
+_FACT_CASE = ("CASE {x} WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 2 "
+              "WHEN 3 THEN 6 WHEN 4 THEN 24 WHEN 5 THEN 120 "
+              "WHEN 6 THEN 720 WHEN 7 THEN 5040 WHEN 8 THEN 40320 END")
+
+
+def shapley_attribution(events: DataFrame) -> DataFrame:
+    """(channel, phi_units, attribution_share) — exact Shapley credit in
+    MRK_UNIT-per-k! units over the observed-coalition conversion-rate
+    game. Journey definition shared with the Markov model: the channel
+    set touched strictly before the user's first purchase; converts =
+    that purchase exists. Zero-touch conversions land in the empty
+    coalition and set the game's baseline v(empty) naturally."""
+    fp = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy("user_id").agg(F.min("ts").alias("pts"))
+    )
+    touched = (
+        events.join(fp, "user_id", "left")
+        .where((F.col("event_type") != "purchase")
+               & (F.col("pts").isNull() | (F.col("ts") < F.col("pts"))))
+        .select("user_id", F.col("event_type").alias("channel"))
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    chdim = (
+        touched.select("channel").distinct()
+        .select("channel",
+                (F.row_number().over(Window.orderBy("channel")) - 1)
+                .alias("bitpos"))
+    )
+    # every user with any event participates; converts iff fp row exists
+    allu = events.select("user_id").distinct().join(
+        fp.select("user_id", F.lit(1).alias("cv")), "user_id", "left")
+    umask = (
+        allu.join(
+            touched.join(F.broadcast(chdim), "channel")
+            .groupBy("user_id")
+            .agg(F.sum(F.expr("CAST(1 AS BIGINT) * CAST(pow(2, bitpos) AS BIGINT)"))
+                 .alias("mask")),
+            "user_id", "left")
+        .select(F.coalesce("mask", F.lit(0)).alias("mask"),
+                F.coalesce("cv", F.lit(0)).alias("cv"))
+    )
+    msk = (
+        umask.groupBy("mask")
+        .agg(F.count(F.lit(1)).alias("n_users"), F.sum("cv").alias("n_conv"))
+        .select("mask",
+                F.expr(f"(n_conv * {MRK_UNIT}) div n_users").alias("v_units"),
+                F.expr("CAST(bit_count(mask) AS BIGINT)").alias("pc"))
+    )
+    kf = chdim.agg(F.count(F.lit(1)).alias("k"))
+    contrib = (
+        msk.crossJoin(F.broadcast(chdim)).crossJoin(F.broadcast(kf))
+        .select(
+            "channel",
+            F.expr(
+                "CASE WHEN (mask div CAST(pow(2, bitpos) AS BIGINT)) % 2 = 1 "
+                f"THEN ({_FACT_CASE.format(x='pc - 1')}) "
+                f"     * ({_FACT_CASE.format(x='k - pc')}) * v_units "
+                f"ELSE -({_FACT_CASE.format(x='pc')}) "
+                f"     * ({_FACT_CASE.format(x='k - 1 - pc')}) * v_units END"
+            ).alias("c"),
+        )
+    )
+    phi = (
+        contrib.groupBy("channel").agg(F.sum("c").alias("csum"))
+        .crossJoin(F.broadcast(kf))
+        .select("channel",
+                F.expr(f"csum div ({_FACT_CASE.format(x='k')})")
+                .alias("phi_units"))
+    )
+    tot = phi.agg(F.sum("phi_units").alias("tot"))
+    return (
+        phi.crossJoin(F.broadcast(tot))
+        .select(
+            "channel", "phi_units",
+            F.when(F.col("tot") == 0, F.lit(None).cast("double"))
+            .otherwise(F.round(F.col("phi_units").cast("double")
+                               / F.col("tot"), 6))
+            .alias("attribution_share"),
+        )
+        .orderBy("channel")
+    )
+
+
+def _shapley_oracle_sql() -> str:
+    f_pc1 = _FACT_CASE.format(x="pc - 1")
+    f_kpc = _FACT_CASE.format(x="k - pc")
+    f_pc = _FACT_CASE.format(x="pc")
+    f_k1pc = _FACT_CASE.format(x="k - 1 - pc")
+    f_k = _FACT_CASE.format(x="k")
+    return f"""
+    WITH fp AS (
+      SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS pts
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    touched AS (
+      SELECT DISTINCT e.user_id, e.event_type AS channel
+      FROM events e LEFT JOIN fp USING (user_id)
+      WHERE e.event_type <> 'purchase'
+        AND (fp.pts IS NULL OR CAST(e.ts AS TIMESTAMP) < fp.pts)
+    ),
+    chdim AS (
+      SELECT channel,
+             ROW_NUMBER() OVER (ORDER BY channel) - 1 AS bitpos
+      FROM (SELECT DISTINCT channel FROM touched)
+    ),
+    allu AS (
+      SELECT u.user_id, CASE WHEN fp.user_id IS NULL THEN 0 ELSE 1 END AS cv
+      FROM (SELECT DISTINCT user_id FROM events) u
+      LEFT JOIN fp ON fp.user_id = u.user_id
+    ),
+    umask AS (
+      SELECT COALESCE(m.mask, 0) AS mask, a.cv
+      FROM allu a LEFT JOIN (
+        SELECT t.user_id,
+               CAST(SUM(CAST(power(2, c.bitpos) AS BIGINT)) AS BIGINT) AS mask
+        FROM touched t JOIN chdim c USING (channel)
+        GROUP BY t.user_id
+      ) m ON m.user_id = a.user_id
+    ),
+    msk AS (
+      SELECT mask,
+             (CAST(SUM(cv) AS BIGINT) * {MRK_UNIT}) // COUNT(*) AS v_units,
+             CAST(bit_count(mask) AS BIGINT) AS pc
+      FROM umask GROUP BY mask
+    ),
+    kf AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM chdim),
+    contrib AS (
+      SELECT c.channel,
+             CASE WHEN (mask // CAST(power(2, c.bitpos) AS BIGINT)) % 2 = 1
+                  THEN ({f_pc1}) * ({f_kpc}) * v_units
+                  ELSE -({f_pc}) * ({f_k1pc}) * v_units END AS cterm
+      FROM msk CROSS JOIN chdim c CROSS JOIN kf
+    ),
+    phi AS (
+      SELECT channel,
+             CAST(SUM(cterm) AS BIGINT) // ({f_k}) AS phi_units
+      FROM contrib CROSS JOIN kf
+      GROUP BY channel, k
+    )
+    SELECT channel, phi_units,
+           CASE WHEN (SELECT SUM(phi_units) FROM phi) = 0
+                THEN CAST(NULL AS DOUBLE)
+                ELSE ROUND(CAST(phi_units AS DOUBLE)
+                           / (SELECT SUM(phi_units) FROM phi), 6)
+           END AS attribution_share
+    FROM phi
+    ORDER BY channel
+    """
+
+
+@register(
+    "attribution_shapley",
+    oracle=_shapley_oracle_sql(),
+    doc="Exact Shapley-value attribution over the observed-coalition "
+    "conversion-rate game: per-user pre-first-purchase channel SETS "
+    "collapse to an O(2^k)-row mask aggregate; by linearity each "
+    "observed coalition contributes w(|M|-1)*v to members and "
+    "-w(|M|)*v to non-members (w(s)=s!(k-1-s)!), so the subset lattice "
+    "never materializes — one mask x channel-dim broadcast join, all "
+    "integer fixed-point, final div by k!.",
+)
+def attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    return shapley_attribution(events)

@@ -348,3 +348,35 @@ def test_markov_removal_zero_touch_and_share_sum(spark):
     assert out["view"]["p_full_units"] == 666_666_666_666
     assert out["view"]["p_removed_units"] == 333_333_333_333
     assert out["view"]["attribution_share"] == 1.0
+
+
+def test_shapley_attribution_hand_computed(spark):
+    """k=2 coalition game solved by hand: v({v})=U/2, v({c})=U,
+    v({v,c})=U/2, v(empty)=0 (group absent). phi_view = 0,
+    phi_click = U/2; shares 0 : 1."""
+    from covid_19_data_engineering_spark.operators.attribution import (
+        shapley_attribution,
+    )
+
+    rows = [
+        (1, 1, "2024-01-01 10:00:00", "view", 1.0),
+        (2, 1, "2024-01-01 10:01:00", "purchase", 5.0),
+        (3, 2, "2024-01-01 11:00:00", "view", 1.0),
+        (4, 3, "2024-01-01 12:00:00", "click", 1.0),
+        (5, 3, "2024-01-01 12:01:00", "purchase", 5.0),
+        (6, 4, "2024-01-01 13:00:00", "view", 1.0),
+        (7, 4, "2024-01-01 13:01:00", "click", 1.0),
+        (8, 4, "2024-01-01 13:02:00", "purchase", 5.0),
+        (9, 5, "2024-01-01 14:00:00", "click", 1.0),
+        (10, 5, "2024-01-01 14:01:00", "view", 1.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string, value double"
+    ).select("event_id", "user_id",
+             F.col("ts").cast("timestamp").alias("ts"), "event_type", "value")
+    out = {r["channel"]: r for r in shapley_attribution(ev).collect()}
+    assert set(out) == {"view", "click"}
+    assert out["view"]["phi_units"] == 0
+    assert out["click"]["phi_units"] == 500_000_000_000
+    assert out["view"]["attribution_share"] == 0.0
+    assert out["click"]["attribution_share"] == 1.0
