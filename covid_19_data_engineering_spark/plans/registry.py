@@ -106,6 +106,9 @@ PRIORITY = (
     "orders_sampled_revenue_estimate",
     # PrefixSpan-class sequential pattern support (lengths 2-3)
     "event_sequence_patterns",
+    # data-driven attribution: Markov removal effect + exact Shapley
+    "attribution_markov_removal",
+    "attribution_shapley",
     # --- r13 changed semantics (fresh rows for the new flag band /
     # refactored machinery) ---
     "rolling_7d_active_users",       # band -> |err| <= max(5, 2%)
@@ -145,8 +148,6 @@ PRIORITY = (
     "monthly_order_gapfill",
     "customers_without_orders",
     "conditional_agg_pivot",
-    "udtf_sentence_stats",
-    "udaf_geometric_mean_price",
 )
 
 def _reorder_registry() -> None:
