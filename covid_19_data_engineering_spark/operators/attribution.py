@@ -445,9 +445,12 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Shapley-value attribution — the coalition-game companion of the Markov
 # removal model (Zhao et al. 2018, "Shapley Value Methods for Attribution
-# Modeling"): v(S) = observed conversion rate of users whose touched
-# channel SET is S; channel i's credit is its exact Shapley value over
-# that coalition function.
+# Modeling"): v(S) = observed average purchase revenue (exact cents) of
+# users whose touched channel SET is S — the REVENUE game; the
+# conversion-RATE game is degenerate on this corpus (every user with a
+# long enough history converts, making v constant and every Shapley
+# value exactly zero), while revenue varies per user and yields an
+# informative split. Channel i's credit is its exact Shapley value.
 #
 # The computational trick that makes this corpus-scale: by LINEARITY the
 # 2^k subset lattice never materializes. Each observed coalition M
@@ -460,18 +463,24 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 # factorial weights exact BIGINTs, one final div by k!).
 # --------------------------------------------------------------------------
 
+# revenue-game fixed point: micro-cents per user (cents * 1e6); products
+# with the k<=8 factorial weights stay far inside int64
+SHAP_UNIT = 1_000_000
+
 _FACT_CASE = ("CASE {x} WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 2 "
               "WHEN 3 THEN 6 WHEN 4 THEN 24 WHEN 5 THEN 120 "
               "WHEN 6 THEN 720 WHEN 7 THEN 5040 WHEN 8 THEN 40320 END")
 
 
 def shapley_attribution(events: DataFrame) -> DataFrame:
-    """(channel, phi_units, attribution_share) — exact Shapley credit in
-    MRK_UNIT-per-k! units over the observed-coalition conversion-rate
-    game. Journey definition shared with the Markov model: the channel
-    set touched strictly before the user's first purchase; converts =
-    that purchase exists. Zero-touch conversions land in the empty
-    coalition and set the game's baseline v(empty) naturally."""
+    """(channel, phi_units, attribution_share) — exact Shapley credit
+    over the observed-coalition revenue game: v(S) = (sum of member
+    users' lifetime purchase cents * SHAP_UNIT) div group size. Journey
+    definition shared with the Markov model: the channel set touched
+    strictly before the user's first purchase. Zero-touch purchasers
+    land in the empty coalition and set the game's baseline v(empty)
+    naturally. Both engines TRUNCATE integer division toward zero
+    (Spark div == DuckDB //), which matters for negative phi."""
     fp = (
         events.where(F.col("event_type") == "purchase")
         .groupBy("user_id").agg(F.min("ts").alias("pts"))
@@ -491,9 +500,14 @@ def shapley_attribution(events: DataFrame) -> DataFrame:
                 (F.row_number().over(Window.orderBy("channel")) - 1)
                 .alias("bitpos"))
     )
-    # every user with any event participates; converts iff fp row exists
-    allu = events.select("user_id").distinct().join(
-        fp.select("user_id", F.lit(1).alias("cv")), "user_id", "left")
+    # every user participates; value = lifetime purchase cents (exact)
+    rev = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.expr("CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)")
+             .alias("cv"))
+    )
+    allu = events.select("user_id").distinct().join(rev, "user_id", "left")
     umask = (
         allu.join(
             touched.join(F.broadcast(chdim), "channel")
@@ -508,7 +522,7 @@ def shapley_attribution(events: DataFrame) -> DataFrame:
         umask.groupBy("mask")
         .agg(F.count(F.lit(1)).alias("n_users"), F.sum("cv").alias("n_conv"))
         .select("mask",
-                F.expr(f"(n_conv * {MRK_UNIT}) div n_users").alias("v_units"),
+                F.expr(f"(n_conv * {SHAP_UNIT}) div n_users").alias("v_units"),
                 F.expr("CAST(bit_count(mask) AS BIGINT)").alias("pc"))
     )
     kf = chdim.agg(F.count(F.lit(1)).alias("k"))
@@ -568,10 +582,15 @@ def _shapley_oracle_sql() -> str:
              ROW_NUMBER() OVER (ORDER BY channel) - 1 AS bitpos
       FROM (SELECT DISTINCT channel FROM touched)
     ),
+    rev AS (
+      SELECT user_id,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cv
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
     allu AS (
-      SELECT u.user_id, CASE WHEN fp.user_id IS NULL THEN 0 ELSE 1 END AS cv
+      SELECT u.user_id, COALESCE(rev.cv, 0) AS cv
       FROM (SELECT DISTINCT user_id FROM events) u
-      LEFT JOIN fp ON fp.user_id = u.user_id
+      LEFT JOIN rev ON rev.user_id = u.user_id
     ),
     umask AS (
       SELECT COALESCE(m.mask, 0) AS mask, a.cv
@@ -584,7 +603,7 @@ def _shapley_oracle_sql() -> str:
     ),
     msk AS (
       SELECT mask,
-             (CAST(SUM(cv) AS BIGINT) * {MRK_UNIT}) // COUNT(*) AS v_units,
+             (CAST(SUM(cv) AS BIGINT) * {SHAP_UNIT}) // COUNT(*) AS v_units,
              CAST(bit_count(mask) AS BIGINT) AS pc
       FROM umask GROUP BY mask
     ),
@@ -617,7 +636,10 @@ def _shapley_oracle_sql() -> str:
     "attribution_shapley",
     oracle=_shapley_oracle_sql(),
     doc="Exact Shapley-value attribution over the observed-coalition "
-    "conversion-rate game: per-user pre-first-purchase channel SETS "
+    "REVENUE game (v(S) = mean lifetime purchase cents, exact "
+    "micro-cent fixed point; the conversion-rate game is constant on "
+    "this corpus and identically zero): per-user pre-first-purchase "
+    "channel SETS "
     "collapse to an O(2^k)-row mask aggregate; by linearity each "
     "observed coalition contributes w(|M|-1)*v to members and "
     "-w(|M|)*v to non-members (w(s)=s!(k-1-s)!), so the subset lattice "

@@ -351,9 +351,11 @@ def test_markov_removal_zero_touch_and_share_sum(spark):
 
 
 def test_shapley_attribution_hand_computed(spark):
-    """k=2 coalition game solved by hand: v({v})=U/2, v({c})=U,
-    v({v,c})=U/2, v(empty)=0 (group absent). phi_view = 0,
-    phi_click = U/2; shares 0 : 1."""
+    """k=2 REVENUE game solved by hand (purchase value 5.0 = 500 cents,
+    SHAP_UNIT=1e6): v({v}) = 250e6 (one of two members buys), v({c}) =
+    500e6, v({v,c}) = 250e6, v(empty) = 0 (group absent).
+    phi_view = 1/2*v({v}) + 1/2*(v({v,c}) - v({c})) = 0,
+    phi_click = 1/2*v({c}) + 1/2*(v({v,c}) - v({v})) = 250e6."""
     from covid_19_data_engineering_spark.operators.attribution import (
         shapley_attribution,
     )
@@ -377,6 +379,134 @@ def test_shapley_attribution_hand_computed(spark):
     out = {r["channel"]: r for r in shapley_attribution(ev).collect()}
     assert set(out) == {"view", "click"}
     assert out["view"]["phi_units"] == 0
-    assert out["click"]["phi_units"] == 500_000_000_000
+    assert out["click"]["phi_units"] == 250_000_000
     assert out["view"]["attribution_share"] == 0.0
     assert out["click"]["attribution_share"] == 1.0
+
+
+def _random_journeys(seed: int, n_users: int = 12):
+    """Seeded random event histories over 3 channels + purchase."""
+    import random
+
+    rng = random.Random(seed)
+    rows, eid = [], 0
+    for u in range(1, n_users + 1):
+        n = rng.randint(1, 6)
+        for i in range(n):
+            t = rng.choice(["view", "click", "signup"])
+            rows.append((eid, u, f"2024-01-01 {10 + u:02d}:{i:02d}:00", t, 1.0))
+            eid += 1
+        if rng.random() < 0.5:
+            rows.append((eid, u, f"2024-01-01 {10 + u:02d}:{n:02d}:00",
+                         "purchase", round(rng.uniform(1, 50), 2)))
+            eid += 1
+    return rows
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Both engines (Spark div, DuckDB //) truncate toward zero; Python
+    // floors — replicate the engines."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def _brute_shapley(rows):
+    """Exact Shapley by full-lattice enumeration of the observed-coalition
+    REVENUE game, in the operator's integer fixed point (SHAP_UNIT
+    micro-cents, truncating division)."""
+    import itertools
+    import math
+    from collections import defaultdict
+
+    UNIT = 1_000_000
+    first_p, touched = {}, defaultdict(set)
+    revenue = defaultdict(int)
+    for _, u, ts, t, v_ in sorted(rows, key=lambda r: (r[1], r[2], r[0])):
+        if t == "purchase":
+            first_p.setdefault(u, ts)
+            revenue[u] += round(v_ * 100)
+    for _, u, ts, t, _v in rows:
+        if t != "purchase" and (u not in first_p or ts < first_p[u]):
+            touched[u].add(t)
+    users = sorted({r[1] for r in rows})
+    channels = sorted({c for s in touched.values() for c in s})
+    k = len(channels)
+    groups = defaultdict(lambda: [0, 0])
+    for u in users:
+        key = frozenset(touched.get(u, ()))
+        groups[key][0] += 1
+        groups[key][1] += revenue.get(u, 0)
+    v = {s: _trunc_div(cv * UNIT, n) for s, (n, cv) in groups.items()}
+    phi = {}
+    for ch in channels:
+        total = 0
+        rest = [c for c in channels if c != ch]
+        for r in range(len(rest) + 1):
+            for S in itertools.combinations(rest, r):
+                w = math.factorial(len(S)) * math.factorial(k - len(S) - 1)
+                total += w * (v.get(frozenset(S) | {ch}, 0)
+                              - v.get(frozenset(S), 0))
+        phi[ch] = _trunc_div(total, math.factorial(k))
+    return phi
+
+
+def test_shapley_matches_bruteforce_on_seeded_random_games(spark):
+    """The linearity shortcut must equal full-lattice Shapley enumeration
+    exactly (same integer fixed point) on seeded random journey sets."""
+    from covid_19_data_engineering_spark.operators.attribution import (
+        shapley_attribution,
+    )
+
+    for seed in (7, 21, 99):
+        rows = _random_journeys(seed)
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, ts string, event_type string, value double",
+        ).select("event_id", "user_id",
+                 F.col("ts").cast("timestamp").alias("ts"),
+                 "event_type", "value")
+        got = {r["channel"]: r["phi_units"]
+               for r in shapley_attribution(ev).collect()}
+        expected = _brute_shapley(rows)
+        assert got == expected, f"seed {seed}: {got} != {expected}"
+
+
+def test_markov_removal_converges_to_exact_absorption(spark):
+    """The 16-round integer fixed point must sit within truncation
+    distance of the EXACT absorption probability (numpy linear solve of
+    (I - Q) p = b) for the full chain on seeded random journeys."""
+    import numpy as np
+
+    from covid_19_data_engineering_spark.operators.attribution import (
+        markov_removal_attribution,
+        _journey_edges,
+    )
+
+    for seed in (7, 99):
+        rows = _random_journeys(seed)
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, ts string, event_type string, value double",
+        ).select("event_id", "user_id",
+                 F.col("ts").cast("timestamp").alias("ts"),
+                 "event_type", "value")
+        edges = {(r["s"], r["t"]): r["n"]
+                 for r in _journey_edges(ev).collect()}
+        states = sorted({s for s, _ in edges} - {"CONV", "NULL_END"})
+        idx = {s: i for i, s in enumerate(states)}
+        r_tot = {s: sum(n for (s2, _), n in edges.items() if s2 == s)
+                 for s in states}
+        Q = np.zeros((len(states), len(states)))
+        b = np.zeros(len(states))
+        for (s, t), n in edges.items():
+            p = n / r_tot[s]
+            if t == "CONV":
+                b[idx[s]] += p
+            elif t in idx:
+                Q[idx[s], idx[t]] += p
+        exact = np.linalg.solve(np.eye(len(states)) - Q, b)
+        out = markov_removal_attribution(ev).collect()
+        p_full = out[0]["p_full_units"] / 1e12
+        # 16 rounds of a substochastic chain: remaining mass <= rho^16
+        assert abs(p_full - exact[idx["START"]]) < 0.02, (
+            f"seed {seed}: {p_full} vs {exact[idx['START']]}")
