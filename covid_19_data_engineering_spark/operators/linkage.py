@@ -236,3 +236,135 @@ def record_linkage_pattern_profile(spark: SparkSession,
                 "n_pairs", "fs_weight")
         .orderBy("agree_name", "agree_type", "agree_size")
     )
+
+
+# --- golden records: the survivorship stage of entity resolution ------------
+# block -> score -> threshold -> cluster -> SURVIVE: FS pairs above the
+# match threshold close transitively into entities (the same distributed
+# CC machinery the dedup family runs), then one canonical "golden" record
+# per entity is assembled by per-attribute survivorship rules — the last
+# mile every MDM / entity-resolution pipeline ships. Because candidate
+# edges exist only within a block, every cluster inherits the block's
+# (noun, brand) constants; the free attributes survive by rule: type =
+# mode (lexicographic min on ties), size = min, price = max.
+
+FS_MATCH_THRESHOLD = 3.0  # accepts the (name+size) and full-agreement
+                          # patterns; disagreeing-name patterns score < 2.6
+
+
+def golden_records(parts: DataFrame) -> DataFrame:
+    """One survived record per linked entity (clusters of size >= 2).
+
+    Scale shape: edges are the already-blocked FS pairs (volume gated in
+    tests); clustering is the O(log^2 n)-round distributed CC; the
+    survivorship readout is two shuffles on the cluster key (attribute
+    mode needs a (cluster, value) count then a window pick).
+    """
+    from pyspark.sql import Window
+
+    from covid_19_data_engineering_spark.operators.clustering import (
+        connected_components,
+    )
+
+    links = fs_candidate_pairs(parts).where(
+        F.col("fs_weight") >= FS_MATCH_THRESHOLD)
+    comps = connected_components(links, src="a_key", dst="b_key")
+    f = _compare_frame(parts)
+    members = comps.join(f, comps.node == f.pk).select(
+        "component", "pk", "tok0", "tok1", "brand", "ptype", "size")
+    base = members.groupBy("component").agg(
+        F.min("pk").alias("golden_id"),
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.min("tok1").alias("noun"),        # block constant
+        F.min("brand").alias("brand"),      # block constant
+        F.min("size").alias("min_size"),
+    )
+    type_counts = members.groupBy("component", "ptype").agg(
+        F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("component").orderBy(F.desc("c"), "ptype")
+    canon_type = (
+        type_counts.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .select("component", F.col("ptype").alias("canonical_type"))
+    )
+    price = (
+        parts.join(comps, parts.p_partkey == comps.node)
+        .groupBy("component")
+        .agg(F.round(F.max("p_retailprice"), 2).alias("max_price"))
+    )
+    return (
+        base.join(canon_type, "component").join(price, "component")
+        .where(F.col("cluster_size") >= 2)
+        .select("golden_id", "cluster_size", "noun", "brand",
+                "canonical_type", "min_size", "max_price")
+        .orderBy("golden_id")
+    )
+
+
+@register(
+    "record_linkage_golden",
+    # the transitive closure is a recursive CTE: promote the shared WITH
+    oracle=_FS_ORACLE_CORE.replace("WITH f AS", "WITH RECURSIVE f AS", 1)
+    + f""",
+    links AS (
+      SELECT a_key, b_key FROM scored
+      WHERE fs_weight >= {FS_MATCH_THRESHOLD}
+    ),
+    sym AS (
+      SELECT a_key AS u, b_key AS v FROM links
+      UNION SELECT b_key, a_key FROM links
+    ),
+    reach(node, comp) AS (
+      SELECT u, u FROM sym
+      UNION
+      SELECT s.u, r.comp FROM sym s JOIN reach r ON s.v = r.node
+    ),
+    comps AS (
+      SELECT node, MIN(comp) AS component FROM reach GROUP BY node
+    ),
+    members AS (
+      SELECT c.component, f.pk, f.tok0, f.tok1, f.brand, f.ptype, f.size
+      FROM comps c JOIN f ON f.pk = c.node
+    ),
+    base AS (
+      SELECT component,
+             MIN(pk) AS golden_id,
+             COUNT(*) AS cluster_size,
+             MIN(tok1) AS noun,
+             MIN(brand) AS brand,
+             MIN(size) AS min_size
+      FROM members GROUP BY component
+    ),
+    tc AS (
+      SELECT component, ptype, COUNT(*) AS c FROM members GROUP BY 1, 2
+    ),
+    canon AS (
+      SELECT component, ptype AS canonical_type
+      FROM (SELECT component, ptype,
+                   ROW_NUMBER() OVER (PARTITION BY component
+                                      ORDER BY c DESC, ptype) AS r
+            FROM tc)
+      WHERE r = 1
+    ),
+    price AS (
+      SELECT c.component, ROUND(MAX(p.p_retailprice), 2) AS max_price
+      FROM comps c JOIN part p ON p.p_partkey = c.node
+      GROUP BY c.component
+    )
+    SELECT b.golden_id, b.cluster_size, b.noun, b.brand,
+           cn.canonical_type, b.min_size, pr.max_price
+    FROM base b JOIN canon cn USING (component)
+    JOIN price pr USING (component)
+    WHERE b.cluster_size >= 2
+    ORDER BY b.golden_id
+    """,
+    doc="Golden-record survivorship over FS match links: pairs above the "
+    "match threshold close transitively (distributed CC; oracle replays "
+    "with a recursive-CTE closure), then one canonical record per "
+    "entity — type by mode (lexicographic tiebreak), size by min, price "
+    "by max, block constants carried. The MDM last mile on top of "
+    "record_linkage_fs_topk.",
+)
+def record_linkage_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = load_table(spark, "part", sf_dir)
+    return golden_records(parts)

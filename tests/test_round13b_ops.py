@@ -510,3 +510,51 @@ def test_markov_removal_converges_to_exact_absorption(spark):
         # 16 rounds of a substochastic chain: remaining mass <= rho^16
         assert abs(p_full - exact[idx["START"]]) < 0.02, (
             f"seed {seed}: {p_full} vs {exact[idx['START']]}")
+
+
+def test_golden_records_survivorship(spark):
+    """Planted three-record entity: transitive closure via the shared
+    block, survivorship rules (type mode with lexicographic tiebreak,
+    min size, max price), singletons excluded."""
+    from covid_19_data_engineering_spark.operators.linkage import (
+        golden_records,
+    )
+
+    rows = [
+        # entity A: 1-2 linked (full agreement), 2-3 linked (name+size),
+        # 1-3 only via transitivity
+        (1, "cold widget", "Brand#1", "ECONOMY", 10, 90.0),
+        (2, "cold widget", "Brand#1", "ECONOMY", 11, 95.0),
+        (3, "cold widget", "Brand#1", "PROMO", 12, 80.0),
+        # singleton in another block
+        (9, "old gear", "Brand#3", "ECONOMY", 5, 10.0),
+        # a weak pair that must NOT link (all fields disagree)
+        (20, "hot bolt", "Brand#2", "STANDARD", 1, 5.0),
+        (21, "red bolt", "Brand#2", "PROMO", 40, 6.0),
+        # diverse fillers: shrink the u-probabilities so field agreement
+        # is informative (tiny corpora otherwise make every u huge and
+        # every weight small)
+        (30, "blue cog", "Brand#4", "DELUXE", 20, 1.0),
+        (31, "green cam", "Brand#5", "BUDGET", 25, 1.0),
+        (32, "grey pin", "Brand#6", "CUSTOM", 30, 1.0),
+        (33, "pink rod", "Brand#7", "SMALL", 35, 1.0),
+        (34, "black nut", "Brand#8", "LARGE", 45, 1.0),
+        (35, "white cap", "Brand#9", "MEDIUM", 50, 1.0),
+        (36, "brown fan", "Brand#10", "XL", 2, 1.0),
+        (37, "violet rim", "Brand#11", "XS", 7, 1.0),
+    ]
+    parts = spark.createDataFrame(
+        rows,
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    )
+    out = golden_records(parts).collect()
+    assert len(out) == 1
+    g = out[0]
+    assert g["golden_id"] == 1
+    assert g["cluster_size"] == 3
+    assert g["noun"] == "widget" and g["brand"] == "Brand#1"
+    # mode of {ECONOMY: 2, PROMO: 1}
+    assert g["canonical_type"] == "ECONOMY"
+    assert g["min_size"] == 10
+    assert g["max_price"] == 95.0
