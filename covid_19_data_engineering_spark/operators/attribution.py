@@ -224,103 +224,72 @@ def markov_removal_attribution(events: DataFrame,
     """(channel, p_full_units, p_removed_units, removal_units,
     attribution_share) — absorption-probability removal effects.
 
-    p(s) = P(absorb at CONV from s), computed by ``rounds`` unrolled
-    Jacobi steps of p <- T p with p(CONV) pinned at MRK_UNIT — pure
-    (units * n) div r integer arithmetic, so every round is
-    engine-identical and the oracle replays it CTE-for-CTE. Removing
-    channel X = deleting edges into/out of X while keeping row totals
-    (the redirected mass absorbs at NULL_END). All scenarios (full +
-    one per channel) iterate TOGETHER as rows of one (scenario, state)
-    table: one tiny join-aggregate per round regardless of channel
-    count. Removal credit in MRK_RATIO millionths: MRK_RATIO -
-    (p_removed * MRK_RATIO) div p_full (fits int64 by construction),
-    normalized to shares at the end (one double division of exact
-    BIGINTs, rounded 6).
-    """
-    from covid_19_data_engineering_spark.operators.lineage import (
-        truncate_eager,
-    )
+    p(s) = P(absorb at CONV from s), computed by ``rounds`` Jacobi steps
+    of p <- T p with p(CONV) pinned at MRK_UNIT — pure (units * n) div r
+    integer arithmetic, so every round is engine-identical and the
+    oracle replays it CTE-for-CTE. Removing channel X = deleting edges
+    into/out of X while keeping row totals (the redirected mass absorbs
+    at NULL_END).
 
-    edges = truncate_eager(_journey_edges(events))
-    r = edges.groupBy("s").agg(F.sum("n").alias("r"))
-    channels = (
-        edges.select(F.col("s").alias("ch"))
-        .where(~F.col("ch").isin(_START, _CONV, _NULL))
-        .distinct()
-    )
-    scen = channels.select(F.col("ch").alias("removed")).unionByName(
-        channels.limit(0).select(F.lit(None).cast("string").alias("removed"))
-        .unionByName(
-            edges.agg(F.lit(None).cast("string").alias("removed")))
-    )
-    trans = truncate_eager(
-        scen.crossJoin(edges.join(r, "s"))
-        .where(
-            F.col("removed").isNull()
-            | ((F.col("s") != F.col("removed"))
-               & (F.col("t") != F.col("removed")))
-        )
-        .select(F.coalesce("removed", F.lit("__full__")).alias("scenario"),
-                "s", "t", "n", "r")
-    )
-    conv = (
-        trans.select("scenario").distinct()
-        .select("scenario", F.lit(_CONV).alias("state"),
-                F.lit(MRK_UNIT).alias("units"))
-    )
-    p = conv
-    for _ in range(rounds):
-        stepped = (
-            trans.alias("tr")
-            .join(p.alias("pv"),
-                  (F.col("tr.t") == F.col("pv.state"))
-                  & (F.col("tr.scenario") == F.col("pv.scenario")))
-            .select(F.col("tr.scenario").alias("sc"), F.col("tr.s").alias("s"),
-                    F.expr("(pv.units * tr.n) div tr.r").alias("c"))
-            .groupBy(F.col("sc").alias("scenario"),
-                     F.col("s").alias("state"))
-            .agg(F.sum("c").alias("units"))
-            .where(F.col("state") != _CONV)
-        )
-        p = stepped.unionByName(conv)
-    # a removal scenario can drive p(START) to EXACT zero, in which case
-    # the sparse iteration table simply has no START row — left-join the
-    # scenario list and coalesce, or the most effective channel vanishes
-    # from the output instead of getting full credit
-    starts = (
-        trans.select("scenario").distinct()
-        .join(
-            p.where(F.col("state") == _START)
-            .select("scenario", F.col("units").alias("pu")),
-            "scenario", "left")
-        .select("scenario", F.coalesce("pu", F.lit(0)).alias("pu"))
-    )
-    full = starts.where(F.col("scenario") == "__full__").select(
-        F.col("pu").alias("p_full_units"))
-    removed = starts.where(F.col("scenario") != "__full__").select(
-        F.col("scenario").alias("channel"),
-        F.col("pu").alias("p_removed_units"))
-    scored = (
-        removed.crossJoin(F.broadcast(full))
-        .select(
-            "channel", "p_full_units", "p_removed_units",
-            F.expr(f"CASE WHEN p_full_units = 0 THEN 0 ELSE "
-                   f"{MRK_RATIO} - (p_removed_units * {MRK_RATIO}) "
-                   "div p_full_units END").alias("removal_units"),
-        )
-    )
-    tot = scored.agg(F.sum("removal_units").alias("tot"))
-    return (
-        scored.crossJoin(F.broadcast(tot))
-        .select(
-            "channel", "p_full_units", "p_removed_units", "removal_units",
-            F.when(F.col("tot") == 0, F.lit(None).cast("double"))
-            .otherwise(
-                F.round(F.col("removal_units").cast("double")
-                        / F.col("tot"), 6))
-            .alias("attribution_share"),
-        )
-        .orderBy("channel")
+    Spark/driver split: the CORPUS work — reducing every user history to
+    the (s, t, n) transition count table — is one distributed window
+    shuffle (_journey_edges). The table that remains is
+    alphabet-bounded: at most (channels + 2)^2 rows at ANY corpus scale,
+    so the iteration runs on the driver over exact Python ints (the
+    bounded-collect doctrine of inference.py/pq.py; a loud guard
+    enforces the bound). The first cut iterated IN Spark — 16 rounds x
+    (join + agg) on a ~40-row table cost ~6s of pure plan latency at
+    every scale and zero distributed benefit.
+
+    Removal credit in MRK_RATIO millionths: MRK_RATIO - (p_removed *
+    MRK_RATIO) div p_full (fits int64 by construction; p_removed <=
+    p_full because removal only redirects mass to NULL_END), normalized
+    to shares at the end (rounded 6).
+    """
+    edge_rows = _journey_edges(events).collect()
+    if len(edge_rows) > 400:  # (channels + 2)^2 with a wide margin
+        raise ValueError(
+            f"journey chain has {len(edge_rows)} edges; the event-type "
+            "alphabet is expected to be domain-bounded — refusing an "
+            "unbounded driver-side iteration")
+    edges = {(r["s"], r["t"]): int(r["n"]) for r in edge_rows}
+    r_tot: dict[str, int] = {}
+    for (sx, _), n in edges.items():
+        r_tot[sx] = r_tot.get(sx, 0) + n
+    channels = sorted(
+        {sx for sx, _ in edges} - {_START, _CONV, _NULL})
+
+    def absorb(removed: str | None) -> int:
+        tr = [
+            (sx, tx, n, r_tot[sx]) for (sx, tx), n in edges.items()
+            if removed is None or (sx != removed and tx != removed)
+        ]
+        p: dict[str, int] = {_CONV: MRK_UNIT}
+        for _ in range(rounds):
+            nxt: dict[str, int] = {}
+            for sx, tx, n, rr in tr:
+                if tx in p:
+                    nxt[sx] = nxt.get(sx, 0) + (p[tx] * n) // rr
+            nxt.pop(_CONV, None)
+            nxt[_CONV] = MRK_UNIT
+            p = nxt
+        return p.get(_START, 0)
+
+    p_full = absorb(None)
+    out = []
+    for ch in channels:
+        p_rem = absorb(ch)
+        removal = (0 if p_full == 0
+                   else MRK_RATIO - (p_rem * MRK_RATIO) // p_full)
+        out.append([ch, p_full, p_rem, removal])
+    tot = sum(r[3] for r in out)
+    spark = events.sparkSession
+    return spark.createDataFrame(
+        [(ch, pf, pr, ru,
+          None if tot == 0 else round(ru / tot, 6))
+         for ch, pf, pr, ru in sorted(out)],
+        "channel string, p_full_units long, p_removed_units long, "
+        "removal_units long, attribution_share double",
     )
 
 

@@ -109,6 +109,8 @@ PRIORITY = (
     # data-driven attribution: Markov removal effect + exact Shapley
     "attribution_markov_removal",
     "attribution_shapley",
+    # FS links -> CC -> survivorship golden records
+    "record_linkage_golden",
     # --- r13 changed semantics (fresh rows for the new flag band /
     # refactored machinery) ---
     "rolling_7d_active_users",       # band -> |err| <= max(5, 2%)
@@ -147,7 +149,6 @@ PRIORITY = (
     "order_fill_outer",
     "monthly_order_gapfill",
     "customers_without_orders",
-    "conditional_agg_pivot",
 )
 
 def _reorder_registry() -> None:
