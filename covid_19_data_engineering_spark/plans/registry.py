@@ -111,6 +111,8 @@ PRIORITY = (
     "attribution_shapley",
     # FS links -> CC -> survivorship golden records
     "record_linkage_golden",
+    # 4th streaming-native oracle: watermark dedup on a doubled stream
+    "events_dedup_streamed",
     # --- r13 changed semantics (fresh rows for the new flag band /
     # refactored machinery) ---
     "rolling_7d_active_users",       # band -> |err| <= max(5, 2%)
@@ -148,7 +150,6 @@ PRIORITY = (
     "orders_above_customer_avg",
     "order_fill_outer",
     "monthly_order_gapfill",
-    "customers_without_orders",
 )
 
 def _reorder_registry() -> None:

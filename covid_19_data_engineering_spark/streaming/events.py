@@ -833,3 +833,58 @@ def events_ingest_versioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         "window_start timestamp_ntz, event_type string, "
         "n_events bigint, total_value double",
     )
+
+
+@register(
+    "events_dedup_streamed",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Watermark-scoped exactly-once dedup computed by the ACTUAL "
+    "streaming engine (the fourth streaming-native oracle query, after "
+    "tumbling windows, session merge, and the stream-stream join): the "
+    "file source is read TWICE and unioned — a deliberately duplicated "
+    "stream, every event arriving exactly two times — then "
+    "dropDuplicatesWithinWatermark(event_id) must reduce it back to "
+    "one row per event; the drained sink rolls up per event type and "
+    "must hash-match the batch oracle over the ORIGINAL events. If the "
+    "dedup state machinery retains a duplicate, every count doubles and "
+    "the gate goes red. State is bounded by the watermark horizon, not "
+    "stream length.",
+)
+def events_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    doubled = events_stream(spark, sf_dir, source="files").unionByName(
+        events_stream(spark, sf_dir, source="files"))
+    deduped = stream_dedup(doubled)
+    name = f"dedup_streamed_{next(_STREAM_ORACLE_SEQ)}"
+    ckpt = tempfile.mkdtemp(prefix="stream_oracle_ckpt_")
+    q = (
+        deduped.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                f"streaming drain {name} did not finish within 300s; "
+                "refusing to read a partially-filled memory sink")
+    finally:
+        import shutil
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy("event_type")
+    )

@@ -558,3 +558,28 @@ def test_golden_records_survivorship(spark):
     assert g["canonical_type"] == "ECONOMY"
     assert g["min_size"] == 10
     assert g["max_price"] == 95.0
+
+
+def test_events_dedup_streamed_collapses_doubled_stream(spark):
+    """The registered streamed-dedup twin reads the file source twice
+    (every event arrives exactly twice) and must reduce back to one row
+    per event: the per-type rollup equals the batch aggregate over the
+    ORIGINAL events, counts not doubled."""
+    import __spark_entry__ as e
+    from covid_19_data_engineering_spark.sources.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = {r["event_type"]: r
+           for r in e.queries()["events_dedup_streamed"](spark, sf_dir).collect()}
+    exact = {
+        r["event_type"]: r
+        for r in load_table(spark, "events", sf_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .collect()
+    }
+    assert set(out) == set(exact)
+    for t, r in exact.items():
+        assert out[t]["n_events"] == r["n_events"], t
+        assert out[t]["total_value"] == r["total_value"], t
