@@ -106,3 +106,126 @@ def _k_anonymity_oracle_sql() -> str:
 )
 def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymity_report(load_table(spark, "customer", sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Laplace-mechanism noisy aggregates — the differential-privacy release
+# pipeline beside the k-anonymity audit: per-group COUNT and bounded SUM
+# with calibrated Laplace noise, sensitivity accounting, and epsilon
+# budget split, engineered the way a DP release job actually runs on a
+# cluster (aggregate exactly, clamp contributions, add noise
+# POST-AGGREGATION on the tiny group table, never per row).
+#
+# Noise here is drawn from a DETERMINISTIC hash-derived uniform (md5 of
+# the group key + release tag -> u in (0,1) -> Laplace inverse CDF).
+# A production release would use a cryptographic RNG; a seeded, replayable
+# draw is what makes the MECHANISM testable cross-engine (the oracle
+# replays bit-identical noise), and swapping the uniform source is one
+# line. Everything else — clamping, sensitivity, budget split, the
+# post-processing rounding — is the real thing.
+# --------------------------------------------------------------------------
+
+DP_EPSILON = 1.0          # total budget, split evenly across the 2 stats
+DP_VALUE_CAP = 10_000.0   # per-order contribution clamp (sum sensitivity)
+_DP_TAG = "r13"           # release tag: a new release re-draws noise
+
+
+def _dp_uniform_sql(key_expr: str, engine: str) -> str:
+    """Uniform in (0,1): 8 md5 hex chars -> 32-bit int, scaled; +0.5
+    keeps it strictly inside the open interval. The hex->int step is the
+    one expression the engines spell differently (Spark conv(), DuckDB
+    '0x' cast); everything downstream is shared text."""
+    if engine == "spark":
+        word = (f"CAST(conv(substr(md5({key_expr} || '{_DP_TAG}'), 1, 8), "
+                f"16, 10) AS BIGINT)")
+    else:
+        word = (f"CAST(('0x' || substr(md5({key_expr} || '{_DP_TAG}'), "
+                f"1, 8)) AS BIGINT)")
+    return f"(({word} + 0.5e0) / 4294967296.0e0)"
+
+
+def _dp_laplace_sql(key_expr: str, b: float, engine: str) -> str:
+    """Laplace(0, b) via inverse CDF of the hash uniform, rounded to 6
+    decimals before use (cross-engine libm doctrine)."""
+    u = _dp_uniform_sql(key_expr, engine)
+    return (f"ROUND(CASE WHEN {u} < 0.5e0 "
+            f"THEN {b}e0 * ln(2.0e0 * {u}) "
+            f"ELSE -{b}e0 * ln(2.0e0 * (1.0e0 - {u})) END, 6)")
+
+
+def dp_noisy_release(orders: DataFrame) -> DataFrame:
+    """(o_orderpriority, noisy_count, noisy_sum, epsilon, count_b, sum_b)
+    — the DP release table for per-priority order counts and clamped
+    revenue sums.
+
+    Sensitivity: one order changes one group's count by 1 and its
+    clamped sum by at most DP_VALUE_CAP, so with the budget split
+    epsilon/2 per statistic: b_count = 2/epsilon, b_sum =
+    2*DP_VALUE_CAP/epsilon. Noise is added to the O(groups) aggregate
+    (map-side-combined exact agg, then a scalar expression per group
+    row) — the corpus is scanned once and nothing row-level ever leaves
+    the aggregation. Post-processing: counts round to integers and
+    clamp at 0 (post-processing never spends budget).
+    """
+    b_count = 2.0 / DP_EPSILON
+    b_sum = 2.0 * DP_VALUE_CAP / DP_EPSILON
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.least(F.col("o_totalprice"), F.lit(DP_VALUE_CAP)))
+        .alias("s"),
+    )
+    noise_c = _dp_laplace_sql("o_orderpriority || '|count'", b_count,
+                              "spark")
+    noise_s = _dp_laplace_sql("o_orderpriority || '|sum'", b_sum, "spark")
+    return (
+        agg.select(
+            "o_orderpriority",
+            F.expr(f"GREATEST(CAST(ROUND(n + {noise_c}, 0) AS BIGINT), 0)")
+            .alias("noisy_count"),
+            F.expr(f"ROUND(s + {noise_s}, 2)").alias("noisy_sum"),
+            F.lit(DP_EPSILON).alias("epsilon"),
+            F.lit(b_count).alias("count_b"),
+            F.lit(b_sum).alias("sum_b"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def _dp_oracle_sql() -> str:
+    b_count = 2.0 / DP_EPSILON
+    b_sum = 2.0 * DP_VALUE_CAP / DP_EPSILON
+    noise_c = _dp_laplace_sql("o_orderpriority || '|count'", b_count,
+                              "duckdb")
+    noise_s = _dp_laplace_sql("o_orderpriority || '|sum'", b_sum, "duckdb")
+    return f"""
+    WITH agg AS (
+      SELECT o_orderpriority,
+             COUNT(*) AS n,
+             SUM(LEAST(o_totalprice, {DP_VALUE_CAP})) AS s
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority,
+           GREATEST(CAST(ROUND(n + {noise_c}, 0) AS BIGINT), 0)
+             AS noisy_count,
+           ROUND(s + {noise_s}, 2) AS noisy_sum,
+           {DP_EPSILON}e0 AS epsilon,
+           {b_count}e0 AS count_b,
+           {b_sum}e0 AS sum_b
+    FROM agg
+    ORDER BY o_orderpriority
+    """
+
+
+@register(
+    "dp_noisy_orders_release",
+    oracle=_dp_oracle_sql(),
+    doc="Laplace-mechanism DP release of per-priority order counts and "
+    "clamped revenue sums: exact map-side-combined aggregate, per-order "
+    "contribution clamp (sum sensitivity), epsilon split across the two "
+    "statistics, noise added POST-aggregation on the O(groups) table "
+    "via a deterministic hash-derived uniform (replayable mechanism; "
+    "swap in a crypto RNG for a real release), post-processing "
+    "round+clamp. The release pipeline beside k_anonymity_audit.",
+)
+def dp_noisy_orders_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dp_noisy_release(load_table(spark, "orders", sf_dir))

@@ -583,3 +583,48 @@ def test_events_dedup_streamed_collapses_doubled_stream(spark):
     for t, r in exact.items():
         assert out[t]["n_events"] == r["n_events"], t
         assert out[t]["total_value"] == r["total_value"], t
+
+
+def test_dp_release_clamps_and_replays_noise_exactly(spark):
+    """The Laplace draw replays bit-for-bit from the md5 formula (the
+    mechanism's determinism contract), contributions clamp at the cap
+    BEFORE aggregation, and post-processing floors counts at zero."""
+    import hashlib
+    import math
+
+    from covid_19_data_engineering_spark.operators.privacy import (
+        DP_EPSILON,
+        DP_VALUE_CAP,
+        _DP_TAG,
+        dp_noisy_release,
+    )
+
+    def lap(key: str, b: float) -> float:
+        h = hashlib.md5((key + _DP_TAG).encode()).hexdigest()[:8]
+        u = (int(h, 16) + 0.5) / 4294967296.0
+        raw = b * math.log(2.0 * u) if u < 0.5 else -b * math.log(2.0 * (1.0 - u))
+        return round(raw, 6)
+
+    rows = [
+        (1, 1, "P1", 20000.0, "2024-01-01 00:00:00", "HIGH"),  # above cap
+        (2, 2, "P1", 100.0, "2024-01-02 00:00:00", "HIGH"),
+        (3, 3, "P2", 50.0, "2024-01-03 00:00:00", "LOW"),
+    ]
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    )
+    out = {r["o_orderpriority"]: r for r in dp_noisy_release(orders).collect()}
+    b_count, b_sum = 2.0 / DP_EPSILON, 2.0 * DP_VALUE_CAP / DP_EPSILON
+    # HIGH: clamped sum = 10000 + 100; count = 2
+    exp_sum = round(10100.0 + lap("HIGH|sum", b_sum), 2)
+    exp_cnt = max(int(round(2 + lap("HIGH|count", b_count))), 0)
+    assert out["HIGH"]["noisy_sum"] == exp_sum
+    assert out["HIGH"]["noisy_count"] == exp_cnt
+    exp_sum_low = round(50.0 + lap("LOW|sum", b_sum), 2)
+    assert out["LOW"]["noisy_sum"] == exp_sum_low
+    assert out["LOW"]["noisy_count"] >= 0
+    for r in out.values():
+        assert r["epsilon"] == DP_EPSILON
+        assert r["count_b"] == b_count and r["sum_b"] == b_sum
