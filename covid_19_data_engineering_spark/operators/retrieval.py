@@ -712,3 +712,82 @@ def mmr_diverse_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"from the embeddings table at {sf_dir!r}")
     qvec = [float(x) for x in qrows[0]["e"]]
     return mmr_select(emb.where(F.col("vec_id") != MMR_QUERY_ID), qvec)
+
+
+# --- positional inverted index + exact phrase search -------------------------
+# The IR access path BM25 doesn't exercise: a phrase query ("hash join")
+# must match CONSECUTIVE tokens, which needs positional postings
+# (term -> (doc, position)) and a position-adjacency join — what Lucene
+# stores as term positions and warehouses implement as the self-join
+# below. At 100 TB the postings table is materialized once (partitioned/
+# bucketed BY TERM, so each query's join touches only the queried terms'
+# posting lists — the whole point of an inverted index); here it derives
+# inline and Catalyst pushes the term filters to both scan branches.
+
+PHRASE_QUERY = ("hash", "join")  # present at every gate SF
+
+
+def positional_postings(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(term, doc_id, pos) — one row per token occurrence, 0-based."""
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "term"),
+    ).select("term", "doc_id", "pos")
+
+
+def phrase_search(docs: DataFrame,
+                  phrase: tuple[str, ...] = PHRASE_QUERY) -> DataFrame:
+    """(doc_id, n_hits, first_pos) for documents containing the exact
+    consecutive token phrase. One postings derivation, then a
+    (len(phrase) - 1)-way equi-join on (doc_id, adjacent positions);
+    every branch filters to ONE term before joining, so the join input
+    is the posting lists alone."""
+    post = positional_postings(docs)
+    hits = post.where(F.col("term") == phrase[0]).select(
+        "doc_id", F.col("pos").alias("p0"))
+    for i, w in enumerate(phrase[1:], start=1):
+        nxt = post.where(F.col("term") == w).select(
+            F.col("doc_id").alias("d"), F.col("pos").alias(f"p{i}"))
+        hits = hits.join(
+            nxt,
+            (F.col("doc_id") == F.col("d"))
+            & (F.col(f"p{i}") == F.col("p0") + i),
+        ).drop("d")
+    return (
+        hits.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"),
+             F.min("p0").alias("first_pos"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "phrase_search_postings",
+    oracle=f"""
+    WITH post AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t) + 1),
+                                   i -> {{'pos': i - 1, 'term': t[i]}}),
+                    recursive := true)
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    ),
+    hits AS (
+      SELECT a.doc_id, a.pos AS p0
+      FROM post a JOIN post b
+        ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      WHERE a.term = '{PHRASE_QUERY[0]}' AND b.term = '{PHRASE_QUERY[1]}'
+    )
+    SELECT doc_id, COUNT(*) AS n_hits,
+           CAST(MIN(p0) AS BIGINT) AS first_pos
+    FROM hits GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="Exact phrase search over positional postings: posexplode builds "
+    "(term, doc, pos), each phrase word filters its own branch BEFORE "
+    "the (doc, pos+1) adjacency equi-join, so the join touches only the "
+    "queried terms' posting lists — the inverted-index access path "
+    "beside BM25's bag-of-words scoring.",
+)
+def phrase_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return phrase_search(docs)

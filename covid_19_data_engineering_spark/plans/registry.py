@@ -113,6 +113,10 @@ PRIORITY = (
     "record_linkage_golden",
     # 4th streaming-native oracle: watermark dedup on a doubled stream
     "events_dedup_streamed",
+    # Laplace-mechanism DP release (replayable noise)
+    "dp_noisy_orders_release",
+    # positional postings + exact phrase adjacency join
+    "phrase_search_postings",
     # --- r13 changed semantics (fresh rows for the new flag band /
     # refactored machinery) ---
     "rolling_7d_active_users",       # band -> |err| <= max(5, 2%)
@@ -148,8 +152,6 @@ PRIORITY = (
     "doc_fingerprints",
     "segment_set_ops",
     "orders_above_customer_avg",
-    "order_fill_outer",
-    "monthly_order_gapfill",
 )
 
 def _reorder_registry() -> None:

@@ -628,3 +628,26 @@ def test_dp_release_clamps_and_replays_noise_exactly(spark):
     for r in out.values():
         assert r["epsilon"] == DP_EPSILON
         assert r["count_b"] == b_count and r["sum_b"] == b_sum
+
+
+def test_phrase_search_consecutive_only(spark):
+    """Phrase match requires CONSECUTIVE tokens in order: 'hash join'
+    must not match 'hash x join', 'join hash', or either word alone;
+    multiple occurrences count and first_pos is the earliest."""
+    from covid_19_data_engineering_spark.operators.retrieval import (
+        phrase_search,
+    )
+
+    rows = [
+        (1, "a hash join b hash join", "en", "web"),   # two hits, pos 1 and 4
+        (2, "hash x join", "en", "web"),               # gap: no hit
+        (3, "join hash", "en", "web"),                 # wrong order: no hit
+        (4, "hash", "en", "web"),                      # alone: no hit
+        (5, "hash join", "en", "web"),                 # hit at 0
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    out = {r["doc_id"]: r for r in phrase_search(df).collect()}
+    assert set(out) == {1, 5}
+    assert out[1]["n_hits"] == 2 and out[1]["first_pos"] == 1
+    assert out[5]["n_hits"] == 1 and out[5]["first_pos"] == 0
