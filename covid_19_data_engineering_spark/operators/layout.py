@@ -518,3 +518,98 @@ def _hilbert_oracle_sql() -> str:
 def hilbert_layout_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
     return hilbert_file_layout(li, "l_orderkey", "l_partkey").orderBy("file_id")
+
+
+# --- dynamic partition pruning: the scan optimization star-schema joins
+# live on at 100 TB. A fact table partitioned by a date-derived column
+# joined to a FILTERED dim prunes fact partitions AT RUNTIME from the
+# dim-side join keys (Spark's DPP subquery) — the scan never opens
+# partitions no surviving dim row points at. Bucketing (above) kills the
+# shuffle; DPP kills the read. The fact twin is written once per
+# (sf_dir) under .state_cache, partitioned by order year.
+
+RECENT_YEAR_FROM = 1999
+
+
+def ensure_partitioned_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once) and return the path of the orders twin partitioned
+    by o_year — the layout a 100 TB fact table ships with."""
+    import os
+
+    slug = _bucket_slug(sf_dir)
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    path = os.path.join(repo, ".state_cache", "partitioned", slug, "orders")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        (
+            load_table(spark, "orders", sf_dir)
+            .withColumn("o_year", F.year("o_orderdate"))
+            .write.mode("overwrite")
+            .partitionBy("o_year")
+            .parquet(path)
+        )
+    # the year dim must be a FILE source: a LocalRelation dim gets its
+    # filter constant-folded away and DPP requires a selective predicate
+    # on the dim side to inject the pruning subquery at all
+    dim_path = os.path.join(repo, ".state_cache", "partitioned", slug,
+                            "year_dim")
+    if not os.path.exists(os.path.join(dim_path, "_SUCCESS")):
+        spark.createDataFrame(
+            [(y, y >= RECENT_YEAR_FROM) for y in range(1995, 2002)],
+            "y int, is_recent boolean",
+        ).coalesce(1).write.mode("overwrite").parquet(dim_path)
+    return path
+
+
+def dpp_recent_year_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-year order count and revenue for the dim-selected recent
+    years, computed through a DPP-prunable join: the year dim filters to
+    is_recent rows, and the runtime subquery prunes the fact's o_year
+    partitions before the scan (tests assert the dynamicpruning
+    expression in the plan)."""
+    import os
+
+    path = ensure_partitioned_orders(spark, sf_dir)
+    fact = spark.read.parquet(path)
+    dim = (
+        spark.read.parquet(os.path.join(os.path.dirname(path), "year_dim"))
+        .where(F.col("is_recent"))
+    )
+    # broadcast(dim) pins the dim as the build side: DPP's default
+    # reuseBroadcastOnly mode injects the runtime pruning subquery into
+    # the FACT scan only when the dim side is the reused broadcast (on
+    # kilobyte test data Spark otherwise builds on the fact and no
+    # pruning subquery exists to reuse)
+    return (
+        fact.join(F.broadcast(dim), fact.o_year == dim.y)
+        .groupBy("o_year")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .select(F.col("o_year").cast("int").alias("order_year"),
+                "n_orders", "revenue")
+        .orderBy("order_year")
+    )
+
+
+@register(
+    "dpp_recent_year_revenue",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE year(o_orderdate) >= {RECENT_YEAR_FROM}
+    GROUP BY 1
+    ORDER BY order_year
+    """,
+    doc="Dynamic partition pruning demonstration: the orders fact twin is "
+    "partitioned by o_year (written once under .state_cache); joining it "
+    "to a filtered year dim injects Spark's runtime dynamicpruning "
+    "subquery into the scan's PartitionFilters, so non-selected years' "
+    "partitions never open. Bucketing kills the shuffle; DPP kills the "
+    "read — the two table-layout levers a 100 TB star schema runs on.",
+)
+def dpp_recent_year_revenue_query(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    return dpp_recent_year_revenue(spark, sf_dir)

@@ -661,10 +661,13 @@ def lm_bigram_scores(docs: DataFrame, text_col: str = "text",
     cluster swap localCheckpoint for reliable checkpoint() if executor
     loss matters.
 
-    Determinism across engines: each -ln P is rounded to 6 decimals before
-    the multiplicity-weighted mean and the mean to 4, so Spark/DuckDB libm
-    ulp differences and float sum order cannot surface in the compared
-    values.
+    Determinism across engines: each -ln P quantizes to an exact BIGINT
+    in 1e-6 units (libm ulp differences die at the quantization), the
+    multiplicity-weighted mean then SUMS INTEGERS — fully order-
+    independent, where a sum of rounded doubles still flipped the 4th
+    decimal on boundary docs when AQE changed the partition order (the
+    r13 lm_kneser_ney sf0.1 rotation flake) — and one final double
+    division is rounded to 4.
     """
     toks = docs.select(F.col(key_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("t"))
     docbi = (
@@ -687,9 +690,10 @@ def lm_bigram_scores(docs: DataFrame, text_col: str = "text",
     probs = (
         cnt.join(ctx, "w1")
         .crossJoin(F.broadcast(vocab))
-        .select(
+        .selectExpr(
             "w1", "w2",
-            F.round(-F.log((F.col("c") + 1) / (F.col("cw") + F.col("v"))), 6).alias("nll"),
+            "CAST(ROUND(-ln((c + 1) / (cw + v)) * 1000000, 0) AS BIGINT)"
+            " AS nll_u",
         )
     )
     return (
@@ -697,7 +701,9 @@ def lm_bigram_scores(docs: DataFrame, text_col: str = "text",
         .groupBy("doc_id")
         .agg(
             F.sum("c_doc").alias("n_bigrams"),
-            F.round(F.sum(F.col("nll") * F.col("c_doc")) / F.sum("c_doc"), 4).alias("avg_nll"),
+            F.expr("ROUND(CAST(SUM(nll_u * c_doc) AS DOUBLE)"
+                   " / (CAST(1000000 AS DOUBLE) * SUM(c_doc)), 4)")
+            .alias("avg_nll"),
         )
     )
 
@@ -724,12 +730,14 @@ def lm_bigram_scores(docs: DataFrame, text_col: str = "text",
     ),
     probs AS (
       SELECT w1, w2,
-             ROUND(-ln((c + 1) / (cw + v)), 6) AS nll
+             CAST(ROUND(-ln((c + 1) / (cw + v)) * 1000000, 0) AS BIGINT)
+               AS nll_u
       FROM cnt JOIN ctx USING (w1) CROSS JOIN vocab
     )
     SELECT doc_id,
            CAST(SUM(c_doc) AS BIGINT) AS n_bigrams,
-           ROUND(SUM(nll * c_doc) / SUM(c_doc), 4) AS avg_nll
+           ROUND(CAST(SUM(nll_u * c_doc) AS DOUBLE)
+                 / (1000000.0e0 * SUM(c_doc)), 4) AS avg_nll
     FROM docbi JOIN probs USING (w1, w2)
     GROUP BY doc_id
     ORDER BY doc_id
@@ -976,8 +984,8 @@ def lm_trigram_scores(docs: DataFrame, text_col: str = "text",
         .crossJoin(F.broadcast(total))
         .selectExpr(
             "w1", "w2", "w3",
-            "ROUND(-ln(0.6e0 * (c123 / c12) + 0.3e0 * (c23 / c2) "
-            "+ 0.1e0 * (c3 / n_total)), 6) AS nll",
+            "CAST(ROUND(-ln(0.6e0 * (c123 / c12) + 0.3e0 * (c23 / c2) "
+            "+ 0.1e0 * (c3 / n_total)) * 1000000, 0) AS BIGINT) AS nll_u",
         )
     )
     return (
@@ -985,8 +993,9 @@ def lm_trigram_scores(docs: DataFrame, text_col: str = "text",
         .groupBy("doc_id")
         .agg(
             F.sum("c_doc").alias("n_trigrams"),
-            F.round(F.sum(F.col("nll") * F.col("c_doc"))
-                    / F.sum("c_doc"), 4).alias("avg_nll"),
+            F.expr("ROUND(CAST(SUM(nll_u * c_doc) AS DOUBLE)"
+                   " / (CAST(1000000 AS DOUBLE) * SUM(c_doc)), 4)")
+            .alias("avg_nll"),
         )
     )
 
@@ -1015,14 +1024,16 @@ def lm_trigram_scores(docs: DataFrame, text_col: str = "text",
     total AS (SELECT SUM(c123) AS n_total FROM c123),
     probs AS (
       SELECT w1, w2, w3,
-             ROUND(-ln(0.6e0 * (c123 / c12) + 0.3e0 * (c23 / c2)
-                       + 0.1e0 * (c3 / n_total)), 6) AS nll
+             CAST(ROUND(-ln(0.6e0 * (c123 / c12) + 0.3e0 * (c23 / c2)
+                            + 0.1e0 * (c3 / n_total)) * 1000000, 0)
+                  AS BIGINT) AS nll_u
       FROM c123 JOIN c12 USING (w1, w2) JOIN c23 USING (w2, w3)
       JOIN c2 USING (w2) JOIN c3 USING (w3) CROSS JOIN total
     )
     SELECT doc_id,
            CAST(SUM(c_doc) AS BIGINT) AS n_trigrams,
-           ROUND(SUM(nll * c_doc) / SUM(c_doc), 4) AS avg_nll
+           ROUND(CAST(SUM(nll_u * c_doc) AS DOUBLE)
+                 / (1000000.0e0 * SUM(c_doc)), 4) AS avg_nll
     FROM doctri JOIN probs USING (w1, w2, w3)
     GROUP BY doc_id
     ORDER BY doc_id
@@ -1075,9 +1086,11 @@ def lm_kneser_ney_scores(docs: DataFrame, text_col: str = "text",
     join, never a Python UDF.
 
     Determinism across engines: the probability expression is written
-    with the same association on both sides, each -ln P rounds to 6
-    decimals before the multiplicity-weighted mean, the mean to 4 —
-    the lm_bigram_perplexity doctrine.
+    with the same association on both sides, each -ln P quantizes to an
+    exact BIGINT in 1e-6 units, the weighted mean sums integers (order-
+    independent), and the one final double division rounds to 4 — the
+    lm_bigram_perplexity doctrine, hardened after the sf0.1 rotation
+    flake showed double-sum partition-order sensitivity.
     """
     toks = docs.select(F.col(key_col).alias("doc_id"),
                        F.split(F.col(text_col), " ").alias("t"))
@@ -1121,9 +1134,9 @@ def lm_kneser_ney_scores(docs: DataFrame, text_col: str = "text",
                      + F.col("d") * F.col("n1fw") * F.col("n1bw")
                      / F.col("nbt"))
                     / F.col("cw")
-                ),
-                6,
-            ).alias("nll"),
+                ) * 1000000.0,
+                0,
+            ).cast("long").alias("nll_u"),
         )
     )
     return (
@@ -1131,7 +1144,8 @@ def lm_kneser_ney_scores(docs: DataFrame, text_col: str = "text",
         .groupBy("doc_id")
         .agg(
             F.sum("c_doc").alias("n_bigrams"),
-            F.round(F.sum(F.col("nll") * F.col("c_doc")) / F.sum("c_doc"), 4)
+            F.expr("ROUND(CAST(SUM(nll_u * c_doc) AS DOUBLE)"
+                   " / (CAST(1000000 AS DOUBLE) * SUM(c_doc)), 4)")
             .alias("avg_nll"),
         )
     )
@@ -1167,13 +1181,15 @@ def lm_kneser_ney_scores(docs: DataFrame, text_col: str = "text",
     ),
     probs AS (
       SELECT w1, w2,
-             ROUND(-ln((GREATEST(c - d, 0.0e0) + d * n1fw * n1bw / nbt) / cw),
-                   6) AS nll
+             CAST(ROUND(-ln((GREATEST(c - d, 0.0e0)
+                             + d * n1fw * n1bw / nbt) / cw)
+                        * 1000000.0e0, 0) AS BIGINT) AS nll_u
       FROM cnt JOIN ctx USING (w1) JOIN bw USING (w2) CROSS JOIN disc
     )
     SELECT doc_id,
            CAST(SUM(c_doc) AS BIGINT) AS n_bigrams,
-           ROUND(SUM(nll * c_doc) / SUM(c_doc), 4) AS avg_nll
+           ROUND(CAST(SUM(nll_u * c_doc) AS DOUBLE)
+                 / (1000000.0e0 * SUM(c_doc)), 4) AS avg_nll
     FROM docbi JOIN probs USING (w1, w2)
     GROUP BY doc_id
     ORDER BY doc_id
