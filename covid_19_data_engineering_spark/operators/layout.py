@@ -549,15 +549,18 @@ def ensure_partitioned_orders(spark: SparkSession, sf_dir: str) -> str:
             .partitionBy("o_year")
             .parquet(path)
         )
-    # the year dim must be a FILE source: a LocalRelation dim gets its
-    # filter constant-folded away and DPP requires a selective predicate
-    # on the dim side to inject the pruning subquery at all
+    # the year dim must be a FILE source (a LocalRelation dim gets its
+    # filter constant-folded away) and the dim filter must be a
+    # COMPARISON (segment = 'recent'): Spark's isLikelySelective treats
+    # a bare boolean attribute as non-selective and refuses to insert
+    # the pruning subquery at all — both found the hard way
     dim_path = os.path.join(repo, ".state_cache", "partitioned", slug,
                             "year_dim")
     if not os.path.exists(os.path.join(dim_path, "_SUCCESS")):
         spark.createDataFrame(
-            [(y, y >= RECENT_YEAR_FROM) for y in range(1995, 2002)],
-            "y int, is_recent boolean",
+            [(y, "recent" if y >= RECENT_YEAR_FROM else "archive")
+             for y in range(1995, 2002)],
+            "y int, segment string",
         ).coalesce(1).write.mode("overwrite").parquet(dim_path)
     return path
 
@@ -574,7 +577,7 @@ def dpp_recent_year_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact = spark.read.parquet(path)
     dim = (
         spark.read.parquet(os.path.join(os.path.dirname(path), "year_dim"))
-        .where(F.col("is_recent"))
+        .where(F.col("segment") == "recent")
     )
     # broadcast(dim) pins the dim as the build side: DPP's default
     # reuseBroadcastOnly mode injects the runtime pruning subquery into

@@ -117,6 +117,11 @@ PRIORITY = (
     "dp_noisy_orders_release",
     # positional postings + exact phrase adjacency join
     "phrase_search_postings",
+    # dynamic partition pruning through the partitioned fact twin
+    "dpp_recent_year_revenue",
+    # LM family re-pinned: integer micro-unit NLL sums (order-independent)
+    "lm_bigram_perplexity",
+    "lm_trigram_interp_perplexity",
     # --- r13 changed semantics (fresh rows for the new flag band /
     # refactored machinery) ---
     "rolling_7d_active_users",       # band -> |err| <= max(5, 2%)
@@ -150,8 +155,6 @@ PRIORITY = (
     "tpch_q9_product_profit",
     "quality_quantile_filter",
     "doc_fingerprints",
-    "segment_set_ops",
-    "orders_above_customer_avg",
 )
 
 def _reorder_registry() -> None:

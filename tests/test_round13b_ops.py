@@ -651,3 +651,32 @@ def test_phrase_search_consecutive_only(spark):
     assert set(out) == {1, 5}
     assert out[1]["n_hits"] == 2 and out[1]["first_pos"] == 1
     assert out[5]["n_hits"] == 1 and out[5]["first_pos"] == 0
+
+
+def test_dpp_prunes_fact_partitions_at_runtime(spark):
+    """The dynamicpruning subquery must appear in the fact scan's
+    PartitionFilters (the DPP contract: non-selected years' partitions
+    never open) and the result must equal the unpartitioned batch
+    aggregate."""
+    from covid_19_data_engineering_spark.operators.layout import (
+        RECENT_YEAR_FROM,
+        dpp_recent_year_revenue,
+    )
+    from covid_19_data_engineering_spark.sources.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    df = dpp_recent_year_revenue(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan.lower()
+    got = {r["order_year"]: (r["n_orders"], r["revenue"]) for r in df.collect()}
+    exact = {
+        r["y"]: (r["n"], r["rev"])
+        for r in load_table(spark, "orders", sf_dir)
+        .where(F.year("o_orderdate") >= RECENT_YEAR_FROM)
+        .groupBy(F.year("o_orderdate").alias("y"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("o_totalprice"), 2).alias("rev"))
+        .collect()
+    }
+    assert got == exact
+    assert set(got) == {1999, 2000, 2001}
