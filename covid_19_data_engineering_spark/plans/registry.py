@@ -154,7 +154,6 @@ PRIORITY = (
     "user_retention_cohorts",
     "tpch_q9_product_profit",
     "quality_quantile_filter",
-    "doc_fingerprints",
 )
 
 def _reorder_registry() -> None:
