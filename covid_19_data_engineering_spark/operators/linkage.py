@@ -9,13 +9,17 @@ summed weight clears a threshold are links (Fellegi & Sunter 1969; the
 Splink/RecordLinkage toolkits industrialize exactly this shape).
 
 Spark-first plan, 100 TB posture:
-- **Blocking bounds the pair space.** Candidate pairs come only from equal
-  (name noun, brand) blocks — a domain-bounded key (vocabulary x brand
-  catalog), so per-block C(n,2) growth is capped by the densest noun-brand
-  combination, not by corpus size. The standard production answer to a
-  residual hot block is another blocking pass on a different key union'd
-  in; the pytest gate pins the measured candidate volume so a key change
-  that re-opens the blowup fails loudly.
+- **Blocking bounds the pair space — with an honest caveat.** Candidate
+  pairs come only from equal (name noun, brand) blocks. The KEY's domain
+  is fixed (vocabulary x brand catalog), which means block sizes grow
+  LINEARLY with the catalog and per-block C(n,2) grows QUADRATICALLY —
+  fine at gate scale (max block 123 rows at sf0.1, ~1M pairs), but at a
+  100 TB catalog the key must gain a third component (the size band, a
+  sorted-neighborhood window, or an LSH bucket) to re-bound the blocks;
+  blocking-key refinement, not algorithm change, is the standard
+  production dial. The pytest gate pins the measured candidate volume to
+  the exact per-block formula so any key change re-opening a blowup
+  fails loudly.
 - **u-probabilities are exact one-pass aggregates**, not samples: the
   chance two RANDOM records agree on field k is sum_v (n_v/N)^2, computed
   from the field histogram (map-side combined, tiny domains). The
