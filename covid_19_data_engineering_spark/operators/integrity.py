@@ -239,3 +239,149 @@ def _fd_oracle_sql() -> str:
 def functional_dependency_profile(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
     return fd_profile(load_table(spark, "orders", sf_dir), FD_CANDIDATES)
+
+
+# --------------------------------------------------------------------------
+# Declarative data-contract report — the Great-Expectations-style gate a
+# warehouse runs before promoting a load (and the natural grown-up form
+# of the reference's COUNT(*) validation step): a fixed rule table, one
+# row per rule with its measured metric, threshold, and verdict. All
+# column rules evaluate in ONE conditional-aggregate pass over the fact
+# (map-side combined); the referential rule adds one broadcast anti-join
+# count. At 100 TB this is exactly the shape you want: the contract
+# costs one scan regardless of how many rules it carries.
+# --------------------------------------------------------------------------
+
+CONTRACT_STATUSES = ("F", "O", "P")
+CONTRACT_PRICE_MAX = 1_000_000.0
+CONTRACT_MIN_ROWS = 100
+CONTRACT_FRESH_YEAR = 2001
+
+
+def data_contract_report(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """(rule, metric, threshold, passed) — seven contract rules.
+
+    metric semantics per rule: violation FRACTION for not-null /
+    accepted-values / range / referential (threshold 0.0), duplicate
+    COUNT for uniqueness (threshold 0.0), max order year for freshness
+    (threshold = CONTRACT_FRESH_YEAR, passed when >=), row count for
+    volume (threshold = CONTRACT_MIN_ROWS, passed when >=)."""
+    status_list = ", ".join(f"'{s}'" for s in CONTRACT_STATUSES)
+    agg = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("null_cust"),
+        F.countDistinct("o_orderkey").alias("dist_keys"),
+        F.sum((~F.col("o_orderstatus").isin(*CONTRACT_STATUSES))
+              .cast("long")).alias("bad_status"),
+        F.sum(((F.col("o_totalprice") <= 0)
+               | (F.col("o_totalprice") > CONTRACT_PRICE_MAX))
+              .cast("long")).alias("bad_price"),
+        F.max(F.year("o_orderdate")).alias("max_year"),
+    )
+    orphans = (
+        orders.join(customer,
+                    orders.o_custkey == customer.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_orphan"))
+    )
+    row = agg.crossJoin(F.broadcast(orphans))
+    frac = lambda c: F.round(F.col(c).cast("double") / F.col("n"), 6)  # noqa: E731
+    report = row.select(F.explode(F.array(
+        F.struct(F.lit("not_null:o_custkey").alias("rule"),
+                 frac("null_cust").alias("metric"),
+                 F.lit(0.0).alias("threshold"),
+                 (F.col("null_cust") == 0).alias("passed")),
+        F.struct(F.lit("unique:o_orderkey").alias("rule"),
+                 (F.col("n") - F.col("dist_keys")).cast("double")
+                 .alias("metric"),
+                 F.lit(0.0).alias("threshold"),
+                 (F.col("n") == F.col("dist_keys")).alias("passed")),
+        F.struct(F.lit(f"accepted_values:o_orderstatus[{status_list}]")
+                 .alias("rule"),
+                 frac("bad_status").alias("metric"),
+                 F.lit(0.0).alias("threshold"),
+                 (F.col("bad_status") == 0).alias("passed")),
+        F.struct(F.lit("range:o_totalprice(0,1e6]").alias("rule"),
+                 frac("bad_price").alias("metric"),
+                 F.lit(0.0).alias("threshold"),
+                 (F.col("bad_price") == 0).alias("passed")),
+        F.struct(F.lit("referential:o_custkey->customer").alias("rule"),
+                 frac("n_orphan").alias("metric"),
+                 F.lit(0.0).alias("threshold"),
+                 (F.col("n_orphan") == 0).alias("passed")),
+        F.struct(F.lit("freshness:max_order_year").alias("rule"),
+                 F.col("max_year").cast("double").alias("metric"),
+                 F.lit(float(CONTRACT_FRESH_YEAR)).alias("threshold"),
+                 (F.col("max_year") >= CONTRACT_FRESH_YEAR).alias("passed")),
+        F.struct(F.lit("volume:min_rows").alias("rule"),
+                 F.col("n").cast("double").alias("metric"),
+                 F.lit(float(CONTRACT_MIN_ROWS)).alias("threshold"),
+                 (F.col("n") >= CONTRACT_MIN_ROWS).alias("passed")),
+    )).alias("r")).select("r.rule", "r.metric", "r.threshold", "r.passed")
+    return report.orderBy("rule")
+
+
+@register(
+    "data_contract_report",
+    oracle=f"""
+    WITH agg AS (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_cust,
+             COUNT(DISTINCT o_orderkey) AS dist_keys,
+             SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+                      THEN 1 ELSE 0 END) AS bad_status,
+             SUM(CASE WHEN o_totalprice <= 0
+                       OR o_totalprice > {CONTRACT_PRICE_MAX}
+                      THEN 1 ELSE 0 END) AS bad_price,
+             MAX(year(o_orderdate)) AS max_year
+      FROM orders
+    ),
+    orph AS (
+      SELECT COUNT(*) AS n_orphan FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM customer c
+                        WHERE c.c_custkey = o.o_custkey)
+    ),
+    row_all AS (SELECT * FROM agg CROSS JOIN orph)
+    SELECT rule, metric, threshold, passed FROM (
+      SELECT 'not_null:o_custkey' AS rule,
+             ROUND(CAST(null_cust AS DOUBLE) / n, 6) AS metric,
+             0.0e0 AS threshold, null_cust = 0 AS passed FROM row_all
+      UNION ALL
+      SELECT 'unique:o_orderkey',
+             CAST(n - dist_keys AS DOUBLE), 0.0e0, n = dist_keys
+      FROM row_all
+      UNION ALL
+      SELECT 'accepted_values:o_orderstatus[''F'', ''O'', ''P'']',
+             ROUND(CAST(bad_status AS DOUBLE) / n, 6), 0.0e0, bad_status = 0
+      FROM row_all
+      UNION ALL
+      SELECT 'range:o_totalprice(0,1e6]',
+             ROUND(CAST(bad_price AS DOUBLE) / n, 6), 0.0e0, bad_price = 0
+      FROM row_all
+      UNION ALL
+      SELECT 'referential:o_custkey->customer',
+             ROUND(CAST(n_orphan AS DOUBLE) / n, 6), 0.0e0, n_orphan = 0
+      FROM row_all
+      UNION ALL
+      SELECT 'freshness:max_order_year',
+             CAST(max_year AS DOUBLE), {float(CONTRACT_FRESH_YEAR)}e0,
+             max_year >= {CONTRACT_FRESH_YEAR}
+      FROM row_all
+      UNION ALL
+      SELECT 'volume:min_rows',
+             CAST(n AS DOUBLE), {float(CONTRACT_MIN_ROWS)}e0,
+             n >= {CONTRACT_MIN_ROWS}
+      FROM row_all
+    )
+    ORDER BY rule
+    """,
+    doc="Declarative data-contract gate (Great-Expectations shape): seven "
+    "rules — not-null, uniqueness, accepted values, numeric range, "
+    "referential integrity, freshness, minimum volume — each a (rule, "
+    "metric, threshold, passed) row. All column rules ride ONE "
+    "conditional-aggregate scan; the referential rule adds one "
+    "broadcast anti-join count. The grown-up form of the reference's "
+    "COUNT(*) load validation.",
+)
+def data_contract_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return data_contract_report(load_table(spark, "orders", sf_dir),
+                                load_table(spark, "customer", sf_dir))

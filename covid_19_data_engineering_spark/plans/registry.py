@@ -119,6 +119,8 @@ PRIORITY = (
     "phrase_search_postings",
     # dynamic partition pruning through the partitioned fact twin
     "dpp_recent_year_revenue",
+    # declarative data-contract gate (one-scan rules + anti-join)
+    "data_contract_report",
     # LM family re-pinned: integer micro-unit NLL sums (order-independent)
     "lm_bigram_perplexity",
     "lm_trigram_interp_perplexity",
@@ -153,7 +155,6 @@ PRIORITY = (
     "cube_order_status",
     "user_retention_cohorts",
     "tpch_q9_product_profit",
-    "quality_quantile_filter",
 )
 
 def _reorder_registry() -> None:

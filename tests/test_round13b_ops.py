@@ -680,3 +680,51 @@ def test_dpp_prunes_fact_partitions_at_runtime(spark):
     }
     assert got == exact
     assert set(got) == {1999, 2000, 2001}
+
+
+def test_data_contract_report_flags_planted_violations(spark):
+    """Planted violations flip exactly the right rules: a null custkey, a
+    duplicate orderkey, a bad status, an out-of-range price, an orphan
+    custkey, stale dates, and a tiny row count."""
+    from covid_19_data_engineering_spark.operators.integrity import (
+        data_contract_report,
+    )
+
+    orders = spark.createDataFrame(
+        [
+            (1, 10, "F", 100.0, "1998-01-01"),
+            (1, 10, "O", 200.0, "1998-02-01"),      # duplicate key
+            (2, None, "O", 300.0, "1998-03-01"),    # null custkey
+            (3, 99, "X", 400.0, "1998-04-01"),      # bad status + orphan 99
+            (4, 10, "P", -5.0, "1998-05-01"),       # price out of range
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string",
+    ).select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+             F.col("o_orderdate").cast("timestamp").alias("o_orderdate"))
+    customer = spark.createDataFrame(
+        [(10, "Customer#10", 1, 0.0, "BUILDING")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    )
+    out = {r["rule"]: r for r in data_contract_report(orders, customer).collect()}
+    assert len(out) == 7
+    assert not out["not_null:o_custkey"]["passed"]
+    assert out["not_null:o_custkey"]["metric"] == 0.2
+    assert not out["unique:o_orderkey"]["passed"]
+    assert out["unique:o_orderkey"]["metric"] == 1.0
+    assert not out["accepted_values:o_orderstatus['F', 'O', 'P']"]["passed"]
+    assert not out["range:o_totalprice(0,1e6]"]["passed"]
+    assert not out["referential:o_custkey->customer"]["passed"]
+    # orphans: custkey 99 AND the NULL custkey — both engines agree a
+    # null key is an orphan (Spark left_anti keeps never-matching null
+    # keys; DuckDB NOT EXISTS is true when no row matches) -> 2/5
+    assert out["referential:o_custkey->customer"]["metric"] == 0.4
+    assert not out["freshness:max_order_year"]["passed"]   # max year 1998
+    assert not out["volume:min_rows"]["passed"]            # 5 < 100
+    # and on the real gate data every rule passes
+    from covid_19_data_engineering_spark.sources.tables import load_table
+    real = data_contract_report(
+        load_table(spark, "orders", "/root/testdata/sf0.001"),
+        load_table(spark, "customer", "/root/testdata/sf0.001"))
+    assert all(r["passed"] for r in real.collect())
