@@ -468,3 +468,117 @@ def winsorized_price_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return winsorized_mean(
         load_table(spark, "lineitem", sf_dir), "l_extendedprice")
+
+
+# --- distribution-free median confidence interval ---------------------------
+# The classic nonparametric CI: for X_(1..n) sorted, [X_(r_lo), X_(r_hi)]
+# covers the population median with >= 95% probability where the ranks
+# come from Binomial(n, 1/2) normal approximation — no distributional
+# assumption, just order statistics. Reuses the histogram-refine shape
+# (bin, cumsum to locate, window candidate buckets only — never a global
+# sort), with RANK targets instead of quantile fractions.
+
+
+def values_at_ranks(df: DataFrame, col: str,
+                    labeled_ranks: list[tuple[str, int]],
+                    bins: int = BINS,
+                    bin_target: int = BIN_TARGET) -> DataFrame:
+    """(stat, rank, value) — exact order statistics at explicit 1-based
+    ranks. Same two-pass plan as exact_quantiles_histogram."""
+    n = df.agg(F.count(F.lit(1)).alias("n")).first()["n"]
+    if n == 0:
+        raise ValueError(f"values_at_ranks: {col} has no rows")
+    for _, r in labeled_ranks:
+        if not 1 <= r <= n:
+            raise ValueError(f"rank {r} outside [1, {n}]")
+    lo, hi = df.agg(F.min(col), F.max(col)).first()
+    nbins = _derive_bins(n, bins, bin_target)
+    lo_u = int(round(float(lo) * VAL_UNIT))
+    hi_u = int(round(float(hi) * VAL_UNIT))
+    width = max(1, (hi_u - lo_u) // nbins + 1)
+    binned = df.select(
+        F.col(col).alias("v"),
+        F.expr(f"(CAST(round({col} * {VAL_UNIT}) AS BIGINT) - {lo_u}) "
+               f"div {width}").alias("b"),
+    )
+    counts = binned.groupBy("b").agg(F.count(F.lit(1)).alias("cnt"))
+    cum_w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    cum = counts.withColumn(
+        "below", F.coalesce(F.sum("cnt").over(cum_w), F.lit(0)))
+    tdf = df.sparkSession.createDataFrame(
+        labeled_ranks, "stat string, rank long")
+    located = (
+        tdf.join(F.broadcast(cum),
+                 (F.col("below") < F.col("rank"))
+                 & (F.col("rank") <= F.col("below") + F.col("cnt")))
+        .select("stat", "rank", "b",
+                (F.col("rank") - F.col("below")).alias("rk_in"))
+    )
+    cand_bins = [r["b"] for r in located.select("b").distinct().collect()]
+    ranked = (
+        binned.where(F.col("b").isin(cand_bins))
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("b").orderBy("v")))
+    )
+    return (
+        located.join(ranked, (located["b"] == ranked["b"])
+                     & (F.col("rk_in") == F.col("rn")))
+        .select("stat", "rank", F.col("v").alias("value"))
+    )
+
+
+def median_ci_ranks(n: int, z: float = 1.959963985) -> tuple[int, int, int]:
+    """(r_lo, r_med, r_hi) — 1-based order-statistic ranks for the lower
+    median and its distribution-free ~95% CI, Binomial(n, 1/2) normal
+    approximation, clamped to [1, n]. Pure double arithmetic written
+    identically in the oracle so both engines derive the SAME ranks."""
+    import math
+
+    half = z * math.sqrt(n) / 2.0
+    r_lo = max(1, int(math.floor(n / 2.0 - half)))
+    r_hi = min(n, int(math.ceil(1.0 + n / 2.0 + half)))
+    r_med = (n + 1) // 2
+    return r_lo, r_med, r_hi
+
+
+@register(
+    "order_price_median_ci",
+    oracle="""
+    WITH n_all AS (SELECT COUNT(*) AS n FROM orders),
+    targets AS (
+      SELECT 'ci95_lo' AS stat,
+             GREATEST(1, CAST(floor(n / 2.0e0
+                 - 1.959963985e0 * sqrt(n) / 2.0e0) AS BIGINT)) AS rank
+      FROM n_all
+      UNION ALL
+      SELECT 'median', (n + 1) // 2 FROM n_all
+      UNION ALL
+      SELECT 'ci95_hi',
+             LEAST(n, CAST(ceil(1.0e0 + n / 2.0e0
+                 + 1.959963985e0 * sqrt(n) / 2.0e0) AS BIGINT))
+      FROM n_all
+    ),
+    ranked AS (
+      SELECT o_totalprice AS value,
+             ROW_NUMBER() OVER (ORDER BY o_totalprice) AS rn
+      FROM orders
+    )
+    SELECT t.stat, t.rank, r.value
+    FROM targets t JOIN ranked r ON r.rn = t.rank
+    ORDER BY t.stat
+    """,
+    doc="Distribution-free ~95% CI for the median of o_totalprice: order-"
+    "statistic ranks from the Binomial(n,1/2) normal approximation "
+    "(identical double arithmetic on both engines), values fetched by "
+    "the histogram-refine rank machinery — bin, cumsum-locate, window "
+    "candidate buckets only, never a global sort. The uncertainty "
+    "companion to the exact quantile battery.",
+)
+def order_price_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir).select("o_totalprice")
+    n = orders.count()
+    r_lo, r_med, r_hi = median_ci_ranks(n)
+    return values_at_ranks(
+        orders, "o_totalprice",
+        [("ci95_lo", r_lo), ("median", r_med), ("ci95_hi", r_hi)],
+    ).orderBy("stat")

@@ -121,6 +121,8 @@ PRIORITY = (
     "dpp_recent_year_revenue",
     # declarative data-contract gate (one-scan rules + anti-join)
     "data_contract_report",
+    # distribution-free median CI by order-statistic ranks
+    "order_price_median_ci",
     # LM family re-pinned: integer micro-unit NLL sums (order-independent)
     "lm_bigram_perplexity",
     "lm_trigram_interp_perplexity",
@@ -154,7 +156,6 @@ PRIORITY = (
     "customers_with_orders",
     "cube_order_status",
     "user_retention_cohorts",
-    "tpch_q9_product_profit",
 )
 
 def _reorder_registry() -> None:

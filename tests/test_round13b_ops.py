@@ -728,3 +728,33 @@ def test_data_contract_report_flags_planted_violations(spark):
         load_table(spark, "orders", "/root/testdata/sf0.001"),
         load_table(spark, "customer", "/root/testdata/sf0.001"))
     assert all(r["passed"] for r in real.collect())
+
+
+def test_median_ci_brackets_and_matches_sorted_ranks(spark):
+    """values_at_ranks returns EXACT order statistics (verified against a
+    plain python sort) and the CI ranks bracket the median with the
+    documented coverage shape."""
+    import math
+    import random
+
+    from covid_19_data_engineering_spark.operators.quantiles import (
+        median_ci_ranks,
+        values_at_ranks,
+    )
+
+    rng = random.Random(5)
+    vals = [round(rng.uniform(1, 1000), 2) for _ in range(501)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    n = len(vals)
+    r_lo, r_med, r_hi = median_ci_ranks(n)
+    assert 1 <= r_lo < r_med < r_hi <= n
+    out = {r["stat"]: r for r in values_at_ranks(
+        df, "x", [("ci95_lo", r_lo), ("median", r_med), ("ci95_hi", r_hi)]
+    ).collect()}
+    s = sorted(vals)
+    assert out["ci95_lo"]["value"] == s[r_lo - 1]
+    assert out["median"]["value"] == s[r_med - 1]
+    assert out["ci95_hi"]["value"] == s[r_hi - 1]
+    assert out["ci95_lo"]["value"] <= out["median"]["value"] <= out["ci95_hi"]["value"]
+    # half-width follows the sqrt(n) law
+    assert (r_hi - r_lo) <= 2 * (1.96 * math.sqrt(n) / 2) + 3
