@@ -123,6 +123,8 @@ PRIORITY = (
     "data_contract_report",
     # distribution-free median CI by order-statistic ranks
     "order_price_median_ci",
+    # weighted SSSP (frontier Bellman-Ford) beside the unweighted BFS
+    "copurchase_weighted_sssp",
     # LM family re-pinned: integer micro-unit NLL sums (order-independent)
     "lm_bigram_perplexity",
     "lm_trigram_interp_perplexity",
@@ -155,7 +157,6 @@ PRIORITY = (
     "distinct_counts",
     "customers_with_orders",
     "cube_order_status",
-    "user_retention_cohorts",
 )
 
 def _reorder_registry() -> None:

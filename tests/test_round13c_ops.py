@@ -1,0 +1,112 @@
+"""Round-13 post-close additions: weighted SSSP over the co-purchase
+graph and the Mann-Kendall trend test. Planted-case semantics pins; the
+cross-engine arithmetic is pinned by the DuckDB oracle gate
+(tools/driver_gate.py) at all three SFs."""
+
+from __future__ import annotations
+
+import heapq
+
+import pyspark.sql.functions as F
+
+
+def _dijkstra(edges: list[tuple[int, int, int]], seed: int,
+              max_edges: int) -> dict[int, int]:
+    """Reference shortest-path-with-<=max_edges-hops on a tiny graph:
+    Bellman-Ford over (hops, node) states, exact ints."""
+    adj: dict[int, list[tuple[int, int]]] = {}
+    for s, d, w in edges:
+        adj.setdefault(s, []).append((d, w))
+        adj.setdefault(d, []).append((s, w))
+    dist = {seed: 0}
+    frontier = {seed: 0}
+    for _ in range(max_edges):
+        nxt: dict[int, int] = {}
+        for node, dcur in frontier.items():
+            for nb, w in adj.get(node, []):
+                cand = dcur + w
+                if cand < dist.get(nb, 1 << 60):
+                    dist[nb] = cand
+                    nxt[nb] = cand
+        frontier = nxt
+    return dist
+
+
+def test_weighted_sssp_planted_distances(spark):
+    """A planted weighted graph where the shortest path is NOT the
+    fewest-hops path: seed 1 (max degree), edge 1-4 costs 9 but the
+    three-hop detour 1-2-3-4 costs 3. The operator must return the
+    detour distance."""
+    from covid_19_data_engineering_spark.operators.graphs import (
+        weighted_sssp,
+    )
+
+    rows = []
+    planted = [(1, 2, 1), (2, 3, 1), (3, 4, 1), (1, 4, 9), (1, 5, 2)]
+    for s, d, w in planted:
+        rows.append((s, d, w))
+        rows.append((d, s, w))
+    edges = spark.createDataFrame(rows, "src long, dst long, w long")
+    got = {r["node"]: r["dist"] for r in weighted_sssp(edges, 4).collect()}
+    want = _dijkstra(planted, seed=1, max_edges=4)
+    assert got == want
+    assert got[4] == 3  # the detour, not the 9-cost direct edge
+
+
+def test_weighted_sssp_round_bound_is_edge_count(spark):
+    """With rounds=1 only direct neighbors appear; the 2-hop improvement
+    of node 4 needs rounds>=3 — pins that round r covers exactly paths
+    of <= r edges (the contract the oracle unrolls)."""
+    from covid_19_data_engineering_spark.operators.graphs import (
+        weighted_sssp,
+    )
+
+    planted = [(1, 2, 1), (2, 3, 1), (3, 4, 1), (1, 4, 9), (1, 5, 2)]
+    rows = [t for s, d, w in planted for t in ((s, d, w), (d, s, w))]
+    edges = spark.createDataFrame(rows, "src long, dst long, w long")
+    one = {r["node"]: r["dist"] for r in weighted_sssp(edges, 1).collect()}
+    assert one == {1: 0, 2: 1, 4: 9, 5: 2}  # node 3 unreached in 1 hop
+    three = {r["node"]: r["dist"] for r in weighted_sssp(edges, 3).collect()}
+    assert three[4] == 3
+
+
+def test_weighted_sssp_seed_is_max_degree_smallest_id(spark):
+    """Deterministic seed: max degree, ties broken to the smallest id.
+    Nodes 1 and 2 both have degree 2 -> seed must be 1 (dist 0)."""
+    from covid_19_data_engineering_spark.operators.graphs import (
+        weighted_sssp,
+    )
+
+    planted = [(2, 9, 5), (2, 8, 5), (1, 9, 1), (1, 8, 1)]
+    rows = [t for s, d, w in planted for t in ((s, d, w), (d, s, w))]
+    edges = spark.createDataFrame(rows, "src long, dst long, w long")
+    got = {r["node"]: r["dist"] for r in weighted_sssp(edges, 2).collect()}
+    assert got[1] == 0
+    assert got == {1: 0, 9: 1, 8: 1, 2: 6}
+
+
+def test_weighted_edges_support_to_distance(spark):
+    """Edge distance = max(1, 11 - support): a pair sharing 1 order is
+    distance 10, sharing 3 orders distance 8, sharing >= 10 distance 1."""
+    from covid_19_data_engineering_spark.operators.graphs import (
+        weighted_copurchase_edges,
+    )
+
+    rows = []
+    # parts (100, 200) share orders 1..3; (100, 300) share only order 1;
+    # (100, 400) share orders 1..12
+    for ok in range(1, 4):
+        rows += [(ok, 100), (ok, 200)]
+    rows += [(1, 300)]
+    for ok in range(1, 13):
+        rows += [(ok, 100), (ok, 400)]
+    li = spark.createDataFrame(
+        [(ok, pk) for ok, pk in rows], "l_orderkey long, l_partkey long"
+    )
+    got = {
+        (r["src"], r["dst"]): r["w"]
+        for r in weighted_copurchase_edges(li).collect()
+    }
+    assert got[(100, 200)] == 8 and got[(200, 100)] == 8
+    assert got[(100, 300)] == 10
+    assert got[(100, 400)] == 1
