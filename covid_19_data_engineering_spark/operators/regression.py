@@ -416,6 +416,122 @@ def orders_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Mann-Kendall trend test — the SIGNIFICANCE companion of the Theil-Sen
+# slope above (the standard pairing in hydrology/monitoring: Sen gives
+# the magnitude, Mann-Kendall the decision). Distribution-free: only the
+# SIGNS of pairwise differences matter, so the whole test is exact
+# integer arithmetic until one final z expression.
+# --------------------------------------------------------------------------
+
+_MK_Z_CRIT = 1.96  # two-sided 5%
+
+
+def _mk_select() -> list[str]:
+    """The shared (Spark == DuckDB) solve over the one count row:
+    S, the tie-corrected variance (carried as 18*Var, an exact BIGINT),
+    the continuity-corrected z, tau-a, and the 5% decision."""
+    var18 = ("(CAST(n_days AS DOUBLE) * (n_days - 1) * (2 * n_days + 5) "
+             "- CAST(tie_term AS DOUBLE))")
+    z = (f"(CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1) "
+         f"WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1) "
+         f"ELSE CAST(0 AS DOUBLE) END / sqrt({var18} / 18.0))")
+    zr = f"ROUND({z}, 4)"
+    return [
+        "CAST(n_days AS BIGINT) AS n_days",
+        "CAST(s_stat AS BIGINT) AS s_stat",
+        "CAST(tie_term AS BIGINT) AS tie_term",
+        "ROUND(CAST(s_stat AS DOUBLE) "
+        "/ (CAST(n_days AS DOUBLE) * (n_days - 1) / 2.0), 6) AS tau",
+        f"{zr} AS z_stat",
+        f"(CASE WHEN {zr} > {_MK_Z_CRIT} THEN 'increasing' "
+        f"WHEN {zr} < -{_MK_Z_CRIT} THEN 'decreasing' "
+        "ELSE 'none' END) AS trend",
+    ]
+
+
+def mann_kendall_daily(orders: DataFrame, year: int = _TS_YEAR) -> DataFrame:
+    """One-row Mann-Kendall trend test of daily revenue (cents) over one
+    calendar year: (n_days, s_stat, tie_term, tau, z_stat, trend).
+
+    Same corpus reduction as the Theil-Sen fit: O(days) exact-BIGINT
+    daily totals in one map-side-combined rollup, then the O(days^2)
+    pair table — bounded by CALENDAR TIME squared, never event volume.
+    S = sum of sign(y_j - y_i) over i<j and the tie correction
+    sum t*(t-1)*(2t+5) over tied daily totals are exact integers,
+    identical on any engine and any partitioning; z applies the standard
+    continuity correction (Mann 1945, Kendall 1975) as ONE fixed-order
+    double expression over the single count row, shared verbatim with
+    the oracle. tau is the tau-a pair ratio from the same integers.
+    """
+    daily = (
+        orders.where(F.expr(f"year(CAST(o_orderdate AS DATE)) = {year}"))
+        .groupBy(
+            F.expr("CAST(datediff(CAST(o_orderdate AS DATE), "
+                   "DATE '1970-01-01') AS BIGINT)").alias("x"))
+        .agg(F.sum(F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"))
+             .alias("y"))
+        .localCheckpoint(eager=False)  # feeds pairs, ties, and the count
+    )
+    a = daily.select(F.col("x").alias("xi"), F.col("y").alias("yi"))
+    b = daily.select(F.col("x").alias("xj"), F.col("y").alias("yj"))
+    s = (
+        a.join(b, F.col("xi") < F.col("xj"))
+        .agg(F.sum(F.expr(
+            "CAST(CASE WHEN yj > yi THEN 1 WHEN yj < yi THEN -1 "
+            "ELSE 0 END AS BIGINT)")).alias("s_stat"))
+    )
+    ties = (
+        daily.groupBy("y").agg(F.count(F.lit(1)).alias("t"))
+        .agg(F.coalesce(
+            F.sum(F.expr("CAST(t * (t - 1) * (2 * t + 5) AS BIGINT)")),
+            F.lit(0).cast("bigint")).alias("tie_term"))
+    )
+    counts = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    return (
+        counts.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(ties))
+        .selectExpr(*_mk_select())
+    )
+
+
+@register(
+    "orders_mann_kendall_trend",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(datediff('day', DATE '1970-01-01',
+                           CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders WHERE year(CAST(o_orderdate AS DATE)) = {_TS_YEAR}
+      GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                      WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT)
+               AS s_stat
+      FROM daily a JOIN daily b ON a.x < b.x
+    ),
+    ties AS (
+      SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+               AS tie_term
+      FROM (SELECT COUNT(*) AS t FROM daily GROUP BY y)
+    ),
+    counts AS (SELECT COUNT(*) AS n_days FROM daily)
+    SELECT {", ".join(_mk_select())} FROM counts, s, ties
+    """,
+    doc=f"Mann-Kendall trend test of {_TS_YEAR} daily order revenue: "
+    "S = sum of pairwise difference signs over the calendar-bounded "
+    "O(days^2) pair table (never event volume), tie-corrected variance "
+    "and the continuity-corrected z as one fixed-order double expression "
+    "over exact BIGINT counts, plus tau-a and the two-sided 5% decision "
+    "— the distribution-free significance companion to the Theil-Sen "
+    "slope (Sen gives magnitude, Mann-Kendall the verdict).",
+)
+def orders_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mann_kendall_daily(load_table(spark, "orders", sf_dir))
+
+
+# --------------------------------------------------------------------------
 # Holt linear (double-exponential) smoothing + h-step forecast — the
 # trend-aware sequential smoother one step up from the EWMA: level AND
 # trend states, each output depending on the previous OUTPUTS, the class

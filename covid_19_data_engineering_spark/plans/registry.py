@@ -125,6 +125,8 @@ PRIORITY = (
     "order_price_median_ci",
     # weighted SSSP (frontier Bellman-Ford) beside the unweighted BFS
     "copurchase_weighted_sssp",
+    # Mann-Kendall trend verdict beside the Theil-Sen slope
+    "orders_mann_kendall_trend",
     # LM family re-pinned: integer micro-unit NLL sums (order-independent)
     "lm_bigram_perplexity",
     "lm_trigram_interp_perplexity",
@@ -156,7 +158,6 @@ PRIORITY = (
     "embedding_array_stats",
     "distinct_counts",
     "customers_with_orders",
-    "cube_order_status",
 )
 
 def _reorder_registry() -> None:

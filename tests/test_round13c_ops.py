@@ -5,10 +5,6 @@ cross-engine arithmetic is pinned by the DuckDB oracle gate
 
 from __future__ import annotations
 
-import heapq
-
-import pyspark.sql.functions as F
-
 
 def _dijkstra(edges: list[tuple[int, int, int]], seed: int,
               max_edges: int) -> dict[int, int]:
@@ -110,3 +106,75 @@ def test_weighted_edges_support_to_distance(spark):
     assert got[(100, 200)] == 8 and got[(200, 100)] == 8
     assert got[(100, 300)] == 10
     assert got[(100, 400)] == 1
+
+
+def _mk_python(ys: list[int]) -> tuple[int, int]:
+    """Reference S and tie term for a daily series, exact ints."""
+    n = len(ys)
+    s = sum(
+        (1 if ys[j] > ys[i] else -1 if ys[j] < ys[i] else 0)
+        for i in range(n) for j in range(i + 1, n)
+    )
+    from collections import Counter
+    tie = sum(t * (t - 1) * (2 * t + 5) for t in Counter(ys).values() if t > 1)
+    return s, tie
+
+
+def _mk_orders(spark, cents: list[int]):
+    """One order per consecutive 1995 day with the given total cents."""
+    rows = [
+        (i, f"1995-01-{i + 1:02d}", c / 100.0)
+        for i, c in enumerate(cents)
+    ]
+    return spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate string, o_totalprice double"
+    )
+
+
+def test_mann_kendall_monotone_series_is_significant(spark):
+    """A strictly increasing 12-day series: S = C(12,2) = 66, no ties,
+    z > 1.96 -> 'increasing'."""
+    from covid_19_data_engineering_spark.operators.regression import (
+        mann_kendall_daily,
+    )
+
+    cents = [1000 + 50 * i for i in range(12)]
+    row = mann_kendall_daily(_mk_orders(spark, cents)).collect()[0]
+    s, tie = _mk_python(cents)
+    assert (row["n_days"], row["s_stat"], row["tie_term"]) == (12, s, tie)
+    assert s == 66 and tie == 0
+    assert row["z_stat"] > 1.96 and row["trend"] == "increasing"
+    assert row["tau"] == 1.0
+
+
+def test_mann_kendall_ties_and_no_trend(spark):
+    """An alternating tied series: S ~ 0, the tie term matches the exact
+    sum t(t-1)(2t+5), and the verdict is 'none'."""
+    from covid_19_data_engineering_spark.operators.regression import (
+        mann_kendall_daily,
+    )
+
+    cents = [1000, 2000, 1000, 2000, 1000, 2000, 1000, 2000]
+    row = mann_kendall_daily(_mk_orders(spark, cents)).collect()[0]
+    s, tie = _mk_python(cents)
+    assert (row["s_stat"], row["tie_term"]) == (s, tie)
+    assert tie == 2 * (4 * 3 * 13)  # two groups of 4 tied days
+    assert row["trend"] == "none"
+
+
+def test_mann_kendall_decreasing_continuity_correction(spark):
+    """A strictly decreasing series flips the sign and applies the +1
+    continuity correction: z = (S+1)/sqrt(var)."""
+    import math
+
+    from covid_19_data_engineering_spark.operators.regression import (
+        mann_kendall_daily,
+    )
+
+    cents = [5000 - 100 * i for i in range(10)]
+    row = mann_kendall_daily(_mk_orders(spark, cents)).collect()[0]
+    s, tie = _mk_python(cents)
+    assert s == -45 and row["s_stat"] == s
+    var = (10 * 9 * 25 - tie) / 18.0
+    assert row["z_stat"] == round((s + 1) / math.sqrt(var), 4)
+    assert row["trend"] == "decreasing"
