@@ -301,3 +301,166 @@ def error_value_split_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.select("value", (F.col("event_type") == "error")
                       .alias("is_error")),
         "value", "is_error")
+
+
+# --------------------------------------------------------------------------
+# Cochran-Mantel-Haenszel stratified 2x2 analysis — "does exposure
+# associate with outcome CONTROLLING for a confounder?" The classic
+# epidemiology readout (thematically the analysis the reference's COVID
+# warehouse users would run downstream); statistically, the stratified
+# upgrade of the chi-square independence test above, immune to
+# Simpson's-paradox reversals that a pooled 2x2 invites.
+# --------------------------------------------------------------------------
+
+_MH_FX = 1_000_000  # fixed-point scale for per-stratum rational terms
+_MH_CHI_CRIT = 3.8415  # chi-square df=1, two-sided 5%
+
+# per-stratum 2x2 terms over exact BIGINT cells (a = exposed+outcome,
+# b = exposed only, c = outcome only, d = neither, n = a+b+c+d), each a
+# single fixed-order double expression rounded to fixed point BEFORE the
+# cross-stratum sum (the module's float-parity strategy):
+#   num/den : the Mantel-Haenszel common-odds-ratio components a*d/n, b*c/n
+#   e       : E[a] under the stratum null, (a+b)(a+c)/n
+#   v       : Var[a] hypergeometric, (a+b)(c+d)(a+c)(b+d) / (n^2 (n-1))
+_MH_TERMS = {
+    "num_fx": ("CAST(round(CAST(a AS DOUBLE) * d / n * {fx}) AS BIGINT)"),
+    "den_fx": ("CAST(round(CAST(b AS DOUBLE) * c / n * {fx}) AS BIGINT)"),
+    "e_fx": ("CAST(round(CAST(a + b AS DOUBLE) * (a + c) / n * {fx}) "
+             "AS BIGINT)"),
+    "v_fx": ("CAST(round(CAST(a + b AS DOUBLE) * (c + d) * (a + c) "
+             "* (b + d) / (CAST(n AS DOUBLE) * n * (n - 1)) * {fx}) "
+             "AS BIGINT)"),
+}
+
+
+def _mh_final_select() -> list[str]:
+    """The shared (Spark == DuckDB) solve over the one sum row."""
+    fx = float(_MH_FX)
+    cmh = (f"((abs(CAST(sa AS DOUBLE) - CAST(se AS DOUBLE) / {fx}) - 0.5) "
+           f"* (abs(CAST(sa AS DOUBLE) - CAST(se AS DOUBLE) / {fx}) - 0.5) "
+           f"/ (CAST(sv AS DOUBLE) / {fx}))")
+    return [
+        "CAST(n_strata AS BIGINT) AS n_strata",
+        "CAST(n_rows AS BIGINT) AS n_rows",
+        "CAST(sa AS BIGINT) AS exposed_outcome_total",
+        "ROUND(CAST(snum AS DOUBLE) / CAST(sden AS DOUBLE), 6) AS or_mh",
+        f"ROUND({cmh}, 4) AS cmh_stat",
+        f"(ROUND({cmh}, 4) > {_MH_CHI_CRIT}) AS significant",
+    ]
+
+
+def mantel_haenszel(df: DataFrame, stratum_col: str, exposed_col: str,
+                    outcome_col: str) -> DataFrame:
+    """One-row CMH test + MH common odds ratio of ``exposed_col`` vs
+    ``outcome_col`` (both boolean) stratified by ``stratum_col``:
+    (n_strata, n_rows, exposed_outcome_total, or_mh, cmh_stat,
+    significant).
+
+    The corpus reduces to FOUR exact BIGINT cells per stratum in ONE
+    map-side-combined groupBy; every cross-stratum sum is over per-
+    stratum terms individually rounded to 1e-6 fixed point (so no
+    stratum-order-dependent float sum exists), and the continuity-
+    corrected CMH statistic plus the Mantel-Haenszel pooled odds ratio
+    are fixed-order double expressions over the single sum row, shared
+    verbatim with the oracle. Degenerate strata (n < 2, where the
+    hypergeometric variance divides by zero) are excluded identically
+    on both engines.
+
+    100 TB shape: one aggregate scan; everything after runs on
+    O(strata) rows.
+    """
+    cells = (
+        df.groupBy(F.col(stratum_col).alias("stratum"))
+        .agg(*[
+            F.sum(F.expr(e)).cast("bigint").alias(nm)
+            for nm, e in (
+                ("a", f"CASE WHEN {exposed_col} AND {outcome_col} "
+                      "THEN 1 ELSE 0 END"),
+                ("b", f"CASE WHEN {exposed_col} AND NOT {outcome_col} "
+                      "THEN 1 ELSE 0 END"),
+                ("c", f"CASE WHEN NOT {exposed_col} AND {outcome_col} "
+                      "THEN 1 ELSE 0 END"),
+                ("d", f"CASE WHEN NOT {exposed_col} AND NOT {outcome_col} "
+                      "THEN 1 ELSE 0 END"),
+            )
+        ])
+        .withColumn("n", F.expr("a + b + c + d"))
+        .where("n > 1")
+    )
+    terms = cells.select(
+        "a", "n",
+        *[F.expr(t.format(fx=_MH_FX)).alias(nm)
+          for nm, t in _MH_TERMS.items()],
+    )
+    sums = terms.agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum("n").alias("n_rows"),
+        F.sum("a").alias("sa"),
+        F.sum("e_fx").alias("se"),
+        F.sum("v_fx").alias("sv"),
+        F.sum("num_fx").alias("snum"),
+        F.sum("den_fx").alias("sden"),
+    )
+    return sums.selectExpr(*_mh_final_select())
+
+
+def _mh_oracle_sql() -> str:
+    terms = ", ".join(
+        t.format(fx=_MH_FX) + f" AS {nm}" for nm, t in _MH_TERMS.items()
+    )
+    return f"""
+    WITH flagged AS (
+      SELECT year(CAST(l_shipdate AS DATE)) AS stratum,
+             l_returnflag = 'R' AS exposed,
+             l_discount > 0.05 AS outcome
+      FROM lineitem
+    ),
+    cells AS (
+      SELECT stratum,
+             CAST(SUM(CASE WHEN exposed AND outcome
+                  THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN exposed AND NOT outcome
+                  THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN NOT exposed AND outcome
+                  THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN NOT exposed AND NOT outcome
+                  THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM flagged GROUP BY stratum
+    ),
+    sized AS (
+      SELECT *, a + b + c + d AS n FROM cells WHERE a + b + c + d > 1
+    ),
+    terms AS (SELECT a, n, {terms} FROM sized),
+    sums AS (
+      SELECT COUNT(*) AS n_strata, SUM(n) AS n_rows, SUM(a) AS sa,
+             SUM(e_fx) AS se, SUM(v_fx) AS sv,
+             SUM(num_fx) AS snum, SUM(den_fx) AS sden
+      FROM terms
+    )
+    SELECT {", ".join(_mh_final_select())} FROM sums
+    """
+
+
+@register(
+    "lineitem_mantel_haenszel",
+    oracle=_mh_oracle_sql(),
+    doc="Cochran-Mantel-Haenszel analysis of returned (l_returnflag='R') "
+    "vs deep-discounted (l_discount > 0.05) stratified by ship YEAR "
+    "(the time confounder): the MH "
+    "common odds ratio sum(a*d/n)/sum(b*c/n) and the continuity-"
+    "corrected CMH chi-square from exact per-stratum BIGINT cells in "
+    "ONE map-side-combined groupBy, per-stratum rational terms rounded "
+    "to 1e-6 fixed point before the cross-stratum sums (no order-"
+    "dependent float reduction). The Simpson's-paradox-proof stratified "
+    "upgrade of the pooled chi-square independence audit.",
+)
+def lineitem_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return mantel_haenszel(
+        li.select(
+            F.expr("year(CAST(l_shipdate AS DATE))").alias("ship_year"),
+            F.expr("l_returnflag = 'R'").alias("exposed"),
+            F.expr("l_discount > 0.05").alias("outcome"),
+        ),
+        "ship_year", "exposed", "outcome",
+    )

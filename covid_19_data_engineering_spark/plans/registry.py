@@ -127,6 +127,8 @@ PRIORITY = (
     "copurchase_weighted_sssp",
     # Mann-Kendall trend verdict beside the Theil-Sen slope
     "orders_mann_kendall_trend",
+    # stratified CMH odds ratio beside the pooled chi-square audit
+    "lineitem_mantel_haenszel",
     # LM family re-pinned: integer micro-unit NLL sums (order-independent)
     "lm_bigram_perplexity",
     "lm_trigram_interp_perplexity",
@@ -157,7 +159,6 @@ PRIORITY = (
     "lag_lead_battery",
     "embedding_array_stats",
     "distinct_counts",
-    "customers_with_orders",
 )
 
 def _reorder_registry() -> None:

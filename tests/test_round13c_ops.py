@@ -1,7 +1,8 @@
 """Round-13 post-close additions: weighted SSSP over the co-purchase
-graph and the Mann-Kendall trend test. Planted-case semantics pins; the
-cross-engine arithmetic is pinned by the DuckDB oracle gate
-(tools/driver_gate.py) at all three SFs."""
+graph, the Mann-Kendall trend test, and the Cochran-Mantel-Haenszel
+stratified 2x2 analysis. Planted-case semantics pins; the cross-engine
+arithmetic is pinned by the DuckDB oracle gate (tools/driver_gate.py)
+at all three SFs."""
 
 from __future__ import annotations
 
@@ -178,3 +179,81 @@ def test_mann_kendall_decreasing_continuity_correction(spark):
     var = (10 * 9 * 25 - tie) / 18.0
     assert row["z_stat"] == round((s + 1) / math.sqrt(var), 4)
     assert row["trend"] == "decreasing"
+
+
+def _mh_df(spark, strata: dict[str, tuple[int, int, int, int]]):
+    """Explicit 2x2 cell counts -> row-level (stratum, exposed, outcome)."""
+    rows = []
+    for st, (a, b, c, d) in strata.items():
+        rows += [(st, True, True)] * a
+        rows += [(st, True, False)] * b
+        rows += [(st, False, True)] * c
+        rows += [(st, False, False)] * d
+    return spark.createDataFrame(
+        rows, "stratum string, exposed boolean, outcome boolean"
+    )
+
+
+def test_mantel_haenszel_simpsons_paradox_guard(spark):
+    """Two strata each with odds ratio EXACTLY 1 pool to a 2.25 odds
+    ratio — the Simpson's reversal. The stratified MH estimate must
+    report 1.0 and not significant."""
+    from covid_19_data_engineering_spark.operators.contingency import (
+        mantel_haenszel,
+    )
+
+    df = _mh_df(spark, {"s1": (80, 20, 40, 10), "s2": (10, 40, 20, 80)})
+    row = mantel_haenszel(df, "stratum", "exposed", "outcome").collect()[0]
+    assert row["n_strata"] == 2 and row["n_rows"] == 300
+    assert row["exposed_outcome_total"] == 90
+    assert row["or_mh"] == 1.0
+    assert not row["significant"]
+    # the POOLED table would mislead: (90*90)/(60*60) = 2.25
+    pooled = (90 * 90) / (60 * 60)
+    assert pooled == 2.25
+
+
+def test_mantel_haenszel_exact_formula_replica(spark):
+    """or_mh and cmh_stat match a pure-python replica of the exact
+    fixed-point pipeline (round per stratum to 1e-6 units, sum ints,
+    one final double solve)."""
+    import math
+
+    from covid_19_data_engineering_spark.operators.contingency import (
+        mantel_haenszel,
+    )
+
+    strata = {"x": (30, 10, 15, 45), "y": (5, 25, 10, 60)}
+    df = _mh_df(spark, strata)
+    row = mantel_haenszel(df, "stratum", "exposed", "outcome").collect()[0]
+
+    fx = 1_000_000
+    sa = se = sv = snum = sden = 0
+    for a, b, c, d in strata.values():
+        n = a + b + c + d
+        sa += a
+        snum += round(a * d / n * fx)
+        sden += round(b * c / n * fx)
+        se += round((a + b) * (a + c) / n * fx)
+        sv += round((a + b) * (c + d) * (a + c) * (b + d)
+                    / (n * n * (n - 1)) * fx)
+    or_mh = round(snum / sden, 6)
+    dev = abs(sa - se / fx) - 0.5
+    cmh = round(dev * dev / (sv / fx), 4)
+    assert row["or_mh"] == or_mh
+    assert row["cmh_stat"] == cmh
+    assert row["significant"] == (cmh > 3.8415)
+    assert row["significant"]  # both strata carry a real OR ~ 9 effect
+    assert math.isfinite(row["cmh_stat"])
+
+
+def test_mantel_haenszel_degenerate_stratum_excluded(spark):
+    """A single-row stratum (hypergeometric variance would divide by
+    zero) is excluded identically rather than poisoning the sums."""
+    from covid_19_data_engineering_spark.operators.contingency import (
+        mantel_haenszel,
+    )
+
+    df = _mh_df(spark, {"ok": (20, 10, 10, 20), "tiny": (1, 0, 0, 0)})
+    row = mantel_haenszel(df, "stratum", "exposed", "outcome").collect()[0]
+    assert row["n_strata"] == 1 and row["n_rows"] == 60
