@@ -129,6 +129,8 @@ PRIORITY = (
     "orders_mann_kendall_trend",
     # stratified CMH odds ratio beside the pooled chi-square audit
     "lineitem_mantel_haenszel",
+    # log-rank churn-timing verdict beside the KM curve
+    "customer_churn_logrank",
     # LM family re-pinned: integer micro-unit NLL sums (order-independent)
     "lm_bigram_perplexity",
     "lm_trigram_interp_perplexity",
@@ -158,7 +160,6 @@ PRIORITY = (
     "lineitem_moment_stats",
     "lag_lead_battery",
     "embedding_array_stats",
-    "distinct_counts",
 )
 
 def _reorder_registry() -> None:

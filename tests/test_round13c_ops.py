@@ -1,6 +1,7 @@
 """Round-13 post-close additions: weighted SSSP over the co-purchase
-graph, the Mann-Kendall trend test, and the Cochran-Mantel-Haenszel
-stratified 2x2 analysis. Planted-case semantics pins; the cross-engine
+graph, the Mann-Kendall trend test, the Cochran-Mantel-Haenszel
+stratified 2x2 analysis, and the log-rank churn-timing test.
+Planted-case semantics pins; the cross-engine
 arithmetic is pinned by the DuckDB oracle gate (tools/driver_gate.py)
 at all three SFs."""
 
@@ -257,3 +258,117 @@ def test_mantel_haenszel_degenerate_stratum_excluded(spark):
     df = _mh_df(spark, {"ok": (20, 10, 10, 20), "tiny": (1, 0, 0, 0)})
     row = mantel_haenszel(df, "stratum", "exposed", "outcome").collect()[0]
     assert row["n_strata"] == 1 and row["n_rows"] == 60
+
+
+def _lr_tables(spark, lifetimes: dict[str, list[tuple[int, int, bool]]]):
+    """Build (orders, customer) from per-segment (first_month_idx,
+    duration_months, churned) triples. Month idx 0 = 2015-01; the
+    horizon anchor is a 2020-12 order from an 'OTHER'-segment customer
+    (horizon uses ALL orders; the segment filter drops it from the
+    test). churned=True places the last order >= 12 months before the
+    horizon by construction (callers pick durations accordingly)."""
+    orders, custs = [], []
+    ck = 0
+    for seg, rows in lifetimes.items():
+        for fm, dur, _churn in rows:
+            ck += 1
+            custs.append((ck, seg))
+            y0, m0 = divmod(fm, 12)
+            y1, m1 = divmod(fm + dur, 12)
+            orders.append((ck, f"{2015 + y0}-{m0 + 1:02d}-05"))
+            orders.append((ck, f"{2015 + y1}-{m1 + 1:02d}-20"))
+    ck += 1
+    custs.append((ck, "OTHER"))
+    orders.append((ck, "2020-12-15"))
+    odf = spark.createDataFrame(
+        orders, "o_custkey long, o_orderdate string"
+    )
+    cdf = spark.createDataFrame(custs, "c_custkey long, c_mktsegment string")
+    return odf, cdf
+
+
+def _lr_python(lifetimes, horizon_idx=71, censor=12):
+    """Pure-python replica of the exact fixed-point log-rank pipeline."""
+    from collections import defaultdict
+
+    per = defaultdict(lambda: [0, 0])  # (t, grp) -> [events, total]
+    for seg, rows in lifetimes.items():
+        grp = seg == "BUILDING"
+        for fm, dur, _ in rows:
+            event = 1 if horizon_idx - (fm + dur) >= censor else 0
+            cell = per[(dur, grp)]
+            cell[0] += event
+            cell[1] += 1
+    ts = sorted({t for t, _ in per})
+    fx = 1_000_000
+    o1 = se = sv = 0
+    n_a = sum(v[1] for (t, g), v in per.items() if g)
+    n_b = sum(v[1] for (t, g), v in per.items() if not g)
+    for t in ts:
+        d1, _ = per.get((t, True), [0, 0])
+        d2, _ = per.get((t, False), [0, 0])
+        n1 = sum(v[1] for (s, g), v in per.items() if g and s >= t)
+        n2 = sum(v[1] for (s, g), v in per.items() if not g and s >= t)
+        d, n = d1 + d2, n1 + n2
+        if d > 0 and n > 1:
+            o1 += d1
+            se += round(d * n1 / n * fx)
+            sv += round(d * n1 * n2 * (n - d) / (n * n * (n - 1)) * fx)
+    chi = round((o1 - se / fx) ** 2 / (sv / fx), 4)
+    return n_a, n_b, o1, round(se / fx, 4), chi
+
+
+def test_logrank_identical_groups_is_null(spark):
+    """Two segments with IDENTICAL lifetime distributions: at every
+    event time d1 == E[d1] exactly, so chi == 0 and not significant."""
+    from covid_19_data_engineering_spark.operators.survival import (
+        logrank_lifetimes,
+    )
+
+    rows = [(0, 1, True), (0, 2, True), (0, 3, True), (48, 10, False)]
+    lifetimes = {"BUILDING": rows, "MACHINERY": list(rows)}
+    odf, cdf = _lr_tables(spark, lifetimes)
+    got = logrank_lifetimes(odf, cdf).collect()[0]
+    assert got["n_a"] == 4 and got["n_b"] == 4
+    assert got["logrank_chi"] == 0.0
+    assert not got["significant"]
+
+
+def test_logrank_divergent_churn_matches_replica(spark):
+    """BUILDING churns at month 1, MACHINERY at month 10 — the exact
+    fixed-point pipeline must match the pure-python replica and flag
+    the separation as significant."""
+    from covid_19_data_engineering_spark.operators.survival import (
+        logrank_lifetimes,
+    )
+
+    lifetimes = {
+        "BUILDING": [(i, 1, True) for i in range(5)],
+        "MACHINERY": [(i, 10, True) for i in range(5)],
+    }
+    odf, cdf = _lr_tables(spark, lifetimes)
+    got = logrank_lifetimes(odf, cdf).collect()[0]
+    n_a, n_b, o1, e_a, chi = _lr_python(lifetimes)
+    assert (got["n_a"], got["n_b"], got["observed_a"]) == (n_a, n_b, o1)
+    assert got["expected_a"] == e_a
+    assert got["logrank_chi"] == chi
+    assert got["significant"] == (chi > 3.8415)
+    assert got["significant"]  # full separation on 10 subjects
+
+
+def test_logrank_censoring_respects_horizon(spark):
+    """A customer whose last order is within 12 months of the horizon
+    is censored: it contributes to at-risk counts but never to events
+    (observed_a stays at the churned count only)."""
+    from covid_19_data_engineering_spark.operators.survival import (
+        logrank_lifetimes,
+    )
+
+    lifetimes = {
+        "BUILDING": [(0, 2, True), (60, 8, False)],  # 60+8 = 2020-09
+        "MACHINERY": [(0, 2, True), (0, 5, True)],
+    }
+    odf, cdf = _lr_tables(spark, lifetimes)
+    got = logrank_lifetimes(odf, cdf).collect()[0]
+    assert got["n_a"] == 2
+    assert got["observed_a"] == 1  # the censored lifetime never counts
