@@ -464,3 +464,100 @@ def lineitem_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "ship_year", "exposed", "outcome",
     )
+
+
+# --------------------------------------------------------------------------
+# Cochran-Armitage trend test — "does the OUTCOME RATE move monotonically
+# with an ORDERED category?" The dose-response test that completes this
+# module's family: chi-square (any association), CMH (association
+# controlling a confounder), Cochran-Armitage (ordered trend).
+# --------------------------------------------------------------------------
+
+_CA_Z_CRIT = 1.96  # two-sided 5%
+
+
+def _ca_select() -> list[str]:
+    """The shared (Spark == DuckDB) solve over the one moment row:
+    T = sum(score * failures); E[T] = p*sum(score*n); Var[T] =
+    p(1-p)(sum(score^2 n) - (sum(score n))^2 / N) with p = R/N."""
+    p = "(CAST(r_fail AS DOUBLE) / n_rows)"
+    et = f"({p} * CAST(s1 AS DOUBLE))"
+    vt = (f"({p} * (1 - {p}) * (CAST(s2 AS DOUBLE) "
+          f"- CAST(s1 AS DOUBLE) * s1 / n_rows))")
+    z = f"((CAST(t_stat AS DOUBLE) - {et}) / sqrt({vt}))"
+    zr = f"ROUND({z}, 4)"
+    return [
+        "CAST(n_rows AS BIGINT) AS n_rows",
+        "CAST(r_fail AS BIGINT) AS r_fail",
+        "CAST(t_stat AS BIGINT) AS t_stat",
+        f"{zr} AS z_stat",
+        f"(CASE WHEN {zr} > {_CA_Z_CRIT} THEN 'increasing' "
+        f"WHEN {zr} < -{_CA_Z_CRIT} THEN 'decreasing' "
+        "ELSE 'none' END) AS trend",
+    ]
+
+
+def cochran_armitage(df: DataFrame, score_col: str,
+                     outcome_col: str) -> DataFrame:
+    """One-row Cochran-Armitage trend test of a boolean outcome across
+    integer ordered scores: (n_rows, r_fail, t_stat, z_stat, trend).
+
+    The corpus reduces to FIVE exact BIGINT moments (N, successes R,
+    sum of scores, sum of squared scores, score-weighted successes T)
+    in ONE map-side-combined aggregate — scores are single digits, so
+    every sum fits BIGINT at any corpus size. The z statistic is one
+    fixed-order double expression over the single moment row, shared
+    verbatim with the oracle (Armitage 1955). 100 TB shape: one
+    aggregate scan, nothing wider than the partial rows.
+    """
+    moms = df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col(outcome_col).cast("long")).alias("r_fail"),
+        F.sum(F.col(score_col).cast("long")).alias("s1"),
+        F.sum((F.col(score_col) * F.col(score_col)).cast("long"))
+        .alias("s2"),
+        F.sum((F.col(score_col)
+               * F.col(outcome_col).cast("int")).cast("long"))
+        .alias("t_stat"),
+    )
+    return moms.selectExpr(*_ca_select())
+
+
+@register(
+    "orders_cochran_armitage",
+    oracle=f"""
+    WITH moms AS (
+      SELECT COUNT(*) AS n_rows,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS r_fail,
+             CAST(SUM(CAST(substring(o_orderpriority, 1, 1) AS BIGINT))
+                  AS BIGINT) AS s1,
+             CAST(SUM(CAST(substring(o_orderpriority, 1, 1) AS BIGINT)
+                      * CAST(substring(o_orderpriority, 1, 1) AS BIGINT))
+                  AS BIGINT) AS s2,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                      THEN CAST(substring(o_orderpriority, 1, 1) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS t_stat
+      FROM orders
+    )
+    SELECT {", ".join(_ca_select())} FROM moms
+    """,
+    doc="Cochran-Armitage dose-response test: does the fulfilled rate "
+    "(o_orderstatus='F') trend monotonically with the ordered priority "
+    "score (the leading digit of o_orderpriority, 1-URGENT .. 5-LOW)? "
+    "Five exact BIGINT moments in ONE map-side-combined aggregate, the "
+    "z statistic as a fixed-order double expression over the single "
+    "moment row — the ordered-category completion of the chi-square / "
+    "CMH family (chi-square: any association; CMH: confounder-"
+    "stratified; CA: ordered trend).",
+)
+def orders_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    return cochran_armitage(
+        orders.select(
+            F.expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)")
+            .alias("score"),
+            F.expr("o_orderstatus = 'F'").alias("failed"),
+        ),
+        "score", "failed",
+    )

@@ -131,6 +131,8 @@ PRIORITY = (
     "lineitem_mantel_haenszel",
     # log-rank churn-timing verdict beside the KM curve
     "customer_churn_logrank",
+    # Cochran-Armitage ordered dose-response trend
+    "orders_cochran_armitage",
     # LM family re-pinned: integer micro-unit NLL sums (order-independent)
     "lm_bigram_perplexity",
     "lm_trigram_interp_perplexity",
@@ -159,7 +161,6 @@ PRIORITY = (
     "math_funcs",
     "lineitem_moment_stats",
     "lag_lead_battery",
-    "embedding_array_stats",
 )
 
 def _reorder_registry() -> None:

@@ -1,6 +1,7 @@
 """Round-13 post-close additions: weighted SSSP over the co-purchase
 graph, the Mann-Kendall trend test, the Cochran-Mantel-Haenszel
-stratified 2x2 analysis, and the log-rank churn-timing test.
+stratified 2x2 analysis, the log-rank churn-timing test, and the
+Cochran-Armitage ordered trend test.
 Planted-case semantics pins; the cross-engine
 arithmetic is pinned by the DuckDB oracle gate (tools/driver_gate.py)
 at all three SFs."""
@@ -372,3 +373,50 @@ def test_logrank_censoring_respects_horizon(spark):
     got = logrank_lifetimes(odf, cdf).collect()[0]
     assert got["n_a"] == 2
     assert got["observed_a"] == 1  # the censored lifetime never counts
+
+
+def _ca_df(spark, groups: dict[int, tuple[int, int]]):
+    """score -> (failures, total) into row-level (score, failed)."""
+    rows = []
+    for s, (r, n) in groups.items():
+        rows += [(s, True)] * r
+        rows += [(s, False)] * (n - r)
+    return spark.createDataFrame(rows, "score long, failed boolean")
+
+
+def test_cochran_armitage_dose_response(spark):
+    """Failure rate rising 10% -> 50% across scores 1..5 must match the
+    pure-python Armitage formula exactly and read 'increasing'."""
+    import math
+
+    from covid_19_data_engineering_spark.operators.contingency import (
+        cochran_armitage,
+    )
+
+    groups = {s: (10 * s, 100) for s in range(1, 6)}
+    row = cochran_armitage(_ca_df(spark, groups), "score", "failed") \
+        .collect()[0]
+    n = sum(t for _, t in groups.values())
+    r = sum(f for f, _ in groups.values())
+    s1 = sum(s * t for s, (_, t) in groups.items())
+    s2 = sum(s * s * t for s, (_, t) in groups.items())
+    t_stat = sum(s * f for s, (f, _) in groups.items())
+    p = r / n
+    z = round((t_stat - p * s1) / math.sqrt(p * (1 - p) * (s2 - s1 * s1 / n)),
+              4)
+    assert (row["n_rows"], row["r_fail"], row["t_stat"]) == (n, r, t_stat)
+    assert row["z_stat"] == z
+    assert row["trend"] == "increasing" and z > 1.96
+
+
+def test_cochran_armitage_flat_rate_is_none(spark):
+    """Identical rates at every score: T == E[T] exactly, z == 0."""
+    from covid_19_data_engineering_spark.operators.contingency import (
+        cochran_armitage,
+    )
+
+    groups = {s: (20, 100) for s in range(1, 6)}
+    row = cochran_armitage(_ca_df(spark, groups), "score", "failed") \
+        .collect()[0]
+    assert row["z_stat"] == 0.0
+    assert row["trend"] == "none"
