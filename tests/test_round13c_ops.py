@@ -420,3 +420,37 @@ def test_cochran_armitage_flat_rate_is_none(spark):
         .collect()[0]
     assert row["z_stat"] == 0.0
     assert row["trend"] == "none"
+
+
+def test_weighted_sssp_through_reliable_checkpoint(spark, tmp_path):
+    """The SSSP rounds truncate lineage via the shared seam, so the
+    reliable-checkpoint posture (executor-loss-safe DataFrame.checkpoint
+    instead of localCheckpoint) must hold for this loop too: same
+    distances, and checkpoint data actually written."""
+    import os
+
+    from covid_19_data_engineering_spark.operators.graphs import (
+        weighted_sssp,
+    )
+    from covid_19_data_engineering_spark.operators.lineage import (
+        reliable_checkpoint_dir,
+        set_reliable_checkpoint_dir,
+    )
+
+    planted = [(i, i + 1, 2) for i in range(1, 8)] + [(1, 9, 5)]
+    rows = [t for s, d, w in planted for t in ((s, d, w), (d, s, w))]
+    edges = spark.createDataFrame(rows, "src long, dst long, w long")
+    expected = sorted(
+        (r["node"], r["dist"]) for r in weighted_sssp(edges, 4).collect())
+    ckpt = str(tmp_path / "ckpt")
+    set_reliable_checkpoint_dir(spark, ckpt)
+    try:
+        got = sorted(
+            (r["node"], r["dist"])
+            for r in weighted_sssp(edges, 4).collect())
+        wrote = any(files for _, _, files in os.walk(ckpt))
+        assert wrote, "reliable checkpoint dir stayed empty"
+    finally:
+        set_reliable_checkpoint_dir(spark, None)
+    assert got == expected
+    assert reliable_checkpoint_dir() is None
