@@ -613,3 +613,158 @@ def customer_revenue_hill_tail(spark: SparkSession,
     return hill_tail_index(
         load_table(spark, "orders", sf_dir),
         "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)", "o_custkey")
+
+
+# --------------------------------------------------------------------------
+# Kruskal-Wallis H — the k-group rank ANOVA: the nonparametric companion
+# to events_value_anova exactly as the Mann-Whitney AUC companions the
+# two-group t-test. Reuses the bucket+offset distributed ranking, so no
+# single-partition sort touches the corpus.
+# --------------------------------------------------------------------------
+
+_KW_FX = 1_000_000  # fixed-point scale for per-group H terms
+
+
+def _kw_select() -> list[str]:
+    """The shared (Spark == DuckDB) solve over the one sum row:
+    H = sum_g [12 R_g^2 / (N(N+1) 4 n_g)] - 3(N+1), each group term
+    already normalized and fixed-pointed; tie-corrected
+    Hc = H / (1 - sum(t^3 - t)/(N^3 - N))."""
+    fx = float(_KW_FX)
+    h = f"(CAST(sh AS DOUBLE) / {fx} - 3.0 * (n_rows + 1))"
+    hc = (f"({h} / (1.0 - CAST(tie_term AS DOUBLE) "
+          f"/ (CAST(n_rows AS DOUBLE) * n_rows * n_rows - n_rows)))")
+    return [
+        "CAST(n_rows AS BIGINT) AS n_rows",
+        "CAST(n_groups AS BIGINT) AS n_groups",
+        "CAST(n_groups - 1 AS BIGINT) AS dof",
+        "CAST(tie_term AS BIGINT) AS tie_term",
+        f"ROUND({h}, 4) AS h_stat",
+        f"ROUND({hc}, 4) AS h_corrected",
+    ]
+
+
+def kruskal_wallis(df: DataFrame, score_col: str, group_col: str,
+                   tiebreak_col: str) -> DataFrame:
+    """One-row Kruskal-Wallis rank test of ``score_col`` across the
+    groups of ``group_col``: (n_rows, n_groups, dof, tie_term, h_stat,
+    h_corrected).
+
+    Tie handling is EXACT average ranks carried in integers (the AUC
+    machinery generalized to k groups): unique global ranks come from
+    the bucket+offset ranking, a per-value groupBy recovers each tied
+    block's (min_rank, cnt), a per-(value, group) groupBy its group
+    counts, and twice the group rank-sum
+        2*R_g = sum_v c_gv * (2*min_rank_v + cnt_v - 1)
+    is an exact BIGINT. Each group's H term R_g^2/n_g is ONE fixed-order
+    double rounded to 1e-6 fixed point before the cross-group sum (k
+    doubles would still be partition-order-dependent); H, the tie
+    correction sum(t^3 - t)/(N^3 - N), and the corrected statistic are
+    fixed-order expressions over the single sum row, shared verbatim
+    with the oracle.
+
+    100 TB shape: two corpus shuffles (rank bucketing, the value/group
+    groupBys share the value key), then O(values) and O(groups) rows.
+    """
+    ranked = with_global_rank(df, score_col, tiebreak_col)
+    per_value = ranked.groupBy(F.col(score_col).alias("v")).agg(
+        F.min("global_rank").alias("min_rank"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    per_vg = ranked.groupBy(
+        F.col(score_col).alias("v"), F.col(group_col).alias("g")
+    ).agg(F.count(F.lit(1)).alias("c_gv"))
+    groups = (
+        per_vg.join(per_value, "v")
+        .groupBy("g")
+        .agg(
+            F.sum("c_gv").alias("n_g"),
+            F.sum(F.expr("c_gv * (2 * min_rank + cnt - 1)"))
+            .alias("r_x2"),
+        )
+    )
+    counts = groups.agg(
+        F.sum("n_g").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+    )
+    # normalize BEFORE fixed-pointing: the raw R_g^2/n_g term is O(N^2)
+    # and overflows the 1e-6-unit BIGINT at scale (caught by the sf0.1
+    # gate); the normalized term is O(H) at any corpus size
+    sums = (
+        groups.crossJoin(F.broadcast(counts))
+        .groupBy("n_rows", "n_groups")
+        .agg(F.sum(F.expr(
+            f"CAST(round(12.0 * CAST(r_x2 AS DOUBLE) * r_x2 "
+            f"/ (CAST(n_rows AS DOUBLE) * (n_rows + 1) * 4.0 * n_g) "
+            f"* {_KW_FX}) AS BIGINT)")).alias("sh"))
+    )
+    ties = per_value.agg(
+        F.coalesce(F.sum(F.expr("cnt * cnt * cnt - cnt")),
+                   F.lit(0)).cast("bigint").alias("tie_term")
+    )
+    return sums.crossJoin(F.broadcast(ties)).selectExpr(*_kw_select())
+
+
+@register(
+    "events_value_kruskal",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT value, event_type,
+             ROW_NUMBER() OVER (ORDER BY value, event_id) AS rk
+      FROM events
+    ),
+    per_value AS (
+      SELECT value, CAST(MIN(rk) AS BIGINT) AS min_rank,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM ranked GROUP BY value
+    ),
+    per_vg AS (
+      SELECT value AS v, event_type AS g,
+             CAST(COUNT(*) AS BIGINT) AS c_gv
+      FROM ranked GROUP BY value, event_type
+    ),
+    groups AS (
+      SELECT g, CAST(SUM(c_gv) AS BIGINT) AS n_g,
+             CAST(SUM(c_gv * (2 * p.min_rank + p.cnt - 1)) AS BIGINT)
+               AS r_x2
+      FROM per_vg j JOIN per_value p ON p.value = j.v
+      GROUP BY g
+    ),
+    counts AS (
+      SELECT CAST(SUM(n_g) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_groups
+      FROM groups
+    ),
+    sums AS (
+      SELECT n_rows, n_groups,
+             CAST(SUM(CAST(round(12.0 * CAST(r_x2 AS DOUBLE) * r_x2
+                                 / (CAST(n_rows AS DOUBLE) * (n_rows + 1)
+                                    * 4.0 * n_g)
+                                 * {_KW_FX}) AS BIGINT))
+                  AS BIGINT) AS sh
+      FROM groups, counts
+      GROUP BY n_rows, n_groups
+    ),
+    ties AS (
+      SELECT CAST(COALESCE(SUM(cnt * cnt * cnt - cnt), 0) AS BIGINT)
+               AS tie_term
+      FROM per_value
+    )
+    SELECT {", ".join(_kw_select())} FROM sums, ties
+    """,
+    doc="Kruskal-Wallis H test of the value column across ALL event "
+    "types: the k-group rank ANOVA (nonparametric companion to "
+    "events_value_anova, as the Mann-Whitney AUC companions the "
+    "t-test). Unique global ranks via the bucket+offset distributed "
+    "ranking, exact average-rank ties from per-value (min_rank, cnt) "
+    "BIGINTs, per-group H terms individually fixed-pointed before the "
+    "cross-group sum, and the tie-corrected statistic as one shared "
+    "expression over the sum row. Two map-side-combinable corpus "
+    "shuffles; everything after runs on O(values)+O(groups) rows.",
+)
+def events_value_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    return kruskal_wallis(
+        events.select("event_id", "value", "event_type"),
+        "value", "event_type", "event_id",
+    )

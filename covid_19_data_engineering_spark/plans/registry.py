@@ -133,6 +133,8 @@ PRIORITY = (
     "customer_churn_logrank",
     # Cochran-Armitage ordered dose-response trend
     "orders_cochran_armitage",
+    # Kruskal-Wallis k-group rank ANOVA beside the parametric ANOVA
+    "events_value_kruskal",
     # LM family re-pinned: integer micro-unit NLL sums (order-independent)
     "lm_bigram_perplexity",
     "lm_trigram_interp_perplexity",
@@ -158,7 +160,6 @@ PRIORITY = (
     "null_semantics_battery",
     "nation_top_customers",
     "monthly_order_stats",
-    "math_funcs",
     "lineitem_moment_stats",
     "lag_lead_battery",
 )

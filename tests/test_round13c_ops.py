@@ -1,7 +1,8 @@
 """Round-13 post-close additions: weighted SSSP over the co-purchase
 graph, the Mann-Kendall trend test, the Cochran-Mantel-Haenszel
-stratified 2x2 analysis, the log-rank churn-timing test, and the
-Cochran-Armitage ordered trend test.
+stratified 2x2 analysis, the log-rank churn-timing test, the
+Cochran-Armitage ordered trend test, and the Kruskal-Wallis k-group
+rank ANOVA.
 Planted-case semantics pins; the cross-engine
 arithmetic is pinned by the DuckDB oracle gate (tools/driver_gate.py)
 at all three SFs."""
@@ -454,3 +455,82 @@ def test_weighted_sssp_through_reliable_checkpoint(spark, tmp_path):
         set_reliable_checkpoint_dir(spark, None)
     assert got == expected
     assert reliable_checkpoint_dir() is None
+
+
+def _kw_python(groups: dict[str, list[float]]) -> tuple:
+    """Pure-python replica of the exact normalized fixed-point KW
+    pipeline (average-rank ties, per-group term fixed-pointed after
+    normalization, one final solve)."""
+    from collections import Counter
+
+    allv = sorted(v for vs in groups.values() for v in vs)
+    n = len(allv)
+    # tied-block (min_rank, cnt) per distinct value
+    first = {}
+    cnt = Counter(allv)
+    seen = 0
+    for v in sorted(cnt):
+        first[v] = seen + 1
+        seen += cnt[v]
+    fx = 1_000_000
+    sh = 0
+    for vs in groups.values():
+        r_x2 = sum(2 * first[v] + cnt[v] - 1 for v in vs)
+        n_g = len(vs)
+        sh += round(12.0 * r_x2 * r_x2 / (n * (n + 1) * 4.0 * n_g) * fx)
+    tie = sum(t * t * t - t for t in cnt.values())
+    h = round(sh / fx - 3.0 * (n + 1), 4)
+    hc = round((sh / fx - 3.0 * (n + 1))
+               / (1.0 - tie / (n ** 3 - n)), 4)
+    return n, len(groups), tie, h, hc
+
+
+def _kw_df(spark, groups: dict[str, list[float]]):
+    rows = []
+    i = 0
+    for g, vs in groups.items():
+        for v in vs:
+            i += 1
+            rows.append((i, v, g))
+    return spark.createDataFrame(rows, "event_id long, value double, "
+                                       "event_type string")
+
+
+def test_kruskal_wallis_matches_exact_replica(spark):
+    """Three groups with ties across group boundaries: every output
+    field matches the pure-python replica of the fixed-point pipeline,
+    and clear separation reads as a large H."""
+    from covid_19_data_engineering_spark.operators.distrank import (
+        kruskal_wallis,
+    )
+
+    groups = {
+        "a": [1.0, 2.0, 2.0, 3.0, 4.0],
+        "b": [5.0, 6.0, 6.0, 7.0, 8.0],
+        "c": [9.0, 10.0, 10.0, 11.0, 12.0],
+    }
+    row = kruskal_wallis(_kw_df(spark, groups), "value", "event_type",
+                         "event_id").collect()[0]
+    n, k, tie, h, hc = _kw_python(groups)
+    assert (row["n_rows"], row["n_groups"], row["dof"]) == (n, k, k - 1)
+    assert row["tie_term"] == tie
+    assert row["h_stat"] == h and row["h_corrected"] == hc
+    assert row["h_corrected"] > 5.99  # chi2(df=2) 5% — fully separated
+
+
+def test_kruskal_wallis_identical_groups_near_zero(spark):
+    """Identical group distributions: rank sums are equal by symmetry,
+    so H sits at (numerically) zero and the tie correction only scales
+    it."""
+    from covid_19_data_engineering_spark.operators.distrank import (
+        kruskal_wallis,
+    )
+
+    vals = [1.0, 2.0, 3.0, 4.0]
+    groups = {"a": list(vals), "b": list(vals), "c": list(vals)}
+    row = kruskal_wallis(_kw_df(spark, groups), "value", "event_type",
+                         "event_id").collect()[0]
+    n, k, tie, h, hc = _kw_python(groups)
+    assert row["tie_term"] == tie == sum(3 ** 3 - 3 for _ in vals)
+    assert abs(row["h_stat"]) <= 0.01  # fixed-point epsilon around 0
+    assert row["h_stat"] == h and row["h_corrected"] == hc
