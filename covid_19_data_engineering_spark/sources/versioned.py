@@ -1515,3 +1515,87 @@ def alter_versioned_column_type(spark: SparkSession, path: str,
         meta={"schema_change": {"column": column, "to": new_type}},
         bloom_cols=cols or None,
     )
+
+
+def clone_versioned(src_path: str, dst_path: str,
+                    version: int | None = None) -> int:
+    """SHALLOW CLONE: create a new versioned table at ``dst_path`` whose
+    v1 snapshot is ``src_path``'s snapshot at ``version`` (latest by
+    default) — zero data copied, O(metadata) cost regardless of table
+    size (the Delta/Iceberg shallow-clone operation; at 100 TB this is
+    the difference between an instant dev/test fork and a multi-hour
+    copy job).
+
+    Mechanics: the clone's first commit records the source snapshot's
+    data files by ABSOLUTE path (``os.path.join`` passes absolute
+    members through untouched, so every read/prune/MERGE/DELETE path
+    resolves them unchanged), and carries the source's per-file
+    min/max stats, Bloom entries, exact row counts, schema, and the
+    ``bloom_cols`` table property — pruning and metadata-only
+    aggregates work on the clone from birth. The clone then evolves
+    independently: appends land under ``dst_path/data``, a file-pruned
+    MERGE rewrites only touched files (source files it replaces are
+    dropped from the clone's snapshot BY REFERENCE, never deleted from
+    disk), and ``vacuum_versioned`` on the clone only ever deletes
+    files under the clone's own data dir, so the source is untouchable
+    from the clone by construction.
+
+    CAVEAT (inherent to shallow clones, documented rather than hidden):
+    the clone references the source's files WITHOUT reference counting,
+    so a vacuum on the SOURCE that drops the cloned snapshot's files
+    (possible once the source overwrites or rewrites past them) breaks
+    the clone's reads. Compact the clone (``compact_versioned``) to
+    make it self-contained before vacuuming a source that may move.
+
+    The clone target must be empty: v1 is claimed through the same
+    atomic ``os.link`` slot as every commit, so two racing cloners
+    resolve to exactly one winner.
+    """
+    versions = table_versions(src_path)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions at {src_path}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise ValueError(
+            f"version {version} not committed at {src_path} "
+            f"(have {versions})")
+    if table_versions(dst_path):
+        raise ValueError(f"clone target {dst_path} already has commits")
+    files, stats, bloom, rows = _snapshot(src_path, version)
+    src_abs = os.path.abspath(src_path)
+
+    def _abs(rel: str) -> str:
+        return rel if os.path.isabs(rel) else os.path.join(src_abs, rel)
+
+    live = set(files)
+    abs_files = [_abs(f) for f in files]
+    record = {
+        "version": 1,
+        "action": "overwrite",
+        "files": abs_files,
+        "stats": {_abs(k): v for k, v in stats.items() if k in live},
+        "bloom": {_abs(k): v for k, v in bloom.items() if k in live},
+        "rows": {_abs(k): v for k, v in rows.items() if k in live},
+        "schema": _read_commit(src_path, version)["schema"],
+        "ts": time.time(),
+        "commit_id": uuid.uuid4().hex,
+        "cloned_from": {"path": src_abs, "version": version},
+    }
+    cols = table_bloom_cols(src_path, version)
+    if cols:
+        record["bloom_cols"] = cols
+    os.makedirs(_log_dir(dst_path), exist_ok=True)
+    tmp = os.path.join(_log_dir(dst_path),
+                       f".tmp-{record['commit_id']}-1")
+    with open(tmp, "w") as f:
+        json.dump(record, f)
+    try:
+        os.link(tmp, _commit_path(dst_path, 1))
+        os.unlink(tmp)
+    except FileExistsError:
+        os.unlink(tmp)
+        raise ValueError(
+            f"clone target {dst_path} already has commits (lost the "
+            "v1 claim race)")
+    return 1

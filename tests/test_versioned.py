@@ -1699,3 +1699,118 @@ def test_bloom_no_false_negatives_seeded(spark, tmp_path):
         n = (read_versioned(spark, path, point={"k": probe})
              .where(F.col("k") == probe).count())
         assert n == 1, probe
+
+
+# --------------------------------------------------------------------------
+# Shallow clone: zero-copy metadata-only table fork (clone_versioned).
+# --------------------------------------------------------------------------
+
+
+def _clone_imports():
+    from covid_19_data_engineering_spark.sources.versioned import (
+        clone_versioned,
+        compact_versioned,
+        merge_versioned,
+        snapshot_metadata_aggregates,
+    )
+    return (clone_versioned, compact_versioned, merge_versioned,
+            snapshot_metadata_aggregates)
+
+
+def test_clone_is_zero_copy_and_reads_the_source_snapshot(
+        spark, tmp_path):
+    clone_versioned, _, _, snapshot_metadata_aggregates = _clone_imports()
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    write_versioned(_df(spark, [(1, "a"), (2, "b")]), src)
+    write_versioned(_df(spark, [(3, "c")]), src, mode="append")
+    assert clone_versioned(src, dst) == 1
+    got = {r["id"] for r in read_versioned(spark, dst).collect()}
+    assert got == {1, 2, 3}
+    # ZERO data files under the clone: pure metadata fork
+    assert not os.path.isdir(os.path.join(dst, "data"))
+    # commit-recorded footer metadata travels with the clone
+    agg = snapshot_metadata_aggregates(dst, cols=("id",))
+    assert agg["n_rows"] == 3
+
+
+def test_clone_evolves_independently_of_the_source(spark, tmp_path):
+    clone_versioned, _, _, _ = _clone_imports()
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    write_versioned(_df(spark, [(1, "a")]), src)
+    clone_versioned(src, dst)
+    write_versioned(_df(spark, [(7, "x")]), dst, mode="append")
+    write_versioned(_df(spark, [(8, "y")]), src, mode="append")
+    assert {r["id"] for r in read_versioned(spark, src).collect()} \
+        == {1, 8}
+    assert {r["id"] for r in read_versioned(spark, dst).collect()} \
+        == {1, 7}
+    # time travel on the clone still sees the pristine snapshot
+    assert {r["id"] for r in read_versioned(spark, dst, version=1)
+            .collect()} == {1}
+
+
+def test_clone_pins_a_version_and_rejects_nonempty_targets(
+        spark, tmp_path):
+    clone_versioned, _, _, _ = _clone_imports()
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    write_versioned(_df(spark, [(1, "a")]), src)
+    write_versioned(_df(spark, [(2, "b")]), src, mode="append")
+    clone_versioned(src, dst, version=1)
+    assert {r["id"] for r in read_versioned(spark, dst).collect()} == {1}
+    with pytest.raises(ValueError, match="already has commits"):
+        clone_versioned(src, dst)
+
+
+def test_merge_on_clone_touches_no_source_file(spark, tmp_path):
+    clone_versioned, _, merge_versioned, _ = _clone_imports()
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    write_versioned(_df(spark, [(1, "a"), (2, "b")]), src)
+    before = {
+        os.path.join(p, n)
+        for p, _, ns in os.walk(src) for n in ns
+    }
+    clone_versioned(src, dst)
+    merge_versioned(spark, dst,
+                    _df(spark, [(2, "B!"), (9, "new")]), key="id")
+    after = {
+        os.path.join(p, n)
+        for p, _, ns in os.walk(src) for n in ns
+    }
+    assert before == after  # the source tree is byte-for-byte untouched
+    got = {r["id"]: r["v"] for r in read_versioned(spark, dst).collect()}
+    assert got == {1: "a", 2: "B!", 9: "new"}
+    assert {r["id"]: r["v"]
+            for r in read_versioned(spark, src).collect()} \
+        == {1: "a", 2: "b"}
+
+
+def test_clone_vacuum_never_deletes_source_files(spark, tmp_path):
+    clone_versioned, _, _, _ = _clone_imports()
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    write_versioned(_df(spark, [(1, "a")]), src)
+    clone_versioned(src, dst)
+    # rewrite the clone fully, then vacuum it aggressively
+    write_versioned(_df(spark, [(5, "e")]), dst, mode="overwrite")
+    deleted = vacuum_versioned(dst, keep_versions=1, retention_s=0.0)
+    # nothing under the SOURCE was deleted (vacuum only walks dst/data)
+    assert all(not os.path.isabs(d) for d in deleted)
+    assert {r["id"] for r in read_versioned(spark, src).collect()} == {1}
+
+
+def test_compact_makes_the_clone_self_contained(spark, tmp_path):
+    (clone_versioned, compact_versioned, _,
+     _) = _clone_imports()
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    write_versioned(_df(spark, [(1, "a"), (2, "b")]), src)
+    clone_versioned(src, dst)
+    compact_versioned(spark, dst)
+    from covid_19_data_engineering_spark.sources.versioned import (
+        _snapshot_files,
+    )
+    files = _snapshot_files(dst, current_version(dst))
+    assert files and all(not os.path.isabs(f) for f in files)
+    # the source can now vacuum away entirely without hurting the clone
+    write_versioned(_df(spark, [(9, "z")]), src, mode="overwrite")
+    vacuum_versioned(src, keep_versions=1, retention_s=0.0)
+    assert {r["id"] for r in read_versioned(spark, dst).collect()} \
+        == {1, 2}
