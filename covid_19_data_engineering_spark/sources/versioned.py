@@ -1599,3 +1599,61 @@ def clone_versioned(src_path: str, dst_path: str,
             f"clone target {dst_path} already has commits (lost the "
             "v1 claim race)")
     return 1
+
+
+def restore_versioned(path: str, version: int,
+                      max_retries: int = 10) -> int:
+    """RESTORE: roll the table back to ``version`` by committing a NEW
+    version whose snapshot is that version's file list — history moves
+    FORWARD (the bad versions stay readable for audit until vacuumed),
+    data files move nowhere, and the cost is O(metadata) at any table
+    size. The Delta `RESTORE TABLE ... TO VERSION AS OF` operation.
+
+    The restore commit is a snapshot BOUNDARY (action "overwrite" with a
+    ``restored_from`` marker), carrying the target snapshot's files by
+    reference plus their stats/Bloom/row-count metadata and the
+    ``bloom_cols`` property as of the target version — reads, pruning,
+    and metadata-only aggregates behave exactly as they did at the
+    restored version. Claimed through the standard atomic slot loop, so
+    it composes with concurrent appends: the restore lands as SOME
+    version, and later readers see a linear history.
+    """
+    versions = table_versions(path)
+    if version not in versions:
+        raise ValueError(
+            f"version {version} not committed at {path} (have {versions})")
+    files, stats, bloom, rows = _snapshot(path, version)
+    live = set(files)
+    record_base = {
+        "action": "overwrite",
+        "files": list(files),
+        "stats": {k: v for k, v in stats.items() if k in live},
+        "bloom": {k: v for k, v in bloom.items() if k in live},
+        "rows": {k: v for k, v in rows.items() if k in live},
+        "schema": _read_commit(path, version)["schema"],
+        "restored_from": version,
+    }
+    cols = table_bloom_cols(path, version)
+    if cols:
+        record_base["bloom_cols"] = cols
+    for _ in range(max_retries):
+        base = current_version(path)
+        commit_id = uuid.uuid4().hex
+        record = dict(record_base, version=base + 1, ts=time.time(),
+                      commit_id=commit_id)
+        tmp = os.path.join(_log_dir(path), f".tmp-{commit_id}-{base + 1}")
+        with open(tmp, "w") as f:
+            json.dump(record, f)
+        try:
+            os.link(tmp, _commit_path(path, base + 1))
+            os.unlink(tmp)
+        except FileExistsError:
+            os.unlink(tmp)
+            continue
+        if (base + 1) % CHECKPOINT_INTERVAL == 0:
+            try:
+                _write_checkpoint(path, base + 1)
+            except OSError:
+                pass
+        return base + 1
+    raise CommitConflict(f"lost {max_retries} commit races on {path}")

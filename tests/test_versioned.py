@@ -1814,3 +1814,61 @@ def test_compact_makes_the_clone_self_contained(spark, tmp_path):
     vacuum_versioned(src, keep_versions=1, retention_s=0.0)
     assert {r["id"] for r in read_versioned(spark, dst).collect()} \
         == {1, 2}
+
+
+# --------------------------------------------------------------------------
+# RESTORE: forward-moving time-travel rollback (restore_versioned).
+# --------------------------------------------------------------------------
+
+
+def test_restore_rolls_forward_to_an_old_snapshot(spark, tbl):
+    from covid_19_data_engineering_spark.sources.versioned import (
+        restore_versioned,
+    )
+
+    write_versioned(_df(spark, [(1, "a")]), tbl)
+    write_versioned(_df(spark, [(2, "b")]), tbl, mode="append")
+    write_versioned(_df(spark, [(9, "oops")]), tbl, mode="overwrite")
+    v = restore_versioned(tbl, 2)
+    assert v == 4  # history moves FORWARD
+    assert {r["id"] for r in read_versioned(spark, tbl).collect()} \
+        == {1, 2}
+    # the bad version stays readable for audit until vacuumed
+    assert {r["id"] for r in read_versioned(spark, tbl, version=3)
+            .collect()} == {9}
+    # life continues on top of the restore
+    write_versioned(_df(spark, [(3, "c")]), tbl, mode="append")
+    assert {r["id"] for r in read_versioned(spark, tbl).collect()} \
+        == {1, 2, 3}
+
+
+def test_restore_is_metadata_only_and_vacuum_safe(spark, tbl):
+    import os as _os
+
+    from covid_19_data_engineering_spark.sources.versioned import (
+        restore_versioned,
+    )
+
+    write_versioned(_df(spark, [(1, "a")]), tbl)
+    write_versioned(_df(spark, [(9, "bad")]), tbl, mode="overwrite")
+    n_parquet_before = sum(
+        1 for p, _, ns in _os.walk(tbl) for n in ns
+        if n.endswith(".parquet"))
+    restore_versioned(tbl, 1)
+    n_parquet_after = sum(
+        1 for p, _, ns in _os.walk(tbl) for n in ns
+        if n.endswith(".parquet"))
+    assert n_parquet_after == n_parquet_before  # zero data written
+    # an aggressive vacuum keeps the restored snapshot's files
+    vacuum_versioned(tbl, keep_versions=1, retention_s=0.0)
+    assert {r["id"] for r in read_versioned(spark, tbl).collect()} == {1}
+
+
+def test_restore_rejects_unknown_versions(spark, tbl):
+    from covid_19_data_engineering_spark.sources.versioned import (
+        restore_versioned,
+    )
+
+    write_versioned(_df(spark, [(1, "a")]), tbl)
+    with pytest.raises(ValueError, match="not committed"):
+        restore_versioned(tbl, 7)
