@@ -100,6 +100,13 @@ class ChangeFeedTruncated(RuntimeError):
     contract as Delta's 'change data was removed' error."""
 
 
+class ConstraintViolation(RuntimeError):
+    """The written frame contains rows that make a table CHECK constraint
+    FALSE (SQL semantics: TRUE and NULL pass). The write is refused
+    BEFORE any data file is staged, so the table never holds a version
+    that violates its declared contract."""
+
+
 class TxnAlreadyApplied(RuntimeError):
     """The commit's (writer, epoch) idempotence marker is at or below the
     table's recorded epoch for that writer: the write is a replay and was
@@ -281,6 +288,113 @@ def table_bloom_cols(path: str, version: int | None = None) -> list[str]:
             # legacy checkpoints (pre-property) lack the key: keep walking
             return list(cp["bloom_cols"])
     return []
+
+
+def table_check_constraints(path: str,
+                            version: int | None = None) -> dict[str, str]:
+    """The table's CHECK constraints {name: sql_expr} as of ``version``
+    (default current): the NEWEST commit carrying a ``constraints`` key
+    wins (each add/drop commit snapshots the FULL map), with checkpoints
+    answering for vacuumed-away history. Unlike ``bloom_cols`` (an
+    optimization an overwrite may reasonably shed), constraints are a
+    data CONTRACT, so they PERSIST across plain overwrites — a
+    schema-changing overwrite that breaks a constraint fails loudly at
+    enforcement time instead of silently dropping the contract; drop the
+    constraint first (``drop_check_constraint``), exactly Delta's rule."""
+    if version is None:
+        version = current_version(path)
+    for v in range(version, 0, -1):
+        c = _read_commit_or_none(path, v)
+        if c is None:
+            cp = _read_checkpoint(path, v)
+            if cp is not None and "constraints" in cp:
+                return dict(cp["constraints"])
+            break
+        if "constraints" in c:
+            return dict(c["constraints"])
+        cp = _read_checkpoint(path, v)
+        if cp is not None and "constraints" in cp:
+            return dict(cp["constraints"])
+    return {}
+
+
+def _enforce_constraints(df, constraints: dict[str, str]) -> None:
+    """Refuse frames carrying rows that make any constraint FALSE (TRUE
+    and NULL pass — standard SQL CHECK semantics). One extra pass over
+    the frame per write, combined across constraints and early-exiting
+    on the first violating row (isEmpty = limit-1 under the hood) — the
+    inherent price of an enforced CHECK; a missing column surfaces as
+    the underlying AnalysisException (loud, never a silent skip)."""
+    if not constraints:
+        return
+    import pyspark.sql.functions as F
+    combined = None
+    for expr in constraints.values():
+        bad = ~F.coalesce(F.expr(f"({expr})"), F.lit(True))
+        combined = bad if combined is None else (combined | bad)
+    if df.where(combined).isEmpty():
+        return
+    for name, expr in sorted(constraints.items()):
+        bad = ~F.coalesce(F.expr(f"({expr})"), F.lit(True))
+        if not df.where(bad).isEmpty():
+            raise ConstraintViolation(
+                f"CHECK constraint {name!r} violated: ({expr}) is FALSE "
+                "for at least one written row")
+    raise ConstraintViolation("CHECK constraint violated")  # unreachable
+
+
+def _commit_constraint_map(path: str, constraints: dict[str, str],
+                           max_retries: int = 10) -> int:
+    """Commit the full constraint map as a metadata-only version (no
+    data files move) through the standard atomic slot loop."""
+    for _ in range(max_retries):
+        base = current_version(path)
+        if base == 0:
+            raise FileNotFoundError(f"no committed versions at {path}")
+        commit_id = uuid.uuid4().hex
+        record = {
+            "version": base + 1, "action": "append", "files": [],
+            "schema": _read_commit(path, base)["schema"],
+            "constraints": dict(sorted(constraints.items())),
+            "ts": time.time(), "commit_id": commit_id,
+        }
+        tmp = os.path.join(_log_dir(path), f".tmp-{commit_id}-{base + 1}")
+        with open(tmp, "w") as f:
+            json.dump(record, f)
+        try:
+            os.link(tmp, _commit_path(path, base + 1))
+            os.unlink(tmp)
+        except FileExistsError:
+            os.unlink(tmp)
+            continue
+        if (base + 1) % CHECKPOINT_INTERVAL == 0:
+            try:
+                _write_checkpoint(path, base + 1)
+            except OSError:
+                pass
+        return base + 1
+    raise CommitConflict(f"lost {max_retries} commit races on {path}")
+
+
+def add_check_constraint(spark, path: str, name: str, expr: str) -> int:
+    """ALTER TABLE ADD CONSTRAINT ... CHECK (expr): validates that the
+    CURRENT snapshot already satisfies ``expr`` (one scan — Delta's
+    rule: a constraint must hold for existing data before it can be
+    declared), then commits the updated map metadata-only. Every later
+    write on any path (append/overwrite/replace/MERGE/DELETE) enforces
+    it before staging data."""
+    current = table_check_constraints(path)
+    _enforce_constraints(read_versioned(spark, path), {name: expr})
+    current[name] = expr
+    return _commit_constraint_map(path, current)
+
+
+def drop_check_constraint(path: str, name: str) -> int:
+    """ALTER TABLE DROP CONSTRAINT: removes ``name`` from the map
+    (KeyError if absent) and commits metadata-only."""
+    current = table_check_constraints(path)
+    del current[name]
+    return _commit_constraint_map(path, current)
 
 
 def _file_footer_info(full_path: str) -> tuple[dict[str, list], int | None]:
@@ -495,7 +609,8 @@ def _write_checkpoint(path: str, version: int,
     record = {"version": version, "files": files, "stats": stats,
               "bloom": bloom, "rows": rows,
               "txns": _checkpoint_txns(path, version),
-              "bloom_cols": table_bloom_cols(path, version)}
+              "bloom_cols": table_bloom_cols(path, version),
+              "constraints": table_check_constraints(path, version)}
     tmp = os.path.join(_log_dir(path), f".tmpcp-{uuid.uuid4().hex}")
     with open(tmp, "w") as f:
         json.dump(record, f)
@@ -737,6 +852,10 @@ def write_versioned(df: DataFrame, path: str, mode: str = "overwrite",
             f"{path}: expected base version {expect_base}, found "
             f"{current_version(path)} (a concurrent writer committed; "
             "re-derive and retry)")
+    # CHECK constraints are enforced BEFORE any data file is staged, on
+    # every write path (a contract, so overwrites do not shed it)
+    _enforce_constraints(df, table_check_constraints(path)
+                         if table_versions(path) else {})
     os.makedirs(_log_dir(path), exist_ok=True)
     commit_id = uuid.uuid4().hex
     data_dir = os.path.join(path, "data", commit_id)
@@ -1022,7 +1141,8 @@ def vacuum_versioned(path: str, keep_versions: int = 2,
         kept = [v for v in versions if v >= anchor]
         if any(v < anchor for v in versions):
             cp = _read_checkpoint(path, anchor)
-            if cp is None or "bloom_cols" not in cp or "txns" not in cp:
+            if (cp is None or "bloom_cols" not in cp or "txns" not in cp
+                    or "constraints" not in cp):
                 # the records about to be dropped are the only history
                 # that can answer for the table's durable properties
                 # (bloom_cols, txn markers) below the anchor: write or

@@ -1872,3 +1872,118 @@ def test_restore_rejects_unknown_versions(spark, tbl):
     write_versioned(_df(spark, [(1, "a")]), tbl)
     with pytest.raises(ValueError, match="not committed"):
         restore_versioned(tbl, 7)
+
+
+# --------------------------------------------------------------------------
+# CHECK constraints: declared contract enforced on every write path.
+# --------------------------------------------------------------------------
+
+
+def _constraint_imports():
+    from covid_19_data_engineering_spark.sources.versioned import (
+        ConstraintViolation,
+        add_check_constraint,
+        drop_check_constraint,
+        table_check_constraints,
+    )
+    return (ConstraintViolation, add_check_constraint,
+            drop_check_constraint, table_check_constraints)
+
+
+def test_check_constraint_enforced_on_append_and_null_passes(spark, tbl):
+    (ConstraintViolation, add_check_constraint, _,
+     table_check_constraints) = _constraint_imports()
+    df = spark.createDataFrame([(1, 10.0)], "id long, price double")
+    write_versioned(df, tbl)
+    add_check_constraint(spark, tbl, "price_pos", "price > 0")
+    assert table_check_constraints(tbl) == {"price_pos": "price > 0"}
+    # a TRUE row and a NULL row both pass (SQL CHECK semantics)
+    ok = spark.createDataFrame([(2, 5.0), (3, None)],
+                               "id long, price double")
+    write_versioned(ok, tbl, mode="append")
+    # a FALSE row is refused before any data file is staged
+    bad = spark.createDataFrame([(4, -1.0)], "id long, price double")
+    with pytest.raises(ConstraintViolation, match="price_pos"):
+        write_versioned(bad, tbl, mode="append")
+    assert {r["id"] for r in read_versioned(spark, tbl).collect()} \
+        == {1, 2, 3}
+
+
+def test_check_constraint_validates_existing_data_on_add(spark, tbl):
+    (ConstraintViolation, add_check_constraint, _,
+     _) = _constraint_imports()
+    write_versioned(
+        spark.createDataFrame([(1, -3.0)], "id long, price double"), tbl)
+    with pytest.raises(ConstraintViolation, match="price_pos"):
+        add_check_constraint(spark, tbl, "price_pos", "price > 0")
+
+
+def test_check_constraint_survives_overwrite_and_drop_restores(
+        spark, tbl):
+    (ConstraintViolation, add_check_constraint, drop_check_constraint,
+     table_check_constraints) = _constraint_imports()
+    write_versioned(
+        spark.createDataFrame([(1, 1.0)], "id long, price double"), tbl)
+    add_check_constraint(spark, tbl, "price_pos", "price > 0")
+    # an overwrite does NOT shed the contract (unlike bloom_cols)
+    with pytest.raises(ConstraintViolation):
+        write_versioned(
+            spark.createDataFrame([(9, -9.0)], "id long, price double"),
+            tbl, mode="overwrite")
+    write_versioned(
+        spark.createDataFrame([(9, 9.0)], "id long, price double"),
+        tbl, mode="overwrite")
+    assert table_check_constraints(tbl) == {"price_pos": "price > 0"}
+    drop_check_constraint(tbl, "price_pos")
+    assert table_check_constraints(tbl) == {}
+    write_versioned(
+        spark.createDataFrame([(4, -1.0)], "id long, price double"),
+        tbl, mode="append")  # no longer enforced
+    with pytest.raises(KeyError):
+        drop_check_constraint(tbl, "price_pos")
+
+
+def test_check_constraint_enforced_through_merge(spark, tbl):
+    (ConstraintViolation, add_check_constraint, _,
+     _) = _constraint_imports()
+    from covid_19_data_engineering_spark.sources.versioned import (
+        merge_versioned,
+    )
+
+    write_versioned(
+        spark.createDataFrame([(1, 1.0), (2, 2.0)],
+                              "id long, price double"), tbl)
+    add_check_constraint(spark, tbl, "price_pos", "price > 0")
+    with pytest.raises(ConstraintViolation):
+        merge_versioned(
+            spark, tbl,
+            spark.createDataFrame([(2, -5.0)], "id long, price double"),
+            key="id")
+    assert {r["id"]: r["price"]
+            for r in read_versioned(spark, tbl).collect()} \
+        == {1: 1.0, 2: 2.0}
+
+
+def test_check_constraint_survives_vacuum_via_checkpoint(spark, tbl,
+                                                         monkeypatch):
+    import covid_19_data_engineering_spark.sources.versioned as V
+
+    (_, add_check_constraint, _,
+     table_check_constraints) = _constraint_imports()
+    monkeypatch.setattr(V, "CHECKPOINT_INTERVAL", 4)
+    write_versioned(
+        spark.createDataFrame([(1, 1.0)], "id long, price double"), tbl)
+    add_check_constraint(spark, tbl, "price_pos", "price > 0")
+    for i in range(6):
+        write_versioned(
+            spark.createDataFrame([(10 + i, 1.0)],
+                                  "id long, price double"),
+            tbl, mode="append")
+    vacuum_versioned(tbl, keep_versions=1, retention_s=0.0)
+    # the declaring commit may be vacuumed away; the anchor checkpoint
+    # answers for the property
+    assert table_check_constraints(tbl) == {"price_pos": "price > 0"}
+    with pytest.raises(V.ConstraintViolation):
+        write_versioned(
+            spark.createDataFrame([(99, -1.0)], "id long, price double"),
+            tbl, mode="append")
