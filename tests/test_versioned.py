@@ -1987,3 +1987,31 @@ def test_check_constraint_survives_vacuum_via_checkpoint(spark, tbl,
         write_versioned(
             spark.createDataFrame([(99, -1.0)], "id long, price double"),
             tbl, mode="append")
+
+
+def test_clone_of_clone_references_original_files(spark, tmp_path):
+    """A clone of a clone passes absolute members through: the grand-
+    clone references the ORIGINAL source files directly (no chain of
+    indirection to resolve), and a restore on a clone stays inside the
+    clone's own history."""
+    from covid_19_data_engineering_spark.sources.versioned import (
+        _snapshot_files,
+        clone_versioned,
+        restore_versioned,
+    )
+
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    c = str(tmp_path / "c")
+    write_versioned(_df(spark, [(1, "x"), (2, "y")]), a)
+    clone_versioned(a, b)
+    clone_versioned(b, c)
+    src_abs = {os.path.join(os.path.abspath(a), f)
+               for f in _snapshot_files(a, 1)}
+    assert set(_snapshot_files(c, 1)) == src_abs
+    assert {r["id"] for r in read_versioned(spark, c).collect()} == {1, 2}
+    # restore on a clone: roll b back over its own append
+    write_versioned(_df(spark, [(7, "z")]), b, mode="append")
+    restore_versioned(b, 1)
+    assert {r["id"] for r in read_versioned(spark, b).collect()} == {1, 2}
+    assert {r["id"] for r in read_versioned(spark, a).collect()} == {1, 2}
