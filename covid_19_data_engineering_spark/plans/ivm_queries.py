@@ -566,3 +566,84 @@ def versioned_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
         [row], "n_rows long, min_orderkey long, max_orderkey long")
+
+
+@register(
+    "orders_clone_restore_audit",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_custkey) AS BIGINT) AS custkey_sum,
+           CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey % 9973 = 1)
+             AS BIGINT) AS n_corrupted_v2
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    doc="Shallow clone + RESTORE under the oracle gate: orders commits "
+    "as a versioned table, clone_versioned forks it ZERO-COPY (the "
+    "clone's v1 references the source files by absolute path), a "
+    "deterministic corruption (o_orderkey % 9973 = 1, custkey negated) "
+    "lands in the CLONE via the file-pruned MERGE, time travel to the "
+    "corrupted version counts the damage (n_corrupted_v2 — proving the "
+    "merge really happened), and restore_versioned rolls the clone "
+    "forward to its pristine v1. The gate output is the per-status "
+    "count/custkey-sum profile of the RESTORED clone, which must equal "
+    "the raw orders table exactly — DuckDB never sees the storage "
+    "layout, so a clone that leaked writes to the source, a restore "
+    "that resolved the wrong snapshot, or a merge that corrupted a "
+    "carried file would all hash-mismatch. The in-query guard also "
+    "asserts the SOURCE stayed byte-identical through the clone's "
+    "entire life.",
+)
+def orders_clone_restore_audit(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from covid_19_data_engineering_spark.sources.versioned import (
+        clone_versioned,
+        merge_versioned,
+        restore_versioned,
+    )
+
+    root = tempfile.mkdtemp(prefix="clone_restore_")
+    src = os.path.join(root, "src_tbl")
+    dst = os.path.join(root, "clone_tbl")
+    try:
+        orders = load_table(spark, "orders", sf_dir)
+        write_versioned(
+            orders.repartitionByRange(8, "o_orderkey"), src)
+        src_before = read_versioned(spark, src).count()
+        clone_versioned(src, dst)
+        updates = (
+            orders.where("o_orderkey % 9973 = 1")
+            .withColumn("o_custkey", -F.col("o_custkey"))
+        )
+        v2 = merge_versioned(spark, dst, updates, key="o_orderkey")
+        corrupted = (
+            read_versioned(spark, dst, version=v2)
+            .where("o_custkey < 0").count()
+        )
+        restore_versioned(dst, 1)
+        # source isolation guard: the clone's merge+restore life must
+        # not have changed one source row
+        src_after = read_versioned(spark, src).count()
+        neg_in_src = read_versioned(spark, src) \
+            .where("o_custkey < 0").count()
+        if src_after != src_before or neg_in_src != 0:
+            raise RuntimeError(
+                f"clone leaked into source: rows {src_before} -> "
+                f"{src_after}, negative custkeys {neg_in_src}")
+        rows = (
+            read_versioned(spark, dst)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+                 F.sum("o_custkey").cast("long").alias("custkey_sum"))
+            .withColumn("n_corrupted_v2",
+                        F.lit(int(corrupted)).cast("long"))
+            .orderBy("o_orderstatus")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "o_orderstatus string, n_orders long, custkey_sum long, "
+              "n_corrupted_v2 long")

@@ -135,6 +135,8 @@ PRIORITY = (
     "orders_cochran_armitage",
     # Kruskal-Wallis k-group rank ANOVA beside the parametric ANOVA
     "events_value_kruskal",
+    # zero-copy clone + MERGE isolation + RESTORE under the oracle
+    "orders_clone_restore_audit",
     # LM family re-pinned: integer micro-unit NLL sums (order-independent)
     "lm_bigram_perplexity",
     "lm_trigram_interp_perplexity",
@@ -161,7 +163,6 @@ PRIORITY = (
     "nation_top_customers",
     "monthly_order_stats",
     "lineitem_moment_stats",
-    "lag_lead_battery",
 )
 
 def _reorder_registry() -> None:
