@@ -432,9 +432,15 @@ def _mk_select() -> list[str]:
     the continuity-corrected z, tau-a, and the 5% decision."""
     var18 = ("(CAST(n_days AS DOUBLE) * (n_days - 1) * (2 * n_days + 5) "
              "- CAST(tie_term AS DOUBLE))")
-    z = (f"(CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1) "
+    # var = 0 (every value tied) would make this 0/0 — an error under
+    # ANSI double division; a fully tied series is definitionally
+    # trendless, so z := 0
+    z = (f"(CASE WHEN {var18} = 0 THEN CAST(0 AS DOUBLE) "
+         f"WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1) "
+         f"/ sqrt({var18} / 18.0) "
          f"WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1) "
-         f"ELSE CAST(0 AS DOUBLE) END / sqrt({var18} / 18.0))")
+         f"/ sqrt({var18} / 18.0) "
+         f"ELSE CAST(0 AS DOUBLE) END)")
     zr = f"ROUND({z}, 4)"
     return [
         "CAST(n_days AS BIGINT) AS n_days",
@@ -811,3 +817,134 @@ def _hw_oracle_sql() -> str:
 )
 def orders_holt_winters_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holt_winters_weekly(load_table(spark, "orders", sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Seasonal Mann-Kendall — the multi-year upgrade of the test above
+# (Hirsch & Slack 1984): compare each calendar month only with the SAME
+# month of other years, so a seasonal cycle cannot masquerade as (or
+# hide) a monotone trend. Statistics sum across the 12 seasons.
+# --------------------------------------------------------------------------
+
+
+def seasonal_mann_kendall(orders: DataFrame) -> DataFrame:
+    """One-row seasonal Mann-Kendall test of monthly revenue across
+    years: (n_seasons, n_points, s_stat, var18, z_stat, trend).
+
+    The corpus reduces to O(years x 12) exact-BIGINT monthly totals in
+    one map-side-combined rollup; pairs form only WITHIN a month across
+    years (a month-keyed self-join — bounded by years^2 x 12, never
+    event volume). S, the per-season tie terms, and the summed variance
+    (carried as 18*Var, exact) are engine-identical integers; z applies
+    the continuity correction as ONE fixed-order double expression over
+    the single count row, shared verbatim with the oracle.
+    """
+    monthly = (
+        orders.groupBy(
+            F.expr("year(CAST(o_orderdate AS DATE))").alias("yr"),
+            F.expr("month(CAST(o_orderdate AS DATE))").alias("mo"))
+        .agg(F.sum(F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"))
+             .alias("y"))
+        .localCheckpoint(eager=False)  # feeds pairs, ties, season sizes
+    )
+    a = monthly.select(F.col("mo").alias("ma"), F.col("yr").alias("yi"),
+                       F.col("y").alias("vi"))
+    b = monthly.select(F.col("mo").alias("mb"), F.col("yr").alias("yj"),
+                       F.col("y").alias("vj"))
+    s = (
+        a.join(b, (F.col("ma") == F.col("mb")) & (F.col("yi") < F.col("yj")))
+        .agg(F.sum(F.expr(
+            "CAST(CASE WHEN vj > vi THEN 1 WHEN vj < vi THEN -1 "
+            "ELSE 0 END AS BIGINT)")).alias("s_stat"))
+    )
+    seasons = monthly.groupBy("mo").agg(F.count(F.lit(1)).alias("n_m"))
+    ties = (
+        monthly.groupBy("mo", "y").agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("mo")
+        .agg(F.sum(F.expr("CAST(t * (t - 1) * (2 * t + 5) AS BIGINT)"))
+             .alias("tie_m"))
+    )
+    var18 = (
+        seasons.join(ties, "mo")
+        .agg(
+            F.count(F.lit(1)).alias("n_seasons"),
+            F.sum("n_m").alias("n_points"),
+            F.sum(F.expr(
+                "CAST(n_m * (n_m - 1) * (2 * n_m + 5) - tie_m AS BIGINT)"))
+            .alias("var18"),
+        )
+    )
+    return (
+        var18.crossJoin(F.broadcast(s))
+        .selectExpr(*_smk_select())
+    )
+
+
+def _smk_select() -> list[str]:
+    """The shared (Spark == DuckDB) final solve."""
+    # var18 = 0 (all within-season values tied) would be 0/0 — an ANSI
+    # double-division error; a fully tied table is trendless, z := 0
+    z = ("(CASE WHEN var18 = 0 THEN CAST(0 AS DOUBLE) "
+         "WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1) "
+         "/ sqrt(CAST(var18 AS DOUBLE) / 18.0) "
+         "WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1) "
+         "/ sqrt(CAST(var18 AS DOUBLE) / 18.0) "
+         "ELSE CAST(0 AS DOUBLE) END)")
+    zr = f"ROUND({z}, 4)"
+    return [
+        "CAST(n_seasons AS BIGINT) AS n_seasons",
+        "CAST(n_points AS BIGINT) AS n_points",
+        "CAST(s_stat AS BIGINT) AS s_stat",
+        "CAST(var18 AS BIGINT) AS var18",
+        f"{zr} AS z_stat",
+        f"(CASE WHEN {zr} > {_MK_Z_CRIT} THEN 'increasing' "
+        f"WHEN {zr} < -{_MK_Z_CRIT} THEN 'decreasing' "
+        "ELSE 'none' END) AS trend",
+    ]
+
+
+@register(
+    "orders_seasonal_mann_kendall",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT year(CAST(o_orderdate AS DATE)) AS yr,
+             month(CAST(o_orderdate AS DATE)) AS mo,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                      WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT)
+               AS s_stat
+      FROM monthly a JOIN monthly b
+        ON a.mo = b.mo AND a.yr < b.yr
+    ),
+    seasons AS (
+      SELECT mo, CAST(COUNT(*) AS BIGINT) AS n_m FROM monthly GROUP BY mo
+    ),
+    ties AS (
+      SELECT mo, CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_m
+      FROM (SELECT mo, COUNT(*) AS t FROM monthly GROUP BY mo, y)
+      GROUP BY mo
+    ),
+    var18 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_seasons,
+             CAST(SUM(n_m) AS BIGINT) AS n_points,
+             CAST(SUM(n_m * (n_m - 1) * (2 * n_m + 5) - tie_m) AS BIGINT)
+               AS var18
+      FROM seasons JOIN ties USING (mo)
+    )
+    SELECT {", ".join(_smk_select())} FROM var18, s
+    """,
+    doc="Seasonal Mann-Kendall trend of monthly order revenue (Hirsch & "
+    "Slack 1984): pairs form only within a calendar month ACROSS years "
+    "(month-keyed self-join bounded by years^2 x 12, never event "
+    "volume), so the seasonal cycle can neither fake nor mask a trend; "
+    "S, per-season tie terms, and the summed 18*Var are exact BIGINTs "
+    "and z is one shared fixed-order expression — the multi-year "
+    "companion to the single-year daily Mann-Kendall.",
+)
+def orders_seasonal_mann_kendall(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    return seasonal_mann_kendall(load_table(spark, "orders", sf_dir))

@@ -137,6 +137,8 @@ PRIORITY = (
     "events_value_kruskal",
     # zero-copy clone + MERGE isolation + RESTORE under the oracle
     "orders_clone_restore_audit",
+    # seasonal Mann-Kendall: within-month pairs across years
+    "orders_seasonal_mann_kendall",
     # LM family re-pinned: integer micro-unit NLL sums (order-independent)
     "lm_bigram_perplexity",
     "lm_trigram_interp_perplexity",
@@ -162,7 +164,6 @@ PRIORITY = (
     "null_semantics_battery",
     "nation_top_customers",
     "monthly_order_stats",
-    "lineitem_moment_stats",
 )
 
 def _reorder_registry() -> None:

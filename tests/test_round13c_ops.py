@@ -534,3 +534,38 @@ def test_kruskal_wallis_identical_groups_near_zero(spark):
     assert row["tie_term"] == tie == sum(3 ** 3 - 3 for _ in vals)
     assert abs(row["h_stat"]) <= 0.01  # fixed-point epsilon around 0
     assert row["h_stat"] == h and row["h_corrected"] == hc
+
+
+def test_seasonal_mann_kendall_isolates_trend_from_seasonality(spark):
+    """A strong seasonal cycle with a within-month upward drift across
+    years: the seasonal test compares January only with January etc.,
+    so the cycle cannot mask the trend — S must equal
+    n_seasons * C(n_years, 2) (every within-month pair increases) and
+    the verdict 'increasing'. A pure cycle with NO drift reads S = 0."""
+    from covid_19_data_engineering_spark.operators.regression import (
+        seasonal_mann_kendall,
+    )
+
+    def orders_for(drift_per_year: int):
+        rows = []
+        k = 0
+        for yr in range(1995, 1999):
+            for mo in range(1, 13):
+                k += 1
+                # huge seasonal swing + small yearly drift
+                cents = 100_000 * mo + drift_per_year * (yr - 1995)
+                rows.append((k, f"{yr}-{mo:02d}-10", cents / 100.0))
+        return spark.createDataFrame(
+            rows, "o_orderkey long, o_orderdate string, "
+                  "o_totalprice double")
+
+    drifted = seasonal_mann_kendall(orders_for(100)).collect()[0]
+    assert drifted["n_seasons"] == 12 and drifted["n_points"] == 48
+    assert drifted["s_stat"] == 12 * 6  # 12 months x C(4,2) pairs, all up
+    assert drifted["trend"] == "increasing"
+
+    flat = seasonal_mann_kendall(orders_for(0)).collect()[0]
+    assert flat["s_stat"] == 0
+    assert flat["trend"] == "none"
+    # all 4 years tie within each month: tie term == var18 contribution
+    assert flat["var18"] == 0  # 12 * (4*3*13 - 4*3*13)
