@@ -948,3 +948,136 @@ def _smk_select() -> list[str]:
 def orders_seasonal_mann_kendall(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     return seasonal_mann_kendall(load_table(spark, "orders", sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Pettitt changepoint test — the rank-based (distribution-free) change-
+# point LOCATOR: where does the daily series most plausibly split into
+# two regimes, and is the split significant? Companion to the CUSUM
+# control chart (drift.py), which monitors; Pettitt DECIDES, with the
+# same no-distribution-assumed footing as the Mann-Kendall family.
+# --------------------------------------------------------------------------
+
+
+def pettitt_changepoint(orders: DataFrame,
+                        year: int = _TS_YEAR) -> DataFrame:
+    """One-row Pettitt test over one calendar year of daily revenue:
+    (n_days, change_day, k_stat, p_approx, significant).
+
+    U_t = sum over pairs (i <= t < j) of sign(y_j - y_i); the test
+    statistic is K = max_t |U_t| and the change day the argmax (ties to
+    the earliest day — deterministic). Computed WITHOUT materializing
+    the t-dimension: each of the O(days^2) pairs contributes its sign
+    to every t in [x_i, x_j), so the pair table reduces to per-day
+    DELTAS (+sign at x_i, -sign at x_j) and one O(days) prefix-sum
+    window recovers every U_t exactly — all BIGINT, engine-identical.
+    The significance approximation p ~ 2 exp(-6K^2 / (n^3 + n^2))
+    (Pettitt 1979) is one fixed-order double expression over (K, n),
+    shared verbatim with the oracle.
+    """
+    daily = (
+        orders.where(F.expr(f"year(CAST(o_orderdate AS DATE)) = {year}"))
+        .groupBy(
+            F.expr("CAST(datediff(CAST(o_orderdate AS DATE), "
+                   "DATE '1970-01-01') AS BIGINT)").alias("x"))
+        .agg(F.sum(F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"))
+             .alias("y"))
+        .localCheckpoint(eager=False)  # feeds the pair join twice + count
+    )
+    a = daily.select(F.col("x").alias("xi"), F.col("y").alias("yi"))
+    b = daily.select(F.col("x").alias("xj"), F.col("y").alias("yj"))
+    pairs = a.join(b, F.col("xi") < F.col("xj")).select(
+        "xi", "xj",
+        F.expr("CAST(CASE WHEN yj > yi THEN 1 WHEN yj < yi THEN -1 "
+               "ELSE 0 END AS BIGINT)").alias("s"),
+    )
+    deltas = (
+        pairs.select(F.col("xi").alias("x"), F.col("s").alias("d"))
+        .unionByName(
+            pairs.select(F.col("xj").alias("x"), (-F.col("s")).alias("d")))
+        .groupBy("x").agg(F.sum("d").alias("d"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("x")  # O(days) rows — the only ordered window
+    u = (
+        daily.select("x")
+        .join(deltas, "x", "left")
+        .select("x", F.coalesce(F.col("d"), F.lit(0)).alias("d"))
+        .withColumn("u", F.sum("d").over(w))
+    )
+    n = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    best = (
+        u.orderBy(F.abs(F.col("u")).desc(), F.col("x").asc()).limit(1)
+        .select(F.col("x").alias("change_day"),
+                F.abs(F.col("u")).alias("k_stat"))
+    )
+    return (
+        n.crossJoin(F.broadcast(best))
+        .selectExpr(*_pettitt_select())
+    )
+
+
+def _pettitt_select() -> list[str]:
+    """The shared (Spark == DuckDB) final solve."""
+    p = ("least(1.0, 2.0 * exp(-6.0 * CAST(k_stat AS DOUBLE) * k_stat "
+         "/ (CAST(n_days AS DOUBLE) * n_days * n_days "
+         "+ CAST(n_days AS DOUBLE) * n_days)))")
+    pr = f"ROUND({p}, 6)"
+    return [
+        "CAST(n_days AS BIGINT) AS n_days",
+        "CAST(change_day AS BIGINT) AS change_day",
+        "CAST(k_stat AS BIGINT) AS k_stat",
+        f"{pr} AS p_approx",
+        f"({pr} < 0.05) AS significant",
+    ]
+
+
+@register(
+    "orders_pettitt_changepoint",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(datediff('day', DATE '1970-01-01',
+                           CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders WHERE year(CAST(o_orderdate AS DATE)) = {_TS_YEAR}
+      GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.x AS xi, b.x AS xj,
+             CAST(CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1
+                  ELSE 0 END AS BIGINT) AS s
+      FROM daily a JOIN daily b ON a.x < b.x
+    ),
+    deltas AS (
+      SELECT x, CAST(SUM(d) AS BIGINT) AS d FROM (
+        SELECT xi AS x, s AS d FROM pairs
+        UNION ALL SELECT xj AS x, -s AS d FROM pairs
+      ) GROUP BY x
+    ),
+    u AS (
+      SELECT d.x,
+             CAST(SUM(COALESCE(dl.d, 0)) OVER (ORDER BY d.x) AS BIGINT)
+               AS u
+      FROM daily d LEFT JOIN deltas dl ON dl.x = d.x
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+    best AS (
+      SELECT x AS change_day, CAST(abs(u) AS BIGINT) AS k_stat
+      FROM u ORDER BY abs(u) DESC, x ASC LIMIT 1
+    )
+    SELECT {", ".join(_pettitt_select())} FROM n, best
+    """,
+    doc=f"Pettitt changepoint test of {_TS_YEAR} daily order revenue: "
+    "K = max_t |U_t| with U_t the sign-sum over pairs straddling t, "
+    "computed as per-day integer DELTAS from the calendar-bounded "
+    "O(days^2) pair table + one O(days) prefix-sum window (the "
+    "t-dimension never materializes), argmax ties to the earliest day, "
+    "and Pettitt's 2exp(-6K^2/(n^3+n^2)) significance as one shared "
+    "fixed-order expression — the distribution-free changepoint "
+    "LOCATOR beside the CUSUM monitor.",
+)
+def orders_pettitt_changepoint(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    return pettitt_changepoint(load_table(spark, "orders", sf_dir))

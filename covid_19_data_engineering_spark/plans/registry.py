@@ -139,6 +139,8 @@ PRIORITY = (
     "orders_clone_restore_audit",
     # seasonal Mann-Kendall: within-month pairs across years
     "orders_seasonal_mann_kendall",
+    # Pettitt changepoint locator beside the CUSUM monitor
+    "orders_pettitt_changepoint",
     # LM family re-pinned: integer micro-unit NLL sums (order-independent)
     "lm_bigram_perplexity",
     "lm_trigram_interp_perplexity",
@@ -163,7 +165,6 @@ PRIORITY = (
     "order_price_distribution_ranks",
     "null_semantics_battery",
     "nation_top_customers",
-    "monthly_order_stats",
 )
 
 def _reorder_registry() -> None:

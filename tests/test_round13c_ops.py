@@ -569,3 +569,47 @@ def test_seasonal_mann_kendall_isolates_trend_from_seasonality(spark):
     assert flat["trend"] == "none"
     # all 4 years tie within each month: tie term == var18 contribution
     assert flat["var18"] == 0  # 12 * (4*3*13 - 4*3*13)
+
+
+def test_pettitt_locates_a_planted_level_shift(spark):
+    """30 days at 10.00 then 30 days at 50.00: the Pettitt statistic
+    must peak exactly at the last pre-shift day with K = 30*30 (every
+    straddling pair increases), p << 0.05."""
+    from covid_19_data_engineering_spark.operators.regression import (
+        pettitt_changepoint,
+    )
+
+    cents = [1000] * 30 + [5000] * 30
+    rows = []
+    for i, c in enumerate(cents):
+        mo, day = divmod(i, 28)
+        rows.append((i, f"1995-{mo + 1:02d}-{day + 1:02d}", c / 100.0))
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate string, o_totalprice double")
+    row = pettitt_changepoint(orders).collect()[0]
+    assert row["n_days"] == 60
+    assert row["k_stat"] == 30 * 30
+    # change_day = the 30th day in epoch-day units
+    import datetime
+
+    d30 = rows[29][1]
+    epoch = (datetime.date.fromisoformat(d30)
+             - datetime.date(1970, 1, 1)).days
+    assert row["change_day"] == epoch
+    assert row["significant"] and row["p_approx"] < 0.001
+
+
+def test_pettitt_flat_series_not_significant(spark):
+    """A constant series has U_t = 0 everywhere: K = 0, p = 1 (capped),
+    not significant, argmax ties to the earliest day."""
+    from covid_19_data_engineering_spark.operators.regression import (
+        pettitt_changepoint,
+    )
+
+    rows = [(i, f"1995-01-{i + 1:02d}", 10.0) for i in range(20)]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate string, o_totalprice double")
+    row = pettitt_changepoint(orders).collect()[0]
+    assert row["k_stat"] == 0
+    assert row["p_approx"] == 1.0
+    assert not row["significant"]
