@@ -141,6 +141,8 @@ PRIORITY = (
     "orders_seasonal_mann_kendall",
     # Pettitt changepoint locator beside the CUSUM monitor
     "orders_pettitt_changepoint",
+    # asymmetric containment dedup: quotes/inclusions Jaccard misses
+    "dedup_containment",
     # LM family re-pinned: integer micro-unit NLL sums (order-independent)
     "lm_bigram_perplexity",
     "lm_trigram_interp_perplexity",
@@ -164,7 +166,6 @@ PRIORITY = (
     "part_copurchase_pairs",
     "order_price_distribution_ranks",
     "null_semantics_battery",
-    "nation_top_customers",
 )
 
 def _reorder_registry() -> None:

@@ -613,3 +613,32 @@ def test_pettitt_flat_series_not_significant(spark):
     assert row["k_stat"] == 0
     assert row["p_approx"] == 1.0
     assert not row["significant"]
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    """A 12-token doc fully quoted inside a 120-token doc: containment
+    = 1.0 but Jaccard ~ 0.09 — below the 0.35 Jaccard gate. The
+    containment operator must surface the pair; the Jaccard twin must
+    not."""
+    from covid_19_data_engineering_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs_lsh,
+    )
+
+    quote = " ".join(f"q{i}" for i in range(12))
+    host = quote + " " + " ".join(f"h{i}" for i in range(108))
+    other = " ".join(f"z{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, quote, "en", "web"), (2, host, "en", "web"),
+         (3, other, "en", "web")],
+        "doc_id long, text string, lang string, source string")
+    got = {(r["doc_a"], r["doc_b"]): (r["containment"], r["jaccard"])
+           for r in ngram_containment_pairs(df).collect()}
+    assert (1, 2) in got
+    c, j = got[(1, 2)]
+    assert c == 1.0 and j < 0.35  # the asymmetric catch
+    jac = {(r["doc_a"], r["doc_b"])
+           for r in ngram_jaccard_pairs_lsh(df, threshold=0.35,
+                                            collapse=False).collect()}
+    assert (1, 2) not in jac
+    assert (1, 3) not in got and (2, 3) not in got
