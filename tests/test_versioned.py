@@ -2015,3 +2015,79 @@ def test_clone_of_clone_references_original_files(spark, tmp_path):
     restore_versioned(b, 1)
     assert {r["id"] for r in read_versioned(spark, b).collect()} == {1, 2}
     assert {r["id"] for r in read_versioned(spark, a).collect()} == {1, 2}
+
+
+def test_lifecycle_random_sequences_match_state_model(spark, tmp_path):
+    """Seeded random-sequence model check over the FULL table lifecycle
+    — append / overwrite / MERGE / DELETE / compact / RESTORE / vacuum
+    in arbitrary order — against the obvious python model (a dict per
+    committed version). After every operation the latest read must equal
+    the model's current state, a random surviving version must time-
+    travel to the model's recorded state, and RESTORE must jump the
+    current state to exactly the target version's dict."""
+    import random
+
+    from covid_19_data_engineering_spark.sources.versioned import (
+        compact_versioned,
+        delete_versioned,
+        merge_versioned,
+        restore_versioned,
+    )
+
+    def as_df(state: dict):
+        return spark.createDataFrame(
+            list(state.items()) or [], "k long, v long")
+
+    for seed in (11, 42):
+        rng = random.Random(seed)
+        path = str(tmp_path / f"life_{seed}")
+        cur = {k: rng.randint(0, 999) for k in range(5)}
+        v = write_versioned(as_df(cur), path)
+        hist = {v: dict(cur)}
+        next_key = 100
+        for _ in range(11):
+            op = rng.choice(["append", "merge", "delete", "overwrite",
+                             "compact", "restore", "vacuum"])
+            if op == "append":
+                fresh = {next_key + i: rng.randint(0, 999)
+                         for i in range(rng.randint(1, 4))}
+                next_key += 10
+                v = write_versioned(as_df(fresh), path, mode="append")
+                cur = {**cur, **fresh}
+            elif op == "merge":
+                keys = (rng.sample(sorted(cur), min(2, len(cur)))
+                        + [next_key])
+                next_key += 10
+                upd = {k: rng.randint(0, 999) for k in keys}
+                v = merge_versioned(spark, path, as_df(upd), key="k")
+                cur = {**cur, **upd}
+            elif op == "delete" and cur:
+                v = delete_versioned(spark, path, "v % 3 = 0")
+                cur = {k: val for k, val in cur.items() if val % 3 != 0}
+            elif op == "overwrite":
+                cur = {next_key + i: rng.randint(0, 999)
+                       for i in range(3)}
+                next_key += 10
+                v = write_versioned(as_df(cur), path)
+            elif op == "compact":
+                v = compact_versioned(spark, path)
+            elif op == "restore":
+                target = rng.choice(
+                    [t for t in table_versions(path) if t in hist])
+                v = restore_versioned(path, target)
+                cur = dict(hist[target])
+            elif op == "vacuum":
+                vacuum_versioned(path, keep_versions=2, retention_s=0.0)
+                hist = {t: s for t, s in hist.items()
+                        if t in table_versions(path)}
+                continue
+            hist[v] = dict(cur)
+            got = {r["k"]: r["v"]
+                   for r in read_versioned(spark, path).collect()}
+            assert got == cur, (seed, op, v)
+            probe = rng.choice(
+                [t for t in table_versions(path) if t in hist])
+            got_t = {r["k"]: r["v"]
+                     for r in read_versioned(spark, path,
+                                             version=probe).collect()}
+            assert got_t == hist[probe], (seed, op, probe)
