@@ -151,8 +151,12 @@ PRIORITY = (
     "rolling_7d_active_users",       # band -> |err| <= max(5, 2%)
     "approx_distinct_customers",     # band -> |err| <= max(5, 2%)
     "ann_pq_adc_topk",               # machinery parameterized (pq.py)
-    # --- staleness fillers: the 44 least-recently-driver-green queries
-    # as of r12 (staleness 5-11 rounds), most stale first ---
+    # --- staleness fillers: the least-recently-driver-green queries as
+    # of r12 (staleness 5-11 rounds), most stale first. Started as 44;
+    # each post-close registrant above displaced the LAST (least-stale)
+    # filler to hold the head at exactly 50 — the displaced entries are
+    # all driver-green within the last few rounds and remain covered by
+    # the full-registry gate sweeps (COVERAGE.md third-session close) ---
     "embedding_component_profile",
     "trailing_30d_spend",
     "status_priority_pivot",
