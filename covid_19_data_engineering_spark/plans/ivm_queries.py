@@ -647,3 +647,97 @@ def orders_clone_restore_audit(spark: SparkSession,
     return spark.createDataFrame(
         rows, "o_orderstatus string, n_orders long, custkey_sum long, "
               "n_corrupted_v2 long")
+
+
+@register(
+    "versioned_ndv_metadata",
+    oracle="""
+    WITH hashed AS (
+      SELECT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 13))::BIGINT
+               AS h
+      FROM orders WHERE o_custkey IS NOT NULL
+    ),
+    regs AS (
+      SELECT h % 256 AS idx,
+             MAX(CASE WHEN h // 256 > 0
+                      THEN 45 - length(bin(h // 256))
+                      ELSE 45 END) AS m_j
+      FROM hashed GROUP BY h % 256
+    ),
+    folded AS (
+      SELECT CAST(SUM(CAST(1 AS BIGINT) << (45 - CAST(m_j AS INT)))
+                  AS BIGINT) AS s_present,
+             CAST(COUNT(*) AS BIGINT) AS n_present
+      FROM regs
+    ),
+    est AS (
+      SELECT (256 - n_present) AS v,
+             CAST(47072.71267120224 AS DOUBLE)
+               * CAST(35184372088832.0 AS DOUBLE)
+               / CAST(s_present + (256 - n_present)
+                      * CAST(35184372088832 AS BIGINT) AS DOUBLE) AS raw
+      FROM folded
+    ),
+    approx AS (
+      SELECT FLOOR((CASE WHEN raw <= CAST(640.0 AS DOUBLE) AND v > 0
+                         THEN CAST(256.0 AS DOUBLE)
+                              * ln(CAST(256.0 AS DOUBLE)
+                                   / CAST(v AS DOUBLE))
+                         ELSE raw END) * 100.0 + 0.5) / 100.0
+               AS ndv_estimate
+      FROM est
+    ),
+    exact AS (
+      SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact
+      FROM orders WHERE o_custkey IS NOT NULL
+    )
+    SELECT x.n_exact, a.ndv_estimate,
+           (abs(a.ndv_estimate - x.n_exact)
+            <= greatest(CAST(5.0 AS DOUBLE),
+                        CAST(0.2 AS DOUBLE) * x.n_exact))
+             AS within_20pct
+    FROM approx a, exact x
+    """,
+    doc="METADATA-ONLY approx distinct on a versioned table: the gate "
+    "builds orders as a TWO-commit composition with per-file HLL NDV "
+    "registers (the Bloom-declared o_custkey column), then "
+    "snapshot_ndv_estimate max-merges the per-file registers from "
+    "commit metadata alone — no data file opened. The merge is "
+    "layout-INDEPENDENT (max over registers is associative across any "
+    "file split), so DuckDB replays the GLOBAL column HLL from the raw "
+    "table arithmetic-for-arithmetic and the estimates must agree "
+    "exactly; the exact distinct count and a max(5, 20%) tolerance "
+    "flag ride along as the accuracy audit. Iceberg's puffin-NDV "
+    "optimization, under the oracle gate.",
+)
+def versioned_ndv_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from covid_19_data_engineering_spark.sources.versioned import (
+        snapshot_ndv_estimate,
+    )
+
+    root = tempfile.mkdtemp(prefix="ndv_meta_")
+    path = os.path.join(root, "orders_tbl")
+    try:
+        orders = load_table(spark, "orders", sf_dir)
+        write_versioned(
+            orders.where("o_orderkey % 3 != 0")
+            .repartitionByRange(8, "o_orderkey"), path,
+            bloom_cols=["o_custkey"])
+        write_versioned(
+            orders.where("o_orderkey % 3 = 0")
+            .repartitionByRange(4, "o_orderkey"), path, mode="append",
+            bloom_cols=["o_custkey"])
+        est = snapshot_ndv_estimate(path, "o_custkey")
+        if est is None:
+            raise RuntimeError("NDV registers missing on a fresh table")
+        n_exact = int(
+            orders.where("o_custkey IS NOT NULL")
+            .agg(F.countDistinct("o_custkey")).collect()[0][0])
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    within = abs(est - n_exact) <= max(5.0, 0.2 * n_exact)
+    return spark.createDataFrame(
+        [(n_exact, float(est), bool(within))],
+        "n_exact long, ndv_estimate double, within_20pct boolean")

@@ -143,6 +143,8 @@ PRIORITY = (
     "orders_pettitt_changepoint",
     # asymmetric containment dedup: quotes/inclusions Jaccard misses
     "dedup_containment",
+    # metadata-only NDV: per-file HLL registers, max-merged (puffin-style)
+    "versioned_ndv_metadata",
     # LM family re-pinned: integer micro-unit NLL sums (order-independent)
     "lm_bigram_perplexity",
     "lm_trigram_interp_perplexity",
@@ -169,7 +171,6 @@ PRIORITY = (
     "part_name_fuzzy_pairs",
     "part_copurchase_pairs",
     "order_price_distribution_ranks",
-    "null_semantics_battery",
 )
 
 def _reorder_registry() -> None:

@@ -594,6 +594,128 @@ def _build_bloom_index(spark, path: str, rel_files: list[str],
     return out
 
 
+# --- per-file NDV (distinct-count) sketches ---------------------------------
+# min/max stats answer range pruning, Bloom filters answer point
+# lookups; neither answers "how many DISTINCT keys does this snapshot
+# hold?" without a scan. Iceberg stores theta-sketch NDVs in puffin
+# files for exactly this; here every Bloom-declared column also gets a
+# per-file HLL register array (the portable deterministic HLL of
+# operators/hll.py: p=8, 256 registers, 52-bit md5 hashes) recorded in
+# the commit. Registers max-merge, and the max-merge over a snapshot's
+# files equals the GLOBAL column HLL — layout-independent — so
+# ``snapshot_ndv_estimate`` answers APPROX COUNT DISTINCT from commit
+# metadata alone, no data file opened.
+
+_NDV_P = 8
+_NDV_M = 1 << _NDV_P
+_NDV_W_BITS = 52 - _NDV_P
+_NDV_ALPHA_M2 = 47072.71267120224  # alpha_256 * 256^2 (operators/hll.py)
+
+
+def _build_ndv_registers(spark, path: str, rel_files: list[str],
+                         cols: list[str]) -> dict:
+    """{rel_file: {col: [m_j; _NDV_M ints]}} over the NEW files of a
+    commit — one distributed pass per column, mirroring the Bloom build;
+    the collect is bounded at files x 256 register rows. Hash pipeline
+    is byte-identical to operators/hll.py so the merged sketch is
+    oracle-replayable."""
+    import pyspark.sql.functions as F
+
+    full = {os.path.abspath(os.path.join(path, f)): f for f in rel_files}
+    if not full or not cols:
+        return {}
+    norm = _uri_to_local_path
+    out: dict[str, dict] = {}
+    for col in cols:
+        df = (
+            spark.read.parquet(*full)
+            .select(F.input_file_name().alias("_f"),
+                    F.col(col).cast("string").alias("_v"))
+            .where(F.col("_v").isNotNull())
+        )
+        h = F.conv(F.substring(F.md5(F.col("_v")), 1, 13), 16, 10)             .cast("long")
+        rho = F.when(
+            F.col("w") > 0,
+            F.lit(_NDV_W_BITS + 1) - F.length(F.bin(F.col("w"))),
+        ).otherwise(F.lit(_NDV_W_BITS + 1))
+        regs = (
+            df.select("_f", h.alias("h"))
+            .withColumn("idx", F.expr(f"h % {_NDV_M}"))
+            .withColumn("w", F.expr(f"h div {_NDV_M}"))
+            .select("_f", "idx", rho.alias("rho"))
+            .groupBy("_f", "idx")
+            .agg(F.max("rho").alias("m_j"))
+            .collect()
+        )
+        per: dict[str, dict[int, int]] = {}
+        for r in regs:
+            per.setdefault(norm(r["_f"]), {})[int(r["idx"])] = int(r["m_j"])
+        for fabs, rel in full.items():
+            got = per.get(fabs, {})
+            out.setdefault(rel, {})[col] = [
+                got.get(i, 0) for i in range(_NDV_M)]
+    return out
+
+
+def _snapshot_ndv(path: str, version: int) -> dict:
+    """The live snapshot's {file: {col: registers}} map, walked exactly
+    like ``_snapshot`` (checkpoint-or-overwrite boundary, replace
+    commits swap entries by reference) and filtered to live files."""
+    chain = []
+    base: dict = {}
+    for v in range(version, 0, -1):
+        cp = _read_checkpoint(path, v)
+        if cp is not None:
+            base = dict(cp.get("ndv", {}))
+            break
+        c = _read_commit(path, v)
+        chain.append(c)
+        if c["action"] == "overwrite":
+            break
+    nd = base
+    for c in reversed(chain):
+        nd.update(c.get("ndv", {}))
+    live = set(_snapshot_files(path, version))
+    return {f: v for f, v in nd.items() if f in live}
+
+
+def snapshot_ndv_estimate(path: str, col: str,
+                          version: int | None = None) -> float | None:
+    """METADATA-ONLY approx distinct count of ``col`` over a committed
+    snapshot: max-merge the per-file HLL registers recorded by the
+    commits (associative and layout-independent — the merge equals the
+    global column HLL) and fold with the exact-integer harmonic sum +
+    linear-counting correction of operators/hll.py. Returns None when
+    ANY live file lacks registers for the column (legacy commits, or a
+    column never Bloom-declared) — callers then fall back to a scan,
+    never a silent undercount. Standard HLL error: ~1.04/sqrt(256) =
+    6.5% relative."""
+    import math
+
+    if version is None:
+        version = current_version(path)
+    nd = _snapshot_ndv(path, version)
+    live = _snapshot_files(path, version)
+    merged = [0] * _NDV_M
+    for f in live:
+        entry = nd.get(f, {}).get(col)
+        if entry is None:
+            return None
+        for i, mj in enumerate(entry):
+            if mj > merged[i]:
+                merged[i] = mj
+    unit = 1 << (_NDV_W_BITS + 1)
+    s = sum((1 << (_NDV_W_BITS + 1 - mj)) if mj > 0 else unit
+            for mj in merged)
+    v0 = sum(1 for mj in merged if mj == 0)
+    raw = _NDV_ALPHA_M2 * float(unit) / float(s)
+    if raw <= 2.5 * _NDV_M and v0 > 0:
+        raw = _NDV_M * math.log(_NDV_M / v0)
+    # HALF-UP to 2 decimals (python round() is banker's; the SQL twin
+    # this estimate is gate-compared against rounds half away)
+    return math.floor(raw * 100.0 + 0.5) / 100.0
+
+
 def _write_checkpoint(path: str, version: int,
                       replace_existing: bool = False) -> None:
     """Materialize ``version``'s full file list (plus per-file stats and
@@ -608,6 +730,7 @@ def _write_checkpoint(path: str, version: int,
     files, stats, bloom, rows = _snapshot(path, version)
     record = {"version": version, "files": files, "stats": stats,
               "bloom": bloom, "rows": rows,
+              "ndv": _snapshot_ndv(path, version),
               "txns": _checkpoint_txns(path, version),
               "bloom_cols": table_bloom_cols(path, version),
               "constraints": table_check_constraints(path, version)}
@@ -887,6 +1010,10 @@ def write_versioned(df: DataFrame, path: str, mode: str = "overwrite",
     bloom_cols_present = [c for c in (bloom_cols or []) if c in df.columns]
     new_bloom = _build_bloom_index(
         df.sparkSession, path, new_files, bloom_cols_present)
+    # Bloom-declared columns also carry per-file HLL NDV registers (the
+    # Iceberg-puffin-style distinct-count sketch; see _build_ndv_registers)
+    new_ndv = _build_ndv_registers(
+        df.sparkSession, path, new_files, bloom_cols_present)
     schema_json = df.schema.json()
 
     for _ in range(max_retries):
@@ -945,6 +1072,7 @@ def write_versioned(df: DataFrame, path: str, mode: str = "overwrite",
             "files": new_files,
             "stats": new_stats,
             "bloom": new_bloom,
+            "ndv": new_ndv,
             "rows": new_rows,
             "schema": commit_schema,
             "ts": time.time(),
@@ -1696,6 +1824,9 @@ def clone_versioned(src_path: str, dst_path: str,
         "files": abs_files,
         "stats": {_abs(k): v for k, v in stats.items() if k in live},
         "bloom": {_abs(k): v for k, v in bloom.items() if k in live},
+        "ndv": {_abs(k): v
+                for k, v in _snapshot_ndv(src_path, version).items()
+                if k in live},
         "rows": {_abs(k): v for k, v in rows.items() if k in live},
         "schema": _read_commit(src_path, version)["schema"],
         "ts": time.time(),
@@ -1749,6 +1880,8 @@ def restore_versioned(path: str, version: int,
         "files": list(files),
         "stats": {k: v for k, v in stats.items() if k in live},
         "bloom": {k: v for k, v in bloom.items() if k in live},
+        "ndv": {k: v for k, v in _snapshot_ndv(path, version).items()
+                if k in live},
         "rows": {k: v for k, v in rows.items() if k in live},
         "schema": _read_commit(path, version)["schema"],
         "restored_from": version,

@@ -2091,3 +2091,77 @@ def test_lifecycle_random_sequences_match_state_model(spark, tmp_path):
                      for r in read_versioned(spark, path,
                                              version=probe).collect()}
             assert got_t == hist[probe], (seed, op, probe)
+
+
+# --------------------------------------------------------------------------
+# Per-file NDV sketches: metadata-only APPROX COUNT DISTINCT.
+# --------------------------------------------------------------------------
+
+
+def test_ndv_estimate_metadata_only_and_merges_across_commits(
+        spark, tmp_path):
+    from covid_19_data_engineering_spark.sources.versioned import (
+        snapshot_ndv_estimate,
+    )
+
+    path = str(tmp_path / "t")
+    df1 = spark.createDataFrame(
+        [(i, f"u{i % 300}") for i in range(600)], "id long, u string")
+    write_versioned(df1.repartition(3), path, bloom_cols=["u"])
+    est1 = snapshot_ndv_estimate(path, "u")
+    assert est1 is not None and abs(est1 - 300) / 300 < 0.15
+    # an append with 200 FRESH keys: the merged sketch must move up
+    df2 = spark.createDataFrame(
+        [(i, f"w{i % 200}") for i in range(400)], "id long, u string")
+    write_versioned(df2.repartition(2), path, mode="append",
+                    bloom_cols=["u"])
+    est2 = snapshot_ndv_estimate(path, "u")
+    assert est2 is not None and abs(est2 - 500) / 500 < 0.15
+    # undeclared column -> None (fall back to a scan, never a guess)
+    assert snapshot_ndv_estimate(path, "id") is None
+
+
+def test_ndv_missing_registers_returns_none_not_undercount(
+        spark, tmp_path):
+    from covid_19_data_engineering_spark.sources.versioned import (
+        snapshot_ndv_estimate,
+    )
+
+    path = str(tmp_path / "t")
+    write_versioned(
+        spark.createDataFrame([(1, "a")], "id long, u string"), path,
+        bloom_cols=["u"])
+    # a legacy-style append WITHOUT the declaration leaves one live
+    # file with no registers: the estimate must refuse, not undercount
+    write_versioned(
+        spark.createDataFrame([(2, "b")], "id long, u string"), path,
+        mode="append")
+    assert snapshot_ndv_estimate(path, "u") is None
+
+
+def test_ndv_survives_merge_rewrite_clone_and_restore(spark, tmp_path):
+    from covid_19_data_engineering_spark.sources.versioned import (
+        clone_versioned,
+        merge_versioned,
+        restore_versioned,
+        snapshot_ndv_estimate,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    base = spark.createDataFrame(
+        [(i, f"k{i}") for i in range(400)], "id long, u string")
+    write_versioned(base.repartition(4), src, bloom_cols=["u"])
+    merge_versioned(
+        spark, src,
+        spark.createDataFrame([(5, "k5x"), (900, "k900")],
+                              "id long, u string"),
+        key="id")
+    est = snapshot_ndv_estimate(src, "u")
+    assert est is not None and abs(est - 402) / 402 < 0.15
+    clone_versioned(src, dst)
+    est_c = snapshot_ndv_estimate(dst, "u")
+    assert est_c == est  # the clone carries the sketch byte-for-byte
+    restore_versioned(src, 1)
+    est_r = snapshot_ndv_estimate(src, "u")
+    assert est_r is not None and abs(est_r - 400) / 400 < 0.15
