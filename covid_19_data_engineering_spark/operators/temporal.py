@@ -882,3 +882,118 @@ def twap_daily(events: DataFrame, event_type: str = "view") -> DataFrame:
 )
 def events_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return twap_daily(load_table(spark, "events", sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Maximum drawdown — the worst peak-to-trough collapse of the daily
+# revenue series: the risk/monitoring readout finance runs on equity
+# curves and an ops team runs on volume ("how bad did the worst slump
+# get, and when"). Exact integers end to end.
+# --------------------------------------------------------------------------
+
+
+def max_drawdown_daily(orders: DataFrame, year: int = 1995) -> DataFrame:
+    """One row: (n_days, peak_day, trough_day, peak_cents, trough_cents,
+    drawdown_cents, drawdown_pct) for one calendar year of daily
+    revenue.
+
+    The corpus reduces to O(days) exact-BIGINT daily totals; a running
+    max + a running drawdown are two ordered windows over those O(days)
+    rows (bounded by calendar time, never event volume). The trough is
+    the EARLIEST day achieving the maximal drawdown, and its peak the
+    EARLIEST day at or before it achieving the running max — both
+    deterministic under ties; drawdown_pct is one fixed-order final
+    expression.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        orders.where(F.expr(f"year(CAST(o_orderdate AS DATE)) = {year}"))
+        .groupBy(
+            F.expr("CAST(datediff(CAST(o_orderdate AS DATE), "
+                   "DATE '1970-01-01') AS BIGINT)").alias("x"))
+        .agg(F.sum(F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"))
+             .alias("y"))
+        .localCheckpoint(eager=False)
+    )
+    w = Window.orderBy("x")  # O(days) rows
+    dd = (
+        daily.withColumn("runmax", F.max("y").over(w))
+        .withColumn("dd", F.col("runmax") - F.col("y"))
+    ).localCheckpoint(eager=False)
+    trough = (
+        dd.orderBy(F.col("dd").desc(), F.col("x").asc()).limit(1)
+        .select(F.col("x").alias("trough_day"),
+                F.col("y").alias("trough_cents"),
+                F.col("runmax").alias("peak_cents"),
+                F.col("dd").alias("drawdown_cents"))
+    )
+    peak = (
+        dd.crossJoin(F.broadcast(trough))
+        .where((F.col("x") <= F.col("trough_day"))
+               & (F.col("y") == F.col("peak_cents")))
+        .orderBy(F.col("x").asc()).limit(1)
+        .select(
+            F.col("x").alias("peak_day"),
+            "trough_day", "peak_cents", "trough_cents", "drawdown_cents",
+        )
+    )
+    n = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    return n.crossJoin(F.broadcast(peak)).selectExpr(
+        "CAST(n_days AS BIGINT) AS n_days",
+        "CAST(peak_day AS BIGINT) AS peak_day",
+        "CAST(trough_day AS BIGINT) AS trough_day",
+        "CAST(peak_cents AS BIGINT) AS peak_cents",
+        "CAST(trough_cents AS BIGINT) AS trough_cents",
+        "CAST(drawdown_cents AS BIGINT) AS drawdown_cents",
+        "ROUND(CAST(drawdown_cents AS DOUBLE) / peak_cents * 100.0, 4)"
+        " AS drawdown_pct",
+    )
+
+
+@register(
+    "orders_max_drawdown",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(datediff('day', DATE '1970-01-01',
+                           CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1995
+      GROUP BY 1
+    ),
+    dd AS (
+      SELECT x, y,
+             CAST(MAX(y) OVER (ORDER BY x) AS BIGINT) AS runmax,
+             CAST(MAX(y) OVER (ORDER BY x) - y AS BIGINT) AS dd
+      FROM daily
+    ),
+    trough AS (
+      SELECT x AS trough_day, y AS trough_cents, runmax AS peak_cents,
+             dd AS drawdown_cents
+      FROM dd ORDER BY dd DESC, x ASC LIMIT 1
+    ),
+    peak AS (
+      SELECT d.x AS peak_day, t.trough_day, t.peak_cents,
+             t.trough_cents, t.drawdown_cents
+      FROM dd d, trough t
+      WHERE d.x <= t.trough_day AND d.y = t.peak_cents
+      ORDER BY d.x ASC LIMIT 1
+    )
+    SELECT CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n_days,
+           peak_day, trough_day, peak_cents, trough_cents,
+           drawdown_cents,
+           ROUND(CAST(drawdown_cents AS DOUBLE) / peak_cents * 100.0, 4)
+             AS drawdown_pct
+    FROM peak
+    """,
+    doc="Maximum drawdown of the 1995 daily revenue series: running max "
+    "and running drawdown as two ordered windows over the O(days) "
+    "rollup (calendar-bounded, never event volume), earliest-trough / "
+    "earliest-peak deterministic tiebreaks, exact BIGINT cents end to "
+    "end with one final pct expression — the worst peak-to-trough "
+    "collapse readout, beside the backlog curve and the control "
+    "charts.",
+)
+def orders_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return max_drawdown_daily(load_table(spark, "orders", sf_dir))

@@ -145,6 +145,8 @@ PRIORITY = (
     "dedup_containment",
     # metadata-only NDV: per-file HLL registers, max-merged (puffin-style)
     "versioned_ndv_metadata",
+    # max drawdown: worst peak-to-trough collapse of daily revenue
+    "orders_max_drawdown",
     # LM family re-pinned: integer micro-unit NLL sums (order-independent)
     "lm_bigram_perplexity",
     "lm_trigram_interp_perplexity",
@@ -170,7 +172,6 @@ PRIORITY = (
     "part_string_funcs",
     "part_name_fuzzy_pairs",
     "part_copurchase_pairs",
-    "order_price_distribution_ranks",
 )
 
 def _reorder_registry() -> None:

@@ -642,3 +642,40 @@ def test_containment_catches_what_jaccard_misses(spark):
                                             collapse=False).collect()}
     assert (1, 2) not in jac
     assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_max_drawdown_planted_peak_trough(spark):
+    """Rise to 50.00, collapse to 20.00, recover: drawdown = 30.00 from
+    the planted peak day to the planted trough day, 60%."""
+    from covid_19_data_engineering_spark.operators.temporal import (
+        max_drawdown_daily,
+    )
+
+    cents = [1000, 3000, 5000, 4000, 2000, 4500, 4800]
+    rows = [(i, f"1995-01-{i + 1:02d}", c / 100.0)
+            for i, c in enumerate(cents)]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate string, o_totalprice double")
+    row = max_drawdown_daily(orders).collect()[0]
+    assert row["n_days"] == 7
+    assert row["drawdown_cents"] == 3000
+    assert row["peak_cents"] == 5000 and row["trough_cents"] == 2000
+    assert row["trough_day"] - row["peak_day"] == 2  # day 3 -> day 5
+    assert row["drawdown_pct"] == 60.0
+
+
+def test_max_drawdown_monotone_rise_is_zero(spark):
+    """A strictly rising series never draws down: drawdown 0, trough
+    ties to the EARLIEST day (deterministic)."""
+    from covid_19_data_engineering_spark.operators.temporal import (
+        max_drawdown_daily,
+    )
+
+    rows = [(i, f"1995-01-{i + 1:02d}", 10.0 + i)
+            for i in range(10)]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate string, o_totalprice double")
+    row = max_drawdown_daily(orders).collect()[0]
+    assert row["drawdown_cents"] == 0
+    assert row["trough_day"] == row["peak_day"]  # earliest day, dd = 0
+    assert row["drawdown_pct"] == 0.0
