@@ -782,3 +782,90 @@ def pmi_collocations(docs: DataFrame, min_support: int = PMI_MIN_SUPPORT,
 )
 def token_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_collocations(load_table(spark, "documents", sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Readability profile — Flesch reading ease per source: the classic
+# corpus-filtering signal (too-hard and too-trivial text both correlate
+# with junk) beside the length/punctuation/stopword quality profile.
+# --------------------------------------------------------------------------
+
+_READ_FX = 10_000  # per-doc fixed point for the Flesch score
+
+
+def readability_profile(docs: DataFrame) -> DataFrame:
+    """(source, n_docs, avg_flesch, avg_syllables_per_word): Flesch
+    reading ease 206.835 - 1.015*(words/sentences) -
+    84.6*(syllables/words), with syllables approximated by vowel groups
+    ([aeiouy]+ runs, the standard heuristic) and sentence count
+    guarded to >= 1 (the corpus carries unpunctuated docs).
+
+    Exactness: words / sentences / syllable-groups are exact integer
+    counts per document; each doc's Flesch score is ONE fixed-order
+    double expression rounded to 1e-4 fixed point, so the per-source
+    mean is a BIGINT sum divided once — no doc-order-dependent float
+    reduction. Map-only until one groupBy on source."""
+    w = F.expr("size(split(text, ' '))")
+    sents = F.expr("greatest(1, regexp_count(text, '[.!?]+'))")
+    syl = F.expr("regexp_count(lower(text), '[aeiouy]+')")
+    flesch = (F.lit(206.835)
+              - F.lit(1.015) * w.cast("double") / sents.cast("double")
+              - F.lit(84.6) * syl.cast("double") / w.cast("double"))
+    per_doc = docs.where(w > 0).select(
+        "source",
+        F.round(flesch * _READ_FX).cast("long").alias("flesch_fx"),
+        F.round(syl.cast("double") / w.cast("double") * _READ_FX)
+        .cast("long").alias("spw_fx"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("flesch_fx").alias("sf"),
+             F.sum("spw_fx").alias("ss"))
+        .selectExpr(
+            "source",
+            "CAST(n_docs AS BIGINT) AS n_docs",
+            f"ROUND(CAST(sf AS DOUBLE) / n_docs / {_READ_FX}, 4)"
+            " AS avg_flesch",
+            f"ROUND(CAST(ss AS DOUBLE) / n_docs / {_READ_FX}, 4)"
+            " AS avg_syllables_per_word",
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "text_readability_profile",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT source,
+             CAST(round((206.835
+               - 1.015 * CAST(len(string_split(text, ' ')) AS DOUBLE)
+                 / CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+                        AS DOUBLE)
+               - 84.6 * CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                             AS DOUBLE)
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE))
+               * {_READ_FX}) AS BIGINT) AS flesch_fx,
+             CAST(round(CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                             AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE)
+               * {_READ_FX}) AS BIGINT) AS spw_fx
+      FROM documents WHERE len(string_split(text, ' ')) > 0
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(flesch_fx) AS DOUBLE) / COUNT(*) / {_READ_FX}, 4)
+             AS avg_flesch,
+           ROUND(CAST(SUM(spw_fx) AS DOUBLE) / COUNT(*) / {_READ_FX}, 4)
+             AS avg_syllables_per_word
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+    doc="Flesch reading-ease profile per source (vowel-group syllable "
+    "heuristic, sentence count guarded >= 1 for unpunctuated docs): "
+    "each doc's score is one fixed-order double rounded to 1e-4 fixed "
+    "point so the per-source mean sums BIGINTs — the standard "
+    "readability corpus-filtering signal beside the quality scorecard. "
+    "Map-only until one source groupBy.",
+)
+def text_readability_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return readability_profile(load_table(spark, "documents", sf_dir))

@@ -147,6 +147,8 @@ PRIORITY = (
     "versioned_ndv_metadata",
     # max drawdown: worst peak-to-trough collapse of daily revenue
     "orders_max_drawdown",
+    # Flesch readability corpus-filtering signal per source
+    "text_readability_profile",
     # LM family re-pinned: integer micro-unit NLL sums (order-independent)
     "lm_bigram_perplexity",
     "lm_trigram_interp_perplexity",
@@ -171,7 +173,6 @@ PRIORITY = (
     "price_quantiles_by_segment",
     "part_string_funcs",
     "part_name_fuzzy_pairs",
-    "part_copurchase_pairs",
 )
 
 def _reorder_registry() -> None:

@@ -679,3 +679,30 @@ def test_max_drawdown_monotone_rise_is_zero(spark):
     assert row["drawdown_cents"] == 0
     assert row["trough_day"] == row["peak_day"]  # earliest day, dd = 0
     assert row["drawdown_pct"] == 0.0
+
+
+def test_readability_flesch_exact_formula(spark):
+    """A known sentence replica: words, vowel-group syllables, and the
+    Flesch formula must match a hand computation; unpunctuated docs
+    guard sentences to 1."""
+    from covid_19_data_engineering_spark.operators.textstats import (
+        readability_profile,
+    )
+
+    text = "the cat sat on the mat. it was happy."
+    docs = spark.createDataFrame(
+        [(1, text, "en", "a"), (2, "tsk qrs brr", "en", "b")],
+        "doc_id long, text string, lang string, source string")
+    rows = {r["source"]: r for r in readability_profile(docs).collect()}
+
+    import re
+    w = len(text.split(" "))
+    sents = max(1, len(re.findall(r"[.!?]+", text)))
+    syl = len(re.findall(r"[aeiouy]+", text.lower()))
+    flesch = 206.835 - 1.015 * w / sents - 84.6 * syl / w
+    fx = round(flesch * 10000)
+    assert rows["a"]["avg_flesch"] == round(fx / 1 / 10000, 4)
+    # doc 2 has ZERO vowel groups (y is a vowel, so no y anywhere) ->
+    # syllables 0, flesch = 206.835 - 1.015*3
+    assert rows["b"]["avg_syllables_per_word"] == 0.0
+    assert rows["b"]["avg_flesch"] == round(206.835 - 1.015 * 3, 4)
