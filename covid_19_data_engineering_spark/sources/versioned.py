@@ -1240,7 +1240,8 @@ def table_history(path: str) -> list[dict]:
 
 
 def vacuum_versioned(path: str, keep_versions: int = 2,
-                     retention_s: float = VACUUM_RETENTION_S) -> list[str]:
+                     retention_s: float = VACUUM_RETENTION_S,
+                     dry_run: bool = False) -> list[str]:
     """Delete data files unreachable from the newest ``keep_versions``
     snapshots (crash orphans included) and drop commit records older than
     the oldest kept snapshot's checkpoint-or-overwrite anchor. Returns the
@@ -1255,7 +1256,12 @@ def vacuum_versioned(path: str, keep_versions: int = 2,
     torn table. Pass ``retention_s=0.0`` only when no writer can be
     concurrent with the vacuum. The data-dir listing itself is the orphan
     -detection pass every log-structured format pays; the KEEP set now
-    resolves through checkpoints, O(interval) log reads per kept version."""
+    resolves through checkpoints, O(interval) log reads per kept version.
+
+    ``dry_run=True`` returns the same would-be-deleted file list WITHOUT
+    touching disk (no file deletes, no log drops, no anchor-checkpoint
+    upgrade) — the operational preview every destructive retention tool
+    owes its operator before the real run."""
     now = time.time()
     versions = table_versions(path)
     kept = versions[-keep_versions:] if keep_versions > 0 else []
@@ -1267,7 +1273,7 @@ def vacuum_versioned(path: str, keep_versions: int = 2,
                and _read_commit(path, anchor)["action"] != "overwrite"):
             anchor -= 1
         kept = [v for v in versions if v >= anchor]
-        if any(v < anchor for v in versions):
+        if not dry_run and any(v < anchor for v in versions):
             cp = _read_checkpoint(path, anchor)
             if (cp is None or "bloom_cols" not in cp or "txns" not in cp
                     or "constraints" not in cp):
@@ -1292,12 +1298,16 @@ def vacuum_versioned(path: str, keep_versions: int = 2,
                 full = os.path.join(cdir, n)
                 if (n.endswith(".parquet") and rel not in keep_files
                         and os.path.getmtime(full) <= now - retention_s):
-                    os.unlink(full)
+                    if not dry_run:
+                        os.unlink(full)
                     deleted.append(rel)
-            if not any(n.endswith(".parquet") for n in os.listdir(cdir)):
+            if not dry_run and not any(
+                    n.endswith(".parquet") for n in os.listdir(cdir)):
                 for n in os.listdir(cdir):
                     os.unlink(os.path.join(cdir, n))
                 os.rmdir(cdir)
+    if dry_run:
+        return deleted
     for v in versions:
         if v not in kept:
             os.unlink(_commit_path(path, v))

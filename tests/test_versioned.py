@@ -2165,3 +2165,21 @@ def test_ndv_survives_merge_rewrite_clone_and_restore(spark, tmp_path):
     restore_versioned(src, 1)
     est_r = snapshot_ndv_estimate(src, "u")
     assert est_r is not None and abs(est_r - 400) / 400 < 0.15
+
+
+def test_vacuum_dry_run_previews_without_touching_disk(spark, tbl):
+    """dry_run lists exactly what the real vacuum would delete, while
+    leaving every file, commit record, and checkpoint untouched."""
+    write_versioned(_df(spark, [(1, "a")]), tbl)
+    write_versioned(_df(spark, [(2, "b")]), tbl, mode="overwrite")
+    write_versioned(_df(spark, [(3, "c")]), tbl, mode="overwrite")
+    before = sorted(
+        os.path.join(p, n) for p, _, ns in os.walk(tbl) for n in ns)
+    preview = vacuum_versioned(tbl, keep_versions=1, retention_s=0.0,
+                               dry_run=True)
+    after = sorted(
+        os.path.join(p, n) for p, _, ns in os.walk(tbl) for n in ns)
+    assert preview and after == before  # nothing moved
+    real = vacuum_versioned(tbl, keep_versions=1, retention_s=0.0)
+    assert sorted(real) == sorted(preview)  # the preview was exact
+    assert {r["id"] for r in read_versioned(spark, tbl).collect()} == {3}
