@@ -149,6 +149,8 @@ PRIORITY = (
     "orders_max_drawdown",
     # Flesch readability corpus-filtering signal per source
     "text_readability_profile",
+    # 6th streaming oracle: LEFT OUTER join null emission at watermark
+    "events_click_left_join_streamed",
     # LM family re-pinned: integer micro-unit NLL sums (order-independent)
     "lm_bigram_perplexity",
     "lm_trigram_interp_perplexity",
@@ -172,7 +174,6 @@ PRIORITY = (
     "referential_integrity_check",
     "price_quantiles_by_segment",
     "part_string_funcs",
-    "part_name_fuzzy_pairs",
 )
 
 def _reorder_registry() -> None:

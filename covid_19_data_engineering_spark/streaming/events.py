@@ -888,3 +888,138 @@ def events_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.sum("value"), 2).alias("total_value"))
         .orderBy("event_type")
     )
+
+
+def stream_click_purchase_left_join(events: DataFrame) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every purchase, joined to its
+    preceding-30-minute clicks where they exist, emitted with NULL click
+    columns otherwise. The semantics inner joins cannot show: an
+    unmatched left row emits ONLY when the global watermark (the MIN of
+    the two sides' watermarks) passes the point where a match is
+    provably impossible — rows younger than the final watermark stay in
+    state and never emit, which the oracle replicates exactly."""
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", WATERMARK_DELAY)
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value"),
+        )
+        .withWatermark("purchase_ts", WATERMARK_DELAY)
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            """
+            p_user = c_user AND
+            click_ts < purchase_ts AND
+            click_ts >= purchase_ts - INTERVAL 30 MINUTES
+            """
+        ),
+        "leftOuter",
+    ).select("purchase_id", "purchase_ts", "p_user", "click_id",
+             "click_ts", "value")
+
+
+@register(
+    "events_click_left_join_streamed",
+    # The outer half's emission boundary is the join's final GLOBAL
+    # watermark: min over both sides of (max event time - 10 min). An
+    # unmatched purchase emits its NULL row iff a match is provably
+    # impossible under that watermark; younger unmatched purchases are
+    # still buffered when the drain ends and must NOT appear.
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts, event_id
+      FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS purchase_ts, event_id,
+             value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    wm AS (
+      SELECT least((SELECT MAX(click_ts) FROM clicks),
+                   (SELECT MAX(purchase_ts) FROM purchases))
+             - INTERVAL 10 MINUTES AS w
+    ),
+    matched AS (
+      SELECT p.event_id AS purchase_id, p.purchase_ts,
+             p.user_id AS p_user, c.event_id AS click_id, c.click_ts,
+             p.value
+      FROM purchases p JOIN clicks c
+        ON p.user_id = c.user_id
+       AND c.click_ts < p.purchase_ts
+       AND c.click_ts >= p.purchase_ts - INTERVAL 30 MINUTES
+    )
+    SELECT purchase_id, purchase_ts, p_user, click_id, click_ts, value
+    FROM matched
+    UNION ALL
+    SELECT p.event_id, p.purchase_ts, p.user_id,
+           CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP), p.value
+    FROM purchases p, wm
+    WHERE p.purchase_ts < wm.w
+      AND NOT EXISTS (
+        SELECT 1 FROM clicks c
+        WHERE c.user_id = p.user_id
+          AND c.click_ts < p.purchase_ts
+          AND c.click_ts >= p.purchase_ts - INTERVAL 30 MINUTES)
+    ORDER BY purchase_id, click_id
+    """,
+    doc="Stream-stream LEFT OUTER join through the ACTUAL streaming "
+    "engine: matched purchase-click pairs plus NULL-click rows for "
+    "purchases whose match window provably closed — emitted exactly "
+    "when the global watermark (min of both sides) passes the row, so "
+    "unmatched purchases younger than the final watermark stay "
+    "buffered and never appear. The sixth streaming-native oracle: "
+    "after bucket-assign, session merge, dual-buffer inner join, "
+    "exactly-once sink, and watermark dedup, this gates the outer "
+    "join's state-expiry null emission end-to-end against DuckDB's "
+    "replay of the same boundary.",
+)
+def events_click_left_join_streamed(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    import tempfile
+
+    joined = stream_click_purchase_left_join(
+        events_stream(spark, sf_dir, source="files"))
+    name = f"click_left_streamed_{next(_STREAM_ORACLE_SEQ)}"
+    ckpt = tempfile.mkdtemp(prefix="stream_oracle_ckpt_")
+    q = (
+        joined.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                f"streaming drain {name} did not finish within 300s; "
+                "refusing to read a partially-filled memory sink")
+    finally:
+        import shutil
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return (
+        spark.table(name)
+        .select(
+            "purchase_id",
+            F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+            "p_user",
+            "click_id",
+            F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+            "value",
+        )
+        .orderBy("purchase_id", "click_id")
+    )

@@ -706,3 +706,52 @@ def test_readability_flesch_exact_formula(spark):
     # syllables 0, flesch = 206.835 - 1.015*3
     assert rows["b"]["avg_syllables_per_word"] == 0.0
     assert rows["b"]["avg_flesch"] == round(206.835 - 1.015 * 3, 4)
+
+
+def test_streamed_left_join_null_emission_boundary(spark):
+    """Planted watermark-expiry semantics: purchase A (old, no click)
+    must emit a NULL-click row; purchase B (younger than the final
+    watermark, no click) must stay buffered and NOT appear; purchase C
+    (matched) emits its pair. Drives the REAL streaming engine off the
+    rate-free memory-of-files path via a parquet temp dir."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from covid_19_data_engineering_spark.streaming.events import (
+        stream_click_purchase_left_join,
+    )
+
+    rows = [
+        # (event_id, user_id, event_type, ts, value)
+        (1, 10, "purchase", "2024-01-01 00:00:00", 5.0),   # A: old, alone
+        (2, 20, "click", "2024-01-01 02:00:00", 0.0),
+        (3, 20, "purchase", "2024-01-01 02:10:00", 7.0),   # C: matched
+        (4, 30, "purchase", "2024-01-01 02:55:00", 9.0),   # B: young, alone
+        (5, 40, "click", "2024-01-01 03:00:00", 0.0),      # watermark anchor
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        src = f"{td}/events.parquet"
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, "
+                  "ts string, value double"
+        ).withColumn("ts", F.col("ts").cast("timestamp")) \
+            .write.parquet(src)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .format("parquet").load(src)
+        )
+        out = stream_click_purchase_left_join(stream)
+        name = "left_join_planted_sink"
+        ckpt = f"{td}/ckpt"
+        q = (
+            out.writeStream.format("memory").queryName(name)
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        assert q.awaitTermination(120)
+        got = {r["purchase_id"]: r["click_id"]
+               for r in spark.table(name).collect()}
+    # final watermark = min(max click 03:00, max purchase 02:55) - 10min
+    # = 02:45. A (00:00) < 02:45 -> NULL row; B (02:55) >= 02:45 -> held.
+    assert got == {1: None, 3: 2}
