@@ -1081,3 +1081,121 @@ def _pettitt_select() -> list[str]:
 def orders_pettitt_changepoint(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
     return pettitt_changepoint(load_table(spark, "orders", sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Wald-Wolfowitz runs test — is the daily series RANDOM, or does it
+# streak/alternate? The classic nonparametric randomness check on the
+# signs of day-over-day moves: too FEW runs = trending/sticky, too MANY
+# = mean-reverting/oscillating. Completes the trend family with the
+# null every trend test assumes.
+# --------------------------------------------------------------------------
+
+
+def runs_test_daily(orders: DataFrame, year: int = _TS_YEAR) -> DataFrame:
+    """One row: (n_up, n_down, n_runs, z_stat, verdict) over one
+    calendar year of daily revenue moves.
+
+    Signs are day-over-day differences of exact BIGINT daily totals
+    (zeros discarded, the standard treatment); the run count is
+    1 + the number of sign CHANGES between consecutive surviving signs
+    (one lag window over O(days) rows). n_up/n_down/n_runs are exact
+    integers; E[R] = 2*n1*n2/n + 1 and the exact variance
+    2*n1*n2*(2*n1*n2 - n)/(n^2*(n-1)) feed one fixed-order z expression
+    shared verbatim with the oracle, guarded for the degenerate
+    all-one-sign case (variance 0 -> z := 0).
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        orders.where(F.expr(f"year(CAST(o_orderdate AS DATE)) = {year}"))
+        .groupBy(
+            F.expr("CAST(datediff(CAST(o_orderdate AS DATE), "
+                   "DATE '1970-01-01') AS BIGINT)").alias("x"))
+        .agg(F.sum(F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"))
+             .alias("y"))
+    )
+    w = Window.orderBy("x")  # O(days) rows
+    signs = (
+        daily.withColumn("prev", F.lag("y").over(w))
+        .where(F.col("prev").isNotNull() & (F.col("y") != F.col("prev")))
+        .select(
+            "x",
+            F.when(F.col("y") > F.col("prev"), F.lit(1)).otherwise(F.lit(-1))
+            .alias("s"),
+        )
+    )
+    w2 = Window.orderBy("x")
+    runs = (
+        signs.withColumn("ps", F.lag("s").over(w2))
+        .agg(
+            F.sum(F.expr("CASE WHEN s = 1 THEN 1 ELSE 0 END"))
+            .alias("n_up"),
+            F.sum(F.expr("CASE WHEN s = -1 THEN 1 ELSE 0 END"))
+            .alias("n_down"),
+            (F.sum(F.expr(
+                "CASE WHEN ps IS NOT NULL AND s != ps THEN 1 ELSE 0 END"))
+             + 1).alias("n_runs"),
+        )
+    )
+    return runs.selectExpr(*_runs_select())
+
+
+def _runs_select() -> list[str]:
+    """The shared (Spark == DuckDB) final solve."""
+    n1, n2 = "CAST(n_up AS DOUBLE)", "CAST(n_down AS DOUBLE)"
+    n = f"({n1} + {n2})"
+    er = f"(2.0 * {n1} * {n2} / {n} + 1.0)"
+    var = (f"(2.0 * {n1} * {n2} * (2.0 * {n1} * {n2} - {n}) "
+           f"/ ({n} * {n} * ({n} - 1.0)))")
+    z = (f"(CASE WHEN {var} <= 0 THEN CAST(0 AS DOUBLE) "
+         f"ELSE (CAST(n_runs AS DOUBLE) - {er}) / sqrt({var}) END)")
+    zr = f"ROUND({z}, 4)"
+    return [
+        "CAST(n_up AS BIGINT) AS n_up",
+        "CAST(n_down AS BIGINT) AS n_down",
+        "CAST(n_runs AS BIGINT) AS n_runs",
+        f"{zr} AS z_stat",
+        f"(CASE WHEN {zr} < -{_MK_Z_CRIT} THEN 'streaky' "
+        f"WHEN {zr} > {_MK_Z_CRIT} THEN 'oscillating' "
+        "ELSE 'random' END) AS verdict",
+    ]
+
+
+@register(
+    "orders_runs_test",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(datediff('day', DATE '1970-01-01',
+                           CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders WHERE year(CAST(o_orderdate AS DATE)) = {_TS_YEAR}
+      GROUP BY 1
+    ),
+    signs AS (
+      SELECT x, CASE WHEN y > prev THEN 1 ELSE -1 END AS s
+      FROM (SELECT x, y, lag(y) OVER (ORDER BY x) AS prev FROM daily)
+      WHERE prev IS NOT NULL AND y != prev
+    ),
+    runs AS (
+      SELECT CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_up,
+             CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_down,
+             CAST(SUM(CASE WHEN ps IS NOT NULL AND s != ps
+                      THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_runs
+      FROM (SELECT s, lag(s) OVER (ORDER BY x) AS ps FROM signs)
+    )
+    SELECT {", ".join(_runs_select())} FROM runs
+    """,
+    doc=f"Wald-Wolfowitz runs test of {_TS_YEAR} daily revenue moves: "
+    "exact integer up/down/run counts from one lag window over the "
+    "O(days) rollup (ties discarded, the standard treatment), the "
+    "exact-moment z as one shared fixed-order expression with the "
+    "degenerate all-one-sign case guarded to z=0 — too few runs reads "
+    "'streaky', too many 'oscillating'. The randomness null that every "
+    "trend test in this module assumes, now checkable.",
+)
+def orders_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return runs_test_daily(load_table(spark, "orders", sf_dir))

@@ -151,6 +151,8 @@ PRIORITY = (
     "text_readability_profile",
     # 6th streaming oracle: LEFT OUTER join null emission at watermark
     "events_click_left_join_streamed",
+    # Wald-Wolfowitz runs test: the randomness null of the trend family
+    "orders_runs_test",
     # LM family re-pinned: integer micro-unit NLL sums (order-independent)
     "lm_bigram_perplexity",
     "lm_trigram_interp_perplexity",
@@ -173,7 +175,6 @@ PRIORITY = (
     "rollup_returns",
     "referential_integrity_check",
     "price_quantiles_by_segment",
-    "part_string_funcs",
 )
 
 def _reorder_registry() -> None:

@@ -755,3 +755,37 @@ def test_streamed_left_join_null_emission_boundary(spark):
     # final watermark = min(max click 03:00, max purchase 02:55) - 10min
     # = 02:45. A (00:00) < 02:45 -> NULL row; B (02:55) >= 02:45 -> held.
     assert got == {1: None, 3: 2}
+
+
+def test_runs_test_streaky_and_oscillating(spark):
+    """A half-up-then-half-down series has exactly 2 runs (maximally
+    streaky, z << 0); a strict alternation has the maximal run count
+    (z >> 0, 'oscillating'); counts match a hand replica."""
+    import math
+
+    from covid_19_data_engineering_spark.operators.regression import (
+        runs_test_daily,
+    )
+
+    def run(cents):
+        rows = [(i, f"1995-01-{i + 1:02d}", c / 100.0)
+                for i, c in enumerate(cents)]
+        df = spark.createDataFrame(
+            rows, "o_orderkey long, o_orderdate string, "
+                  "o_totalprice double")
+        return runs_test_daily(df).collect()[0]
+
+    streaky = run([1000 + 100 * i for i in range(11)]
+                  + [2000 - 100 * i for i in range(1, 11)])
+    assert (streaky["n_up"], streaky["n_down"]) == (10, 10)
+    assert streaky["n_runs"] == 2
+    n1 = n2 = 10.0
+    n = n1 + n2
+    er = 2 * n1 * n2 / n + 1
+    var = 2 * n1 * n2 * (2 * n1 * n2 - n) / (n * n * (n - 1))
+    assert streaky["z_stat"] == round((2 - er) / math.sqrt(var), 4)
+    assert streaky["verdict"] == "streaky"
+
+    osc = run([1000, 2000] * 10 + [1000])
+    assert osc["n_runs"] == osc["n_up"] + osc["n_down"]  # every move flips
+    assert osc["verdict"] == "oscillating"
