@@ -40,6 +40,9 @@ DECADE_FAMILY = {
     "copurchase_label_communities": "lineitem",
     "kcore_copurchase": "lineitem",
     "semantic_dedup_ivf": "embeddings",
+    # round-13 third-session additions in the heavy band
+    "copurchase_weighted_sssp": "lineitem",
+    "dedup_containment": "documents",
 }
 STATEFUL = {"incremental_retention_manifest"}
 PASSES = int(os.environ.get("SPARK_GRAFT_DECADE_PASSES", "2"))
