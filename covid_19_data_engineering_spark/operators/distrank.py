@@ -768,3 +768,150 @@ def events_value_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.select("event_id", "value", "event_type"),
         "value", "event_type", "event_id",
     )
+
+
+# --------------------------------------------------------------------------
+# Friedman test — the REPEATED-MEASURES rank test: within each day
+# (block), rank the event types against each other, then ask whether
+# some type consistently outranks the rest across days. Completes the
+# rank-test family's design space: Mann-Whitney (2 groups), Kruskal-
+# Wallis (k independent groups), Friedman (k matched groups).
+# --------------------------------------------------------------------------
+
+
+def friedman_test(df: DataFrame, block_col: str, group_col: str,
+                  value_col: str) -> DataFrame:
+    """One-row Friedman test: (n_blocks, n_groups, q_stat, verdict) of
+    ``value_col`` ranked within each complete block across groups.
+
+    Only COMPLETE blocks (all k groups present) enter, selected
+    identically on both engines; within-block ranks are average-rank
+    doubled integers from per-block (value) ordering — each block is k
+    rows, so the rank window partitions by block and never exceeds k
+    rows per partition at ANY corpus size. Group rank sums are exact
+    BIGINTs (x2); Q = [12/(n k(k+1))] * sum R_j^2 - 3 n (k+1) is one
+    fixed-order expression over the O(k) sum rows, each group term
+    fixed-pointed before the cross-group sum (the KW lesson). The
+    classical statistic assumes untied within-block values (block
+    totals in exact cents make ties measure-zero here); under ties both
+    engines still agree exactly — only the chi-square calibration
+    shifts, stated rather than hidden.
+    """
+    from pyspark.sql import Window
+
+    k = df.select(group_col).distinct().count()
+    complete = (
+        df.groupBy(block_col)
+        .agg(F.countDistinct(group_col).alias("_k"))
+        .where(F.col("_k") == k)
+        .select(block_col)
+    )
+    blocked = df.join(complete, block_col)
+    w = Window.partitionBy(block_col).orderBy(value_col)  # k rows/block
+    ranked = blocked.withColumn("_rn", F.row_number().over(w))
+    # average ranks (x2) under ties: per (block, value) min rank + count
+    per_val = ranked.groupBy(block_col, value_col).agg(
+        F.min("_rn").alias("_mn"), F.count(F.lit(1)).alias("_c"))
+    r2 = (
+        ranked.join(per_val, [block_col, value_col])
+        .select(group_col,
+                (2 * F.col("_mn") + F.col("_c") - 1).alias("_r_x2"))
+        .groupBy(group_col)
+        .agg(F.sum("_r_x2").alias("r_x2"), F.count(F.lit(1)).alias("n_b"))
+    )
+    fx = 1_000_000
+    sums = (
+        r2.agg(
+            F.max("n_b").alias("n_blocks"),
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum(F.expr(
+                f"CAST(round(CAST(r_x2 AS DOUBLE) * r_x2 / 4.0 "
+                f"* {fx}) AS BIGINT)")).alias("sr2"),
+        )
+    )
+    q = (f"(12.0 / (CAST(n_blocks AS DOUBLE) * n_groups * (n_groups + 1))"
+         f" * (CAST(sr2 AS DOUBLE) / {fx})"
+         " - 3.0 * CAST(n_blocks AS DOUBLE) * (n_groups + 1))")
+    return sums.selectExpr(
+        "CAST(n_blocks AS BIGINT) AS n_blocks",
+        "CAST(n_groups AS BIGINT) AS n_groups",
+        f"ROUND({q}, 4) AS q_stat",
+        f"(CASE WHEN ROUND({q}, 4) > 9.4877 THEN 'differs' "
+        "ELSE 'none' END) AS verdict",  # chi2 df=4 5% (5 event types)
+    )
+
+
+@register(
+    "events_friedman_test",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, event_type,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    k AS (SELECT COUNT(DISTINCT event_type) AS k FROM daily),
+    complete AS (
+      SELECT d FROM daily GROUP BY d
+      HAVING COUNT(DISTINCT event_type) = (SELECT k FROM k)
+    ),
+    blocked AS (
+      SELECT daily.* FROM daily JOIN complete USING (d)
+    ),
+    ranked AS (
+      SELECT d, event_type, y,
+             ROW_NUMBER() OVER (PARTITION BY d ORDER BY y) AS rn
+      FROM blocked
+    ),
+    per_val AS (
+      SELECT d, y, MIN(rn) AS mn, COUNT(*) AS c
+      FROM ranked GROUP BY d, y
+    ),
+    r2 AS (
+      SELECT r.event_type,
+             CAST(SUM(2 * p.mn + p.c - 1) AS BIGINT) AS r_x2,
+             CAST(COUNT(*) AS BIGINT) AS n_b
+      FROM ranked r JOIN per_val p ON p.d = r.d AND p.y = r.y
+      GROUP BY r.event_type
+    ),
+    sums AS (
+      SELECT CAST(MAX(n_b) AS BIGINT) AS n_blocks,
+             CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(SUM(CAST(round(CAST(r_x2 AS DOUBLE) * r_x2 / 4.0
+                                 * 1000000) AS BIGINT)) AS BIGINT) AS sr2
+      FROM r2
+    )
+    SELECT CAST(n_blocks AS BIGINT) AS n_blocks,
+           CAST(n_groups AS BIGINT) AS n_groups,
+           ROUND(12.0 / (CAST(n_blocks AS DOUBLE) * n_groups
+                         * (n_groups + 1))
+                 * (CAST(sr2 AS DOUBLE) / 1000000)
+                 - 3.0 * CAST(n_blocks AS DOUBLE) * (n_groups + 1), 4)
+             AS q_stat,
+           (CASE WHEN ROUND(12.0 / (CAST(n_blocks AS DOUBLE) * n_groups
+                                    * (n_groups + 1))
+                 * (CAST(sr2 AS DOUBLE) / 1000000)
+                 - 3.0 * CAST(n_blocks AS DOUBLE) * (n_groups + 1), 4)
+                 > 9.4877 THEN 'differs' ELSE 'none' END) AS verdict
+    FROM sums
+    """,
+    doc="Friedman repeated-measures rank test of daily value totals "
+    "across event types: within each COMPLETE day-block the k types "
+    "rank against each other (the rank window partitions by day, k "
+    "rows per partition at any scale), group rank sums are exact "
+    "doubled BIGINTs with average-rank ties, each group's Q term "
+    "fixed-pointed before the cross-group sum, and the verdict reads "
+    "chi-square df=k-1 at 5%. Completes the rank family: Mann-Whitney "
+    "(2 groups) -> Kruskal-Wallis (k independent) -> Friedman (k "
+    "matched).",
+)
+def events_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    daily = (
+        events.groupBy(
+            F.expr("CAST(ts AS DATE)").alias("d"),
+            "event_type")
+        .agg(F.sum(F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"))
+             .alias("y"))
+    )
+    return friedman_test(daily, "d", "event_type", "y")

@@ -153,6 +153,8 @@ PRIORITY = (
     "events_click_left_join_streamed",
     # Wald-Wolfowitz runs test: the randomness null of the trend family
     "orders_runs_test",
+    # Friedman repeated-measures rank test (k matched groups)
+    "events_friedman_test",
     # LM family re-pinned: integer micro-unit NLL sums (order-independent)
     "lm_bigram_perplexity",
     "lm_trigram_interp_perplexity",
@@ -174,7 +176,6 @@ PRIORITY = (
     "segment_except_all",
     "rollup_returns",
     "referential_integrity_check",
-    "price_quantiles_by_segment",
 )
 
 def _reorder_registry() -> None:

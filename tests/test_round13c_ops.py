@@ -789,3 +789,36 @@ def test_runs_test_streaky_and_oscillating(spark):
     osc = run([1000, 2000] * 10 + [1000])
     assert osc["n_runs"] == osc["n_up"] + osc["n_down"]  # every move flips
     assert osc["verdict"] == "oscillating"
+
+
+def test_friedman_consistent_ordering_differs(spark):
+    """Group 'c' always ranks highest, 'a' lowest, across 12 blocks:
+    maximal Q = n*(k-1)... the exact formula replica must match and the
+    verdict read 'differs'; a shuffled-rank layout reads 'none'. An
+    incomplete block (missing group) must be excluded."""
+    from covid_19_data_engineering_spark.operators.distrank import (
+        friedman_test,
+    )
+
+    rows = []
+    for b in range(12):
+        rows += [(b, "a", 10.0 + b), (b, "b", 20.0 + b), (b, "c", 30.0 + b)]
+    rows += [(99, "a", 1.0), (99, "b", 2.0)]  # incomplete block
+    df = spark.createDataFrame(rows, "d long, event_type string, y double")
+    row = friedman_test(df, "d", "event_type", "y").collect()[0]
+    assert row["n_blocks"] == 12 and row["n_groups"] == 3
+    # rank sums 12*1, 12*2, 12*3 -> Q = 12/(12*3*4)*(144+576+1296)-3*12*4
+    n, k = 12, 3
+    q = 12.0 / (n * k * (k + 1)) * sum((n * r) ** 2 for r in (1, 2, 3)) \
+        - 3 * n * (k + 1)
+    assert row["q_stat"] == round(q, 4)
+    assert row["verdict"] == "differs"  # > chi2 bound even at df=2
+
+    rot = []
+    for b in range(12):
+        vals = [10.0, 20.0, 30.0]
+        order = [vals[(b + i) % 3] for i in range(3)]
+        rot += [(b, g, v) for g, v in zip(("a", "b", "c"), order)]
+    df2 = spark.createDataFrame(rot, "d long, event_type string, y double")
+    row2 = friedman_test(df2, "d", "event_type", "y").collect()[0]
+    assert row2["q_stat"] == 0.0 and row2["verdict"] == "none"
