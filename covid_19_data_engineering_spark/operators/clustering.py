@@ -1096,3 +1096,53 @@ def incremental_retention_manifest_stored(spark: SparkSession,
     return incremental_retention_manifest(
         new, snapshot_state=state
     ).orderBy("doc_id")
+
+
+@register(
+    "corpus_retention_funnel",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN status = 'keep' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_keep,
+           CAST(SUM(CASE WHEN status = 'drop_exact' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_drop_exact,
+           CAST(SUM(CASE WHEN status = 'drop_near_dup' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_drop_near_dup,
+           ROUND(CAST(SUM(CASE WHEN status = 'keep' THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*) * 100.0, 4) AS retained_pct
+    FROM ({_retention_manifest_oracle_sql()})
+    """,
+    doc="The dedup funnel headline — corpus size, exact-dup drops, "
+    "near-dup drops, survivors, and the retained percentage — the ONE "
+    "row a curation lead reads before shipping a training corpus. Pure "
+    "aggregation of the retention manifest (fingerprint dedup -> "
+    "MinHash-LSH components -> quality-ranked representatives), so the "
+    "funnel inherits every invariant the manifest pins (ref chains "
+    "resolve to kept docs, canonicals-only representative rank).",
+)
+def corpus_retention_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from covid_19_data_engineering_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    m = retention_manifest(docs)
+    return (
+        m.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.expr("CASE WHEN status = 'keep' THEN 1 ELSE 0 END"))
+            .alias("n_keep"),
+            F.sum(F.expr(
+                "CASE WHEN status = 'drop_exact' THEN 1 ELSE 0 END"))
+            .alias("n_drop_exact"),
+            F.sum(F.expr(
+                "CASE WHEN status = 'drop_near_dup' THEN 1 ELSE 0 END"))
+            .alias("n_drop_near_dup"),
+        )
+        .selectExpr(
+            "CAST(n_docs AS BIGINT) AS n_docs",
+            "CAST(n_keep AS BIGINT) AS n_keep",
+            "CAST(n_drop_exact AS BIGINT) AS n_drop_exact",
+            "CAST(n_drop_near_dup AS BIGINT) AS n_drop_near_dup",
+            "ROUND(CAST(n_keep AS DOUBLE) / n_docs * 100.0, 4)"
+            " AS retained_pct",
+        )
+    )

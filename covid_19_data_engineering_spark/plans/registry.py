@@ -155,6 +155,8 @@ PRIORITY = (
     "orders_runs_test",
     # Friedman repeated-measures rank test (k matched groups)
     "events_friedman_test",
+    # the dedup funnel headline over the retention manifest (query #300)
+    "corpus_retention_funnel",
     # LM family re-pinned: integer micro-unit NLL sums (order-independent)
     "lm_bigram_perplexity",
     "lm_trigram_interp_perplexity",
@@ -175,7 +177,6 @@ PRIORITY = (
     "segment_price_rank",
     "segment_except_all",
     "rollup_returns",
-    "referential_integrity_check",
 )
 
 def _reorder_registry() -> None:
