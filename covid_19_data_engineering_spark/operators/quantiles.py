@@ -56,6 +56,57 @@ def _derive_bins(n: int, floor_bins: int, bin_target: int) -> int:
     return max(floor_bins, n // bin_target)
 
 
+def _stats_row(df: DataFrame, col: str, floor_bins: int,
+               bin_target: int) -> DataFrame:
+    """One broadcastable row (_lo_u, _n, _width): integer-unit min plus
+    the derived equal-width bucket width, all in exact BIGINT arithmetic
+    inside the plan — no driver round-trip. The result downstream is
+    bins-invariant (more/fewer or shifted buckets only narrow where a
+    rank lands, never which value answers it), so the SQL half-up round
+    here vs the former Python banker's round is immaterial."""
+    return df.agg(
+        F.expr(f"CAST(round(min({col}) * {VAL_UNIT}) AS BIGINT)").alias("_lo_u"),
+        F.expr(f"CAST(round(max({col}) * {VAL_UNIT}) AS BIGINT)").alias("_hi_u"),
+        F.count(F.lit(1)).alias("_n"),
+    ).select(
+        "_lo_u", "_n",
+        F.expr(f"greatest(CAST(1 AS BIGINT), (_hi_u - _lo_u) div "
+               f"greatest({floor_bins}, _n div {bin_target}) + 1)")
+        .alias("_width"),
+    )
+
+
+def _located_values(binned: DataFrame, targets: DataFrame) -> DataFrame:
+    """Shared refine tail: cumsum the per-bucket counts, locate each
+    target rank's (bucket, residual rank), then row_number ONLY the
+    candidate buckets and join the residual ranks. ``binned``:
+    (v, b [, extra label cols on targets]); ``targets``: (<labels>, rank).
+    Output: (<labels>, rank, value)."""
+    counts = binned.groupBy("b").agg(F.count(F.lit(1)).alias("cnt"))
+    cum_w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    cum = counts.withColumn(
+        "below", F.coalesce(F.sum("cnt").over(cum_w), F.lit(0)))
+    label_cols = [c for c in targets.columns if c != "rank"]
+    # bucket holding rank k: below < k <= below + cnt  (tiny join: bins x q)
+    located = (
+        targets.join(F.broadcast(cum),
+                     (F.col("below") < F.col("rank"))
+                     & (F.col("rank") <= F.col("below") + F.col("cnt")))
+        .select(*label_cols, "rank", "b",
+                (F.col("rank") - F.col("below")).alias("rk_in"))
+    )
+    ranked = (
+        binned.join(F.broadcast(located.select("b").distinct()), "b")
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("b").orderBy("v")))
+    )
+    return (
+        located.join(ranked, (located["b"] == ranked["b"])
+                     & (F.col("rk_in") == F.col("rn")))
+        .select(*label_cols, "rank", F.col("v").alias("value"))
+    )
+
+
 def exact_quantiles_histogram(df: DataFrame, col: str,
                               quantiles: tuple[float, ...] = QUANTILES,
                               bins: int = BINS,
@@ -65,49 +116,36 @@ def exact_quantiles_histogram(df: DataFrame, col: str,
     Pass 1: integer-unit values bin into equal-width buckets — at least
     ``bins`` of them, scaled up to n // ``bin_target`` so pass 2's
     per-bucket window task is bounded at ~bin_target expected rows at
-    any corpus size (min/max/n collected as three O(1) scalars); the
-    bin-count cumsum (a window over <= bins rows) converts each target
-    rank into (bucket, rank-within-bucket). Pass 2: a row_number window
-    over candidate buckets only."""
-    lo, hi, n = df.agg(
-        F.min(col).alias("lo"), F.max(col).alias("hi"),
-        F.count(F.lit(1)).alias("n"),
-    ).first()
-    if n == 0:
-        raise ValueError(f"exact_quantiles_histogram: {col} has no rows")
-    bins = _derive_bins(n, bins, bin_target)
-    lo_u, hi_u = int(round(float(lo) * VAL_UNIT)), int(round(float(hi) * VAL_UNIT))
-    width = max(1, (hi_u - lo_u) // bins + 1)
-    binned = df.select(
+    any corpus size; the bin-count cumsum (a window over <= bins rows)
+    converts each target rank into (bucket, rank-within-bucket). Pass 2:
+    a row_number window over candidate buckets only.
+
+    Round-13 optimization (guide §1.2: fewer passes): the whole refine is
+    ONE plan / ONE action — min/max/n ride a broadcast one-row aggregate
+    instead of a driver ``first()``, target ranks k = floor((n-1)p)+1 are
+    derived in-plan with the identical integer arithmetic, and candidate
+    buckets flow through a broadcast semi-join instead of a collected
+    ``isin`` literal. Was 3 driver actions (3 jobs, 3 scans queued
+    sequentially); now 1. Empty input yields an empty result frame (the
+    former ValueError needed a driver-side count)."""
+    stats = _stats_row(df, col, bins, bin_target)
+    binned = df.crossJoin(F.broadcast(stats)).select(
         F.col(col).alias("v"),
-        F.expr(f"(CAST(round({col} * {VAL_UNIT}) AS BIGINT) - {lo_u}) "
-               f"div {width}").alias("b"),
+        F.expr(f"(CAST(round({col} * {VAL_UNIT}) AS BIGINT) - _lo_u) "
+               "div _width").alias("b"),
     )
-    counts = binned.groupBy("b").agg(F.count(F.lit(1)).alias("cnt"))
-    cum_w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
-    cum = counts.withColumn(
-        "below", F.coalesce(F.sum("cnt").over(cum_w), F.lit(0)))
     # target ranks: k = floor((n-1) * p) + 1, exact integer arithmetic
-    targets = [(p, int((n - 1) * p) + 1) for p in quantiles]
-    tdf = df.sparkSession.createDataFrame(targets, "quantile double, rank long")
-    # bucket holding rank k: below < k <= below + cnt  (tiny join: bins x q)
-    located = (
-        tdf.join(F.broadcast(cum),
-                 (F.col("below") < F.col("rank"))
-                 & (F.col("rank") <= F.col("below") + F.col("cnt")))
-        .select("quantile", "rank", "b", (F.col("rank") - F.col("below")).alias("rk_in"))
+    # (floor(double) is BIGINT-exact here and replayed by the oracle)
+    targets = stats.select(
+        F.explode(F.array(*[F.lit(float(p)) for p in quantiles]))
+        .alias("quantile"),
+        "_n",
+    ).select(
+        "quantile",
+        (F.floor((F.col("_n") - 1) * F.col("quantile")) + 1)
+        .cast("long").alias("rank"),
     )
-    cand_bins = [r["b"] for r in located.select("b").distinct().collect()]
-    ranked = (
-        binned.where(F.col("b").isin(cand_bins))
-        .withColumn("rn", F.row_number().over(
-            Window.partitionBy("b").orderBy("v")))
-    )
-    return (
-        located.join(ranked, (located["b"] == ranked["b"])
-                     & (F.col("rk_in") == F.col("rn")))
-        .select("quantile", "rank", F.col("v").alias("value"))
-    )
+    return _located_values(binned, targets)
 
 
 def _quantiles_oracle_sql() -> str:
@@ -177,24 +215,32 @@ def mad_outlier_report(df: DataFrame, col: str, group: str,
     # repartition shuffle + cache materialization cost more than the
     # single-task scans they replace. The fan-out rule only pays for
     # CPU-dense maps like md5 pipelines.)
-    med = float(exact_quantiles_histogram(
-        df.select(col), col, (0.5,)).first()["value"])
-    dev = df.select(F.abs(F.col(col) - F.lit(med)).alias("dev"))
-    mad = float(exact_quantiles_histogram(dev, "dev", (0.5,)).first()["value"])
-    dev_c = F.expr(f"CAST(round(abs({col} - {med!r}) * 100) AS BIGINT)")
-    mad_c = F.expr(f"CAST(round({mad!r} * 100) AS BIGINT)")
+    # Round 13 (guide §1.2): both order statistics stay IN the plan as
+    # broadcast one-row frames instead of driver floats — the whole
+    # report is ONE action (was 5: two quantile runs of first()+collect
+    # each, then the final collect), with the identical integer-cents
+    # fence arithmetic.
+    med_row = exact_quantiles_histogram(
+        df.select(col), col, (0.5,)).select(F.col("value").alias("_med"))
+    dev = (
+        df.select(col).crossJoin(F.broadcast(med_row))
+        .select(F.abs(F.col(col) - F.col("_med")).alias("dev"))
+    )
+    mad_row = exact_quantiles_histogram(
+        dev, "dev", (0.5,)).select(F.col("value").alias("_mad"))
+    dev_c = F.expr(f"CAST(round(abs({col} - _med) * 100) AS BIGINT)")
+    mad_c = F.expr("CAST(round(_mad * 100) AS BIGINT)")
     return (
-        df.groupBy(group)
+        df.crossJoin(F.broadcast(med_row)).crossJoin(F.broadcast(mad_row))
+        .groupBy(group)
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.sum(F.when(dev_c > z * mad_c, 1).otherwise(0))
             .alias("n_outliers"),
+            F.round(F.min("_med"), 2).alias("median_value"),
+            F.round(F.min("_mad"), 2).alias("mad"),
         )
-        .select(
-            group, "n_rows", "n_outliers",
-            F.round(F.lit(med), 2).alias("median_value"),
-            F.round(F.lit(mad), 2).alias("mad"),
-        )
+        .select(group, "n_rows", "n_outliers", "median_value", "mad")
         .orderBy(group)
     )
 
@@ -266,44 +312,52 @@ def weighted_quantiles_histogram(df: DataFrame, col: str, weight_expr: str,
     only finds the crossing row. Weights are exact BIGINTs, so the
     crossing test (cumw - w < kw_in <= cumw) never touches a float.
     """
-    lo, hi, w_tot, n = df.selectExpr(
-        f"min({col}) AS lo", f"max({col}) AS hi",
-        f"CAST(sum({weight_expr}) AS BIGINT) AS w",
-        "COUNT(*) AS n",
-    ).first()
-    if not w_tot:
-        raise ValueError("weighted_quantiles_histogram: zero total weight")
-    # bins derive from the ROW count (pass-2 work is rows ranked, not
-    # weight mass) — same n // bin_target rule as the count version
-    n_bins = _derive_bins(int(n), bins, bin_target)
-    lo_u = int(round(float(lo) * VAL_UNIT))
-    hi_u = int(round(float(hi) * VAL_UNIT))
-    width = max(1, (hi_u - lo_u) // n_bins + 1)
-    binned = df.selectExpr(
+    # one broadcast stats row carries lo/width (bins derive from the ROW
+    # count — pass-2 work is rows ranked, not weight mass) plus the total
+    # weight; the whole refine is ONE plan / ONE action (round-13, guide
+    # §1.2 — was a driver first() + a cand-bin collect). Zero total
+    # weight yields an empty result (the former ValueError needed the
+    # driver round-trip).
+    stats = df.selectExpr(
+        f"CAST(round(min({col}) * {VAL_UNIT}) AS BIGINT) AS _lo_u",
+        f"CAST(round(max({col}) * {VAL_UNIT}) AS BIGINT) AS _hi_u",
+        f"CAST(sum({weight_expr}) AS BIGINT) AS _w",
+        "COUNT(*) AS _n",
+    ).selectExpr(
+        "_lo_u", "_w",
+        f"greatest(CAST(1 AS BIGINT), (_hi_u - _lo_u) div "
+        f"greatest({bins}, _n div {bin_target}) + 1) AS _width",
+    )
+    binned = df.crossJoin(F.broadcast(stats)).selectExpr(
         f"{col} AS v",
         f"CAST({weight_expr} AS BIGINT) AS w",
-        f"(CAST(round({col} * {VAL_UNIT}) AS BIGINT) - {lo_u}) "
-        f"div {width} AS b",
+        f"(CAST(round({col} * {VAL_UNIT}) AS BIGINT) - _lo_u) "
+        "div _width AS b",
     )
     counts = binned.groupBy("b").agg(F.sum("w").alias("wcnt"))
     cum_w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
     cum = counts.withColumn(
         "below", F.coalesce(F.sum("wcnt").over(cum_w), F.lit(0)))
-    targets = [(p, int((int(w_tot) - 1) * p) + 1) for p in quantiles]
-    tdf = df.sparkSession.createDataFrame(
-        targets, "quantile double, weight_rank long")
+    targets = stats.select(
+        F.explode(F.array(*[F.lit(float(p)) for p in quantiles]))
+        .alias("quantile"),
+        "_w",
+    ).select(
+        "quantile",
+        (F.floor((F.col("_w") - 1) * F.col("quantile")) + 1)
+        .cast("long").alias("weight_rank"),
+    )
     located = (
-        tdf.join(F.broadcast(cum),
-                 (F.col("below") < F.col("weight_rank"))
-                 & (F.col("weight_rank") <= F.col("below") + F.col("wcnt")))
+        targets.join(F.broadcast(cum),
+                     (F.col("below") < F.col("weight_rank"))
+                     & (F.col("weight_rank") <= F.col("below") + F.col("wcnt")))
         .select("quantile", "weight_rank", "b",
                 (F.col("weight_rank") - F.col("below")).alias("kw_in"))
     )
-    cand_bins = [r["b"] for r in located.select("b").distinct().collect()]
     in_w = Window.partitionBy("b").orderBy("v").rowsBetween(
         Window.unboundedPreceding, 0)
     ranked = (
-        binned.where(F.col("b").isin(cand_bins))
+        binned.join(F.broadcast(located.select("b").distinct()), "b")
         .withColumn("cumw", F.sum("w").over(in_w))
     )
     # the crossing VALUE is unique (ties on v accumulate together under
@@ -482,49 +536,30 @@ def winsorized_price_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 def values_at_ranks(df: DataFrame, col: str,
                     labeled_ranks: list[tuple[str, int]],
                     bins: int = BINS,
-                    bin_target: int = BIN_TARGET) -> DataFrame:
+                    bin_target: int = BIN_TARGET,
+                    n: int | None = None) -> DataFrame:
     """(stat, rank, value) — exact order statistics at explicit 1-based
-    ranks. Same two-pass plan as exact_quantiles_histogram."""
-    n = df.agg(F.count(F.lit(1)).alias("n")).first()["n"]
-    if n == 0:
-        raise ValueError(f"values_at_ranks: {col} has no rows")
-    for _, r in labeled_ranks:
-        if not 1 <= r <= n:
-            raise ValueError(f"rank {r} outside [1, {n}]")
-    lo, hi = df.agg(F.min(col), F.max(col)).first()
-    nbins = _derive_bins(n, bins, bin_target)
-    lo_u = int(round(float(lo) * VAL_UNIT))
-    hi_u = int(round(float(hi) * VAL_UNIT))
-    width = max(1, (hi_u - lo_u) // nbins + 1)
-    binned = df.select(
+    ranks. Same refine plan as exact_quantiles_histogram, and since
+    round 13 the same single-plan / single-action shape (guide §1.2).
+    ``n`` (when the caller already counted, as the median-CI rank
+    derivation must) keeps the rank-bounds validation without its own
+    count job; n=None skips validation — out-of-range ranks simply
+    return no row."""
+    if n is not None:
+        if n == 0:
+            raise ValueError(f"values_at_ranks: {col} has no rows")
+        for _, r in labeled_ranks:
+            if not 1 <= r <= n:
+                raise ValueError(f"rank {r} outside [1, {n}]")
+    stats = _stats_row(df, col, bins, bin_target)
+    binned = df.crossJoin(F.broadcast(stats)).select(
         F.col(col).alias("v"),
-        F.expr(f"(CAST(round({col} * {VAL_UNIT}) AS BIGINT) - {lo_u}) "
-               f"div {width}").alias("b"),
+        F.expr(f"(CAST(round({col} * {VAL_UNIT}) AS BIGINT) - _lo_u) "
+               "div _width").alias("b"),
     )
-    counts = binned.groupBy("b").agg(F.count(F.lit(1)).alias("cnt"))
-    cum_w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
-    cum = counts.withColumn(
-        "below", F.coalesce(F.sum("cnt").over(cum_w), F.lit(0)))
     tdf = df.sparkSession.createDataFrame(
         labeled_ranks, "stat string, rank long")
-    located = (
-        tdf.join(F.broadcast(cum),
-                 (F.col("below") < F.col("rank"))
-                 & (F.col("rank") <= F.col("below") + F.col("cnt")))
-        .select("stat", "rank", "b",
-                (F.col("rank") - F.col("below")).alias("rk_in"))
-    )
-    cand_bins = [r["b"] for r in located.select("b").distinct().collect()]
-    ranked = (
-        binned.where(F.col("b").isin(cand_bins))
-        .withColumn("rn", F.row_number().over(
-            Window.partitionBy("b").orderBy("v")))
-    )
-    return (
-        located.join(ranked, (located["b"] == ranked["b"])
-                     & (F.col("rk_in") == F.col("rn")))
-        .select("stat", "rank", F.col("v").alias("value"))
-    )
+    return _located_values(binned, tdf)
 
 
 def median_ci_ranks(n: int, z: float = 1.959963985) -> tuple[int, int, int]:
@@ -581,4 +616,5 @@ def order_price_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return values_at_ranks(
         orders, "o_totalprice",
         [("ci95_lo", r_lo), ("median", r_med), ("ci95_hi", r_hi)],
+        n=n,
     ).orderBy("stat")

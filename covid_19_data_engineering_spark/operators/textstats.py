@@ -213,16 +213,23 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def bigram_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    toks = F.split(F.lower(F.col("text")), " ")
+    # materialize the token array in its OWN projection: inlining the
+    # split into the transform lambda re-evaluated split(lower(text))
+    # per sequence element — O(tokens) splits per doc, each O(len(text))
+    # (the round-3 benchmark_contamination codegen trap; guide §1.2
+    # per-task work). The alias is referenced 4x, so CollapseProject
+    # keeps the boundary and the split runs once per row.
+    toksed = docs.select(F.split(F.lower(F.col("text")), " ").alias("t"))
+    t = F.col("t")
     bigrams = F.when(
-        F.size(toks) >= 2,
+        F.size(t) >= 2,
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        docs.select(F.explode(bigrams).alias("bigram"))
+        toksed.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("bigram"))
