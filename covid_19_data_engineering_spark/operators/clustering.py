@@ -46,7 +46,6 @@ from covid_19_data_engineering_spark.operators.dedup import (
 )
 from covid_19_data_engineering_spark.operators.lineage import (
     truncate as _truncate,
-    truncate_eager as _truncate_eager,
 )
 from covid_19_data_engineering_spark.plans.registry import register
 from covid_19_data_engineering_spark.sources.tables import load_table
@@ -192,9 +191,10 @@ def star_components_with_rounds(edges: DataFrame, src: str = "doc_a",
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .transform(_truncate_eager)
+        .transform(_truncate)
     )
     rounds = 0
+    e_count: int | None = None
     for _ in range(max_iter):
         rounds += 1
         # large-star over the symmetric view
@@ -210,7 +210,7 @@ def star_components_with_rounds(edges: DataFrame, src: str = "doc_a",
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .distinct()
-            .transform(_truncate_eager)
+            .transform(_truncate)
         )
         # small-star over the oriented view (u > v invariant holds: the
         # large-star emission links v to m <= u < v)
@@ -222,13 +222,27 @@ def star_components_with_rounds(edges: DataFrame, src: str = "doc_a",
             .union(mins2.select(F.col("u").alias("a"), F.col("m").alias("b")))
             .select(F.col("a").alias("u"), F.col("b").alias("v"))
             .distinct()
-            .transform(_truncate_eager)
+            .transform(_truncate)
         )
+        # fixed point: the (deduplicated, oriented) edge set is unchanged.
+        # Round-13 (guide §1.2): a star round used to cost FIVE driver
+        # actions — two eager checkpoint jobs (ls, ss) plus ss.count() +
+        # e.count() + the subtract probe. The checkpoints above are now
+        # LAZY (the label-loop pattern: ls and ss materialize inside this
+        # round's ss.count() job), the previous round's count is carried
+        # instead of recounted, and the subtract probe — the only
+        # expensive check — runs ONLY when the counts match (equal-count
+        # is necessary for set equality of two distinct()ed sets). A
+        # non-final round is one action; the final round two.
+        ss_count = ss.count()
+        if e_count is None:
+            e_count = e.count()  # first round only; cached by ss's job
         converged = (
-            ss.count() == e.count()
+            ss_count == e_count
             and ss.subtract(e).limit(1).count() == 0
         )
         e = ss
+        e_count = ss_count
         if converged:
             break
     labels = (

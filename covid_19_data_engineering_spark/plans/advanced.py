@@ -569,16 +569,43 @@ def user_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFra
     "actives without rescanning history.",
 )
 def hourly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-13 optimization (guide §2.3: shuffle fewer bytes). The single
+    # groupBy(hour) with countDistinct BESIDE the rsd=0.01 HLL made
+    # Catalyst's distinct-rewrite carry the 1640-word sketch buffer as
+    # partial-agg state PER (hour, user_id) GROUP through two exchanges —
+    # ~13 KB per distinct pair, ~2.6 GB shuffled at sf0.1 (measured: the
+    # Exchange rows were 1642 columns wide). Deduplicating (hour, user)
+    # FIRST costs one small-row shuffle, and since HLL++ registers are
+    # duplicate-insensitive the sketch over deduped users is bit-identical;
+    # the explicit repartition(hour) then lets the final aggregate run on
+    # already-clustered data, so sketch bytes never enter any exchange.
+    # Same result columns, same values; 6.5s -> ~1s at sf0.1 and strictly
+    # fewer shuffled bytes at any scale.
     e = _t(spark, sf_dir, "events")
+    pairs = (
+        e.where(F.col("ts").isNotNull())  # F.window dropped null ts too
+        .select(F.date_trunc("hour", F.col("ts")).alias("window_start"),
+                "user_id")
+        .groupBy("window_start", "user_id")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    # explicit width (the configured shuffle parallelism, cluster-sized in
+    # deployment): an UNPINNED repartition lets AQE's byte-based coalescing
+    # collapse the kilobyte pair rows to one partition and serialize the
+    # CPU-dense sketch build onto a single task (measured 6.9s cold vs 2.2s
+    # pinned at sf0.1 — the verify-skill _spread lesson, solved with the
+    # shuffle width itself instead of a salt column)
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     return (
-        e.groupBy(F.window("ts", "1 hour").alias("w"))
+        pairs.repartition(n_shuffle, "window_start")
+        .groupBy("window_start")
         .agg(
-            F.countDistinct("user_id").alias("exact_users"),
+            F.count("user_id").alias("exact_users"),
             F.approx_count_distinct("user_id", rsd=0.01).alias("approx"),
-            F.count(F.lit(1)).alias("n_events"),
+            F.sum("_c").alias("n_events"),
         )
         .select(
-            F.col("w.start").alias("window_start"),
+            "window_start",
             "exact_users",
             "n_events",
             (
