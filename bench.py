@@ -2,9 +2,11 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
 on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec}, "sf": ...}
-followed by a SHORT summary line (metric/value/unit/sf/passes/extra_total) as
-the LAST stdout line, so a bounded stdout-tail capture still records the
-headline total even when the full per-query record exceeds it.
+followed by two tail-safe lines (the driver captures only the last ~2000
+bytes of stdout): a compact positional per-query record covering EVERY timed
+query (integer centiseconds, sorted-name order) and, as the LAST line, a
+short summary carrying the headline total plus the 12 headline per-query
+medians under "queries".
 
 Each query is collected (not just planned) so the number is end-to-end
 executor time. Each reported number is the PER-QUERY MEDIAN OF 3
@@ -229,7 +231,7 @@ def _run_headline_isolated(n_passes: int) -> tuple[dict, dict]:
             payload = json.loads(line)
         except json.JSONDecodeError:
             continue
-        if "queries" in payload:
+        if "queries" in payload and "queries_spread" in payload:
             return payload["queries"], payload["queries_spread"]
     raise RuntimeError("isolated headline pass printed no per-query record")
 
@@ -340,15 +342,31 @@ def main() -> None:
     }
     print(json.dumps(out))
     # the full record above can exceed the driver's captured stdout tail
-    # (~4 KB) once 60+ per-query maps are included — r05/r06/r07 all lost
-    # the headline "value" to truncation. Print a SHORT self-contained
-    # summary as the LAST line so the tail always carries the headline —
-    # including the slowest-20 extras (round-11 verdict #6: the tail
-    # truncation hid every per-query wall before 's' alphabetically, so
-    # regressions in the slow extras were invisible to BENCH_r{N}).
-    slowest = dict(sorted(extra_timings.items(),
-                          key=lambda kv: kv[1], reverse=True)[:20])
-    print(json.dumps({
+    # (measured: the driver keeps the LAST 2000 BYTES and json-parses the
+    # last complete line) once 60+ per-query maps are included — r05/r06/
+    # r07 all lost the headline "value" to truncation, and r13's 300-entry
+    # map left PERF_r13 with per_query {} / geomean null (round-13 verdict
+    # #3). The tail now carries, in order (newest last, everything within
+    # the 2000-byte window):
+    #   1. "per_query_centisec": the FULL per-query medians as a positional
+    #      array of integer centiseconds in sorted-name order. The name
+    #      list is deterministic — sorted(timed queries) — so any reader
+    #      with the registry (or the full first-line record from a local
+    #      log) can re-attach names; 10 ms quantization is well inside the
+    #      sub-second noise band the per-query comparison tolerates.
+    #   2. the final summary line: headline total + the 12 headline
+    #      per-query medians under "queries" (full names — the round-over-
+    #      round gate set) + as many slowest-extras as the byte budget
+    #      allows (auto-trimmed so lines 1+2 stay under ~1900 bytes).
+    all_timings = {**timings, **extra_timings}
+    order = sorted(all_timings)
+    pq_line = json.dumps({
+        "metric": "per_query_centisec",
+        "n": len(order),
+        "order": "sorted_names",
+        "v": [int(round(all_timings[n] * 100)) for n in order],
+    }, separators=(",", ":"))
+    summary = {
         "metric": out["metric"],
         "value": out["value"],
         "unit": out["unit"],
@@ -356,8 +374,16 @@ def main() -> None:
         "passes": out["passes"],
         "extra_total": round(sum(extra_timings.values()), 3),
         "headline_isolated": headline_isolated,
-        "slowest_extras": slowest,
-    }))
+        "queries": timings,
+    }
+    slowest = sorted(extra_timings.items(), key=lambda kv: kv[1], reverse=True)
+    for k in range(12, -1, -1):
+        summary["slowest_extras"] = dict(slowest[:k])
+        tail_line = json.dumps(summary, separators=(",", ":"))
+        if len(pq_line) + len(tail_line) + 2 <= 1900:
+            break
+    print(pq_line)
+    print(tail_line)
     spark.stop()
 
 

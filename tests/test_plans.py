@@ -673,8 +673,13 @@ def test_round6_scans_are_column_pruned(spark):
     for schema in read_schemas("zorder_file_layout", "lineitem"):
         assert "l_orderkey" in schema and "l_partkey" in schema
         assert "l_extendedprice" not in schema and "l_comment" not in schema
-    for schema in read_schemas("exact_price_quantiles", "lineitem"):
-        assert "l_extendedprice" in schema
+    epq_schemas = read_schemas("exact_price_quantiles", "lineitem")
+    # the single-plan refine (r13) adds count-only branches whose scans
+    # prune to ZERO columns (ReadSchema: struct<>) — that is better
+    # pruning, not worse; allow it while still forbidding unpruned reads
+    assert any("l_extendedprice" in s for s in epq_schemas)
+    for schema in epq_schemas:
+        assert schema == "struct<>" or "l_extendedprice" in schema
         assert "l_orderkey" not in schema and "l_comment" not in schema
     for schema in read_schemas("sequence_packing_manifest", "documents"):
         assert "doc_id" in schema and "text" in schema
