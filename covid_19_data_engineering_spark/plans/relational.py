@@ -491,10 +491,19 @@ def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy("o_orderpriority", "o_custkey")
         .agg(F.count(F.lit(1)).alias("_c"))
     )
+    # Round-14 (guide §1.2): approx_count_distinct(rsd=0.01) plans 1640
+    # LONG aggregate attributes (HLL++ words as columns) — too wide for
+    # codegen, interpreted + re-JITed every bench pass. The Datasketches
+    # HLL aggregate (lgK=14, rsd 0.81% <= the 1% contract) keeps one
+    # compact binary buffer; output rows identical (exact count + flag,
+    # flag true at every gate SF with margin — small groups stay in the
+    # sketch's exact sparse mode). See hourly_active_users for the full
+    # measurement.
     return (
         pairs.groupBy("o_orderpriority")
         .agg(
-            F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx"),
+            F.expr("hll_sketch_estimate(hll_sketch_agg(o_custkey, 14))")
+            .alias("approx"),
             F.count("o_custkey").alias("exact_customers"),
             F.sum("_c").alias("n_orders"),
         )

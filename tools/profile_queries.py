@@ -4,14 +4,15 @@
 For each named query (or the N slowest from a bench JSON): time it the way
 the bench does (.collect(), median of passes), count the Spark jobs it
 launches (job-group scoped), and dump .explain("formatted") to
-plans/r13/<query>_<tag>.txt.
+plans/<round>/<query>_<tag>.txt (no dump when --tag is omitted).
 
 Usage:
   python tools/profile_queries.py [--tag before|after] [--passes 2]
-         [--sf-dir /root/testdata/sf0.1] [--no-explain] query [query ...]
+         [--round r14] [--sf-dir /root/testdata/sf0.1] query [query ...]
 
 Prints one JSON line per query: {"query": ..., "sec": median, "jobs": n,
-"passes": [...]}.
+"passes": [...]}. "jobs" counts the Spark jobs of the FINAL pass only
+(earlier passes may launch extra one-time jobs, e.g. state-cache builds).
 """
 
 from __future__ import annotations
@@ -28,7 +29,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("queries", nargs="+")
-    ap.add_argument("--tag", default=None, help="dump plans/r13/<q>_<tag>.txt")
+    ap.add_argument("--tag", default=None,
+                    help="dump plans/<round>/<q>_<tag>.txt")
+    ap.add_argument("--round", default="r14", help="plans/ subdir for dumps")
     ap.add_argument("--passes", type=int, default=2)
     ap.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
@@ -42,7 +45,7 @@ def main() -> None:
     queries = all_queries()
     sc = spark.sparkContext
     plans_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r13")
+        os.path.abspath(__file__))), "plans", args.round)
     os.makedirs(plans_dir, exist_ok=True)
 
     for name in args.queries:
