@@ -30,6 +30,9 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from covid_19_data_engineering_spark.operators.lineage import (
+    truncate as _truncate,
+)
 from covid_19_data_engineering_spark.plans.registry import register
 from covid_19_data_engineering_spark.sources.tables import load_table
 
@@ -88,7 +91,12 @@ def _located_values(binned: DataFrame, targets: DataFrame) -> DataFrame:
         "below", F.coalesce(F.sum("cnt").over(cum_w), F.lit(0)))
     label_cols = [c for c in targets.columns if c != "rank"]
     # bucket holding rank k: below < k <= below + cnt  (tiny join: bins x q)
-    located = (
+    # Round 14 (guide §5): ``located`` (<= q rows) is referenced twice
+    # below (candidate-bucket semi-join + residual-rank join); without
+    # truncation each reference re-instantiates the whole cumsum subtree
+    # (another full pass-1 scan). Lazy checkpoint = both references read
+    # the cached handful of rows; still one action.
+    located = _truncate(
         targets.join(F.broadcast(cum),
                      (F.col("below") < F.col("rank"))
                      & (F.col("rank") <= F.col("below") + F.col("cnt")))
@@ -127,8 +135,15 @@ def exact_quantiles_histogram(df: DataFrame, col: str,
     buckets flow through a broadcast semi-join instead of a collected
     ``isin`` literal. Was 3 driver actions (3 jobs, 3 scans queued
     sequentially); now 1. Empty input yields an empty result frame (the
-    former ValueError needed a driver-side count)."""
-    stats = _stats_row(df, col, bins, bin_target)
+    former ValueError needed a driver-side count).
+
+    Round 14 (guide §5): the ONE-ROW stats frame is referenced three
+    times (binning twice, rank targets once) and each reference used to
+    re-instantiate the min/max/count scan; a lazy checkpoint makes later
+    references read the cached row — pass-1/pass-2 scans remain, the
+    duplicated stat scans go (measured 1.35 -> 1.05 s warm, 6.1 -> 1.5 s
+    cold at sf0.1; identical rows)."""
+    stats = _truncate(_stats_row(df, col, bins, bin_target))
     binned = df.crossJoin(F.broadcast(stats)).select(
         F.col(col).alias("v"),
         F.expr(f"(CAST(round({col} * {VAL_UNIT}) AS BIGINT) - _lo_u) "
@@ -220,14 +235,25 @@ def mad_outlier_report(df: DataFrame, col: str, group: str,
     # report is ONE action (was 5: two quantile runs of first()+collect
     # each, then the final collect), with the identical integer-cents
     # fence arithmetic.
-    med_row = exact_quantiles_histogram(
-        df.select(col), col, (0.5,)).select(F.col("value").alias("_med"))
+    # Round 14 (guide §5 lineage, r13 ADVICE): WITHOUT truncation the
+    # med/mad one-row subplans nest MULTIPLICATIVELY — each textual
+    # reference to med_row re-instantiates its whole quantile subtree,
+    # and mad_row's subtree contains med_row several times over, so the
+    # committed r13 plan held 162 lineitem scans and zero ReusedExchange
+    # (plans/r14/robust_price_outliers_before.txt). Lazily checkpointing
+    # each ONE-ROW frame makes every later reference read the cached
+    # single row instead of replanting the subtree: the base table is
+    # scanned O(passes) times total (8 scans, plans/..._after.txt), not
+    # O(plan references). Still one driver action; materialization rides
+    # the consuming job's broadcast build.
+    med_row = _truncate(exact_quantiles_histogram(
+        df.select(col), col, (0.5,)).select(F.col("value").alias("_med")))
     dev = (
         df.select(col).crossJoin(F.broadcast(med_row))
         .select(F.abs(F.col(col) - F.col("_med")).alias("dev"))
     )
-    mad_row = exact_quantiles_histogram(
-        dev, "dev", (0.5,)).select(F.col("value").alias("_mad"))
+    mad_row = _truncate(exact_quantiles_histogram(
+        dev, "dev", (0.5,)).select(F.col("value").alias("_mad")))
     dev_c = F.expr(f"CAST(round(abs({col} - _med) * 100) AS BIGINT)")
     mad_c = F.expr("CAST(round(_mad * 100) AS BIGINT)")
     return (
@@ -318,7 +344,7 @@ def weighted_quantiles_histogram(df: DataFrame, col: str, weight_expr: str,
     # §1.2 — was a driver first() + a cand-bin collect). Zero total
     # weight yields an empty result (the former ValueError needed the
     # driver round-trip).
-    stats = df.selectExpr(
+    stats = _truncate(df.selectExpr(
         f"CAST(round(min({col}) * {VAL_UNIT}) AS BIGINT) AS _lo_u",
         f"CAST(round(max({col}) * {VAL_UNIT}) AS BIGINT) AS _hi_u",
         f"CAST(sum({weight_expr}) AS BIGINT) AS _w",
@@ -327,7 +353,7 @@ def weighted_quantiles_histogram(df: DataFrame, col: str, weight_expr: str,
         "_lo_u", "_w",
         f"greatest(CAST(1 AS BIGINT), (_hi_u - _lo_u) div "
         f"greatest({bins}, _n div {bin_target}) + 1) AS _width",
-    )
+    ))
     binned = df.crossJoin(F.broadcast(stats)).selectExpr(
         f"{col} AS v",
         f"CAST({weight_expr} AS BIGINT) AS w",
@@ -347,7 +373,7 @@ def weighted_quantiles_histogram(df: DataFrame, col: str, weight_expr: str,
         (F.floor((F.col("_w") - 1) * F.col("quantile")) + 1)
         .cast("long").alias("weight_rank"),
     )
-    located = (
+    located = _truncate(
         targets.join(F.broadcast(cum),
                      (F.col("below") < F.col("weight_rank"))
                      & (F.col("weight_rank") <= F.col("below") + F.col("wcnt")))
@@ -551,7 +577,7 @@ def values_at_ranks(df: DataFrame, col: str,
         for _, r in labeled_ranks:
             if not 1 <= r <= n:
                 raise ValueError(f"rank {r} outside [1, {n}]")
-    stats = _stats_row(df, col, bins, bin_target)
+    stats = _truncate(_stats_row(df, col, bins, bin_target))
     binned = df.crossJoin(F.broadcast(stats)).select(
         F.col(col).alias("v"),
         F.expr(f"(CAST(round({col} * {VAL_UNIT}) AS BIGINT) - _lo_u) "
