@@ -487,11 +487,17 @@ def retention_manifest(docs: DataFrame, threshold: float = 0.3,
     clusters = duplicate_clusters(docs, threshold, rep_state)
     rank_w = Window.partitionBy("cluster").orderBy(F.col("quality").desc(), "doc_id")
     size_w = Window.partitionBy("cluster")
+    # Round 14 (guide §5): ``ranked`` feeds the rep rank AND the manifest
+    # spine, ``with_rep`` feeds the canonical-ref table AND the final
+    # assembly — without truncation each pair of references re-runs the
+    # cluster join + the cluster_size window (the doubled subtree was
+    # ~40% of the manifest plan). Lazy checkpoints keep the working set
+    # O(docs) and each stage computed once.
     ranked = (
         clusters.join(base, "doc_id")
         .join(exact, "fp")
         .withColumn("cluster_size", F.count(F.lit(1)).over(size_w))
-    )
+    ).transform(_truncate)
     # representative rank runs over exact canonicals ONLY — see docstring
     reps = (
         ranked.where(F.col("doc_id") == F.col("exact_canon"))
@@ -499,7 +505,7 @@ def retention_manifest(docs: DataFrame, threshold: float = 0.3,
         .where(F.col("rn") == 1)
         .select("cluster", F.col("doc_id").alias("rep_doc"))
     )
-    with_rep = ranked.join(reps, "cluster")
+    with_rep = ranked.join(reps, "cluster").transform(_truncate)
     # each canonical's own final ref (itself, or its cluster's rep when the
     # cluster kept a different fingerprint's canonical) — drop_exact members
     # defer to THIS, resolving the depth-2 ref chain in one equi-join
@@ -662,10 +668,17 @@ def build_snapshot_dedup_state(snapshot: DataFrame, threshold: float = 0.3,
         fingerprint_col(F.col("text")).alias("fp"),
         quality_score_col(F.col("text")).alias("quality"),
     ).transform(_truncate)
+    # Round 14 (guide §5): the in-query consumer references the snapshot
+    # manifest THREE times (snap_ids membership, two resolver joins) —
+    # untruncated, each reference replanted the entire snapshot dedup
+    # derivation (the 4,705-line r13 plan of
+    # incremental_retention_manifest_inquery). One lazy checkpoint =
+    # derived once, read three times. The stored-state path is untouched
+    # (it writes this to parquet and reads it back anyway).
     manifest = retention_manifest(
         snapshot, threshold, rep_state=(band_self_pairs(s_bands), s_members),
         base=s_base,
-    )
+    ).transform(_truncate)
     fingerprints = (
         s_base.groupBy("fp").agg(F.min("doc_id").alias("snap_canon"))
     )
