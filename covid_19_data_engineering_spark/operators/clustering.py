@@ -80,6 +80,13 @@ def connected_components(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b
     - ``"label"``: pure min-label propagation, O(diameter) rounds — the
       easy-to-inspect twin the equivalence tests run against.
     """
+    # Round 14 (guide §1.2): truncate the EDGE PLAN first — the symmetric
+    # view references it twice (and the star path four times), so an
+    # expensive edge producer (the FS scoring self-join, minhash banding)
+    # was both Catalyst-compiled and EXECUTED once per reference
+    # (record_linkage_golden measured 4.3 s of planning alone in the
+    # sym checkpoint). One lazy checkpoint = planned once, run once.
+    edges = edges.transform(_truncate)
     if algorithm == "star":
         labels, _ = star_components_with_rounds(edges, src, dst, max_iter)
         return labels
@@ -156,6 +163,7 @@ def connected_components(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b
             # groups keep their (already minimal) label
             F.coalesce(F.col("_root"), F.col("component")).alias("component"),
         )
+        .transform(_truncate)  # consumers reference the labels twice
     )
 
 
@@ -257,7 +265,9 @@ def star_components_with_rounds(edges: DataFrame, src: str = "doc_a",
         all_nodes.join(labels.select("node"), "node", "left_anti")
         .select("node", F.col("node").alias("component"))
     )
-    return labels.union(singletons), rounds
+    # consumers typically join the label table twice (members + an
+    # attribute readout); truncate so the union/anti-join tail runs once
+    return labels.union(singletons).transform(_truncate), rounds
 
 
 def duplicate_clusters(docs: DataFrame, threshold: float = 0.3,

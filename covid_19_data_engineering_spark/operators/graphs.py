@@ -1616,6 +1616,12 @@ def weighted_sssp(edges: DataFrame, rounds: int = SSSP_ROUNDS) -> DataFrame:
                     (F.col("dist") + F.col("w")).alias("cand"))
             .groupBy("node").agg(F.min("cand").alias("cand"))
         )
+        # round 14 (guide §1.2 driver work): checkpoint MERGED once and
+        # derive dist/frontier as trivial selects over it — each
+        # _truncate compiles the cumulative plan eagerly on the driver
+        # (localCheckpoint plans to RDD at call time even when lazy), so
+        # two truncates per round made Catalyst planning, not data work,
+        # the wall (measured: 4.5 s build vs 0.2 s execute at sf0.1).
         merged = (
             dist.join(cand, "node", "full_outer")
             .select(
@@ -1626,14 +1632,13 @@ def weighted_sssp(edges: DataFrame, rounds: int = SSSP_ROUNDS) -> DataFrame:
                 .alias("_improved"),
                 F.col("dist").isNull().alias("_new"),
             )
+            .transform(_truncate)
         )
-        dist = merged.select(
-            "node", F.col("new_dist").alias("dist")).transform(_truncate)
+        dist = merged.select("node", F.col("new_dist").alias("dist"))
         frontier = (
             merged.where(F.coalesce(F.col("_improved"), F.lit(False))
                          | F.col("_new"))
             .select("node", F.col("new_dist").alias("dist"))
-            .transform(_truncate)
         )
     return dist
 
