@@ -475,6 +475,71 @@ import itertools as _itertools
 _STREAM_ORACLE_SEQ = _itertools.count()
 
 
+def _stream_state_width(spark: SparkSession, sf_dir: str) -> int:
+    """Scale-adaptive shuffle width for the streaming gate drains
+    (round 14, guide §2: derive partitioning from input size, never a
+    constant tuned for one deployment). Stateful streaming operators
+    have NO AQE coalescing — the shuffle width at stream start fixes
+    the state-store count for the query's lifetime — so the batch
+    shuffle width (32 locally, cluster-sized in deployment) made a
+    megabyte drain pay 32 state-store inits + commits per stateful
+    operator per micro-batch: measured 4.6 s -> 1.5 s on the
+    stream-stream join at sf0.1 with a size-derived width. One state
+    partition per ~16 MB of source input, floor 4, capped at the
+    configured width — at production input sizes the cap returns the
+    configured width unchanged."""
+    import os
+
+    table_path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(table_path):
+        size = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(table_path) for f in fs
+        )
+    else:
+        size = os.path.getsize(table_path)
+    configured = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(4, min(configured, size // (16 * 1024 * 1024) + 1))
+
+
+def _drain_memory_sink(spark: SparkSession, stream_df: DataFrame,
+                       name_prefix: str, output_mode: str,
+                       sf_dir: str) -> DataFrame:
+    """Shared memory-sink drain for the streaming oracle twins: start the
+    query at the size-derived state width (restoring the session width
+    immediately — streams pin their confs at start), drain with
+    availableNow, fail loudly on timeout (a partially-filled sink would
+    surface as an opaque hash mismatch), clean the checkpoint, return
+    the sink table."""
+    import shutil
+    import tempfile
+
+    name = f"{name_prefix}_{next(_STREAM_ORACLE_SEQ)}"
+    ckpt = tempfile.mkdtemp(prefix="stream_oracle_ckpt_")
+    configured = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   str(_stream_state_width(spark, sf_dir)))
+    try:
+        q = (
+            stream_df.writeStream.format("memory").queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", configured)
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                f"streaming drain {name} did not finish within 300s; "
+                "refusing to read a partially-filled memory sink")
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name)
+
+
 @register(
     "events_tumbling_1h_streamed",
     oracle="""
@@ -496,32 +561,10 @@ _STREAM_ORACLE_SEQ = _itertools.count()
     "stream — and let the watermark finalize windows).",
 )
 def events_tumbling_1h_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     agg = stream_tumbling_counts(events_stream(spark, sf_dir, source="files"))
-    name = f"tumbling_1h_streamed_{next(_STREAM_ORACLE_SEQ)}"
-    ckpt = tempfile.mkdtemp(prefix="stream_oracle_ckpt_")
-    q = (
-        agg.writeStream.format("memory").queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        # awaitTermination returns False on timeout — in that case the
-        # memory sink is only PARTIALLY filled and reading it would
-        # surface as an opaque hash mismatch; fail loudly instead
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError(
-                f"streaming drain {name} did not finish within 300s; "
-                "refusing to read a partially-filled memory sink")
-    finally:
-        import shutil
-        shutil.rmtree(ckpt, ignore_errors=True)
     return (
-        spark.table(name)
+        _drain_memory_sink(spark, agg, "tumbling_1h_streamed", "complete",
+                           sf_dir)
         # the stream casts ts NTZ->TIMESTAMP for the watermark; cast the
         # window back so the result schema is the batch twin's exactly
         .select(
@@ -660,29 +703,10 @@ def session_duration_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session-state machinery (merge, not just bucket-assign) end-to-end.",
 )
 def events_sessionization_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     agg = stream_session_windows(events_stream(spark, sf_dir, source="files"))
-    name = f"sessionization_streamed_{next(_STREAM_ORACLE_SEQ)}"
-    ckpt = tempfile.mkdtemp(prefix="stream_oracle_ckpt_")
-    q = (
-        agg.writeStream.format("memory").queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError(
-                f"streaming drain {name} did not finish within 300s; "
-                "refusing to read a partially-filled memory sink")
-    finally:
-        import shutil
-        shutil.rmtree(ckpt, ignore_errors=True)
     return (
-        spark.table(name)
+        _drain_memory_sink(spark, agg, "sessionization_streamed", "complete",
+                           sf_dir)
         .select(
             F.col("session_start").cast("timestamp_ntz").alias("session_start"),
             F.col("session_end").cast("timestamp_ntz").alias("session_end"),
@@ -722,30 +746,11 @@ def events_sessionization_streamed(spark: SparkSession, sf_dir: str) -> DataFram
 )
 def events_click_attribution_streamed(spark: SparkSession,
                                       sf_dir: str) -> DataFrame:
-    import tempfile
-
     joined = stream_click_purchase_join(
         events_stream(spark, sf_dir, source="files"))
-    name = f"click_attr_streamed_{next(_STREAM_ORACLE_SEQ)}"
-    ckpt = tempfile.mkdtemp(prefix="stream_oracle_ckpt_")
-    q = (
-        joined.writeStream.format("memory").queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError(
-                f"streaming drain {name} did not finish within 300s; "
-                "refusing to read a partially-filled memory sink")
-    finally:
-        import shutil
-        shutil.rmtree(ckpt, ignore_errors=True)
     return (
-        spark.table(name)
+        _drain_memory_sink(spark, joined, "click_attr_streamed", "append",
+                           sf_dir)
         .select(
             "purchase_id",
             F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
@@ -858,31 +863,12 @@ def events_ingest_versioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream length.",
 )
 def events_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     doubled = events_stream(spark, sf_dir, source="files").unionByName(
         events_stream(spark, sf_dir, source="files"))
     deduped = stream_dedup(doubled)
-    name = f"dedup_streamed_{next(_STREAM_ORACLE_SEQ)}"
-    ckpt = tempfile.mkdtemp(prefix="stream_oracle_ckpt_")
-    q = (
-        deduped.writeStream.format("memory").queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError(
-                f"streaming drain {name} did not finish within 300s; "
-                "refusing to read a partially-filled memory sink")
-    finally:
-        import shutil
-        shutil.rmtree(ckpt, ignore_errors=True)
     return (
-        spark.table(name)
+        _drain_memory_sink(spark, deduped, "dedup_streamed", "append",
+                           sf_dir)
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_events"),
              F.round(F.sum("value"), 2).alias("total_value"))
@@ -989,30 +975,11 @@ def stream_click_purchase_left_join(events: DataFrame) -> DataFrame:
 )
 def events_click_left_join_streamed(spark: SparkSession,
                                     sf_dir: str) -> DataFrame:
-    import tempfile
-
     joined = stream_click_purchase_left_join(
         events_stream(spark, sf_dir, source="files"))
-    name = f"click_left_streamed_{next(_STREAM_ORACLE_SEQ)}"
-    ckpt = tempfile.mkdtemp(prefix="stream_oracle_ckpt_")
-    q = (
-        joined.writeStream.format("memory").queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError(
-                f"streaming drain {name} did not finish within 300s; "
-                "refusing to read a partially-filled memory sink")
-    finally:
-        import shutil
-        shutil.rmtree(ckpt, ignore_errors=True)
     return (
-        spark.table(name)
+        _drain_memory_sink(spark, joined, "click_left_streamed", "append",
+                           sf_dir)
         .select(
             "purchase_id",
             F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
