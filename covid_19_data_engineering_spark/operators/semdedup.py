@@ -481,8 +481,11 @@ def semantic_dedup(emb: DataFrame, threshold: float = SEM_THRESHOLD,
     flat, 'coarse:fine' ivf) so the switch never changes the schema."""
     withrep = _collapse_embeddings(emb)
     # feeds the rep filter, the k-derivation count, and the expansion —
-    # materialize the collapse shuffle once
-    withrep = withrep.localCheckpoint(eager=True)
+    # materialize the collapse shuffle once. LAZY since round 14: the
+    # k-derivation count below is the first consumer, so the checkpoint
+    # materializes inside that job instead of paying a dedicated one
+    # (the label-loop pattern).
+    withrep = withrep.localCheckpoint(eager=False)
     reps = withrep.where(F.col("vec_id") == F.col("rep")).select("vec_id", "e")
     n_reps = reps.count()
     if partition == "auto":
@@ -499,8 +502,9 @@ def semantic_dedup(emb: DataFrame, threshold: float = SEM_THRESHOLD,
         raise ValueError(f"unknown partition {partition!r}")
     # the cell working set feeds both self-join sides and the final
     # spine — materialize it once (same shared-working-set rule as every
-    # band join)
-    cells = cells.localCheckpoint(eager=True)
+    # band join; lazy since round 14 — the pair join's first job
+    # materializes it, no dedicated blocking job)
+    cells = cells.localCheckpoint(eager=False)
     return _decide_and_expand(withrep, cells, threshold)
 
 
